@@ -1,0 +1,139 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / statistical analytics — the Spark restatement of the
+  * reference's flagship per-portfolio statistics flow
+  * (`portfolio.js:319-488`) and price-forecast flow
+  * (`chart.js:67-158`, `portfolio.js:491-559`).
+  *
+  * The reference runs 2 SQL round trips *per held symbol* plus one
+  * matrix query (SURVEY.md §3 trace 1 — the N+1 anti-pattern). Here
+  * every statistic for every key comes out of ONE pass over the fact
+  * table: returns are computed once with a partitioned lag window and
+  * all downstream stats are hash aggregations over that single frame.
+  */
+object TimeSeries {
+
+  /** Daily simple returns per key: (close - lag(close)) / lag(close)
+    * over (key, time) — reference `portfolio.js:366-373` (single-series
+    * LAG) generalized to the partitioned form it uses for the market
+    * leg (`portfolio.js:395-400`).
+    *
+    * Window shuffles on `key` only — per-key partitions sort locally.
+    * At 100 TB `series` should arrive partitioned by key and sorted by
+    * time (the `Stocks(symbol,timestamp)` clustered layout, SURVEY §4),
+    * making the window shuffle-free.
+    */
+  def returns(series: DataFrame, key: String, time: String, close: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time))
+    val prev = lag(col(close), 1).over(w)
+    series.withColumn("ret",
+      when(prev.isNotNull && prev =!= 0.0, (col(close) - prev) / prev))
+  }
+
+  /** Coefficient of variation of returns per key — reference
+    * `portfolio.js:366-377`: STDDEV(r)/AVG(r) with Postgres STDDEV =
+    * sample stddev (matches Spark `stddev_samp`).
+    */
+  def coefficientOfVariation(rets: DataFrame, key: String): DataFrame =
+    rets.filter(col("ret").isNotNull)
+      .groupBy(col(key))
+      .agg((stddev_samp(col("ret")) / avg(col("ret"))).as("cov"))
+
+  /** Equal-weighted market return per day — reference
+    * `portfolio.js:402-407` (`m` CTE: AVG of all symbols' returns per
+    * timestamp).
+    */
+  def marketReturns(rets: DataFrame, time: String): DataFrame =
+    rets.filter(col("ret").isNotNull)
+      .groupBy(col(time))
+      .agg(avg(col("ret")).as("mret"))
+
+  /** Beta per key vs the market: COVAR_POP(r, mr) / VAR_POP(mr) —
+    * reference `portfolio.js:408-415` (J10 join + A4 aggregate).
+    * The market frame is tiny (one row per day) → broadcast join.
+    */
+  def beta(rets: DataFrame, key: String, time: String): DataFrame = {
+    val market = marketReturns(rets, time)
+    rets.filter(col("ret").isNotNull)
+      .join(broadcast(market), Seq(time))
+      .groupBy(col(key))
+      .agg((covar_pop(col("ret"), col("mret")) / var_pop(col("mret"))).as("beta"))
+  }
+
+  /** Pairwise correlation/covariance matrix (upper triangle) —
+    * reference `portfolio.js:449-477`: returns self-joined on the day
+    * with `r1.symbol <= r2.symbol` (J8), then corr/covar_pop per pair
+    * (A5).
+    *
+    * The self-join is equi on the day; the triangle condition is a
+    * post-filter, so Catalyst still plans a hash/sort-merge join, never
+    * a nested loop. Cost is O(days × symbols²) pairs — at large symbol
+    * counts cap the key set (the reference only ever runs it over one
+    * portfolio's holdings, a handful of symbols).
+    */
+  def corrMatrix(rets: DataFrame, key: String, time: String): DataFrame = {
+    val r = rets.filter(col("ret").isNotNull)
+      .select(col(key).as("k"), col(time).as("t"), col("ret"))
+    val r1 = r.select(col("k").as("k1"), col("t"), col("ret").as("ret1"))
+    val r2 = r.select(col("k").as("k2"), col("t"), col("ret").as("ret2"))
+    r1.join(r2, Seq("t"))
+      .filter(col("k1") <= col("k2"))
+      .groupBy(col("k1"), col("k2"))
+      .agg(corr(col("ret1"), col("ret2")).as("correlation"),
+           covar_pop(col("ret1"), col("ret2")).as("covariance"),
+           count(lit(1)).as("n_days"))
+  }
+
+  /** Linear-regression forecast per key — the in-engine restatement of
+    * the reference's app-side SimpleLinearRegression over the last-50
+    * closes extrapolated `horizon` days (`chart.js:67-158`,
+    * `portfolio.js:491-559`; trend classified by slope sign).
+    *
+    * x = ordinal index of the bar within the training window (as the
+    * reference indexes its array), fitted with the built-in
+    * `regr_slope`/`regr_intercept` aggregates; predictions are a
+    * `sequence()` explode — no driver-side loop.
+    *
+    * @param trainN  training window (reference: 50)
+    * @param horizon days ahead (reference: 30)
+    * @param minRows minimum bars to fit (reference: 5)
+    */
+  def forecast(series: DataFrame, key: String, time: String, close: String,
+               trainN: Int = 50, horizon: Int = 30, minRows: Int = 5): DataFrame = {
+    val wDesc = Window.partitionBy(col(key)).orderBy(col(time).desc)
+    val wAsc  = Window.partitionBy(col(key)).orderBy(col(time))
+    val lastN = series
+      .withColumn("__rd", row_number().over(wDesc))
+      .filter(col("__rd") <= trainN)
+      .withColumn("x", row_number().over(wAsc).cast("double"))
+    val fit = lastN.groupBy(col(key)).agg(
+        regr_slope(col(close), col("x")).as("slope"),
+        regr_intercept(col(close), col("x")).as("intercept"),
+        count(lit(1)).as("n"),
+        max(col(time)).as("last_t"))
+      .filter(col("n") >= minRows)
+      .withColumn("trend",
+        when(col("slope") > 0, "UP").when(col("slope") < 0, "DOWN").otherwise("FLAT"))
+    fit.select(col(key), col("slope"), col("intercept"), col("n"), col("last_t"),
+        col("trend"), explode(sequence(lit(1), lit(horizon))).as("step"))
+      .withColumn("pred_date", date_add(col("last_t").cast("date"), col("step")))
+      .withColumn("predicted", col("intercept") + col("slope") * (col("n") + col("step")))
+      .drop("intercept", "last_t")
+  }
+
+  /** Portfolio market value — Σ latest_close × shares + cash
+    * (reference `portfolio.js:288-304`, an app-side JS loop over N+1
+    * price queries; here one latestPerKey + one broadcast join + one
+    * agg).
+    */
+  def portfolioValue(holdings: DataFrame, latestPrices: DataFrame,
+                     pfKey: String, symbol: String,
+                     shares: Column, close: Column): DataFrame =
+    holdings.join(latestPrices, Seq(symbol))
+      .groupBy(col(pfKey))
+      .agg(sum(shares * close).as("market_value"))
+}

@@ -1,0 +1,279 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.ops.Kernels
+import graft.analytics.TimeSeries
+
+/** One entry per operator from SURVEY.md §2: a Spark-first
+  * implementation plus (where SQL-expressible) the equivalent ANSI SQL
+  * the driver runs in DuckDB over the same parquet tables.
+  *
+  * Conventions for exact oracle parity (driver hash-compares values):
+  *   - every aggregate / computed column is aliased identically on
+  *     both sides;
+  *   - monetary sums go through DECIMAL(18,2) (exact in both engines,
+  *     independent of summation order) and are surfaced as DOUBLE;
+  *   - statistical aggregates are rounded (float algorithms differ in
+  *     accumulation order between engines);
+  *   - every query has a total deterministic ORDER BY;
+  *   - intermediate "close" series use max() (order-independent,
+  *     bit-exact) rather than avg().
+  */
+case class Q(name: String,
+             run: (SparkSession, String) => DataFrame,
+             oracle: Option[String])
+
+object QueryCatalog {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Daily close series per returnflag — the `Stocks` OHLCV analog on
+    * the harness schema; shared by the window/statistics queries.
+    * max() is order-independent → bit-exact across engines. */
+  private def dailyCloses(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+      .agg(max(col("l_extendedprice")).as("close"))
+
+  private val dailySql =
+    "daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day, " +
+      "max(l_extendedprice) AS close FROM lineitem GROUP BY 1, 2)"
+
+  /** Returns CTE on top of dailySql (ret NULL on first row of each key). */
+  private val retSql =
+    dailySql + ", rr AS (SELECT l_returnflag, day, close, " +
+      "(close - lag(close) OVER (PARTITION BY l_returnflag ORDER BY day)) / " +
+      "lag(close) OVER (PARTITION BY l_returnflag ORDER BY day) AS ret FROM daily), " +
+      "rets AS (SELECT * FROM rr WHERE ret IS NOT NULL)"
+
+  private def retFrame(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.returns(dailyCloses(t(s, dir, "lineitem")),
+      "l_returnflag", "day", "close")
+
+  val entries: Seq[Q] = Seq(
+
+    // ---- S: scans / sources (SURVEY §2.1) ----
+
+    Q("s1_distinct_projection",
+      // SELECT DISTINCT symbol FROM Stocks ORDER BY symbol (stocks.js:9-11)
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_brand").as("brand")).distinct().orderBy("brand"),
+      Some("SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand")),
+
+    // ---- P: filters / predicates (SURVEY §2.2) ----
+
+    Q("p3_range_scan",
+      // per-symbol history page: WHERE symbol=$1 AND ts BETWEEN $2 AND $3
+      // ORDER BY ts (stocks.js:110-116)
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_suppkey") === 7 &&
+          to_date(col("l_shipdate")).between("1996-01-01", "1997-12-31"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_day"),
+          col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+        .orderBy("ship_day", "l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day, " +
+        "l_extendedprice AS price, l_quantity AS qty FROM lineitem " +
+        "WHERE l_suppkey = 7 AND CAST(l_shipdate AS DATE) " +
+        "BETWEEN DATE '1996-01-01' AND DATE '1997-12-31' " +
+        "ORDER BY ship_day, l_orderkey, l_linenumber")),
+
+    // ---- J: joins (SURVEY §2.3) ----
+
+    Q("j1_dim_join",
+      // stocklist ⋈ users owner-email enrichment (lists.js:24-37) →
+      // fact ⋈ broadcast dimension
+      (s, dir) => t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("c_name"), col("c_mktsegment"),
+          to_date(col("o_orderdate")).as("order_day"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_totalprice, c_name, c_mktsegment, " +
+        "CAST(o_orderdate AS DATE) AS order_day " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
+    Q("j5_semi_access",
+      // correlated EXISTS access filter (lists.js:190-194) → left_semi
+      (s, dir) => Kernels.accessibleBy(
+          t(s, dir, "customer"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 200000) ORDER BY c_custkey")),
+
+    Q("j6_exists_flags",
+      // scalar EXISTS flags in SELECT list (lists.js:167-179) →
+      // one agg over the grants side + broadcast left join
+      (s, dir) => Kernels.existsFlags(
+          t(s, dir, "customer"),
+          t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+            col("o_orderpriority")),
+          Seq("c_custkey"),
+          Map("has_orders" -> max(lit(true)),
+              "has_urgent" -> max(col("o_orderpriority") === "1-URGENT")))
+        .select(col("c_custkey"), col("c_name"),
+          col("has_orders"), col("has_urgent"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name, " +
+        "EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_orders, " +
+        "EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT') AS has_urgent " +
+        "FROM customer c ORDER BY c_custkey")),
+
+    Q("j11_latest_per_key",
+      // the N+1 latest-close rewrite (portfolio.js:289-302 et al.) →
+      // single max_by hash agg
+      (s, dir) => Kernels.latestPerKey(t(s, dir, "lineitem"),
+          Seq("l_suppkey"),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_day"),
+          col("l_extendedprice").as("close"))
+        .orderBy("l_suppkey"),
+      Some("SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "CAST(l_shipdate AS DATE) AS ship_day, l_extendedprice AS close FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY " +
+        "l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn FROM lineitem) " +
+        "WHERE rn = 1 ORDER BY l_suppkey")),
+
+    // ---- A: aggregations (SURVEY §2.4) ----
+
+    Q("a1_stats_bundle",
+      // per-symbol stats bundle (stocks.js:208-222): COUNT/MIN/MAX/AVG/SUM
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sumPrice = sum(col("l_extendedprice").cast("decimal(18,2)"))
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_bars"),
+            min(to_date(col("l_shipdate"))).as("first_day"),
+            max(to_date(col("l_shipdate"))).as("last_day"),
+            sumPrice.cast("double").as("sum_price"),
+            round(sumPrice.cast("double") / count(lit(1)), 4).as("avg_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, count(*) AS n_bars, " +
+        "CAST(min(l_shipdate) AS DATE) AS first_day, " +
+        "CAST(max(l_shipdate) AS DATE) AS last_day, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price, " +
+        "max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price, " +
+        "sum(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    Q("u5_ledger_balance",
+      // event-sourced cash balance: ledger Σ per portfolio
+      // (portfolio.js:162-174 deposit/withdraw + Transaction append)
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("balance"),
+          count(lit(1)).as("n_tx"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS balance, " +
+        "count(*) AS n_tx FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // ---- W: windows (SURVEY §2.5) ----
+
+    Q("w1_lag_returns",
+      // daily returns via LAG (portfolio.js:366-373, partitioned form
+      // portfolio.js:395-400)
+      (s, dir) => retFrame(s, dir)
+        .select(col("l_returnflag"), col("day"), col("close"),
+          round(col("ret"), 6).as("ret"))
+        .orderBy("l_returnflag", "day"),
+      Some("WITH " + dailySql +
+        " SELECT l_returnflag, day, close, round((close - " +
+        "lag(close) OVER (PARTITION BY l_returnflag ORDER BY day)) / " +
+        "lag(close) OVER (PARTITION BY l_returnflag ORDER BY day), 6) AS ret " +
+        "FROM daily ORDER BY l_returnflag, day")),
+
+    // ---- statistics (SURVEY §2.4 A2-A5, §3 trace 1) ----
+
+    Q("a2_cov",
+      // coefficient of variation STDDEV(r)/AVG(r) (portfolio.js:366-377)
+      (s, dir) => TimeSeries.coefficientOfVariation(retFrame(s, dir), "l_returnflag")
+        .select(col("l_returnflag"), round(col("cov"), 6).as("cov"))
+        .orderBy("l_returnflag"),
+      Some("WITH " + retSql +
+        " SELECT l_returnflag, round(stddev_samp(ret) / avg(ret), 6) AS cov " +
+        "FROM rets GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    Q("a4_beta",
+      // beta = COVAR_POP(r, mr)/VAR_POP(mr) vs equal-weighted market
+      // (portfolio.js:386-416)
+      (s, dir) => TimeSeries.beta(retFrame(s, dir), "l_returnflag", "day")
+        .select(col("l_returnflag"), round(col("beta"), 6).as("beta"))
+        .orderBy("l_returnflag"),
+      Some("WITH " + retSql +
+        ", m AS (SELECT day, avg(ret) AS mret FROM rets GROUP BY day) " +
+        "SELECT l_returnflag, round(covar_pop(ret, mret) / var_pop(mret), 6) AS beta " +
+        "FROM rets JOIN m USING (day) GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    Q("a5_corr_matrix",
+      // pairwise corr/covar matrix, upper triangle (portfolio.js:449-477)
+      (s, dir) => TimeSeries.corrMatrix(retFrame(s, dir), "l_returnflag", "day")
+        .select(col("k1"), col("k2"),
+          round(col("correlation"), 6).as("correlation"),
+          round(col("covariance"), 8).as("covariance"), col("n_days"))
+        .orderBy("k1", "k2"),
+      Some("WITH " + retSql +
+        " SELECT r1.l_returnflag AS k1, r2.l_returnflag AS k2, " +
+        "round(corr(r1.ret, r2.ret), 6) AS correlation, " +
+        "round(covar_pop(r1.ret, r2.ret), 8) AS covariance, " +
+        "count(*) AS n_days " +
+        "FROM rets r1 JOIN rets r2 ON r1.day = r2.day " +
+        "AND r1.l_returnflag <= r2.l_returnflag " +
+        "GROUP BY 1, 2 ORDER BY k1, k2")),
+
+    Q("m1_forecast",
+      // linear-regression forecast: last-50 closes, 30-day horizon,
+      // trend by slope sign (chart.js:67-158, portfolio.js:491-559)
+      (s, dir) => TimeSeries.forecast(dailyCloses(t(s, dir, "lineitem")),
+          "l_returnflag", "day", "close", trainN = 50, horizon = 30, minRows = 5)
+        .select(col("l_returnflag"), round(col("slope"), 6).as("slope"),
+          col("n"), col("trend"), col("step"), col("pred_date"),
+          round(col("predicted"), 4).as("predicted"))
+        .orderBy("l_returnflag", "step"),
+      Some("WITH " + dailySql + ", " +
+        "last50 AS (SELECT * FROM (SELECT l_returnflag, day, close, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY day DESC) AS rd " +
+        "FROM daily) WHERE rd <= 50), " +
+        "tr AS (SELECT l_returnflag, day, close, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY day) AS x FROM last50), " +
+        "fit AS (SELECT l_returnflag, regr_slope(close, x) AS slope, " +
+        "regr_intercept(close, x) AS intercept, count(*) AS n, max(day) AS last_day " +
+        "FROM tr GROUP BY 1), " +
+        "steps AS (SELECT unnest(generate_series(1, 30)) AS step) " +
+        "SELECT l_returnflag, round(slope, 6) AS slope, n, " +
+        "CASE WHEN slope > 0 THEN 'UP' WHEN slope < 0 THEN 'DOWN' ELSE 'FLAT' END AS trend, " +
+        "step, last_day + CAST(step AS INTEGER) AS pred_date, " +
+        "round(intercept + slope * (n + step), 4) AS predicted " +
+        "FROM fit CROSS JOIN steps WHERE n >= 5 ORDER BY l_returnflag, step")),
+
+    // ---- O: sorts / limits / top-k (SURVEY §2.6) ----
+
+    Q("o2_topk",
+      // ORDER BY … DESC LIMIT k (stocks.js:21-26, chart.js:74-80)
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+      Some("SELECT l_orderkey, l_linenumber, l_extendedprice AS price " +
+        "FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20")),
+  )
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(q => q.name -> q.run).toMap
+
+  lazy val oracles: Map[String, String] =
+    entries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational kernels — the engine's equivalents of the
+  * reference's recurring SQL idioms (SURVEY.md §2 / §7.1 `ops/`).
+  *
+  * Scale notes apply to every kernel: all of these are single-shuffle
+  * (or shuffle-free given pre-partitioned input) and rely only on
+  * hash-partitionable operations — no global sorts, no driver-side
+  * loops, no correlated per-row subqueries.
+  */
+object Kernels {
+
+  /** Latest-row-per-key — the rewrite of the reference's N+1
+    * "latest close" loops (reference `portfolio.js:289-302`,
+    * `holdings.js:46-65`, `trading.js:22-35`: per-key
+    * `ORDER BY timestamp DESC LIMIT 1` issued once per holding).
+    *
+    * One hash aggregation with partial (map-side) combine: `max_by`
+    * over a deterministic ordering struct. No sort, no window, one
+    * shuffle on the key — this survives 100 TB where a global
+    * window-sort would not.
+    *
+    * @param ord ordering columns, most-significant first; MUST be a
+    *            total order within each key group for determinism.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(ord: _*)).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /** Top-k rows per key by the given ordering (reference
+    * `stocks.js:21-26` latest-15 bars, `chart.js:74-80` last-50
+    * closes — per-symbol DESC+LIMIT queries).
+    *
+    * Window `row_number` over (key, ord desc) — a per-key sort, not a
+    * global one; shuffle on key only. For k=1 prefer [[latestPerKey]].
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String], ord: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** MERGE/upsert semantics — the reference's `INSERT … ON CONFLICT DO
+    * UPDATE` (`lists.js:483-491` stockin shares, `portfolio.js:427-445`
+    * statistics_cache write-back).
+    *
+    * Source rows win on key collision: keep target rows with no source
+    * match (left_anti) and union the source. Both sides shuffle on the
+    * key once; with bucketed storage the anti-join is shuffle-free.
+    * Requires `src` to be key-unique (enforce upstream with
+    * [[dedupExactKeys]]).
+    */
+  def upsert(target: DataFrame, src: DataFrame, keys: Seq[String]): DataFrame = {
+    val srcAligned = src.select(target.columns.map(col): _*)
+    target.join(src.select(keys.map(col): _*), keys, "left_anti").union(srcAligned)
+  }
+
+  /** Insert-if-absent — `ON CONFLICT DO NOTHING` (reference
+    * `users.js:208-213` friend edge, `stocks.js:137-142` symbol dim,
+    * `lists.js:388-395` share grant). Existing target rows win.
+    */
+  def insertIfAbsent(target: DataFrame, src: DataFrame, keys: Seq[String]): DataFrame = {
+    val srcAligned = src.select(target.columns.map(col): _*)
+    target.union(srcAligned.join(target.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
+  /** Copy-on-write point/predicate UPDATE (reference `stocks.js:163-169`
+    * bar update, `portfolio.js:110-114` COALESCE-defaulted update,
+    * `users.js:199-203` status transition).
+    *
+    * Pure projection — no shuffle at all: every row flows through a
+    * `when(pred, new).otherwise(old)` per updated column.
+    */
+  def cowUpdate(df: DataFrame, pred: Column, sets: Map[String, Column]): DataFrame =
+    sets.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, when(pred, v).otherwise(col(c)))
+    }
+
+  /** Copy-on-write DELETE by key rows (reference `stocks.js:187-189`
+    * bar delete) — anti-join against the doomed key set.
+    */
+  def cowDelete(df: DataFrame, doomedKeys: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(broadcast(doomedKeys.select(keys.map(col): _*)), keys, "left_anti")
+
+  /** Copy-on-write DELETE by predicate. */
+  def cowDeleteWhere(df: DataFrame, pred: Column): DataFrame = df.filter(!pred)
+
+  /** Exact dedup keeping the minimum of `tiebreak` per key — a
+    * deterministic `dropDuplicates` (Spark's own keeps an arbitrary
+    * row). One `min_by` hash agg, partial-combine friendly.
+    */
+  def dedupExactKeys(df: DataFrame, keys: Seq[String], tiebreak: Column): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, tiebreak).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /** Normalize an undirected edge to (least, greatest) — the invariant
+    * the reference maintains in app code on friend-edge insert
+    * (`users.js:205-206`, `users.js:317` via Math.min/max).
+    */
+  def normalizeEdge(df: DataFrame, a: String, b: String,
+                    outA: String = "u1", outB: String = "u2"): DataFrame =
+    df.withColumn(outA, least(col(a), col(b)))
+      .withColumn(outB, greatest(col(a), col(b)))
+      .drop(Seq(a, b).filterNot(Set(outA, outB)): _*)
+
+  /** Neighbors-of-v over normalized undirected edges — the rewrite of
+    * the reference's disjunctive join (`users.js:68-77`:
+    * `ON (u=f.u1 AND f.u2=$1) OR (u=f.u2 AND f.u1=$1)`), which Spark
+    * would execute as a broadcast-nested-loop. Two filtered
+    * projections + union keeps every join downstream hash-joinable.
+    */
+  def neighborsOf(edges: DataFrame, u1: String, u2: String, v: Column): DataFrame =
+    edges.filter(col(u1) === v).select(col(u2).as("neighbor"))
+      .union(edges.filter(col(u2) === v).select(col(u1).as("neighbor")))
+
+  /** Access-control semi-join — correlated `EXISTS(SELECT 1 …)` in
+    * WHERE (reference `lists.js:190-194`, `reviews.js:46-53`).
+    */
+  def accessibleBy(rows: DataFrame, grants: DataFrame, keys: Seq[String]): DataFrame =
+    rows.join(grants.select(keys.map(col): _*).distinct(), keys, "left_semi")
+
+  /** Boolean-projection flags — scalar `EXISTS(...)` in the SELECT list
+    * (reference `lists.js:167-179`: has_shares / shared_with_me).
+    * One aggregation over the grants side, then a broadcastable left
+    * join; `coalesce(flag, false)` restores EXISTS semantics for rows
+    * with no grants at all.
+    *
+    * @param flags map of output column name -> aggregate over grants
+    *              (e.g. `lit(true)`, `max(col("userid") === uid)`).
+    */
+  def existsFlags(rows: DataFrame, grants: DataFrame, keys: Seq[String],
+                  flags: Map[String, Column]): DataFrame = {
+    val aggd = grants.groupBy(keys.map(col): _*)
+      .agg(flags.head._2.as(flags.head._1),
+           flags.tail.map { case (n, c) => c.as(n) }.toSeq: _*)
+    val joined = rows.join(aggd, keys, "left")
+    flags.keys.foldLeft(joined)((d, n) =>
+      d.withColumn(n, coalesce(col(n), lit(false))))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bars = Seq(
+    ("AAA", "2024-01-01", 10.0),
+    ("AAA", "2024-01-02", 11.0),
+    ("AAA", "2024-01-03", 12.0),
+    ("BBB", "2024-01-01", 20.0),
+    ("BBB", "2024-01-02", 19.0)
+  ).toDF("symbol", "day", "close")
+
+  test("latestPerKey keeps exactly the max-ordered row per key") {
+    val got = Kernels.latestPerKey(bars, Seq("symbol"), Seq(col("day")))
+      .orderBy("symbol").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("AAA", "2024-01-03", 12.0), ("BBB", "2024-01-02", 19.0)))
+  }
+
+  test("topKPerKey returns k most recent per key") {
+    val got = Kernels.topKPerKey(bars, Seq("symbol"), Seq(col("day")), 2)
+    assert(got.count() == 4)
+    assert(got.filter($"symbol" === "AAA").agg(min($"day")).head.getString(0) == "2024-01-02")
+  }
+
+  test("upsert: source wins on conflict, non-conflicting target rows kept") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val src = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val got = Kernels.upsert(target, src, Seq("k")).orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("insertIfAbsent: existing target rows win") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val src = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val got = Kernels.insertIfAbsent(target, src, Seq("k")).orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "C")))
+  }
+
+  test("upsert is idempotent") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val src = Seq((2, "B")).toDF("k", "v")
+    val once = Kernels.upsert(target, src, Seq("k"))
+    val twice = Kernels.upsert(once, src, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("cowUpdate only touches predicate-matched rows") {
+    val got = Kernels.cowUpdate(bars, $"symbol" === "AAA" && $"day" === "2024-01-02",
+        Map("close" -> lit(99.9)))
+      .filter($"close" === 99.9).collect()
+    assert(got.length == 1 && got.head.getString(1) == "2024-01-02")
+  }
+
+  test("cowDelete removes exactly the doomed keys") {
+    val doomed = Seq(("AAA", "2024-01-01")).toDF("symbol", "day")
+    val got = Kernels.cowDelete(bars, doomed, Seq("symbol", "day"))
+    assert(got.count() == 4)
+    assert(got.filter($"symbol" === "AAA" && $"day" === "2024-01-01").isEmpty)
+  }
+
+  test("dedupExactKeys keeps deterministic minimum per key") {
+    val dup = Seq((1, "x", 5), (1, "y", 3), (2, "z", 7)).toDF("k", "v", "ord")
+    val got = Kernels.dedupExactKeys(dup, Seq("k"), col("ord")).orderBy("k")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((1, "y", 3), (2, "z", 7)))
+  }
+
+  test("normalizeEdge + neighborsOf cover both directions") {
+    val raw = Seq((5, 2), (3, 9), (7, 3)).toDF("a", "b")
+    val edges = Kernels.normalizeEdge(raw, "a", "b")
+    assert(edges.filter($"u1" <= $"u2").count() == 3)
+    val got = Kernels.neighborsOf(edges, "u1", "u2", lit(3))
+      .orderBy("neighbor").as[Int].collect().toSeq
+    assert(got == Seq(7, 9))
+  }
+
+  test("existsFlags: missing grants coalesce to false") {
+    val rows = Seq(1, 2, 3).toDF("k")
+    val grants = Seq((1, 10), (1, 20), (2, 10)).toDF("k", "uid")
+    val got = Kernels.existsFlags(rows, grants, Seq("k"),
+        Map("has_any" -> max(lit(true)), "has_20" -> max($"uid" === 20)))
+      .orderBy("k").as[(Int, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq((1, true, true), (2, true, false), (3, false, false)))
+  }
+}

@@ -1,0 +1,402 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.ops.Kernels
+import graft.domain.{Acl, Ledger, Social, Trade, Trading}
+
+/** Batch 2: write/upsert semantics, domain flows (trading fold, ACL,
+  * friend-graph state machine), set ops, scalar surface — SURVEY §2
+  * rows S2/S4-S6, P5, J2/J7/J12, A7/A8, O5, U3/U5-U8, M2/M3/M5, §2.7,
+  * §2.8. Same oracle-parity conventions as QueryCatalog.
+  */
+object DomainQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val entries: Seq[Q] = Seq(
+
+    Q("s2_csv_roundtrip",
+      // CSV ingest path (SURVEY S2: the reference's implied
+      // SP500History.csv load) — write parquet → csv, read back with
+      // an explicit schema, aggregate to prove type fidelity
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_csv_" + Integer.toHexString(dir.hashCode)
+        o.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .option("header", "true").csv(path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    Q("s4_cow_update",
+      // point/predicate UPDATE as copy-on-write (stocks.js:163-169)
+      (s, dir) => Kernels.cowUpdate(t(s, dir, "part"),
+          col("p_brand") === "Brand#13",
+          Map("p_retailprice" -> round(col("p_retailprice") * 1.1, 2)))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_brand, CASE WHEN p_brand = 'Brand#13' " +
+        "THEN round(p_retailprice * 1.1, 2) ELSE p_retailprice END AS p_retailprice " +
+        "FROM part ORDER BY p_partkey")),
+
+    Q("s5_cow_delete",
+      // point DELETE as anti-join (stocks.js:187-189)
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val doomed = li.filter(col("l_suppkey") === 3 &&
+            to_date(col("l_shipdate")) < "1995-01-01")
+          .select(col("l_orderkey"), col("l_linenumber"))
+        Kernels.cowDelete(li, doomed, Seq("l_orderkey", "l_linenumber"))
+          .filter(col("l_suppkey") === 3)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship_day"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day " +
+        "FROM lineitem WHERE l_suppkey = 3 " +
+        "AND NOT (CAST(l_shipdate AS DATE) < DATE '1995-01-01') " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    Q("s6_insert_if_absent",
+      // ON CONFLICT DO NOTHING dimension upkeep (stocks.js:137-142)
+      (s, dir) => {
+        import s.implicits._
+        val target = t(s, dir, "part").select(col("p_brand").as("brand")).distinct()
+        val src = t(s, dir, "part").filter(col("p_size") > 25)
+          .select(col("p_brand").as("brand")).distinct()
+          .union(Seq("ZBrand#XX").toDF("brand"))
+        Kernels.insertIfAbsent(target, src, Seq("brand")).orderBy("brand")
+      },
+      Some("SELECT DISTINCT brand FROM (SELECT p_brand AS brand FROM part " +
+        "UNION ALL SELECT 'ZBrand#XX') ORDER BY brand")),
+
+    Q("p5_ilike_search",
+      // case-insensitive substring page (users.js:50-53)
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_name").ilike("%12%"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey").limit(20),
+      Some("SELECT c_custkey, c_name FROM customer WHERE c_name ILIKE '%12%' " +
+        "ORDER BY c_custkey LIMIT 20")),
+
+    Q("j2_multihop_join",
+      // two-hop dimension enrichment (reviews.js/lists.js join shapes)
+      // — both dims broadcast, zero shuffles on the fact side
+      (s, dir) => t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy("r_name"),
+      Some("SELECT r_name, count(*) AS n_suppliers, " +
+        "CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name")),
+
+    Q("j7_union_of_equijoins",
+      // friends-of-v disjunctive join (users.js:68-77) rewritten as a
+      // union of two equi-joins over normalized edges (SURVEY J7)
+      (s, dir) => {
+        val edges = Kernels.normalizeEdge(
+          t(s, dir, "lineitem").select(col("l_suppkey").as("a"),
+            pmod(col("l_partkey"), lit(100)).as("b")),
+          "a", "b").distinct()
+        Kernels.neighborsOf(edges, "u1", "u2", lit(7))
+          .join(t(s, dir, "supplier"), col("neighbor") === col("s_suppkey"))
+          .select(col("neighbor"), col("s_name"))
+          .orderBy("neighbor")
+      },
+      Some("WITH edges AS (SELECT DISTINCT least(l_suppkey, l_partkey % 100) AS u1, " +
+        "greatest(l_suppkey, l_partkey % 100) AS u2 FROM lineitem), " +
+        "nb AS (SELECT u2 AS neighbor FROM edges WHERE u1 = 7 " +
+        "UNION ALL SELECT u1 FROM edges WHERE u2 = 7) " +
+        "SELECT neighbor, s_name FROM nb JOIN supplier ON neighbor = s_suppkey " +
+        "ORDER BY neighbor")),
+
+    Q("j12_anti_probe",
+      // negative existence probe (users.js:318-326 inverse) → left_anti
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey")),
+
+    Q("a7_sum_product",
+      // portfolio market value Σ close×shares (portfolio.js:288-304)
+      // shape: revenue = Σ price×(1-discount) per group
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, CAST(sum(CAST(l_extendedprice * (1 - l_discount) " +
+        "AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    Q("u6_trading_fold",
+      // the buy/sell avg-cost ordered fold (trading.js:83-85,185-199;
+      // SURVEY A8/U6/U7) via the custom groupByKey fold in
+      // graft.domain.Trading. Demo trade stream derived
+      // deterministically from events: first trade per key is a large
+      // opening buy, the last two (when the key has ≥5 events) are
+      // unit sells — so the guarded fold's output is expressible in
+      // SQL for the oracle (sells never reject, positions never close;
+      // the reset/reject branches are covered by TradingSpec).
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy(col("user_id"), col("event_type"))))
+          .withColumn("side",
+            when(col("cnt") >= 5 && col("rn") > col("cnt") - 2, "SELL")
+              .otherwise("BUY"))
+          .withColumn("qty",
+            when(col("side") === "SELL", 1.0)
+              .when(col("rn") === 1, 1000.0)
+              .otherwise((lit(10) + pmod(col("event_id"), lit(7))).cast("double")))
+        val trades = ev.select(
+          col("user_id").as("portfolio"), col("event_type").as("symbol"),
+          unix_micros(col("ts")).as("ts"), col("event_id").as("seq"),
+          col("side"), col("qty"),
+          col("value").cast("decimal(12,2)").cast("double").as("price"))
+        Trading.replay(trades.as[Trade]).toDF()
+          .select(col("portfolio"), col("symbol"), col("shares"),
+            round(col("avg_cost"), 6).as("avg_cost"), col("n_rejected"))
+          .orderBy("portfolio", "symbol")
+      },
+      Some("WITH tr AS (SELECT user_id AS portfolio, event_type AS symbol, " +
+        "event_id, CAST(value AS DECIMAL(12,2)) AS price, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id, event_type) AS cnt FROM events), " +
+        "tr2 AS (SELECT *, CASE WHEN cnt >= 5 AND rn > cnt - 2 THEN 'SELL' ELSE 'BUY' END AS side, " +
+        "CASE WHEN cnt >= 5 AND rn > cnt - 2 THEN 1.0 WHEN rn = 1 THEN 1000.0 " +
+        "ELSE CAST(10 + event_id % 7 AS DOUBLE) END AS qty FROM tr) " +
+        "SELECT portfolio, symbol, " +
+        "sum(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS shares, " +
+        "round(sum(CASE WHEN side = 'BUY' THEN qty * CAST(price AS DOUBLE) END) / " +
+        "sum(CASE WHEN side = 'BUY' THEN qty END), 6) AS avg_cost, " +
+        "CAST(0 AS BIGINT) AS n_rejected " +
+        "FROM tr2 GROUP BY portfolio, symbol ORDER BY portfolio, symbol")),
+
+    Q("u3_upsert",
+      // INSERT … ON CONFLICT DO UPDATE (lists.js:483-491,
+      // portfolio.js:427-445) via the upsert kernel: updated rows win,
+      // brand-new key appended
+      (s, dir) => {
+        import s.implicits._
+        val target = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        val src = t(s, dir, "part").filter(col("p_size") > 40)
+          .select(col("p_partkey"), col("p_name"),
+            round(col("p_retailprice") * 2, 2).as("p_retailprice"))
+          .union(Seq((999999L, "graft#new", 1.23)).toDF("p_partkey", "p_name", "p_retailprice"))
+        Kernels.upsert(target, src, Seq("p_partkey")).orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_name, p_retailprice FROM (" +
+        "SELECT p_partkey, p_name, CASE WHEN p_size > 40 THEN round(p_retailprice * 2, 2) " +
+        "ELSE p_retailprice END AS p_retailprice FROM part " +
+        "UNION ALL SELECT 999999, 'graft#new', 1.23) ORDER BY p_partkey")),
+
+    Q("u8_cascade_delete",
+      // FK cascade delete (schema.sql:43,53,59; lists.js:138): delete
+      // region 0 → nations cascade → customers cascade
+      (s, dir) => {
+        val doomedNations = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_regionkey") === 0)
+            .select(col("r_regionkey").as("n_regionkey"))), Seq("n_regionkey"), "left_semi")
+          .select(col("n_nationkey").as("c_nationkey"))
+        Kernels.cowDelete(t(s, dir, "customer"), doomedNations, Seq("c_nationkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_nationkey")
+      },
+      Some("SELECT c_nationkey, count(*) AS n_customers FROM customer " +
+        "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey")),
+
+    Q("set_intersect",
+      // §2.7: set semantics (Spark intersect == SQL INTERSECT distinct)
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_custkey")),
+
+    Q("set_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_custkey")),
+
+    Q("scalar_exprs",
+      // §2.8 scalar surface: upper, coalesce/nullif, least/greatest,
+      // CASE WHEN, round, extract, concat, printf-format, date_add
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_norm"),
+          least(col("o_totalprice"), lit(150000.0)).as("capped"),
+          greatest(col("o_totalprice"), lit(1000.0)).as("floored"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          // plain IEEE double division, NO rounding: round(x/1000, 2)
+          // lands on exact .xx5 halves where Spark (decimal-string
+          // HALF_UP) and DuckDB (binary) disagree, and decimal
+          // division is exact in Spark but binary in DuckDB
+          (col("o_totalprice") / 1000.0).as("k_price"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          concat(lit("O-"), col("o_orderkey").cast("string")).as("tag"),
+          format_string("%s#%04d", col("o_orderstatus"),
+            pmod(col("o_custkey"), lit(1000))).as("fmt"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_day"),
+          col("o_totalprice").between(50000, 100000).as("in_band"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, upper(o_orderpriority) AS pri_upper, " +
+        "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm, " +
+        "least(o_totalprice, 150000.0) AS capped, " +
+        "greatest(o_totalprice, 1000.0) AS floored, " +
+        "CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 " +
+        "THEN 'mid' ELSE 'small' END AS bucket, " +
+        "o_totalprice / 1000 AS k_price, " +
+        "CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year, " +
+        "CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month, " +
+        "concat('O-', CAST(o_orderkey AS VARCHAR)) AS tag, " +
+        "printf('%s#%04d', o_orderstatus, o_custkey % 1000) AS fmt, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_day, " +
+        "o_totalprice BETWEEN 50000 AND 100000 AS in_band " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    Q("o5_tail_resort",
+      // app-side tail-k + reverse (chart.js:25-26, portfolio.js:514)
+      // pushed into the engine: DESC limit, then re-sort ASC
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "A")
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(max(col("l_extendedprice")).as("close"))
+        daily.orderBy(col("day").desc).limit(60).orderBy("day")
+      },
+      Some("SELECT day, close FROM (SELECT CAST(l_shipdate AS DATE) AS day, " +
+        "max(l_extendedprice) AS close FROM lineitem WHERE l_returnflag = 'A' " +
+        "GROUP BY 1 ORDER BY day DESC LIMIT 60) ORDER BY day")),
+
+    Q("w4_running_balance",
+      // ledger statement with running balance (portfolio.js:253-257 +
+      // running-sum window; exact DECIMAL accumulation)
+      (s, dir) => Ledger.statement(t(s, dir, "events"), "user_id", col("value"),
+          Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"),
+          col("running_balance").cast("double").as("running_balance"))
+        .orderBy("user_id", "event_id"),
+      Some("SELECT user_id, event_id, CAST(sum(CAST(value AS DECIMAL(18,2))) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_balance " +
+        "FROM events ORDER BY user_id, event_id")),
+
+    Q("m2_visibility",
+      // public/shared/private tagging (lists.js:201-220) via
+      // Acl.withVisibility
+      (s, dir) => {
+        val lists = t(s, dir, "customer")
+          .select(col("c_custkey").as("listid"),
+            (col("c_mktsegment") === "BUILDING").as("is_public"))
+        val shares = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("listid"))
+        Acl.withVisibility(lists, shares)
+          .select(col("listid"), col("visibility"))
+          .orderBy("listid")
+      },
+      Some("SELECT c_custkey AS listid, CASE WHEN c_mktsegment = 'BUILDING' THEN 'public' " +
+        "WHEN EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') THEN 'shared' ELSE 'private' END AS visibility " +
+        "FROM customer ORDER BY listid")),
+
+    Q("m3_visible_reviews",
+      // row-level review visibility (reviews.js:243-251) pushed
+      // in-plan via Acl.visibleReviews
+      (s, dir) => {
+        val reviews = t(s, dir, "orders")
+          .select(col("o_orderkey").as("review_id"),
+            pmod(col("o_orderkey"), lit(100)).as("listid"),
+            col("o_custkey").as("userid"))
+        val lists = t(s, dir, "customer")
+          .select(col("c_custkey").as("listid"),
+            pmod(col("c_custkey"), lit(50)).as("ownerid"),
+            (col("c_mktsegment") === "AUTOMOBILE").as("is_public"))
+        Acl.visibleReviews(reviews, lists, lit(7))
+          .select(col("review_id"), col("listid"), col("userid"))
+          .orderBy("review_id")
+      },
+      Some("SELECT o_orderkey AS review_id, o_orderkey % 100 AS listid, " +
+        "o_custkey AS userid FROM orders JOIN customer ON o_orderkey % 100 = c_custkey " +
+        "WHERE c_mktsegment = 'AUTOMOBILE' OR o_custkey = 7 OR c_custkey % 50 = 7 " +
+        "ORDER BY review_id")),
+
+    Q("m5_state_machine",
+      // friend-request guards (users.js:301-350) via
+      // Social.validateRequests: self / already-friends / dup-pending
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val requests = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("requestid"), col("user_id").as("fromuserid"),
+            pmod(col("event_id"), lit(50)).as("touserid"))
+        val pending = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("fromuserid"),
+            pmod(col("event_id"), lit(50)).as("touserid"),
+            lit(Social.Pending).as("status"))
+        val edges = Kernels.normalizeEdge(
+          ev.filter(col("event_type") === "signup")
+            .select(col("user_id").as("a"), pmod(col("event_id"), lit(50)).as("b")),
+          "a", "b").distinct()
+        Social.validateRequests(requests, pending, edges)
+          .select(col("requestid"), col("fromuserid"), col("touserid"), col("verdict"))
+          .orderBy("requestid")
+      },
+      Some("WITH req AS (SELECT event_id AS requestid, user_id AS fromuserid, " +
+        "event_id % 50 AS touserid FROM events WHERE event_type = 'purchase'), " +
+        "pend AS (SELECT DISTINCT least(user_id, event_id % 50) AS u1, " +
+        "greatest(user_id, event_id % 50) AS u2 FROM events WHERE event_type = 'view'), " +
+        "fr AS (SELECT DISTINCT least(user_id, event_id % 50) AS u1, " +
+        "greatest(user_id, event_id % 50) AS u2 FROM events WHERE event_type = 'signup') " +
+        "SELECT requestid, fromuserid, touserid, " +
+        "CASE WHEN fromuserid = touserid THEN 'REJECT_SELF' " +
+        "WHEN EXISTS(SELECT 1 FROM fr WHERE u1 = least(fromuserid, touserid) " +
+        "AND u2 = greatest(fromuserid, touserid)) THEN 'REJECT_ALREADY_FRIENDS' " +
+        "WHEN EXISTS(SELECT 1 FROM pend WHERE u1 = least(fromuserid, touserid) " +
+        "AND u2 = greatest(fromuserid, touserid)) THEN 'REJECT_DUPLICATE_PENDING' " +
+        "ELSE 'ACCEPT' END AS verdict FROM req ORDER BY requestid")),
+  )
+}

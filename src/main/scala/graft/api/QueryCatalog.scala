@@ -51,7 +51,9 @@ object QueryCatalog {
     TimeSeries.returns(dailyCloses(t(s, dir, "lineitem")),
       "l_returnflag", "day", "close")
 
-  val entries: Seq[Q] = Seq(
+  lazy val entries: Seq[Q] = core ++ DomainQueries.entries
+
+  private val core: Seq[Q] = Seq(
 
     // ---- S: scans / sources (SURVEY §2.1) ----
 

@@ -1,0 +1,214 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, MediaRecord}
+
+/** Batch 3: the training-data pipeline operators — text analysis,
+  * deduplication, similarity search, multimodal plumbing — over the
+  * `documents` / `embeddings` tables. Hash-based ops (MinHash, SimHash,
+  * hyperplane LSH) have no SQL oracle (engine-specific hashes): the
+  * driver records the weaker rows-only check; their semantics are
+  * pinned by PipelineSpec instead.
+  */
+object PipelineQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** DuckDB mirror of TextAnalysis.normalize ('g' = replace ALL —
+    * DuckDB's regexp_replace is first-match-only by default). */
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql =
+    s"regexp_split_to_array($normSql, '\\s+')"
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter($toksSql, x -> list_contains(" +
+      words.mkString("['", "','", "']") + ", x)))"
+
+  val entries: Seq[Q] = Seq(
+
+    Q("t1_token_stats",
+      // token counting: whitespace tokens + BPE-ish pre-tokens
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          TextAnalysis.nTokensWs(col("text")).as("n_tok_ws"),
+          TextAnalysis.nTokensFine(col("text")).as("n_tok_fine"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, len(text) AS n_chars, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok_ws, " +
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tok_fine " +
+        "FROM documents ORDER BY doc_id")),
+
+    Q("t2_quality_score",
+      // length/punct/stopword quality features + scalar score
+      (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 2).as("quality_score"))
+        .orderBy("doc_id"),
+      Some("WITH f AS (SELECT doc_id, len(text) AS nc, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS nt, " +
+        "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS np, " +
+        hitsSql(TextAnalysis.stopwordsEn) + " AS nsw FROM documents) " +
+        "SELECT doc_id, nt AS n_tokens, " +
+        "round(CASE WHEN nt > 0 THEN CAST(nc - (nt - 1) AS DOUBLE) / nt ELSE 0.0 END, 6) AS avg_token_len, " +
+        "round(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END, 6) AS punct_ratio, " +
+        "round(CASE WHEN nt > 0 THEN CAST(nsw AS DOUBLE) / nt ELSE 0.0 END, 6) AS stopword_ratio, " +
+        "round((CASE WHEN nt BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END + " +
+        "CASE WHEN (CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END) < 0.2 THEN 0.3 ELSE 0.0 END + " +
+        "CASE WHEN (CASE WHEN nt > 0 THEN CAST(nsw AS DOUBLE) / nt ELSE 0.0 END) > 0.01 THEN 0.3 ELSE 0.0 END), 2) AS quality_score " +
+        "FROM f ORDER BY doc_id")),
+
+    Q("t3_langid",
+      // n-gram/stopword language ID vs the labeled lang column
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .orderBy("doc_id"),
+      Some("WITH f AS (SELECT doc_id, lang, " +
+        hitsSql(TextAnalysis.stopwordsEn) + " AS en, " +
+        hitsSql(TextAnalysis.stopwordsDe) + " AS de, " +
+        hitsSql(TextAnalysis.stopwordsEs) + " AS es, " +
+        hitsSql(TextAnalysis.stopwordsFr) + " AS fr FROM documents) " +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN en >= de AND en >= es AND en >= fr THEN 'en' " +
+        "WHEN de >= es AND de >= fr THEN 'de' " +
+        "WHEN es >= fr THEN 'es' ELSE 'fr' END AS predicted " +
+        "FROM f ORDER BY doc_id")),
+
+    Q("t4_fingerprint",
+      // md5 content fingerprint + Karp-Rabin rolling hash (both over
+      // normalized text, exact integer arithmetic)
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+          TextAnalysis.rollingHash(col("text")).as("fp_roll"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, md5($normSql) AS fp_md5, " +
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($normSql, ''), x -> CAST(ascii(x) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll " +
+        "FROM documents ORDER BY doc_id")),
+
+    Q("d1_exact_dedup",
+      // exact dedup: originals ∪ shifted-id copies → survivors are
+      // exactly the originals (deterministic min-id per fingerprint)
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val dup = d.withColumn("doc_id", col("doc_id") + 10000000L)
+        Dedup.exact(d.unionByName(dup), "doc_id", "text")
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("SELECT min(doc_id) AS doc_id FROM (" +
+        "SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000, text FROM documents) " +
+        s"GROUP BY md5($normSql) ORDER BY doc_id")),
+
+    Q("d2_ngram_jaccard",
+      // exact word-3-gram Jaccard pairs ≥ 0.2 via inverted index
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minJaccard = 0.2)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"),
+      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS w FROM documents), " +
+        "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
+        "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix " +
+        "FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id1, id2, round(j, 6) AS jaccard FROM (" +
+        "SELECT id1, id2, CAST(ix AS DOUBLE) / (c1.n + c2.n - ix) AS j FROM inter " +
+        "JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2) " +
+        "WHERE j >= 0.2 ORDER BY id1, id2")),
+
+    Q("d3_minhash_lsh",
+      // MinHash(32) + LSH(16 bands × 2) candidate pairs with
+      // estimated Jaccard — hash-based, no SQL oracle (rows-only)
+      (s, dir) => Dedup.minHashLshPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, k = 32, bands = 16, minEstJaccard = 0.2)
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id1", "id2"),
+      None),
+
+    Q("d4_simhash_pairs",
+      // SimHash64 + 8×8-bit banding, exact hamming verify — rows-only
+      (s, dir) => {
+        val sigs = Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")
+        // planted near-dups sit at hamming 0-3; background noise of
+        // same-vocab docs centers ~15 — 6 separates them cleanly
+        Dedup.simHashPairs(sigs, "doc_id", bands = 8, maxHamming = 6)
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    Q("e1_cosine_topk",
+      // brute-force cosine top-10 for 5 query vectors — the exact ANN
+      // baseline; cosine mirrored in SQL as dot/(|a||b|) sequential
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")),
+
+    Q("e2_embedding_near_dup",
+      // hyperplane-LSH near-dup pairs (cos ≥ 0.3), exact-verified —
+      // rows-only (seeded-random hyperplanes not expressible in SQL)
+      (s, dir) => Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.3, planes = 16, bands = 4)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      None),
+
+    Q("mm1_media_features",
+      // multimodal plumbing: text bytes as opaque payload → typed
+      // Dataset → mapPartitions stub codec → features
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+          .as[MediaRecord]
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("n_bytes"), col("width"),
+            col("height"), col("checksum"))
+          .orderBy("media_id")
+      },
+      Some("SELECT doc_id AS media_id, strlen(text) AS n_bytes, " +
+        "1 + ascii(substr(text, 1, 1)) % 64 AS width, " +
+        "1 + ascii(substr(text, 2, 1)) % 64 AS height, " +
+        "CAST(list_sum(list_transform(string_split(text, ''), " +
+        "x -> ascii(x))) % 997 AS BIGINT) AS checksum " +
+        "FROM documents ORDER BY media_id")),
+
+    Q("mm2_frame_sample",
+      // frame-sampling stub: every 16th payload byte as a "frame"
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.fromText(
+          t(s, dir, "documents").filter(col("doc_id") < 20), "doc_id", "text")
+          .as[MediaRecord]
+        Multimodal.sampleFrames(media, stride = 16)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("SELECT doc_id AS media_id, CAST(off / 16 AS INT) AS frame_idx, " +
+        "ascii(substr(text, CAST(off + 1 AS INT), 1)) AS frame_byte " +
+        "FROM (SELECT doc_id, text, unnest(generate_series(0, strlen(text) - 1, 16)) AS off " +
+        "FROM documents WHERE doc_id < 20) ORDER BY media_id, frame_idx")),
+  )
+}

@@ -51,7 +51,8 @@ object QueryCatalog {
     TimeSeries.returns(dailyCloses(t(s, dir, "lineitem")),
       "l_returnflag", "day", "close")
 
-  lazy val entries: Seq[Q] = core ++ DomainQueries.entries
+  lazy val entries: Seq[Q] =
+    core ++ DomainQueries.entries ++ PipelineQueries.entries
 
   private val core: Seq[Q] = Seq(
 

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is pure `Column` expressions (whole-stage-codegen
+  * friendly, no UDFs): at 100 TB these run inside the scan projection
+  * with zero extra shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty input → empty array, not [""]). */
+  def tokensWs(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def nTokensWs(c: Column): Column = size(tokensWs(c))
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single
+    * punctuation marks — the shape GPT-style byte-pair encoders split
+    * on before merges. */
+  val finePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def tokensFine(c: Column): Column = regexp_extract_all(c, lit(finePattern), lit(0))
+  def nTokensFine(c: Column): Column = size(tokensFine(c))
+
+  /** Count of tokens present in a fixed wordset (lower-cased). */
+  def wordsetHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokensWs(lower(c)), t => t.isin(words.map(lit(_)): _*)))
+
+  val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by")
+  val stopwordsDe = Seq("der", "die", "das", "und", "oder", "zu", "in",
+    "ist", "mit", "auf", "von", "ein", "eine")
+  val stopwordsFr = Seq("le", "la", "les", "et", "ou", "de", "un", "une",
+    "est", "dans", "pour", "sur", "avec")
+  val stopwordsEs = Seq("el", "la", "los", "las", "y", "o", "de", "un",
+    "una", "es", "en", "para", "con")
+
+  /** Quality features per document — length / punctuation / stopword
+    * ratios (the classic Gopher/C4-style filters). All ratios are
+    * double divisions of exact integer counts. */
+  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
+    val c = col(text)
+    val nChars = length(c)
+    val nTok = nTokensWs(c)
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        when(nTok > 0, (nChars - (nTok - 1)).cast("double") / nTok).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChars > 0, size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("double") / nChars).otherwise(0.0))
+      .withColumn("digit_ratio",
+        when(nChars > 0, size(regexp_extract_all(c, lit("[0-9]"), lit(0)))
+          .cast("double") / nChars).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, wordsetHits(c, stopwordsEn).cast("double") / nTok)
+          .otherwise(0.0))
+  }
+
+  /** Scalar quality score in [0, 1]: penalize too-short/too-long docs,
+    * punctuation soup, and stopword-free (= unnatural) text. */
+  def qualityScore(df: DataFrame, text: String): DataFrame =
+    qualityFeatures(df, text).withColumn("quality_score",
+      (when(col("n_tokens").between(5, 100000), 0.4).otherwise(0.0)
+        + when(col("punct_ratio") < 0.2, 0.3).otherwise(0.0)
+        + when(col("stopword_ratio") > 0.01, 0.3).otherwise(0.0)))
+
+  /** N-gram-heuristic language ID by stopword votes; ties broken by
+    * the fixed precedence en > de > es > fr (strict > comparisons in
+    * that order). */
+  def langId(c: Column): Column = {
+    val en = wordsetHits(c, stopwordsEn)
+    val de = wordsetHits(c, stopwordsDe)
+    val es = wordsetHits(c, stopwordsEs)
+    val fr = wordsetHits(c, stopwordsFr)
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Canonical text form for fingerprint/dedup: lower-case, collapse
+    * whitespace runs, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text — the dedup key
+    * (hash-groupBy shuffles 16 bytes per doc instead of the text). */
+  def fingerprintMd5(c: Column): Column = md5(normalize(c))
+
+  /** Karp-Rabin rolling hash over the normalized characters —
+    * polynomial accumulate mod 1e9+7, exact in integer arithmetic. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(split(normalize(c), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+}

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "The  QUICK  brown fox jumps over the lazy dog"), // exact dup of 1 after normalize
+    (4L, "completely different words entirely here now"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("tokensWs: empty text yields zero tokens, not one") {
+    val got = docs.select(col("doc_id"), TextAnalysis.nTokensWs(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(5L) == 0 && got(1L) == 9)
+  }
+
+  test("fine tokens split punctuation runs") {
+    val n = Seq(("Hello, world! it's 42")).toDF("t")
+      .select(TextAnalysis.nTokensFine(col("t"))).as[Int].head()
+    // Hello , world ! it ' s 42
+    assert(n == 8)
+  }
+
+  test("normalize collapses case and whitespace") {
+    val fp = docs.select(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .as[String].collect()
+    assert(fp(0) == fp(2)) // doc 3 normalizes to doc 1
+    assert(fp(0) != fp(1))
+  }
+
+  test("rollingHash matches hand computation") {
+    val got = Seq("ab").toDF("t")
+      .select(TextAnalysis.rollingHash(col("t"))).as[Long].head()
+    assert(got == (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("langId picks the wordset with most hits") {
+    val got = Seq("der hund und die katze ist da", "the cat and the dog",
+        "el gato y la casa es","le chat et la maison est dans")
+      .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("de", "en", "es", "fr"))
+  }
+
+  test("exact dedup keeps min doc_id per normalized content") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L, 5L)) // 3 deduped into 1
+  }
+
+  test("shingles: short docs produce no bogus n-grams") {
+    val sh = Dedup.shingles(Seq((1L, "one two")).toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+    assert(sh.count() == 0)
+  }
+
+  test("ngramJaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH surfaces high-jaccard pairs") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 2, k = 32, bands = 16, minEstJaccard = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // identical after normalize: est j = 1
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical normalized docs have hamming 0") {
+    val sigs = Dedup.simHash64(docs, "doc_id", "text")
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(3L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(2L)) <
+      java.lang.Long.bitCount(m(1L) ^ m(4L)))
+    val pairs = Dedup.simHashPairs(sigs, "doc_id", bands = 8, maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 4L))
+  }
+
+  test("lshNearDupPairs finds close pair, verified cosine is exact") {
+    val got = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      minCosine = 0.9, planes = 8, bands = 4)
+    val rows = got.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    val cos = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(math.abs(cos - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("lshTopK ranks within probed buckets only (still finds the near dup)") {
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 2, planes = 8, bands = 4)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got.contains(2L))
+  }
+
+  test("multimodal stub codec is deterministic and plumbing-preserving") {
+    val media = Multimodal.fromText(docs.filter(col("doc_id") === 1), "doc_id", "text")
+      .as[MediaRecord]
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 43 && f.width == 1 + 't' % 64 && f.height == 1 + 'h' % 64)
+    assert(f.channels == 3 && f.mean_byte > 0)
+    val frames = Multimodal.sampleFrames(media, 16)
+    assert(frames.count() == 3) // offsets 0, 16, 32
+  }
+}

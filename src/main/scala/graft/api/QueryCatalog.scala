@@ -52,7 +52,8 @@ object QueryCatalog {
       "l_returnflag", "day", "close")
 
   lazy val entries: Seq[Q] =
-    core ++ DomainQueries.entries ++ PipelineQueries.entries
+    core ++ DomainQueries.entries ++ PipelineQueries.entries ++
+      StreamingQueries.entries
 
   private val core: Seq[Q] = Seq(
 

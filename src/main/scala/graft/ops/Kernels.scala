@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Kernels {
 
+  /** Spread a narrow source across the cluster before compute-heavy
+    * per-row work (regex shingling, hashing, vector math). Small
+    * dimension files arrive as 1-2 parquet partitions — fine for
+    * scans, serial for expensive projections; one cheap round-robin
+    * shuffle of the raw bytes buys full parallelism. No-op when the
+    * input is already wide (the 100 TB case). */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Latest-row-per-key — the rewrite of the reference's N+1
     * "latest close" loops (reference `portfolio.js:289-302`,
     * `holdings.js:46-65`, `trading.js:22-35`: per-key

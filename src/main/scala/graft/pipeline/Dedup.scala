@@ -20,7 +20,8 @@ object Dedup {
       Seq("__fp"), col(id)).drop("__fp")
 
   /** Distinct word n-gram shingles, one row per (id, shingle). */
-  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  def shingles(df0: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val df = Kernels.ensureParallelism(df0)
     val toks = TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))
     // guard: sequence(1, 0) would produce a DESCENDING [1, 0] range
     val idxs = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
@@ -41,8 +42,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int = 3, minJaccard: Double = 0.2,
                         maxDf: Option[Int] = None): DataFrame = {
+    // join on the 8-byte shingle hash, not the shingle string: the
+    // inverted-index self-join shuffles fixed-width longs (collision
+    // probability ~ |shingles|²/2⁶⁴ — negligible)
     val sh = {
       val s = shingles(df, id, text, n)
+        .select(col(id), xxhash64(col("shingle")).as("shingle"))
       maxDf match {
         case Some(cap) =>
           val hot = s.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -50,7 +55,7 @@ object Dedup {
           s.join(broadcast(hot), Seq("shingle"), "left_anti")
         case None => s
       }
-    }
+    }.persist() // read 3× below (doc counts + both join sides)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(id).as("id1"), col("shingle"))
     val b = sh.select(col(id).as("id2"), col("shingle"))
@@ -74,8 +79,11 @@ object Dedup {
     * signature matrix materialized wider than k columns). */
   def minHashSignatures(df: DataFrame, id: String, text: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
+    // hash each shingle string ONCE, then derive the k draws from the
+    // 8-byte value — k× cheaper than hashing the string k times
     val sh = shingles(df, id, text, n)
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      .select(col(id), xxhash64(col("shingle")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
@@ -94,7 +102,9 @@ object Dedup {
                       minEstJaccard: Double = 0.2): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = minHashSignatures(df, id, text, n, k)
+    // signature agg is the expensive pass; it feeds both the banding
+    // explode and the per-side signature rejoin
+    val sigs = minHashSignatures(df, id, text, n, k).persist()
     val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
     val withBands = sigs.withColumn("sig", sigArr)
       .select(col(id), col("sig"),
@@ -104,13 +114,16 @@ object Dedup {
               (0 until r).map(j => col(s"mh_${bnd * r + j}")): _*)).as("bucket"))): _*))
           .as("bb"))
       .select(col(id), col("sig"), col("bb.band"), col("bb.bucket"))
-    val l = withBands.select(col(id).as("id1"), col("sig").as("sig1"),
-      col("band"), col("bucket"))
-    val rr = withBands.select(col(id).as("id2"), col("sig").as("sig2"),
-      col("band"), col("bucket"))
-    l.join(rr, Seq("band", "bucket"))
+    // dedup candidate pairs on ids only, then rejoin the signatures
+    val l = withBands.select(col(id).as("id1"), col("band"), col("bucket"))
+    val rr = withBands.select(col(id).as("id2"), col("band"), col("bucket"))
+    val cand = l.join(rr, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2")).distinct()
+      .select(col("id1"), col("id2")).distinct()
+    val sigOnly = sigs.withColumn("sig", sigArr).select(col(id), col("sig"))
+    cand
+      .join(sigOnly.select(col(id).as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigOnly.select(col(id).as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           (b: Column) => b)).cast("double") / k)
@@ -121,7 +134,8 @@ object Dedup {
   /** 64-bit SimHash per doc: each token hashes to 64 bits; bit i of
     * the signature is the sign of Σ_tokens (±1 by token bit i).
     * Computed as 64 conditional sums in one hash aggregation. */
-  def simHash64(df: DataFrame, id: String, text: String): DataFrame = {
+  def simHash64(df0: DataFrame, id: String, text: String): DataFrame = {
+    val df = Kernels.ensureParallelism(df0)
     val toks = df.select(col(id),
       explode(TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

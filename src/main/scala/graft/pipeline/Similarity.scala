@@ -75,21 +75,28 @@ object Similarity {
     val width = planes / bands
     val mask = (1L << width) - 1
     val hp = hyperplanes(planes, dimsOf(df, vec), seed)
-    val sig = df.select(col(id), vecD(col(vec)).as("v"))
+    val sig = Kernels.ensureParallelism(df.select(col(id), vecD(col(vec)).as("v")))
       .withColumn("sig", lshSignature(col("v"), hp))
+      .persist() // read by the banding explode and twice for verify
+
     val banded = sig.select(col(id), col("v"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("bidx"),
           shiftright(col("sig"), j * width).bitwiseAND(mask).as("bucket"))): _*))
         .as("bb"))
       .select(col(id), col("v"), col("bb.bidx"), col("bb.bucket"))
-    val l = banded.select(col(id).as("id1"), col("v").as("v1"),
-      col("bidx"), col("bucket"))
-    val r = banded.select(col(id).as("id2"), col("v").as("v2"),
-      col("bidx"), col("bucket"))
-    l.join(r, Seq("bidx", "bucket"))
+    // dedup candidate PAIRS (ids only — never haul the vectors
+    // through the distinct), then fetch vectors back via broadcastable
+    // id joins for the exact verify
+    val l = banded.select(col(id).as("id1"), col("bidx"), col("bucket"))
+    val r = banded.select(col(id).as("id2"), col("bidx"), col("bucket"))
+    val cand = l.join(r, Seq("bidx", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
+      .select(col("id1"), col("id2")).distinct()
+    val vecs = sig.select(col(id), col("v"))
+    cand
+      .join(vecs.select(col(id).as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(vecs.select(col(id).as("id2"), col("v").as("v2")), Seq("id2"))
       .withColumn("cos", cosine(col("v1"), col("v2")))
       .filter(col("cos") >= minCosine)
       .select(col("id1"), col("id2"), col("cos"))

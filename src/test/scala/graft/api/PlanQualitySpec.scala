@@ -1,0 +1,91 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** Physical-plan guards for the 100 TB posture: these assert the plan
+  * SHAPE (broadcast strategy, parquet filter pushdown, partial
+  * aggregation, codegen) rather than results — a correct-but-
+  * quadratic plan fails here before it fails a scale run. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Final (post-AQE) physical plan — execute first so adaptive
+    * re-planning and codegen collapsing have happened. */
+  private def plan(name: String): String = cache.getOrElseUpdate(name, {
+    val df = QueryCatalog.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  })
+
+  test("j1_dim_join broadcasts the dimension side") {
+    assert(plan("j1_dim_join").contains("BroadcastHashJoin"))
+  }
+
+  test("j2_multihop_join broadcasts both dims — no shuffle join") {
+    val p = plan("j2_multihop_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("j5 semi and j12 anti run as broadcast joins, not nested loops") {
+    assert(plan("j5_semi_access").contains("LeftSemi"))
+    assert(!plan("j5_semi_access").contains("BroadcastNestedLoopJoin"))
+    assert(plan("j12_anti_probe").contains("LeftAnti"))
+    assert(!plan("j12_anti_probe").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("p3_range_scan pushes key + range predicates into the parquet scan") {
+    val p = plan("p3_range_scan")
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(l_suppkey)"))
+    assert(p.contains("EqualTo(l_suppkey,7)"))
+  }
+
+  test("scans prune columns: a1 reads only the 4 needed lineitem columns") {
+    val p = plan("a1_stats_bundle")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("a1_stats_bundle uses partial (map-side) hash aggregation") {
+    val p = plan("a1_stats_bundle")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"))
+  }
+
+  test("j11 latest-per-key is a partial-combined max_by agg, not a window sort") {
+    // struct-payload max_by buffers are immutable → SortAggregate, but
+    // the partial (map-side) combine still collapses each partition to
+    // one row per key before the single shuffle — the property that
+    // matters at scale. No Window/global sort.
+    val p = plan("j11_latest_per_key")
+    assert(p.contains("partial_max_by"))
+    assert(!p.contains("Window"))
+  }
+
+  test("o2_topk plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("o2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("w1 lag window shuffles on the series key only (single exchange before window)") {
+    val p = plan("w1_lag_returns")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(l_returnflag"))
+  }
+
+  test("headline queries run under whole-stage codegen") {
+    // codegen stages appear as "*(n) Operator" in the plan tree
+    Seq("a1_stats_bundle", "j1_dim_join", "w1_lag_returns", "a7_sum_product")
+      .foreach(n => assert(plan(n).contains("*("), n))
+  }
+
+  test("e1 brute-force ANN broadcasts the query set") {
+    assert(plan("e1_cosine_topk").contains("Broadcast"))
+  }
+
+  test("a5 corr matrix self-join is an equi join on the day, never cartesian") {
+    val p = plan("a5_corr_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}

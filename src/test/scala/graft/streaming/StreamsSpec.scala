@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("windowedEventAgg over a MemoryStream: counts + exact sums per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedEventAgg(df, "5 minutes", watermark = "1 minute")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    mem.addData((ts(1), "view", 1.5), (ts(2), "view", 2.5),
+      (ts(3), "click", 1.0), (ts(7), "view", 4.0))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT event_type, n, CAST(total AS DOUBLE) FROM winagg ORDER BY window_start, event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    q.stop()
+    assert(got == Seq(("click", 1L, 1.0), ("view", 2L, 4.0), ("view", 1L, 4.0)))
+  }
+
+  test("windowedEventAgg is source-agnostic: batch frame gives same shape") {
+    val batch = Seq((ts(1), "view", 1.5), (ts(7), "view", 4.0))
+      .toDF("ts", "event_type", "value")
+    val got = Streams.windowedEventAgg(batch, "5 minutes")
+      .orderBy("window_start").collect()
+    assert(got.length == 2 && got(0).getAs[Long]("n") == 1)
+  }
+
+  test("balanceStream maintains per-account balances incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = Streams.balanceStream(df, "user_id").writeStream
+      .outputMode("complete").format("memory").queryName("bal").start()
+    mem.addData((1L, 100.0), (1L, -30.0), (2L, 7.0))
+    q.processAllAvailable()
+    mem.addData((1L, 5.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, CAST(balance AS DOUBLE), n_tx FROM bal ORDER BY user_id")
+      .as[(Long, Double, Long)].collect().toSeq
+    q.stop()
+    assert(got == Seq((1L, 75.0, 3L), (2L, 7.0, 1L)))
+  }
+
+  test("sessionize closes sessions after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 5 * 60 * 1000).writeStream
+      .outputMode("append").format("memory").queryName("sess").start()
+    // user 1: two events close together, then a 20-minute gap, then one more
+    mem.addData(Streams.Event(1L, ts(0), 1.0), Streams.Event(1L, ts(2), 2.0),
+      Streams.Event(1L, ts(25), 10.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, n_events, total FROM sess")
+      .as[(Long, Long, Double)].collect().toSeq
+    q.stop()
+    assert(got == Seq((1L, 2L, 3.0))) // first session emitted; second still open
+  }
+}

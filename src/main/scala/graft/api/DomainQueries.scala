@@ -90,6 +90,44 @@ object DomainQueries {
       Some("SELECT c_custkey, c_name FROM customer WHERE c_name ILIKE '%12%' " +
         "ORDER BY c_custkey LIMIT 20")),
 
+    Q("p2_composite_lookup",
+      // composite-key / ownership conjunctive predicate
+      // (stocks.js:89-92 P2, portfolio.js:58-61 P6)
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_suppkey") === 5 && col("l_linenumber") === 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_day"),
+          col("l_extendedprice").as("price"))
+        .orderBy("l_orderkey"),
+      Some("SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day, " +
+        "l_extendedprice AS price FROM lineitem " +
+        "WHERE l_suppkey = 5 AND l_linenumber = 3 ORDER BY l_orderkey")),
+
+    Q("j9_portfolio_value",
+      // portfolio valuation: holdings ⋈ latest price, Σ shares×close
+      // (portfolio.js:282-311 A7/J9/J11 — the N+1 loop as one job)
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val px = Kernels.latestPerKey(li, Seq("l_partkey"),
+            Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          .select(col("l_partkey"), col("l_extendedprice").as("close"))
+        val h = li.filter(to_date(col("l_shipdate")) >= "1997-01-01")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("shares"))
+        graft.analytics.TimeSeries.portfolioValue(h, px,
+            "l_suppkey", "l_partkey", col("shares"), col("close"))
+          .select(col("l_suppkey"), round(col("market_value"), 2).as("market_value"))
+          .orderBy("l_suppkey")
+      },
+      Some("WITH px AS (SELECT l_partkey, l_extendedprice AS close FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY " +
+        "l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn FROM lineitem) " +
+        "WHERE rn = 1), " +
+        "h AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS shares FROM lineitem " +
+        "WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01' GROUP BY 1, 2) " +
+        "SELECT l_suppkey, round(sum(shares * close), 2) AS market_value " +
+        "FROM h JOIN px USING (l_partkey) GROUP BY l_suppkey ORDER BY l_suppkey")),
+
     Q("j2_multihop_join",
       // two-hop dimension enrichment (reviews.js/lists.js join shapes)
       // — both dims broadcast, zero shuffles on the fact side

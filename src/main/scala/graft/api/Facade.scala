@@ -1,0 +1,199 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Kernels
+import graft.analytics.TimeSeries
+import graft.domain.{Acl, Ledger, Social}
+
+/** The reference tables as one bundle — what a deployment would bind
+  * to its catalog (parquet/Iceberg tables conforming to
+  * graft.schema.Schemas). */
+case class Db(stocks: DataFrame, users: DataFrame, friend: DataFrame,
+              request: DataFrame, stocklist: DataFrame, review: DataFrame,
+              sharedWith: DataFrame, stockin: DataFrame, portfolio: DataFrame,
+              transaction: DataFrame, holdings: DataFrame)
+
+/** API-surface parity layer: every read endpoint of the reference's
+  * REST API as a DataFrame-returning function, one Spark job each —
+  * the per-row loops and N+1 query patterns of the original collapse
+  * into the §2 kernels. File:line citations give the endpoint each
+  * function re-expresses.
+  */
+class Facade(db: Db) {
+
+  // ---- stocks.js ----
+
+  /** GET /api/stocks — distinct symbols (stocks.js:9-11, S1). */
+  def listSymbols(): DataFrame =
+    db.stocks.select(col("symbol")).distinct().orderBy("symbol")
+
+  /** GET /api/stocks/latest — latest 15 bars (stocks.js:21-26, O2). */
+  def latestBars(n: Int = 15): DataFrame =
+    db.stocks.orderBy(col("timestamp").desc, col("symbol")).limit(n)
+
+  /** GET /api/stocks/:symbol — history page with direction + limit
+    * (stocks.js:39-47, O3). */
+  def history(symbol: String, asc: Boolean = false, limit: Int = 100): DataFrame = {
+    val ord = if (asc) col("timestamp").asc else col("timestamp").desc
+    db.stocks.filter(col("symbol") === symbol).orderBy(ord).limit(limit)
+  }
+
+  /** GET /api/stocks/:symbol/range (stocks.js:110-116, P3). */
+  def historyRange(symbol: String, start: String, end: String): DataFrame =
+    db.stocks.filter(col("symbol") === symbol &&
+        col("timestamp").between(start, end))
+      .orderBy("timestamp")
+
+  /** GET /api/stocks/:symbol/stats — the per-symbol stats bundle
+    * (stocks.js:208-222, A1); symbol = None gives all symbols in one
+    * pass (the N+1 collapse). */
+  def symbolStats(symbol: Option[String] = None): DataFrame = {
+    val base = symbol.fold(db.stocks)(s => db.stocks.filter(col("symbol") === s))
+    base.groupBy(col("symbol")).agg(
+      count(lit(1)).as("bars"),
+      min(col("timestamp")).as("first_day"),
+      max(col("timestamp")).as("last_day"),
+      avg(col("close")).as("avg_close"),
+      max(col("high")).as("max_high"),
+      min(col("low")).as("min_low"),
+      sum(col("volume")).as("total_volume"))
+  }
+
+  /** Latest close per symbol (the J11 rewrite used by valuation,
+    * trading defaults, holdings enrichment). */
+  def latestCloses(): DataFrame =
+    Kernels.latestPerKey(db.stocks, Seq("symbol"), Seq(col("timestamp")))
+      .select(col("symbol"), col("close"), col("timestamp").as("as_of"))
+
+  // ---- portfolio.js ----
+
+  /** GET /api/portfolio — user's portfolios (portfolio.js:19-22). */
+  def portfolios(userId: Long): DataFrame =
+    db.portfolio.filter(col("userid") === userId).orderBy("portfolioid")
+
+  /** GET /api/portfolio/:id/transactions — statement, newest first
+    * (portfolio.js:253-257), with running balance. */
+  def statement(portfolioId: Long): DataFrame =
+    Ledger.statement(db.transaction.filter(col("portfolioid") === portfolioId),
+        "portfolioid", col("amount"),
+        Seq(col("createdat"), col("transactionid")))
+      .orderBy(col("createdat").desc, col("transactionid").desc)
+
+  /** GET /api/portfolio/:id/value — Σ latest close × shares + cash
+    * (portfolio.js:282-311, A7/J11): one join, no per-holding loop. */
+  def portfolioValue(portfolioId: Long): DataFrame = {
+    val h = db.holdings.filter(col("portfolioid") === portfolioId)
+    val priced = h.join(broadcast(latestCloses()), Seq("symbol"), "left")
+    val stockVal = priced.agg(
+      coalesce(sum(col("close") * col("shares")), lit(0)).as("stock_value"))
+    val cash = db.portfolio.filter(col("portfolioid") === portfolioId)
+      .select(col("portfolioid"), col("cashbalance"))
+    cash.crossJoin(stockVal)
+      .withColumn("total_value", col("cashbalance") + col("stock_value"))
+  }
+
+  /** GET /api/portfolio/:id/statistics/:start/:end — COV + Beta for
+    * every held symbol in ONE pass over the range (portfolio.js:
+    * 319-445, SURVEY §3 trace 1; the reference runs 2 queries per
+    * symbol). Returns (symbol, cov, beta). */
+  def statistics(portfolioId: Long, start: String, end: String): DataFrame = {
+    val held = db.holdings.filter(col("portfolioid") === portfolioId)
+      .select(col("symbol")).distinct()
+    val rets = TimeSeries.returns(
+      db.stocks.filter(col("timestamp").between(start, end))
+        .select(col("symbol"), col("timestamp"), col("close").cast("double").as("close")),
+      "symbol", "timestamp", "close")
+    val mine = rets.join(broadcast(held), Seq("symbol"), "left_semi")
+    val cov = TimeSeries.coefficientOfVariation(mine, "symbol")
+    val beta = TimeSeries.beta(rets, "symbol", "timestamp")
+      .join(broadcast(held), Seq("symbol"), "left_semi")
+    cov.join(beta, Seq("symbol"), "outer").orderBy("symbol")
+  }
+
+  /** Correlation matrix over held symbols (portfolio.js:449-477, J8/A5). */
+  def correlationMatrix(portfolioId: Long, start: String, end: String): DataFrame = {
+    val held = db.holdings.filter(col("portfolioid") === portfolioId)
+      .select(col("symbol")).distinct()
+    val rets = TimeSeries.returns(
+      db.stocks.filter(col("timestamp").between(start, end))
+        .join(broadcast(held), Seq("symbol"), "left_semi")
+        .select(col("symbol"), col("timestamp"), col("close").cast("double").as("close")),
+      "symbol", "timestamp", "close")
+    TimeSeries.corrMatrix(rets, "symbol", "timestamp")
+  }
+
+  /** GET /api/chart/predict/:symbol — 50-bar linear regression, 30-day
+    * horizon (chart.js:67-158 / portfolio.js:491-559, M1). */
+  def predict(symbol: String, horizon: Int = 30): DataFrame =
+    TimeSeries.forecast(
+      db.stocks.filter(col("symbol") === symbol)
+        .select(col("symbol"), col("timestamp"), col("close").cast("double").as("close")),
+      "symbol", "timestamp", "close", trainN = 50, horizon = horizon, minRows = 5)
+
+  // ---- holdings.js ----
+
+  /** GET /api/holdings/:portfolioId — holdings with market value
+    * (holdings.js:24-76; the N+1 latest-price loop becomes one
+    * broadcast join). */
+  def holdingsValued(portfolioId: Long): DataFrame =
+    db.holdings.filter(col("portfolioid") === portfolioId)
+      .join(broadcast(latestCloses()), Seq("symbol"), "left")
+      .withColumn("market_value", col("close") * col("shares"))
+      .orderBy("symbol")
+
+  // ---- users.js ----
+
+  /** GET /api/users/search?q= (users.js:50-53, P5). */
+  def searchUsers(q: String, limit: Int = 20): DataFrame =
+    db.users.filter(col("email").ilike(s"%$q%"))
+      .select(col("userid"), col("email"), col("fullname"))
+      .orderBy("userid").limit(limit)
+
+  /** GET /api/users/friends (users.js:68-77, J7 union-of-equijoins). */
+  def friends(userId: Long): DataFrame =
+    Social.friendsOf(
+      db.friend.select(col("userid1").as("u1"), col("userid2").as("u2")),
+      db.users, "userid", lit(userId)).orderBy("userid")
+
+  /** GET /api/users/requests/incoming|outgoing (users.js:117-144, J4). */
+  def incomingRequests(userId: Long): DataFrame =
+    db.request.filter(col("status") === Social.Pending &&
+        col("touserid") === userId)
+      .join(broadcast(db.users), col("fromuserid") === col("userid"))
+      .select(col("requestid"), col("fromuserid"), col("email"), col("fullname"))
+      .orderBy("requestid")
+
+  def outgoingRequests(userId: Long): DataFrame =
+    db.request.filter(col("status") === Social.Pending &&
+        col("fromuserid") === userId)
+      .join(broadcast(db.users), col("touserid") === col("userid"))
+      .select(col("requestid"), col("touserid"), col("email"), col("fullname"))
+      .orderBy("requestid")
+
+  // ---- lists.js / reviews.js ----
+
+  /** GET /api/lists — owned ∪ public ∪ shared-with-me with visibility
+    * tags (lists.js:155-233, SURVEY §3 trace 3). */
+  def lists(userId: Long): DataFrame =
+    Acl.withVisibility(
+        Acl.accessibleLists(db.stocklist, db.sharedWith, lit(userId)),
+        db.sharedWith)
+      .orderBy("listid")
+
+  /** GET /api/lists/:id/stocks (lists.js:262-296). */
+  def listStocks(listId: Long): DataFrame =
+    db.stockin.filter(col("listid") === listId)
+      .join(broadcast(latestCloses()), Seq("symbol"), "left")
+      .orderBy("symbol")
+
+  /** GET /api/reviews/list/:listid — reviews visible to the caller
+    * (reviews.js:204-260, M3 in-plan). */
+  def reviews(listId: Long, userId: Long): DataFrame =
+    Acl.visibleReviews(db.review.filter(col("listid") === listId),
+        db.stocklist, lit(userId))
+      .join(broadcast(db.users), Seq("userid"))
+      .select(col("reviewid"), col("listid"), col("userid"), col("email"),
+        col("content"), col("created_at"))
+      .orderBy(col("created_at").desc, col("reviewid").desc)
+}

@@ -1,0 +1,117 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.{Date, Timestamp}
+
+/** End-to-end parity of the REST-read façade over hand-built fixture
+  * tables (SURVEY §5.2 semantic-parity fixtures). */
+class FacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+  private def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  private lazy val db = Db(
+    stocks = Seq(
+      ("AAA", d("2024-01-01"), 10.0, 11.0, 9.0, 10.5, 100L),
+      ("AAA", d("2024-01-02"), 10.5, 12.0, 10.0, 11.5, 110L),
+      ("AAA", d("2024-01-04"), 11.0, 12.5, 10.5, 12.0, 115L),
+      ("AAA", d("2024-01-05"), 11.8, 12.8, 11.2, 12.2, 118L),
+      ("AAA", d("2024-01-03"), 11.5, 13.0, 11.0, 12.5, 120L),
+      ("BBB", d("2024-01-01"), 20.0, 21.0, 19.0, 20.5, 200L),
+      ("BBB", d("2024-01-02"), 20.5, 22.0, 20.0, 19.5, 210L))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close", "volume"),
+    users = Seq((1L, "Ada", "ada@x.io"), (2L, "Bo", "bo@y.io"), (3L, "Cy", "cy@z.io"))
+      .toDF("userid", "fullname", "email"),
+    friend = Seq((1L, 2L)).toDF("userid1", "userid2"),
+    request = Seq((10L, 3L, 1L, "PENDING"), (11L, 1L, 3L, "REJECTED"))
+      .toDF("requestid", "fromuserid", "touserid", "status"),
+    stocklist = Seq((100L, 1L, "tech", false), (101L, 2L, "pub", true),
+        (102L, 3L, "hidden", false))
+      .toDF("listid", "ownerid", "name", "is_public"),
+    review = Seq((1000L, 101L, 1L, "nice", t("2024-01-05")),
+        (1001L, 100L, 2L, "meh", t("2024-01-06")))
+      .toDF("reviewid", "listid", "userid", "content", "created_at"),
+    sharedWith = Seq((102L, 1L)).toDF("listid", "userid"),
+    stockin = Seq((100L, "AAA", 2.0)).toDF("listid", "symbol", "shares"),
+    portfolio = Seq((7L, 1L, "main", 1000.0))
+      .toDF("portfolioid", "userid", "name", "cashbalance"),
+    transaction = Seq((1L, 7L, 1000.0, "Deposited", t("2024-01-01")),
+        (2L, 7L, -210.0, "Bought", t("2024-01-02")))
+      .toDF("transactionid", "portfolioid", "amount", "detail", "createdat"),
+    holdings = Seq((7L, "AAA", 4), (7L, "BBB", 2))
+      .toDF("portfolioid", "symbol", "shares"))
+
+  private lazy val api = new Facade(db)
+
+  test("listSymbols / latestCloses (S1, J11)") {
+    assert(api.listSymbols().as[String].collect().toSeq == Seq("AAA", "BBB"))
+    val closes = api.latestCloses().orderBy("symbol")
+      .select("symbol", "close").as[(String, Double)].collect().toSeq
+    assert(closes == Seq(("AAA", 12.2), ("BBB", 19.5)))
+  }
+
+  test("history pages newest-first by default (O2/O3)") {
+    val got = api.history("AAA", asc = false, limit = 2)
+      .select("timestamp").as[Date].collect().toSeq
+    assert(got == Seq(d("2024-01-05"), d("2024-01-04")))
+  }
+
+  test("portfolioValue = Σ latest close × shares + cash (A7/J11)") {
+    val row = api.portfolioValue(7L).head()
+    // 4×12.2 + 2×19.5 = 87.8; + 1000 cash
+    assert(math.abs(row.getAs[Double]("stock_value") - 87.8) < 1e-9)
+    assert(math.abs(row.getAs[Double]("total_value") - 1087.8) < 1e-9)
+  }
+
+  test("statement carries running balance, newest first (U5)") {
+    val got = api.statement(7L)
+      .select(col("transactionid"), col("running_balance").cast("double"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 790.0), (1L, 1000.0)))
+  }
+
+  test("statistics: one pass yields cov+beta for held symbols only (M4)") {
+    val got = api.statistics(7L, "2024-01-01", "2024-01-03")
+    assert(got.columns.toSet == Set("symbol", "cov", "beta"))
+    assert(got.select("symbol").as[String].collect().toSet == Set("AAA", "BBB"))
+  }
+
+  test("friends resolves both edge directions (J7)") {
+    assert(api.friends(2L).select("userid").as[Long].collect().toSeq == Seq(1L))
+    assert(api.friends(1L).select("userid").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("incoming requests are PENDING-only with requester enrichment (J4/M5)") {
+    val got = api.incomingRequests(1L)
+      .select("requestid", "email").as[(Long, String)].collect().toSeq
+    assert(got == Seq((10L, "cy@z.io")))
+    assert(api.incomingRequests(3L).isEmpty) // 11 is REJECTED
+  }
+
+  test("lists: owned ∪ public ∪ shared-with-me with visibility (trace 3)") {
+    val got = api.lists(1L).select("listid", "visibility")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(100L -> "private", 101L -> "public", 102L -> "shared"))
+  }
+
+  test("reviews respect row-level visibility (M3)") {
+    // list 100 is private, owned by user 1: user 3 sees nothing
+    assert(new Facade(db).reviews(100L, 3L).isEmpty)
+    // owner sees the review
+    assert(api.reviews(100L, 1L).count() == 1)
+    // public list: anyone sees
+    assert(api.reviews(101L, 3L).count() == 1)
+  }
+
+  test("predict emits horizon rows per symbol with trend (M1)") {
+    val got = api.predict("AAA", horizon = 5)
+    assert(got.count() == 5)
+    assert(got.select("trend").distinct().as[String].head() == "UP")
+  }
+
+  test("searchUsers is case-insensitive substring (P5)") {
+    assert(api.searchUsers("ADA").count() == 1)
+  }
+}

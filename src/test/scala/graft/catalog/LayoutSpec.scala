@@ -1,0 +1,41 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clustered layout prunes partitions on symbol lookups (SURVEY §4)") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/stocks"
+    val df = (1 to 1000).map(i => (s"SYM${i % 50}", i, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClustered(df, dir, "symbol", "ts", numBuckets = 8)
+
+    val got = Layout.readSymbol(spark, dir, "SYM7", numBuckets = 8)
+    assert(got.count() == 20)
+    assert(got.select("symbol").distinct().as[String].head() == "SYM7")
+
+    // the physical plan must contain a partition filter on sym_bucket
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sym_bucket"))
+    // and the scan must actually touch only the one matching bucket
+    val scan = got.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val nPart = scan.selectedPartitions.partitionCount
+    assert(nPart == 1, s"expected 1 pruned partition, scanned $nPart")
+  }
+
+  test("append write + read-back echo (S3/U1)") {
+    val dir = Files.createTempDirectory("graft_append").toString + "/t"
+    Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")
+      .write.mode("append").parquet(dir)
+    Seq(("BBB", 2, 20.0)).toDF("symbol", "ts", "close")
+      .write.mode("append").parquet(dir)
+    val got = spark.read.parquet(dir).orderBy("ts")
+      .as[(String, Int, Double)].collect().toSeq
+    assert(got == Seq(("AAA", 1, 10.0), ("BBB", 2, 20.0)))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.domain.{Trade, Trading}
+import graft.ops.Kernels
+
+/** Property-based invariants (SURVEY §5.3): the constraints the
+  * reference encodes as CHECKs/guards, checked over generated inputs.
+  * Kept to few-but-meaningful cases per property — each case runs
+  * Spark jobs. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val genTrade: Gen[Trade] = for {
+    pf <- Gen.choose(1L, 3L)
+    sym <- Gen.oneOf("A", "B")
+    ts <- Gen.choose(1L, 50L)
+    seq <- Gen.choose(1L, 1000000L)
+    side <- Gen.oneOf("BUY", "SELL")
+    qty <- Gen.choose(1, 20).map(_.toDouble)
+    price <- Gen.choose(1, 500).map(_ / 10.0)
+  } yield Trade(pf, sym, ts, seq, side, qty, price)
+
+  private val genTrades = Gen.listOfN(12, genTrade)
+
+  property("trading fold: shares never negative, avg bounded by buy prices") =
+    forAll(genTrades) { trades =>
+      val hs = Trading.replay(trades.toDS()).collect()
+      hs.forall { h =>
+        val buys = trades.filter(t =>
+          t.portfolio == h.portfolio && t.symbol == h.symbol && t.side == "BUY")
+        h.shares >= 0 &&
+          (buys.isEmpty || (h.avg_cost >= buys.map(_.price).min - 1e-9 &&
+            h.avg_cost <= buys.map(_.price).max + 1e-9))
+      }
+    }
+
+  property("trading fold: invariant to input row order") =
+    forAll(genTrades) { trades =>
+      // distinct (ts, seq) per key so ordering is total
+      val uniq = trades.zipWithIndex.map { case (t, i) => t.copy(seq = i.toLong) }
+      val a = Trading.replay(uniq.toDS()).collect().sortBy(h => (h.portfolio, h.symbol))
+      val b = Trading.replay(uniq.reverse.toDS()).collect().sortBy(h => (h.portfolio, h.symbol))
+      a.toSeq == b.toSeq
+    }
+
+  private val genKv = Gen.listOfN(8,
+    Gen.zip(Gen.choose(1, 6), Gen.alphaStr.map(_.take(4))))
+
+  property("upsert: src wins, key-set is the union, idempotent") =
+    forAll(genKv, genKv) { (t, s) =>
+      val target = t.distinctBy(_._1).toDF("k", "v")
+      val src = s.distinctBy(_._1).toDF("k", "v")
+      val once = Kernels.upsert(target, src, Seq("k"))
+      val keys = once.select("k").as[Int].collect().toSet
+      val expectKeys = t.map(_._1).toSet ++ s.map(_._1).toSet
+      val srcMap = s.distinctBy(_._1).toMap
+      val vals = once.as[(Int, String)].collect().toMap
+      val srcWins = srcMap.forall { case (k, v) => vals(k) == v }
+      val twice = Kernels.upsert(once, src, Seq("k"))
+      keys == expectKeys && srcWins &&
+        twice.as[(Int, String)].collect().toMap == vals
+    }
+
+  property("insertIfAbsent: target rows always win") =
+    forAll(genKv, genKv) { (t, s) =>
+      val target = t.distinctBy(_._1).toDF("k", "v")
+      val src = s.distinctBy(_._1).toDF("k", "v")
+      val got = Kernels.insertIfAbsent(target, src, Seq("k"))
+        .as[(Int, String)].collect().toMap
+      t.distinctBy(_._1).forall { case (k, v) => got(k) == v }
+    }
+
+  property("normalizeEdge: u1 <= u2 always, pair-set preserved") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9)))) { es =>
+      val got = Kernels.normalizeEdge(es.toDF("a", "b"), "a", "b")
+        .as[(Int, Int)].collect()
+      got.forall { case (u1, u2) => u1 <= u2 } &&
+        got.map { case (u1, u2) => Set(u1, u2) }.toSet ==
+          es.map { case (a, b) => Set(a, b) }.toSet
+    }
+
+  property("statistics are invariant to input row order") =
+    forAll(Gen.listOfN(20, Gen.choose(1, 1000))) { xs =>
+      val rows = xs.zipWithIndex.map { case (v, i) => ("K", i, v.toDouble) }
+      def stats(seq: Seq[(String, Int, Double)]) =
+        graft.analytics.TimeSeries.returns(
+            seq.toDF("symbol", "ts", "close"), "symbol", "ts", "close")
+          .agg(sum(col("ret")), stddev_samp(col("ret"))).collect().head.toSeq
+      stats(rows) == stats(rows.reverse)
+    }
+}

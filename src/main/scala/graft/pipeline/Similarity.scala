@@ -15,12 +15,18 @@ object Similarity {
   /** float[] → double[] (compute similarities in double). */
   def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** One-pass codegen'd dot product (graft.functions.DotProduct) —
+    * the HOF `aggregate(zip_with(...))` form evaluates its lambda
+    * interpreted per element; the custom expression is a tight loop. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass codegen'd cosine; bit-identical to the sequential
+    * dot/(√|a|²·√|b|²) formulation the DuckDB oracle uses. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine_sim(a, b)
 
   /** Exact cosine top-k: each query scored against the whole corpus.
     * The query set is broadcast (it is small by contract); the corpus

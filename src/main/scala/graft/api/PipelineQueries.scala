@@ -177,6 +177,31 @@ object PipelineQueries {
         .orderBy("id1", "id2"),
       None),
 
+    Q("e3_ivf_topk",
+      // IVF(k-means) ANN with FULL probe — exact by construction
+      // (every cell scanned), so the brute-force oracle applies while
+      // the query exercises the quantize→invert→probe plumbing; the
+      // scale path drops nProbe (IvfSpec covers partial probe)
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.pipeline.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+        idx.topK(emb.filter(col("vec_id") < 5), "embedding", k = 10, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")),
+
     Q("mm1_media_features",
       // multimodal plumbing: text bytes as opaque payload → typed
       // Dataset → mapPartitions stub codec → features

@@ -38,6 +38,46 @@ object Streams {
       .agg(sum(col("value").cast("decimal(18,2)")).as("balance"),
         count(lit(1)).as("n_tx"))
 
+  case class StreamTrade(portfolio: Long, symbol: String, ts: Long, seq: Long,
+                         side: String, qty: Double, price: Double)
+  case class PositionState(shares: Double, avg: Double, rejected: Long)
+  case class HoldingUpdate(portfolio: Long, symbol: String,
+                           shares: Double, avg_cost: Double, n_rejected: Long)
+
+  /** Streaming holdings maintenance: the avg-cost fold (U6/U7,
+    * graft.domain.Trading semantics) applied incrementally — state is
+    * one Position per (portfolio, symbol); each micro-batch folds its
+    * (time-ordered) trades into the running state and emits the
+    * updated holding. The streaming form of event-sourced Holdings:
+    * replaying the whole log through this yields exactly
+    * Trading.replay of the log. */
+  def holdingsStream(trades: Dataset[StreamTrade]): Dataset[HoldingUpdate] = {
+    import trades.sparkSession.implicits._
+    trades.groupByKey(t => (t.portfolio, t.symbol))
+      .flatMapGroupsWithState[PositionState, HoldingUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[StreamTrade],
+         state: GroupState[PositionState]) =>
+          var st = state.getOption.getOrElse(PositionState(0.0, 0.0, 0L))
+          rows.toSeq.sortBy(t => (t.ts, t.seq)).foreach { t =>
+            if (t.side == "BUY") {
+              if (st.shares == 0.0) st = PositionState(t.qty, t.price, st.rejected)
+              else st = PositionState(st.shares + t.qty,
+                (st.avg * st.shares + t.price * t.qty) / (st.shares + t.qty),
+                st.rejected)
+            } else {
+              if (t.qty > st.shares) st = st.copy(rejected = st.rejected + 1)
+              else {
+                val s2 = st.shares - t.qty
+                st = PositionState(s2, if (s2 == 0.0) 0.0 else st.avg, st.rejected)
+              }
+            }
+          }
+          state.update(st)
+          Iterator.single(HoldingUpdate(key._1, key._2, st.shares, st.avg, st.rejected))
+      }
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total: Double,

@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("IVF with full probe (nProbe = nCells) is exact — equals brute force") {
+    val queries = emb.filter($"vec_id" < 3)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val ivf = idx.topK(queries, "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("IVF with partial probe returns k ranked candidates from probed cells") {
+    val queries = emb.filter($"vec_id" < 3)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val got = idx.topK(queries, "embedding", k = 5, nProbe = 2)
+    val byQ = got.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byQ.size == 3 && byQ.values.forall(_ == 5))
+    // ranking within results is by cosine desc
+    val r = got.filter($"query_id" === 0).orderBy($"rank")
+      .select("cos").as[Double].collect().toSeq
+    assert(r == r.sorted.reverse)
+  }
+}

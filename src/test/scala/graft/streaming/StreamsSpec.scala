@@ -51,6 +51,38 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq((1L, 75.0, 3L), (2L, 7.0, 1L)))
   }
 
+  test("holdingsStream: incremental fold across batches == batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.StreamTrade]
+    val q = Streams.holdingsStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("hold").start()
+    // batch 1: open positions
+    mem.addData(
+      Streams.StreamTrade(1L, "A", 1, 1, "BUY", 10, 5.0),
+      Streams.StreamTrade(1L, "A", 2, 2, "BUY", 10, 8.0))
+    q.processAllAvailable()
+    // batch 2: partial sell + a rejected oversell on another key
+    mem.addData(
+      Streams.StreamTrade(1L, "A", 3, 3, "SELL", 4, 9.0),
+      Streams.StreamTrade(2L, "B", 1, 1, "SELL", 5, 9.0))
+    q.processAllAvailable()
+    val last = spark.sql(
+      """SELECT portfolio, symbol, shares, avg_cost, n_rejected FROM (
+           SELECT *, row_number() OVER (PARTITION BY portfolio, symbol
+             ORDER BY shares) AS rn FROM hold) WHERE rn = 1""")
+    // final state must equal the batch fold of the full log
+    val batch = graft.domain.Trading.replay(Seq(
+      graft.domain.Trade(1L, "A", 1, 1, "BUY", 10, 5.0),
+      graft.domain.Trade(1L, "A", 2, 2, "BUY", 10, 8.0),
+      graft.domain.Trade(1L, "A", 3, 3, "SELL", 4, 9.0)).toDS()).collect().head
+    val streamed = spark.sql(
+      "SELECT shares, avg_cost FROM hold WHERE portfolio = 1 AND shares = 16")
+      .as[(Double, Double)].collect().head
+    q.stop()
+    assert(streamed == ((batch.shares, batch.avg_cost)))
+    assert(last.count() >= 2)
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]

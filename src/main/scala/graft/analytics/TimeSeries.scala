@@ -41,7 +41,9 @@ object TimeSeries {
   def coefficientOfVariation(rets: DataFrame, key: String): DataFrame =
     rets.filter(col("ret").isNotNull)
       .groupBy(col(key))
-      .agg((stddev_samp(col("ret")) / avg(col("ret"))).as("cov"))
+      // try_divide: a flat series has avg return 0 — NULL, not the
+      // ANSI-mode DIVIDE_BY_ZERO error (Spark 4 is ANSI by default)
+      .agg(try_divide(stddev_samp(col("ret")), avg(col("ret"))).as("cov"))
 
   /** Equal-weighted market return per day — reference
     * `portfolio.js:402-407` (`m` CTE: AVG of all symbols' returns per
@@ -61,7 +63,8 @@ object TimeSeries {
     rets.filter(col("ret").isNotNull)
       .join(broadcast(market), Seq(time))
       .groupBy(col(key))
-      .agg((covar_pop(col("ret"), col("mret")) / var_pop(col("mret"))).as("beta"))
+      .agg(try_divide(covar_pop(col("ret"), col("mret")),
+        var_pop(col("mret"))).as("beta"))
   }
 
   /** Pairwise correlation/covariance matrix (upper triangle) —
@@ -83,7 +86,11 @@ object TimeSeries {
     r1.join(r2, Seq("t"))
       .filter(col("k1") <= col("k2"))
       .groupBy(col("k1"), col("k2"))
-      .agg(corr(col("ret1"), col("ret2")).as("correlation"),
+      // explicit Pearson with try_divide: built-in corr() throws
+      // DIVIDE_BY_ZERO under ANSI (Spark 4 default) for a constant
+      // series, where PostgreSQL returns NULL (SURVEY §7.4)
+      .agg(try_divide(covar_pop(col("ret1"), col("ret2")),
+             stddev_pop(col("ret1")) * stddev_pop(col("ret2"))).as("correlation"),
            covar_pop(col("ret1"), col("ret2")).as("covariance"),
            count(lit(1)).as("n_days"))
   }

@@ -16,7 +16,8 @@ object Dedup {
     * smallest id deterministically. */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
     Kernels.dedupExactKeys(
-      df.withColumn("__fp", TextAnalysis.fingerprintMd5(col(text))),
+      Kernels.ensureParallelism(df)
+        .withColumn("__fp", TextAnalysis.fingerprintMd5(col(text))),
       Seq("__fp"), col(id)).drop("__fp")
 
   /** Distinct word n-gram shingles, one row per (id, shingle). */
@@ -136,11 +137,17 @@ object Dedup {
     * Computed as 64 conditional sums in one hash aggregation. */
   def simHash64(df0: DataFrame, id: String, text: String): DataFrame = {
     val df = Kernels.ensureParallelism(df0)
+    // weight by occurrence count over DISTINCT tokens per doc: with a
+    // natural-language vocabulary the distinct set is ~10-20× smaller
+    // than the token stream, so the 64 conditional sums run on far
+    // fewer rows (sum of ±1 per occurrence ≡ ±count per distinct)
     val toks = df.select(col(id),
       explode(TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col(id), col("h")).agg(count(lit(1)).as("cnt"))
     val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i"))
     val agg = toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))

@@ -55,7 +55,7 @@ object IvfIndex {
         corpus.select(col(id), Similarity.vecD(col(vec)).as("cv")))
       .persist()
     val feats = base.withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features")
       .fit(feats)
     val centroids = model.clusterCenters.map(_.toArray)

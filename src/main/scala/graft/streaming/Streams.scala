@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming surface — the natural streaming extension of
   * the reference's batch/OLTP model (SURVEY §1.3): the `Transaction`
@@ -77,6 +77,20 @@ object Streams {
           Iterator.single(HoldingUpdate(key._1, key._2, st.shares, st.avg, st.rejected))
       }
   }
+
+  /** Streaming MERGE sink: each micro-batch upserts into a
+    * snapshot-versioned keyed table (graft.analytics.StatsCache) —
+    * the streaming write-back path for incrementally maintained
+    * aggregates (outputMode Update + foreachBatch upsert ≡ MERGE
+    * into a table format at production scale). Returns the started
+    * query. */
+  def upsertSink(updates: DataFrame, path: String, keys: Seq[String]): StreamingQuery =
+    updates.writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        new graft.analytics.StatsCache(batch.sparkSession, path, keys)
+          .writeBack(batch)
+      }
+      .start()
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)

@@ -1,0 +1,75 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+/** FIXTURES.md §A edge cases for the time-series analytics: ≥60
+  * consecutive days (chart cap / forecast window), a gap day, a
+  * below-minimum symbol, a zero-return day. */
+class TimeSeriesEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 70 consecutive days for LONG (with day 35 missing = gap), flat
+  // day 10 (zero return); SHORT has only 3 bars (below forecast min)
+  private lazy val bars = {
+    val long = (1 to 71).filter(_ != 35).map { i =>
+      val close = if (i == 10 || i == 9) 100.0 else 100.0 + i * 0.5
+      ("LONG", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1)), close)
+    }
+    val short = (1 to 3).map(i =>
+      ("SHORT", Date.valueOf(java.time.LocalDate.of(2024, 1, i)), 50.0 + i))
+    (long ++ short).toDF("symbol", "timestamp", "close")
+  }
+
+  test("returns: zero-return day yields 0.0, gap day just chains (LAG semantics)") {
+    val r = TimeSeries.returns(bars, "symbol", "timestamp", "close")
+      .filter($"symbol" === "LONG")
+    // day 10 has same close as day 9 → ret == 0.0 exactly
+    assert(r.filter($"timestamp" === "2024-01-10").select("ret").as[Double].head() == 0.0)
+    // first row's ret is null
+    assert(r.filter($"timestamp" === "2024-01-01").select("ret").head().isNullAt(0))
+    // gap: Feb 4 (i=35) missing; Feb 5 lags to Feb 3 — non-null
+    assert(r.filter($"timestamp" === "2024-02-05").select("ret").head().isNullAt(0) == false)
+    // row count = bars - 1 non-null returns... (first is null)
+    assert(r.filter($"ret".isNotNull).count() == 69)
+  }
+
+  test("forecast: trains on exactly last 50, refuses the 3-bar symbol") {
+    val f = TimeSeries.forecast(bars, "symbol", "timestamp", "close",
+      trainN = 50, horizon = 30, minRows = 5)
+    val syms = f.select("symbol").distinct().as[String].collect().toSet
+    assert(syms == Set("LONG")) // SHORT filtered by minRows
+    assert(f.count() == 30)
+    assert(f.select("n").distinct().as[Long].head() == 50L) // window honored
+    assert(f.select("trend").distinct().as[String].head() == "UP")
+    // predictions extend from the last real date
+    val firstPred = f.orderBy("step").select("pred_date").as[Date].head()
+    assert(firstPred == Date.valueOf("2024-03-12")) // last bar + 1 day
+  }
+
+  test("chart tail-60 then re-sort ascending (O5/O6)") {
+    val tail = bars.filter($"symbol" === "LONG")
+      .orderBy($"timestamp".desc).limit(60).orderBy("timestamp")
+    assert(tail.count() == 60)
+    val days = tail.select("timestamp").as[Date].collect()
+    assert(days.head.before(days.last))
+    // the 60 most recent: earliest kept day is day 11 of the series
+    assert(days.head == Date.valueOf("2024-01-11"))
+  }
+
+  test("CoV/beta survive a symbol with constant prices (corr NULL case)") {
+    val flat = (1 to 20).map(i =>
+      ("FLAT", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1)), 10.0))
+    val both = bars.union(flat.toDF("symbol", "timestamp", "close"))
+    val rets = TimeSeries.returns(both, "symbol", "timestamp", "close")
+    val cov = TimeSeries.coefficientOfVariation(rets, "symbol")
+    // FLAT: all returns 0 → stddev 0, avg 0 → NULL (0/0), not a crash
+    val flatCov = cov.filter($"symbol" === "FLAT").select("cov").head()
+    assert(flatCov.isNullAt(0))
+    val corr = TimeSeries.corrMatrix(rets, "symbol", "timestamp")
+    val cFlat = corr.filter($"k1" === "FLAT" && $"k2" === "FLAT")
+      .select("correlation").head()
+    assert(cFlat.isNullAt(0)) // corr of constant series is NULL (PG parity)
+  }
+}

@@ -83,6 +83,24 @@ class StreamsSpec extends SparkSpec {
     assert(last.count() >= 2)
   }
 
+  test("upsertSink: streaming aggregation merges into a keyed snapshot table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/bal"
+    val mem = MemoryStream[(Long, Double)]
+    val agg = Streams.balanceStream(mem.toDF().toDF("user_id", "value"), "user_id")
+    val q = Streams.upsertSink(agg, dir, Seq("user_id"))
+    mem.addData((1L, 100.0), (2L, 7.0))
+    q.processAllAvailable()
+    mem.addData((1L, -30.0))
+    q.processAllAvailable()
+    q.stop()
+    val cache = new graft.analytics.StatsCache(spark, dir, Seq("user_id"))
+    val got = cache.probe(Seq(1L, 2L).toDF("user_id"))
+      .select($"user_id", $"balance".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 70.0, 2L -> 7.0)) // batch-2 upsert replaced user 1
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]

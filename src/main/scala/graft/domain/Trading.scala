@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** A trade event — the engine's row form of the reference's buy/sell
@@ -85,11 +85,11 @@ object Trading {
     * per-request guards (`trading.js:45-73`: ownership, symbol exists,
     * positive qty, sufficient cash) as set-based joins instead of four
     * round trips per trade. */
-  def validate(trades: DataFrame, balances: DataFrame, symbols: DataFrame,
-               spark: SparkSession): DataFrame = {
+  def validate(trades: DataFrame, balances: DataFrame, symbols: DataFrame): DataFrame = {
     val withBal = trades
-      .join(broadcast(balances), Seq("portfolio"), "left")
-      .join(broadcast(symbols.withColumnRenamed("symbol_", "symbol")
+      .join(broadcast(balances.select(col("portfolio"), col("balance"))),
+        Seq("portfolio"), "left")
+      .join(broadcast(symbols.select(col("symbol"))
           .withColumn("symbol_known", lit(true))),
         Seq("symbol"), "left")
     withBal.withColumn("verdict",
@@ -99,5 +99,36 @@ object Trading {
         .when(col("side") === "BUY" && col("qty") * col("price") > col("balance"),
           "REJECT_INSUFFICIENT_CASH")
         .otherwise("ACCEPT"))
+      .drop("balance", "symbol_known")
+  }
+
+  /** Ledger rows for accepted trades — the `Transaction` append the
+    * reference performs per trade (`trading.js:105-109` buy,
+    * `:215-219` sell), including the formatted Detail string
+    * (format_string ≡ the JS template literal) and the signed amount
+    * (buys debit, sells credit). */
+  def ledgerEntries(acceptedTrades: DataFrame): DataFrame =
+    acceptedTrades.select(
+      col("portfolio").as("portfolioid"),
+      when(col("side") === "BUY", -col("qty") * col("price"))
+        .otherwise(col("qty") * col("price"))
+        .cast("decimal(12,2)").as("amount"),
+      format_string("%s %.0f shares of %s at $%.2f each.",
+        when(col("side") === "BUY", "Bought").otherwise("Sold"),
+        col("qty"), col("symbol"), col("price")).as("detail"),
+      col("ts"), col("seq"))
+
+  /** The full buy/sell batch flow (SURVEY §3 trace 2) as ONE pipeline:
+    * validate against balances/symbols → fold accepted trades to
+    * holdings → emit ledger rows. The reference runs 6 auto-committed
+    * statements per trade; here the whole batch is pure and atomic-
+    * by-construction (event-sourced). Returns (verdicts, holdings,
+    * ledger). */
+  def applyTrades(trades: DataFrame, balances: DataFrame,
+                  symbols: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val verdicts = validate(trades, balances, symbols)
+    val accepted = verdicts.filter(col("verdict") === "ACCEPT")
+      .select("portfolio", "symbol", "ts", "seq", "side", "qty", "price")
+    (verdicts, replayDf(accepted), ledgerEntries(accepted))
   }
 }

@@ -6,8 +6,12 @@ import graft.ops.Kernels
 
 /** Deduplication operators for training-data pipelines, ordered by
   * cost/recall: exact → n-gram Jaccard (inverted index) → MinHash+LSH
-  * → SimHash. All are shuffle-on-key designs that scale horizontally;
-  * none collects to the driver.
+  * (Broder, "On the resemblance and containment of documents", 1997;
+  * banding analysis per Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch.3) → SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002; dedup application
+  * per Manku/Jain/Sarma, WWW 2007). All are shuffle-on-key designs
+  * that scale horizontally; none collects to the driver.
   */
 object Dedup {
 
@@ -131,6 +135,15 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
+
+  /** Apply a near-dup pair set: drop every doc that has a
+    * smaller-id near-duplicate partner (the standard greedy keep-first
+    * policy training pipelines use — each dup CLUSTER keeps exactly
+    * its minimum id when the pair relation covers the cluster, which
+    * high-threshold LSH pairs do in practice; exact transitive
+    * closure would need iterative connected components). */
+  def removeNearDuplicates(df: DataFrame, pairs: DataFrame, id: String): DataFrame =
+    df.join(pairs.select(col("id2").as(id)).distinct(), Seq(id), "left_anti")
 
   /** 64-bit SimHash per doc: each token hashes to 64 bits; bit i of
     * the signature is the sign of Σ_tokens (±1 by token bit i).

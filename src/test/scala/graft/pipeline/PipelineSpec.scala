@@ -85,6 +85,14 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("removeNearDuplicates keeps the min-id member of each dup cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+    val kept = Dedup.removeNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // cluster {1,2,3} keeps 1; 4 and 5 untouched
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1

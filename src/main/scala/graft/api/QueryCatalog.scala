@@ -53,7 +53,7 @@ object QueryCatalog {
 
   lazy val entries: Seq[Q] =
     core ++ DomainQueries.entries ++ PipelineQueries.entries ++
-      StreamingQueries.entries
+      StreamingQueries.entries ++ AnalyticsQueries.entries
 
   private val core: Seq[Q] = Seq(
 

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The spark.sql.extensions deployment path: a FRESH session built
+  * only from config must expose hold_fold in SQL. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injected via withExtensions registers hold_fold") {
+    // `spark.sql.extensions=graft.GraftExtensions` only applies on a
+    // fresh JVM (it is a static conf read from the SparkContext); in
+    // a shared-context test the programmatic withExtensions path
+    // exercises the same injection code
+    val prev = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-test")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq((1L, "A", 1L, 1L, "BUY", 10.0, 5.0))
+        .toDF("portfolio", "symbol", "ts", "seq", "side", "qty", "price")
+        .createOrReplaceTempView("ext_trades")
+      val got = s2.sql(
+        """SELECT hold_fold(ts, seq, side, qty, price).shares AS sh
+           FROM ext_trades GROUP BY portfolio, symbol""")
+        .as[Double].collect().toSeq
+      assert(got == Seq(10.0))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}

@@ -171,6 +171,71 @@ class Facade(db: Db) {
       .select(col("requestid"), col("touserid"), col("email"), col("fullname"))
       .orderBy("requestid")
 
+  // ---- write-side flows (event-sourced) ----
+
+  /** POST /api/portfolio/:id/deposit|withdraw (portfolio.js:155-221):
+    * validate (withdrawals must not exceed the ledger-derived
+    * balance), emit the Transaction row with the formatted Detail.
+    * Returns (verdict row, ledger row for accepted ops). */
+  def cashMovement(portfolioId: Long, amount: BigDecimal): (DataFrame, DataFrame) = {
+    val spark = db.transaction.sparkSession
+    import spark.implicits._
+    val bal = Ledger.balances(
+        db.transaction.filter(col("portfolioid") === portfolioId),
+        "portfolioid", col("amount"))
+      .select(col("balance")).as[java.math.BigDecimal].collect()
+      .headOption.map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val ok = amount >= 0 || bal + amount >= 0
+    val verdict = Seq((portfolioId, amount.toDouble,
+        if (ok) "ACCEPT" else "REJECT_INSUFFICIENT_FUNDS"))
+      .toDF("portfolioid", "amount", "verdict")
+    val entry =
+      if (!ok) verdict.limit(0).select(col("portfolioid"),
+        col("amount").cast("decimal(12,2)").as("amount"),
+        lit("").as("detail"))
+      else Seq((portfolioId, amount.toDouble)).toDF("portfolioid", "amount")
+        .select(col("portfolioid"),
+          col("amount").cast("decimal(12,2)").as("amount"),
+          format_string("%s $%.2f.",
+            when(col("amount") >= 0, "Deposited").otherwise("Withdrew"),
+            abs(col("amount"))).as("detail"))
+    (verdict, entry)
+  }
+
+  /** POST /api/reviews (reviews.js:113-150): one review per
+    * (listid, userid) — UNIQUE schema.sql:48 — so a re-review is an
+    * upsert. Returns the updated review table. */
+  def upsertReview(reviewId: Long, listId: Long, userId: Long,
+                   content: String): DataFrame = {
+    val spark = db.review.sparkSession
+    import spark.implicits._
+    val src = Seq((reviewId, listId, userId, content))
+      .toDF("reviewid", "listid", "userid", "content")
+      .withColumn("created_at", current_timestamp())
+    // key is (listid, userid): an existing review keeps its reviewid?
+    // No — the reference UPDATEs content in place; upsert keyed on
+    // (listid, userid) with the source row models SET content=..., and
+    // a brand-new pair appends.
+    Kernels.upsert(db.review.select("reviewid", "listid", "userid",
+      "content", "created_at"), src, Seq("listid", "userid"))
+  }
+
+  /** POST/DELETE /api/lists/:id/share (lists.js:388-395 grant is
+    * ON CONFLICT DO NOTHING; revoke is a key delete). */
+  def share(listId: Long, userId: Long): DataFrame = {
+    val spark = db.sharedWith.sparkSession
+    import spark.implicits._
+    Kernels.insertIfAbsent(db.sharedWith,
+      Seq((listId, userId)).toDF("listid", "userid"), Seq("listid", "userid"))
+  }
+
+  def unshare(listId: Long, userId: Long): DataFrame = {
+    val spark = db.sharedWith.sparkSession
+    import spark.implicits._
+    Kernels.cowDelete(db.sharedWith,
+      Seq((listId, userId)).toDF("listid", "userid"), Seq("listid", "userid"))
+  }
+
   // ---- lists.js / reviews.js ----
 
   /** GET /api/lists — owned ∪ public ∪ shared-with-me with visibility

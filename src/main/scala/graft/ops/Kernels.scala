@@ -71,7 +71,12 @@ object Kernels {
     */
   def upsert(target: DataFrame, src: DataFrame, keys: Seq[String]): DataFrame = {
     val srcAligned = src.select(target.columns.map(col): _*)
-    target.join(src.select(keys.map(col): _*), keys, "left_anti").union(srcAligned)
+    // USING-style joins move the key columns to the front — restore
+    // the target order and union BY NAME (a positional union would
+    // silently misalign rows whenever keys aren't a schema prefix)
+    target.join(src.select(keys.map(col): _*), keys, "left_anti")
+      .select(target.columns.map(col): _*)
+      .unionByName(srcAligned)
   }
 
   /** Insert-if-absent — `ON CONFLICT DO NOTHING` (reference
@@ -80,7 +85,9 @@ object Kernels {
     */
   def insertIfAbsent(target: DataFrame, src: DataFrame, keys: Seq[String]): DataFrame = {
     val srcAligned = src.select(target.columns.map(col): _*)
-    target.union(srcAligned.join(target.select(keys.map(col): _*), keys, "left_anti"))
+    target.unionByName(
+      srcAligned.join(target.select(keys.map(col): _*), keys, "left_anti")
+        .select(target.columns.map(col): _*))
   }
 
   /** Copy-on-write point/predicate UPDATE (reference `stocks.js:163-169`

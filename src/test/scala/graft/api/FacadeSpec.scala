@@ -114,4 +114,33 @@ class FacadeSpec extends SparkSpec {
   test("searchUsers is case-insensitive substring (P5)") {
     assert(api.searchUsers("ADA").count() == 1)
   }
+
+  test("cashMovement: deposits format detail; overdrafts rejected (U5)") {
+    val (v1, e1) = api.cashMovement(7L, BigDecimal(250))
+    assert(v1.select("verdict").as[String].head() == "ACCEPT")
+    assert(e1.select("detail").as[String].head() == "Deposited $250.00.")
+    // balance is 790 (1000 - 210): withdrawing 800 must reject
+    val (v2, e2) = api.cashMovement(7L, BigDecimal(-800))
+    assert(v2.select("verdict").as[String].head() == "REJECT_INSUFFICIENT_FUNDS")
+    assert(e2.isEmpty)
+    val (v3, e3) = api.cashMovement(7L, BigDecimal(-700))
+    assert(v3.select("verdict").as[String].head() == "ACCEPT")
+    assert(e3.select("detail").as[String].head() == "Withdrew $700.00.")
+  }
+
+  test("upsertReview: one review per (list, user) — re-review updates (U3)") {
+    val after = api.upsertReview(2000L, 101L, 1L, "updated!")
+    // user 1 already reviewed list 101 → content replaced, count flat
+    assert(after.filter($"listid" === 101L && $"userid" === 1L).count() == 1)
+    assert(after.filter($"listid" === 101L && $"userid" === 1L)
+      .select("content").as[String].head() == "updated!")
+    val fresh = api.upsertReview(2001L, 100L, 3L, "new pair")
+    assert(fresh.count() == db.review.count() + 1)
+  }
+
+  test("share is idempotent; unshare removes the grant (U2/S5)") {
+    assert(api.share(102L, 1L).count() == 1) // already shared: no dup
+    assert(api.share(102L, 2L).count() == 2)
+    assert(api.unshare(102L, 1L).count() == 0)
+  }
 }

@@ -43,6 +43,21 @@ class KernelsSpec extends SparkSpec {
     assert(got == Seq((1, "a"), (2, "b"), (3, "C")))
   }
 
+  test("upsert/insertIfAbsent with NON-PREFIX keys keep column alignment") {
+    // regression: USING joins move key columns first; a positional
+    // union then scrambles rows (caught via review's (listid, userid)
+    // key, columns 2-3 of the table)
+    val target = Seq((100L, 1L, 2L, "old")).toDF("id", "k1", "k2", "v")
+    val src = Seq((200L, 1L, 2L, "new"), (201L, 3L, 4L, "add"))
+      .toDF("id", "k1", "k2", "v")
+    val up = Kernels.upsert(target, src, Seq("k1", "k2")).orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(up == Seq((200L, 1L, 2L, "new"), (201L, 3L, 4L, "add")))
+    val ins = Kernels.insertIfAbsent(target, src, Seq("k1", "k2")).orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(ins == Seq((100L, 1L, 2L, "old"), (201L, 3L, 4L, "add")))
+  }
+
   test("upsert is idempotent") {
     val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val src = Seq((2, "B")).toDF("k", "v")

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Kernels
+
+/** Scale smoke: the core kernels over 5M synthetic rows / 100k keys
+  * (≈10× the sf0.1 bench fact table) — generated with spark.range so
+  * every expected value is computable in closed form. Catches
+  * accidental O(n²) or driver-side collapses that small fixtures
+  * can't; runtime stays in seconds because every kernel is a
+  * single-shuffle design. */
+class ScaleSmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 5000000L
+  private val K = 100000L
+
+  // row i → key i % K, seq i / K (0..49), value = seq * key-dependent step
+  private lazy val big = spark.range(N)
+    .select(
+      (col("id") % K).as("k"),
+      // NB: Spark's `/` is double division — truncate before reuse
+      (col("id") / K).cast("long").as("seq"))
+    .withColumn("v", (col("seq") * (col("k") % 7 + 1)).cast("double"))
+
+  test("latestPerKey: 5M rows → exactly K rows, each the max seq") {
+    val got = Kernels.latestPerKey(big, Seq("k"), Seq(col("seq")))
+    assert(got.count() == K)
+    // every key's latest seq is (N/K - 1) = 49
+    assert(got.agg(min(col("seq")), max(col("seq")))
+      .as[(Long, Long)].head() == ((N / K - 1, N / K - 1)))
+  }
+
+  test("windowed lag returns: per-key constant-step series → constant diffs") {
+    val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+    val diffs = big.withColumn("d", col("v") - lag(col("v"), 1).over(w))
+      .filter(col("d").isNotNull)
+    // diff for key k is step = k % 7 + 1 on every row → per-key
+    // min == max == step; check the global aggregate of that property
+    val bad = diffs.groupBy(col("k"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .filter(col("mn") =!= col("mx") ||
+        col("mn") =!= (col("k") % 7 + 1).cast("double"))
+    assert(bad.isEmpty)
+  }
+
+  test("upsert at scale: 1M-row source replaces exactly its keys") {
+    val target = big.filter(col("seq") === 0).select(col("k"), col("v")) // 100k rows
+    val src = spark.range(K / 2).select(col("id").as("k"), lit(-1.0).as("v"))
+    val got = Kernels.upsert(target, src, Seq("k"))
+    assert(got.count() == K)
+    assert(got.filter(col("v") === -1.0).count() == K / 2)
+  }
+
+  test("salted aggregation survives one pathologically hot key") {
+    // 4M rows on ONE key + 1M spread over the rest
+    val skewed = spark.range(N)
+      .select(when(col("id") < 4000000L, 0L).otherwise(col("id") % K).as("k"),
+        lit(1.0).as("v"))
+    val got = graft.ops.Skew.saltedAgg(skewed, Seq("k"), buckets = 32,
+      partials = Map("s" -> sum(col("v")), "c" -> count(lit(1))),
+      finals = Map("total" -> sum(col("s")), "n" -> sum(col("c"))))
+    assert(got.filter(col("k") === 0L).select(col("n")).as[Long].head() >= 4000000L)
+  }
+}

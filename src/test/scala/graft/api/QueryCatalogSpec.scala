@@ -17,4 +17,11 @@ class QueryCatalogSpec extends SparkSpec {
       assert(!sql.contains(";"), "oracle must be a single statement")
     }
   }
+
+  test("catalog is consistent: unique names, every oracle has a query") {
+    val names = QueryCatalog.entries.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.diff(names.distinct).toString)
+    assert(QueryCatalog.oracles.keySet.subsetOf(QueryCatalog.queries.keySet))
+  }
 }

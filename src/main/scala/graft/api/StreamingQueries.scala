@@ -1,5 +1,6 @@
 package graft.api
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 import graft.streaming.Streams
@@ -23,5 +24,39 @@ object StreamingQueries {
       Some("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
         "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type")),
+
+    Q("st2_sessionize_batch",
+      // batch sessionization (30-min inactivity gap): lag-gap flags +
+      // running-sum session ids — the SQL-expressible twin of the
+      // stateful Streams.sessionize; timestamps compared as exact
+      // epoch-microsecond longs
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val flagged = Tables.load(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("ns",
+            when(lag(col("us"), 1).over(w).isNull ||
+              col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        flagged.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+            min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("WITH f AS (SELECT user_id, event_id, value, epoch_us(ts) AS us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - " +
+        "lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, value, us, sum(ns) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS session_id FROM f) " +
+        "SELECT user_id, session_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+        "min(us) AS start_us, max(us) AS end_us " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")),
   )
 }

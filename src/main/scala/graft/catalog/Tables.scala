@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Table registry over the driver's parquet layout (`TESTDATA.md`):
   * one parquet file per table under a scale-factor directory.
@@ -24,8 +24,10 @@ object Tables {
       // outright; read it as a long and truncate to microseconds (what
       // DuckDB/pyarrow do implicitly when downcasting ns → µs).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer DIV, not `/`: epoch-nanos exceed 2^53, so double
+      // division (what `/` means on Columns) is off by ±1µs
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view for spark.sql use. */

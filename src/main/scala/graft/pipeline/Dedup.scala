@@ -172,10 +172,12 @@ object Dedup {
     * `bands` chunks; docs sharing any chunk value are candidates
     * (pigeonhole: any pair with hamming < bands must share a chunk);
     * verify with exact popcount of XOR ≤ maxHamming. */
-  def simHashPairs(sigs: DataFrame, id: String,
+  def simHashPairs(sigs0: DataFrame, id: String,
                    bands: Int = 8, maxHamming: Int = 7): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
+    // both join sides derive from the signatures — compute them once
+    val sigs = sigs0.persist()
     val chunks = sigs.select(col(id), col("simhash"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("cidx"),

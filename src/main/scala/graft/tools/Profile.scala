@@ -17,17 +17,19 @@ object Profile {
     val spark = GraftSession.local(32)
     val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     d.count()
+    // d4 stages
+    val sigs = Dedup.simHash64(d, "doc_id", "text")
+    time("simhash_sigs")(sigs.count())
+    time("simhash_pairs")(Dedup.simHashPairs(sigs, "doc_id", 8, 6).count())
+    time("d4_full") {
+      val s2 = Dedup.simHash64(d, "doc_id", "text")
+      Dedup.simHashPairs(s2, "doc_id", 8, 6).count()
+    }
+    // d2 stages
     val sh = Dedup.shingles(d, "doc_id", "text", 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     time("shingles")(sh.count())
-    time("shingles_again")(sh.count())
-    val a = sh.select(col("doc_id").as("id1"), col("shingle"))
-    val b = sh.select(col("doc_id").as("id2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ix"))
-    time("inter")(inter.count())
-    time("full")(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.2).count())
-    time("full_again")(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.2).count())
+    time("d2_full")(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.2).count())
     spark.stop()
   }
 }

@@ -28,6 +28,20 @@ class LayoutSpec extends SparkSpec {
     assert(nPart == 1, s"expected 1 pruned partition, scanned $nPart")
   }
 
+  test("ORC and JSON source/sink roundtrips preserve values") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val df = Seq(("AAA", 1, 10.5), ("BBB", 2, 20.25)).toDF("symbol", "ts", "close")
+    df.write.mode("overwrite").orc(s"$dir/orc")
+    df.write.mode("overwrite").json(s"$dir/json")
+    val orc = spark.read.orc(s"$dir/orc").orderBy("ts")
+      .as[(String, Int, Double)].collect().toSeq
+    val json = spark.read
+      .schema("symbol STRING, ts INT, close DOUBLE").json(s"$dir/json")
+      .orderBy("ts").as[(String, Int, Double)].collect().toSeq
+    val expect = Seq(("AAA", 1, 10.5), ("BBB", 2, 20.25))
+    assert(orc == expect && json == expect)
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

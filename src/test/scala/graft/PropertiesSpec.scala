@@ -87,6 +87,41 @@ object GraftProperties extends Properties("graft") {
           es.map { case (a, b) => Set(a, b) }.toSet
     }
 
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(3, 8)
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+      Gen.oneOf("spark", "fast", "key", "row", "data", "the", "a", "join"))
+      .map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("exact dedup: unique fingerprints out, min-id survivor, content preserved") =
+    forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.pipeline.Dedup.exact(df, "doc_id", "text")
+        .as[(Long, String)].collect()
+      def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+      val expectSurvivors = docs.groupBy(d => norm(d._2))
+        .values.map(_.map(_._1).min).toSet
+      got.map(_._1).toSet == expectSurvivors &&
+        got.map(d => norm(d._2)).distinct.length == got.length
+    }
+
+  property("ngram jaccard pairs: bounded in (0, 1], symmetric by construction") =
+    forAll(genDocs) { docs =>
+      val pairs = graft.pipeline.Dedup.ngramJaccardPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n = 2, minJaccard = 0.0)
+        .as[(Long, Long, Double)].collect()
+      pairs.forall { case (a, b, j) => a < b && j > 0.0 && j <= 1.0 + 1e-12 }
+    }
+
+  property("simhash of identical docs collide; est jaccard bounded") =
+    forAll(genDocs.suchThat(_.nonEmpty)) { docs =>
+      val dup = docs ++ docs.map { case (i, t) => (i + 1000L, t) }
+      val sigs = graft.pipeline.Dedup.simHash64(dup.toDF("doc_id", "text"),
+        "doc_id", "text").as[(Long, Long)].collect().toMap
+      docs.forall { case (i, _) => sigs(i) == sigs(i + 1000L) }
+    }
+
   property("statistics are invariant to input row order") =
     forAll(Gen.listOfN(20, Gen.choose(1, 1000))) { xs =>
       val rows = xs.zipWithIndex.map { case (v, i) => ("K", i, v.toDouble) }

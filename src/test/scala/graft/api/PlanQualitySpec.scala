@@ -88,4 +88,25 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("a5_corr_matrix")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("j9 portfolio valuation broadcasts the latest-price side") {
+    assert(plan("j9_portfolio_value").contains("Broadcast"))
+  }
+
+  test("st2 sessionization is one window pass over the user key") {
+    val p = plan("st2_sessionize_batch")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(user_id"))
+  }
+
+  test("no query ever plans a cartesian product or nested-loop join") {
+    QueryCatalog.entries.map(_.name).foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), n)
+      // BroadcastNestedLoopJoin is acceptable ONLY for the deliberate
+      // tiny-side cross joins in ANN (query set × corpus)
+      if (!Set("e1_cosine_topk").contains(n))
+        assert(!p.contains("BroadcastNestedLoopJoin"), n)
+    }
+  }
 }

@@ -237,6 +237,27 @@ object DomainQueries {
         "CAST(0 AS BIGINT) AS n_rejected " +
         "FROM tr2 GROUP BY portfolio, symbol ORDER BY portfolio, symbol")),
 
+    Q("j13_asof_join",
+      // as-of join (SURVEY J11 generalization): each event carries the
+      // latest 'signup' rate at-or-before its timestamp per user —
+      // union-merge + last(ignoreNulls) window, one shuffle; oracle is
+      // DuckDB's native ASOF LEFT JOIN
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val rates = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("rts"), col("value").as("rate"))
+        graft.ops.AsOf.join(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            rates, Seq("user_id"), "ts", "rts", Seq("rate"))
+          .select(col("event_id"), col("user_id"), col("rate"))
+          .orderBy("event_id")
+      },
+      Some("WITH rates AS (SELECT user_id, ts AS rts, value AS rate " +
+        "FROM events WHERE event_type = 'signup') " +
+        "SELECT e.event_id, e.user_id, r.rate FROM events e " +
+        "ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rts " +
+        "ORDER BY e.event_id")),
+
     Q("u3_upsert",
       // INSERT … ON CONFLICT DO UPDATE (lists.js:483-491,
       // portfolio.js:427-445) via the upsert kernel: updated rows win,

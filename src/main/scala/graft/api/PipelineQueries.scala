@@ -125,6 +125,39 @@ object PipelineQueries {
         "JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2) " +
         "WHERE j >= 0.2 ORDER BY id1, id2")),
 
+    Q("t5_vocabulary",
+      // corpus vocabulary stats: term frequency + document frequency
+      (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("term"),
+      Some("SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (" +
+        s"SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS term " +
+        "FROM documents) GROUP BY term ORDER BY term")),
+
+    Q("d6_cross_corpus_overlap",
+      // train/test contamination: word-3-gram Jaccard ≥ 0.5 across an
+      // even doc_id split — benchmark decontamination primitive
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.crossCorpusOverlap(
+            d.filter(pmod(col("doc_id"), lit(2)) === 0),
+            d.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text", n = 3, minJaccard = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS w FROM documents), " +
+        "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
+        "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix " +
+        "FROM sh a JOIN sh b USING (g) " +
+        "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(j, 6) AS jaccard FROM (" +
+        "SELECT id_a, id_b, CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) AS j FROM inter " +
+        "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
+        "WHERE j >= 0.5 ORDER BY id_a, id_b")),
+
     Q("d3_minhash_lsh",
       // MinHash(32) + LSH(16 bands × 2) candidate pairs with
       // estimated Jaccard — hash-based, no SQL oracle (rows-only)

@@ -136,6 +136,32 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
+  /** Cross-corpus overlap (train/test contamination detection): pairs
+    * (a, b) with n-gram Jaccard ≥ `minJaccard` where a ∈ corpusA and
+    * b ∈ corpusB — the same inverted-index join as
+    * [[ngramJaccardPairs]] but across two corpora (no self-join, no
+    * triangle filter). The standard benchmark-decontamination primitive. */
+  def crossCorpusOverlap(corpusA: DataFrame, corpusB: DataFrame,
+                         id: String, text: String,
+                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame) = shingles(df, id, text, n)
+      .select(col(id), xxhash64(col("shingle")).as("shingle"))
+    val sa = sh(corpusA).persist()
+    val sb = sh(corpusB).persist()
+    val ca = sa.groupBy(col(id)).agg(count(lit(1)).as("na"))
+    val cb = sb.groupBy(col(id)).agg(count(lit(1)).as("nb"))
+    sa.select(col(id).as("id_a"), col("shingle"))
+      .join(sb.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ix"))
+      .join(ca.select(col(id).as("id_a"), col("na")), Seq("id_a"))
+      .join(cb.select(col(id).as("id_b"), col("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Apply a near-dup pair set: drop every doc that has a
     * smaller-id near-duplicate partner (the standard greedy keep-first
     * policy training pipelines use — each dup CLUSTER keeps exactly

@@ -83,6 +83,16 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Corpus vocabulary statistics: per term, total occurrences (tf)
+    * and document frequency (df) — the inputs to stopword discovery,
+    * idf weighting, and tokenizer-vocabulary decisions. One explode +
+    * one hash agg; at 100 TB this is the canonical word-count shape. */
+  def vocabulary(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.Kernels.ensureParallelism(df)
+      .select(col(id), explode(tokensWs(normalize(col(text)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col(id)).as("df"))
+
   /** Canonical text form for fingerprint/dedup: lower-case, collapse
     * whitespace runs, trim. */
   def normalize(c: Column): Column =

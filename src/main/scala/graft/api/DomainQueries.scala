@@ -108,7 +108,10 @@ object DomainQueries {
       // (portfolio.js:282-311 A7/J9/J11 — the N+1 loop as one job)
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val px = Kernels.latestPerKey(li, Seq("l_partkey"),
+        val px = Kernels.latestPerKey(
+            li.select("l_partkey", "l_orderkey", "l_linenumber",
+              "l_shipdate", "l_extendedprice"),
+            Seq("l_partkey"),
             Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
           .select(col("l_partkey"), col("l_extendedprice").as("close"))
         val h = li.filter(to_date(col("l_shipdate")) >= "1997-01-01")

@@ -63,7 +63,8 @@ class Facade(db: Db) {
   /** Latest close per symbol (the J11 rewrite used by valuation,
     * trading defaults, holdings enrichment). */
   def latestCloses(): DataFrame =
-    Kernels.latestPerKey(db.stocks, Seq("symbol"), Seq(col("timestamp")))
+    Kernels.latestPerKey(db.stocks.select("symbol", "timestamp", "close"),
+        Seq("symbol"), Seq(col("timestamp")))
       .select(col("symbol"), col("close"), col("timestamp").as("as_of"))
 
   // ---- portfolio.js ----

@@ -132,8 +132,11 @@ object QueryCatalog {
 
     Q("j11_latest_per_key",
       // the N+1 latest-close rewrite (portfolio.js:289-302 et al.) →
-      // single max_by hash agg
-      (s, dir) => Kernels.latestPerKey(t(s, dir, "lineitem"),
+      // single max_by hash agg; pre-projected so the scan reads only
+      // the 5 needed columns (the max_by payload defeats pruning)
+      (s, dir) => Kernels.latestPerKey(
+          t(s, dir, "lineitem").select("l_suppkey", "l_orderkey",
+            "l_linenumber", "l_shipdate", "l_extendedprice"),
           Seq("l_suppkey"),
           Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

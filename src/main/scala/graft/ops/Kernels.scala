@@ -37,6 +37,11 @@ object Kernels {
     *
     * @param ord ordering columns, most-significant first; MUST be a
     *            total order within each key group for determinism.
+    *
+    * Project the input to the columns you need FIRST: the max_by
+    * payload references every input column, so Catalyst cannot prune
+    * the scan through it — a full-width frame here reads the whole
+    * table schema off disk.
     */
   def latestPerKey(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
     val payload = struct(df.columns.map(col): _*)

@@ -62,6 +62,11 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("j11_latest_per_key")
     assert(p.contains("partial_max_by"))
     assert(!p.contains("Window"))
+    // the scan must be pruned to the 5 projected columns — a
+    // full-width max_by payload would read the whole table schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_discount"),
+      readSchema)
   }
 
   test("o2_topk plans TakeOrderedAndProject, not a global sort") {

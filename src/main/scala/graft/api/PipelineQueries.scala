@@ -7,10 +7,17 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, MediaRecord}
 
 /** Batch 3: the training-data pipeline operators — text analysis,
   * deduplication, similarity search, multimodal plumbing — over the
-  * `documents` / `embeddings` tables. Hash-based ops (MinHash, SimHash,
-  * hyperplane LSH) have no SQL oracle (engine-specific hashes): the
-  * driver records the weaker rows-only check; their semantics are
-  * pinned by PipelineSpec instead.
+  * `documents` / `embeddings` tables.
+  *
+  * Hash-based ops (MinHash, SimHash, hyperplane LSH) are gated
+  * through their equality-verified forms: the gate query plants exact
+  * duplicates (id-shifted copies, as d1 does), for which LSH recall
+  * is exactly 1 *by construction* — identical input ⟹ identical
+  * signature ⟹ collision in every band — so the full signature/
+  * banding/bucket-join/verify pipeline is pinned by a SQL oracle
+  * (self-join on a content fingerprint). Sub-1.0 similarity recall is
+  * data-dependent by nature and is pinned by PipelineSpec on fixed
+  * corpora instead.
   */
 object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
@@ -108,15 +115,23 @@ object PipelineQueries {
         s"GROUP BY md5($normSql) ORDER BY doc_id")),
 
     Q("d2_ngram_jaccard",
-      // exact word-3-gram Jaccard pairs ≥ 0.2 via inverted index
+      // exact word-3-gram Jaccard pairs ≥ 0.2 via inverted index.
+      // maxDf=20 caps the inverted-index self-join: a shingle in df
+      // docs contributes O(df²) candidate pairs, so an uncapped hot
+      // shingle (a boilerplate phrase at 100 TB) is quadratic; the cap
+      // bounds it at df·20 pairs per shingle. Mirrored in the oracle
+      // (HAVING count(*) <= 20 on the shingle df) — the cap is part of
+      // the operator's contract, not an approximation.
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", n = 3, minJaccard = 0.2)
+          "doc_id", "text", n = 3, minJaccard = 0.2, maxDf = Some(20))
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
       Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS w FROM documents), " +
         "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
         "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
-        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "sh0 AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "sh AS (SELECT * FROM sh0 WHERE g NOT IN " +
+        "(SELECT g FROM sh0 GROUP BY g HAVING count(*) > 20)), " +
         "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
         "inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix " +
         "FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -159,24 +174,55 @@ object PipelineQueries {
         "WHERE j >= 0.5 ORDER BY id_a, id_b")),
 
     Q("d3_minhash_lsh",
-      // MinHash(32) + LSH(16 bands × 2) candidate pairs with
-      // estimated Jaccard — hash-based, no SQL oracle (rows-only)
-      (s, dir) => Dedup.minHashLshPairs(t(s, dir, "documents"),
-          "doc_id", "text", n = 3, k = 32, bands = 16, minEstJaccard = 0.2)
-        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
-        .orderBy("id1", "id2"),
-      None),
-
-    Q("d4_simhash_pairs",
-      // SimHash64 + 8×8-bit banding, exact hamming verify — rows-only
+      // MinHash(32) + LSH(16 bands × 2) over documents ∪ id-shifted
+      // copies, equality-verified on the shingle SET. Recall is 1 by
+      // construction (identical set ⟹ identical signature ⟹ collides
+      // in every band), so the whole signature/banding/bucket-join
+      // pipeline is oracle-checkable: the SQL twin self-joins on the
+      // set fingerprint. Sub-1.0 est-Jaccard recall: PipelineSpec.
+      // copies planted for even ids only — thousands of pinned pairs
+      // at a 1.5× (not 2×) corpus blow-up in the gate
       (s, dir) => {
-        val sigs = Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")
-        // planted near-dups sit at hamming 0-3; background noise of
-        // same-vocab docs centers ~15 — 6 separates them cleanly
-        Dedup.simHashPairs(sigs, "doc_id", bands = 8, maxHamming = 6)
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val un = d.unionByName(d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+        Dedup.minHashVerifiedDuplicates(un, "doc_id", "text",
+            n = 3, k = 32, bands = 16)
           .orderBy("id1", "id2")
       },
-      None),
+      // the oracle's set fingerprint (bit_xor of shingle hashes) only
+      // has to group equal sets equally WITHIN DuckDB — fingerprints
+      // never cross engines, only the resulting id pairs do
+      Some("WITH docs AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 2 = 0), " +
+        "toks AS (SELECT doc_id, " + toksSql + " AS w FROM docs), " +
+        "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
+        "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "fp AS (SELECT doc_id, bit_xor(hash(g)) AS f FROM sh GROUP BY doc_id) " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2 FROM fp a JOIN fp b " +
+        "ON a.f = b.f AND a.doc_id < b.doc_id ORDER BY id1, id2")),
+
+    Q("d4_simhash_pairs",
+      // SimHash64 + 8×8-bit banding + exact-hamming verify over
+      // documents ∪ id-shifted copies, equality-verified on the token
+      // MULTISET (SimHash is a pure function of the multiset, so an
+      // identical multiset ⟹ hamming 0 ⟹ collides in every chunk —
+      // recall 1 by construction, hence SQL-oracle-checkable).
+      // Hamming 1-6 near-dup behavior: PipelineSpec.
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val un = d.unionByName(d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+        Dedup.simHashVerifiedDuplicates(un, "doc_id", "text")
+          .orderBy("id1", "id2")
+      },
+      Some("WITH docs AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 2 = 0), " +
+        "fp AS (SELECT doc_id, md5(array_to_string(list_sort(" + toksSql + "), " +
+        "chr(10))) AS f FROM docs WHERE trim(text) <> '') " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2 FROM fp a JOIN fp b " +
+        "ON a.f = b.f AND a.doc_id < b.doc_id ORDER BY id1, id2")),
 
     Q("e1_cosine_topk",
       // brute-force cosine top-10 for 5 query vectors — the exact ANN
@@ -202,13 +248,35 @@ object PipelineQueries {
         "WHERE rank <= 10 ORDER BY query_id, rank")),
 
     Q("e2_embedding_near_dup",
-      // hyperplane-LSH near-dup pairs (cos ≥ 0.3), exact-verified —
-      // rows-only (seeded-random hyperplanes not expressible in SQL)
-      (s, dir) => Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
-          "vec_id", "embedding", minCosine = 0.3, planes = 16, bands = 4)
-        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
-        .orderBy("id1", "id2"),
-      None),
+      // hyperplane-LSH near-dup pairs over embeddings ∪ id-shifted
+      // copies at cos ≥ 0.999, exact-cosine-verified. An identical
+      // vector has an identical sign-bit signature, so every copy pair
+      // collides in all 4 bands — recall 1 by construction, making the
+      // banding + candidate-dedup + codegen-cosine-verify pipeline
+      // oracle-checkable. The 0.999 threshold cleanly separates copies
+      // (cos = 1.0) from the data's max natural pair cosine (0.51 at
+      // sf0.01, 0.60 at sf0.1 — probed exhaustively), so the oracle's
+      // identical-vector self-join is exact. Fuzzy-threshold recall
+      // (cos ≥ 0.3): PipelineSpec. dims passed explicitly — no
+      // driver-side probe during query construction.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val un = emb.unionByName(
+          emb.withColumn("vec_id", col("vec_id") + 10000000L))
+        Similarity.lshNearDupPairs(un, "vec_id", "embedding",
+            minCosine = 0.999, planes = 16, bands = 4, dims = Some(64))
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+          .orderBy("id1", "id2")
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM base), " +
+        "cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cv AS c1, b.cv AS c2 " +
+        "FROM v a JOIN v b ON a.cv = b.cv AND a.vec_id < b.vec_id) " +
+        "SELECT id1, id2, round(cos, 6) AS cos FROM (" +
+        "SELECT id1, id2, list_dot_product(c1, c2) / " +
+        "(sqrt(list_dot_product(c1, c1)) * sqrt(list_dot_product(c2, c2))) AS cos " +
+        "FROM cand) WHERE cos >= 0.999 ORDER BY id1, id2")),
 
     Q("e3_ivf_topk",
       // IVF(k-means) ANN with FULL probe — exact by construction

@@ -15,14 +15,16 @@ object StreamingQueries {
     Q("st1_windowed_agg",
       // tumbling 1-hour window agg with exact DECIMAL sums — the
       // watermarked streaming aggregation run over the events table;
-      // hour windows align to epoch, so window.start ≡ date_trunc
+      // hour windows align to epoch, so window.start ≡ date_trunc.
+      // total stays DECIMAL(18,2) end-to-end: decimal→double casts of
+      // int128-backed decimals can differ by 1 ulp across engines.
       (s, dir) => Streams.windowedEventAgg(
           Tables.load(s, dir, "events"), "1 hour")
         .select(col("window_start"), col("event_type"), col("n"),
-          col("total").cast("double").as("total"))
+          col("total").cast("decimal(18,2)").as("total"))
         .orderBy("window_start", "event_type"),
       Some("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
-        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type")),
 
     Q("st2_sessionize_batch",
@@ -30,11 +32,15 @@ object StreamingQueries {
       // running-sum session ids — the SQL-expressible twin of the
       // stateful Streams.sessionize; timestamps compared as exact
       // epoch-microsecond longs
+      // Hash-robustness: every window on BOTH sides orders by the
+      // identical expression (us, event_id) — never raw ts — and the
+      // total stays exact DECIMAL(18,2) end-to-end (no double cast).
       (s, dir) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val flagged = Tables.load(s, dir, "events")
+        val base = Tables.load(s, dir, "events")
           .withColumn("us", unix_micros(col("ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val flagged = base
           .withColumn("ns",
             when(lag(col("us"), 1).over(w).isNull ||
               col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1)
@@ -43,19 +49,20 @@ object StreamingQueries {
             sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         flagged.groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+              .as("total"),
             min(col("us")).as("start_us"), max(col("us")).as("end_us"))
           .orderBy("user_id", "session_id")
       },
       Some("WITH f AS (SELECT user_id, event_id, value, epoch_us(ts) AS us, " +
         "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - " +
         "lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS ns " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
         "s AS (SELECT user_id, value, us, sum(ns) OVER (PARTITION BY user_id " +
         "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "AS session_id FROM f) " +
         "SELECT user_id, session_id, count(*) AS n_events, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total, " +
         "min(us) AS start_us, max(us) AS end_us " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")),
   )

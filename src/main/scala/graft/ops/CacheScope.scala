@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+/** Registry for intermediate frames the library persists inside
+  * multi-pass kernels (dedup inverted indexes, LSH signatures, IVF
+  * cells). A kernel that returns a *lazy* plan cannot unpersist its
+  * own intermediates — the caller's terminal action still needs them
+  * — so the kernels register every persist here and the caller
+  * releases the whole scope after the action:
+  *
+  * {{{
+  *   val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+  *   out.write.parquet(...)          // terminal action
+  *   CacheScope.releaseAll(spark)    // drop the kernel's caches
+  * }}}
+  *
+  * `Verify`, `Bench`, and the test suites call [[releaseAll]] after
+  * every catalog query; a long-lived 100 TB session should do the
+  * same (or periodically) — otherwise cached shingle/vector frames
+  * accumulate across queries until LRU eviction starts thrashing.
+  * Releasing is always safe: an unpersisted frame recomputes.
+  */
+object CacheScope {
+
+  private val registered = mutable.ListBuffer.empty[DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for release. */
+  def persist(df: DataFrame): DataFrame = synchronized {
+    registered += df
+    df.persist()
+  }
+
+  /** Unpersist every registered frame (non-blocking) and clear the
+    * registry. Idempotent; never fails on already-released frames. */
+  def releaseAll(): Unit = synchronized {
+    registered.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    registered.clear()
+  }
+
+  /** Number of currently-registered (live) cached frames. */
+  def size: Int = synchronized(registered.size)
+}

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.Kernels
+import graft.ops.{CacheScope, Kernels}
 
 /** Deduplication operators for training-data pipelines, ordered by
   * cost/recall: exact → n-gram Jaccard (inverted index) → MinHash+LSH
@@ -15,14 +15,22 @@ import graft.ops.Kernels
   */
 object Dedup {
 
-  /** Exact dedup on normalized content. Groups by the md5 fingerprint
-    * (16 bytes shuffled per doc, not the document body) and keeps the
-    * smallest id deterministically. */
-  def exact(df: DataFrame, id: String, text: String): DataFrame =
-    Kernels.dedupExactKeys(
-      Kernels.ensureParallelism(df)
-        .withColumn("__fp", TextAnalysis.fingerprintMd5(col(text))),
-      Seq("__fp"), col(id)).drop("__fp")
+  /** Exact dedup on normalized content, keeping the smallest `id` per
+    * fingerprint deterministically. Requires `id` to be unique.
+    *
+    * The survivor set is computed on a pre-projected `(id, md5)` frame
+    * — a full-width agg payload would defeat column pruning and drag
+    * the document bodies through every shuffle (only 24 bytes/doc
+    * shuffle here) — then the surviving rows are fetched back with a
+    * semi-join on the id. A downstream projection (e.g. ids only)
+    * prunes the probe-side scan to just the id column. */
+  def exact(df: DataFrame, id: String, text: String): DataFrame = {
+    val survivors = Kernels.ensureParallelism(
+        df.select(col(id), TextAnalysis.fingerprintMd5(col(text)).as("__fp")))
+      .groupBy(col("__fp")).agg(min(col(id)).as(id))
+      .select(col(id))
+    df.join(survivors, Seq(id), "left_semi")
+  }
 
   /** Distinct word n-gram shingles, one row per (id, shingle). */
   def shingles(df0: DataFrame, id: String, text: String, n: Int): DataFrame = {
@@ -50,7 +58,9 @@ object Dedup {
     // join on the 8-byte shingle hash, not the shingle string: the
     // inverted-index self-join shuffles fixed-width longs (collision
     // probability ~ |shingles|²/2⁶⁴ — negligible)
-    val sh = {
+    // read 3× below (doc counts + both join sides); registered in
+    // CacheScope — the caller releases after its terminal action
+    val sh = CacheScope.persist {
       val s = shingles(df, id, text, n)
         .select(col(id), xxhash64(col("shingle")).as("shingle"))
       maxDf match {
@@ -60,7 +70,7 @@ object Dedup {
           s.join(broadcast(hot), Seq("shingle"), "left_anti")
         case None => s
       }
-    }.persist() // read 3× below (doc counts + both join sides)
+    }
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(id).as("id1"), col("shingle"))
     val b = sh.select(col(id).as("id2"), col("shingle"))
@@ -106,25 +116,13 @@ object Dedup {
                       n: Int = 3, k: Int = 32, bands: Int = 16,
                       minEstJaccard: Double = 0.2): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // signature agg is the expensive pass; it feeds both the banding
-    // explode and the per-side signature rejoin
-    val sigs = minHashSignatures(df, id, text, n, k).persist()
+    // explode and the per-side signature rejoin (caller releases the
+    // CacheScope after its terminal action)
+    val sigs = CacheScope.persist(minHashSignatures(df, id, text, n, k))
     val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
-    val withBands = sigs.withColumn("sig", sigArr)
-      .select(col(id), col("sig"),
-        explode(array((0 until bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            xxhash64(lit(bnd), concat_ws("_",
-              (0 until r).map(j => col(s"mh_${bnd * r + j}")): _*)).as("bucket"))): _*))
-          .as("bb"))
-      .select(col(id), col("sig"), col("bb.band"), col("bb.bucket"))
     // dedup candidate pairs on ids only, then rejoin the signatures
-    val l = withBands.select(col(id).as("id1"), col("band"), col("bucket"))
-    val rr = withBands.select(col(id).as("id2"), col("band"), col("bucket"))
-    val cand = l.join(rr, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val cand = bandCandidates(sigs, id, k, bands)
     val sigOnly = sigs.withColumn("sig", sigArr).select(col(id), col("sig"))
     cand
       .join(sigOnly.select(col(id).as("id1"), col("sig").as("sig1")), Seq("id1"))
@@ -134,6 +132,94 @@ object Dedup {
           (b: Column) => b)).cast("double") / k)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  /** Distinct banding candidate pairs (id1 < id2) from a MinHash
+    * signature frame with columns (id, mh_0..mh_{k-1}): each band of
+    * k/bands components hashes to a bucket; docs sharing any
+    * (band, bucket) pair up. Only (id, band, bucket) flows through
+    * the bucket join — signatures/payloads rejoin on ids afterwards. */
+  private def bandCandidates(sigs: DataFrame, id: String,
+                             k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val withBands = sigs.select(col(id),
+      explode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          xxhash64(lit(bnd), concat_ws("_",
+            (0 until r).map(j => col(s"mh_${bnd * r + j}")): _*)).as("bucket"))): _*))
+        .as("bb"))
+      .select(col(id), col("bb.band"), col("bb.bucket"))
+    val l = withBands.select(col(id).as("id1"), col("band"), col("bucket"))
+    val rr = withBands.select(col(id).as("id2"), col("band"), col("bucket"))
+    l.join(rr, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Equality-verified duplicate pairs via MinHash+LSH: banding
+    * candidates verified by exact shingle-SET equality.
+    *
+    * Recall is exactly 1 *by construction*, not probabilistically:
+    * identical shingle sets ⟹ identical MinHash signatures (the
+    * signature is a pure function of the set) ⟹ the pair collides in
+    * EVERY band. The exact-equality verify keeps precision at 1. That
+    * determinism is what lets a SQL oracle (self-join on the set
+    * fingerprint) pin the whole LSH pipeline — signatures, banding,
+    * bucket join, candidate dedup — in the driver's hash gate.
+    * Catches reordered-sentence duplicates that raw-text md5 ([[exact]])
+    * misses; sub-1.0 similarity behavior is pinned by PipelineSpec.
+    *
+    * Single shingle pass, hashes only: signatures AND set
+    * fingerprints both derive from one cached `(id, xxhash64)` frame
+    * — the shingle strings never leave the scan projection, and the
+    * set fingerprint is the order-independent `bit_xor` of the
+    * hashes (SQL twin: `bit_xor(hash(g))`) instead of a sorted-string
+    * md5, so the verify agg shuffles 8 bytes where it shuffled the
+    * shingle text. Equality is up to 64-bit hash collision — the same
+    * accepted odds as the shingle-hash join in [[ngramJaccardPairs]]. */
+  def minHashVerifiedDuplicates(df: DataFrame, id: String, text: String,
+                                n: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sh = CacheScope.persist(shingles(df, id, text, n)
+      .select(col(id), xxhash64(col("shingle")).as("h")))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
+    val sigs = sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    val cand = bandCandidates(sigs, id, k, bands)
+    val fps = sh.groupBy(col(id))
+      .agg(expr("bit_xor(h)").as("__sfp"))
+    cand
+      .join(fps.select(col(id).as("id1"), col("__sfp").as("__f1")), Seq("id1"))
+      .join(fps.select(col(id).as("id2"), col("__sfp").as("__f2")), Seq("id2"))
+      .filter(col("__f1") === col("__f2"))
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Per-doc fingerprint of the token MULTISET: md5 of the sorted
+    * token stream (duplicates included). SQL-expressible (DuckDB:
+    * `md5(array_to_string(list_sort(w), chr(10)))`). Docs with no
+    * tokens are absent (mirror in SQL with `trim(text) <> ''`). */
+  def tokenMultisetFp(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), sort_array(TextAnalysis.tokensWs(
+        TextAnalysis.normalize(col(text)))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id), md5(concat_ws("\n", col("__toks"))).as("__mfp"))
+
+  /** Equality-verified duplicate pairs via SimHash banding: candidates
+    * from [[simHashPairs]] at hamming 0, verified by exact token-
+    * multiset equality. Same recall-1-by-construction argument as
+    * [[minHashVerifiedDuplicates]]: the 64-bit SimHash is a pure
+    * function of the token multiset, so equal multisets ⟹ equal
+    * signatures ⟹ hamming 0 ⟹ every band chunk collides. */
+  def simHashVerifiedDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val cand = simHashPairs(simHash64(df, id, text), id,
+        bands = 8, maxHamming = 0)
+      .select(col("id1"), col("id2"))
+    val fps = tokenMultisetFp(df, id, text)
+    cand
+      .join(fps.select(col(id).as("id1"), col("__mfp").as("__f1")), Seq("id1"))
+      .join(fps.select(col(id).as("id2"), col("__mfp").as("__f2")), Seq("id2"))
+      .filter(col("__f1") === col("__f2"))
+      .select(col("id1"), col("id2"))
   }
 
   /** Cross-corpus overlap (train/test contamination detection): pairs
@@ -146,8 +232,8 @@ object Dedup {
                          n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     def sh(df: DataFrame) = shingles(df, id, text, n)
       .select(col(id), xxhash64(col("shingle")).as("shingle"))
-    val sa = sh(corpusA).persist()
-    val sb = sh(corpusB).persist()
+    val sa = CacheScope.persist(sh(corpusA))
+    val sb = CacheScope.persist(sh(corpusB))
     val ca = sa.groupBy(col(id)).agg(count(lit(1)).as("na"))
     val cb = sb.groupBy(col(id)).agg(count(lit(1)).as("nb"))
     sa.select(col(id).as("id_a"), col("shingle"))
@@ -203,7 +289,8 @@ object Dedup {
     val width = 64 / bands
     val mask = (1L << width) - 1
     // both join sides derive from the signatures — compute them once
-    val sigs = sigs0.persist()
+    // (caller releases the CacheScope after its terminal action)
+    val sigs = CacheScope.persist(sigs0)
     val chunks = sigs.select(col(id), col("simhash"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("cidx"),

@@ -1,22 +1,23 @@
 package graft.pipeline
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.Kernels
+import graft.ops.{CacheScope, Kernels}
 
 /** IVF (inverted-file) approximate nearest neighbor: k-means coarse
-  * quantizer over the corpus, per-cell inverted lists, query probes
-  * only the `nProbe` nearest cells — the classic
+  * quantizer over a bounded corpus sample, per-cell inverted lists,
+  * query probes only the `nProbe` nearest cells — the classic
   * FAISS-IVF-Flat structure expressed as DataFrames.
   *
-  * Scale shape: training samples the corpus (k-means on a bounded
-  * sample), assignment is one broadcast-join-free pass (centroid
-  * array is a literal), and a query touches ~nProbe/nCells of the
-  * corpus. The cell column is the natural partition key for the
-  * stored index.
+  * Scale shape: the quantizer trains DRIVER-LOCALLY on a sample of at
+  * most `maxTrainRows` vectors (FAISS trains coarse quantizers the
+  * same way — the sample is bounded by construction, so the collect
+  * is O(maxTrainRows · dims) regardless of corpus size, and no
+  * distributed ML iterations are paid). Cell ASSIGNMENT is one
+  * distributed pass over the full corpus with the centroid array as a
+  * literal (codegen dot products, no join, no shuffle), and a query
+  * touches ~nProbe/nCells of the corpus. The cell column is the
+  * natural partition key for the stored index.
   */
 class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
                         id: String) {
@@ -43,27 +44,86 @@ class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))))
   }
+
+  /** Release the cached cells frame (queries recompute afterwards). */
+  def close(): Unit = cells.unpersist(blocking = false)
 }
 
 object IvfIndex {
 
-  /** Build the index: k-means (fixed seed) on the corpus, then assign
-    * every vector to its nearest centroid cell. */
+  /** Build the index: deterministic Lloyd's k-means (fixed seed) on a
+    * bounded sample, then one distributed pass assigning every vector
+    * to its nearest (Euclidean) centroid cell.
+    *
+    * The persisted cells frame (the index itself) and the build-time
+    * base frame are registered in [[graft.ops.CacheScope]]; release
+    * the scope (or call [[IvfIndex.close]]) when done. */
   def build(corpus: DataFrame, id: String, vec: String,
-            nCells: Int, seed: Long = 42L): IvfIndex = {
-    val base = Kernels.ensureParallelism(
-        corpus.select(col(id), Similarity.vecD(col(vec)).as("cv")))
-      .persist()
-    val feats = base.withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("features")
-      .fit(feats)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val assigned = model.transform(feats)
-      .withColumnRenamed("prediction", "cell")
-      .select(col(id), col("cell"), col("cv"))
-      .persist()
+            nCells: Int, seed: Long = 42L,
+            maxTrainRows: Int = 100000): IvfIndex = {
+    val base = CacheScope.persist(Kernels.ensureParallelism(
+        corpus.select(col(id), Similarity.vecD(col(vec)).as("cv"))))
+    val n = base.count()
+    val trainDf =
+      if (n <= maxTrainRows) base
+      else base.sample(withReplacement = false,
+        fraction = maxTrainRows.toDouble / n, seed = seed)
+    // bounded by maxTrainRows (plus sampling variance) by construction
+    // — this collect is O(maxTrainRows · dims) at ANY corpus size
+    val sample = trainDf.select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = localKMeans(sample, nCells, iters = 5, seed = seed)
+    val assigned = CacheScope.persist(
+      base.withColumn("cell", nearestCellEuclid(col("cv"), typedlit(
+          centroids.map(_.toSeq).toSeq)))
+        .select(col(id), col("cell"), col("cv")))
     new IvfIndex(assigned, centroids, id)
+  }
+
+  /** Driver-local Lloyd's iterations with seeded distinct-point init.
+    * Determinism: fixed seed, fixed iteration order, ties in the
+    * assignment broken by lowest cell index. Runs on ≤ maxTrainRows
+    * points — never the full corpus. */
+  private[pipeline] def localKMeans(points: Array[Array[Double]], k: Int,
+                                    iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train a quantizer on an empty sample")
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, points.length)
+    var cents = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(points(_).clone).toArray
+    val dims = points(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val cnts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < dims) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < dims) { s(i) += p(i); i += 1 }
+      }
+      for (c <- 0 until kk)
+        if (cnts(c) > 0) cents(c) = sums(c).map(_ / cnts(c))
+      // empty cells keep their previous centroid (standard Lloyd's)
+    }
+    cents
+  }
+
+  /** Nearest centroid by squared Euclidean distance, as a codegen
+    * expression over the centroid literal: ‖v‖² + ‖c‖² − 2·v·c via the
+    * one-pass dot-product expression, argmin via struct sort (ties →
+    * lowest cell index). One projection, no join, no shuffle. */
+  private[pipeline] def nearestCellEuclid(v: Column, centroids: Column): Column = {
+    val dot = graft.functions.VectorExprs.dot_product _
+    val scored = transform(centroids, (c, i) =>
+      struct((dot(v, v) + dot(c, c) - lit(2.0) * dot(v, c)).as("d2"),
+        i.as("cell")))
+    element_at(array_sort(scored), 1).getField("cell")
   }
 
   /** Indices (cells) of the `nProbe` nearest centroids by cosine —

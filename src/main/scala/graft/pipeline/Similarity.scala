@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.Kernels
+import graft.ops.{CacheScope, Kernels}
 import scala.util.Random
 
 /** Similarity search over embedding columns (`Array[Float]`):
@@ -76,14 +76,18 @@ object Similarity {
     * step keeps precision at 100%. */
   def lshNearDupPairs(df: DataFrame, id: String, vec: String,
                       minCosine: Double, planes: Int = 16, bands: Int = 4,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, dims: Option[Int] = None): DataFrame = {
     require(planes % bands == 0)
     val width = planes / bands
     val mask = (1L << width) - 1
-    val hp = hyperplanes(planes, dimsOf(df, vec), seed)
-    val sig = Kernels.ensureParallelism(df.select(col(id), vecD(col(vec)).as("v")))
-      .withColumn("sig", lshSignature(col("v"), hp))
-      .persist() // read by the banding explode and twice for verify
+    // pass `dims` explicitly when known — the fallback probe is a
+    // driver-side job at plan-construction time
+    val hp = hyperplanes(planes, dims.getOrElse(dimsOf(df, vec)), seed)
+    // read by the banding explode and twice for verify (caller
+    // releases the CacheScope after its terminal action)
+    val sig = CacheScope.persist(
+      Kernels.ensureParallelism(df.select(col(id), vecD(col(vec)).as("v")))
+        .withColumn("sig", lshSignature(col("v"), hp)))
 
     val banded = sig.select(col(id), col("v"),
       explode(array((0 until bands).map(j =>
@@ -113,11 +117,12 @@ object Similarity {
     * members, then ranks exactly. Trades recall for touching
     * |corpus|/2^width of the data per band instead of all of it. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+              k: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42L,
+              dims: Option[Int] = None): DataFrame = {
     require(planes % bands == 0)
     val width = planes / bands
     val mask = (1L << width) - 1
-    val hp = hyperplanes(planes, dimsOf(corpus, vec), seed)
+    val hp = hyperplanes(planes, dims.getOrElse(dimsOf(corpus, vec)), seed)
     def banded(df: DataFrame, idAs: String, vAs: String) =
       df.select(col(id).as(idAs), vecD(col(vec)).as(vAs))
         .withColumn("sig", lshSignature(col(vAs), hp))
@@ -137,6 +142,9 @@ object Similarity {
       Seq("query_id"), Seq(col("cos"), -col("neighbor_id")), k)
   }
 
-  private def dimsOf(df: DataFrame, vec: String): Int =
+  /** Probe the vector dimensionality from the first row — a
+    * driver-side job; call once and pass the result as `dims` rather
+    * than letting every query construction re-probe. */
+  def dimsOf(df: DataFrame, vec: String): Int =
     df.select(size(col(vec))).first().getInt(0)
 }

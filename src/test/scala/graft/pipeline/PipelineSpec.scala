@@ -85,6 +85,20 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("minHashVerifiedDuplicates: exactly the equal-shingle-set pairs, recall 1") {
+    val pairs = Dedup.minHashVerifiedDuplicates(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long)].collect().toSet
+    // 1 and 3 are identical after normalize (equal shingle sets);
+    // 2 is a near-dup (different set) and must NOT appear
+    assert(pairs == Set((1L, 3L)))
+  }
+
+  test("simHashVerifiedDuplicates: exactly the equal-token-multiset pairs") {
+    val pairs = Dedup.simHashVerifiedDuplicates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
   test("removeNearDuplicates keeps the min-id member of each dup cluster") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
     val kept = Dedup.removeNearDuplicates(docs, pairs, "doc_id")

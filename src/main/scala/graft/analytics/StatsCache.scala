@@ -19,6 +19,16 @@ import java.nio.charset.StandardCharsets
   * the fact table — probes are broadcast semi-joins and a miss costs
   * exactly one statistics job for all missing keys together (the
   * reference pays a per-symbol loop).
+  *
+  * Concurrency contract: SINGLE WRITER, many readers. The pointer
+  * flip is write-temp-then-rename (atomic on HDFS and POSIX), so a
+  * concurrent reader always sees a complete pointer; but two
+  * concurrent writeBacks would base-read the same snapshot and the
+  * last rename would silently drop the other's upserts — serialize
+  * write-backs externally (a real deployment gets this from the
+  * table format's optimistic commit). Run [[vacuum]] only from the
+  * writer, after a grace period covering the longest in-flight read
+  * of the previous snapshot.
   */
 class StatsCache(spark: SparkSession, root: String, keyCols: Seq[String]) {
   import graft.ops.Kernels
@@ -57,8 +67,15 @@ class StatsCache(spark: SparkSession, root: String, keyCols: Seq[String]) {
     }
     val snap = s"snap_${System.nanoTime()}"
     merged.write.mode("overwrite").parquet(new Path(root, snap).toString)
-    val out = fs.create(pointer, true)
+    // write the pointer to a temp file and rename into place: a
+    // create+write in place would expose a torn/empty pointer to a
+    // concurrent currentSnap()
+    val tmp = new Path(root, s"_latest.tmp_${System.nanoTime()}")
+    val out = fs.create(tmp, true)
     try out.write(snap.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(pointer)) fs.delete(pointer, false)
+    if (!fs.rename(tmp, pointer))
+      throw new java.io.IOException(s"pointer flip failed: $tmp -> $pointer")
   }
 
   /** Drop all snapshots except the current one. */

@@ -14,6 +14,12 @@ case class Db(stocks: DataFrame, users: DataFrame, friend: DataFrame,
               sharedWith: DataFrame, stockin: DataFrame, portfolio: DataFrame,
               transaction: DataFrame, holdings: DataFrame)
 
+/** Result of a single interactive trade: the verdict row, the updated
+  * holdings and portfolio tables (unchanged originals on reject), and
+  * the ledger entry (empty on reject). */
+case class TradeOutcome(verdict: DataFrame, holdings: DataFrame,
+                        portfolio: DataFrame, ledger: DataFrame)
+
 /** API-surface parity layer: every read endpoint of the reference's
   * REST API as a DataFrame-returning function, one Spark job each —
   * the per-row loops and N+1 query patterns of the original collapse
@@ -203,22 +209,136 @@ class Facade(db: Db) {
     (verdict, entry)
   }
 
-  /** POST /api/reviews (reviews.js:113-150): one review per
+  /** POST /api/trading/buy (trading.js:16-116): the single-trade
+    * interactive path. Guards run in the reference's order — price
+    * default from latest close (:22-35), ownership (:44-50), symbol
+    * known (:52-59), positive qty/price (:60-63), sufficient cash
+    * (:65-74) — then the holding is created or its shares/avg-cost
+    * folded (:76-103), cash debited, and the ledger row emitted
+    * (:104-110). Point lookups are single-scalar collects (the
+    * cashMovement shape); state updates are §2 kernels. */
+  def buy(userId: Long, portfolioId: Long, symbol: String, qty: Int,
+          price: Option[Double] = None): TradeOutcome =
+    trade(userId, portfolioId, symbol, qty, price, buying = true)
+
+  /** POST /api/trading/sell (trading.js:118-230): positive-check runs
+    * before ownership (mirroring :144-147), a missing holding or
+    * short position rejects (:167-180), selling ALL shares deletes
+    * the holding row while a partial sale keeps avg-cost unchanged
+    * (:186-202), cash credited, ledger row emitted (:204-221). */
+  def sell(userId: Long, portfolioId: Long, symbol: String, qty: Int,
+           price: Option[Double] = None): TradeOutcome =
+    trade(userId, portfolioId, symbol, qty, price, buying = false)
+
+  private def trade(userId: Long, portfolioId: Long, symbol: String,
+                    qty: Int, price0: Option[Double],
+                    buying: Boolean): TradeOutcome = {
+    val spark = db.portfolio.sparkSession
+    import spark.implicits._
+    // point probes — single-scalar collects, one job each
+    val latestClose = db.stocks.filter(col("symbol") === symbol)
+      .orderBy(col("timestamp").desc).limit(1)
+      .select(col("close").cast("double")).as[Double].collect().headOption
+    val symbolKnown = latestClose.nonEmpty
+    val price = price0.orElse(latestClose)
+    val port = db.portfolio.filter(col("portfolioid") === portfolioId)
+      .select(col("userid"), col("cashbalance").cast("double"))
+      .as[(Long, Double)].collect().headOption
+    val held = db.holdings.filter(col("portfolioid") === portfolioId &&
+        col("symbol") === symbol)
+      .select(col("shares").cast("int"),
+        coalesce(col("avgcostbasis").cast("double"), lit(0.0)))
+      .as[(Int, Double)].collect().headOption
+
+    val verdict: String =
+      if (price.isEmpty) "REJECT_NO_PRICE_DATA"
+      else if (!buying && (qty <= 0 || price.get <= 0)) "REJECT_NONPOSITIVE"
+      else if (!port.exists(_._1 == userId)) "REJECT_NOT_OWNER"
+      else if (!symbolKnown) "REJECT_UNKNOWN_SYMBOL"
+      else if (buying && (qty <= 0 || price.get <= 0)) "REJECT_NONPOSITIVE"
+      else if (buying && qty * price.get > port.get._2) "REJECT_INSUFFICIENT_CASH"
+      else if (!buying && held.isEmpty) "REJECT_NO_HOLDING"
+      else if (!buying && held.get._1 < qty) "REJECT_INSUFFICIENT_SHARES"
+      else "ACCEPT"
+
+    val verdictDf = Seq((portfolioId, symbol, if (buying) "BUY" else "SELL",
+        qty, price.getOrElse(0.0), verdict))
+      .toDF("portfolioid", "symbol", "side", "qty", "price", "verdict")
+    if (verdict != "ACCEPT")
+      return TradeOutcome(verdictDf, db.holdings, db.portfolio,
+        verdictDf.limit(0).select(col("portfolioid"),
+          col("price").cast("decimal(12,2)").as("amount"),
+          lit("").as("detail")))
+
+    val px = price.get
+    val gross = qty * px
+    val keyPred = col("portfolioid") === portfolioId && col("symbol") === symbol
+    val avgType = db.holdings.schema("avgcostbasis").dataType
+    val holdings2 =
+      if (buying) held match {
+        case Some((oldShares, oldAvg)) =>
+          // weighted avg-cost fold (trading.js:84-92)
+          val newAvg = (oldAvg * oldShares + px * qty) / (oldShares + qty)
+          Kernels.cowUpdate(db.holdings, keyPred, Map(
+            "shares" -> lit(oldShares + qty),
+            "avgcostbasis" -> lit(newAvg).cast(avgType)))
+        case None =>
+          Kernels.insertIfAbsent(db.holdings,
+            Seq((portfolioId, symbol, qty, px))
+              .toDF("portfolioid", "symbol", "shares", "avgcostbasis")
+              .withColumn("avgcostbasis", col("avgcostbasis").cast(avgType)),
+            Seq("portfolioid", "symbol"))
+      } else {
+        val remaining = held.get._1 - qty
+        if (remaining > 0)
+          Kernels.cowUpdate(db.holdings, keyPred, Map("shares" -> lit(remaining)))
+        else
+          Kernels.cowDelete(db.holdings,
+            Seq((portfolioId, symbol)).toDF("portfolioid", "symbol"),
+            Seq("portfolioid", "symbol"))
+      }
+    val newBalance = if (buying) port.get._2 - gross else port.get._2 + gross
+    val portfolio2 = Kernels.cowUpdate(db.portfolio,
+      col("portfolioid") === portfolioId,
+      Map("cashbalance" -> lit(newBalance)
+        .cast(db.portfolio.schema("cashbalance").dataType)))
+    val ledger = Seq((portfolioId, if (buying) -gross else gross))
+      .toDF("portfolioid", "amount")
+      .select(col("portfolioid"),
+        col("amount").cast("decimal(12,2)").as("amount"),
+        format_string("%s %d shares of %s at $%.2f each.",
+          lit(if (buying) "Bought" else "Sold"), lit(qty), lit(symbol),
+          lit(px)).as("detail"))
+    TradeOutcome(verdictDf, holdings2, portfolio2, ledger)
+  }
+
+  /** POST /api/reviews (reviews.js:113-152): one review per
     * (listid, userid) — UNIQUE schema.sql:48 — so a re-review is an
-    * upsert. Returns the updated review table. */
+    * UPDATE in place: the existing row keeps its reviewid and
+    * created_at, only content and updated_at change (reviews.js:
+    * 126-134); a brand-new pair INSERTs with the caller's reviewid,
+    * a fresh created_at, and NULL updated_at (reviews.js:140-148).
+    * Returns the updated review table. */
   def upsertReview(reviewId: Long, listId: Long, userId: Long,
                    content: String): DataFrame = {
     val spark = db.review.sparkSession
     import spark.implicits._
+    val now = current_timestamp()
     val src = Seq((reviewId, listId, userId, content))
       .toDF("reviewid", "listid", "userid", "content")
-      .withColumn("created_at", current_timestamp())
-    // key is (listid, userid): an existing review keeps its reviewid?
-    // No — the reference UPDATEs content in place; upsert keyed on
-    // (listid, userid) with the source row models SET content=..., and
-    // a brand-new pair appends.
-    Kernels.upsert(db.review.select("reviewid", "listid", "userid",
-      "content", "created_at"), src, Seq("listid", "userid"))
+    // coalesce the surviving identity columns from the existing row —
+    // reassigning the primary key on edit would break anything
+    // referencing reviewid
+    val existing = db.review.select(col("listid"), col("userid"),
+      col("reviewid").as("__rid"), col("created_at").as("__created"))
+    val resolved = src.join(existing, Seq("listid", "userid"), "left")
+      .select(
+        coalesce(col("__rid"), col("reviewid")).as("reviewid"),
+        col("listid"), col("userid"), col("content"),
+        coalesce(col("__created"), now).as("created_at"),
+        when(col("__rid").isNotNull, now)
+          .otherwise(lit(null).cast("timestamp")).as("updated_at"))
+    Kernels.upsert(db.review, resolved, Seq("listid", "userid"))
   }
 
   /** POST/DELETE /api/lists/:id/share (lists.js:388-395 grant is

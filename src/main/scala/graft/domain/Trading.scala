@@ -93,7 +93,9 @@ object Trading {
           .withColumn("symbol_known", lit(true))),
         Seq("symbol"), "left")
     withBal.withColumn("verdict",
-      when(col("qty") <= 0 || col("price") < 0, "REJECT_NONPOSITIVE")
+      // the reference rejects pricePerShareNum <= 0 on both buy and
+      // sell (trading.js:101,148) — zero is not a valid price
+      when(col("qty") <= 0 || col("price") <= 0, "REJECT_NONPOSITIVE")
         .when(col("symbol_known").isNull, "REJECT_UNKNOWN_SYMBOL")
         .when(col("balance").isNull, "REJECT_NO_PORTFOLIO")
         .when(col("side") === "BUY" && col("qty") * col("price") > col("balance"),
@@ -104,9 +106,12 @@ object Trading {
 
   /** Ledger rows for accepted trades — the `Transaction` append the
     * reference performs per trade (`trading.js:105-109` buy,
-    * `:215-219` sell), including the formatted Detail string
-    * (format_string ≡ the JS template literal) and the signed amount
-    * (buys debit, sells credit). */
+    * `:215-219` sell), including a formatted Detail string and the
+    * signed amount (buys debit, sells credit). The Detail uses fixed
+    * %.0f/%.2f formatting, which pads/rounds where JS number printing
+    * drops trailing zeros (`$123.50` here vs `$123.5` there) — the
+    * numeric `amount` column, not the display string, is the
+    * load-bearing value. */
   def ledgerEntries(acceptedTrades: DataFrame): DataFrame =
     acceptedTrades.select(
       col("portfolio").as("portfolioid"),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
 /** As-of join — for every left row, the most recent right row with
   * `right.ts <= left.ts` on the same key (the generalization of the
@@ -12,11 +13,19 @@ import org.apache.spark.sql.functions._
   *
   * Spark has no native as-of; the scalable formulation is the
   * union-merge: tag both inputs, union them, and per key carry the
-  * last right-side values forward with `last(..., ignoreNulls)` over
+  * last right-side ROW forward with `last(..., ignoreNulls)` over
   * (key, ts) — ONE shuffle on the key, one local sort, no range
   * self-join blowup, no per-row probing. Right rows sort before left
   * rows on ts ties so an exactly-simultaneous quote is visible to the
   * event (matching `<=`).
+  *
+  * The carry is a STRUCT of all valueCols plus a presence marker, not
+  * per-column `last(ignoreNulls)`: a matched right row whose value
+  * column is legitimately NULL must surface that NULL (as DuckDB's
+  * ASOF JOIN does), not skip back to an older non-null value. Right-
+  * side ties at identical (key, ts) resolve deterministically to the
+  * greatest valueCols tuple (the struct participates in the window
+  * ordering).
   */
 object AsOf {
 
@@ -28,29 +37,34 @@ object AsOf {
            leftTs: String, rightTs: String,
            valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // normalized shape: keys ++ __ts ++ __side ++ valueCols ++ leftCols
+    val rvType = StructType(valueCols.map(c => right.schema(c)) :+
+      StructField("__present", BooleanType, nullable = false))
+    // normalized shape: keys ++ __ts ++ __side ++ __rv ++ leftCols
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // left sorts AFTER right on ties
     val lNorm = l.select(
-      (keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      (keys.map(col) :+ col("__ts") :+ col("__side") :+
+        lit(null).cast(rvType).as("__rv")) ++
         leftCols.map(c => col(c).as(s"__l_$c")): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
     val rNorm = r.select(
-      (keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        valueCols.map(col) ++
+      (keys.map(col) :+ col("__ts") :+ col("__side") :+
+        struct(valueCols.map(col) :+ lit(true).as("__present"): _*).as("__rv")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    // __rv in the ordering = deterministic tiebreak among right rows
+    // sharing (key, ts); left rows' null __rv sorts first within their
+    // (ts, side) group, which is irrelevant — each left row only reads
+    // the frame up to itself
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = lNorm.unionByName(rNorm)
-    val carried = valueCols.foldLeft(merged) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = lNorm.unionByName(rNorm)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++ valueCols.map(col): _*)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        valueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

@@ -100,25 +100,56 @@ object Streams {
   /** Session tracking with custom state (flatMapGroupsWithState) —
     * the KeyValueGroupedDataset path for logic windows can't express:
     * a session closes after `gapMs` of inactivity per user, emitting
-    * one summary row. State per key is O(1). */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    * one summary row. State per key is O(1).
+    *
+    * Two close triggers, both in EVENT time: an event arriving
+    * > gapMs after its predecessor closes the previous session
+    * in-batch, and an event-time timeout at lastTs + gapMs flushes
+    * the TRAILING session of an idle user once the WATERMARK passes
+    * that point — without it that session would be held until the
+    * user's next event, i.e. possibly forever. The watermark only
+    * advances with incoming data (any user), which is the standard
+    * event-time contract: a fully idle stream holds its last
+    * sessions open. (ProcessingTimeTimeout deliberately not used:
+    * wall-clock timeouts make the query permanently "due another
+    * batch", which busy-loops the trigger and breaks
+    * processAllAvailable-style draining.) */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            if (st.nEvents > 0 && t - st.lastTs > gapMs) {
-              out += SessionOut(uid, st.nEvents, st.total, closed_by_timeout = true)
-              st = SessionState(0L, 0.0, Long.MinValue)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gapMs: flush the open session
+            val st = state.get
+            state.remove()
+            if (st.nEvents > 0)
+              Iterator.single(
+                SessionOut(uid, st.nEvents, st.total, closed_by_timeout = true))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (st.nEvents > 0 && t - st.lastTs > gapMs) {
+                out += SessionOut(uid, st.nEvents, st.total, closed_by_timeout = true)
+                st = SessionState(0L, 0.0, Long.MinValue)
+              }
+              st = SessionState(st.nEvents + 1, st.total + e.value, t)
             }
-            st = SessionState(st.nEvents + 1, st.total + e.value, t)
+            state.update(st)
+            // batch runs have no watermark and never fire timeouts —
+            // setting one there is unsupported, and unnecessary
+            try state.setTimeoutTimestamp(st.lastTs + gapMs)
+            catch { case _: UnsupportedOperationException => () }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -30,9 +30,11 @@ class FacadeSpec extends SparkSpec {
     stocklist = Seq((100L, 1L, "tech", false), (101L, 2L, "pub", true),
         (102L, 3L, "hidden", false))
       .toDF("listid", "ownerid", "name", "is_public"),
-    review = Seq((1000L, 101L, 1L, "nice", t("2024-01-05")),
-        (1001L, 100L, 2L, "meh", t("2024-01-06")))
-      .toDF("reviewid", "listid", "userid", "content", "created_at"),
+    review = Seq(
+        (1000L, 101L, 1L, "nice", t("2024-01-05"), None: Option[Timestamp]),
+        (1001L, 100L, 2L, "meh", t("2024-01-06"), None: Option[Timestamp]))
+      .toDF("reviewid", "listid", "userid", "content", "created_at",
+        "updated_at"),
     sharedWith = Seq((102L, 1L)).toDF("listid", "userid"),
     stockin = Seq((100L, "AAA", 2.0)).toDF("listid", "symbol", "shares"),
     portfolio = Seq((7L, 1L, "main", 1000.0))
@@ -40,8 +42,8 @@ class FacadeSpec extends SparkSpec {
     transaction = Seq((1L, 7L, 1000.0, "Deposited", t("2024-01-01")),
         (2L, 7L, -210.0, "Bought", t("2024-01-02")))
       .toDF("transactionid", "portfolioid", "amount", "detail", "createdat"),
-    holdings = Seq((7L, "AAA", 4), (7L, "BBB", 2))
-      .toDF("portfolioid", "symbol", "shares"))
+    holdings = Seq((7L, "AAA", 4, 10.0), (7L, "BBB", 2, 20.0))
+      .toDF("portfolioid", "symbol", "shares", "avgcostbasis"))
 
   private lazy val api = new Facade(db)
 
@@ -131,11 +133,69 @@ class FacadeSpec extends SparkSpec {
   test("upsertReview: one review per (list, user) — re-review updates (U3)") {
     val after = api.upsertReview(2000L, 101L, 1L, "updated!")
     // user 1 already reviewed list 101 → content replaced, count flat
-    assert(after.filter($"listid" === 101L && $"userid" === 1L).count() == 1)
-    assert(after.filter($"listid" === 101L && $"userid" === 1L)
-      .select("content").as[String].head() == "updated!")
+    val edited = after.filter($"listid" === 101L && $"userid" === 1L)
+    assert(edited.count() == 1)
+    val row = edited.head()
+    assert(row.getAs[String]("content") == "updated!")
+    // reviews.js:126-134: UPDATE preserves reviewid and created_at and
+    // stamps updated_at — the caller-supplied 2000L must NOT replace
+    // the primary key
+    assert(row.getAs[Long]("reviewid") == 1000L)
+    assert(row.getAs[Timestamp]("created_at") == t("2024-01-05"))
+    assert(row.getAs[Timestamp]("updated_at") != null)
     val fresh = api.upsertReview(2001L, 100L, 3L, "new pair")
     assert(fresh.count() == db.review.count() + 1)
+    val ins = fresh.filter($"listid" === 100L && $"userid" === 3L).head()
+    // reviews.js:140-148: INSERT takes the new id, NULL updated_at
+    assert(ins.getAs[Long]("reviewid") == 2001L)
+    assert(ins.getAs[Timestamp]("updated_at") == null)
+  }
+
+  test("buy folds avg cost, debits cash, emits ledger row (trace 2)") {
+    // portfolio 7 (user 1): 4 AAA @ avg 10.0, cash 1000
+    val r = api.buy(1L, 7L, "AAA", 2, Some(13.0))
+    assert(r.verdict.select("verdict").as[String].head() == "ACCEPT")
+    val h = r.holdings.filter($"symbol" === "AAA")
+      .select($"shares", $"avgcostbasis".cast("double"))
+      .as[(Int, Double)].head()
+    assert(h._1 == 6 && math.abs(h._2 - (4 * 10.0 + 2 * 13.0) / 6) < 1e-9)
+    assert(r.portfolio.select($"cashbalance".cast("double")).as[Double].head() == 974.0)
+    assert(r.ledger.select($"amount".cast("double"), $"detail")
+      .as[(Double, String)].head() == (-26.0, "Bought 2 shares of AAA at $13.00 each."))
+    // new holding: first buy of an unheld symbol inserts at cost
+    val r2 = api.buy(1L, 7L, "BBB", 1, Some(19.0))
+    assert(r2.holdings.count() == 2) // BBB already held → fold, not insert
+  }
+
+  test("buy guards mirror the reference's order and reject reasons") {
+    assert(api.buy(2L, 7L, "AAA", 1, Some(1.0)) // not user 2's portfolio
+      .verdict.select("verdict").as[String].head() == "REJECT_NOT_OWNER")
+    assert(api.buy(1L, 7L, "ZZZ", 1) // no price data for unknown symbol
+      .verdict.select("verdict").as[String].head() == "REJECT_NO_PRICE_DATA")
+    assert(api.buy(1L, 7L, "AAA", 0, Some(1.0))
+      .verdict.select("verdict").as[String].head() == "REJECT_NONPOSITIVE")
+    assert(api.buy(1L, 7L, "AAA", 99999, Some(100.0))
+      .verdict.select("verdict").as[String].head() == "REJECT_INSUFFICIENT_CASH")
+    // price defaults to the latest close (12.2 for AAA)
+    val r = api.buy(1L, 7L, "AAA", 1)
+    assert(r.verdict.select("price").as[Double].head() == 12.2)
+  }
+
+  test("sell partial keeps avg cost; sell ALL deletes the holding row") {
+    val part = api.sell(1L, 7L, "AAA", 3, Some(15.0))
+    assert(part.verdict.select("verdict").as[String].head() == "ACCEPT")
+    val h = part.holdings.filter($"symbol" === "AAA")
+      .select($"shares", $"avgcostbasis".cast("double")).as[(Int, Double)].head()
+    assert(h == ((1, 10.0))) // avg unchanged (trading.js:186-195)
+    assert(part.portfolio.select($"cashbalance".cast("double")).as[Double].head() == 1045.0)
+    val all = api.sell(1L, 7L, "AAA", 4, Some(15.0))
+    assert(all.holdings.filter($"symbol" === "AAA").isEmpty) // row deleted
+    assert(all.ledger.select($"detail").as[String].head()
+      == "Sold 4 shares of AAA at $15.00 each.")
+    assert(api.sell(1L, 7L, "AAA", 5, Some(15.0)).verdict
+      .select("verdict").as[String].head() == "REJECT_INSUFFICIENT_SHARES")
+    assert(api.sell(1L, 7L, "CCC", 1, Some(15.0)).verdict
+      .select("verdict").as[String].head() == "REJECT_UNKNOWN_SYMBOL")
   }
 
   test("share is idempotent; unshare removes the grant (U2/S5)") {

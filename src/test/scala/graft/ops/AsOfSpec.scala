@@ -33,4 +33,28 @@ class AsOfSpec extends SparkSpec {
     assert(got.count() == 6)
     assert(got.columns.toSeq == Seq("k", "ets", "tag", "px"))
   }
+
+  test("a matched right row with a NULL value surfaces the NULL (DuckDB ASOF parity)") {
+    // quote at ts 20 has px NULL: an event at 25 matches THAT row and
+    // must see NULL, not carry the older 1.0 forward
+    val q = Seq(("A", 10L, Some(1.0)), ("A", 20L, None: Option[Double]))
+      .toDF("k", "qts", "px")
+    val e = Seq(("A", 15L, "before"), ("A", 25L, "after"))
+      .toDF("k", "ets", "tag")
+    val got = AsOf.join(e, q, Seq("k"), "ets", "qts", Seq("px"))
+      .orderBy("ets").select("tag", "px")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("before", Some(1.0)), ("after", None)))
+  }
+
+  test("right-side ties at identical (key, ts) resolve deterministically (greatest tuple)") {
+    val q = Seq(("A", 10L, 5.0), ("A", 10L, 7.0), ("A", 10L, 6.0))
+      .toDF("k", "qts", "px")
+    val e = Seq(("A", 11L, "e")).toDF("k", "ets", "tag")
+    val runs = (1 to 3).map { _ =>
+      AsOf.join(e, q, Seq("k"), "ets", "qts", Seq("px"))
+        .select("px").as[Double].head()
+    }
+    assert(runs.toSet == Set(7.0))
+  }
 }

@@ -115,4 +115,22 @@ class StreamsSpec extends SparkSpec {
     q.stop()
     assert(got == Seq((1L, 2L, 3.0))) // first session emitted; second still open
   }
+
+  test("sessionize flushes the trailing session via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 5 * 60 * 1000).writeStream
+      .outputMode("append").format("memory").queryName("sess_to").start()
+    mem.addData(Streams.Event(1L, ts(0), 4.0))
+    q.processAllAvailable()
+    // a much later event from ANOTHER user advances the watermark past
+    // user 1's gap; the event-time timeout flushes user 1's open session
+    mem.addData(Streams.Event(2L, ts(30), 1.0))
+    q.processAllAvailable()
+    val got = spark.sql(
+        "SELECT user_id, n_events, total, closed_by_timeout FROM sess_to")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    q.stop()
+    assert(got.contains((1L, 1L, 4.0, true)), s"trailing session not flushed: $got")
+  }
 }

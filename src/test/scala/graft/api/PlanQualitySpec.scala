@@ -104,6 +104,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"))
   }
 
+  test("d1 exact-dedup probe side prunes to the id column — no text through the join") {
+    // the survivor semi-join must let Catalyst prune the probe-side
+    // scan to doc_id only; the fingerprint side reads (doc_id, text)
+    val p = plan("d1_exact_dedup")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("doc_id") && !s.contains("text")),
+      schemas.mkString("\n"))
+  }
+
+  test("d3 minhash pipeline: partial-combined signature agg, no window, hash joins only") {
+    val p = plan("d3_minhash_lsh")
+    assert(p.contains("partial_min"), "signature agg must map-side combine")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("e3 IVF probe broadcasts the query side against the cells") {
+    assert(plan("e3_ivf_topk").contains("Broadcast"))
+  }
+
+  test("st1/st2 exact DECIMAL totals survive to the output schema") {
+    // the hash-gate hardening pins totals as decimal(18,2) end-to-end;
+    // a reintroduced double cast would silently re-expose cross-engine
+    // decimal→double rounding
+    Seq("st1_windowed_agg", "st2_sessionize_batch").foreach { n =>
+      val df = QueryCatalog.queries(n)(spark, sf)
+      assert(df.schema("total").dataType.typeName == "decimal(18,2)", n)
+    }
+  }
+
   test("no query ever plans a cartesian product or nested-loop join") {
     QueryCatalog.entries.map(_.name).foreach { n =>
       val p = plan(n)

@@ -17,19 +17,27 @@ object Profile {
     val spark = GraftSession.local(32)
     val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     d.count()
-    // d4 stages
-    val sigs = Dedup.simHash64(d, "doc_id", "text")
-    time("simhash_sigs")(sigs.count())
-    time("simhash_pairs")(Dedup.simHashPairs(sigs, "doc_id", 8, 6).count())
-    time("d4_full") {
-      val s2 = Dedup.simHash64(d, "doc_id", "text")
-      Dedup.simHashPairs(s2, "doc_id", 8, 6).count()
-    }
-    // d2 stages
+    // d2 stage breakdown
     val sh = Dedup.shingles(d, "doc_id", "text", 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    time("shingles")(sh.count())
-    time("d2_full")(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.2).count())
+    time("shingles_scan")(sh.count())
+    time("shingles_again")(sh.count())
+    val shP = sh.persist()
+    time("persist_materialize")(shP.count())
+    val counts = shP.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    time("doc_counts")(counts.count())
+    val a = shP.select(col("doc_id").as("id1"), col("shingle"))
+    val b = shP.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ix"))
+    time("selfjoin_inter")(inter.count())
+    shP.unpersist()
+    time("d2_full_capped")(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.2,
+      maxDf = Some(20)).count())
+    graft.ops.CacheScope.releaseAll()
+    time("d2_full_again")(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.2,
+      maxDf = Some(20)).count())
+    graft.ops.CacheScope.releaseAll()
     spark.stop()
   }
 }

@@ -53,6 +53,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(got.filter(col("v") === -1.0).count() == K / 2)
   }
 
+  test("verified LSH dedup at 100k docs: exactly the closed-form duplicate pairs") {
+    // doc i's text depends only on g = i % G, so docs i and i+G are
+    // exact duplicates: G groups of 2 → exactly G dup pairs. Cross-
+    // group first-shingle collisions would need g1 ≡ g2 mod
+    // lcm(97,89,83) = 716539 > G, so no false sharing; anything the
+    // banding over-generates must die in the equality verify.
+    val G = 50000L
+    val docs = spark.range(2 * G).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("alpha"), (col("id") % G) % 97),
+        concat(lit("bravo"), (col("id") % G) % 89),
+        concat(lit("charl"), (col("id") % G) % 83),
+        concat(lit("delta"), col("id") % G),
+        concat(lit("echo"), (col("id") % G) % 79)).as("text"))
+    val pairs = graft.pipeline.Dedup.minHashVerifiedDuplicates(
+      docs, "doc_id", "text")
+    assert(pairs.count() == G)
+    // every pair is (g, g + G)
+    assert(pairs.filter(col("id2") =!= col("id1") + G).isEmpty)
+    graft.ops.CacheScope.releaseAll()
+    // exact dedup on the same corpus keeps one doc per group
+    assert(graft.pipeline.Dedup.exact(docs, "doc_id", "text").count() == G)
+  }
+
   test("salted aggregation survives one pathologically hot key") {
     // 4M rows on ONE key + 1M spread over the rest
     val skewed = spark.range(N)

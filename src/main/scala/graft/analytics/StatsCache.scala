@@ -21,8 +21,9 @@ import java.nio.charset.StandardCharsets
   * reference pays a per-symbol loop).
   *
   * Concurrency contract: SINGLE WRITER, many readers. The pointer
-  * flip is write-temp-then-rename (atomic on HDFS and POSIX), so a
-  * concurrent reader always sees a complete pointer; but two
+  * flip is write-temp-then-rename-with-OVERWRITE (atomic on HDFS and
+  * POSIX), so a concurrent reader always sees a complete pointer
+  * (never torn, never missing); but two
   * concurrent writeBacks would base-read the same snapshot and the
   * last rename would silently drop the other's upserts — serialize
   * write-backs externally (a real deployment gets this from the
@@ -67,15 +68,16 @@ class StatsCache(spark: SparkSession, root: String, keyCols: Seq[String]) {
     }
     val snap = s"snap_${System.nanoTime()}"
     merged.write.mode("overwrite").parquet(new Path(root, snap).toString)
-    // write the pointer to a temp file and rename into place: a
-    // create+write in place would expose a torn/empty pointer to a
-    // concurrent currentSnap()
+    // write the pointer to a temp file and rename OVER the old one
+    // (Options.Rename.OVERWRITE — atomic on HDFS and POSIX): a
+    // create+write in place would expose a torn/empty pointer, and a
+    // delete-then-rename would expose a missing one
     val tmp = new Path(root, s"_latest.tmp_${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(snap.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(pointer)) fs.delete(pointer, false)
-    if (!fs.rename(tmp, pointer))
-      throw new java.io.IOException(s"pointer flip failed: $tmp -> $pointer")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop all snapshots except the current one. */

@@ -57,9 +57,16 @@ object AsOf {
     // __rv in the ordering = deterministic tiebreak among right rows
     // sharing (key, ts); left rows' null __rv sorts first within their
     // (ts, side) group, which is irrelevant — each left row only reads
-    // the frame up to itself
+    // the frame up to itself. Structs with unorderable fields (maps)
+    // can't join the ordering — those carries fall back to (ts, side)
+    // with right-side ties left engine-ordered, as before.
+    val rvOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rvType)
+    val ord =
+      if (rvOrderable) Seq(col("__ts"), col("__side"), col("__rv"))
+      else Seq(col("__ts"), col("__side"))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__rv"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lNorm.unionByName(rNorm)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))

@@ -21,6 +21,14 @@ import scala.collection.mutable
   * same (or periodically) — otherwise cached shingle/vector frames
   * accumulate across queries until LRU eviction starts thrashing.
   * Releasing is always safe: an unpersisted frame recomputes.
+  *
+  * The registry is JVM-global, so [[releaseAll]] pairs with running
+  * ONE multi-pass kernel at a time — a release from one thread drops
+  * another in-flight query's caches (results stay correct; the
+  * evicted frames recompute). A driver serving concurrent dedup/LSH
+  * queries should serialize them per session or accept the
+  * recompute; per-invocation scope handles would buy concurrency at
+  * the cost of threading a handle through every kernel signature.
   */
 object CacheScope {
 

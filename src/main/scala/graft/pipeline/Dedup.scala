@@ -16,7 +16,15 @@ import graft.ops.{CacheScope, Kernels}
 object Dedup {
 
   /** Exact dedup on normalized content, keeping the smallest `id` per
-    * fingerprint deterministically. Requires `id` to be unique.
+    * fingerprint deterministically.
+    *
+    * CONTRACT: `id` must be unique per row (a document primary key) —
+    * the survivor semi-join returns every row bearing a surviving id,
+    * so duplicate ids would silently skip deduplication for the rows
+    * sharing them. For non-unique ids use
+    * [[graft.ops.Kernels.dedupExactKeys]] on the fingerprint, which
+    * returns exactly one row per fingerprint at the cost of hauling
+    * the full row payload through its aggregation.
     *
     * The survivor set is computed on a pre-projected `(id, md5)` frame
     * — a full-width agg payload would defeat column pruning and drag
@@ -93,11 +101,19 @@ object Dedup {
     * (partial-combine: k running minimums per doc — no sort, no
     * signature matrix materialized wider than k columns). */
   def minHashSignatures(df: DataFrame, id: String, text: String,
-                        n: Int = 3, k: Int = 32): DataFrame = {
+                        n: Int = 3, k: Int = 32): DataFrame =
     // hash each shingle string ONCE, then derive the k draws from the
     // 8-byte value — k× cheaper than hashing the string k times
-    val sh = shingles(df, id, text, n)
-      .select(col(id), xxhash64(col("shingle")).as("h"))
+    sigsFromHashedShingles(
+      shingles(df, id, text, n)
+        .select(col(id), xxhash64(col("shingle")).as("h")),
+      id, k)
+
+  /** The k min-draws over an `(id, h)` hashed-shingle frame — the one
+    * place the MinHash draw scheme lives (seed-mixed xxhash64 per
+    * component); [[minHashSignatures]] and
+    * [[minHashVerifiedDuplicates]] both go through here. */
+  private def sigsFromHashedShingles(sh: DataFrame, id: String, k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
@@ -182,8 +198,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val sh = CacheScope.persist(shingles(df, id, text, n)
       .select(col(id), xxhash64(col("shingle")).as("h")))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
-    val sigs = sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    val sigs = sigsFromHashedShingles(sh, id, k)
     val cand = bandCandidates(sigs, id, k, bands)
     val fps = sh.groupBy(col(id))
       .agg(expr("bit_xor(h)").as("__sfp"))
@@ -214,7 +229,9 @@ object Dedup {
     val cand = simHashPairs(simHash64(df, id, text), id,
         bands = 8, maxHamming = 0)
       .select(col("id1"), col("id2"))
-    val fps = tokenMultisetFp(df, id, text)
+    // read twice (both join sides) — don't normalize+tokenize+sort
+    // the full corpus twice
+    val fps = CacheScope.persist(tokenMultisetFp(df, id, text))
     cand
       .join(fps.select(col(id).as("id1"), col("__mfp").as("__f1")), Seq("id1"))
       .join(fps.select(col(id).as("id2"), col("__mfp").as("__f2")), Seq("id2"))
@@ -229,11 +246,25 @@ object Dedup {
     * triangle filter). The standard benchmark-decontamination primitive. */
   def crossCorpusOverlap(corpusA: DataFrame, corpusB: DataFrame,
                          id: String, text: String,
-                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    def sh(df: DataFrame) = shingles(df, id, text, n)
+                         n: Int = 3, minJaccard: Double = 0.5,
+                         maxDf: Option[Int] = None): DataFrame = {
+    // maxDf caps the A×B join fan-out per shingle at dfA·dfB, the
+    // same boilerplate-phrase quadratic [[ngramJaccardPairs]] caps;
+    // the df is counted across BOTH corpora so the cap is symmetric
+    def shRaw(df: DataFrame) = shingles(df, id, text, n)
       .select(col(id), xxhash64(col("shingle")).as("shingle"))
-    val sa = CacheScope.persist(sh(corpusA))
-    val sb = CacheScope.persist(sh(corpusB))
+    val (sa0, sb0) = (shRaw(corpusA), shRaw(corpusB))
+    val (saF, sbF) = maxDf match {
+      case Some(cap) =>
+        val hot = sa0.select("shingle").unionAll(sb0.select("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        (sa0.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          sb0.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      case None => (sa0, sb0)
+    }
+    val sa = CacheScope.persist(saF)
+    val sb = CacheScope.persist(sbF)
     val ca = sa.groupBy(col(id)).agg(count(lit(1)).as("na"))
     val cb = sb.groupBy(col(id)).agg(count(lit(1)).as("nb"))
     sa.select(col(id).as("id_a"), col("shingle"))

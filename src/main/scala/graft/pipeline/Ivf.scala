@@ -115,14 +115,15 @@ object IvfIndex {
   }
 
   /** Nearest centroid by squared Euclidean distance, as a codegen
-    * expression over the centroid literal: ‖v‖² + ‖c‖² − 2·v·c via the
-    * one-pass dot-product expression, argmin via struct sort (ties →
-    * lowest cell index). One projection, no join, no shuffle. */
+    * expression over the centroid literal. The per-row constant ‖v‖²
+    * cannot change the argmin, so each centroid is scored by just
+    * ‖c‖² − 2·v·c (one dot product per centroid instead of three);
+    * argmin via struct sort (ties → lowest cell index). One
+    * projection, no join, no shuffle. */
   private[pipeline] def nearestCellEuclid(v: Column, centroids: Column): Column = {
     val dot = graft.functions.VectorExprs.dot_product _
     val scored = transform(centroids, (c, i) =>
-      struct((dot(v, v) + dot(c, c) - lit(2.0) * dot(v, c)).as("d2"),
-        i.as("cell")))
+      struct((dot(c, c) - lit(2.0) * dot(v, c)).as("d2"), i.as("cell")))
     element_at(array_sort(scored), 1).getField("cell")
   }
 

@@ -113,9 +113,15 @@ object Streams {
     * sessions open. (ProcessingTimeTimeout deliberately not used:
     * wall-clock timeouts make the query permanently "due another
     * batch", which busy-loops the trigger and breaks
-    * processAllAvailable-style draining.) */
+    * processAllAvailable-style draining.)
+    *
+    * Late-data contract (standard watermark semantics): streaming
+    * input rows with ts older than (max seen ts − watermarkDelay) are
+    * DROPPED before they reach the state function. watermarkDelay is
+    * therefore the out-of-order tolerance — size it to the source's
+    * real disorder; batch runs apply no watermark and drop nothing. */
   def sessionize(events: Dataset[Event], gapMs: Long,
-                 watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val src =
       if (events.isStreaming) events.withWatermark("ts", watermarkDelay)

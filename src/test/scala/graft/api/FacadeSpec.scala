@@ -162,9 +162,16 @@ class FacadeSpec extends SparkSpec {
     assert(r.portfolio.select($"cashbalance".cast("double")).as[Double].head() == 974.0)
     assert(r.ledger.select($"amount".cast("double"), $"detail")
       .as[(Double, String)].head() == (-26.0, "Bought 2 shares of AAA at $13.00 each."))
-    // new holding: first buy of an unheld symbol inserts at cost
-    val r2 = api.buy(1L, 7L, "BBB", 1, Some(19.0))
-    assert(r2.holdings.count() == 2) // BBB already held → fold, not insert
+    // first buy of an UNHELD symbol takes the insert branch: drop BBB
+    // from the fixture holdings so buying it must create the row
+    val apiNoBbb = new Facade(db.copy(
+      holdings = db.holdings.filter($"symbol" =!= "BBB")))
+    val r2 = apiNoBbb.buy(1L, 7L, "BBB", 3, Some(19.0))
+    assert(r2.verdict.select("verdict").as[String].head() == "ACCEPT")
+    assert(r2.holdings.count() == 2)
+    val ins = r2.holdings.filter($"symbol" === "BBB")
+      .select($"shares", $"avgcostbasis".cast("double")).as[(Int, Double)].head()
+    assert(ins == ((3, 19.0))) // inserted at cost (trading.js:93-99)
   }
 
   test("buy guards mirror the reference's order and reject reasons") {

@@ -130,6 +130,20 @@ class Facade(db: Db) {
     TimeSeries.corrMatrix(rets, "symbol", "timestamp")
   }
 
+  /** GET /api/chart/:symbol/:start/:end — render the price history as
+    * a PNG line chart (chart.js:9-64, S8): last 60 (day, close)
+    * points, 800×400, blue series, written to
+    * `<dir>/<SYMBOL>_<start>_<end>.png`. Returns the file path. */
+  def historyChart(symbol: String, start: String, end: String,
+                   dir: String = "charts"): String = {
+    val series = historyRange(symbol.toUpperCase, start, end)
+      .select(col("timestamp").cast("date").cast("string").as("day"),
+        col("close").cast("double"))
+    ChartSink.linePng(series, "day", "close",
+      s"${symbol.toUpperCase} Price",
+      s"$dir/${symbol.toUpperCase}_${start}_$end.png")
+  }
+
   /** GET /api/chart/predict/:symbol — 50-bar linear regression, 30-day
     * horizon (chart.js:67-158 / portfolio.js:491-559, M1). */
   def predict(symbol: String, horizon: Int = 30): DataFrame =

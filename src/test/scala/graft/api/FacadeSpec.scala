@@ -3,6 +3,7 @@ package graft.api
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import java.sql.{Date, Timestamp}
+import java.nio.file.Files
 
 /** End-to-end parity of the REST-read façade over hand-built fixture
   * tables (SURVEY §5.2 semantic-parity fixtures). */
@@ -203,6 +204,17 @@ class FacadeSpec extends SparkSpec {
       .select("verdict").as[String].head() == "REJECT_INSUFFICIENT_SHARES")
     assert(api.sell(1L, 7L, "CCC", 1, Some(15.0)).verdict
       .select("verdict").as[String].head() == "REJECT_UNKNOWN_SYMBOL")
+  }
+
+  test("historyChart renders the series to a real PNG (S8)") {
+    val dir = Files.createTempDirectory("charts").toString
+    val path = api.historyChart("aaa", "2024-01-01", "2024-01-05", dir)
+    assert(path == s"$dir/AAA_2024-01-01_2024-01-05.png")
+    val img = javax.imageio.ImageIO.read(new java.io.File(path))
+    assert(img.getWidth == 800 && img.getHeight == 400)
+    // the blue series must actually be drawn
+    val pixels = for (x <- 0 until 800; y <- 0 until 400) yield img.getRGB(x, y)
+    assert(pixels.contains(java.awt.Color.BLUE.getRGB))
   }
 
   test("share is idempotent; unshare removes the grant (U2/S5)") {

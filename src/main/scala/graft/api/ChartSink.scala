@@ -18,15 +18,19 @@ import java.nio.file.{Files, Paths}
   * rasterized driver-side. */
 object ChartSink {
 
-  /** Render (x, y) rows as a line chart; keeps the LAST `maxPoints`
-    * rows in the frame's order (the reference's `slice(-MAX_POINTS)`).
-    * `x` is rendered as evenly spaced categorical labels, matching
-    * the reference's date-label axis. Returns the written path. */
+  /** Render (x, y) rows as a line chart, keeping the LAST `maxPoints`
+    * by `x` (the reference's `slice(-MAX_POINTS)` — but pushed into
+    * the engine as desc-sort + limit, the O5 tail-k pattern, so the
+    * collect is bounded instead of fetching the full series). `x`
+    * must order chronologically as a string (ISO dates do); it is
+    * rendered as evenly spaced categorical labels, matching the
+    * reference's date-label axis. Returns the written path. */
   def linePng(series: DataFrame, x: String, y: String, label: String,
               path: String, width: Int = 800, height: Int = 400,
               maxPoints: Int = 60): String = {
     val rows = series.select(col(x).cast("string"), col(y).cast("double"))
-      .collect().takeRight(maxPoints)
+      .orderBy(col(x).cast("string").desc).limit(maxPoints)
+      .collect().sortBy(_.getString(0))
     require(rows.nonEmpty, "no rows to chart")
     val labels = rows.map(_.getString(0))
     val values = rows.map(_.getDouble(1))

@@ -65,5 +65,32 @@ object StreamingQueries {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total, " +
         "min(us) AS start_us, max(us) AS end_us " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")),
+
+    Q("st3_interval_join",
+      // the watermarked stream-stream interval join
+      // (Streams.quotedTrades), batch twin: each purchase event joined
+      // to the same user's view events in the prior 2 hours.
+      // Timestamps compared and emitted as exact epoch-µs longs;
+      // values pass through unaggregated (hash-exact doubles).
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val trades = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("string").as("symbol"),
+            col("ts").as("tts"), col("value").as("qty"))
+        val quotes = ev.filter(col("event_type") === "view")
+          .select(col("user_id").cast("string").as("symbol"),
+            col("ts").as("qts"), col("value").as("price"))
+        Streams.quotedTrades(trades, quotes, lookback = "2 hours")
+          .select(col("symbol").cast("long").as("user_id"),
+            unix_micros(col("tts")).as("t_us"), col("qty"),
+            unix_micros(col("qts")).as("q_us"), col("price"))
+          .orderBy("user_id", "t_us", "q_us")
+      },
+      Some("SELECT t.user_id, epoch_us(t.ts) AS t_us, t.value AS qty, " +
+        "epoch_us(q.ts) AS q_us, q.value AS price " +
+        "FROM events t JOIN events q ON t.user_id = q.user_id " +
+        "AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 2 HOURS " +
+        "WHERE t.event_type = 'purchase' AND q.event_type = 'view' " +
+        "ORDER BY 1, 2, 4")),
   )
 }

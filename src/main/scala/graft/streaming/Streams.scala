@@ -92,6 +92,51 @@ object Streams {
       }
       .start()
 
+  /** Streaming exact dedup — the training-pipeline ingest guard
+    * (graft.pipeline.Dedup.exact as a stream): drop any document
+    * whose normalized-content fingerprint was already seen within the
+    * watermark horizon. State is one 16-byte fingerprint per doc,
+    * EVICTED once the watermark passes (dropDuplicatesWithinWatermark)
+    * — bounded state where a plain dropDuplicates would grow forever
+    * on an unbounded corpus stream. Batch frames dedup exactly. */
+  def dedupStream(docs: DataFrame, ts: String, text: String,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val keyed = docs.withColumn("__fp",
+      graft.pipeline.TextAnalysis.fingerprintMd5(col(text)))
+    val out =
+      if (docs.isStreaming)
+        keyed.withWatermark(ts, watermark).dropDuplicatesWithinWatermark("__fp")
+      else keyed.dropDuplicates("__fp")
+    out.drop("__fp")
+  }
+
+  case class Quote(symbol: String, qts: java.sql.Timestamp, price: Double)
+  case class StampedTrade(symbol: String, tts: java.sql.Timestamp, qty: Double)
+
+  /** Watermarked stream-stream enrichment join: each trade picks up
+    * the quotes within `lookback` BEFORE it on the same symbol (an
+    * interval join — the streaming cousin of the batch as-of join;
+    * downstream latest-per-key collapses it to the as-of quote).
+    * Both sides carry watermarks so Spark can bound the join state:
+    * buffered rows are evicted once the watermark passes the interval
+    * — without the time bound a stream-stream join holds both
+    * streams' history forever. */
+  def quotedTrades(trades: DataFrame, quotes: DataFrame,
+                   lookback: String = "15 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val t = (if (trades.isStreaming) trades.withWatermark("tts", watermark)
+             else trades).alias("t")
+    val q = (if (quotes.isStreaming) quotes.withWatermark("qts", watermark)
+             else quotes).alias("q")
+    t.join(q,
+      col("t.symbol") === col("q.symbol") &&
+        col("q.qts") <= col("t.tts") &&
+        col("q.qts") >= col("t.tts") - expr(s"INTERVAL $lookback"))
+      .select(col("t.symbol").as("symbol"), col("t.tts").as("tts"),
+        col("t.qty").as("qty"), col("q.qts").as("qts"),
+        col("q.price").as("price"))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total: Double,

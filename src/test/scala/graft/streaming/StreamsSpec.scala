@@ -101,6 +101,45 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map(1L -> 70.0, 2L -> 7.0)) // batch-2 upsert replaced user 1
   }
 
+  test("dedupStream drops repeated content within the watermark, state evicted after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.dedupStream(docs, "ts", "text", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    // batch 1: two distinct docs + one duplicate (case/whitespace variant)
+    mem.addData((1L, ts(0), "the quick fox"), (2L, ts(1), "other words"),
+      (3L, ts(1), "THE  QUICK   fox"))
+    q.processAllAvailable()
+    // batch 2: duplicate of doc 1 arrives within the watermark → dropped
+    mem.addData((4L, ts(2), "the quick fox"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM dedup").as[Long].collect().toSet
+    q.stop()
+    assert(got.size == 2 && got.contains(2L))
+    assert((got - 2L).subsetOf(Set(1L, 3L))) // one survivor of the dup cluster
+  }
+
+  test("quotedTrades: watermarked interval join picks up in-window quotes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val qmem = MemoryStream[Streams.Quote]
+    val tmem = MemoryStream[Streams.StampedTrade]
+    val joined = Streams.quotedTrades(tmem.toDF(), qmem.toDF(),
+      lookback = "15 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("qt").start()
+    qmem.addData(Streams.Quote("AAA", ts(0), 10.0),   // 20 min before: outside
+      Streams.Quote("AAA", ts(10), 11.0),             // in window
+      Streams.Quote("AAA", ts(18), 12.0),             // in window
+      Streams.Quote("BBB", ts(15), 99.0),             // other symbol
+      Streams.Quote("AAA", ts(25), 13.0))             // after the trade
+    tmem.addData(Streams.StampedTrade("AAA", ts(20), 5.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT price FROM qt").as[Double].collect().toSet
+    q.stop()
+    assert(got == Set(11.0, 12.0))
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]

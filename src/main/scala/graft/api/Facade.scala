@@ -371,6 +371,177 @@ class Facade(db: Db) {
       Seq((listId, userId)).toDF("listid", "userid"), Seq("listid", "userid"))
   }
 
+  // ---- lists.js / portfolio.js / reviews.js / users.js write surface ----
+
+  /** POST /api/lists (lists.js:64-100): create a stock list. */
+  def createList(listId: Long, ownerId: Long, name: String,
+                 isPublic: Boolean): DataFrame = {
+    val spark = db.stocklist.sparkSession
+    import spark.implicits._
+    Kernels.insertIfAbsent(db.stocklist,
+      Seq((listId, ownerId, name, isPublic))
+        .toDF("listid", "ownerid", "name", "is_public"),
+      Seq("listid"))
+  }
+
+  /** Owner probe shared by the list write endpoints (single scalar,
+    * the cashMovement shape). */
+  private def listOwner(listId: Long): Option[Long] = {
+    val spark = db.stocklist.sparkSession
+    import spark.implicits._
+    db.stocklist.filter(col("listid") === listId)
+      .select(col("ownerid")).as[Long].collect().headOption
+  }
+
+  /** DELETE /api/lists/:id (lists.js:102-151): owner-only; the FK
+    * cascades (schema.sql:43,53,59) take stockin, shared_with and
+    * review rows with the list. Returns the updated Db (unchanged when
+    * the caller is not the owner). */
+  def deleteList(userId: Long, listId: Long): Db =
+    if (!listOwner(listId).contains(userId)) db
+    else {
+      val spark = db.stocklist.sparkSession
+      import spark.implicits._
+      val doomed = Seq(listId).toDF("listid")
+      db.copy(
+        stocklist = Kernels.cowDelete(db.stocklist, doomed, Seq("listid")),
+        review = Kernels.cowDelete(db.review, doomed, Seq("listid")),
+        sharedWith = Kernels.cowDelete(db.sharedWith, doomed, Seq("listid")),
+        stockin = Kernels.cowDelete(db.stockin, doomed, Seq("listid")))
+    }
+
+  /** POST /api/lists/:id/stocks (lists.js:420-510): owner-only batch
+    * upsert; source shares REPLACE the stored value (`ON CONFLICT DO
+    * UPDATE SET shares = EXCLUDED.shares`); blank symbols and negative
+    * shares are skipped, mirroring the reference's per-item guards. */
+  def setListStocks(userId: Long, listId: Long,
+                    stocks: Seq[(String, Double)]): DataFrame = {
+    val spark = db.stockin.sparkSession
+    import spark.implicits._
+    if (!listOwner(listId).contains(userId)) db.stockin
+    else {
+      val src = stocks.map { case (s, n) => (listId, s.trim, n) }
+        .filter { case (_, s, n) => s.nonEmpty && n >= 0 }
+        .toDF("listid", "symbol", "shares")
+      Kernels.upsert(db.stockin, src, Seq("listid", "symbol"))
+    }
+  }
+
+  /** DELETE /api/lists/:id/stocks/:symbol (lists.js:610-691):
+    * owner-only key delete. */
+  def removeListStock(userId: Long, listId: Long, symbol: String): DataFrame = {
+    val spark = db.stockin.sparkSession
+    import spark.implicits._
+    if (!listOwner(listId).contains(userId)) db.stockin
+    else Kernels.cowDelete(db.stockin,
+      Seq((listId, symbol)).toDF("listid", "symbol"), Seq("listid", "symbol"))
+  }
+
+  /** POST /api/portfolio/add (portfolio.js:32-63). */
+  def createPortfolio(portfolioId: Long, userId: Long, name: String,
+                      cashBalance: Double = 0.0): DataFrame = {
+    val spark = db.portfolio.sparkSession
+    import spark.implicits._
+    Kernels.insertIfAbsent(db.portfolio,
+      Seq((portfolioId, userId, name, cashBalance))
+        .toDF("portfolioid", "userid", "name", "cashbalance"),
+      Seq("portfolioid"))
+  }
+
+  /** PUT /api/portfolio/:id (portfolio.js:96-127): COALESCE-defaulted
+    * partial update scoped to the owner (the P9/U4 shape — None leaves
+    * the stored value in place). */
+  def updatePortfolio(userId: Long, portfolioId: Long,
+                      name: Option[String] = None,
+                      cashBalance: Option[Double] = None): DataFrame = {
+    val pred = col("portfolioid") === portfolioId && col("userid") === userId
+    val cashType = db.portfolio.schema("cashbalance").dataType
+    Kernels.cowUpdate(db.portfolio, pred, Map(
+      "name" -> coalesce(
+        name.map(lit(_)).getOrElse(lit(null).cast("string")), col("name")),
+      "cashbalance" -> coalesce(
+        cashBalance.map(lit(_)).getOrElse(lit(null)).cast(cashType),
+        col("cashbalance"))))
+  }
+
+  /** DELETE /api/portfolio/:id (portfolio.js:130-151): owner-scoped;
+    * the FK cascades (schema.sql:77,93) take the portfolio's
+    * transactions and holdings with it. */
+  def deletePortfolio(userId: Long, portfolioId: Long): Db = {
+    val spark = db.portfolio.sparkSession
+    import spark.implicits._
+    val owned = !db.portfolio.filter(col("portfolioid") === portfolioId &&
+      col("userid") === userId).isEmpty
+    if (!owned) db
+    else {
+      val doomed = Seq(portfolioId).toDF("portfolioid")
+      db.copy(
+        portfolio = Kernels.cowDelete(db.portfolio, doomed, Seq("portfolioid")),
+        transaction = Kernels.cowDelete(db.transaction, doomed, Seq("portfolioid")),
+        holdings = Kernels.cowDelete(db.holdings, doomed, Seq("portfolioid")))
+    }
+  }
+
+  /** DELETE /api/lists/:id/reviews/:rid (reviews.js:267-330): only the
+    * reviewer or the list owner may delete; anyone else gets the table
+    * back unchanged. */
+  def deleteReview(userId: Long, listId: Long, reviewId: Long): DataFrame = {
+    val allowed = !db.review
+      .filter(col("reviewid") === reviewId && col("listid") === listId)
+      .join(broadcast(db.stocklist.select(col("listid"), col("ownerid"))),
+        Seq("listid"))
+      .filter(col("userid") === userId || col("ownerid") === userId)
+      .isEmpty
+    if (!allowed) db.review
+    else Kernels.cowDeleteWhere(db.review,
+      col("reviewid") === reviewId && col("listid") === listId)
+  }
+
+  /** DELETE /api/users/me/friends/:id (users.js:89-106): drop the
+    * undirected edge whichever way it is stored. */
+  def unfriend(userId: Long, friendId: Long): DataFrame =
+    Kernels.cowDeleteWhere(db.friend,
+      (col("userid1") === userId && col("userid2") === friendId) ||
+        (col("userid1") === friendId && col("userid2") === userId))
+
+  /** POST /api/users/:id/friend-requests (users.js:291-350): guarded
+    * PENDING insert — no self-request, no duplicate pending (either
+    * direction), not already friends (Social.validateRequests).
+    * Returns (verdict row, updated request table — unchanged on
+    * reject). */
+  def sendFriendRequest(requestId: Long, fromUserId: Long,
+                        toUserId: Long): (DataFrame, DataFrame) = {
+    val spark = db.request.sparkSession
+    import spark.implicits._
+    val req = Seq((requestId, fromUserId, toUserId, Social.Pending))
+      .toDF("requestid", "fromuserid", "touserid", "status")
+    val verdict = Social.validateRequests(req, db.request,
+      db.friend.select(col("userid1").as("u1"), col("userid2").as("u2")))
+    val accepted = verdict.filter(col("verdict") === "ACCEPT")
+      .select(db.request.columns.map(col): _*)
+    (verdict.select(col("requestid"), col("fromuserid"), col("touserid"),
+        col("verdict")),
+      Kernels.insertIfAbsent(db.request, accepted, Seq("requestid")))
+  }
+
+  /** POST /api/users/me/friend-requests/:id/accept|reject
+    * (users.js:160-227 accept, :229-269 reject): PENDING-only status
+    * transition; accept also inserts the normalized friend edge
+    * ON CONFLICT DO NOTHING (users.js:205-213). Returns
+    * (updated request table, updated friend table). */
+  def respondFriendRequest(requestId: Long,
+                           accept: Boolean): (DataFrame, DataFrame) = {
+    val spark = db.request.sparkSession
+    import spark.implicits._
+    val dec = Seq((requestId, if (accept) Social.Accepted else Social.Rejected))
+      .toDF("requestid", "decision")
+    val (updated, newEdges) = Social.transition(db.request, dec)
+    val friends2 = Kernels.insertIfAbsent(db.friend,
+      newEdges.select(col("u1").as("userid1"), col("u2").as("userid2")),
+      Seq("userid1", "userid2"))
+    (updated, friends2)
+  }
+
   // ---- lists.js / reviews.js ----
 
   /** GET /api/lists — owned ∪ public ∪ shared-with-me with visibility

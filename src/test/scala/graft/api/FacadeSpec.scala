@@ -222,4 +222,78 @@ class FacadeSpec extends SparkSpec {
     assert(api.share(102L, 2L).count() == 2)
     assert(api.unshare(102L, 1L).count() == 0)
   }
+
+  test("createList / deleteList: owner-only cascade across 4 tables (U8)") {
+    assert(api.createList(103L, 1L, "new", false).count() == 4)
+    assert(api.createList(100L, 2L, "dup", true).count() == 3) // id taken: no-op
+    // non-owner delete is refused: Db unchanged
+    assert(api.deleteList(2L, 100L).stocklist.count() == 3)
+    // owner delete cascades: list 100 holds 1 review + 1 stockin row
+    val after = api.deleteList(1L, 100L)
+    assert(after.stocklist.count() == 2)
+    assert(after.review.filter($"listid" === 100L).isEmpty)
+    assert(after.stockin.filter($"listid" === 100L).isEmpty)
+  }
+
+  test("setListStocks replaces shares (EXCLUDED semantics); removeListStock owner-only") {
+    // list 100 owned by 1, has (AAA, 2.0)
+    val got = api.setListStocks(1L, 100L,
+      Seq(("AAA", 5.0), ("BBB", 1.0), ("", 3.0), ("CCC", -1.0)))
+    assert(got.count() == 2) // blank + negative skipped; AAA replaced
+    val m = got.select($"symbol", $"shares").as[(String, Double)].collect().toMap
+    assert(m == Map("AAA" -> 5.0, "BBB" -> 1.0))
+    assert(api.setListStocks(2L, 100L, Seq(("ZZZ", 9.0))).count() == 1) // not owner: unchanged
+    assert(api.removeListStock(1L, 100L, "AAA").isEmpty)
+    assert(api.removeListStock(2L, 100L, "AAA").count() == 1) // refused
+  }
+
+  test("portfolio create / COALESCE update / cascade delete") {
+    assert(api.createPortfolio(8L, 2L, "second", 50.0).count() == 2)
+    // partial update: only the name changes, cash COALESCEs to stored
+    val upd = api.updatePortfolio(1L, 7L, name = Some("renamed"))
+    val row = upd.filter($"portfolioid" === 7L).head()
+    assert(row.getAs[String]("name") == "renamed")
+    assert(row.getAs[Double]("cashbalance") == 1000.0)
+    // wrong owner: predicate never matches, nothing changes
+    assert(api.updatePortfolio(2L, 7L, name = Some("hax"))
+      .filter($"name" === "hax").isEmpty)
+    val after = api.deletePortfolio(1L, 7L)
+    assert(after.portfolio.isEmpty)
+    assert(after.transaction.isEmpty && after.holdings.isEmpty) // cascades
+    assert(api.deletePortfolio(2L, 7L).portfolio.count() == 1) // refused
+  }
+
+  test("deleteReview: reviewer or list owner only (RLS write-side)") {
+    // review 1000 on list 101 (owner 2) written by user 1
+    assert(api.deleteReview(3L, 101L, 1000L).count() == 2) // stranger refused
+    assert(api.deleteReview(1L, 101L, 1000L).count() == 1) // reviewer may
+    assert(api.deleteReview(2L, 101L, 1000L).count() == 1) // list owner may
+  }
+
+  test("unfriend drops the edge in either stored direction (P7)") {
+    assert(api.unfriend(2L, 1L).isEmpty) // stored as (1,2)
+    assert(api.unfriend(1L, 3L).count() == 1) // no such edge: unchanged
+  }
+
+  test("friend requests: guarded send, accept creates the normalized edge (M5)") {
+    val (v1, _) = api.sendFriendRequest(12L, 1L, 1L)
+    assert(v1.select("verdict").as[String].head() == "REJECT_SELF")
+    val (v2, _) = api.sendFriendRequest(12L, 2L, 1L)
+    assert(v2.select("verdict").as[String].head() == "REJECT_ALREADY_FRIENDS")
+    val (v3, _) = api.sendFriendRequest(12L, 1L, 3L) // 3→1 already PENDING (req 10)
+    assert(v3.select("verdict").as[String].head() == "REJECT_DUPLICATE_PENDING")
+    val (v4, reqs) = api.sendFriendRequest(12L, 2L, 3L)
+    assert(v4.select("verdict").as[String].head() == "ACCEPT")
+    assert(reqs.count() == db.request.count() + 1)
+    // accept pending request 10 (3→1): edge (1,3) appears normalized
+    val (upd, friends) = api.respondFriendRequest(10L, accept = true)
+    assert(upd.filter($"requestid" === 10L).select("status")
+      .as[String].head() == "ACCEPTED")
+    assert(friends.filter($"userid1" === 1L && $"userid2" === 3L).count() == 1)
+    // reject path: status flips, no edge
+    val (upd2, friends2) = api.respondFriendRequest(10L, accept = false)
+    assert(upd2.filter($"requestid" === 10L).select("status")
+      .as[String].head() == "REJECTED")
+    assert(friends2.count() == db.friend.count())
+  }
 }

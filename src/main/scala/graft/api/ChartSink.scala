@@ -28,7 +28,10 @@ object ChartSink {
   def linePng(series: DataFrame, x: String, y: String, label: String,
               path: String, width: Int = 800, height: Int = 400,
               maxPoints: Int = 60): String = {
+    // null points are skipped (Schemas allows nullable closes; the
+    // reference's renderer draws them as gaps)
     val rows = series.select(col(x).cast("string"), col(y).cast("double"))
+      .filter(col(x).isNotNull && col(y).isNotNull)
       .orderBy(col(x).cast("string").desc).limit(maxPoints)
       .collect().sortBy(_.getString(0))
     require(rows.nonEmpty, "no rows to chart")

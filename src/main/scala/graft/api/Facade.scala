@@ -379,9 +379,27 @@ class Facade(db: Db) {
     val spark = db.stocklist.sparkSession
     import spark.implicits._
     Kernels.insertIfAbsent(db.stocklist,
-      Seq((listId, ownerId, name, isPublic))
-        .toDF("listid", "ownerid", "name", "is_public"),
+      conformed(Seq((listId, ownerId, name, isPublic))
+        .toDF("listid", "ownerid", "name", "is_public"), db.stocklist),
       Seq("listid"))
+  }
+
+  /** Conform a write-source frame to the target table's schema:
+    * missing columns get defaults (created-at columns get NOW(),
+    * mirroring the reference's column defaults; anything else NULL)
+    * and every column is cast to the target's type — so a Double
+    * source never silently widens a DECIMAL money column through the
+    * union, and schema-conformant tables (Schemas.*) with audit
+    * columns the caller didn't supply still work. */
+  private def conformed(src: DataFrame, target: DataFrame): DataFrame = {
+    val withAll = target.columns.foldLeft(src) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else if (c == "created_at" || c == "createdat")
+        d.withColumn(c, current_timestamp())
+      else d.withColumn(c, lit(null)) // e.g. updated_at: NULL until edited
+    }
+    withAll.select(target.columns.map(c =>
+      col(c).cast(target.schema(c).dataType).as(c)): _*)
   }
 
   /** Owner probe shared by the list write endpoints (single scalar,
@@ -423,7 +441,8 @@ class Facade(db: Db) {
       val src = stocks.map { case (s, n) => (listId, s.trim, n) }
         .filter { case (_, s, n) => s.nonEmpty && n >= 0 }
         .toDF("listid", "symbol", "shares")
-      Kernels.upsert(db.stockin, src, Seq("listid", "symbol"))
+      Kernels.upsert(db.stockin, conformed(src, db.stockin),
+        Seq("listid", "symbol"))
     }
   }
 
@@ -443,8 +462,8 @@ class Facade(db: Db) {
     val spark = db.portfolio.sparkSession
     import spark.implicits._
     Kernels.insertIfAbsent(db.portfolio,
-      Seq((portfolioId, userId, name, cashBalance))
-        .toDF("portfolioid", "userid", "name", "cashbalance"),
+      conformed(Seq((portfolioId, userId, name, cashBalance))
+        .toDF("portfolioid", "userid", "name", "cashbalance"), db.portfolio),
       Seq("portfolioid"))
   }
 
@@ -517,27 +536,36 @@ class Facade(db: Db) {
       .toDF("requestid", "fromuserid", "touserid", "status")
     val verdict = Social.validateRequests(req, db.request,
       db.friend.select(col("userid1").as("u1"), col("userid2").as("u2")))
-    val accepted = verdict.filter(col("verdict") === "ACCEPT")
-      .select(db.request.columns.map(col): _*)
+    val accepted = conformed(
+      verdict.filter(col("verdict") === "ACCEPT")
+        .select(col("requestid"), col("fromuserid"), col("touserid"),
+          col("status")),
+      db.request)
     (verdict.select(col("requestid"), col("fromuserid"), col("touserid"),
         col("verdict")),
       Kernels.insertIfAbsent(db.request, accepted, Seq("requestid")))
   }
 
   /** POST /api/users/me/friend-requests/:id/accept|reject
-    * (users.js:160-227 accept, :229-269 reject): PENDING-only status
-    * transition; accept also inserts the normalized friend edge
-    * ON CONFLICT DO NOTHING (users.js:205-213). Returns
-    * (updated request table, updated friend table). */
-  def respondFriendRequest(requestId: Long,
+    * (users.js:160-227 accept, :229-269 reject): recipient-only —
+    * the reference scopes the route to `me` = touserid — PENDING-only
+    * status transition; accept also inserts the normalized friend
+    * edge ON CONFLICT DO NOTHING (users.js:205-213). Returns
+    * (updated request table, updated friend table) — both unchanged
+    * when the caller is not the recipient. */
+  def respondFriendRequest(userId: Long, requestId: Long,
                            accept: Boolean): (DataFrame, DataFrame) = {
     val spark = db.request.sparkSession
     import spark.implicits._
+    val isRecipient = !db.request.filter(col("requestid") === requestId &&
+      col("touserid") === userId).isEmpty
+    if (!isRecipient) return (db.request, db.friend)
     val dec = Seq((requestId, if (accept) Social.Accepted else Social.Rejected))
       .toDF("requestid", "decision")
     val (updated, newEdges) = Social.transition(db.request, dec)
     val friends2 = Kernels.insertIfAbsent(db.friend,
-      newEdges.select(col("u1").as("userid1"), col("u2").as("userid2")),
+      conformed(newEdges.select(col("u1").as("userid1"),
+        col("u2").as("userid2")), db.friend),
       Seq("userid1", "userid2"))
     (updated, friends2)
   }

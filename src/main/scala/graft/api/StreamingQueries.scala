@@ -84,13 +84,15 @@ object StreamingQueries {
           .select(col("symbol").cast("long").as("user_id"),
             unix_micros(col("tts")).as("t_us"), col("qty"),
             unix_micros(col("qts")).as("q_us"), col("price"))
-          .orderBy("user_id", "t_us", "q_us")
+          // ORDER BY every output column = total order (parity rule:
+          // same-(user, ts) same-type event pairs would otherwise tie)
+          .orderBy("user_id", "t_us", "qty", "q_us", "price")
       },
       Some("SELECT t.user_id, epoch_us(t.ts) AS t_us, t.value AS qty, " +
         "epoch_us(q.ts) AS q_us, q.value AS price " +
         "FROM events t JOIN events q ON t.user_id = q.user_id " +
         "AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 2 HOURS " +
         "WHERE t.event_type = 'purchase' AND q.event_type = 'view' " +
-        "ORDER BY 1, 2, 4")),
+        "ORDER BY 1, 2, 3, 4, 5")),
   )
 }

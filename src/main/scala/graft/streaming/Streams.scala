@@ -98,7 +98,9 @@ object Streams {
     * watermark horizon. State is one 16-byte fingerprint per doc,
     * EVICTED once the watermark passes (dropDuplicatesWithinWatermark)
     * — bounded state where a plain dropDuplicates would grow forever
-    * on an unbounded corpus stream. Batch frames dedup exactly. */
+    * on an unbounded corpus stream. Batch frames keep the earliest-ts
+    * row per fingerprint DETERMINISTICALLY (full-row tiebreak on ts
+    * ties) — the batch twin of the stream's first-arrival-wins. */
   def dedupStream(docs: DataFrame, ts: String, text: String,
                   watermark: String = "10 minutes"): DataFrame = {
     val keyed = docs.withColumn("__fp",
@@ -106,7 +108,9 @@ object Streams {
     val out =
       if (docs.isStreaming)
         keyed.withWatermark(ts, watermark).dropDuplicatesWithinWatermark("__fp")
-      else keyed.dropDuplicates("__fp")
+      else graft.ops.Kernels.dedupExactKeys(keyed, Seq("__fp"),
+        struct(col(ts) +:
+          docs.columns.filterNot(_ == ts).map(col).toSeq: _*))
     out.drop("__fp")
   }
 

@@ -215,6 +215,11 @@ class FacadeSpec extends SparkSpec {
     // the blue series must actually be drawn
     val pixels = for (x <- 0 until 800; y <- 0 until 400) yield img.getRGB(x, y)
     assert(pixels.contains(java.awt.Color.BLUE.getRGB))
+    // null closes are skipped, not crashed on (Schemas allows them)
+    val withNull = Seq(("d1", Some(1.0)), ("d2", None: Option[Double]), ("d3", Some(3.0)))
+      .toDF("day", "close")
+    val p2 = ChartSink.linePng(withNull, "day", "close", "n", s"$dir/n.png")
+    assert(javax.imageio.ImageIO.read(new java.io.File(p2)).getWidth == 800)
   }
 
   test("share is idempotent; unshare removes the grant (U2/S5)") {
@@ -285,15 +290,41 @@ class FacadeSpec extends SparkSpec {
     val (v4, reqs) = api.sendFriendRequest(12L, 2L, 3L)
     assert(v4.select("verdict").as[String].head() == "ACCEPT")
     assert(reqs.count() == db.request.count() + 1)
+    // only the RECIPIENT (request 10 is 3→1, so user 1) may respond
+    val (updX, friendsX) = api.respondFriendRequest(2L, 10L, accept = true)
+    assert(updX.filter($"requestid" === 10L).select("status")
+      .as[String].head() == "PENDING")
+    assert(friendsX.count() == db.friend.count())
     // accept pending request 10 (3→1): edge (1,3) appears normalized
-    val (upd, friends) = api.respondFriendRequest(10L, accept = true)
+    val (upd, friends) = api.respondFriendRequest(1L, 10L, accept = true)
     assert(upd.filter($"requestid" === 10L).select("status")
       .as[String].head() == "ACCEPTED")
     assert(friends.filter($"userid1" === 1L && $"userid2" === 3L).count() == 1)
     // reject path: status flips, no edge
-    val (upd2, friends2) = api.respondFriendRequest(10L, accept = false)
+    val (upd2, friends2) = api.respondFriendRequest(1L, 10L, accept = false)
     assert(upd2.filter($"requestid" === 10L).select("status")
       .as[String].head() == "REJECTED")
     assert(friends2.count() == db.friend.count())
+  }
+
+  test("write endpoints conform sources to schema-conformant tables (DECIMAL money, audit columns)") {
+    // a Schemas-style Db slice: DECIMAL cashbalance + created_at audit
+    // columns the facade caller never supplies
+    val db2 = db.copy(
+      portfolio = db.portfolio.select($"portfolioid", $"userid", $"name",
+        $"cashbalance".cast("decimal(38,18)").as("cashbalance")),
+      request = db.request.withColumn("created_at", lit(t("2024-01-01"))),
+      friend = db.friend.withColumn("created_at", lit(t("2024-01-01"))))
+    val api2 = new Facade(db2)
+    val p2 = api2.createPortfolio(9L, 2L, "dec", 12.5)
+    // money column keeps its DECIMAL type through the insert union
+    assert(p2.schema("cashbalance").dataType.typeName == "decimal(38,18)")
+    assert(p2.count() == 2)
+    val (v, reqs) = api2.sendFriendRequest(13L, 2L, 3L)
+    assert(v.select("verdict").as[String].head() == "ACCEPT")
+    val ins = reqs.filter($"requestid" === 13L).head()
+    assert(ins.getAs[Timestamp]("created_at") != null) // NOW() default
+    val (_, friends) = api2.respondFriendRequest(1L, 10L, accept = true)
+    assert(friends.filter($"userid1" === 1L && $"userid2" === 3L).count() == 1)
   }
 }

@@ -118,6 +118,13 @@ class StreamsSpec extends SparkSpec {
     q.stop()
     assert(got.size == 2 && got.contains(2L))
     assert((got - 2L).subsetOf(Set(1L, 3L))) // one survivor of the dup cluster
+    // batch twin is deterministic: earliest-ts row per fingerprint
+    val batch = Seq((1L, ts(5), "same text"), (2L, ts(1), "same text"),
+        (3L, ts(1), "same text"), (4L, ts(0), "other"))
+      .toDF("doc_id", "ts", "text")
+    val kept = Streams.dedupStream(batch, "ts", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L)) // ts(1) earliest; doc 2 < doc 3 on the tie
   }
 
   test("quotedTrades: watermarked interval join picks up in-window quotes only") {

@@ -36,9 +36,13 @@ object GraftProperties extends Properties("graft") {
       hs.forall { h =>
         val buys = trades.filter(t =>
           t.portfolio == h.portfolio && t.symbol == h.symbol && t.side == "BUY")
+        // the avg bound applies to OPEN positions only: a closed
+        // position that still surfaces (rejected > 0, shares == 0)
+        // carries avg 0.0 — the reference DELETEs the row on full sell
         h.shares >= 0 &&
-          (buys.isEmpty || (h.avg_cost >= buys.map(_.price).min - 1e-9 &&
-            h.avg_cost <= buys.map(_.price).max + 1e-9))
+          (h.shares == 0.0 || buys.isEmpty ||
+            (h.avg_cost >= buys.map(_.price).min - 1e-9 &&
+              h.avg_cost <= buys.map(_.price).max + 1e-9))
       }
     }
 

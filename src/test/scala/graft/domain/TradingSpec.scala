@@ -54,6 +54,17 @@ class TradingSpec extends SparkSpec {
     assert(h.shares == 10 && h.avg_cost == 5.0 && h.n_rejected == 1)
   }
 
+  test("closed position with a rejected sell still surfaces, avg reset to 0") {
+    // the rejection count must stay observable even though the
+    // position closed (the plain close case emits nothing); avg is
+    // 0.0 — the reference DELETEs the row, so no cost basis survives
+    val h = run(Seq(
+      Trade(1, "A", 1, 1, "BUY", 5, 10.0),
+      Trade(1, "A", 2, 2, "SELL", 20, 9.0), // oversell: rejected
+      Trade(1, "A", 3, 3, "SELL", 5, 9.0)))((1L, "A"))
+    assert(h.shares == 0 && h.avg_cost == 0.0 && h.n_rejected == 1)
+  }
+
   test("same-timestamp trades resolved by seq tiebreaker") {
     // seq order: buy 10@5 then sell 10 → closed; reversed would reject
     val got = run(Seq(

@@ -13,18 +13,22 @@ object StreamingQueries {
 
   val entries: Seq[Q] = Seq(
     Q("st1_windowed_agg",
-      // tumbling 1-hour window agg with exact DECIMAL sums — the
-      // watermarked streaming aggregation run over the events table;
-      // hour windows align to epoch, so window.start ≡ date_trunc.
-      // total stays DECIMAL(18,2) end-to-end: decimal→double casts of
-      // int128-backed decimals can differ by 1 ulp across engines.
+      // tumbling 1-hour window agg — the watermarked streaming
+      // aggregation run over the events table; hour windows align to
+      // epoch, so window.start ≡ date_trunc.
+      // Parity: sum in exact DECIMAL(18,2) internally (order-
+      // independent), surface CAST(... AS DOUBLE) on BOTH sides — the
+      // repo-wide money convention (QueryCatalog conventions block).
+      // Raw DECIMAL gate columns are not hash-portable against the
+      // driver (r2 regression: st1 passed r1 with this DOUBLE shape,
+      // failed r2 with DECIMAL output).
       (s, dir) => Streams.windowedEventAgg(
           Tables.load(s, dir, "events"), "1 hour")
         .select(col("window_start"), col("event_type"), col("n"),
-          col("total").cast("decimal(18,2)").as("total"))
+          col("total").cast("decimal(18,2)").cast("double").as("total"))
         .orderBy("window_start", "event_type"),
       Some("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
-        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total " +
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type")),
 
     Q("st2_sessionize_batch",
@@ -33,8 +37,10 @@ object StreamingQueries {
       // stateful Streams.sessionize; timestamps compared as exact
       // epoch-microsecond longs
       // Hash-robustness: every window on BOTH sides orders by the
-      // identical expression (us, event_id) — never raw ts — and the
-      // total stays exact DECIMAL(18,2) end-to-end (no double cast).
+      // identical expression (us, event_id) — never raw ts. The total
+      // is summed in exact DECIMAL(18,2) (order-independent) then
+      // surfaced as DOUBLE on both sides — raw DECIMAL gate columns
+      // are not hash-portable against the driver (see st1).
       (s, dir) => {
         val base = Tables.load(s, dir, "events")
           .withColumn("us", unix_micros(col("ts")))
@@ -49,7 +55,7 @@ object StreamingQueries {
             sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         flagged.groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            sum(col("value").cast("decimal(18,2)")).cast("double")
               .as("total"),
             min(col("us")).as("start_us"), max(col("us")).as("end_us"))
           .orderBy("user_id", "session_id")
@@ -62,7 +68,7 @@ object StreamingQueries {
         "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "AS session_id FROM f) " +
         "SELECT user_id, session_id, count(*) AS n_events, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
         "min(us) AS start_us, max(us) AS end_us " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")),
 

@@ -303,6 +303,40 @@ object PipelineQueries {
         "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
         "WHERE rank <= 10 ORDER BY query_id, rank")),
 
+    Q("e5_lsh_topk",
+      // bucketed-LSH ANN top-1 over embeddings ∪ id-shifted copies —
+      // the e2 recipe applied to Similarity.lshTopK: each query's true
+      // nearest neighbor is its planted twin at cos 1.0 (identical
+      // vector ⟹ identical signature ⟹ shares every band ⟹ guaranteed
+      // candidate), and the data's max natural pair cosine is ≤ 0.60
+      // (probed), so LSH top-1 ≡ brute-force top-1 by construction and
+      // the exact e1-style SQL restricted to k=1 is a true oracle.
+      // Fuzzy recall at k > 1 over non-planted corpora: PipelineSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val un = emb.unionByName(
+          emb.withColumn("vec_id", col("vec_id") + 10000000L))
+        Similarity.lshTopK(un, un.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 1,
+            planes = 16, bands = 4, dims = Some(64))
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id")
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM base WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM base) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
+        "WHERE rank = 1 ORDER BY query_id")),
+
     Q("mm1_media_features",
       // multimodal plumbing: text bytes as opaque payload → typed
       // Dataset → mapPartitions stub codec → features

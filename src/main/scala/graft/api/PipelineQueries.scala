@@ -173,6 +173,29 @@ object PipelineQueries {
         "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b) " +
         "WHERE j >= 0.5 ORDER BY id_a, id_b")),
 
+    Q("d7_dup_clusters",
+      // exact dup-cluster closure (connected components by min-id
+      // label propagation) over a deterministic planted chain graph:
+      // consecutive-id edges broken every 10th id give 10-doc chain
+      // components — A~B~C with A≁C everywhere — so the kernel must
+      // propagate labels across 9 hops, which greedy pairwise policies
+      // cannot do. Oracle: DuckDB recursive-CTE reachability min.
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id")
+        val pairs = d.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+          .join(d.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
+        Dedup.dupClusters(pairs).orderBy("id")
+      },
+      Some("WITH RECURSIVE " +
+        "e0 AS (SELECT a.doc_id AS src, a.doc_id + 1 AS dst FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 <> 9), " +
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "reach AS (SELECT src AS id, dst AS r FROM edges " +
+        "UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src) " +
+        "SELECT id, least(id, min(r)) AS cluster FROM reach " +
+        "GROUP BY id ORDER BY id")),
+
     Q("d3_minhash_lsh",
       // MinHash(32) + LSH(16 bands × 2) over documents ∪ id-shifted
       // copies, equality-verified on the shingle SET. Recall is 1 by

@@ -40,6 +40,15 @@ object CacheScope {
     df.persist()
   }
 
+  /** Register an ALREADY-persisted frame for release — for kernels
+    * that manage persistence eagerly inside a loop (e.g. the
+    * dup-cluster fixpoint) and hand only their final cache to the
+    * caller's scope. */
+  def register(df: DataFrame): DataFrame = synchronized {
+    registered += df
+    df
+  }
+
   /** Unpersist every registered frame (non-blocking) and clear the
     * registry. Idempotent; never fails on already-released frames. */
   def releaseAll(): Unit = synchronized {

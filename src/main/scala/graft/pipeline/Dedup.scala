@@ -279,14 +279,106 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Apply a near-dup pair set: drop every doc that has a
-    * smaller-id near-duplicate partner (the standard greedy keep-first
-    * policy training pipelines use — each dup CLUSTER keeps exactly
-    * its minimum id when the pair relation covers the cluster, which
-    * high-threshold LSH pairs do in practice; exact transitive
-    * closure would need iterative connected components). */
-  def removeNearDuplicates(df: DataFrame, pairs: DataFrame, id: String): DataFrame =
-    df.join(pairs.select(col("id2").as(id)).distinct(), Seq(id), "left_anti")
+  /** Exact duplicate-cluster closure: connected components of the
+    * near-dup pair graph, as `(id, cluster)` where `cluster` is the
+    * minimum id in the component — the canonical representative the
+    * keep-first dedup policy retains.
+    *
+    * Iterative min-id label propagation with pointer jumping: each
+    * round a node takes the min of its own label, its neighbors'
+    * labels, and its label's label (path halving). Per round that is
+    * one shuffle-join on the edge key plus one self-join on the label
+    * key — no all-pairs step, state is one `(id, label)` row per
+    * node — and pointer jumping makes rounds ≈ log₂(diameter), so a
+    * chain of 10⁶ docs converges in ~20 rounds.
+    *
+    * Each round's labels are eagerly `localCheckpoint`ed and the
+    * previous round's blocks freed: iterative self-joins otherwise
+    * double the logical plan per round (2^rounds plan nodes — the
+    * analyzer, not the data, becomes the bottleneck), which is the
+    * same lineage-truncation discipline GraphX's Pregel applies. On a
+    * cluster with dynamic allocation, set a reliable checkpoint dir
+    * and swap `localCheckpoint` for `checkpoint` — executor loss
+    * discards local checkpoint blocks.
+    *
+    * Converged means every edge has equal labels on both ends, which
+    * within a component forces the single value min(component) — the
+    * fixpoint is exact, not approximate. `maxIters` is a guard rail
+    * (2^50-diameter graphs don't exist); exceeding it throws rather
+    * than returning a silently-partial closure. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = CacheScope.persist(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaEdges = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val stepped = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: label := label(label) (always ≤ — a node's own
+      // label row is the min over a set containing itself)
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("__pl")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("__pl"), col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      // limit(1) stops the fixpoint probe at the first changed label
+      converged = next
+        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+        .filter(col("label") =!= col("__old"))
+        .limit(1).count() == 0L
+      freeCheckpoint(labels)
+      labels = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Drop the block-manager blocks behind a `localCheckpoint`ed frame
+    * (Dataset.unpersist only covers cache-manager entries). The final
+    * round's labels stay resident for the caller's terminal action;
+    * one (id,label) frame is negligible next to the corpus. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Apply a near-dup pair set: drop every doc that is not its
+    * cluster's keeper.
+    *
+    * `exact = false` (default): the standard greedy keep-first policy
+    * training pipelines use — drop every doc with a smaller-id partner.
+    * Each cluster keeps exactly its minimum id when the pair relation
+    * covers the cluster, which high-threshold LSH pairs do in
+    * practice. The miss is a chained component where some node's
+    * partners are all LARGER ids: for edges (1,3) and (2,3) — one
+    * component {1,2,3}, but 2~3 only through 3 — greedy drops only 3,
+    * and 2 survives alongside 1.
+    *
+    * `exact = true`: close the pair relation first with
+    * [[dupClusters]] and keep exactly one doc (the min id) per
+    * connected component — correct on chains at the cost of the
+    * iterative closure. */
+  def removeNearDuplicates(df: DataFrame, pairs: DataFrame, id: String,
+                           exact: Boolean = false): DataFrame =
+    if (!exact)
+      df.join(pairs.select(col("id2").as(id)).distinct(), Seq(id), "left_anti")
+    else
+      df.join(dupClusters(pairs).filter(col("id") =!= col("cluster"))
+          .select(col("id").as(id)),
+        Seq(id), "left_anti")
 
   /** 64-bit SimHash per doc: each token hashes to 64 bits; bit i of
     * the signature is the sign of Σ_tokens (±1 by token bit i).

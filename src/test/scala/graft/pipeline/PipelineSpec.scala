@@ -107,6 +107,42 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("dupClusters closes chains exactly: A~B~C with A≁C is one component") {
+    // two chains and an isolated pair; (10,30) and (20,30) form one
+    // component even though 10~20 is never a pair — the case greedy
+    // pairwise removal gets wrong
+    val pairs = Seq((10L, 30L), (20L, 30L), (40L, 41L), (41L, 42L), (50L, 51L))
+      .toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L, 50L -> 50L, 51L -> 50L))
+    graft.ops.CacheScope.releaseAll()
+  }
+
+  test("dupClusters converges on a long chain (pointer jumping)") {
+    // a single 64-node chain: min label must travel 63 hops; with
+    // path halving that is ~6 rounds, and maxIters=12 would fail
+    // without the jump
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs, maxIters = 12)
+    assert(got.filter(col("cluster") =!= 0L).count() == 0L)
+    assert(got.count() == 64L)
+    graft.ops.CacheScope.releaseAll()
+  }
+
+  test("removeNearDuplicates exact=true keeps one doc per chained component") {
+    // doc graph on ids {1,2,3}: pairs (1,3),(2,3) — greedy keeps {1,2},
+    // exact closure keeps only 1
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id1", "id2")
+    val greedy = Dedup.removeNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(greedy == Seq(1L, 2L, 4L, 5L))
+    val exact = Dedup.removeNearDuplicates(docs, pairs, "doc_id", exact = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(1L, 4L, 5L))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1

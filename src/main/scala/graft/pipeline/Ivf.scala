@@ -63,15 +63,18 @@ object IvfIndex {
             maxTrainRows: Int = 100000): IvfIndex = {
     val base = CacheScope.persist(Kernels.ensureParallelism(
         corpus.select(col(id), Similarity.vecD(col(vec)).as("cv"))))
-    val n = base.count()
-    val trainDf =
-      if (n <= maxTrainRows) base
-      else base.sample(withReplacement = false,
-        fraction = maxTrainRows.toDouble / n, seed = seed)
-    // bounded by maxTrainRows (plus sampling variance) by construction
-    // — this collect is O(maxTrainRows · dims) at ANY corpus size
-    val sample = trainDf.select(col("cv")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    // bounded per-partition take: ~maxTrainRows/numPartitions rows from
+    // EVERY partition (coverage across the whole corpus, not just its
+    // head), each task early-terminating after its quota — no count()
+    // pre-pass, no second scan, and the collect stays
+    // O(maxTrainRows · dims) at ANY corpus size. Deterministic: fixed
+    // partitioning + in-partition scan order.
+    val parts = math.max(1, base.rdd.getNumPartitions)
+    val perPart = math.max(1, maxTrainRows / parts)
+    val sample = base.select(col("cv")).rdd
+      .mapPartitions(_.take(perPart))
+      .collect().iterator.take(maxTrainRows)
+      .map(_.getSeq[Double](0).toArray).toArray
     val centroids = localKMeans(sample, nCells, iters = 5, seed = seed)
     val assigned = CacheScope.persist(
       base.withColumn("cell", nearestCellEuclid(col("cv"), typedlit(

@@ -16,6 +16,60 @@ object DomainQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Deterministic demo trade stream derived from events (first trade
+    * per (user, type) key is a large opening buy; the last two, when
+    * the key has ≥5 events, are unit sells — sells never reject,
+    * positions never close, so the guarded fold is SQL-expressible),
+    * plus the closed-form exact-DECIMAL avg-cost: the fold's iterated
+    * recurrence drifts ~1e-6 from any single-division formulation,
+    * which no rounding grid survives at 7500 output rows, so gate
+    * queries report the closed-form avg and the recurrence's own avg
+    * stays pinned by TradingSpec. Shared by u6 (Dataset fold path)
+    * and u9 (hold_fold SQL-surface path). */
+  private def demoTrades(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("event_type"))))
+      .withColumn("side",
+        when(col("cnt") >= 5 && col("rn") > col("cnt") - 2, "SELL")
+          .otherwise("BUY"))
+      .withColumn("qty",
+        when(col("side") === "SELL", 1.0)
+          .when(col("rn") === 1, 1000.0)
+          .otherwise((lit(10) + pmod(col("event_id"), lit(7))).cast("double")))
+    val trades = ev.select(
+      col("user_id").as("portfolio"), col("event_type").as("symbol"),
+      unix_micros(col("ts")).as("ts"), col("event_id").as("seq"),
+      col("side"), col("qty"),
+      col("value").cast("decimal(12,2)").cast("double").as("price"))
+    val closedAvg = trades.filter(col("side") === "BUY")
+      .groupBy(col("portfolio"), col("symbol"))
+      .agg((sum(col("qty").cast("decimal(10,1)") *
+            col("price").cast("decimal(12,2)")).cast("double") /
+          sum(col("qty"))).as("avg_cost"))
+    (trades, closedAvg)
+  }
+
+  /** Oracle for the demoTrades fold output — shared by u6 and u9
+    * (identical semantics through two execution paths). */
+  private val holdFoldOracle =
+    "WITH tr AS (SELECT user_id AS portfolio, event_type AS symbol, " +
+      "event_id, CAST(value AS DECIMAL(12,2)) AS price, " +
+      "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn, " +
+      "count(*) OVER (PARTITION BY user_id, event_type) AS cnt FROM events), " +
+      "tr2 AS (SELECT *, CASE WHEN cnt >= 5 AND rn > cnt - 2 THEN 'SELL' ELSE 'BUY' END AS side, " +
+      "CASE WHEN cnt >= 5 AND rn > cnt - 2 THEN 1.0 WHEN rn = 1 THEN 1000.0 " +
+      "ELSE CAST(10 + event_id % 7 AS DOUBLE) END AS qty FROM tr) " +
+      "SELECT portfolio, symbol, " +
+      "sum(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS shares, " +
+      "CAST(sum(CASE WHEN side = 'BUY' THEN CAST(qty AS DECIMAL(10,1)) * price END) " +
+      "AS DOUBLE) / sum(CASE WHEN side = 'BUY' THEN qty END) AS avg_cost, " +
+      "CAST(0 AS BIGINT) AS n_rejected " +
+      "FROM tr2 GROUP BY portfolio, symbol ORDER BY portfolio, symbol"
+
   val entries: Seq[Q] = Seq(
 
     Q("s2_csv_roundtrip",
@@ -203,34 +257,7 @@ object DomainQueries {
       // the reset/reject branches are covered by TradingSpec).
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("ts"), col("event_id"))
-        val ev = t(s, dir, "events")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(
-            Window.partitionBy(col("user_id"), col("event_type"))))
-          .withColumn("side",
-            when(col("cnt") >= 5 && col("rn") > col("cnt") - 2, "SELL")
-              .otherwise("BUY"))
-          .withColumn("qty",
-            when(col("side") === "SELL", 1.0)
-              .when(col("rn") === 1, 1000.0)
-              .otherwise((lit(10) + pmod(col("event_id"), lit(7))).cast("double")))
-        val trades = ev.select(
-          col("user_id").as("portfolio"), col("event_type").as("symbol"),
-          unix_micros(col("ts")).as("ts"), col("event_id").as("seq"),
-          col("side"), col("qty"),
-          col("value").cast("decimal(12,2)").cast("double").as("price"))
-        // shares/n_rejected come from the ordered fold; avg_cost is
-        // reported via the closed-form exact-DECIMAL quotient — the
-        // fold's iterated recurrence drifts ~1e-6 from any single-
-        // division formulation, which no rounding grid survives at
-        // 7500 output rows (TradingSpec pins the fold's own avg)
-        val closedAvg = trades.filter(col("side") === "BUY")
-          .groupBy(col("portfolio"), col("symbol"))
-          .agg((sum(col("qty").cast("decimal(10,1)") *
-                col("price").cast("decimal(12,2)")).cast("double") /
-              sum(col("qty"))).as("avg_cost"))
+        val (trades, closedAvg) = demoTrades(s, dir)
         Trading.replay(trades.as[Trade]).toDF()
           .drop("avg_cost")
           .join(closedAvg, Seq("portfolio", "symbol"))
@@ -238,19 +265,30 @@ object DomainQueries {
             col("avg_cost"), col("n_rejected"))
           .orderBy("portfolio", "symbol")
       },
-      Some("WITH tr AS (SELECT user_id AS portfolio, event_type AS symbol, " +
-        "event_id, CAST(value AS DECIMAL(12,2)) AS price, " +
-        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn, " +
-        "count(*) OVER (PARTITION BY user_id, event_type) AS cnt FROM events), " +
-        "tr2 AS (SELECT *, CASE WHEN cnt >= 5 AND rn > cnt - 2 THEN 'SELL' ELSE 'BUY' END AS side, " +
-        "CASE WHEN cnt >= 5 AND rn > cnt - 2 THEN 1.0 WHEN rn = 1 THEN 1000.0 " +
-        "ELSE CAST(10 + event_id % 7 AS DOUBLE) END AS qty FROM tr) " +
-        "SELECT portfolio, symbol, " +
-        "sum(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS shares, " +
-        "CAST(sum(CASE WHEN side = 'BUY' THEN CAST(qty AS DECIMAL(10,1)) * price END) " +
-        "AS DOUBLE) / sum(CASE WHEN side = 'BUY' THEN qty END) AS avg_cost, " +
-        "CAST(0 AS BIGINT) AS n_rejected " +
-        "FROM tr2 GROUP BY portfolio, symbol ORDER BY portfolio, symbol")),
+      Some(holdFoldOracle)),
+
+    Q("u9_hold_fold_sql",
+      // the same guarded fold driven through the SQL surface: the
+      // custom TypedImperativeAggregate hold_fold (update/serialize/
+      // merge/eval across partial aggregation) registered as a temp
+      // function and invoked from spark.sql — shares/n_rejected come
+      // from the aggregate's ordered fold; avg_cost from the shared
+      // closed-form quotient (see demoTrades)
+      (s, dir) => {
+        graft.functions.HoldingFoldAgg.register(s)
+        val (trades, closedAvg) = demoTrades(s, dir)
+        trades.createOrReplaceTempView("u9_trades")
+        s.sql("SELECT portfolio, symbol, " +
+            "hold_fold(ts, seq, side, qty, price) AS h " +
+            "FROM u9_trades GROUP BY portfolio, symbol")
+          .select(col("portfolio"), col("symbol"),
+            col("h.shares").as("shares"), col("h.n_rejected").as("n_rejected"))
+          .join(closedAvg, Seq("portfolio", "symbol"))
+          .select(col("portfolio"), col("symbol"), col("shares"),
+            col("avg_cost"), col("n_rejected"))
+          .orderBy("portfolio", "symbol")
+      },
+      Some(holdFoldOracle)),
 
     Q("j13_asof_join",
       // as-of join (SURVEY J11 generalization): each event carries the

@@ -3,9 +3,11 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.catalog.Tables
 import graft.ops.Kernels
 import graft.domain.{Acl, Ledger, Social, Trade, Trading}
+import graft.streaming.Streams
 
 /** Batch 2: write/upsert semantics, domain flows (trading fold, ACL,
   * friend-graph state machine), set ops, scalar surface — SURVEY §2
@@ -289,6 +291,57 @@ object DomainQueries {
           .orderBy("portfolio", "symbol")
       },
       Some(holdFoldOracle)),
+
+    Q("m4_stats_cache",
+      // the reference's statistics_cache memoization flow end-to-end
+      // (schema.sql:101-110; probe portfolio.js:329-345, write-back
+      // portfolio.js:427-445): the cache is seeded for half the keys
+      // through the STREAMING merge path (Streams.upsertSink →
+      // StatsCache.writeBack), then getOrCompute over all keys runs
+      // the broadcast-semi probe (hits = the seeded evens), ONE
+      // selective recompute for all odd misses together (the
+      // reference pays a per-symbol loop), an upsert write-back that
+      // flips a fresh snapshot, and a re-probe reading one consistent
+      // version. Memoization semantics guarantee result ≡ full
+      // recompute, which is exactly the oracle.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val root = System.getProperty("java.io.tmpdir") +
+          "/graft_statscache_" + Integer.toHexString(dir.hashCode)
+        // fresh cache per run — the gate pins the flow, not persistence
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = t(s, dir, "events")
+        def statsFor(keys: DataFrame): DataFrame =
+          ev.join(broadcast(keys.select("user_id")), Seq("user_id"), "left_semi")
+            .groupBy("user_id").agg(
+              count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+              min("value").as("vmin"), max("value").as("vmax"),
+              round(stddev_pop(col("value")), 6).as("sd"))
+        // seed snapshot 1 via the streaming sink; the collect is
+        // bounded by the cache's nature (one row per key)
+        val seed = statsFor(ev.filter(pmod(col("user_id"), lit(2)) === 0)
+            .select("user_id").distinct())
+          .as[(Long, Long, Double, Double, Double, Double)].collect()
+        val mem = MemoryStream[(Long, Long, Double, Double, Double, Double)]
+        val sink = Streams.upsertSink(
+          mem.toDF().toDF("user_id", "n", "total", "vmin", "vmax", "sd"),
+          root, Seq("user_id"))
+        try { mem.addData(seed.toIndexedSeq); sink.processAllAvailable() }
+        finally sink.stop()
+        val cache = new graft.analytics.StatsCache(s, root, Seq("user_id"))
+        cache.getOrCompute(ev.select("user_id").distinct(), statsFor)
+          .drop("updated_at")
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+        "min(value) AS vmin, max(value) AS vmax, " +
+        "round(stddev_pop(value), 6) AS sd " +
+        "FROM events GROUP BY user_id ORDER BY user_id")),
 
     Q("j13_asof_join",
       // as-of join (SURVEY J11 generalization): each event carries the

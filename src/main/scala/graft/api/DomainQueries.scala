@@ -137,6 +137,119 @@ object DomainQueries {
       Some("SELECT DISTINCT brand FROM (SELECT p_brand AS brand FROM part " +
         "UNION ALL SELECT 'ZBrand#XX') ORDER BY brand")),
 
+    Q("o3_param_sort",
+      // parameterized sort direction through the REAL Facade.history
+      // path (stocks.js:39-47, O3): both parameter values run in one
+      // gate, tagged and unioned. The stocks table is derived from
+      // orders aggregated to one row per (symbol, day) so the
+      // timestamp order within a symbol is total — no tie ambiguity
+      // at the LIMIT cut.
+      (s, dir) => {
+        val st = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("symbol"),
+            to_date(col("o_orderdate")).as("timestamp"))
+          .agg(count(lit(1)).as("n"),
+            max(col("o_totalprice")).as("close"))
+        val e = s.emptyDataFrame
+        val api = new Facade(Db(st, e, e, e, e, e, e, e, e, e, e))
+        api.history("1-URGENT", asc = true, limit = 50)
+          .withColumn("dir", lit("asc"))
+          .unionByName(api.history("1-URGENT", asc = false, limit = 50)
+            .withColumn("dir", lit("desc")))
+          .select(col("symbol"), col("timestamp").as("ts"),
+            col("n"), col("close"), col("dir"))
+          .orderBy("dir", "ts")
+      },
+      Some("WITH st AS (SELECT o_orderpriority AS symbol, " +
+        "CAST(o_orderdate AS DATE) AS ts, count(*) AS n, " +
+        "max(o_totalprice) AS close FROM orders GROUP BY 1, 2), " +
+        "a AS (SELECT symbol, ts, n, close, 'asc' AS dir FROM st " +
+        "WHERE symbol = '1-URGENT' ORDER BY ts ASC LIMIT 50), " +
+        "d AS (SELECT symbol, ts, n, close, 'desc' AS dir FROM st " +
+        "WHERE symbol = '1-URGENT' ORDER BY ts DESC LIMIT 50) " +
+        "SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM d) " +
+        "ORDER BY dir, ts")),
+
+    Q("s3_layout_echo",
+      // insert+echo through the clustered storage layout (S3/U1 +
+      // SURVEY §4 layout): write a lineitem projection via
+      // Layout.writeClustered (symbol-bucket partitioning, (symbol,ts)
+      // sort), read one symbol back through the bucket-pruned path,
+      // and echo the rows — write→read fidelity under the oracle.
+      // Partition-pruning itself is pinned by LayoutSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_layout_" + Integer.toHexString(dir.hashCode)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ts"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClustered(src, path, "symbol", "ts",
+          numBuckets = 4)
+        graft.catalog.Layout.readSymbol(s, path, "R", "symbol",
+            numBuckets = 4)
+          .select(col("symbol"), col("ts"), col("l_orderkey"),
+            col("l_linenumber"), col("qty"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("SELECT l_returnflag AS symbol, CAST(l_shipdate AS DATE) AS ts, " +
+        "l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem " +
+        "WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber")),
+
+    Q("u10_serial_keys",
+      // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
+      // dense ids for a batch of new rows, offset past the current
+      // max of an existing table — row_number over an explicit total
+      // order, the reproducible-run variant (allocateUnique's
+      // monotonically_increasing_id is uniqueness-only and cannot be
+      // oracle-checked by construction).
+      (s, dir) => {
+        val newRows = t(s, dir, "orders").select(col("o_orderpriority"))
+          .distinct()
+        val maxId = graft.ops.Keys.currentMax(t(s, dir, "customer"), "c_custkey")
+        graft.ops.Keys.allocateDense(newRows, "id", maxId,
+            Seq(col("o_orderpriority")))
+          .select(col("id"), col("o_orderpriority"))
+          .orderBy("id")
+      },
+      Some("SELECT (SELECT max(c_custkey) FROM customer) + " +
+        "row_number() OVER (ORDER BY o_orderpriority) AS id, " +
+        "o_orderpriority FROM (SELECT DISTINCT o_orderpriority FROM orders) " +
+        "ORDER BY id")),
+
+    Q("v1_constraint_audit",
+      // constraint validation as set-based audit operators (§7.4 risk
+      // 2; schema.sql PK/FK/CHECK surface): PK dupes on a planted
+      // duplicate batch, FK orphans against a halved parent set, CHECK
+      // violations on a quantity bound — counted into the
+      // (check_name, n_violations) dashboard shape via Validate.audit.
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val pk = graft.ops.Validate.primaryKey(
+          li.unionByName(li.filter(col("l_linenumber") === 1)),
+          Seq("l_orderkey", "l_linenumber"))
+        val fk = graft.ops.Validate.foreignKey(
+          t(s, dir, "orders"),
+          t(s, dir, "customer").filter(pmod(col("c_custkey"), lit(2)) === 0),
+          Seq("o_custkey"), Seq("c_custkey"))
+        val ck = graft.ops.Validate.check(li, col("l_quantity") <= 49)
+        graft.ops.Validate.audit(Map("pk" -> pk, "fk" -> fk, "check" -> ck))
+          .toDF("check_name", "n_violations")
+          .orderBy("check_name")
+      },
+      Some("SELECT 'check' AS check_name, (SELECT count(*) FROM lineitem " +
+        "WHERE NOT (l_quantity <= 49)) AS n_violations " +
+        "UNION ALL SELECT 'fk', (SELECT count(*) FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey % 2 = 0 " +
+        "AND c.c_custkey = o.o_custkey)) " +
+        "UNION ALL SELECT 'pk', (SELECT count(*) FROM " +
+        "(SELECT l_orderkey, l_linenumber FROM " +
+        "(SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem " +
+        "WHERE l_linenumber = 1) GROUP BY 1, 2 HAVING count(*) > 1)) " +
+        "ORDER BY check_name")),
+
     Q("p5_ilike_search",
       // case-insensitive substring page (users.js:50-53)
       (s, dir) => t(s, dir, "customer")

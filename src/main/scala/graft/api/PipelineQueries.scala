@@ -148,6 +148,30 @@ object PipelineQueries {
         s"SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS term " +
         "FROM documents) GROUP BY term ORDER BY term")),
 
+    Q("t6_sequence_pack",
+      // GPT-style sequence packing: docs concatenated in id order,
+      // chunked into 512-token packs via the distributed two-level
+      // prefix scan (per-shard window + broadcast shard bases — never
+      // a global single-partition window). n_tok uses the exact t1
+      // token expression so both engines agree on the summand.
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.nTokensWs(col("text")).cast("long").as("n_tok"))
+        TextAnalysis.packSequences(toks, "doc_id", "n_tok",
+            budget = 512, shardSpan = 100)
+          .select(col("doc_id"), col("n_tok"),
+            col("offset").as("tok_offset"), col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "o AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS tok_offset FROM t) " +
+        "SELECT doc_id, n_tok, tok_offset, tok_offset // 512 AS pack_id " +
+        "FROM o ORDER BY doc_id")),
+
     Q("d6_cross_corpus_overlap",
       // train/test contamination: word-3-gram Jaccard ≥ 0.5 across an
       // even doc_id split — benchmark decontamination primitive

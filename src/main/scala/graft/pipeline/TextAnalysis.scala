@@ -109,4 +109,41 @@ object TextAnalysis {
       transform(split(normalize(c), ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** GPT-style sequence packing: documents concatenated in `idCol`
+    * order and chunked into fixed `budget`-token packs — each doc's
+    * pack is `floor(exclusive-prefix-tokens / budget)` (a doc
+    * straddling a boundary spans packs, as concat-then-chunk training
+    * pipelines do). Adds `offset` (global exclusive token prefix) and
+    * `pack_id`.
+    *
+    * The global prefix sum is a DISTRIBUTED two-level scan, never a
+    * single-partition window over the corpus: docs shard by
+    * `idCol div shardSpan`; the in-shard exclusive cumsum is a window
+    * per shard; shard base offsets come from one tiny window over the
+    * per-shard totals (idRange/shardSpan rows — one small task) and
+    * broadcast-join back. Pick shardSpan so shard count stays ≪ corpus
+    * (e.g. 10⁶ shards of 10⁵ docs at 10¹¹ docs) and in-shard rows fit
+    * a task — both bounds are loose. */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    budget: Long, shardSpan: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shardSpan > 0)
+    // `div`, not `/`: Column./ is always double division
+    val sharded = df.withColumn("__shard", expr(s"$idCol div $shardSpan"))
+    val wIn = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("__local",
+      coalesce(sum(col(nTokCol)).over(wIn), lit(0L)))
+    val wBase = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sharded.groupBy(col("__shard"))
+      .agg(sum(col(nTokCol)).as("__tot"))
+      .withColumn("__base", coalesce(sum(col("__tot")).over(wBase), lit(0L)))
+      .select(col("__shard"), col("__base"))
+    local.join(broadcast(bases), Seq("__shard"))
+      .withColumn("offset", col("__base") + col("__local"))
+      .withColumn("pack_id", expr(s"offset div $budget"))
+      .drop("__shard", "__local", "__base")
+  }
 }

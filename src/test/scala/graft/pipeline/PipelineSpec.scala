@@ -107,6 +107,19 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("packSequences: concat-then-chunk pack ids across shard boundaries") {
+    val toks = Seq((0L, 3L), (1L, 4L), (2L, 5L), (10L, 2L), (11L, 9L))
+      .toDF("doc_id", "n_tok")
+    val got = TextAnalysis.packSequences(toks, "doc_id", "n_tok",
+        budget = 6, shardSpan = 10)
+      .select("doc_id", "offset", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // exclusive offsets 0,3,7 | shard base 12 → 12,14; packs at 6:
+    // 0,0,1 | 2,2 — doc 2 straddles the pack-1 boundary by design
+    assert(got == Seq((0L, 0L, 0L), (1L, 3L, 0L), (2L, 7L, 1L),
+      (10L, 12L, 2L), (11L, 14L, 2L)))
+  }
+
   test("dupClusters closes chains exactly: A~B~C with A≁C is one component") {
     // two chains and an isolated pair; (10,30) and (20,30) form one
     // component even though 10~20 is never a pair — the case greedy

@@ -137,6 +137,57 @@ object DomainQueries {
       Some("SELECT DISTINCT brand FROM (SELECT p_brand AS brand FROM part " +
         "UNION ALL SELECT 'ZBrand#XX') ORDER BY brand")),
 
+    Q("a11_salted_agg",
+      // salted two-phase aggregation over the maximally hot grouping
+      // key (3 distinct l_returnflag values across all of lineitem —
+      // the shape where one reducer otherwise takes 1/3 of the table):
+      // partial agg on (key, salt) bounds any reducer at |hot|/16,
+      // final agg merges partials. Semantics-preserving by
+      // construction — counts and exact-DECIMAL sums are associative —
+      // so the plain GROUP BY is the oracle.
+      (s, dir) => graft.ops.Skew.saltedAgg(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+          Seq("l_returnflag"), buckets = 16,
+          partials = Map(
+            "n" -> count(lit(1)),
+            "qty" -> sum(col("l_quantity").cast("decimal(18,2)")),
+            "rev" -> sum(col("l_extendedprice").cast("decimal(18,2)"))),
+          finals = Map(
+            "n" -> sum(col("n")),
+            "qty" -> sum(col("qty")),
+            "rev" -> sum(col("rev"))))
+        .select(col("l_returnflag"), col("n"),
+          col("qty").cast("double").as("sum_qty"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    Q("j14_salted_join",
+      // salted equi-join: the hot left side spreads each key over 16
+      // reducers, the small right side replicates per salt — result ≡
+      // the plain inner join, which is the oracle (aggregated per
+      // supplier to keep the gate output bounded).
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_name"))
+        graft.ops.Skew.saltedJoin(li, sup, Seq("suppkey"), buckets = 16)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+          .orderBy("s_name")
+      },
+      Some("SELECT s_name, count(*) AS n, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_name ORDER BY s_name")),
+
     Q("o3_param_sort",
       // parameterized sort direction through the REAL Facade.history
       // path (stocks.js:39-47, O3): both parameter values run in one

@@ -139,6 +139,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("t6 packing scan is sharded — no global single-partition window") {
+    val p = plan("t6_sequence_pack")
+    assert(p.contains("hashpartitioning(__shard"), p)
+  }
+
+  test("a11 salted agg really partials on (key, salt)") {
+    assert(plan("a11_salted_agg").contains("__salt"))
+  }
+
   test("no query ever plans a cartesian product or nested-loop join") {
     QueryCatalog.entries.map(_.name).foreach { n =>
       val p = plan(n)

@@ -308,11 +308,17 @@ object Dedup {
     * than returning a silently-partial closure. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val e0 = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    // cache PARTITIONED ON THE JOIN KEY: the per-round join then
+    // reuses the cached distribution (InMemoryRelation preserves hash
+    // partitioning), so each round shuffles only the label frame —
+    // at edge scale the dominant per-round cost otherwise
     val edges = CacheScope.persist(
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id"))
+        .distinct().repartition(col("dst")))
+    // seed with min(self, neighbors) — round 1 fused into init
+    var labels = edges
+      .groupBy(col("dst").as("id"))
+      .agg(min(least(col("dst"), col("src"))).as("label"))
       .localCheckpoint(eager = true)
     var it = 0
     var converged = false

@@ -231,6 +231,12 @@ object DomainQueries {
       (s, dir) => {
         val path = System.getProperty("java.io.tmpdir") +
           "/graft_layout_" + Integer.toHexString(dir.hashCode)
+        // fresh target per run: a stale directory from a prior run with
+        // different buckets/schema (or a dir-hash collision) would
+        // poison the read-back — same discipline as m4_stats_cache
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
         val src = t(s, dir, "lineitem").select(
           col("l_returnflag").as("symbol"),
           to_date(col("l_shipdate")).as("ts"),

@@ -41,6 +41,12 @@ object StreamingQueries {
       // is summed in exact DECIMAL(18,2) (order-independent) then
       // surfaced as DOUBLE on both sides — raw DECIMAL gate columns
       // are not hash-portable against the driver (see st1).
+      // session_id: DuckDB sum(int) returns HUGEINT (int128); surfaced
+      // raw it was the suite's ONLY int128 output column and the reason
+      // st2 hash-failed in r1-r3 (the driver's stack stringifies
+      // HUGEINT unlike BIGINT; the local replica's fetchall() hides the
+      // difference by converting both to Python int). CAST AS BIGINT in
+      // the oracle — the Spark side is already LongType.
       (s, dir) => {
         val base = Tables.load(s, dir, "events")
           .withColumn("us", unix_micros(col("ts")))
@@ -64,9 +70,9 @@ object StreamingQueries {
         "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - " +
         "lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS ns " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
-        "s AS (SELECT user_id, value, us, sum(ns) OVER (PARTITION BY user_id " +
+        "s AS (SELECT user_id, value, us, CAST(sum(ns) OVER (PARTITION BY user_id " +
         "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "AS session_id FROM f) " +
+        "AS BIGINT) AS session_id FROM f) " +
         "SELECT user_id, session_id, count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
         "min(us) AS start_us, max(us) AS end_us " +

@@ -40,24 +40,41 @@ object CacheScope {
     df.persist()
   }
 
-  /** Register an ALREADY-persisted frame for release — for kernels
+  /** Register an already-materialized frame for release — for kernels
     * that manage persistence eagerly inside a loop (e.g. the
-    * dup-cluster fixpoint) and hand only their final cache to the
-    * caller's scope. */
+    * dup-cluster fixpoint) and hand only their final
+    * `localCheckpoint`ed frame to the caller's scope. [[releaseAll]]
+    * frees its block-manager blocks too, not just cache-manager
+    * entries. */
   def register(df: DataFrame): DataFrame = synchronized {
     registered += df
     df
   }
 
   /** Unpersist every registered frame (non-blocking) and clear the
-    * registry. Idempotent; never fails on already-released frames. */
+    * registry. Also drops block-manager blocks behind any
+    * `localCheckpoint`ed plan node (`Dataset.unpersist` only covers
+    * cache-manager entries). Idempotent; never fails on
+    * already-released frames. */
   def releaseAll(): Unit = synchronized {
     registered.foreach { df =>
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () }
+      try freeCheckpointBlocks(df)
+      catch { case _: Throwable => () }
     }
     registered.clear()
   }
+
+  /** Drop the block-manager blocks behind a `localCheckpoint`ed
+    * frame's LogicalRDD nodes. Safe on non-checkpointed frames
+    * (no-op). */
+  def freeCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Number of currently-registered (live) cached frames. */
   def size: Int = synchronized(registered.size)

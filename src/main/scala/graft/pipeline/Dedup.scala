@@ -347,19 +347,17 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters rounds")
-    labels.select(col("id"), col("label").as("cluster"))
+    // the final round's labels stay resident for the caller's terminal
+    // action; registering them lets CacheScope.releaseAll drop the
+    // checkpoint blocks afterwards (one (id,label) frame — negligible
+    // next to the corpus, but no block should outlive its query)
+    CacheScope.register(labels.select(col("id"), col("label").as("cluster")))
   }
 
   /** Drop the block-manager blocks behind a `localCheckpoint`ed frame
-    * (Dataset.unpersist only covers cache-manager entries). The final
-    * round's labels stay resident for the caller's terminal action;
-    * one (id,label) frame is negligible next to the corpus. */
+    * (Dataset.unpersist only covers cache-manager entries). */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    CacheScope.freeCheckpointBlocks(df)
 
   /** Apply a near-dup pair set: drop every doc that is not its
     * cluster's keeper.

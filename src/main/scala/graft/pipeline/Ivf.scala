@@ -63,16 +63,32 @@ object IvfIndex {
             maxTrainRows: Int = 100000): IvfIndex = {
     val base = CacheScope.persist(Kernels.ensureParallelism(
         corpus.select(col(id), Similarity.vecD(col(vec)).as("cv"))))
-    // bounded per-partition take: ~maxTrainRows/numPartitions rows from
-    // EVERY partition (coverage across the whole corpus, not just its
-    // head), each task early-terminating after its quota — no count()
-    // pre-pass, no second scan, and the collect stays
-    // O(maxTrainRows · dims) at ANY corpus size. Deterministic: fixed
-    // partitioning + in-partition scan order.
+    // bounded per-partition RESERVOIR sample: ~maxTrainRows/numPartitions
+    // rows from EVERY partition, drawn uniformly across the whole
+    // partition rather than its head (a head-of-partition take biases
+    // k-means toward ingest order when the corpus is sorted/clustered).
+    // Still no count() pre-pass and a single scan of the cached 2-col
+    // frame; driver memory stays O(maxTrainRows · dims) at ANY corpus
+    // size. Deterministic: fixed partitioning + in-partition scan order
+    // + per-partition seeded RNG.
     val parts = math.max(1, base.rdd.getNumPartitions)
     val perPart = math.max(1, maxTrainRows / parts)
     val sample = base.select(col("cv")).rdd
-      .mapPartitions(_.take(perPart))
+      .mapPartitionsWithIndex { (idx, it) =>
+        val rnd = new scala.util.Random(seed ^ (idx.toLong * 0x9e3779b97f4a7c15L))
+        val res = new Array[org.apache.spark.sql.Row](perPart)
+        var n = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          if (n < perPart) res(n.toInt) = row
+          else {
+            val j = (rnd.nextDouble() * (n + 1)).toLong
+            if (j < perPart) res(j.toInt) = row
+          }
+          n += 1L
+        }
+        res.iterator.take(math.min(n, perPart.toLong).toInt)
+      }
       .collect().iterator.take(maxTrainRows)
       .map(_.getSeq[Double](0).toArray).toArray
     val centroids = localKMeans(sample, nCells, iters = 5, seed = seed)

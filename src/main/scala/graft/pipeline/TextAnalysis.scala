@@ -124,13 +124,21 @@ object TextAnalysis {
     * per-shard totals (idRange/shardSpan rows — one small task) and
     * broadcast-join back. Pick shardSpan so shard count stays ≪ corpus
     * (e.g. 10⁶ shards of 10⁵ docs at 10¹¹ docs) and in-shard rows fit
-    * a task — both bounds are loose. */
+    * a task — both bounds are loose.
+    *
+    * Requires NON-NEGATIVE ids (and ids/offsets < 2⁵³, far beyond any
+    * real corpus): the floor-division shard/pack expressions match
+    * DuckDB's `//` on that domain. */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
                     budget: Long, shardSpan: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && shardSpan > 0)
-    // `div`, not `/`: Column./ is always double division
-    val sharded = df.withColumn("__shard", expr(s"$idCol div $shardSpan"))
+    // Column ops, not a string-spliced expr(): survives column names
+    // needing backticks, and floor(/) gives floor semantics explicitly
+    // (`div` truncates toward zero — same thing only for ids ≥ 0).
+    def floorDiv(c: Column, d: Long): Column =
+      floor(c.cast("long") / lit(d.toDouble)).cast("long")
+    val sharded = df.withColumn("__shard", floorDiv(col(idCol), shardSpan))
     val wIn = Window.partitionBy(col("__shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = sharded.withColumn("__local",

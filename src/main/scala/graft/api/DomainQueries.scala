@@ -188,6 +188,33 @@ object DomainQueries {
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "GROUP BY s_name ORDER BY s_name")),
 
+    Q("j15_bloom_semi",
+      // bloom-prefiltered semi join: the manual always-on form of
+      // Spark's runtime bloom filter — build a bounded bloom over the
+      // urgent orders' keys, cut the lineitem scan down BEFORE the
+      // shuffle, exact semi join on the survivors. Result ≡ the plain
+      // EXISTS semi join at every fpp (no false negatives by
+      // construction; the exact join removes false positives), which
+      // is the oracle. Probe-side pushdown pinned by PlanQualitySpec.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.ops.BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey",
+            expectedItems = 100000L, numBits = 1L << 20)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy("flag")
+      },
+      Some("SELECT l_returnflag AS flag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_orderpriority = '1-URGENT' " +
+        "AND o.o_orderkey = l.l_orderkey) " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("o3_param_sort",
       // parameterized sort direction through the REAL Facade.history
       // path (stocks.js:39-47, O3): both parameter values run in one
@@ -306,6 +333,39 @@ object DomainQueries {
         "(SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem " +
         "WHERE l_linenumber = 1) GROUP BY 1, 2 HAVING count(*) > 1)) " +
         "ORDER BY check_name")),
+
+    Q("u11_scd2",
+      // type-2 slowly-changing-dimension historization: the orders
+      // stream as a per-customer changelog of (status, priority), no-op
+      // changes collapsed, each surviving version carrying a
+      // [valid_from, valid_to) interval — the scale-out generalization
+      // of the reference's overwrite-in-place updates (statistics
+      // cache write-back, profile edits). Incremental merge parity is
+      // pinned by ScdSpec (merge(historize(a), b) ≡ historize(a ∪ b)).
+      (s, dir) => {
+        val log = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"),
+          col("o_orderdate").cast("date").as("ts"),
+          col("o_orderkey").as("ord"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"))
+        graft.ops.Scd.historize(log, Seq("custkey"), "ts", "ord",
+            Seq("status", "prio"))
+          .orderBy("custkey", "valid_from", "status", "prio")
+      },
+      Some("WITH log AS (SELECT o_custkey AS custkey, " +
+        "CAST(o_orderdate AS DATE) AS ts, o_orderkey AS ord, " +
+        "o_orderstatus AS status, o_orderpriority AS prio FROM orders), " +
+        "m AS (SELECT *, (lag(status) OVER w IS NOT DISTINCT FROM status) " +
+        "AND (lag(prio) OVER w IS NOT DISTINCT FROM prio) AS same, " +
+        "lag(ts) OVER w IS NULL AS fst FROM log " +
+        "WINDOW w AS (PARTITION BY custkey ORDER BY ts, ord)), " +
+        "v AS (SELECT custkey, status, prio, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY custkey ORDER BY ts, ord) AS valid_to " +
+        "FROM m WHERE fst OR NOT same) " +
+        "SELECT custkey, status, prio, valid_from, valid_to, " +
+        "valid_to IS NULL AS is_current FROM v " +
+        "ORDER BY custkey, valid_from, status, prio")),
 
     Q("p5_ilike_search",
       // case-insensitive substring page (users.js:50-53)

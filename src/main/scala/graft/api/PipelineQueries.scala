@@ -172,6 +172,56 @@ object PipelineQueries {
         "SELECT doc_id, n_tok, tok_offset, tok_offset // 512 AS pack_id " +
         "FROM o ORDER BY doc_id")),
 
+    Q("t7_split",
+      // deterministic train/val/test split: md5-prefix thresholding on
+      // the salted doc id — reproducible across engines/runs/cluster
+      // layouts and stable under corpus growth (a doc's split never
+      // moves when neighbors are added), unlike randomSplit. Gate
+      // output: per-(source, split) counts + id-range fingerprints.
+      // Thresholds: 0.8 → 'cccc', 0.9 → 'e666' (floor(f·65536) as hex).
+      (s, dir) => {
+        TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id", "r4",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("source", "split")
+      },
+      Some("WITH s AS (SELECT source, doc_id, CASE " +
+        "WHEN substr(md5('r4|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' " +
+        "THEN 'train' " +
+        "WHEN substr(md5('r4|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' " +
+        "THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "SELECT source, split, count(*) AS n, min(doc_id) AS min_id, " +
+        "max(doc_id) AS max_id FROM s GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    Q("t8_redact",
+      // PII scrubbing: plant synthetic emails/phones on even doc ids
+      // (the corpus itself is PII-free), redact, and pin the exact
+      // replacement via an md5 fingerprint — the regex subset (char
+      // classes + bounded repetition) behaves identically in Java and
+      // RE2, which is what the gate proves.
+      (s, dir) => {
+        val planted = concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com or 555-123-4567")))
+            .otherwise(lit("")))
+        t(s, dir, "documents").select(col("doc_id"),
+            TextAnalysis.nEmails(planted).as("n_emails"),
+            md5(TextAnalysis.redactPii(planted)).as("redacted_fp"))
+          .orderBy("doc_id")
+      },
+      Some("WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 " +
+        "THEN ' contact u' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or 555-123-4567' ELSE '' END AS pt FROM documents) " +
+        "SELECT doc_id, len(regexp_extract_all(pt, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, " +
+        "md5(regexp_replace(regexp_replace(pt, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+        "'\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g')) AS redacted_fp " +
+        "FROM p ORDER BY doc_id")),
+
     Q("d6_cross_corpus_overlap",
       // train/test contamination: word-3-gram Jaccard ≥ 0.5 across an
       // even doc_id split — benchmark decontamination primitive
@@ -366,6 +416,44 @@ object PipelineQueries {
         Similarity.lshTopK(un, un.filter(col("vec_id") < 5),
             "vec_id", "embedding", k = 1,
             planes = 16, bands = 4, dims = Some(64))
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id")
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM base WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM base) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
+        "WHERE rank = 1 ORDER BY query_id")),
+
+    Q("e6_pq_topk",
+      // product-quantization ANN top-1 over embeddings ∪ id-shifted
+      // copies — the planted-twin recipe one more time, now pinning the
+      // full PQ pipeline (subspace codebook training, corpus encode,
+      // ADC candidate scan, exact re-rank). The twin shares the query's
+      // vector, hence its CODE, hence attains the globally minimal ADC
+      // distance (each subspace term is the min over codewords by
+      // construction) — with candidate ties broken toward high ids it
+      // is always a candidate, and the exact re-rank puts it first at
+      // cos 1.0 vs ≤ 0.60 natural max. So PQ top-1 ≡ brute-force top-1
+      // and the e1-style exact SQL at k=1 is a true oracle. Compression
+      // / recall behavior on non-planted corpora: PqSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val un = emb.unionByName(
+          emb.withColumn("vec_id", col("vec_id") + 10000000L))
+        val idx = graft.pipeline.PqIndex.build(un, "vec_id", "embedding",
+          m = 8, nWords = 64, maxTrainRows = 20000)
+        idx.topK(un.filter(col("vec_id") < 5), "embedding", k = 1,
+            nCandidates = 256)
           .select(col("query_id"), col("neighbor_id"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id")

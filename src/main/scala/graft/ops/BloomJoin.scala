@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-prefiltered joins — the semi-join reduction for the regime
+  * where the build side is too large to broadcast as a hash table but
+  * its KEY SET fits a few megabytes of bloom bits: filter the 100 TB
+  * probe side down to (matches + ε false positives) BEFORE the
+  * shuffle, then run the exact join on the survivors. This is the
+  * manual, always-on form of Spark's runtime bloom filter
+  * (spark.sql.optimizer.runtime.bloomFilter.*), built from the same
+  * engine primitives (BloomFilterAggregate / might_contain), so the
+  * probe-side scan keeps whole-stage codegen.
+  *
+  * Exactness is unconditional: the bloom only REDUCES the probe set
+  * (no false negatives by construction), and the exact join afterwards
+  * removes false positives — so results equal the plain join at every
+  * fpp. The bloom binary is bounded (numBits/8 bytes) regardless of
+  * build-side row count; collecting it to the driver is the same
+  * bounded hop Spark's own runtime-filter subquery performs.
+  */
+object BloomJoin {
+
+  /** Aggregate the build side's hashed keys into one bloom binary.
+    * One pass, partial-aggregated (per-partition blooms OR-merge), a
+    * single numBits/8-byte result. */
+  def buildBloom(build: DataFrame, key: Column,
+                 expectedItems: Long, numBits: Long): Array[Byte] = {
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(xxhash64(key)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    build.select(agg.as("bloom")).head.getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(bloom, xxhash64(key))` probe predicate. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      ColumnBridge.expression(xxhash64(key))))
+
+  /** Exact semi join with a bloom prefilter on the probe side: scan
+    * survivors ≈ true matches × (1 + fpp), shuffled instead of the
+    * full probe table. Null probe keys may pass the bloom (Spark hash
+    * functions fold null to the seed) — the exact join drops them, as
+    * it does every other false positive. */
+  def semiJoin(probe: DataFrame, build: DataFrame,
+               probeKey: String, buildKey: String,
+               expectedItems: Long = 1000000L,
+               numBits: Long = 8388608L): DataFrame = {
+    val bloom = buildBloom(build, col(buildKey), expectedItems, numBits)
+    probe.filter(mightContain(bloom, col(probeKey)))
+      .join(build.select(col(buildKey)).distinct(),
+        col(probeKey) === col(buildKey), "left_semi")
+  }
+
+  /** Exact inner join, bloom-prefiltered the same way. */
+  def innerJoin(probe: DataFrame, build: DataFrame,
+                probeKey: String, buildKey: String,
+                expectedItems: Long = 1000000L,
+                numBits: Long = 8388608L): DataFrame = {
+    val bloom = buildBloom(build, col(buildKey), expectedItems, numBits)
+    probe.filter(mightContain(bloom, col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+}

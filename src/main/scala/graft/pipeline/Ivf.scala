@@ -63,34 +63,11 @@ object IvfIndex {
             maxTrainRows: Int = 100000): IvfIndex = {
     val base = CacheScope.persist(Kernels.ensureParallelism(
         corpus.select(col(id), Similarity.vecD(col(vec)).as("cv"))))
-    // bounded per-partition RESERVOIR sample: ~maxTrainRows/numPartitions
-    // rows from EVERY partition, drawn uniformly across the whole
-    // partition rather than its head (a head-of-partition take biases
-    // k-means toward ingest order when the corpus is sorted/clustered).
-    // Still no count() pre-pass and a single scan of the cached 2-col
-    // frame; driver memory stays O(maxTrainRows · dims) at ANY corpus
-    // size. Deterministic: fixed partitioning + in-partition scan order
-    // + per-partition seeded RNG.
-    val parts = math.max(1, base.rdd.getNumPartitions)
-    val perPart = math.max(1, maxTrainRows / parts)
-    val sample = base.select(col("cv")).rdd
-      .mapPartitionsWithIndex { (idx, it) =>
-        val rnd = new scala.util.Random(seed ^ (idx.toLong * 0x9e3779b97f4a7c15L))
-        val res = new Array[org.apache.spark.sql.Row](perPart)
-        var n = 0L
-        while (it.hasNext) {
-          val row = it.next()
-          if (n < perPart) res(n.toInt) = row
-          else {
-            val j = (rnd.nextDouble() * (n + 1)).toLong
-            if (j < perPart) res(j.toInt) = row
-          }
-          n += 1L
-        }
-        res.iterator.take(math.min(n, perPart.toLong).toInt)
-      }
-      .collect().iterator.take(maxTrainRows)
-      .map(_.getSeq[Double](0).toArray).toArray
+    // bounded per-partition reservoir sample (see [[Sampling]]): no
+    // count() pre-pass, one scan, unbiased under sorted/clustered
+    // ingest, O(maxTrainRows · dims) driver memory at ANY corpus size
+    val sample = Sampling.boundedVectorSample(
+      base.select(col("cv")), maxTrainRows, seed)
     val centroids = localKMeans(sample, nCells, iters = 5, seed = seed)
     val assigned = CacheScope.persist(
       base.withColumn("cell", nearestCellEuclid(col("cv"), typedlit(

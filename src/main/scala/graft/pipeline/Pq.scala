@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PqExprs
+import graft.ops.{CacheScope, Kernels}
+
+/** Product-quantization ANN (FAISS-PQ): split each vector into `m`
+  * subvectors, train a small codebook per subspace on a bounded
+  * driver-local sample, represent every corpus vector by `m` codeword
+  * indices, and answer queries with asymmetric-distance (ADC) scans —
+  * each candidate costs `m` table lookups instead of `dims` multiplies
+  * — followed by an exact cosine re-rank of the ADC survivors.
+  *
+  * Scale shape: the encoded corpus is `m` small ints per vector (8
+  * codes ≈ 8 B vs 512 B for a 64-dim double vector), so the scan side
+  * shuffles/holds a ~64× compressed representation; full vectors are
+  * touched only for the `nCandidates` re-rank rows per query. Training
+  * is driver-local on a reservoir sample (same posture as
+  * [[IvfIndex]]) — no distributed ML iterations; encoding is one
+  * codegen projection pass, no join, no shuffle. Composes with IVF
+  * (coarse cells + PQ within cells) — here the flat-PQ form, which is
+  * already sublinear in *work* per candidate rather than in candidates
+  * scanned.
+  */
+class PqIndex private (val codes: DataFrame,
+                       val codebooks: Array[Array[Array[Double]]],
+                       id: String) {
+
+  /** Cosine top-k per query: ADC top-`nCandidates` candidate scan over
+    * the encoded corpus (broadcast query tables), then exact cosine
+    * re-rank of the candidates only.
+    *
+    * Candidate-stage ties on ADC distance break to the HIGHER
+    * neighbor id — a query's exact duplicate shares its code and
+    * therefore attains the globally minimal ADC distance, so planted
+    * high-id twins are guaranteed candidates (the e6 oracle design). */
+  def topK(queries: DataFrame, vec: String, k: Int,
+           nCandidates: Int = 256): DataFrame = {
+    val q = Kernels.ensureParallelism(
+      queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
+      .withColumn("dt", PqExprs.pq_dist_table(col("qv"), codebooks))
+    // ADC scan: every (query, corpus) pair, but each pair is m lookups
+    // over the broadcast per-query table — the classic PQ trade. The
+    // corpus side never shuffles; candidates carry (ids, adc) only.
+    val scored = codes.crossJoin(broadcast(q.select(col("query_id"), col("dt"))))
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id).as("neighbor_id"),
+        PqExprs.pq_adc(col("code"), col("dt")).as("adc"))
+    val cand = Kernels.topKPerKey(scored, Seq("query_id"),
+      Seq(-col("adc"), col("neighbor_id")), nCandidates)
+    // exact re-rank on candidates only: rejoin full vectors for the
+    // ≤ nCandidates rows per query, never the whole corpus
+    val withVecs = cand
+      .join(codes.select(col(id).as("neighbor_id"), col("cv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    Kernels.topKPerKey(withVecs, Seq("query_id"),
+        Seq(col("cos"), -col("neighbor_id")), k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+  }
+
+  /** Release the cached codes frame (queries recompute afterwards). */
+  def close(): Unit = codes.unpersist(blocking = false)
+}
+
+object PqIndex {
+
+  /** Train per-subspace codebooks driver-locally and encode the corpus
+    * in one distributed codegen pass. `dims` must be divisible by `m`.
+    *
+    * The persisted codes frame keeps the full vector alongside the
+    * code for the re-rank fetch; a storage-backed deployment would
+    * hold codes in memory and fetch vectors from the table — the plan
+    * shape (candidates-only vector access) is the same. */
+  def build(corpus: DataFrame, id: String, vec: String,
+            m: Int = 8, nWords: Int = 256, seed: Long = 42L,
+            maxTrainRows: Int = 100000): PqIndex = {
+    require(m > 0 && nWords > 1)
+    val base = CacheScope.persist(Kernels.ensureParallelism(
+      corpus.select(col(id), Similarity.vecD(col(vec)).as("cv"))))
+    val sample = Sampling.boundedVectorSample(base.select(col("cv")), maxTrainRows, seed)
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val sub = dims / m
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      IvfIndex.localKMeans(pts, nWords, iters = 5, seed = seed + j)
+    }
+    val encoded = CacheScope.persist(
+      base.withColumn("code", PqExprs.pq_encode(col("cv"), codebooks))
+        .select(col(id), col("code"), col("cv")))
+    new PqIndex(encoded, codebooks, id)
+  }
+}

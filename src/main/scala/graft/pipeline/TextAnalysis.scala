@@ -102,6 +102,54 @@ object TextAnalysis {
     * (hash-groupBy shuffles 16 bytes per doc instead of the text). */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))
 
+  /** Deterministic train/val/test assignment by md5 prefix of the
+    * (salted) id: reproducible across engines, runs, and cluster
+    * layouts, and STABLE UNDER CORPUS GROWTH — a doc's split never
+    * changes when other docs are added/removed, unlike
+    * `randomSplit`/`sample` whose assignment depends on partitioning.
+    * Pure projection: no shuffle, no RNG state, codegen'd md5.
+    *
+    * Fractions map to 16-bit thresholds on the first 4 hex chars
+    * (lexicographic compare ≡ numeric on the prefix; granularity
+    * 1/65536). The LAST entry absorbs the remainder, so fractions
+    * should sum to ~1. Change `salt` to re-roll every assignment. */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(_._2 >= 0))
+    val h = substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 4)
+    val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(f =>
+      f"${math.min(65535, math.floor(f * 65536).toLong)}%04x")
+    val split = fracs.init.zip(thresholds)
+      .foldRight(lit(fracs.last._1)) { case (((name, _), th), rest) =>
+        when(h < lit(th), name).otherwise(rest)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** Hex thresholds for [[hashSplit]]'s oracle mirror. */
+  private[graft] def splitThresholds(fracs: Seq[Double]): Seq[String] =
+    fracs.scanLeft(0.0)(_ + _).tail.init.map(f =>
+      f"${math.min(65535, math.floor(f * 65536).toLong)}%04x")
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  /** PII scrubbing: replace email addresses and NANP-style phone
+    * numbers with typed placeholder tokens. Patterns stay in the
+    * regex subset Java and RE2 interpret identically (character
+    * classes + bounded repetition — no backreferences, no lookaround)
+    * so the behavior is portable across engines. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+
+  /** Count of email matches (pre-redaction audit metric). */
+  def nEmails(c: Column): Column =
+    size(regexp_extract_all(c, lit(emailRe), lit(0)))
+
   /** Karp-Rabin rolling hash over the normalized characters —
     * polynomial accumulate mod 1e9+7, exact in integer arithmetic. */
   def rollingHash(c: Column): Column =

@@ -153,8 +153,10 @@ class PlanQualitySpec extends SparkSpec {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), n)
       // BroadcastNestedLoopJoin is acceptable ONLY for the deliberate
-      // tiny-side cross joins in ANN (query set × corpus)
-      if (!Set("e1_cosine_topk").contains(n))
+      // tiny-side cross joins in ANN (query set × corpus): e1's exact
+      // baseline and e6's PQ ADC scan (every candidate costs m table
+      // lookups — the broadcast cross IS the designed scan shape)
+      if (!Set("e1_cosine_topk", "e6_pq_topk").contains(n))
         assert(!p.contains("BroadcastNestedLoopJoin"), n)
     }
   }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.PqExprs
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("codes are m small ints bounded by the codebook size") {
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 16)
+    val stats = idx.codes
+      .select(size($"code").as("m"), array_max($"code").as("mx"),
+        array_min($"code").as("mn"))
+      .agg(min($"m"), max($"m"), max($"mx"), min($"mn"))
+      .as[(Int, Int, Int, Int)].head()
+    assert(stats._1 == 8 && stats._2 == 8)
+    assert(stats._3 < 16 && stats._4 >= 0)
+    idx.close()
+  }
+
+  test("ADC of a vector against its own code is the minimal table sum") {
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 16)
+    // for each row: adc(code(v), table(v)) must equal the sum over
+    // subspaces of the MINIMUM table entry — the defining property of
+    // nearest-codeword encoding
+    val row = idx.codes
+      .withColumn("dt", PqExprs.pq_dist_table($"cv", idx.codebooks))
+      .withColumn("self_adc", PqExprs.pq_adc($"code", $"dt"))
+      .withColumn("min_sum",
+        aggregate(transform($"dt", r => array_min(r)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(max(abs($"self_adc" - $"min_sum")).as("err"))
+      .as[Double].head()
+    assert(row < 1e-12)
+    idx.close()
+  }
+
+  test("a planted exact copy is its query's top-1 at cosine 1.0") {
+    val un = emb.select("vec_id", "embedding").unionByName(
+      emb.select("vec_id", "embedding").withColumn("vec_id", $"vec_id" + 1000000L))
+    val idx = PqIndex.build(un, "vec_id", "embedding", m = 8, nWords = 32)
+    val got = idx.topK(un.filter($"vec_id" < 4), "embedding", k = 1,
+        nCandidates = 128)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 4)
+    got.foreach { case (q, n, c) =>
+      assert(n == q + 1000000L, s"query $q: expected twin, got $n")
+      assert(math.abs(c - 1.0) < 1e-9)
+    }
+    idx.close()
+  }
+
+  test("PQ top-1 with generous candidates matches brute force on the real corpus") {
+    val queries = emb.filter($"vec_id" < 8)
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 32)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // deterministic (seeded): a generous candidate budget recovers the
+    // exact top-1 for every query; a tight one trades recall for scan
+    // cost the usual ANN way — pin the measured recall as a floor
+    val wide = idx.topK(queries, "embedding", k = 1, nCandidates = 256)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(wide == bf)
+    val tight = idx.topK(queries, "embedding", k = 1, nCandidates = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = tight.count { case (q, n) => bf(q) == n }
+    assert(recall >= 6, s"recall@64 candidates was $recall/8")
+    idx.close()
+  }
+}

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.HoldingFoldAgg
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.Decimal
+import graft.functions.{HoldingFoldAgg, QuantileSketchAgg}
 
 /** Session-extension wiring for cluster deployment: ship the jar and
   * set `spark.sql.extensions=graft.GraftExtensions` — every session
@@ -11,11 +13,41 @@ import graft.functions.HoldingFoldAgg
   * engine's SQL functions. Local sessions get the same via
   * GraftSession / HoldingFoldAgg.register. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Fold a foldable numeric literal (SQL decimals included) to
+    * Double at function-resolution time. */
+  private def foldDouble(e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
+    require(e.foldable, s"expected a literal, got $e")
+    e.eval() match {
+      case d: Decimal => d.toDouble
+      case d: java.lang.Number => d.doubleValue()
+      case other => throw new IllegalArgumentException(s"not numeric: $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("hold_fold"),
       new ExpressionInfo(classOf[HoldingFoldAgg].getName, "hold_fold"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HoldingFoldAgg(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+    // quantile_sketch(x, array(q...), eps) — quantiles and eps must be
+    // literals (they parameterize the aggregate, like percentile's)
+    ext.injectFunction((
+      new FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs(1).foldable, "quantile_sketch: quantiles must be a literal array")
+        val arr = exprs(1).eval().asInstanceOf[ArrayData]
+        val qs = (0 until arr.numElements()).map { i =>
+          arr.get(i, exprs(1).dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType) match {
+            case d: Decimal => d.toDouble
+            case d: java.lang.Number => d.doubleValue()
+            case other => throw new IllegalArgumentException(s"not numeric: $other")
+          }
+        }
+        QuantileSketchAgg(exprs(0), qs, foldDouble(exprs(2)))
+      }))
   }
 }

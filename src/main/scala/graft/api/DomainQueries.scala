@@ -281,6 +281,38 @@ object DomainQueries {
         "l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem " +
         "WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber")),
 
+    Q("s10_zonemap",
+      // file-level zone-map data skipping (SURVEY §4 extension): write
+      // a range-clustered copy, consult the per-file (min,max)
+      // manifest, and scan ONLY the files overlapping the year — the
+      // Delta/Iceberg skipping pattern above parquet's row-group
+      // stats. Result ≡ the plain range filter (the oracle); the
+      // file-count reduction itself is pinned by ZoneMapSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_zonemap_" + Integer.toHexString(dir.hashCode)
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), to_date(col("l_shipdate")).as("ship"),
+          col("l_quantity"))
+        graft.catalog.ZoneMap.writeRangeClustered(src, path, "ship",
+          numFiles = 8)
+        graft.catalog.ZoneMap.readRange(s, path, "ship",
+            lit("1995-01-01").cast("date"), lit("1995-12-31").cast("date"))
+          .groupBy(col("ship"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy("ship")
+      },
+      Some("SELECT CAST(l_shipdate AS DATE) AS ship, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) " +
+        "BETWEEN '1995-01-01' AND '1995-12-31' " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

@@ -222,6 +222,78 @@ object PipelineQueries {
         "'\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g')) AS redacted_fp " +
         "FROM p ORDER BY doc_id")),
 
+    Q("t9_budget_select",
+      // data selection under a token budget: keep the longest docs
+      // (n_chars desc, id tie-break) until 15k tokens are spent — the
+      // PrefixScan two-level distributed cumsum over an arbitrary
+      // total order (range-exchange + per-partition window + tiny
+      // bases window), never a global single-partition window. The
+      // result is exact and boundary-independent, so the global-window
+      // SQL is a true oracle.
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars"),
+          TextAnalysis.nTokensWs(col("text")).cast("long").as("n_tok"))
+        graft.ops.PrefixScan.takeUnderBudget(d,
+            Seq(col("n_chars").desc, col("doc_id").asc), col("n_tok"),
+            budget = 15000L)
+          .select(col("doc_id"), col("n_chars"), col("n_tok"),
+            col("__prefix").as("tok_prefix"), col("__rank").as("rank"))
+          .orderBy("rank")
+      },
+      Some("WITH tks AS (SELECT doc_id, n_chars, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS n_tok FROM documents), " +
+        "c AS (SELECT doc_id, n_chars, n_tok, " +
+        "CAST(coalesce(sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS tok_prefix, row_number() OVER (ORDER BY n_chars DESC, doc_id) " +
+        "AS rank FROM tks) " +
+        "SELECT doc_id, n_chars, n_tok, tok_prefix, rank FROM c " +
+        "WHERE tok_prefix < 15000 ORDER BY rank")),
+
+    Q("t10_repetition",
+      // intra-doc repetition metrics (Gopher/RefinedWeb filter
+      // family): token-bigram count and duplicate-bigram count as
+      // pure per-row array expressions — no explode, no shuffle, the
+      // corpus never leaves its scan partitions. Raw integer counts
+      // (no ratio) so no cross-engine rounding surface exists.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionCounts(col("text")).as("rc"))
+        .select(col("doc_id"), col("rc.n_bigrams").as("n_bigrams"),
+          col("rc.n_dup_bigrams").as("n_dup"))
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, " + toksSql + " AS w FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN " +
+        "list_transform(generate_series(1, len(w) - 1), " +
+        "i -> w[i] || ' ' || w[i + 1]) ELSE [] END AS bg FROM t) " +
+        "SELECT doc_id, len(bg) AS n_bigrams, " +
+        "len(bg) - len(list_distinct(bg)) AS n_dup FROM g ORDER BY doc_id")),
+
+    Q("t11_mix",
+      // weighted source mixing (training-data composition): src0 kept
+      // whole, src1 at 1/2, src2 at 1/4, src3 at 1/10, the rest
+      // dropped — each row's fate decided by the salted md5-prefix
+      // draw (deterministic, stable under corpus growth, pure filter).
+      // Thresholds floor(w·65536) as hex: 8000 / 4000 / 1999.
+      (s, dir) => TextAnalysis.mixSources(t(s, dir, "documents"),
+          "doc_id", "source", "mix4",
+          Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source"),
+      Some("WITH m AS (SELECT source, doc_id FROM documents WHERE " +
+        "source = 'src0' OR (source = 'src1' AND " +
+        "substr(md5('mix4|' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000') OR " +
+        "(source = 'src2' AND " +
+        "substr(md5('mix4|' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000') OR " +
+        "(source = 'src3' AND " +
+        "substr(md5('mix4|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999')) " +
+        "SELECT source, count(*) AS n, min(doc_id) AS min_id, " +
+        "max(doc_id) AS max_id FROM m GROUP BY 1 ORDER BY 1")),
+
     Q("d6_cross_corpus_overlap",
       // train/test contamination: word-3-gram Jaccard ≥ 0.5 across an
       // even doc_id split — benchmark decontamination primitive

@@ -133,6 +133,47 @@ object TextAnalysis {
     fracs.scanLeft(0.0)(_ + _).tail.init.map(f =>
       f"${math.min(65535, math.floor(f * 65536).toLong)}%04x")
 
+  /** Intra-document repetition metrics (Gopher/RefinedWeb-style
+    * filters): token bigrams and how many are duplicates of an earlier
+    * bigram in the SAME document. Pure per-row array expressions — no
+    * explode, no shuffle; the corpus never leaves its scan partitions.
+    * Counts are exact integers (callers derive ratios; emitting the
+    * raw counts avoids cross-engine rounding traps on terminating
+    * fractions). */
+  def bigrams(c: Column): Column = {
+    val t = tokensWs(normalize(c))
+    // greatest(0, …) guards token-less docs (slice rejects length -1)
+    val len = greatest(lit(0), size(t) - 1)
+    zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** (n_bigrams, n_dup_bigrams) as two columns via a struct. */
+  def repetitionCounts(c: Column): Column = {
+    val g = bigrams(c)
+    struct(size(g).as("n_bigrams"),
+      (size(g) - size(array_distinct(g))).as("n_dup_bigrams"))
+  }
+
+  /** Weighted source mixing for training-data composition: keep each
+    * row with its source's probability, decided by the same salted
+    * md5-prefix draw as [[hashSplit]] — deterministic, engine-portable,
+    * stable under corpus growth, and a pure filter (no shuffle, no RNG
+    * state). Sources absent from `weights` are dropped (weight 0);
+    * weight ≥ 1 keeps everything. */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 salt: String, weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.forall(_._2 >= 0))
+    val h = substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 4)
+    val keep = weights.foldRight(lit(false)) { case ((src, w), rest) =>
+      when(col(sourceCol) === src,
+        if (w >= 1.0) lit(true)
+        else h < lit(f"${math.floor(w * 65536).toLong}%04x")).otherwise(rest)
+    }
+    df.filter(keep)
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
 

@@ -92,6 +92,61 @@ object Streams {
       }
       .start()
 
+  /** Streaming type-2 SCD maintenance: each micro-batch of dimension
+    * changes merges into a persisted history table via
+    * [[graft.ops.Scd.merge]] — only batch-affected keys are
+    * re-historized; everything else passes through untouched. Storage
+    * is the same snapshot-versioned pointer-flip pattern as
+    * [[graft.analytics.StatsCache]] (write `snap_<epoch>`, atomically
+    * flip `_latest`), standing in for a table-format MERGE at
+    * production scale. Single writer, many readers. */
+  def scd2Sink(changes: DataFrame, root: String, keys: Seq[String],
+               ts: String, ord: String, attrs: Seq[String]): StreamingQuery =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val s = batch.sparkSession
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+        val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
+        val current: Option[String] =
+          if (fs.exists(pointer)) {
+            val in = fs.open(pointer)
+            try Some(new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim)
+            finally in.close()
+          } else None
+        val merged = current match {
+          case Some(snap) =>
+            graft.ops.Scd.merge(s.read.parquet(root + "/" + snap),
+              batch.toDF(), keys, ts, ord, attrs)
+          case None =>
+            graft.ops.Scd.historize(batch.toDF(), keys, ts, ord, attrs)
+        }
+        val snapName = s"snap_$epoch"
+        merged.write.mode("overwrite").parquet(root + "/" + snapName)
+        // atomic pointer flip (FileContext rename with OVERWRITE —
+        // plain FileSystem.rename refuses existing destinations)
+        val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$epoch")
+        val out = fs.create(tmp, true)
+        try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(conf).rename(
+          tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      .start()
+
+  /** Read the current SCD2 history maintained by [[scd2Sink]]. */
+  def scd2History(spark: org.apache.spark.sql.SparkSession,
+                  root: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
+    val in = fs.open(pointer)
+    val snap = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+    spark.read.parquet(root + "/" + snap)
+  }
+
   /** Streaming exact dedup — the training-pipeline ingest guard
     * (graft.pipeline.Dedup.exact as a stream): drop any document
     * whose normalized-content fingerprint was already seen within the

@@ -30,6 +30,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
            FROM ext_trades GROUP BY portfolio, symbol""")
         .as[Double].collect().toSeq
       assert(got == Seq(10.0))
+      // quantile_sketch through pure SQL (decimal literals folded)
+      s2.range(1, 101).createOrReplaceTempView("ext_nums")
+      val qs = s2.sql(
+        """SELECT quantile_sketch(CAST(id AS DOUBLE), array(0.5, 0.9), 0.0001)
+           AS q FROM ext_nums""")
+        .selectExpr("q[0]", "q[1]").as[(Double, Double)].head()
+      assert(qs == ((50.0, 90.0)))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

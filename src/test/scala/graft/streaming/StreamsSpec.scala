@@ -127,6 +127,32 @@ class StreamsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L)) // ts(1) earliest; doc 2 < doc 3 on the tie
   }
 
+  test("scd2Sink maintains type-2 history incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
+    val mem = MemoryStream[(Int, Long, Long, String)]
+    val changes = mem.toDF().toDF("k", "ts", "ord", "attr")
+    val q = Streams.scd2Sink(changes, root, Seq("k"), "ts", "ord", Seq("attr"))
+    mem.addData((1, 10L, 1L, "a"), (2, 5L, 2L, "x"))
+    q.processAllAvailable()
+    mem.addData((1, 20L, 3L, "b"), (1, 30L, 4L, "b"))  // second is a no-op change
+    q.processAllAvailable()
+    q.stop()
+    val got = Streams.scd2History(spark, root)
+      .select($"k", $"attr", $"valid_from", $"valid_to", $"is_current")
+      .as[(Int, String, Long, Option[Long], Boolean)].collect().toSet
+    // equals the one-shot historize over the full changelog
+    val full = graft.ops.Scd.historize(
+        Seq((1, 10L, 1L, "a"), (2, 5L, 2L, "x"), (1, 20L, 3L, "b"),
+          (1, 30L, 4L, "b")).toDF("k", "ts", "ord", "attr"),
+        Seq("k"), "ts", "ord", Seq("attr"))
+      .select($"k", $"attr", $"valid_from", $"valid_to", $"is_current")
+      .as[(Int, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == full)
+    assert(got == Set((1, "a", 10L, Some(20L), false),
+      (1, "b", 20L, None, true), (2, "x", 5L, None, true)))
+  }
+
   test("quotedTrades: watermarked interval join picks up in-window quotes only") {
     implicit val sqlCtx = spark.sqlContext
     val qmem = MemoryStream[Streams.Quote]

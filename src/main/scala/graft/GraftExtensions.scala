@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.Decimal
-import graft.functions.{HoldingFoldAgg, QuantileSketchAgg}
+import graft.functions.{HeavyHittersAgg, HoldingFoldAgg, QuantileSketchAgg}
 
 /** Session-extension wiring for cluster deployment: ship the jar and
   * set `spark.sql.extensions=graft.GraftExtensions` — every session
@@ -49,5 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         QuantileSketchAgg(exprs(0), qs, foldDouble(exprs(2)))
       }))
+    // heavy_hitters(x, k) — k must be an integer literal
+    ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HeavyHittersAgg(exprs(0), foldDouble(exprs(1)).toInt)))
   }
 }

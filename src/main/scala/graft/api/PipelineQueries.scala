@@ -148,6 +148,34 @@ object PipelineQueries {
         s"SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS term " +
         "FROM documents) GROUP BY term ORDER BY term")),
 
+    Q("t12_heavy_hitters",
+      // per-language frequent tokens via the mergeable Misra-Gries
+      // aggregate: bounded k counters per group, merged map-side —
+      // the vocabulary path that never shuffles the token stream.
+      // The gate runs in the EXACT-AT-CAPACITY regime (distinct
+      // tokens per lang ≪ k=256 ⟹ no decrement ever fires ⟹ exact
+      // counts, deterministic under any merge order), so the plain
+      // GROUP BY count SQL is a true oracle; the frequency-error
+      // bound beyond capacity is pinned by HeavyHittersSpec.
+      (s, dir) => {
+        import graft.functions.HeavyHittersAgg.heavy_hitters
+        t(s, dir, "documents")
+          .select(col("lang"), explode(TextAnalysis.tokensWs(
+            TextAnalysis.normalize(col("text")))).as("tok"))
+          .groupBy(col("lang"))
+          .agg(heavy_hitters(col("tok"), 256).as("hh"))
+          .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "e")))
+          .select(col("lang"), (col("pos") + 1).as("rank"),
+            col("e.item").as("tok"), col("e.cnt").as("cnt"))
+          .orderBy("lang", "rank")
+      },
+      Some("WITH toks AS (SELECT lang, unnest(" + toksSql + ") AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2), " +
+        "r AS (SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY cnt DESC, tok) AS rank FROM c) " +
+        "SELECT lang, rank, tok, cnt FROM r ORDER BY lang, rank")),
+
     Q("t6_sequence_pack",
       // GPT-style sequence packing: docs concatenated in id order,
       // chunked into 512-token packs via the distributed two-level

@@ -37,6 +37,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
            AS q FROM ext_nums""")
         .selectExpr("q[0]", "q[1]").as[(Double, Double)].head()
       assert(qs == ((50.0, 90.0)))
+      val hh = s2.sql(
+        """SELECT heavy_hitters(CAST(id % 3 AS STRING), 16) AS h FROM ext_nums""")
+        .selectExpr("h[0].item", "h[0].cnt").as[(String, Long)].head()
+      assert(hh == (("1", 34L))) // ids 1..100: 1 mod 3 → 34 hits, ties break by item
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

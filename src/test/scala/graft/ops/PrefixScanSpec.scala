@@ -34,6 +34,17 @@ class PrefixScanSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("the bases branch reuses the range shuffle — one exchange, not two") {
+    val df = spark.range(0, 5000).select(col("id"), (col("id") % 7).as("w"))
+    val out = PrefixScan.exclusiveCumSum(df, Seq(col("id").asc), col("w"),
+      partitions = 8)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // AQE must dedupe the two consumers of the range repartition; a
+    // second full exchange would double the corpus shuffle at scale
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"), p.take(800))
+  }
+
   test("result is identical across different partition counts") {
     val df = spark.range(0, 2000)
       .select(col("id"), (col("id") % 13 + 1).as("w"))

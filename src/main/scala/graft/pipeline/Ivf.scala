@@ -25,6 +25,11 @@ class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
   private def centroidLit: Column =
     typedlit(centroids.map(_.toSeq).toSeq)
 
+  /** Coarse-probe column for composition ([[PqIndex.topKProbed]]):
+    * the `nProbe` nearest cells of a query vector. */
+  private[pipeline] def probeCells(qv: Column, nProbe: Int): Column =
+    IvfIndex.nearestCells(qv, centroidLit, nProbe)
+
   /** Cosine top-k for each query vector, probing `nProbe` cells. */
   def topK(queries: DataFrame, vec: String, k: Int, nProbe: Int): DataFrame = {
     val q = Kernels.ensureParallelism(

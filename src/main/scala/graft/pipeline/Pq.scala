@@ -63,6 +63,40 @@ class PqIndex private (val codes: DataFrame,
           .orderBy(col("cos").desc, col("neighbor_id"))))
   }
 
+  /** IVF-PQ composition (the FAISS-IVFPQ architecture): the ADC scan
+    * is restricted to each query's `nProbe` nearest coarse cells
+    * instead of the whole corpus — candidates drop from N to
+    * ~N·nProbe/nCells, and the join is a hash join on the cell id
+    * rather than a broadcast cross. At a billion vectors that is the
+    * difference between scanning 10⁹ and 10⁷ codes per query batch.
+    * Both indexes must be built over the same corpus and id column. */
+  def topKProbed(queries: DataFrame, vec: String, coarse: IvfIndex,
+                 nProbe: Int, k: Int, nCandidates: Int = 256): DataFrame = {
+    val q = Kernels.ensureParallelism(
+      queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
+      .withColumn("dt", PqExprs.pq_dist_table(col("qv"), codebooks))
+      .withColumn("cell", explode(coarse.probeCells(col("qv"), nProbe)))
+    val coded = codes.join(
+      coarse.cells.select(col(id), col("cell")), Seq(id))
+    val scored = coded.join(broadcast(
+        q.select(col("query_id"), col("cell"), col("dt"))), Seq("cell"))
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id).as("neighbor_id"),
+        PqExprs.pq_adc(col("code"), col("dt")).as("adc"))
+    val cand = Kernels.topKPerKey(scored, Seq("query_id"),
+      Seq(-col("adc"), col("neighbor_id")), nCandidates)
+    val withVecs = cand
+      .join(codes.select(col(id).as("neighbor_id"), col("cv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv")).distinct()), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    Kernels.topKPerKey(withVecs, Seq("query_id"),
+        Seq(col("cos"), -col("neighbor_id")), k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+  }
+
   /** Release the cached codes frame (queries recompute afterwards). */
   def close(): Unit = codes.unpersist(blocking = false)
 }

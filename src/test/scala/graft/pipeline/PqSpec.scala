@@ -54,6 +54,24 @@ class PqSpec extends SparkSpec {
     idx.close()
   }
 
+  test("IVF-PQ: full probe with generous candidates is exact; partial probe returns k ranked rows") {
+    val queries = emb.filter($"vec_id" < 4)
+    val coarse = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val pq = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 32)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val full = pq.topKProbed(queries, "embedding", coarse, nProbe = 8,
+        k = 1, nCandidates = 256)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(full == bf)
+    val partial = pq.topKProbed(queries, "embedding", coarse, nProbe = 2,
+        k = 5, nCandidates = 64)
+    val byQ = partial.groupBy("query_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(byQ.size == 4 && byQ.values.forall(_ == 5))
+    pq.close(); coarse.close()
+  }
+
   test("PQ top-1 with generous candidates matches brute force on the real corpus") {
     val queries = emb.filter($"vec_id" < 8)
     val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 32)

@@ -51,6 +51,20 @@ object Dedup {
         transform(idxs, i => array_join(slice(toks, i, lit(n)), " ")))).as("shingle"))
   }
 
+  /** The hashed form every dedup kernel actually consumes: `(id, h)`
+    * with `h` the distinct 64-bit shingle hashes, produced by ONE
+    * codegen loop per doc ([[graft.functions.TextExprs.shingle_hashes]])
+    * instead of the interpreted transform/array_join/explode/xxhash64
+    * composition. Values ≡ `xxhash64(shingle-string)`, so semantics
+    * (and the accepted 2⁻⁶⁴ collision odds) are unchanged. */
+  def hashedShingles(df0: DataFrame, id: String, text: String,
+                     n: Int): DataFrame = {
+    val df = Kernels.ensureParallelism(df0)
+    val toks = TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))
+    df.select(col(id),
+      explode(graft.functions.TextExprs.shingle_hashes(toks, n)).as("h"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above `minJaccard`,
     * via an inverted index on shingles: |A∩B| from a self-join on the
     * shingle, |A|,|B| from per-doc counts.
@@ -69,8 +83,8 @@ object Dedup {
     // read 3× below (doc counts + both join sides); registered in
     // CacheScope — the caller releases after its terminal action
     val sh = CacheScope.persist {
-      val s = shingles(df, id, text, n)
-        .select(col(id), xxhash64(col("shingle")).as("shingle"))
+      val s = hashedShingles(df, id, text, n)
+        .select(col(id), col("h").as("shingle"))
       maxDf match {
         case Some(cap) =>
           val hot = s.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -104,10 +118,7 @@ object Dedup {
                         n: Int = 3, k: Int = 32): DataFrame =
     // hash each shingle string ONCE, then derive the k draws from the
     // 8-byte value — k× cheaper than hashing the string k times
-    sigsFromHashedShingles(
-      shingles(df, id, text, n)
-        .select(col(id), xxhash64(col("shingle")).as("h")),
-      id, k)
+    sigsFromHashedShingles(hashedShingles(df, id, text, n), id, k)
 
   /** The k min-draws over an `(id, h)` hashed-shingle frame — the one
     * place the MinHash draw scheme lives (seed-mixed xxhash64 per
@@ -196,8 +207,7 @@ object Dedup {
   def minHashVerifiedDuplicates(df: DataFrame, id: String, text: String,
                                 n: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val sh = CacheScope.persist(shingles(df, id, text, n)
-      .select(col(id), xxhash64(col("shingle")).as("h")))
+    val sh = CacheScope.persist(hashedShingles(df, id, text, n))
     val sigs = sigsFromHashedShingles(sh, id, k)
     val cand = bandCandidates(sigs, id, k, bands)
     val fps = sh.groupBy(col(id))
@@ -251,8 +261,8 @@ object Dedup {
     // maxDf caps the A×B join fan-out per shingle at dfA·dfB, the
     // same boilerplate-phrase quadratic [[ngramJaccardPairs]] caps;
     // the df is counted across BOTH corpora so the cap is symmetric
-    def shRaw(df: DataFrame) = shingles(df, id, text, n)
-      .select(col(id), xxhash64(col("shingle")).as("shingle"))
+    def shRaw(df: DataFrame) = hashedShingles(df, id, text, n)
+      .select(col(id), col("h").as("shingle"))
     val (sa0, sb0) = (shRaw(corpusA), shRaw(corpusB))
     val (saF, sbF) = maxDf match {
       case Some(cap) =>

@@ -14,6 +14,15 @@ class PipelineSpec extends SparkSpec {
     (5L, "")
   ).toDF("doc_id", "text")
 
+  test("hashedShingles values equal xxhash64 of the shingle strings") {
+    val stringHashes = Dedup.shingles(docs, "doc_id", "text", 3)
+      .select($"doc_id", xxhash64($"shingle").as("h"))
+      .as[(Long, Long)].collect().toSet
+    val fast = Dedup.hashedShingles(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == stringHashes)
+  }
+
   test("tokensWs: empty text yields zero tokens, not one") {
     val got = docs.select(col("doc_id"), TextAnalysis.nTokensWs(col("text")).as("n"))
       .as[(Long, Int)].collect().toMap

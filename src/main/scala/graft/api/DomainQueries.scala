@@ -372,8 +372,10 @@ object DomainQueries {
       // changes collapsed, each surviving version carrying a
       // [valid_from, valid_to) interval — the scale-out generalization
       // of the reference's overwrite-in-place updates (statistics
-      // cache write-back, profile edits). Incremental merge parity is
-      // pinned by ScdSpec (merge(historize(a), b) ≡ historize(a ∪ b)).
+      // cache write-back, profile edits). Incremental merge parity for
+      // append-style batches (merge(historize(a), b) ≡ historize(a ∪ b)
+      // when b's changes follow a's per key) is pinned by ScdSpec and
+      // a GraftProperties property.
       (s, dir) => {
         val log = t(s, dir, "orders").select(
           col("o_custkey").as("custkey"),

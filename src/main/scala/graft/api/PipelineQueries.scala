@@ -176,6 +176,33 @@ object PipelineQueries {
         "ORDER BY cnt DESC, tok) AS rank FROM c) " +
         "SELECT lang, rank, tok, cnt FROM r ORDER BY lang, rank")),
 
+    Q("t13_term_search",
+      // conjunctive term search over the inverted index — the 100 TB
+      // generalization of the reference's ILIKE substring search (p5,
+      // users.js:50-53): postings proportional to the result instead
+      // of a corpus scan per query. Top-20 docs containing ALL of
+      // {query, window, scan}, ranked by total tf (deterministic
+      // id tie-break).
+      (s, dir) => {
+        val idx = TextAnalysis.termIndex(t(s, dir, "documents"),
+          "doc_id", "text")
+        TextAnalysis.searchAllTerms(idx, "doc_id",
+            Seq("query", "window", "scan"), k = 20)
+          .select(col("doc_id"), col("n_terms"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("WITH idx AS (SELECT term, doc_id, count(*) AS tf FROM (" +
+        s"SELECT doc_id, unnest($toksSql) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, count(*) AS n_terms, " +
+        "CAST(sum(tf) AS BIGINT) AS score FROM idx " +
+        "WHERE term IN ('query', 'window', 'scan') GROUP BY doc_id " +
+        "HAVING count(*) = 3), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) " +
+        "AS rk FROM m) " +
+        "SELECT doc_id, n_terms, score FROM r WHERE rk <= 20 " +
+        "ORDER BY score DESC, doc_id")),
+
     Q("t6_sequence_pack",
       // GPT-style sequence packing: docs concatenated in id order,
       // chunked into 512-token packs via the distributed two-level

@@ -56,10 +56,21 @@ object Scd {
     * untouched (anti-join). For affected keys, the per-key changelog
     * is reconstructed from the history's version rows (each version is
     * a change at its `valid_from`), unioned with the batch, and
-    * re-historized — so late/out-of-order batch rows splice correctly
-    * instead of corrupting interval boundaries. Equivalent to
-    * `historize` over the full original changelog, at the cost of only
-    * the affected keys' rows. */
+    * re-historized.
+    *
+    * EXACTNESS CONTRACT (property-tested): for APPEND-STYLE batches —
+    * every batch row's `ts` strictly after all of its key's prior
+    * changes — the result equals `historize` over the full original
+    * changelog. That is the normal CDC feed shape. A LATE
+    * (out-of-order) batch row still splices into consistent,
+    * correctly-chained intervals, but against the RETAINED history:
+    * changes that historize collapsed as no-ops are unrecoverable (a
+    * late row landing before a collapsed change re-opens the earlier
+    * value for the rest of the interval), and on a `ts` tie with an
+    * existing version the existing version sorts first (its
+    * reconstruction `ord` is `Long.MinValue`), regardless of original
+    * event order. Feed batches from the raw changelog if exact late
+    * replay matters. */
   def merge(history: DataFrame, batch: DataFrame, keys: Seq[String],
             ts: String, ord: String, attrs: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)

@@ -102,6 +102,37 @@ object TextAnalysis {
     * (hash-groupBy shuffles 16 bytes per doc instead of the text). */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))
 
+  /** Inverted term index: one `(term, doc, tf)` posting per distinct
+    * doc-term — the scale-out generalization of the reference's ILIKE
+    * substring search (`users.js:50-53`, gate p5): at 100 TB an ILIKE
+    * is a full corpus scan per query; a term index answers from
+    * postings proportional to the RESULT. Partition/bucket by term in
+    * a real deployment so a query term is one partition probe. */
+  def termIndex(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(tokensWs(normalize(col(text)))).as("term"))
+      .groupBy(col("term"), col(id))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Conjunctive (all-terms) search over a term index: docs containing
+    * EVERY query term, ranked by total term frequency (sum tf desc, id
+    * asc). The classic posting-intersection: filter the index to the
+    * query terms (`isin` — partition-prunable), require a full match
+    * count per doc, rank. Query cost scales with the query terms'
+    * posting lists, never the corpus. */
+  def searchAllTerms(index: DataFrame, id: String,
+                     terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty)
+    val q = terms.map(_.toLowerCase).distinct
+    graft.ops.Kernels.topKPerKey(
+      index.filter(col("term").isin(q: _*))
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+        .filter(col("n_terms") === q.length)
+        .withColumn("__k", lit(1)),
+      Seq("__k"), Seq(col("score"), -col(id)), k)
+      .drop("__k")
+  }
+
   /** Deterministic train/val/test assignment by md5 prefix of the
     * (salted) id: reproducible across engines, runs, and cluster
     * layouts, and STABLE UNDER CORPUS GROWTH — a doc's split never

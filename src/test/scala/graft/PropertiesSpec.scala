@@ -135,4 +135,49 @@ object GraftProperties extends Properties("graft") {
           .agg(sum(col("ret")), stddev_samp(col("ret"))).collect().head.toSeq
       stats(rows) == stats(rows.reverse)
     }
+
+  private val genChangelog: Gen[List[(Int, Long, Long, String)]] =
+    Gen.listOfN(16, for {
+      k <- Gen.choose(1, 4)
+      ts <- Gen.choose(1L, 20L)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (k, ts, attr)).map(_.zipWithIndex.map { case ((k, ts, a), i) =>
+      (k, ts, i.toLong, a) // unique ord per row — the total-order tiebreak
+    })
+
+  property("scd2: merge of an append-style batch equals one-shot historize") =
+    forAll(genChangelog, Gen.choose(1L, 20L)) { (log, cutTs) =>
+      // the exactness contract: batch rows strictly after each key's
+      // prior changes (the CDC feed shape) — split the log at a ts
+      // boundary so no key has interleaved before/batch changes
+      val (before, batch) = log.partition(_._2 <= cutTs)
+      val cols = Seq("k", "ts", "ord", "attr")
+      val full = graft.ops.Scd.historize(
+          log.toDF(cols: _*), Seq("k"), "ts", "ord", Seq("attr"))
+        .collect().map(_.toSeq).toSet
+      val incr =
+        if (before.isEmpty)
+          graft.ops.Scd.historize(
+            batch.toDF(cols: _*), Seq("k"), "ts", "ord", Seq("attr"))
+            .collect().map(_.toSeq).toSet
+        else if (batch.isEmpty) full
+        else graft.ops.Scd.merge(
+          graft.ops.Scd.historize(
+            before.toDF(cols: _*), Seq("k"), "ts", "ord", Seq("attr")),
+          batch.toDF(cols: _*), Seq("k"), "ts", "ord", Seq("attr"))
+          .collect().map(_.toSeq).toSet
+      incr == full
+    }
+
+  property("prefix scan: distributed cumsum equals the sequential scan") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 50L))) { ws =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val got = graft.ops.PrefixScan.exclusiveCumSum(
+          rows.toDF("id", "w").repartition(7),
+          Seq(col("id").asc), col("w"), partitions = 5)
+        .select(col("id"), col("__prefix"))
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      val exp = rows.map(_._2).scanLeft(0L)(_ + _).init
+      got == exp
+    }
 }

@@ -51,7 +51,7 @@ class ScdSpec extends SparkSpec {
     assert(incSet.exists(_.head == 3))
   }
 
-  test("late (out-of-order) batch rows splice into existing intervals") {
+  test("late batch rows splice consistently against the retained history") {
     val before = Seq((1, 10L, 1L, "a"), (1, 40L, 4L, "b"))
     val late = Seq((1, 20L, 2L, "z"))
     val inc = Scd.merge(

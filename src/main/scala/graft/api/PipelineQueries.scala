@@ -349,6 +349,37 @@ object PipelineQueries {
         "SELECT source, count(*) AS n, min(doc_id) AS min_id, " +
         "max(doc_id) AS max_id FROM m GROUP BY 1 ORDER BY 1")),
 
+    Q("t14_corpus_e2e",
+      // the capstone composition: quality floor → exact dedup →
+      // deterministic split → per-split sequence packing, as ONE
+      // declarative plan (each stage is individually gated — t1, d1,
+      // t7, t6 — this pins that they COMPOSE). Oracle: the same four
+      // stages as chained CTEs.
+      (s, dir) => graft.pipeline.Corpus.buildTrainingSet(
+          t(s, dir, "documents"), "doc_id", "text",
+          minTokens = 10, salt = "c1",
+          fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          packBudget = 512, shardSpan = 100)
+        .withColumnRenamed("offset", "tok_offset")
+        .orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, text, " +
+        s"CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents), " +
+        "ok AS (SELECT * FROM tok WHERE n_tok >= 10), " +
+        s"fp AS (SELECT doc_id, md5($normSql) AS f, n_tok FROM ok), " +
+        "keep AS (SELECT doc_id, n_tok FROM fp WHERE doc_id IN " +
+        "(SELECT min(doc_id) FROM fp GROUP BY f)), " +
+        "sp AS (SELECT doc_id, n_tok, CASE " +
+        "WHEN substr(md5('c1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' " +
+        "THEN 'train' " +
+        "WHEN substr(md5('c1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' " +
+        "THEN 'val' ELSE 'test' END AS split FROM keep), " +
+        "o AS (SELECT doc_id, split, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
+        "PARTITION BY split ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS tok_offset FROM sp) " +
+        "SELECT doc_id, split, n_tok, tok_offset, tok_offset // 512 AS pack_id " +
+        "FROM o ORDER BY doc_id")),
+
     Q("d6_cross_corpus_overlap",
       // train/test contamination: word-3-gram Jaccard ≥ 0.5 across an
       // even doc_id split — benchmark decontamination primitive

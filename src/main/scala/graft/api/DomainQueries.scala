@@ -385,7 +385,10 @@ object DomainQueries {
           col("o_orderpriority").as("prio"))
         graft.ops.Scd.historize(log, Seq("custkey"), "ts", "ord",
             Seq("status", "prio"))
-          .orderBy("custkey", "valid_from", "status", "prio")
+          // valid_to in the sort: a same-day A->B->A pattern yields two
+          // versions sharing (custkey, valid_from, status, prio)
+          .orderBy(col("custkey"), col("valid_from"), col("status"),
+            col("prio"), col("valid_to"))
       },
       Some("WITH log AS (SELECT o_custkey AS custkey, " +
         "CAST(o_orderdate AS DATE) AS ts, o_orderkey AS ord, " +
@@ -399,7 +402,7 @@ object DomainQueries {
         "FROM m WHERE fst OR NOT same) " +
         "SELECT custkey, status, prio, valid_from, valid_to, " +
         "valid_to IS NULL AS is_current FROM v " +
-        "ORDER BY custkey, valid_from, status, prio")),
+        "ORDER BY custkey, valid_from, status, prio, valid_to")),
 
     Q("p5_ilike_search",
       // case-insensitive substring page (users.js:50-53)

@@ -5,7 +5,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -71,11 +71,14 @@ case class HeavyHittersAgg(
     child: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MgSketch] {
+  extends TypedImperativeAggregate[MgSketch] with ExpectsInputTypes {
 
   require(k > 0)
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time coercion/rejection instead of an executor-side
+  // ClassCastException (the function is SQL-exposed via extensions)
+  override def inputTypes = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType), StructField("cnt", LongType))),

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -119,13 +119,17 @@ case class QuantileSketchAgg(
     child: Expression, quantiles: Seq[Double], eps: Double,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[GkSketch] {
+  extends TypedImperativeAggregate[GkSketch] with ExpectsInputTypes {
 
   require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1))
   require(eps > 0 && eps < 0.5)
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // analysis-time coercion/rejection instead of an executor-side
+  // ClassCastException (the function is SQL-exposed via extensions)
+  override def inputTypes = Seq(DoubleType)
+  // NULL on empty/all-null groups, like the built-in percentile aggs
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def createAggregationBuffer(): GkSketch = new GkSketch(eps)
@@ -139,7 +143,8 @@ case class QuantileSketchAgg(
   override def merge(a: GkSketch, b: GkSketch): GkSketch = { a.merge(b); a }
 
   override def eval(buf: GkSketch): Any =
-    new GenericArrayData(quantiles.map(buf.query).toArray)
+    if (buf.n == 0) null
+    else new GenericArrayData(quantiles.map(buf.query).toArray)
 
   override def serialize(buf: GkSketch): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -53,9 +53,11 @@ object BloomJoin {
                expectedItems: Long = 1000000L,
                numBits: Long = 8388608L): DataFrame = {
     val bloom = buildBloom(build, col(buildKey), expectedItems, numBits)
+    // alias the build key: with probeKey == buildKey (the natural
+    // same-named-column call) the raw condition would be ambiguous
+    val keys = build.select(col(buildKey).as("__bloom_bk")).distinct()
     probe.filter(mightContain(bloom, col(probeKey)))
-      .join(build.select(col(buildKey)).distinct(),
-        col(probeKey) === col(buildKey), "left_semi")
+      .join(keys, col(probeKey) === col("__bloom_bk"), "left_semi")
   }
 
   /** Exact inner join, bloom-prefiltered the same way. */
@@ -64,7 +66,9 @@ object BloomJoin {
                 expectedItems: Long = 1000000L,
                 numBits: Long = 8388608L): DataFrame = {
     val bloom = buildBloom(build, col(buildKey), expectedItems, numBits)
+    val b = build.withColumn("__bloom_bk", col(buildKey))
     probe.filter(mightContain(bloom, col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
+      .join(b, col(probeKey) === col("__bloom_bk"))
+      .drop("__bloom_bk")
   }
 }

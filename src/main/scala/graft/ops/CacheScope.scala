@@ -55,7 +55,13 @@ object CacheScope {
     * registry. Also drops block-manager blocks behind any
     * `localCheckpoint`ed plan node (`Dataset.unpersist` only covers
     * cache-manager entries). Idempotent; never fails on
-    * already-released frames. */
+    * already-released frames.
+    *
+    * END-OF-LIFE for checkpointed frames: a released `persist()`ed
+    * frame silently recomputes on next use, but a `localCheckpoint`ed
+    * frame has NO lineage to recompute from — using it after its
+    * blocks are dropped fails. Call only after the query's terminal
+    * action, which is the documented scope contract. */
   def releaseAll(): Unit = synchronized {
     registered.foreach { df =>
       try df.unpersist(blocking = false)

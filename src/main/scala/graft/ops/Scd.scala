@@ -76,10 +76,19 @@ object Scd {
     val keyCols = keys.map(col)
     val batchKeys = batch.select(keyCols: _*).distinct()
     val untouched = history.join(batchKeys, keys, "left_anti")
+    // Reconstruction ords: version rows predate any same-instant batch
+    // change, and keep their RELATIVE order deterministically — a
+    // per-key rank over (valid_from, valid_to NULLS LAST) rather than
+    // one shared sentinel, which would leave same-valid_from versions
+    // (a same-instant A→B pair) tied and ordered by physical row
+    // order. valid_to NULLS LAST puts a zero-length [t, t) version
+    // before its successor [t, null).
+    val wVer = Window.partitionBy(keyCols: _*)
+      .orderBy(col("valid_from").asc, col("valid_to").asc_nulls_last)
     val affectedLog = history.join(batchKeys, keys, "left_semi")
+      .withColumn("__vord", lit(Long.MinValue) + row_number().over(wVer))
       .select((keys.map(col) ++ Seq(col("valid_from").as(ts),
-        // version rows predate any same-instant batch change
-        lit(Long.MinValue).as(ord)) ++ attrs.map(col)): _*)
+        col("__vord").as(ord)) ++ attrs.map(col)): _*)
       .unionByName(batch.select(
         (keys.map(col) ++ Seq(col(ts), col(ord).cast("long").as(ord))
           ++ attrs.map(col)): _*))

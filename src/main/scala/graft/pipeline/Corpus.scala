@@ -31,16 +31,13 @@ object Corpus {
       .filter(col("n_tok") >= minTokens)
     val deduped = Dedup.exact(withTok, id, text)
     val split = TextAnalysis.hashSplit(deduped, id, salt, fracs)
-    // pack PER SPLIT: each split is its own contiguous token stream
-    // (training consumes splits independently). packSequences shards
-    // internally — no global window.
-    fracs.map(_._1).map { sp =>
-      TextAnalysis.packSequences(
-          split.filter(col("split") === sp)
-            .select(col(id), col("n_tok")),
-          id, "n_tok", packBudget, shardSpan)
-        .withColumn("split", lit(sp))
-    }.reduce(_ unionByName _)
+    // pack per split IN ONE PASS: the split column joins the packing
+    // windows' partition keys (Spark has no cross-branch common-
+    // subplan elimination, so a union of per-split branches would
+    // re-run the scan + dedup once per split)
+    TextAnalysis.packSequences(
+        split.select(col(id), col("split"), col("n_tok")),
+        id, "n_tok", packBudget, shardSpan, extraKeys = Seq("split"))
       .select(col(id), col("split"), col("n_tok"),
         col("offset"), col("pack_id"))
   }

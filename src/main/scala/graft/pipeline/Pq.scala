@@ -47,20 +47,7 @@ class PqIndex private (val codes: DataFrame,
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id).as("neighbor_id"),
         PqExprs.pq_adc(col("code"), col("dt")).as("adc"))
-    val cand = Kernels.topKPerKey(scored, Seq("query_id"),
-      Seq(-col("adc"), col("neighbor_id")), nCandidates)
-    // exact re-rank on candidates only: rejoin full vectors for the
-    // ≤ nCandidates rows per query, never the whole corpus
-    val withVecs = cand
-      .join(codes.select(col(id).as("neighbor_id"), col("cv")), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.cosine(col("qv"), col("cv")).as("cos"))
-    Kernels.topKPerKey(withVecs, Seq("query_id"),
-        Seq(col("cos"), -col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
+    rerank(scored, q, k, nCandidates)
   }
 
   /** IVF-PQ composition (the FAISS-IVFPQ architecture): the ADC scan
@@ -83,6 +70,16 @@ class PqIndex private (val codes: DataFrame,
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id).as("neighbor_id"),
         PqExprs.pq_adc(col("code"), col("dt")).as("adc"))
+    rerank(scored, q, k, nCandidates)
+  }
+
+  /** Shared tail of both scan variants: ADC top-`nCandidates`
+    * candidate cut, exact cosine re-rank over candidates only (full
+    * vectors rejoined for ≤ nCandidates rows per query), ranked top-k.
+    * `q` may carry one row per (query, probed cell) — the qv side is
+    * de-duplicated before the re-rank join. */
+  private def rerank(scored: DataFrame, q: DataFrame, k: Int,
+                     nCandidates: Int): DataFrame = {
     val cand = Kernels.topKPerKey(scored, Seq("query_id"),
       Seq(-col("adc"), col("neighbor_id")), nCandidates)
     val withVecs = cand

@@ -149,9 +149,7 @@ object TextAnalysis {
     require(fracs.nonEmpty && fracs.forall(_._2 >= 0))
     val h = substring(md5(concat(lit(salt + "|"),
       col(idCol).cast("string"))), 1, 4)
-    val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
-    val thresholds = cum.init.map(f =>
-      f"${math.min(65535, math.floor(f * 65536).toLong)}%04x")
+    val thresholds = splitThresholds(fracs.map(_._2))
     val split = fracs.init.zip(thresholds)
       .foldRight(lit(fracs.last._1)) { case (((name, _), th), rest) =>
         when(h < lit(th), name).otherwise(rest)
@@ -250,7 +248,8 @@ object TextAnalysis {
     * real corpus): the floor-division shard/pack expressions match
     * DuckDB's `//` on that domain. */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
-                    budget: Long, shardSpan: Long = 100000L): DataFrame = {
+                    budget: Long, shardSpan: Long = 100000L,
+                    extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && shardSpan > 0)
     // Column ops, not a string-spliced expr(): survives column names
@@ -258,20 +257,26 @@ object TextAnalysis {
     // (`div` truncates toward zero — same thing only for ids ≥ 0).
     def floorDiv(c: Column, d: Long): Column =
       floor(c.cast("long") / lit(d.toDouble)).cast("long")
+    // `extraKeys` makes each key group (e.g. a train/val/test split)
+    // its own independent token stream, still in ONE pass: the in-
+    // shard window partitions on (keys, shard), the bases window on
+    // the keys alone — shard count per key group stays the tiny side.
+    val keyCols = extraKeys.map(col)
     val sharded = df.withColumn("__shard", floorDiv(col(idCol), shardSpan))
-    val wIn = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+    val wIn = Window.partitionBy((keyCols :+ col("__shard")): _*)
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = sharded.withColumn("__local",
       coalesce(sum(col(nTokCol)).over(wIn), lit(0L)))
-    val wBase = Window.orderBy(col("__shard"))
+    val wBase = Window.partitionBy(keyCols: _*).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = sharded.groupBy(col("__shard"))
+    val bases = sharded.groupBy((keyCols :+ col("__shard")): _*)
       .agg(sum(col(nTokCol)).as("__tot"))
       .withColumn("__base", coalesce(sum(col("__tot")).over(wBase), lit(0L)))
-      .select(col("__shard"), col("__base"))
-    local.join(broadcast(bases), Seq("__shard"))
+      .select((keyCols :+ col("__shard") :+ col("__base")): _*)
+    local.join(broadcast(bases), extraKeys :+ "__shard")
       .withColumn("offset", col("__base") + col("__local"))
-      .withColumn("pack_id", expr(s"offset div $budget"))
+      .withColumn("pack_id", floorDiv(col("offset"), budget))
       .drop("__shard", "__local", "__base")
   }
 }

@@ -115,23 +115,30 @@ object Streams {
               java.nio.charset.StandardCharsets.UTF_8).trim)
             finally in.close()
           } else None
-        val merged = current match {
-          case Some(snap) =>
-            graft.ops.Scd.merge(s.read.parquet(root + "/" + snap),
-              batch.toDF(), keys, ts, ord, attrs)
-          case None =>
-            graft.ops.Scd.historize(batch.toDF(), keys, ts, ord, attrs)
-        }
         val snapName = s"snap_$epoch"
-        merged.write.mode("overwrite").parquet(root + "/" + snapName)
-        // atomic pointer flip (FileContext rename with OVERWRITE —
-        // plain FileSystem.rename refuses existing destinations)
-        val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$epoch")
-        val out = fs.create(tmp, true)
-        try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        org.apache.hadoop.fs.FileContext.getFileContext(conf).rename(
-          tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // idempotent retry: a crash between the pointer flip and the
+        // streaming commit log re-runs this epoch — re-applying would
+        // read snap_<epoch> and overwrite it IN PLACE (self-overwrite
+        // fails, or destroys the only copy), so skip: the batch's
+        // effect is already durable
+        if (!current.contains(snapName)) {
+          val merged = current match {
+            case Some(snap) =>
+              graft.ops.Scd.merge(s.read.parquet(root + "/" + snap),
+                batch.toDF(), keys, ts, ord, attrs)
+            case None =>
+              graft.ops.Scd.historize(batch.toDF(), keys, ts, ord, attrs)
+          }
+          merged.write.mode("overwrite").parquet(root + "/" + snapName)
+          // atomic pointer flip (FileContext rename with OVERWRITE —
+          // plain FileSystem.rename refuses existing destinations)
+          val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$epoch")
+          val out = fs.create(tmp, true)
+          try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          org.apache.hadoop.fs.FileContext.getFileContext(conf).rename(
+            tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
       }
       .start()
 

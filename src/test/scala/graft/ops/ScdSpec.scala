@@ -51,6 +51,21 @@ class ScdSpec extends SparkSpec {
     assert(incSet.exists(_.head == 3))
   }
 
+  test("merge keeps same-instant version order deterministic (A->B at one ts)") {
+    // history holds a zero-length [10,10) 'a' and [10,null) 'b' — the
+    // reconstruction ord must preserve a-before-b regardless of
+    // physical row order, or the merged history flips values
+    val before = Seq((1, 10L, 1L, "a"), (1, 10L, 2L, "b"))
+    val h = Scd.historize(log(before: _*), Seq("k"), "ts", "ord", Seq("attr"))
+    val merged = Scd.merge(h, log((1, 20L, 3L, "c")),
+        Seq("k"), "ts", "ord", Seq("attr"))
+      .orderBy($"valid_from", $"valid_to".asc_nulls_last)
+      .select($"attr", $"valid_from", $"valid_to")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(merged == Seq(("a", 10L, Some(10L)), ("b", 10L, Some(20L)),
+      ("c", 20L, None)))
+  }
+
   test("late batch rows splice consistently against the retained history") {
     val before = Seq((1, 10L, 1L, "a"), (1, 40L, 4L, "b"))
     val late = Seq((1, 20L, 2L, "z"))

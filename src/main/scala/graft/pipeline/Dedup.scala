@@ -399,22 +399,19 @@ object Dedup {
     * Computed as 64 conditional sums in one hash aggregation. */
   def simHash64(df0: DataFrame, id: String, text: String): DataFrame = {
     val df = Kernels.ensureParallelism(df0)
-    // weight by occurrence count over DISTINCT tokens per doc: with a
-    // natural-language vocabulary the distinct set is ~10-20× smaller
-    // than the token stream, so the 64 conditional sums run on far
-    // fewer rows (sum of ±1 per occurrence ≡ ±count per distinct)
-    val toks = df.select(col(id),
-      explode(TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      .groupBy(col(id), col("h")).agg(count(lit(1)).as("cnt"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i"))
-    val agg = toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
-        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col(id), sig.as("simhash"))
+    // one codegen pass per DOC (graft.functions.SimHash64): the
+    // distinct-token counting and the 64 signed bit sums run in a
+    // per-row loop — no explode, no (id, token) shuffle, no 64-column
+    // aggregate. Signatures are bit-identical to the two-stage
+    // DataFrame formulation (same per-token xxhash64, same >0
+    // threshold; pinned by PipelineSpec). Token-less docs stay absent,
+    // matching the exploded form.
+    val toks = TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))
+    df.select(col(id),
+        graft.functions.TextExprs.simhash64(toks).as("simhash"),
+        size(toks).as("__ntok"))
+      .filter(col("__ntok") > 0)
+      .drop("__ntok")
   }
 
   /** SimHash near-dup candidates: band the 64-bit signature into

@@ -14,6 +14,27 @@ class PipelineSpec extends SparkSpec {
     (5L, "")
   ).toDF("doc_id", "text")
 
+  test("simHash64 kernel equals the exploded two-stage formulation") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val toksCol = TextAnalysis.tokensWs(TextAnalysis.normalize($"text"))
+    val exploded = df.select($"doc_id", explode(toksCol).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("cnt"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, $"cnt")
+        .otherwise(-$"cnt")).as(s"b$i"))
+    val agg = exploded.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val old = agg.select($"doc_id", sigExpr.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val neu = Dedup.simHash64(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(neu == old)
+  }
+
   test("hashedShingles values equal xxhash64 of the shingle strings") {
     val stringHashes = Dedup.shingles(docs, "doc_id", "text", 3)
       .select($"doc_id", xxhash64($"shingle").as("h"))

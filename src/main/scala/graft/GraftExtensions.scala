@@ -49,11 +49,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         QuantileSketchAgg(exprs(0), qs, foldDouble(exprs(2)))
       }))
-    // heavy_hitters(x, k) — k must be an integer literal
+    // heavy_hitters(x, k) — k must be a positive integral literal;
+    // reject 2.9 / NaN at resolution time instead of silently truncating
     ext.injectFunction((
       new FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HeavyHittersAgg(exprs(0), foldDouble(exprs(1)).toInt)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val kd = foldDouble(exprs(1))
+        require(kd == kd.toInt.toDouble && kd >= 1,
+          s"heavy_hitters: k must be a positive integer literal, got $kd")
+        HeavyHittersAgg(exprs(0), kd.toInt)
+      }))
   }
 }

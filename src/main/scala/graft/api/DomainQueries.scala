@@ -313,6 +313,41 @@ object DomainQueries {
         "BETWEEN '1995-01-01' AND '1995-12-31' " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s11_clustered_read",
+      // the UNIFIED catalog read (Layout.read): bucket partition
+      // pruning (key equality, s3's path) AND zone-map file skipping
+      // (range, s10's path) composed behind one entry point over the
+      // combined writeClusteredZoned layout — result ≡ the plain
+      // key+range filter (the oracle); the inputFiles shrinkage under
+      // each predicate is pinned by ZoneMapSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_clustered_" + Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(src, path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4,
+            symbolEq = Some("R"),
+            timeRange = Some((lit("1995-01-01").cast("date"),
+              lit("1995-12-31").cast("date"))))
+          .groupBy(col("ship"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("ship")
+      },
+      Some("SELECT CAST(l_shipdate AS DATE) AS ship, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_returnflag = 'R' AND CAST(l_shipdate AS DATE) " +
+        "BETWEEN '1995-01-01' AND '1995-12-31' " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

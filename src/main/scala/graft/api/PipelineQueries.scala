@@ -630,6 +630,49 @@ object PipelineQueries {
         "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
         "WHERE rank = 1 ORDER BY query_id")),
 
+    Q("e7_ivfpq_topk",
+      // IVF-PQ composed PROBED path (PqIndex.topKProbed — the
+      // billion-vector architecture: coarse cells cut candidates
+      // scanned, PQ codes cut work per candidate) at a genuinely
+      // partial probe (2 of 8 cells). The planted-twin recipe survives
+      // the composition because probing ranks cells by the SAME
+      // codegen expression as assignment (IvfIndex.nearestCells): the
+      // twin shares the query's vector, so its assigned cell is
+      // bit-identically the query's top-1 probed cell (probed at any
+      // nProbe ≥ 1), its shared code attains the globally minimal ADC
+      // distance in the probed set (candidate ties break to high ids),
+      // and the exact re-rank puts it first at cos 1.0 vs ≤ 0.60
+      // natural max. So IVF-PQ top-1 ≡ brute-force top-1 by
+      // construction and the e1-style exact SQL at k=1 is a true
+      // oracle. Recall at partial probe on non-planted corpora: PqSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val un = emb.unionByName(
+          emb.withColumn("vec_id", col("vec_id") + 10000000L))
+        val coarse = graft.pipeline.IvfIndex.build(un, "vec_id", "embedding",
+          nCells = 8)
+        val pq = graft.pipeline.PqIndex.build(un, "vec_id", "embedding",
+          m = 8, nWords = 64, maxTrainRows = 20000)
+        pq.topKProbed(un.filter(col("vec_id") < 5), "embedding", coarse,
+            nProbe = 2, k = 1, nCandidates = 256)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id")
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM base WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM base) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
+        "WHERE rank = 1 ORDER BY query_id")),
+
     Q("mm1_media_features",
       // multimodal plumbing: text bytes as opaque payload → typed
       // Dataset → mapPartitions stub codec → features

@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.catalog.Tables
 import graft.streaming.Streams
 
@@ -106,5 +107,70 @@ object StreamingQueries {
         "AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 2 HOURS " +
         "WHERE t.event_type = 'purchase' AND q.event_type = 'view' " +
         "ORDER BY 1, 2, 3, 4, 5")),
+
+    Q("st4_scd2_stream",
+      // the STREAMING twin of u11_scd2, through the real sink: the
+      // orders changelog arrives as three time-ordered micro-batches,
+      // each merged into the persisted history by Streams.scd2Sink
+      // (snapshot + atomic pointer flip), and the read-back equals
+      // historize over the full log — Scd.merge's append-style
+      // exactness contract made a driver-gated fact, not just a spec.
+      // Batch boundaries are GLOBAL ts thresholds, so same-ts rows
+      // never straddle a boundary and every batch is append-style per
+      // key by construction. The changelog is key-bounded (custkey ≤
+      // 300, ~3k rows at any SF) because MemoryStream feeds from the
+      // driver — the bound is the test harness's, not the sink's; the
+      // sink itself merges distributed frames (u11 pins the same merge
+      // at full scale).
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val root = System.getProperty("java.io.tmpdir") +
+          "/graft_scd2sink_" + Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val log = Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") <= 300)
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderdate").cast("date").as("ts"),
+            col("o_orderkey").as("ord"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("prio"))
+          .as[(Long, java.sql.Date, Long, String, String)]
+          .collect()
+        val cut1 = java.sql.Date.valueOf("1994-01-01")
+        val cut2 = java.sql.Date.valueOf("1996-06-01")
+        val batches = Seq(
+          log.filter(_._2.before(cut1)),
+          log.filter(r => !r._2.before(cut1) && r._2.before(cut2)),
+          log.filter(r => !r._2.before(cut2)))
+        val mem = MemoryStream[(Long, java.sql.Date, Long, String, String)]
+        val sink = Streams.scd2Sink(
+          mem.toDF().toDF("custkey", "ts", "ord", "status", "prio"),
+          root, Seq("custkey"), "ts", "ord", Seq("status", "prio"))
+        try batches.foreach { b =>
+          mem.addData(b.toIndexedSeq); sink.processAllAvailable()
+        } finally sink.stop()
+        Streams.scd2History(s, root)
+          .select(col("custkey"), col("status"), col("prio"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("custkey"), col("valid_from"), col("status"),
+            col("prio"), col("valid_to"))
+      },
+      Some("WITH log AS (SELECT o_custkey AS custkey, " +
+        "CAST(o_orderdate AS DATE) AS ts, o_orderkey AS ord, " +
+        "o_orderstatus AS status, o_orderpriority AS prio FROM orders " +
+        "WHERE o_custkey <= 300), " +
+        "m AS (SELECT *, (lag(status) OVER w IS NOT DISTINCT FROM status) " +
+        "AND (lag(prio) OVER w IS NOT DISTINCT FROM prio) AS same, " +
+        "lag(ts) OVER w IS NULL AS fst FROM log " +
+        "WINDOW w AS (PARTITION BY custkey ORDER BY ts, ord)), " +
+        "v AS (SELECT custkey, status, prio, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY custkey ORDER BY ts, ord) AS valid_to " +
+        "FROM m WHERE fst OR NOT same) " +
+        "SELECT custkey, status, prio, valid_from, valid_to, " +
+        "valid_to IS NULL AS is_current FROM v " +
+        "ORDER BY custkey, valid_from, status, prio, valid_to")),
   )
 }

@@ -34,8 +34,14 @@ object ZoneMap {
     * hash-agg over the file-name pseudo-column. Persist the result in
     * a real deployment; rebuilt here per call for self-containment. */
   def manifest(spark: SparkSession, path: String, zoneCol: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    manifestOf(spark.read.parquet(path), zoneCol)
+
+  /** Manifest over an already-pruned frame — the composition entry
+    * point ([[Layout.read]]): partition/bucket pruning restricts the
+    * frame first, so the manifest aggregate scans only surviving
+    * files' footers, not the whole table. */
+  def manifestOf(df: DataFrame, zoneCol: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
       .agg(min(col(zoneCol)).as("zmin"), max(col(zoneCol)).as("zmax"))
 
   /** Read only the files whose zone overlaps `[lo, hi]`, then apply

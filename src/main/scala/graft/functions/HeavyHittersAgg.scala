@@ -105,7 +105,10 @@ case class HeavyHittersAgg(
     out.writeLong(buf.n)
     out.writeInt(buf.counts.size)
     buf.counts.foreach { case (key, c) =>
-      out.writeUTF(key); out.writeLong(c)
+      // length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps at
+      // 64 KiB and a web corpus can carry an unbroken base64/minified blob
+      val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
     }
     out.flush()
     bos.toByteArray
@@ -118,7 +121,11 @@ case class HeavyHittersAgg(
     val size = in.readInt()
     var i = 0
     while (i < size) {
-      s.counts.update(in.readUTF(), in.readLong())
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val key = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      s.counts.update(key, in.readLong())
       i += 1
     }
     s

@@ -25,10 +25,13 @@ private[functions] final case class GkTuple(v: Double, g: Long, del: Long)
   * merge condition g_i + g_{i+1} + del_{i+1} ≤ ⌊2εn⌋ needs ≥ 2), so
   * for n ≤ 1/(2ε) every inserted value is retained with g=1, del=0
   * and queries return the EXACT rank-⌈qn⌉ element, deterministically,
-  * regardless of partial-merge order. Beyond that the summary stays
-  * within its rank-error bound but the chosen representative may vary
-  * with merge order — the gate query pins the exact regime; the
-  * approximation bound is pinned by QuantileSketchSpec.
+  * regardless of partial-merge order. Beyond capacity, a single-level
+  * merge keeps rank error within 2εn (the bound QuantileSketchSpec
+  * pins); under DEEP partial-merge trees the sorted-union merge here
+  * does not inflate `del` for cross-summary rank uncertainty, so the
+  * effective error can drift toward the sum of sub-summary errors —
+  * callers needing strict ε after many merge levels should lower eps
+  * accordingly. The gate query pins the exact regime.
   */
 private[functions] final class GkSketch(val eps: Double) {
   var n: Long = 0L

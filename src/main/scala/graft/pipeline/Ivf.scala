@@ -34,7 +34,7 @@ class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
   def topK(queries: DataFrame, vec: String, k: Int, nProbe: Int): DataFrame = {
     val q = Kernels.ensureParallelism(
       queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
-    // rank centroids per query, keep nProbe nearest (by cosine)
+    // rank centroids per query, keep nProbe nearest (assignment metric)
     val probed = q.withColumn("cell",
         explode(IvfIndex.nearestCells(col("qv"), centroidLit, nProbe)))
     val c = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
@@ -115,27 +115,30 @@ object IvfIndex {
     cents
   }
 
-  /** Nearest centroid by squared Euclidean distance, as a codegen
-    * expression over the centroid literal. The per-row constant ‖v‖²
-    * cannot change the argmin, so each centroid is scored by just
-    * ‖c‖² − 2·v·c (one dot product per centroid instead of three);
-    * argmin via struct sort (ties → lowest cell index). One
-    * projection, no join, no shuffle. */
-  private[pipeline] def nearestCellEuclid(v: Column, centroids: Column): Column = {
+  /** Squared-Euclidean centroid scores as (d2, cell) structs — the ONE
+    * scoring expression shared by assignment and probing. The per-row
+    * constant ‖v‖² cannot change the ranking, so each centroid is
+    * scored by just ‖c‖² − 2·v·c (one dot product per centroid instead
+    * of three); ties break to the lowest cell index via the struct
+    * sort. One projection, no join, no shuffle. */
+  private def centroidScores(v: Column, centroids: Column): Column = {
     val dot = graft.functions.VectorExprs.dot_product _
-    val scored = transform(centroids, (c, i) =>
+    transform(centroids, (c, i) =>
       struct((dot(c, c) - lit(2.0) * dot(v, c)).as("d2"), i.as("cell")))
-    element_at(array_sort(scored), 1).getField("cell")
   }
 
-  /** Indices (cells) of the `nProbe` nearest centroids by cosine —
-    * computed as a sort over the literal centroid array. */
+  /** Nearest centroid (assignment): argmin of [[centroidScores]]. */
+  private[pipeline] def nearestCellEuclid(v: Column, centroids: Column): Column =
+    element_at(array_sort(centroidScores(v, centroids)), 1).getField("cell")
+
+  /** Indices (cells) of the `nProbe` nearest centroids, ranked by the
+    * SAME metric (and the same codegen expression) as assignment —
+    * probing with a different metric than the quantizer was assigned
+    * under silently costs recall (FAISS pairs them for the same
+    * reason). Consequence, load-bearing for the e7 oracle: a vector's
+    * assigned cell IS its top-1 probed cell, bit-for-bit, so an exact
+    * duplicate of a query is reachable at any nProbe ≥ 1. */
   private[pipeline] def nearestCells(qv: Column, centroids: Column,
-                                     nProbe: Int): Column = {
-    // pair each centroid with its index, rank by cosine to the query
-    val scored = transform(centroids,
-      (c, i) => struct(graft.functions.VectorExprs.cosine_sim(qv, c).as("cos"),
-        i.as("cell")))
-    slice(reverse(array_sort(scored)), 1, nProbe).getField("cell")
-  }
+                                     nProbe: Int): Column =
+    slice(array_sort(centroidScores(qv, centroids)), 1, nProbe).getField("cell")
 }

@@ -106,7 +106,11 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         val s = batch.sparkSession
         val conf = s.sparkContext.hadoopConfiguration
-        val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        // derive the FS from the root path, not fs.defaultFS: a root on
+        // another scheme (s3a:// under an HDFS default) must not resolve
+        // against the wrong filesystem
+        val fs = rootPath.getFileSystem(conf)
         val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
         val current: Option[String] =
           if (fs.exists(pointer)) {
@@ -136,8 +140,14 @@ object Streams {
           val out = fs.create(tmp, true)
           try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          org.apache.hadoop.fs.FileContext.getFileContext(conf).rename(
-            tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+            .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          // the flipped pointer supersedes the previous snapshot; readers
+          // opened before the flip hold file handles, so deleting after
+          // the flip is safe on HDFS-like stores (delete-on-last-close)
+          current.foreach { old =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, old), true)
+          }
         }
       }
       .start()
@@ -145,9 +155,8 @@ object Streams {
   /** Read the current SCD2 history maintained by [[scd2Sink]]. */
   def scd2History(spark: org.apache.spark.sql.SparkSession,
                   root: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
     val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
+    val fs = pointer.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(pointer)
     val snap = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()

@@ -82,7 +82,7 @@ object DomainQueries {
         val o = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         val path = System.getProperty("java.io.tmpdir") +
-          "/graft_csv_" + Integer.toHexString(dir.hashCode)
+          "/graft_csv_" + s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
         o.write.mode("overwrite").option("header", "true").csv(path)
         s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
           .option("header", "true").csv(path)
@@ -257,7 +257,7 @@ object DomainQueries {
       // Partition-pruning itself is pinned by LayoutSpec.
       (s, dir) => {
         val path = System.getProperty("java.io.tmpdir") +
-          "/graft_layout_" + Integer.toHexString(dir.hashCode)
+          "/graft_layout_" + s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
         // fresh target per run: a stale directory from a prior run with
         // different buckets/schema (or a dir-hash collision) would
         // poison the read-back — same discipline as m4_stats_cache
@@ -290,7 +290,7 @@ object DomainQueries {
       // file-count reduction itself is pinned by ZoneMapSpec.
       (s, dir) => {
         val path = System.getProperty("java.io.tmpdir") +
-          "/graft_zonemap_" + Integer.toHexString(dir.hashCode)
+          "/graft_zonemap_" + s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
         val fs = org.apache.hadoop.fs.FileSystem
           .get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -322,7 +322,7 @@ object DomainQueries {
       // each predicate is pinned by ZoneMapSpec.
       (s, dir) => {
         val path = System.getProperty("java.io.tmpdir") +
-          "/graft_clustered_" + Integer.toHexString(dir.hashCode)
+          "/graft_clustered_" + s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -610,7 +610,7 @@ object DomainQueries {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val root = System.getProperty("java.io.tmpdir") +
-          "/graft_statscache_" + Integer.toHexString(dir.hashCode)
+          "/graft_statscache_" + s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
         // fresh cache per run — the gate pins the flow, not persistence
         val fs = org.apache.hadoop.fs.FileSystem
           .get(s.sparkContext.hadoopConfiguration)

@@ -125,8 +125,12 @@ object StreamingQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // per-run nonce (applicationId): two concurrent drivers over the
+        // same sfDir must not share a sink root — each would delete and
+        // flip the other's bucket dirs mid-stream
         val root = System.getProperty("java.io.tmpdir") +
-          "/graft_scd2sink_" + Integer.toHexString(dir.hashCode)
+          "/graft_scd2sink_" + s.sparkContext.applicationId +
+          "_" + Integer.toHexString(dir.hashCode)
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)

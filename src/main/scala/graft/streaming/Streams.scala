@@ -92,16 +92,63 @@ object Streams {
       }
       .start()
 
+  /** Parsed `_latest` manifest of an [[scd2Sink]] table: the epoch
+    * that wrote it + the current data directory of every key bucket
+    * (paths relative to the table root). */
+  private[streaming] case class Scd2Manifest(epoch: Long,
+                                             buckets: Map[Int, String]) {
+    def serialize: String =
+      (s"epoch $epoch" +: buckets.toSeq.sortBy(_._1)
+        .map { case (b, p) => s"$b $p" }).mkString("\n")
+  }
+
+  private[streaming] def readScd2Manifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      pointer: org.apache.hadoop.fs.Path): Option[Scd2Manifest] =
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val epoch = lines.head.stripPrefix("epoch ").trim.toLong
+      val buckets = lines.tail.map { l =>
+        val Array(b, p) = l.split(" ", 2)
+        b.toInt -> p
+      }.toMap
+      Some(Scd2Manifest(epoch, buckets))
+    }
+
+  /** Key-hash bucket of a history row — the COW granule of
+    * [[scd2Sink]]'s storage. */
+  private def scd2Bucket(keys: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+
   /** Streaming type-2 SCD maintenance: each micro-batch of dimension
     * changes merges into a persisted history table via
     * [[graft.ops.Scd.merge]] — only batch-affected keys are
-    * re-historized; everything else passes through untouched. Storage
-    * is the same snapshot-versioned pointer-flip pattern as
-    * [[graft.analytics.StatsCache]] (write `snap_<epoch>`, atomically
-    * flip `_latest`), standing in for a table-format MERGE at
-    * production scale. Single writer, many readers. */
+    * re-historized; everything else passes through untouched.
+    *
+    * Storage is INCREMENTAL, not a full-table snapshot: the history is
+    * partitioned into `nBuckets` key-hash buckets, each epoch
+    * copy-on-writes ONLY the buckets containing batch-affected keys
+    * (into `epoch_<e>/__kb=<b>/`), and a `_latest` manifest mapping
+    * bucket → current directory is atomically flipped. Write cost per
+    * epoch is O(affected buckets), never O(full history) — the merge
+    * plan is already pruned to the same keys. Pick `nBuckets` so one
+    * bucket's history fits a comfortable write job (e.g. 1024 buckets
+    * for a 1 TB dimension → ~1 GB COW per touched bucket).
+    *
+    * Single WRITER; readers resolve the manifest per read. Superseded
+    * bucket directories are kept for ONE extra flip (a directory is
+    * deleted only once no longer referenced by the current NOR the
+    * previous manifest), so a reader that resolved `_latest` just
+    * before a flip can still open its files on object stores with no
+    * delete-on-last-close semantics; a reader older than two flips
+    * must re-resolve and retry on FileNotFound. */
   def scd2Sink(changes: DataFrame, root: String, keys: Seq[String],
-               ts: String, ord: String, attrs: Seq[String]): StreamingQuery =
+               ts: String, ord: String, attrs: Seq[String],
+               nBuckets: Int = 16): StreamingQuery =
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         val s = batch.sparkSession
@@ -112,55 +159,79 @@ object Streams {
         // against the wrong filesystem
         val fs = rootPath.getFileSystem(conf)
         val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
-        val current: Option[String] =
-          if (fs.exists(pointer)) {
-            val in = fs.open(pointer)
-            try Some(new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim)
-            finally in.close()
-          } else None
-        val snapName = s"snap_$epoch"
-        // idempotent retry: a crash between the pointer flip and the
+        val current = readScd2Manifest(fs, pointer)
+        // idempotent retry: a crash between the manifest flip and the
         // streaming commit log re-runs this epoch — re-applying would
-        // read snap_<epoch> and overwrite it IN PLACE (self-overwrite
-        // fails, or destroys the only copy), so skip: the batch's
-        // effect is already durable
-        if (!current.contains(snapName)) {
-          val merged = current match {
-            case Some(snap) =>
-              graft.ops.Scd.merge(s.read.parquet(root + "/" + snap),
-                batch.toDF(), keys, ts, ord, attrs)
-            case None =>
-              graft.ops.Scd.historize(batch.toDF(), keys, ts, ord, attrs)
+        // merge the batch into history that already contains it, so
+        // skip: the batch's effect is already durable
+        if (!current.exists(_.epoch == epoch)) {
+          val bucketed = batch.toDF()
+            .withColumn("__kb", scd2Bucket(keys, nBuckets))
+          // affected buckets: bounded by nBuckets, not by batch rows
+          val affected = bucketed.select(col("__kb")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          val priorDirs = current.toSeq.flatMap(m =>
+            affected.flatMap(m.buckets.get)).distinct
+          val merged = if (priorDirs.isEmpty)
+            graft.ops.Scd.historize(batch.toDF(), keys, ts, ord, attrs)
+          else {
+            // only the affected buckets' history is read — the rest of
+            // the table is untouched on disk AND unread by the plan
+            val history = s.read.parquet(priorDirs.map(root + "/" + _): _*)
+            graft.ops.Scd.merge(history, batch.toDF(), keys, ts, ord, attrs)
           }
-          merged.write.mode("overwrite").parquet(root + "/" + snapName)
-          // atomic pointer flip (FileContext rename with OVERWRITE —
+          val epochDir = s"epoch_$epoch"
+          merged.withColumn("__kb", scd2Bucket(keys, nBuckets))
+            .repartition(col("__kb"))
+            .sortWithinPartitions(keys.map(col) :+ col("valid_from"): _*)
+            .write.mode("overwrite").partitionBy("__kb")
+            .parquet(root + "/" + epochDir)
+          val next = Scd2Manifest(epoch,
+            current.map(_.buckets).getOrElse(Map.empty) ++
+              affected.map(b => b -> s"$epochDir/__kb=$b"))
+          // atomic manifest flip (FileContext rename with OVERWRITE —
           // plain FileSystem.rename refuses existing destinations)
           val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$epoch")
           val out = fs.create(tmp, true)
-          try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          try out.write(next.serialize
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
             .rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          // the flipped pointer supersedes the previous snapshot; readers
-          // opened before the flip hold file handles, so deleting after
-          // the flip is safe on HDFS-like stores (delete-on-last-close)
-          current.foreach { old =>
-            fs.delete(new org.apache.hadoop.fs.Path(root, old), true)
+          // keep-last-2 GC: a bucket dir is live while the NEW or the
+          // PREVIOUS manifest references it; anything older was
+          // superseded two flips ago and no well-behaved reader can
+          // still hold it (store-agnostic — no reliance on HDFS
+          // delete-on-last-close)
+          val live = next.buckets.values.toSet ++
+            current.toSeq.flatMap(_.buckets.values)
+          val epochDirs = fs.globStatus(
+            new org.apache.hadoop.fs.Path(root, "epoch_*"))
+          epochDirs.foreach { ed =>
+            val kept = fs.listStatus(ed.getPath).filter { kb =>
+              val rel = ed.getPath.getName + "/" + kb.getPath.getName
+              if (kb.getPath.getName.startsWith("__kb=") && !live(rel)) {
+                fs.delete(kb.getPath, true); false
+              } else true
+            }
+            if (!kept.exists(_.getPath.getName.startsWith("__kb=")))
+              fs.delete(ed.getPath, true) // only _SUCCESS markers left
           }
         }
       }
       .start()
 
-  /** Read the current SCD2 history maintained by [[scd2Sink]]. */
+  /** Read the current SCD2 history maintained by [[scd2Sink]]: resolve
+    * the manifest, read the union of every bucket's current directory.
+    * Lazy like any DataFrame — re-resolve on FileNotFound if more than
+    * one flip elapsed between planning and execution. */
   def scd2History(spark: org.apache.spark.sql.SparkSession,
                   root: String): DataFrame = {
     val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
     val fs = pointer.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(pointer)
-    val snap = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-    spark.read.parquet(root + "/" + snap)
+    val m = readScd2Manifest(fs, pointer).getOrElse(
+      throw new java.io.FileNotFoundException(s"$root/_latest"))
+    spark.read.parquet(m.buckets.values.toSeq.distinct.map(root + "/" + _): _*)
   }
 
   /** Streaming exact dedup — the training-pipeline ingest guard

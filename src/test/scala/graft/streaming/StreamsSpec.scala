@@ -153,6 +153,55 @@ class StreamsSpec extends SparkSpec {
       (1, "b", 20L, None, true), (2, "x", 5L, None, true)))
   }
 
+  test("scd2Sink write is incremental: a 1-key epoch rewrites exactly 1 bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2i").toString + "/dim"
+    val mem = MemoryStream[(Int, Long, Long, String)]
+    val changes = mem.toDF().toDF("k", "ts", "ord", "attr")
+    val q = Streams.scd2Sink(changes, root, Seq("k"), "ts", "ord", Seq("attr"),
+      nBuckets = 8)
+    // epoch 0: 40 keys spread over (almost surely) all 8 buckets
+    mem.addData((1 to 40).map(k => (k, 10L, k.toLong, "a")): _*)
+    q.processAllAvailable()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketDirs(epoch: Long): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(root, s"epoch_$epoch")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("__kb=")).toSeq.sorted
+    }
+    val epoch0Buckets = bucketDirs(0)
+    assert(epoch0Buckets.size >= 2) // data really spread over buckets
+    // epoch 1: ONE key changes → exactly one bucket dir copy-on-written
+    mem.addData((7, 20L, 100L, "b"))
+    q.processAllAvailable()
+    assert(bucketDirs(1).size == 1)
+    // keep-last-2: the superseded epoch-0 copy of key 7's bucket is
+    // still readable (one-flip grace for in-flight readers)...
+    assert(bucketDirs(0) == epoch0Buckets)
+    // epoch 2: the SAME key again → the epoch-0 copy, superseded two
+    // flips ago, is GC'd; the epoch-1 copy survives one more flip
+    mem.addData((7, 30L, 101L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(bucketDirs(2).size == 1)
+    assert(bucketDirs(1) == Seq(bucketDirs(2).head))
+    assert(bucketDirs(0).size == epoch0Buckets.size - 1)
+    assert(!bucketDirs(0).contains(bucketDirs(2).head))
+    // and the merged history still equals the one-shot historize
+    val got = Streams.scd2History(spark, root)
+      .select($"k", $"attr", $"valid_from", $"valid_to", $"is_current")
+      .as[(Int, String, Long, Option[Long], Boolean)].collect().toSet
+    val full = graft.ops.Scd.historize(
+        ((1 to 40).map(k => (k, 10L, k.toLong, "a")) ++
+          Seq((7, 20L, 100L, "b"), (7, 30L, 101L, "c"))).toDF("k", "ts", "ord", "attr"),
+        Seq("k"), "ts", "ord", Seq("attr"))
+      .select($"k", $"attr", $"valid_from", $"valid_to", $"is_current")
+      .as[(Int, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == full)
+  }
+
   test("quotedTrades: watermarked interval join picks up in-window quotes only") {
     implicit val sqlCtx = spark.sqlContext
     val qmem = MemoryStream[Streams.Quote]

@@ -152,7 +152,8 @@ object StreamingQueries {
         val mem = MemoryStream[(Long, java.sql.Date, Long, String, String)]
         val sink = Streams.scd2Sink(
           mem.toDF().toDF("custkey", "ts", "ord", "status", "prio"),
-          root, Seq("custkey"), "ts", "ord", Seq("status", "prio"))
+          root, Seq("custkey"), "ts", "ord", Seq("status", "prio"),
+          checkpointLocation = Some(root + "/_checkpoint"))
         try batches.foreach { b =>
           mem.addData(b.toIndexedSeq); sink.processAllAvailable()
         } finally sink.stop()

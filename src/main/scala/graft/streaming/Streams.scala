@@ -145,11 +145,23 @@ object Streams {
     * previous manifest), so a reader that resolved `_latest` just
     * before a flip can still open its files on object stores with no
     * delete-on-last-close semantics; a reader older than two flips
-    * must re-resolve and retry on FileNotFound. */
+    * must re-resolve and retry on FileNotFound.
+    *
+    * RESTART DURABILITY: pass `checkpointLocation` (a durable path)
+    * with a replayable source and a restarted query resumes at the
+    * next uncommitted epoch — already-applied batches are never
+    * re-delivered. The manifest's epoch is additionally a HIGH-WATER
+    * mark: any epoch ≤ the manifest's is skipped as already durable,
+    * which makes the crash-between-flip-and-commit retry idempotent
+    * AND protects history from a mis-restarted query (no/lost
+    * checkpoint ⇒ epoch ids restart at 0 ⇒ re-delivered data is
+    * ignored rather than re-merged as duplicates — recover by
+    * restarting WITH the original checkpoint). */
   def scd2Sink(changes: DataFrame, root: String, keys: Seq[String],
                ts: String, ord: String, attrs: Seq[String],
-               nBuckets: Int = 16): StreamingQuery =
-    changes.writeStream.outputMode("append")
+               nBuckets: Int = 16,
+               checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = changes.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         val s = batch.sparkSession
         val conf = s.sparkContext.hadoopConfiguration
@@ -160,11 +172,12 @@ object Streams {
         val fs = rootPath.getFileSystem(conf)
         val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
         val current = readScd2Manifest(fs, pointer)
-        // idempotent retry: a crash between the manifest flip and the
-        // streaming commit log re-runs this epoch — re-applying would
-        // merge the batch into history that already contains it, so
-        // skip: the batch's effect is already durable
-        if (!current.exists(_.epoch == epoch)) {
+        // high-water idempotence guard: a crash between the manifest
+        // flip and the streaming commit log re-runs this epoch, and a
+        // query restarted without its checkpoint re-delivers applied
+        // batches under SMALLER epoch ids — in both cases the batch's
+        // effect is already durable in history, so skip
+        if (!current.exists(_.epoch >= epoch)) {
           val bucketed = batch.toDF()
             .withColumn("__kb", scd2Bucket(keys, nBuckets))
           // affected buckets: bounded by nBuckets, not by batch rows
@@ -219,7 +232,10 @@ object Streams {
           }
         }
       }
+    checkpointLocation
+      .fold(writer)(writer.option("checkpointLocation", _))
       .start()
+  }
 
   /** Read the current SCD2 history maintained by [[scd2Sink]]: resolve
     * the manifest, read the union of every bucket's current directory.

@@ -540,7 +540,14 @@ object PipelineQueries {
       // scale path drops nProbe (IvfSpec covers partial probe)
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val idx = graft.pipeline.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+        // the gate also pins index PERSISTENCE: build → save → load,
+        // and query the RELOADED index (per-run nonce path, see st4)
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_ivf_" + s.sparkContext.applicationId +
+          "_" + Integer.toHexString(dir.hashCode)
+        graft.pipeline.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+          .save(path)
+        val idx = graft.pipeline.IvfIndex.load(s, path)
         idx.topK(emb.filter(col("vec_id") < 5), "embedding", k = 10, nProbe = 8)
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             round(col("cos"), 6).as("cos"))
@@ -608,8 +615,14 @@ object PipelineQueries {
         val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
         val un = emb.unionByName(
           emb.withColumn("vec_id", col("vec_id") + 10000000L))
-        val idx = graft.pipeline.PqIndex.build(un, "vec_id", "embedding",
-          m = 8, nWords = 64, maxTrainRows = 20000)
+        // persistence round-trip, same recipe as e3: query the
+        // reloaded index, not the freshly built one
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_pq_" + s.sparkContext.applicationId +
+          "_" + Integer.toHexString(dir.hashCode)
+        graft.pipeline.PqIndex.build(un, "vec_id", "embedding",
+          m = 8, nWords = 64, maxTrainRows = 20000).save(path)
+        val idx = graft.pipeline.PqIndex.load(s, path)
         idx.topK(un.filter(col("vec_id") < 5), "embedding", k = 1,
             nCandidates = 256)
           .select(col("query_id"), col("neighbor_id"),
@@ -649,10 +662,17 @@ object PipelineQueries {
         val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
         val un = emb.unionByName(
           emb.withColumn("vec_id", col("vec_id") + 10000000L))
-        val coarse = graft.pipeline.IvfIndex.build(un, "vec_id", "embedding",
-          nCells = 8)
-        val pq = graft.pipeline.PqIndex.build(un, "vec_id", "embedding",
-          m = 8, nWords = 64, maxTrainRows = 20000)
+        // both halves of the composition are queried RELOADED — the
+        // production shape: train once, persist, probe from any job
+        val base = System.getProperty("java.io.tmpdir") +
+          "/graft_ivfpq_" + s.sparkContext.applicationId +
+          "_" + Integer.toHexString(dir.hashCode)
+        graft.pipeline.IvfIndex.build(un, "vec_id", "embedding", nCells = 8)
+          .save(base + "/coarse")
+        graft.pipeline.PqIndex.build(un, "vec_id", "embedding",
+          m = 8, nWords = 64, maxTrainRows = 20000).save(base + "/pq")
+        val coarse = graft.pipeline.IvfIndex.load(s, base + "/coarse")
+        val pq = graft.pipeline.PqIndex.load(s, base + "/pq")
         pq.topKProbed(un.filter(col("vec_id") < 5), "embedding", coarse,
             nProbe = 2, k = 1, nCandidates = 256)
           .select(col("query_id"), col("neighbor_id"),

@@ -20,7 +20,7 @@ import graft.ops.{CacheScope, Kernels}
   * natural partition key for the stored index.
   */
 class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
-                        id: String) {
+                        id: String, val builtAt: Long) {
 
   private def centroidLit: Column =
     typedlit(centroids.map(_.toSeq).toSeq)
@@ -50,11 +50,65 @@ class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
           .orderBy(col("cos").desc, col("neighbor_id"))))
   }
 
+  /** Persist the index so later sessions query WITHOUT retraining —
+    * at 100 TB, re-running Lloyd's per job is not an option. The
+    * centroid array lands as a tiny parquet, the assigned corpus as a
+    * cell-partitioned parquet (the inverted lists — a probe touches
+    * only its cells' directories), both under a fresh `snap_*` with
+    * an atomic `_latest` flip ([[IndexIo]]): rebuilds never break
+    * in-flight readers.
+    *
+    * Staleness contract (mirrors [[graft.analytics.StatsCache]]'s
+    * `updated_at`): the snapshot reflects the corpus AS OF
+    * [[builtAt]]; the index does not see later corpus changes.
+    * Compare `builtAt` against the corpus table's modification time
+    * and rebuild + re-[[save]] when stale — readers keep the old
+    * snapshot until the flip. */
+  def save(path: String): Unit = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val snap = IndexIo.newSnap()
+    val dir = s"$path/$snap"
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    IndexIo.writeMeta(s, dir, Seq(
+      "kind" -> "ivf", "id" -> id,
+      "n_cells" -> centroids.length.toString,
+      "built_at" -> builtAt.toString))
+    IndexIo.flip(s, path, snap)
+  }
+
   /** Release the cached cells frame (queries recompute afterwards). */
   def close(): Unit = cells.unpersist(blocking = false)
 }
 
 object IvfIndex {
+
+  /** Load a [[save]]d index: centroids re-collected from the tiny
+    * parquet (driver memory O(nCells · dims)), inverted lists read
+    * lazily and registered in [[graft.ops.CacheScope]] like a built
+    * index. No training runs — the load cost is one small read. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val snap = IndexIo.currentSnap(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"$path/_latest"))
+    val dir = s"$path/$snap"
+    val meta = IndexIo.readMeta(spark, dir)
+    require(meta.get("kind").contains("ivf"), s"not an IVF index: $dir")
+    val id = meta("id")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("c")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val cells = CacheScope.persist(
+      spark.read.parquet(s"$dir/cells")
+        .select(col(id), col("cell"), col("cv")))
+    new IvfIndex(cells, centroids, id, meta("built_at").toLong)
+  }
+
+  /** Drop all persisted snapshots except the current one. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    IndexIo.vacuum(spark, path)
 
   /** Build the index: deterministic Lloyd's k-means (fixed seed) on a
     * bounded sample, then one distributed pass assigning every vector
@@ -78,7 +132,7 @@ object IvfIndex {
       base.withColumn("cell", nearestCellEuclid(col("cv"), typedlit(
           centroids.map(_.toSeq).toSeq)))
         .select(col(id), col("cell"), col("cv")))
-    new IvfIndex(assigned, centroids, id)
+    new IvfIndex(assigned, centroids, id, System.currentTimeMillis())
   }
 
   /** Driver-local Lloyd's iterations with seeded distinct-point init.

@@ -25,7 +25,7 @@ import graft.ops.{CacheScope, Kernels}
   */
 class PqIndex private (val codes: DataFrame,
                        val codebooks: Array[Array[Array[Double]]],
-                       id: String) {
+                       id: String, val builtAt: Long) {
 
   /** Cosine top-k per query: ADC top-`nCandidates` candidate scan over
     * the encoded corpus (broadcast query tables), then exact cosine
@@ -94,11 +94,63 @@ class PqIndex private (val codes: DataFrame,
           .orderBy(col("cos").desc, col("neighbor_id"))))
   }
 
+  /** Persist the index so later sessions query WITHOUT retraining
+    * (same posture and staleness contract as [[IvfIndex.save]]): the
+    * per-subspace codebooks land as a tiny parquet
+    * (m · nWords rows), the encoded corpus as a parquet of
+    * (id, code, cv), under a fresh `snap_*` with an atomic `_latest`
+    * flip. The snapshot reflects the corpus AS OF [[builtAt]] —
+    * rebuild + re-save when the corpus moves. */
+  def save(path: String): Unit = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val snap = IndexIo.newSnap()
+    val dir = s"$path/$snap"
+    (for {
+      (book, j) <- codebooks.zipWithIndex
+      (word, w) <- book.zipWithIndex
+    } yield (j, w, word.toSeq)).toSeq
+      .toDF("subspace", "word", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    IndexIo.writeMeta(s, dir, Seq(
+      "kind" -> "pq", "id" -> id,
+      "m" -> codebooks.length.toString,
+      "built_at" -> builtAt.toString))
+    IndexIo.flip(s, path, snap)
+  }
+
   /** Release the cached codes frame (queries recompute afterwards). */
   def close(): Unit = codes.unpersist(blocking = false)
 }
 
 object PqIndex {
+
+  /** Load a [[PqIndex.save]]d index: codebooks re-collected from the
+    * tiny parquet (driver memory O(m · nWords · dims/m) = O(nWords ·
+    * dims)), the encoded corpus read lazily and registered in
+    * [[graft.ops.CacheScope]]. No training runs. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val snap = IndexIo.currentSnap(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"$path/_latest"))
+    val dir = s"$path/$snap"
+    val meta = IndexIo.readMeta(spark, dir)
+    require(meta.get("kind").contains("pq"), s"not a PQ index: $dir")
+    val id = meta("id")
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace"), col("word"), col("c")).collect()
+    val codebooks = rows.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    require(codebooks.length == meta("m").toInt, s"corrupt codebooks in $dir")
+    val codes = CacheScope.persist(
+      spark.read.parquet(s"$dir/codes")
+        .select(col(id), col("code"), col("cv")))
+    new PqIndex(codes, codebooks, id, meta("built_at").toLong)
+  }
+
+  /** Drop all persisted snapshots except the current one. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    IndexIo.vacuum(spark, path)
 
   /** Train per-subspace codebooks driver-locally and encode the corpus
     * in one distributed codegen pass. `dims` must be divisible by `m`.
@@ -124,6 +176,6 @@ object PqIndex {
     val encoded = CacheScope.persist(
       base.withColumn("code", PqExprs.pq_encode(col("cv"), codebooks))
         .select(col(id), col("code"), col("cv")))
-    new PqIndex(encoded, codebooks, id)
+    new PqIndex(encoded, codebooks, id, System.currentTimeMillis())
   }
 }

@@ -20,6 +20,29 @@ class IvfSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("save/load round-trip: the reloaded index answers identically, no retraining") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfio").toString + "/idx"
+    val queries = emb.filter($"vec_id" < 3)
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    built.save(path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.builtAt == built.builtAt) // staleness stamp survives
+    def ans(i: IvfIndex) = i.topK(queries, "embedding", k = 5, nProbe = 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ans(loaded) == ans(built))
+    // a re-save lands in a new snapshot; vacuum keeps only the current
+    built.save(path)
+    IvfIndex.vacuum(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("snap_"))
+    assert(snaps.length == 1)
+    assert(ans(IvfIndex.load(spark, path)) == ans(built))
+    built.close(); loaded.close()
+  }
+
   test("IVF with partial probe returns k ranked candidates from probed cells") {
     val queries = emb.filter($"vec_id" < 3)
     val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)

@@ -54,6 +54,25 @@ class PqSpec extends SparkSpec {
     idx.close()
   }
 
+  test("save/load round-trip: reloaded codebooks and codes answer identically") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqio").toString + "/idx"
+    val queries = emb.filter($"vec_id" < 4)
+    val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 32)
+    built.save(path)
+    val loaded = PqIndex.load(spark, path)
+    assert(loaded.builtAt == built.builtAt)
+    // codebooks survive bit-exactly (ordering by subspace, word)
+    assert(loaded.codebooks.length == built.codebooks.length)
+    for (j <- built.codebooks.indices)
+      assert(loaded.codebooks(j).map(_.toSeq).toSeq ==
+        built.codebooks(j).map(_.toSeq).toSeq)
+    def ans(i: PqIndex) = i.topK(queries, "embedding", k = 3, nCandidates = 128)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ans(loaded) == ans(built))
+    built.close(); loaded.close()
+  }
+
   test("IVF-PQ: full probe with generous candidates is exact; partial probe returns k ranked rows") {
     val queries = emb.filter($"vec_id" < 4)
     val coarse = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)

@@ -51,10 +51,21 @@ object Layout {
     * ([[ZoneMap]] skipping). `repartitionByRange(bucket, time)` yields
     * contiguous (bucket, time) slices; `partitionBy` then lands each
     * slice in its bucket directory (a slice straddling two buckets
-    * just writes one file into each). */
+    * just writes one file into each).
+    *
+    * The zone manifest is persisted AT WRITE TIME to `_zonemap/` (one
+    * row per data file: relative path, bucket, zmin, zmax — the
+    * Delta/Iceberg stats-manifest shape): [[read]] consults it instead
+    * of re-deriving zones from data files per query, which at 100×
+    * files is a metadata job per read. The leading underscore keeps it
+    * out of data discovery. SINGLE WRITER: mode=overwrite replaces
+    * data then manifest in place — concurrent readers of an
+    * in-progress overwrite may see FileNotFound (a snapshotting table
+    * format is the production answer; [[graft.pipeline.IndexIo]] shows
+    * the pattern). */
   def writeClusteredZoned(df: DataFrame, path: String, symbol: String,
                           time: String, numBuckets: Int = 16,
-                          filesPerBucket: Int = 4): Unit =
+                          filesPerBucket: Int = 4): Unit = {
     df.withColumn("sym_bucket", bucketOf(col(symbol), numBuckets))
       .repartitionByRange(numBuckets * filesPerBucket,
         col("sym_bucket"), col(time))
@@ -62,32 +73,79 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy("sym_bucket")
       .parquet(path)
+    val spark = df.sparkSession
+    // one pass over the just-written table (column-pruned to `time`),
+    // collected driver-side: bounded by FILE count, not rows
+    val written = spark.read.option("basePath", path).parquet(path)
+    val agg = written
+      .groupBy(input_file_name().as("file"), col("sym_bucket"))
+      .agg(min(col(time)).as("zmin"), max(col(time)).as("zmax"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
+    // store paths RELATIVE to the table root (the manifest survives a
+    // table move) and URI-DECODED (input_file_name returns escaped
+    // URIs; see [[literalPath]])
+    val rows = agg.collect().map { r =>
+      val p = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))).toString
+      org.apache.spark.sql.Row(
+        p.stripPrefix(root).stripPrefix("/"), r.get(1), r.get(2), r.get(3))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
+  /** `input_file_name()` / manifest entries → literal reader paths:
+    * URI-unescape (a `%20` or `%25` in the stored string is a space or
+    * percent on disk), then backslash-escape glob metacharacters so
+    * the second `spark.read.parquet` resolves the SAME file even when
+    * the path contains `%`, spaces, or `{}[]*?`. */
+  private def literalPath(uriString: String): String =
+    globEscape(new org.apache.hadoop.fs.Path(new java.net.URI(uriString)).toString)
+
+  private def globEscape(p: String): String =
+    p.replaceAll("([{}\\[\\]*?\\\\])", "\\\\$1")
 
   /** ONE catalog read composing BOTH prunings — what a real table
     * wants behind a single entry point: the bucket partition filter
     * (key equality → 1/numBuckets of directories, pruned by Catalyst
     * partition pruning before any footer is opened) and the zone-map
     * file skip (range predicate → only overlapping files of the
-    * surviving bucket make the task list). The zone manifest is built
-    * over the ALREADY bucket-pruned frame, so its footer scan is also
-    * 1/numBuckets. Exact predicates are re-applied on the pruned scan;
-    * the result is always ≡ the plain filter (the s11 oracle), the
-    * file-set shrinkage is pinned by ZoneMapSpec via `inputFiles`. */
+    * surviving bucket make the task list). Zones come from the
+    * write-time `_zonemap/` manifest when present — a range read then
+    * opens NO non-matching data file at all, not even its footer
+    * (pinned by ZoneMapSpec against corrupted cold files); tables
+    * written without a manifest fall back to deriving zones from the
+    * bucket-pruned data files. Exact predicates are re-applied on the
+    * pruned scan; the result is always ≡ the plain filter (the s11
+    * oracle). Assumes the [[writeClusteredZoned]] single-writer
+    * contract — a read racing an overwrite may see FileNotFound. */
   def read(spark: SparkSession, path: String, symbol: String, time: String,
            numBuckets: Int = 16, symbolEq: Option[String] = None,
            timeRange: Option[(Column, Column)] = None): DataFrame = {
     def bucketPruned(df: DataFrame): DataFrame = symbolEq.fold(df) { v =>
       df.filter(col("sym_bucket") === bucketOf(lit(v), numBuckets))
     }
-    val base = bucketPruned(spark.read.option("basePath", path).parquet(path))
+    def fullScan = bucketPruned(
+      spark.read.option("basePath", path).parquet(path))
     val zoned = timeRange match {
-      case None => base
+      case None => fullScan
       case Some((lo, hi)) =>
-        // bounded by FILE count (of one bucket), not row count
-        val files = ZoneMap.manifestOf(base, time)
-          .filter(col("zmax") >= lo && col("zmin") <= hi)
-          .select(col("file")).collect().map(_.getString(0))
-        if (files.isEmpty) base.limit(0)
+        val mPath = new org.apache.hadoop.fs.Path(path, "_zonemap")
+        val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // both branches are bounded by FILE count (of one bucket)
+        val files: Array[String] =
+          if (fs.exists(mPath)) {
+            val m = spark.read.parquet(mPath.toString)
+            bucketPruned(m).filter(col("zmax") >= lo && col("zmin") <= hi)
+              .select(col("file")).collect().map(r => globEscape(
+                new org.apache.hadoop.fs.Path(path, r.getString(0)).toString))
+          } else ZoneMap.manifestOf(fullScan, time)
+            .filter(col("zmax") >= lo && col("zmin") <= hi)
+            .select(col("file")).collect()
+            .map(r => literalPath(r.getString(0)))
+        if (files.isEmpty) fullScan.limit(0)
         else bucketPruned(
           spark.read.option("basePath", path).parquet(files.toSeq: _*))
     }

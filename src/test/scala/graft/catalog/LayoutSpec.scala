@@ -28,6 +28,29 @@ class LayoutSpec extends SparkSpec {
     assert(nPart == 1, s"expected 1 pruned partition, scanned $nPart")
   }
 
+  test("zoned reads round-trip table paths containing % and spaces") {
+    // '%' and spaces URI-escape in input_file_name(); feeding those
+    // strings back to spark.read unescaped resolves the WRONG file set
+    val dir = Files.createTempDirectory("graft_pct").toString + "/t %25 table"
+    val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    def readBack(path: String) = Layout.read(spark, path, "symbol", "ts",
+        numBuckets = 4, symbolEq = Some("SYM7"),
+        timeRange = Some((lit(100L), lit(499L))))
+      .select($"ts").as[Long].collect().toSet
+    val exp = df.filter($"symbol" === "SYM7" && $"ts".between(100L, 499L))
+      .select($"ts").as[Long].collect().toSet
+    // manifest path: relative entries are URI-decoded at write time
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 4)
+    assert(readBack(dir) == exp)
+    // fallback path (no _zonemap): input_file_name() strings are
+    // decoded + glob-escaped before the second read
+    val dir2 = Files.createTempDirectory("graft_pct2").toString + "/t %25 table"
+    Layout.writeClustered(df, dir2, "symbol", "ts", numBuckets = 4)
+    assert(readBack(dir2) == exp)
+  }
+
   test("ORC and JSON source/sink roundtrips preserve values") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val df = Seq(("AAA", 1, 10.5), ("BBB", 2, 20.25)).toDF("symbol", "ts", "close")

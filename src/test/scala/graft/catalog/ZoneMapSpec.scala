@@ -47,6 +47,44 @@ class ZoneMapSpec extends SparkSpec {
     assert(pruned.inputFiles.isEmpty)
   }
 
+  test("write-time manifest: a range read opens ZERO non-matching data files") {
+    val cpath = System.getProperty("java.io.tmpdir") + "/graft_zm_manifest_spec"
+    val root = new org.apache.hadoop.fs.Path(cpath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val df = spark.range(0, 8000)
+      .select(concat(lit("S"), $"id" % 8).as("symbol"),
+        ($"id" / 8).cast("long").as("ts"), $"id".as("payload"))
+    Layout.writeClusteredZoned(df, cpath, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 4)
+    // the manifest landed next to the data at write time
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_zonemap")))
+    def read() = Layout.read(spark, cpath, "symbol", "ts", numBuckets = 4,
+      symbolEq = Some("S3"), timeRange = Some((lit(100L), lit(299L))))
+    val exp = df.filter($"symbol" === "S3" && $"ts".between(100, 299))
+      .select($"payload").as[Long].collect().toSet
+    val matched = read().inputFiles.map(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(new java.net.URI(f))).toString).toSet
+    assert(matched.nonEmpty)
+    // corrupt EVERY data file outside the pruned set: if the read (or
+    // its zone derivation) touched any of them — even just the footer —
+    // it would now throw, so a green read proves zero cold-file opens
+    val it = fs.listFiles(root, true)
+    var corrupted = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val q = fs.makeQualified(st.getPath).toString
+      if (st.getPath.getName.endsWith(".parquet") && q.contains("sym_bucket=") &&
+          !matched(q)) {
+        val out = fs.create(st.getPath, true)
+        out.write("not parquet".getBytes); out.close()
+        corrupted += 1
+      }
+    }
+    assert(corrupted > 0)
+    assert(read().select($"payload").as[Long].collect().toSet == exp)
+  }
+
   test("Layout.read composes bucket pruning AND zone skipping") {
     val cpath = System.getProperty("java.io.tmpdir") + "/graft_zm_layout_spec"
     val fs = new org.apache.hadoop.fs.Path(cpath)

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** One-pass cosine similarity over two double arrays — a custom
   * Catalyst expression replacing the `aggregate(zip_with(...))`
@@ -100,6 +100,57 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** x / ‖x‖₂ over a double array (zero vectors pass through unchanged) —
+  * one generated loop per row; a `transform(v, x => x / sqrt(dot(v,v)))`
+  * HOF would re-evaluate the norm per ELEMENT (O(d²) per row). */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0; var i = 0
+    while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (norm == 0.0) x.getDouble(i) else x.getDouble(i) / norm
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ss = ctx.freshName("ss")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $x.numElements();
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double v = $x.getDouble($i);
+          $ss += v * v;
+        }
+        double $norm = java.lang.Math.sqrt($ss);
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = $norm == 0.0 ? $x.getDouble($i) : $x.getDouble($i) / $norm;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "l2_normalize"
+}
+
 object VectorExprs {
   /** Both inputs must be array<double> (use Similarity.vecD to cast). */
   def cosine_sim(a: Column, b: Column): Column =
@@ -109,4 +160,7 @@ object VectorExprs {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2_normalize(v: Column): Column =
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(v)))
 }

@@ -26,17 +26,20 @@ class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
     typedlit(centroids.map(_.toSeq).toSeq)
 
   /** Coarse-probe column for composition ([[PqIndex.topKProbed]]):
-    * the `nProbe` nearest cells of a query vector. */
+    * the `nProbe` nearest cells of a query vector, ranked in the same
+    * L2-NORMALIZED space the quantizer was trained and assigned in. */
   private[pipeline] def probeCells(qv: Column, nProbe: Int): Column =
-    IvfIndex.nearestCells(qv, centroidLit, nProbe)
+    IvfIndex.nearestCells(
+      graft.functions.VectorExprs.l2_normalize(qv), centroidLit, nProbe)
 
   /** Cosine top-k for each query vector, probing `nProbe` cells. */
   def topK(queries: DataFrame, vec: String, k: Int, nProbe: Int): DataFrame = {
     val q = Kernels.ensureParallelism(
       queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
-    // rank centroids per query, keep nProbe nearest (assignment metric)
+    // rank centroids per query, keep nProbe nearest (assignment metric,
+    // normalized space — matches the final cosine ranking)
     val probed = q.withColumn("cell",
-        explode(IvfIndex.nearestCells(col("qv"), centroidLit, nProbe)))
+        explode(probeCells(col("qv"), nProbe)))
     val c = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
     val cand = broadcast(probed).join(c, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -76,6 +79,7 @@ class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
     IndexIo.writeMeta(s, dir, Seq(
       "kind" -> "ivf", "id" -> id,
       "n_cells" -> centroids.length.toString,
+      "metric" -> "cosine-normalized", // trained/assigned/probed on unit vectors
       "built_at" -> builtAt.toString))
     IndexIo.flip(s, path, snap)
   }
@@ -114,6 +118,14 @@ object IvfIndex {
     * bounded sample, then one distributed pass assigning every vector
     * to its nearest (Euclidean) centroid cell.
     *
+    * METRIC (FAISS convention for cosine): the quantizer is trained,
+    * assigned, and probed over L2-NORMALIZED vectors — on the unit
+    * sphere, Euclidean ranking ≡ cosine ranking (‖a−b‖² = 2 − 2·cosθ),
+    * so partial-probe cell ranking agrees with the final cosine
+    * re-rank instead of being skewed by vector magnitudes. Stored
+    * vectors stay RAW (cosine is scale-invariant, and the exact
+    * re-rank keeps bit-parity with the brute-force oracle).
+    *
     * The persisted cells frame (the index itself) and the build-time
     * base frame are registered in [[graft.ops.CacheScope]]; release
     * the scope (or call [[IvfIndex.close]]) when done. */
@@ -126,13 +138,23 @@ object IvfIndex {
     // count() pre-pass, one scan, unbiased under sorted/clustered
     // ingest, O(maxTrainRows · dims) driver memory at ANY corpus size
     val sample = Sampling.boundedVectorSample(
-      base.select(col("cv")), maxTrainRows, seed)
+      base.select(col("cv")), maxTrainRows, seed).map(normalizeLocal)
     val centroids = localKMeans(sample, nCells, iters = 5, seed = seed)
     val assigned = CacheScope.persist(
-      base.withColumn("cell", nearestCellEuclid(col("cv"), typedlit(
+      base.withColumn("cell", nearestCellEuclid(
+          graft.functions.VectorExprs.l2_normalize(col("cv")), typedlit(
           centroids.map(_.toSeq).toSeq)))
         .select(col(id), col("cell"), col("cv")))
     new IvfIndex(assigned, centroids, id, System.currentTimeMillis())
+  }
+
+  /** Driver-side twin of [[graft.functions.L2Normalize]] (same
+    * zero-vector passthrough) for the training sample. */
+  private def normalizeLocal(p: Array[Double]): Array[Double] = {
+    var ss = 0.0; var i = 0
+    while (i < p.length) { ss += p(i) * p(i); i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) p else p.map(_ / norm)
   }
 
   /** Driver-local Lloyd's iterations with seeded distinct-point init.

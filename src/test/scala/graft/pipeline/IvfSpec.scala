@@ -20,6 +20,36 @@ class IvfSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("cosine-metric partial probe: assignment cell is the top-1 probed cell; recall pinned") {
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    // a corpus vector used AS the query ranks its own assigned cell
+    // first (probe ≡ assignment metric, both in normalized space) —
+    // the invariant the e7 planted-twin oracle rests on
+    val queries = emb.filter($"vec_id" < 8)
+    val assignedCell = idx.cells.filter($"vec_id" < 8)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val top1Hits = idx.topK(queries, "embedding", k = 1, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // nProbe=1 only sees the query's own cell — every returned
+    // neighbor must live there
+    val cellOf = idx.cells.select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    top1Hits.foreach { case (q, n) =>
+      assert(cellOf(n) == assignedCell(q),
+        s"query $q probed a different cell than its assignment")
+    }
+    // normalized-space probing recovers the true cosine top-1 for most
+    // queries even at nProbe 2/8 (deterministic: seeded kmeans, fixed
+    // corpus) — pin the measured recall as a floor
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val partial = idx.topK(queries, "embedding", k = 1, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = partial.count { case (q, n) => bf(q) == n }
+    assert(recall >= 5, s"cosine recall@nProbe=2 was $recall/8")
+    idx.close()
+  }
+
   test("save/load round-trip: the reloaded index answers identically, no retraining") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfio").toString + "/idx"
     val queries = emb.filter($"vec_id" < 3)

@@ -227,6 +227,37 @@ object PipelineQueries {
         "SELECT doc_id, n_tok, tok_offset, tok_offset // 512 AS pack_id " +
         "FROM o ORDER BY doc_id")),
 
+    Q("t15_pack_slices",
+      // straddle-SPLIT packing: one row per (doc, pack) slice — the
+      // concat-then-chunk emission shape (pack_id, slice_start,
+      // slice_len); slices tile each doc exactly. Same token expr and
+      // prefix arithmetic as t6; the oracle replays the slice algebra
+      // over DuckDB's own prefix sums.
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.nTokensWs(col("text")).cast("long").as("n_tok"))
+        TextAnalysis.packSequencesSliced(toks, "doc_id", "n_tok",
+            budget = 512, shardSpan = 100)
+          .select(col("doc_id"), col("n_tok"),
+            col("offset").as("tok_offset"), col("pack_id"),
+            col("slice_start"), col("slice_len"))
+          .orderBy("doc_id", "pack_id")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "o AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS tok_offset FROM t), " +
+        "s AS (SELECT doc_id, n_tok, tok_offset, " +
+        "unnest(range(tok_offset // 512, " +
+        "(tok_offset + greatest(n_tok, 1) - 1) // 512 + 1)) AS pack_id FROM o) " +
+        "SELECT doc_id, n_tok, tok_offset, pack_id, " +
+        "greatest(0, pack_id * 512 - tok_offset) AS slice_start, " +
+        "least(tok_offset + n_tok, (pack_id + 1) * 512) - " +
+        "greatest(tok_offset, pack_id * 512) AS slice_len " +
+        "FROM s ORDER BY doc_id, pack_id")),
+
     Q("t7_split",
       // deterministic train/val/test split: md5-prefix thresholding on
       // the salted doc id — reproducible across engines/runs/cluster

@@ -247,16 +247,17 @@ object TextAnalysis {
     * Requires NON-NEGATIVE ids (and ids/offsets < 2⁵³, far beyond any
     * real corpus): the floor-division shard/pack expressions match
     * DuckDB's `//` on that domain. */
+  // Column ops, not a string-spliced expr(): survives column names
+  // needing backticks, and floor(/) gives floor semantics explicitly
+  // (`div` truncates toward zero — same thing only for ids ≥ 0).
+  private def floorDiv(c: Column, d: Long): Column =
+    floor(c.cast("long") / lit(d.toDouble)).cast("long")
+
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
                     budget: Long, shardSpan: Long = 100000L,
                     extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && shardSpan > 0)
-    // Column ops, not a string-spliced expr(): survives column names
-    // needing backticks, and floor(/) gives floor semantics explicitly
-    // (`div` truncates toward zero — same thing only for ids ≥ 0).
-    def floorDiv(c: Column, d: Long): Column =
-      floor(c.cast("long") / lit(d.toDouble)).cast("long")
     // `extraKeys` makes each key group (e.g. a train/val/test split)
     // its own independent token stream, still in ONE pass: the in-
     // shard window partitions on (keys, shard), the bases window on
@@ -278,5 +279,39 @@ object TextAnalysis {
       .withColumn("offset", col("__base") + col("__local"))
       .withColumn("pack_id", floorDiv(col("offset"), budget))
       .drop("__shard", "__local", "__base")
+  }
+
+  /** Straddle-SPLIT packing — what a concat-then-chunk training
+    * pipeline actually emits: one row per (doc, pack) SLICE with
+    * `pack_id`, `slice_start` (token offset WITHIN the doc), and
+    * `slice_len`. A doc fully inside one pack yields its single
+    * full-length slice; a doc straddling k boundaries yields k+1
+    * slices that tile it exactly (Σ slice_len = n_tok per doc, every
+    * pack's slices sum to `budget` except the corpus tail). Zero-token
+    * docs keep one empty slice so no doc vanishes from the output.
+    * [[packSequences]] remains the whole-doc assignment
+    * (pack = floor(offset/budget)).
+    *
+    * Scale shape: [[packSequences]]'s distributed two-level scan plus
+    * one explode — ≤ 1 + n_tok/budget rows per doc, proportional to
+    * the output itself; a pure projection, no extra shuffle. */
+  def packSequencesSliced(df: DataFrame, idCol: String, nTokCol: String,
+                          budget: Long, shardSpan: Long = 100000L,
+                          extraKeys: Seq[String] = Nil): DataFrame = {
+    val base = packSequences(df, idCol, nTokCol, budget, shardSpan, extraKeys)
+      .drop("pack_id")
+    val n = col(nTokCol).cast("long")
+    val b = lit(budget)
+    // packs touched: floor(offset/budget) .. floor((offset+n-1)/budget);
+    // greatest(n,1) keeps the sequence non-empty for zero-token docs
+    val lastTok = col("offset") + greatest(n, lit(1L)) - lit(1L)
+    base
+      .withColumn("pack_id", explode(sequence(
+        floorDiv(col("offset"), budget), floorDiv(lastTok, budget))))
+      .withColumn("slice_start",
+        greatest(lit(0L), col("pack_id") * b - col("offset")))
+      .withColumn("slice_len",
+        least(col("offset") + n, (col("pack_id") + lit(1L)) * b) -
+          greatest(col("offset"), col("pack_id") * b))
   }
 }

@@ -150,6 +150,25 @@ class PipelineSpec extends SparkSpec {
       (10L, 12L, 2L), (11L, 14L, 2L)))
   }
 
+  test("packSequencesSliced: straddling docs split into exact tiling slices") {
+    val toks = Seq((0L, 3L), (1L, 4L), (2L, 5L), (10L, 2L), (11L, 9L), (12L, 0L))
+      .toDF("doc_id", "n_tok")
+    val got = TextAnalysis.packSequencesSliced(toks, "doc_id", "n_tok",
+        budget = 6, shardSpan = 10)
+      .select("doc_id", "pack_id", "slice_start", "slice_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // offsets 0,3,7 | 12,14,23 (two shards); budget 6: doc 1 straddles
+    // packs 0/1, doc 11 straddles 2/3; the zero-token doc 12 keeps one
+    // empty slice
+    assert(got == Seq(
+      (0L, 0L, 0L, 3L), (1L, 0L, 0L, 3L), (1L, 1L, 3L, 1L),
+      (2L, 1L, 0L, 5L), (10L, 2L, 0L, 2L),
+      (11L, 2L, 0L, 4L), (11L, 3L, 4L, 5L), (12L, 3L, 0L, 0L)))
+    // tiling property: per-doc slice lengths sum to n_tok
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(sums == Map(0L -> 3L, 1L -> 4L, 2L -> 5L, 10L -> 2L, 11L -> 9L, 12L -> 0L))
+  }
+
   test("dupClusters closes chains exactly: A~B~C with A≁C is one component") {
     // two chains and an isolated pair; (10,30) and (20,30) form one
     // component even though 10~20 is never a pair — the case greedy

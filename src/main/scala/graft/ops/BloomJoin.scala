@@ -47,15 +47,23 @@ object BloomJoin {
     * survivors ≈ true matches × (1 + fpp), shuffled instead of the
     * full probe table. Null probe keys may pass the bloom (Spark hash
     * functions fold null to the seed) — the exact join drops them, as
-    * it does every other false positive. */
+    * it does every other false positive.
+    *
+    * The build side is scanned ONCE: the distinct key set (needed by
+    * the exact join anyway) is cached and feeds BOTH the
+    * bloom_filter_agg build and the semi-join side — bloom membership
+    * over distinct keys is the same set, and the bloom's merge input
+    * shrinks from all build rows to the distinct keys. Registered in
+    * [[graft.ops.CacheScope]]; release the scope when done. */
   def semiJoin(probe: DataFrame, build: DataFrame,
                probeKey: String, buildKey: String,
                expectedItems: Long = 1000000L,
                numBits: Long = 8388608L): DataFrame = {
-    val bloom = buildBloom(build, col(buildKey), expectedItems, numBits)
     // alias the build key: with probeKey == buildKey (the natural
     // same-named-column call) the raw condition would be ambiguous
-    val keys = build.select(col(buildKey).as("__bloom_bk")).distinct()
+    val keys = CacheScope.persist(
+      build.select(col(buildKey).as("__bloom_bk")).distinct())
+    val bloom = buildBloom(keys, col("__bloom_bk"), expectedItems, numBits)
     probe.filter(mightContain(bloom, col(probeKey)))
       .join(keys, col(probeKey) === col("__bloom_bk"), "left_semi")
   }

@@ -148,6 +148,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("a11_salted_agg").contains("__salt"))
   }
 
+  test("j15 bloom semi join scans the build side once: join reads the cached key set") {
+    val p = plan("j15_bloom_semi")
+    assert(p.contains("might_contain"))
+    // the distinct build-key set is cached by the bloom build and the
+    // exact semi join reuses it — the join side must be an in-memory
+    // scan, not a second FileScan+Exchange over orders
+    assert(p.contains("InMemoryTableScan"), p)
+    val fileScanIdx = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("FileScan") && l.contains("orders") => i
+    }.toSeq
+    val memIdx = p.linesIterator.indexWhere(_.contains("InMemoryRelation"))
+    // any orders FileScan line may appear only INSIDE the cached
+    // relation's printed subtree (below InMemoryRelation), never as a
+    // live join input
+    assert(fileScanIdx.forall(i => memIdx >= 0 && i > memIdx),
+      s"live orders scan in join plan:\n$p")
+  }
+
   test("no query ever plans a cartesian product or nested-loop join") {
     QueryCatalog.entries.map(_.name).foreach { n =>
       val p = plan(n)

@@ -757,5 +757,35 @@ object PipelineQueries {
         "ascii(substr(text, CAST(off + 1 AS INT), 1)) AS frame_byte " +
         "FROM (SELECT doc_id, text, unnest(generate_series(0, strlen(text) - 1, 16)) AS off " +
         "FROM documents WHERE doc_id < 20) ORDER BY media_id, frame_idx")),
+
+    Q("mm3_image_decode",
+      // REAL image codec through real bytes: per doc, synthesize a
+      // solid-gray PNG with arithmetically-determined (width, height,
+      // gray) via the JDK encoder, push it through the binary-column
+      // pipeline and javax.imageio decode, and emit the DECODED
+      // dimensions and mean pixel. PNG is lossless, so the DuckDB
+      // oracle predicts every output from the same arithmetic without
+      // decoding anything — if the decoder mis-reported a single
+      // dimension or sample, the hash would break.
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), octet_length(col("text")).as("len"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, len) =>
+            val png = Multimodal.grayPng(
+              width = 1 + (id % 64).toInt, height = 1 + len % 64,
+              gray = ((id * 7) % 256).toInt)
+            MediaRecord(id, "image/png", png, png.length.toLong)
+          })
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("channels"), col("mean_byte"))
+          .orderBy("media_id")
+      },
+      Some("SELECT doc_id AS media_id, CAST(1 + doc_id % 64 AS INT) AS width, " +
+        "CAST(1 + strlen(text) % 64 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+        "CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_byte " +
+        "FROM documents WHERE doc_id < 200 ORDER BY media_id")),
   )
 }

@@ -19,12 +19,11 @@ case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Long,
   * The Spark-side contract is real and tested — binary schema, typed
   * Dataset encoders, partition-preserving mapPartitions (the Scala
   * analog of a Pandas-UDF `mapInPandas` batch loop), deterministic
-  * output — while the codec itself is a STUB: this container has no
-  * image/audio libraries, so `decodeStub` derives a fake-but-
-  * deterministic header (width/height from the first payload bytes)
-  * where a real implementation would call the decoder. Swap
-  * [[decodeStub]] for a JNI/javacpp codec without touching any
-  * plumbing.
+  * output. The codec edge is split by format: PNG/JPEG/BMP/GIF decode
+  * is REAL (JDK `javax.imageio` — zero external deps, headless-safe);
+  * audio/video and unknown types keep the documented [[decodeStub]]
+  * (this container ships no media libraries beyond the JDK) — swap it
+  * for a JNI/javacpp codec without touching any plumbing.
   */
 object Multimodal {
 
@@ -53,13 +52,73 @@ object Multimodal {
       mean_byte = if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length)
   }
 
+  /** REAL image decode via JDK `javax.imageio` (PNG/JPEG/BMP/GIF):
+    * parses the container and returns TRUE decoded dimensions, the
+    * raster's band count, the payload checksum (same definition as
+    * [[decodeStub]]), and the mean DECODED sample value across all
+    * bands — a genuine pixel statistic, not a byte statistic. `None`
+    * when no installed reader recognizes the payload. */
+  def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    if (img == null) None
+    else {
+      val raster = img.getRaster
+      val (w, h, ch) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < ch) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      var csum = 0L; var i = 0
+      while (i < r.payload.length) { csum += (r.payload(i) & 0xff); i += 1 }
+      Some(MediaFeatures(r.media_id, r.media_type, r.n_bytes,
+        width = w, height = h, channels = ch, checksum = csum % 997,
+        mean_byte = sum.toDouble / (w.toLong * h * ch)))
+    }
+  }
+
+  /** Format-dispatching codec: real [[decodeImage]] for image-typed
+    * payloads imageio can parse; the stub for everything else
+    * (including the harness's declared-fake `image/fake`). */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.media_type.startsWith("image/") && r.media_type != "image/fake")
+      decodeImage(r).getOrElse(decodeStub(r))
+    else decodeStub(r)
+
+  /** Deterministic solid-gray PNG through the REAL encoder — the
+    * test/gate synthesizer that lets an arithmetic oracle predict
+    * what the decoder must recover (PNG is lossless). */
+  def grayPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = gray & 0xff
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched decode/feature-extract over partitions — each partition
     * streams through the codec without materializing more than one
     * record; the unit a real implementation would hand to a
-    * vectorized decoder in batches. */
+    * vectorized decoder in batches. Dispatches per record via
+    * [[decode]]. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Frame sampling stub: every `stride`-th byte stands in for a

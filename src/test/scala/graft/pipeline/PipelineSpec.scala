@@ -244,4 +244,36 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, 16)
     assert(frames.count() == 3) // offsets 0, 16, 32
   }
+
+  test("imageio codec decodes real PNGs distributed: exact dims, channels, mean") {
+    val media = spark.range(0, 24).as[Long].mapPartitions(_.map { id =>
+      val png = Multimodal.grayPng(width = 3 + id.toInt, height = 5, gray = id.toInt * 10)
+      MediaRecord(id, "image/png", png, png.length.toLong)
+    })
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got.size == 24)
+    got.foreach { case (id, f) =>
+      assert(f.width == 3 + id.toInt && f.height == 5 && f.channels == 3)
+      assert(f.mean_byte == (id.toInt * 10).toDouble) // PNG lossless
+    }
+  }
+
+  test("imageio codec handles JPEG and falls back to the stub for unknown payloads") {
+    // JPEG is lossy: dimensions are exact, pixel values approximate
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = MediaRecord(1L, "image/jpeg", bos.toByteArray, bos.size().toLong)
+    val f = Multimodal.decode(jpeg)
+    assert(f.width == 17 && f.height == 9)
+    // a declared image that no reader parses degrades to the stub
+    val junk = MediaRecord(2L, "image/png", Array[Byte](1, 2, 3), 3L)
+    val g = Multimodal.decode(junk)
+    assert(g.width == 1 + 1 % 64 && g.height == 1 + 2 % 64) // stub header
+    // non-image types never touch imageio
+    val audio = MediaRecord(3L, "audio/wav", Array[Byte](9, 8, 7), 3L)
+    assert(Multimodal.decode(audio).width == 1 + 9 % 64)
+  }
 }

@@ -724,6 +724,52 @@ object PipelineQueries {
         "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
         "WHERE rank = 1 ORDER BY query_id")),
 
+    Q("e8_residual_ivfpq",
+      // RESIDUAL IVF-PQ (the FAISS-IVFPQ default: codes encode the
+      // vector's residual to its coarse centroid) through the full
+      // persistence round-trip — loadResidual verifies the coarse
+      // fingerprint before plugging it back in. The planted-twin
+      // recipe still holds: the twin shares the query's vector, hence
+      // its cell, hence its RESIDUAL, hence its code — its ADC
+      // distance is the minimum of the query's own-cell table, it
+      // survives the candidate cut (ties break to high ids), and the
+      // exact re-rank puts it first at cos 1.0. Recall-vs-flat at a
+      // fixed code budget: PqSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val un = emb.unionByName(
+          emb.withColumn("vec_id", col("vec_id") + 10000000L))
+        val base = System.getProperty("java.io.tmpdir") +
+          "/graft_rivfpq_" + s.sparkContext.applicationId +
+          "_" + Integer.toHexString(dir.hashCode)
+        val coarse0 = graft.pipeline.IvfIndex.build(un, "vec_id", "embedding",
+          nCells = 8)
+        coarse0.save(base + "/coarse")
+        graft.pipeline.PqIndex.buildResidual(un, "vec_id", "embedding",
+          coarse0, m = 8, nWords = 64, maxTrainRows = 20000)
+          .save(base + "/rpq")
+        val coarse = graft.pipeline.IvfIndex.load(s, base + "/coarse")
+        val rpq = graft.pipeline.PqIndex.loadResidual(s, base + "/rpq", coarse)
+        rpq.topKProbed(un.filter(col("vec_id") < 5), "embedding", coarse,
+            nProbe = 2, k = 1, nCandidates = 256)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id")
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM base WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM base) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
+        "WHERE rank = 1 ORDER BY query_id")),
+
     Q("mm1_media_features",
       // multimodal plumbing: text bytes as opaque payload → typed
       // Dataset → mapPartitions stub codec → features

@@ -100,6 +100,46 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Element-wise a − b over two double arrays (result length = the
+  * shorter input) — one generated loop; used for PQ residual encoding
+  * (vector minus its coarse centroid). */
+case class VectorSub(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = $x.getDouble($i) - $y.getDouble($i);
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_sub"
+}
+
 /** x / ‖x‖₂ over a double array (zero vectors pass through unchanged) —
   * one generated loop per row; a `transform(v, x => x / sqrt(dot(v,v)))`
   * HOF would re-evaluate the norm per ELEMENT (O(d²) per row). */
@@ -163,4 +203,8 @@ object VectorExprs {
 
   def l2_normalize(v: Column): Column =
     ColumnBridge.column(L2Normalize(ColumnBridge.expression(v)))
+
+  def vec_sub(a: Column, b: Column): Column =
+    ColumnBridge.column(VectorSub(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -19,10 +19,11 @@ import graft.ops.{CacheScope, Kernels}
   * touches ~nProbe/nCells of the corpus. The cell column is the
   * natural partition key for the stored index.
   */
-class IvfIndex private (val cells: DataFrame, centroids: Array[Array[Double]],
+class IvfIndex private (val cells: DataFrame,
+                        private[pipeline] val centroids: Array[Array[Double]],
                         id: String, val builtAt: Long) {
 
-  private def centroidLit: Column =
+  private[pipeline] def centroidLit: Column =
     typedlit(centroids.map(_.toSeq).toSeq)
 
   /** Coarse-probe column for composition ([[PqIndex.topKProbed]]):

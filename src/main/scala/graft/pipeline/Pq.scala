@@ -25,7 +25,8 @@ import graft.ops.{CacheScope, Kernels}
   */
 class PqIndex private (val codes: DataFrame,
                        val codebooks: Array[Array[Array[Double]]],
-                       id: String, val builtAt: Long) {
+                       id: String, val builtAt: Long,
+                       residualOf: Option[IvfIndex] = None) {
 
   /** Cosine top-k per query: ADC top-`nCandidates` candidate scan over
     * the encoded corpus (broadcast query tables), then exact cosine
@@ -37,6 +38,8 @@ class PqIndex private (val codes: DataFrame,
     * high-id twins are guaranteed candidates (the e6 oracle design). */
   def topK(queries: DataFrame, vec: String, k: Int,
            nCandidates: Int = 256): DataFrame = {
+    require(residualOf.isEmpty,
+      "residual-encoded codes are relative to coarse cells — use topKProbed")
     val q = Kernels.ensureParallelism(
       queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
       .withColumn("dt", PqExprs.pq_dist_table(col("qv"), codebooks))
@@ -56,13 +59,33 @@ class PqIndex private (val codes: DataFrame,
     * ~N·nProbe/nCells, and the join is a hash join on the cell id
     * rather than a broadcast cross. At a billion vectors that is the
     * difference between scanning 10⁹ and 10⁷ codes per query batch.
-    * Both indexes must be built over the same corpus and id column. */
+    * Both indexes must be built over the same corpus and id column.
+    *
+    * For a [[PqIndex.buildResidual]] index the ADC table is computed
+    * per (query, probed cell) from the query's residual to that cell's
+    * centroid — still on the broadcast side, still one codegen
+    * projection; `coarse` must be the index the residuals were encoded
+    * against. */
   def topKProbed(queries: DataFrame, vec: String, coarse: IvfIndex,
                  nProbe: Int, k: Int, nCandidates: Int = 256): DataFrame = {
-    val q = Kernels.ensureParallelism(
+    require(residualOf.forall(_ eq coarse),
+      "a residual PQ index must be probed with its build-time coarse index")
+    val q0 = Kernels.ensureParallelism(
       queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
-      .withColumn("dt", PqExprs.pq_dist_table(col("qv"), codebooks))
-      .withColumn("cell", explode(coarse.probeCells(col("qv"), nProbe)))
+    val q = residualOf match {
+      case None =>
+        // one ADC table per query, shared by all its probed cells
+        q0.withColumn("dt", PqExprs.pq_dist_table(col("qv"), codebooks))
+          .withColumn("cell", explode(coarse.probeCells(col("qv"), nProbe)))
+      case Some(c) =>
+        // per-(query, cell) ADC table over the residual in that cell —
+        // the same normalized space the residuals were encoded in
+        q0.withColumn("cell", explode(c.probeCells(col("qv"), nProbe)))
+          .withColumn("dt", PqExprs.pq_dist_table(
+            graft.functions.VectorExprs.vec_sub(
+              graft.functions.VectorExprs.l2_normalize(col("qv")),
+              element_at(c.centroidLit, col("cell") + 1)), codebooks))
+    }
     val coded = codes.join(
       coarse.cells.select(col(id), col("cell")), Seq(id))
     val scored = coded.join(broadcast(
@@ -116,7 +139,12 @@ class PqIndex private (val codes: DataFrame,
     IndexIo.writeMeta(s, dir, Seq(
       "kind" -> "pq", "id" -> id,
       "m" -> codebooks.length.toString,
-      "built_at" -> builtAt.toString))
+      "built_at" -> builtAt.toString) ++
+      // a residual index is only meaningful with ITS coarse quantizer:
+      // record its centroid fingerprint so loadResidual can verify the
+      // caller plugged the right one back in
+      residualOf.map(c => "residual_coarse" ->
+        PqIndex.centroidFingerprint(c.centroids).toString))
     IndexIo.flip(s, path, snap)
   }
 
@@ -131,6 +159,15 @@ object PqIndex {
     * dims)), the encoded corpus read lazily and registered in
     * [[graft.ops.CacheScope]]. No training runs. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val (meta, idx) = loadCurrent(spark, path, residualOf = None)
+    require(!meta.contains("residual_coarse"),
+      "residual PQ index — load with PqIndex.loadResidual(spark, path, coarse)")
+    idx
+  }
+
+  private def loadCurrent(spark: org.apache.spark.sql.SparkSession,
+                          path: String, residualOf: Option[IvfIndex])
+      : (Map[String, String], PqIndex) = {
     val snap = IndexIo.currentSnap(spark, path).getOrElse(
       throw new java.io.FileNotFoundException(s"$path/_latest"))
     val dir = s"$path/$snap"
@@ -145,7 +182,7 @@ object PqIndex {
     val codes = CacheScope.persist(
       spark.read.parquet(s"$dir/codes")
         .select(col(id), col("code"), col("cv")))
-    new PqIndex(codes, codebooks, id, meta("built_at").toLong)
+    (meta, new PqIndex(codes, codebooks, id, meta("built_at").toLong, residualOf))
   }
 
   /** Drop all persisted snapshots except the current one. */
@@ -178,4 +215,58 @@ object PqIndex {
         .select(col(id), col("code"), col("cv")))
     new PqIndex(encoded, codebooks, id, System.currentTimeMillis())
   }
+
+  /** RESIDUAL IVF-PQ (the FAISS-IVFPQ default): encode each vector's
+    * residual to its assigned coarse centroid instead of the vector
+    * itself. Residuals concentrate near the origin, so the same code
+    * budget spends its codewords on a much tighter distribution —
+    * better recall at fixed m·log₂(nWords) bits. Residuals live in the
+    * coarse quantizer's NORMALIZED space (see [[IvfIndex.build]]);
+    * [[PqIndex.topKProbed]] computes the matching per-cell query
+    * residual. Query only via `topKProbed` with the SAME `coarse`. */
+  def buildResidual(corpus: DataFrame, id: String, vec: String,
+                    coarse: IvfIndex, m: Int = 8, nWords: Int = 256,
+                    seed: Long = 42L, maxTrainRows: Int = 100000): PqIndex = {
+    require(m > 0 && nWords > 1)
+    val norm = graft.functions.VectorExprs.l2_normalize _
+    val sub = graft.functions.VectorExprs.vec_sub _
+    // coarse.cells is already cached (id, cell, cv) — reuse it; the
+    // residual is one codegen projection on top
+    val resid = CacheScope.persist(coarse.cells.withColumn("rv",
+      sub(norm(col("cv")), element_at(coarse.centroidLit, col("cell") + 1))))
+    val sample = Sampling.boundedVectorSample(
+      resid.select(col("rv")), maxTrainRows, seed)
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val subLen = dims / m
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * subLen, (j + 1) * subLen))
+      IvfIndex.localKMeans(pts, nWords, iters = 5, seed = seed + j)
+    }
+    val encoded = CacheScope.persist(
+      resid.withColumn("code", PqExprs.pq_encode(col("rv"), codebooks))
+        .select(col(id), col("code"), col("cv")))
+    new PqIndex(encoded, codebooks, id, System.currentTimeMillis(),
+      residualOf = Some(coarse))
+  }
+
+  /** Load a [[buildResidual]] index, plugging its coarse quantizer
+    * back in — the fingerprint recorded at save time must match
+    * `coarse`'s centroids, so a drifted/rebuilt quantizer is rejected
+    * instead of silently mis-decoding every residual. */
+  def loadResidual(spark: org.apache.spark.sql.SparkSession, path: String,
+                   coarse: IvfIndex): PqIndex = {
+    val (meta, idx) = loadCurrent(spark, path, residualOf = Some(coarse))
+    val expected = meta.getOrElse("residual_coarse",
+      throw new IllegalArgumentException(s"$path is not a residual PQ index"))
+    require(expected == centroidFingerprint(coarse.centroids).toString,
+      "coarse quantizer mismatch: this residual index was built against " +
+        "different centroids")
+    idx
+  }
+
+  private[pipeline] def centroidFingerprint(cents: Array[Array[Double]]): Long =
+    cents.flatten.foldLeft(17L)((h, d) =>
+      h * 31L + java.lang.Double.doubleToLongBits(d))
 }

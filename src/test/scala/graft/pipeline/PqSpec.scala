@@ -91,6 +91,62 @@ class PqSpec extends SparkSpec {
     pq.close(); coarse.close()
   }
 
+  test("residual IVF-PQ beats flat PQ at a fixed tight code budget") {
+    // deterministic (seeded kmeans, fixed corpus): with only 4
+    // codewords per subspace the codeword budget binds, and spending
+    // it on the residual distribution (concentrated near the origin)
+    // recovers far more true top-1s than coding raw vectors —
+    // measured 11 vs 4 of 32 here; pinned as floors
+    val queries = emb.filter($"vec_id" < 32)
+    val coarse = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(idx: PqIndex) = idx.topKProbed(queries, "embedding", coarse,
+        nProbe = 8, k = 1, nCandidates = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      .count { case (q, n) => bf(q) == n }
+    val flat = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 4)
+    val res = PqIndex.buildResidual(emb, "vec_id", "embedding", coarse,
+      m = 8, nWords = 4)
+    val (rf, rr) = (recall(flat), recall(res))
+    assert(rr > rf, s"residual recall $rr must beat flat $rf")
+    assert(rr >= 10, s"residual recall regressed: $rr/32")
+    flat.close(); res.close(); coarse.close()
+  }
+
+  test("residual IVF-PQ: planted twin is top-1; save/loadResidual round-trips") {
+    val un = emb.select("vec_id", "embedding").unionByName(
+      emb.select("vec_id", "embedding").withColumn("vec_id", $"vec_id" + 1000000L))
+    val coarse = IvfIndex.build(un, "vec_id", "embedding", nCells = 8)
+    val rpq = PqIndex.buildResidual(un, "vec_id", "embedding", coarse,
+      m = 8, nWords = 32)
+    def ans(idx: PqIndex) = idx.topKProbed(un.filter($"vec_id" < 4), "embedding",
+        coarse, nProbe = 2, k = 1, nCandidates = 128)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val got = ans(rpq)
+    assert(got.length == 4)
+    got.foreach { case (q, n, c) =>
+      assert(n == q + 1000000L && math.abs(c - 1.0) < 1e-9, s"($q, $n, $c)")
+    }
+    // residual codes are cell-relative: the flat scan path must refuse
+    intercept[IllegalArgumentException] {
+      rpq.topK(un.filter($"vec_id" < 4), "embedding", k = 1)
+    }
+    // persistence: plain load refuses; loadResidual verifies the
+    // coarse fingerprint and answers identically
+    val path = java.nio.file.Files.createTempDirectory("graft_rpqio").toString + "/idx"
+    rpq.save(path)
+    intercept[IllegalArgumentException] { PqIndex.load(spark, path) }
+    val other = IvfIndex.build(un, "vec_id", "embedding", nCells = 4)
+    intercept[IllegalArgumentException] {
+      PqIndex.loadResidual(spark, path, other)
+    }
+    val reloaded = PqIndex.loadResidual(spark, path, coarse)
+    assert(ans(reloaded) == got)
+    rpq.close(); reloaded.close(); coarse.close(); other.close()
+  }
+
   test("PQ top-1 with generous candidates matches brute force on the real corpus") {
     val queries = emb.filter($"vec_id" < 8)
     val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, nWords = 32)

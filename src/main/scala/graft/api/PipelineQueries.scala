@@ -203,6 +203,43 @@ object PipelineQueries {
         "SELECT doc_id, n_terms, score FROM r WHERE rk <= 20 " +
         "ORDER BY score DESC, doc_id")),
 
+    Q("t16_bm25_search",
+      // BM25-ranked disjunctive search over the same inverted index as
+      // t13 — the standard relevance ranking (Lucene-default
+      // non-negative idf). Parity: per-term scores rounded to 8
+      // decimals then summed in exact DECIMAL (ranking is
+      // order-independent); k1+1 etc. combined IN-ENGINE on both sides
+      // so the IEEE expression trees match; ln is the one
+      // libm-dependent op, behind the 8-decimal round.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = TextAnalysis.termIndex(docs, "doc_id", "text")
+        val dls = TextAnalysis.docLengths(docs, "doc_id", "text")
+        TextAnalysis.searchBm25(idx, dls, "doc_id",
+            Seq("query", "window", "scan"), k = 20)
+          .select(col("doc_id"), col("n_terms"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("WITH idx AS (SELECT term, doc_id, count(*) AS tf FROM (" +
+        s"SELECT doc_id, unnest($toksSql) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        s"dls AS (SELECT doc_id, len($toksSql) AS dl FROM documents), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "avg(CAST(dl AS DOUBLE)) AS avgdl FROM dls), " +
+        "dfs AS (SELECT term, count(*) AS df FROM idx " +
+        "WHERE term IN ('query', 'window', 'scan') GROUP BY 1), " +
+        "sc AS (SELECT i.doc_id, CAST(round(" +
+        "ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * " +
+        "(i.tf * (1.2 + 1.0) / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl)))" +
+        ", 8) AS DECIMAL(28,8)) AS s " +
+        "FROM idx i JOIN dfs USING (term) JOIN dls d USING (doc_id), st), " +
+        "m AS (SELECT doc_id, count(*) AS n_terms, sum(s) AS ssum FROM sc " +
+        "GROUP BY doc_id), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY ssum DESC, doc_id) AS rk " +
+        "FROM m) " +
+        "SELECT doc_id, n_terms, CAST(round(CAST(ssum AS DOUBLE), 6) AS DOUBLE) " +
+        "AS score FROM r WHERE rk <= 20 ORDER BY score DESC, doc_id")),
+
     Q("t6_sequence_pack",
       // GPT-style sequence packing: docs concatenated in id order,
       // chunked into 512-token packs via the distributed two-level

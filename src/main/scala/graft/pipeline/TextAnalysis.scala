@@ -133,6 +133,61 @@ object TextAnalysis {
       .drop("__k")
   }
 
+  /** Per-doc token length over the SAME normalization as
+    * [[termIndex]] — the `dl` side of [[searchBm25]]. */
+  def docLengths(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      nTokensWs(normalize(col(text))).cast("long").as("dl"))
+
+  /** BM25-ranked disjunctive search over a term index — the standard
+    * relevance ranking on top of [[termIndex]] (Robertson–Spärck
+    * Jones, the Lucene-default non-negative idf form):
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + ½)/(df_t + ½)) ·
+    *              tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Docs containing ANY query term are scored; global top-k by
+    * (score desc, id asc).
+    *
+    * Scale shape: postings filtered to the query terms
+    * (partition-prunable isin), per-term df a |terms|-row broadcast,
+    * corpus stats (N, avgdl) a 1-row broadcast; the only big-side
+    * work is one hash join from query-term postings to `docLengths`.
+    * Parity/exactness: per-term scores round to 8 decimals then sum
+    * in exact DECIMAL, so the per-doc total — and therefore the
+    * RANKING — is shuffle-order-independent (the repo's float-gate
+    * convention); constants are combined in-engine (`k1 + 1`) so both
+    * engines evaluate the identical IEEE expression tree. */
+  def searchBm25(index: DataFrame, docLengths: DataFrame, id: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val q = terms.map(_.toLowerCase).distinct
+    val postings = index.filter(col("term").isin(q: _*))
+    val stats = docLengths.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("dl").cast("double")).as("__avgdl"))
+    // one posting per (term, doc) ⇒ count ≡ document frequency
+    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfc = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl")))
+    val scored = postings
+      .join(broadcast(dfs), "term")
+      .join(docLengths, Seq(id))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", round(idf * tfc, 8).cast("decimal(28,8)"))
+    graft.ops.Kernels.topKPerKey(
+      scored.groupBy(col(id))
+        .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("__sum"))
+        .withColumn("__k", lit(1)),
+      Seq("__k"), Seq(col("__sum"), -col(id)), k)
+      .withColumn("score", round(col("__sum").cast("double"), 6))
+      .drop("__k", "__sum")
+  }
+
   /** Deterministic train/val/test assignment by md5 prefix of the
     * (salted) id: reproducible across engines, runs, and cluster
     * layouts, and STABLE UNDER CORPUS GROWTH — a doc's split never

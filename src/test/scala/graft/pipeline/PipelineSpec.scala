@@ -150,6 +150,27 @@ class PipelineSpec extends SparkSpec {
       (10L, 12L, 2L), (11L, 14L, 2L)))
   }
 
+  test("searchBm25: both-terms doc tops; rare term outweighs a common term's tf") {
+    val corpus = Seq(
+      (1L, "alpha beta beta beta"), // common term only, high tf
+      (2L, "zeta beta"),            // both query terms
+      (3L, "beta gamma"),           // common term only
+      (4L, "zeta gamma delta"))     // rare term only
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.termIndex(corpus, "doc_id", "text")
+    val dls = TextAnalysis.docLengths(corpus, "doc_id", "text")
+    val got = TextAnalysis.searchBm25(idx, dls, "doc_id",
+        Seq("zeta", "beta"), k = 4)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().sortBy(-_._3).toSeq
+    assert(got.length == 4)
+    assert(got.head._1 == 2L && got.head._2 == 2L) // both terms → top
+    val score = got.map(r => r._1 -> r._3).toMap
+    // idf: zeta df=2 → ln 2; beta df=3 → ln(1+1.5/3.5). The single
+    // rare 'zeta' (doc 4) must outrank three 'beta's (doc 1).
+    assert(score(4L) > score(1L), s"idf weighting broken: $score")
+  }
+
   test("packSequencesSliced: straddling docs split into exact tiling slices") {
     val toks = Seq((0L, 3L), (1L, 4L), (2L, 5L), (10L, 2L), (11L, 9L), (12L, 0L))
       .toDF("doc_id", "n_tok")

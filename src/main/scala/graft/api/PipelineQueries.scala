@@ -240,6 +240,32 @@ object PipelineQueries {
         "SELECT doc_id, n_terms, CAST(round(CAST(ssum AS DOUBLE), 6) AS DOUBLE) " +
         "AS score FROM r WHERE rk <= 20 ORDER BY score DESC, doc_id")),
 
+    Q("t17_lm_score",
+      // corpus-trained bigram-LM negative log likelihood per doc (the
+      // perplexity quality filter): add-0.5 smoothed transition
+      // probabilities trained on the corpus inside the same plan.
+      // Parity: per-bigram -ln p quantized to 6 decimals, summed in
+      // exact DECIMAL (order-independent), surfaced as a plain
+      // DECIMAL→DOUBLE cast — ln is the one libm-dependent op, and a
+      // final double-domain round would sit exactly on the quantized
+      // sum's half-grid; see lmScore's doc for the measured analysis.
+      (s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
+        "bg AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, t[i+1] AS w1 " +
+        "FROM (SELECT doc_id, t, unnest(range(len(t)-1)) AS i FROM tk)), " +
+        "cbg AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1), " +
+        "cctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM " +
+        "(SELECT unnest(t) AS tok FROM tk)), " +
+        "sc AS (SELECT doc_id, CAST(round(-ln((c12 + 0.5) / (c1 + 0.5 * v.v)), 6) " +
+        "AS DECIMAL(28,6)) AS s " +
+        "FROM bg JOIN cbg USING (bg) JOIN cctx USING (w1), v) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(s) AS DOUBLE) AS nll " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+
     Q("t6_sequence_pack",
       // GPT-style sequence packing: docs concatenated in id order,
       // chunked into 512-token packs via the distributed two-level

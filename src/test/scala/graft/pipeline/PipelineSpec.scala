@@ -171,6 +171,22 @@ class PipelineSpec extends SparkSpec {
     assert(score(4L) > score(1L), s"idf weighting broken: $score")
   }
 
+  test("lmScore: repetitive (predictable) text scores lower NLL than novel text") {
+    val corpus = Seq(
+      (1L, "a b a b a b"),  // transitions seen 2-3x each
+      (2L, "c d e f g h")   // every transition unique
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(corpus, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 5 && got(2L)._2 == 5)
+    // hand-computed with k=0.5, V=8: doc 1 = 3·ln2 + 2·ln(6/2.5) ≈ 3.83,
+    // doc 2 = 5·ln(5/1.5) ≈ 6.02
+    assert(math.abs(got(1L)._3 - (3 * math.log(2.0) + 2 * math.log(6.0 / 2.5))) < 1e-4)
+    assert(math.abs(got(2L)._3 - 5 * math.log(5.0 / 1.5)) < 1e-4)
+    assert(got(1L)._3 < got(2L)._3)
+  }
+
   test("packSequencesSliced: straddling docs split into exact tiling slices") {
     val toks = Seq((0L, 3L), (1L, 4L), (2L, 5L), (10L, 2L), (11L, 9L), (12L, 0L))
       .toDF("doc_id", "n_tok")

@@ -132,6 +132,26 @@ object TimeSeries {
       .drop("intercept", "last_t")
   }
 
+  /** OHLC bar resampling — collapse a (key, time, price) series into
+    * fixed calendar bars with open/high/low/close and bar row count:
+    * the standard chart/downsample primitive behind the reference's
+    * price-history chart (`chart.js` renders raw closes; any real
+    * series UI re-bars server-side past a few thousand points).
+    *
+    * One hash aggregation, map-side combined: open/close are
+    * `min_by`/`max_by` on the timestamp (deterministic when (key,
+    * time) is unique — feed deduplicated series), high/low plain
+    * min/max. No window, no sort, no shuffle beyond the one agg
+    * exchange — at 100 TB this is the cheapest possible shape. */
+  def ohlcBars(series: DataFrame, key: String, time: String, price: String,
+               unit: String = "month"): DataFrame =
+    series.groupBy(col(key), trunc(col(time), unit).as("bar"))
+      .agg(min_by(col(price), col(time)).as("open"),
+        max(col(price)).as("high"),
+        min(col(price)).as("low"),
+        max_by(col(price), col(time)).as("close"),
+        count(lit(1)).as("n"))
+
   /** Portfolio market value — Σ latest_close × shares + cash
     * (reference `portfolio.js:288-304`, an app-side JS loop over N+1
     * price queries; here one latestPerKey + one broadcast join + one

@@ -224,6 +224,20 @@ object QueryCatalog {
         "SELECT l_returnflag, round(covar_pop(ret, mret) / var_pop(mret), 6) AS beta " +
         "FROM rets JOIN m USING (day) GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    Q("a13_ohlc_bars",
+      // monthly OHLC resampling of the daily series (TimeSeries
+      // .ohlcBars): one map-side-combined agg, min_by/max_by pick
+      // open/close deterministically off the unique (key, day) grid.
+      // Raw price values pass through unreduced — hash-exact doubles.
+      (s, dir) => TimeSeries.ohlcBars(
+          dailyCloses(t(s, dir, "lineitem")), "l_returnflag", "day", "close")
+        .orderBy("l_returnflag", "bar"),
+      Some("WITH " + dailySql +
+        " SELECT l_returnflag, CAST(date_trunc('month', day) AS DATE) AS bar, " +
+        "arg_min(close, day) AS open, max(close) AS high, min(close) AS low, " +
+        "arg_max(close, day) AS close, count(*) AS n FROM daily " +
+        "GROUP BY 1, 2 ORDER BY l_returnflag, bar")),
+
     Q("a5_corr_matrix",
       // pairwise corr/covar matrix, upper triangle (portfolio.js:449-477)
       (s, dir) => TimeSeries.corrMatrix(retFrame(s, dir), "l_returnflag", "day")

@@ -58,6 +58,24 @@ class TimeSeriesEdgeSpec extends SparkSpec {
     assert(days.head == Date.valueOf("2024-01-11"))
   }
 
+  test("ohlcBars: open/close pick first/last by time, high/low the extremes") {
+    val prices = Seq(
+      ("A", Date.valueOf("2024-01-05"), 10.0),
+      ("A", Date.valueOf("2024-01-20"), 30.0),
+      ("A", Date.valueOf("2024-01-31"), 20.0),
+      ("A", Date.valueOf("2024-02-01"), 50.0),
+      ("B", Date.valueOf("2024-01-10"), 7.0))
+      .toDF("symbol", "timestamp", "close")
+    val got = TimeSeries.ohlcBars(prices, "symbol", "timestamp", "close")
+      .select($"symbol", $"bar", $"open", $"high", $"low", $"close", $"n")
+      .as[(String, Date, Double, Double, Double, Double, Long)]
+      .collect().sortBy(r => (r._1, r._2.toString)).toSeq
+    assert(got == Seq(
+      ("A", Date.valueOf("2024-01-01"), 10.0, 30.0, 10.0, 20.0, 3L),
+      ("A", Date.valueOf("2024-02-01"), 50.0, 50.0, 50.0, 50.0, 1L),
+      ("B", Date.valueOf("2024-01-01"), 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
   test("CoV/beta survive a symbol with constant prices (corr NULL case)") {
     val flat = (1 to 20).map(i =>
       ("FLAT", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1)), 10.0))

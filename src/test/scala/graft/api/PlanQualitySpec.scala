@@ -170,11 +170,13 @@ class PlanQualitySpec extends SparkSpec {
     QueryCatalog.entries.map(_.name).foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), n)
-      // BroadcastNestedLoopJoin is acceptable ONLY for the deliberate
-      // tiny-side cross joins in ANN (query set × corpus): e1's exact
-      // baseline and e6's PQ ADC scan (every candidate costs m table
-      // lookups — the broadcast cross IS the designed scan shape)
-      if (!Set("e1_cosine_topk", "e6_pq_topk").contains(n))
+      // BroadcastNestedLoopJoin is acceptable ONLY for deliberate
+      // tiny-side cross joins: e1's exact baseline and e6's PQ ADC
+      // scan (query set × corpus — the broadcast cross IS the designed
+      // scan shape), and t16/t17's 1-ROW corpus-stats broadcast
+      // (N/avgdl, vocabulary size) attached to every posting/bigram
+      if (!Set("e1_cosine_topk", "e6_pq_topk",
+          "t16_bm25_search", "t17_lm_score").contains(n))
         assert(!p.contains("BroadcastNestedLoopJoin"), n)
     }
   }

@@ -152,6 +152,64 @@ object TimeSeries {
         max_by(col(price), col(time)).as("close"),
         count(lit(1)).as("n"))
 
+  /** Rolling technical indicators — SMA, rolling sample volatility
+    * and RSI over a (key, time, close) series: the windowed
+    * generalization of the reference's point statistics
+    * (`portfolio.js:366-377` computes ONE stddev/avg over the whole
+    * history; a charting UI overlays the same statistics per bar over
+    * a trailing window).
+    *
+    * Every frame shares one partitioning (key) and ordering (time):
+    * a single shuffle + per-partition sort feeds all indicators, and
+    * the frames are row-bounded (`smaN`/`rsiN` rows), so per-row work
+    * is O(frame), never the whole partition. RSI uses the closed
+    * ratio form 100·ag/(ag+al) (≡ 100 − 100/(1+ag/al)) with NULL on
+    * an all-flat window (try_divide — ANSI-safe, PG-style NULL).
+    * First row of each key has no prior close: gain/loss are 0 there
+    * (CASE semantics — engines agree), so the RSI frame just starts
+    * neutral.
+    */
+  def rollingIndicators(series: DataFrame, key: String, time: String,
+                        close: String, smaN: Int = 20, rsiN: Int = 14): DataFrame = {
+    val ord  = Window.partitionBy(col(key)).orderBy(col(time))
+    val wSma = ord.rowsBetween(-(smaN - 1), 0)
+    val wRsi = ord.rowsBetween(-(rsiN - 1), 0)
+    val diff = col(close) - lag(col(close), 1).over(ord)
+    val ag   = avg(col("__gain")).over(wRsi)
+    val al   = avg(col("__loss")).over(wRsi)
+    series
+      .withColumn("sma", avg(col(close)).over(wSma))
+      .withColumn("vol", stddev_samp(col(close)).over(wSma))
+      .withColumn("n_win", count(lit(1)).over(wSma))
+      .withColumn("__gain", when(diff > 0, diff).otherwise(lit(0.0)))
+      .withColumn("__loss", when(diff < 0, -diff).otherwise(lit(0.0)))
+      .withColumn("rsi", lit(100.0) * try_divide(ag, ag + al))
+      .drop("__gain", "__loss")
+  }
+
+  /** Per-row running-peak drawdown: peak = MAX(close) so far (running
+    * max over an unbounded-preceding row frame), dd = close/peak − 1.
+    * The running max is exact (no FP accumulation) and the division
+    * is plain IEEE 754 on raw column values, so the output is
+    * bit-exact reproducible across engines. One shuffle on key; the
+    * growing-frame max is a single sequential pass per partition.
+    */
+  def drawdown(series: DataFrame, key: String, time: String, close: String): DataFrame = {
+    val wCum = Window.partitionBy(col(key)).orderBy(col(time))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    series.withColumn("peak", max(col(close)).over(wCum))
+      .withColumn("dd", col(close) / col("peak") - 1)
+  }
+
+  /** Max-drawdown summary per key: the deepest dd plus the series
+    * peak and bar count — one agg over [[drawdown]]'s frame. */
+  def maxDrawdown(series: DataFrame, key: String, time: String, close: String): DataFrame =
+    drawdown(series, key, time, close)
+      .groupBy(col(key))
+      .agg(min(col("dd")).as("max_drawdown"),
+        max(col(close)).as("peak_close"),
+        count(lit(1)).as("n_bars"))
+
   /** Portfolio market value — Σ latest_close × shares + cash
     * (reference `portfolio.js:288-304`, an app-side JS loop over N+1
     * price queries; here one latestPerKey + one broadcast join + one

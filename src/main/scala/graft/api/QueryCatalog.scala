@@ -187,6 +187,36 @@ object QueryCatalog {
       Some("SELECT user_id, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS balance, " +
         "count(*) AS n_tx FROM events GROUP BY user_id ORDER BY user_id")),
 
+    Q("a16_pivot",
+      // PIVOT — priority-count matrix per market segment: Spark's
+      // relational pivot (groupBy.pivot with an EXPLICIT value list —
+      // an implicit list is a discovery pass over the data at scale)
+      // vs the oracle's FILTER-ed conditional aggregation, the
+      // engine-portable spelling of the same operator. coalesce
+      // restores 0 for empty cells (pivot yields NULL, FILTER 0).
+      (s, dir) => {
+        val p = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("prio",
+            concat(lit("p"), substring(col("o_orderpriority"), 1, 1)))
+          .groupBy(col("c_mktsegment"))
+          .pivot("prio", Seq("p1", "p2", "p3", "p4", "p5"))
+          .agg(count(lit(1)))
+        p.select(col("c_mktsegment") +:
+            Seq("p1", "p2", "p3", "p4", "p5")
+              .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, " +
+        "count(*) FILTER (WHERE o_orderpriority LIKE '1%') AS p1, " +
+        "count(*) FILTER (WHERE o_orderpriority LIKE '2%') AS p2, " +
+        "count(*) FILTER (WHERE o_orderpriority LIKE '3%') AS p3, " +
+        "count(*) FILTER (WHERE o_orderpriority LIKE '4%') AS p4, " +
+        "count(*) FILTER (WHERE o_orderpriority LIKE '5%') AS p5 " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
     // ---- W: windows (SURVEY §2.5) ----
 
     Q("w1_lag_returns",
@@ -201,6 +231,30 @@ object QueryCatalog {
         "lag(close) OVER (PARTITION BY l_returnflag ORDER BY day)) / " +
         "lag(close) OVER (PARTITION BY l_returnflag ORDER BY day), 6) AS ret " +
         "FROM daily ORDER BY l_returnflag, day")),
+
+    Q("w5_ntile",
+      // rank-family window surface: ntile quartiles + percent_rank +
+      // cume_dist over the daily series. The window orders by (close,
+      // day) — a TOTAL order per key ((key, day) is unique), so every
+      // rank function is deterministic. ntile cast to BIGINT (Spark
+      // emits INT, DuckDB BIGINT); percent_rank/cume_dist are exact
+      // integer-ratio divisions, rounded only for belt-and-braces.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("close"), col("day"))
+        dailyCloses(t(s, dir, "lineitem"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .orderBy("l_returnflag", "day")
+      },
+      Some("WITH " + dailySql +
+        " SELECT l_returnflag, day, close, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd FROM daily " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY close, day) " +
+        "ORDER BY l_returnflag, day")),
 
     // ---- statistics (SURVEY §2.4 A2-A5, §3 trace 1) ----
 
@@ -237,6 +291,51 @@ object QueryCatalog {
         "arg_min(close, day) AS open, max(close) AS high, min(close) AS low, " +
         "arg_max(close, day) AS close, count(*) AS n FROM daily " +
         "GROUP BY 1, 2 ORDER BY l_returnflag, bar")),
+
+    Q("a14_rolling_indicators",
+      // rolling SMA / volatility / RSI (TimeSeries.rollingIndicators):
+      // row-bounded frames over ONE (key, time) sort. Stat columns are
+      // rounded — sliding-frame accumulation order differs between
+      // engines (Spark re-evaluates the frame buffer ascending, DuckDB
+      // combines segment-tree nodes) — counts are exact.
+      (s, dir) => TimeSeries.rollingIndicators(
+          dailyCloses(t(s, dir, "lineitem")), "l_returnflag", "day", "close")
+        .select(col("l_returnflag"), col("day"), col("close"),
+          round(col("sma"), 4).as("sma"), round(col("vol"), 4).as("vol"),
+          round(col("rsi"), 4).as("rsi"), col("n_win"))
+        .orderBy("l_returnflag", "day"),
+      Some("WITH " + dailySql + ", " +
+        "ind AS (SELECT l_returnflag, day, close, avg(close) OVER w20 AS sma, " +
+        "stddev_samp(close) OVER w20 AS vol, count(*) OVER w20 AS n_win, " +
+        "close - lag(close) OVER wo AS diff FROM daily " +
+        "WINDOW wo AS (PARTITION BY l_returnflag ORDER BY day), " +
+        "w20 AS (PARTITION BY l_returnflag ORDER BY day " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT *, CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain, " +
+        "CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss FROM ind), " +
+        "r AS (SELECT *, avg(gain) OVER w14 AS ag, avg(loss) OVER w14 AS al FROM g " +
+        "WINDOW w14 AS (PARTITION BY l_returnflag ORDER BY day " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT l_returnflag, day, close, round(sma, 4) AS sma, " +
+        "round(vol, 4) AS vol, round(100 * ag / nullif(ag + al, 0), 4) AS rsi, " +
+        "n_win FROM r ORDER BY l_returnflag, day")),
+
+    Q("a15_drawdown",
+      // per-row running-peak drawdown (TimeSeries.drawdown): the
+      // running max is exact and the division is IEEE 754 on raw
+      // unreduced values — emitted unrounded (hash-exact doubles,
+      // same convention as st3's pass-through columns).
+      (s, dir) => TimeSeries.drawdown(
+          dailyCloses(t(s, dir, "lineitem")), "l_returnflag", "day", "close")
+        .select(col("l_returnflag"), col("day"), col("close"),
+          col("peak"), col("dd"))
+        .orderBy("l_returnflag", "day"),
+      Some("WITH " + dailySql +
+        " SELECT l_returnflag, day, close, max(close) OVER w AS peak, " +
+        "close / max(close) OVER w - 1 AS dd FROM daily " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY l_returnflag, day")),
 
     Q("a5_corr_matrix",
       // pairwise corr/covar matrix, upper triangle (portfolio.js:449-477)

@@ -76,6 +76,45 @@ class TimeSeriesEdgeSpec extends SparkSpec {
       ("B", Date.valueOf("2024-01-01"), 7.0, 7.0, 7.0, 7.0, 1L)))
   }
 
+  test("rollingIndicators: hand-checked SMA/RSI on a 5-bar series") {
+    val prices = Seq(10.0, 12.0, 11.0, 14.0, 14.0).zipWithIndex.map {
+      case (c, i) => ("A", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), c)
+    }.toDF("symbol", "timestamp", "close")
+    val got = TimeSeries.rollingIndicators(prices, "symbol", "timestamp", "close",
+        smaN = 3, rsiN = 3)
+      .orderBy("timestamp")
+      .select($"close", $"sma", $"vol", $"rsi", $"n_win")
+      .collect()
+    // day 1: frame = {10}; no prior close → gain=loss=0 → RSI NULL (0/0)
+    assert(got(0).getDouble(1) == 10.0 && got(0).isNullAt(2) &&
+      got(0).isNullAt(3) && got(0).getLong(4) == 1L)
+    // day 2: gains only so far → RSI 100
+    assert(got(1).getDouble(3) == 100.0)
+    // day 3: sma of {10,12,11} = 11; ag=2/3, al=1/3 → RSI 66.67
+    assert(got(2).getDouble(1) == 11.0)
+    assert(math.abs(got(2).getDouble(3) - 100.0 * 2 / 3) < 1e-9)
+    // day 5: frame {d3,d4,d5}: ag=1, al=1/3 → RSI 75; sma {11,14,14}=13
+    assert(got(4).getDouble(1) == 13.0)
+    assert(math.abs(got(4).getDouble(3) - 75.0) < 1e-9)
+    // the frame is row-bounded: n_win caps at smaN
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L, 3L, 3L))
+  }
+
+  test("drawdown: running peak + dd; maxDrawdown summary") {
+    val prices = Seq(10.0, 16.0, 12.0, 8.0, 20.0).zipWithIndex.map {
+      case (c, i) => ("A", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), c)
+    }.toDF("symbol", "timestamp", "close")
+    val dd = TimeSeries.drawdown(prices, "symbol", "timestamp", "close")
+      .orderBy("timestamp").select($"peak", $"dd")
+      .as[(Double, Double)].collect().toSeq
+    assert(dd == Seq((10.0, 0.0), (16.0, 0.0), (16.0, -0.25),
+      (16.0, -0.5), (20.0, 0.0)))
+    val md = TimeSeries.maxDrawdown(prices, "symbol", "timestamp", "close")
+      .select($"max_drawdown", $"peak_close", $"n_bars")
+      .as[(Double, Double, Long)].head()
+    assert(md == ((-0.5, 20.0, 5L)))
+  }
+
   test("CoV/beta survive a symbol with constant prices (corr NULL case)") {
     val flat = (1 to 20).map(i =>
       ("FLAT", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1)), 10.0))

@@ -25,7 +25,7 @@ object PipelineQueries {
 
   /** DuckDB mirror of TextAnalysis.normalize ('g' = replace ALL —
     * DuckDB's regexp_replace is first-match-only by default). */
-  private val normSql =
+  private[api] val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql =
     s"regexp_split_to_array($normSql, '\\s+')"

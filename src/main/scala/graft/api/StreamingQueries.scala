@@ -177,5 +177,54 @@ object StreamingQueries {
         "SELECT custkey, status, prio, valid_from, valid_to, " +
         "valid_to IS NULL AS is_current FROM v " +
         "ORDER BY custkey, valid_from, status, prio, valid_to")),
+
+    Q("st5_stream_dedup",
+      // the STREAMING twin of d1_exact_dedup, through real streaming
+      // execution: the corpus arrives as three micro-batches (original
+      // docs by id range, then each range's shifted-id copies one
+      // batch LATER), deduplicated by Streams.dedupStream
+      // (dropDuplicatesWithinWatermark on the content fingerprint).
+      // First-arrival-wins ≡ min doc_id here because every duplicate
+      // pair spans a batch boundary and batches arrive in id order;
+      // within one batch all fingerprints are distinct (the documents
+      // generator's texts are unique — d1 pins that fact: survivors ==
+      // originals). The watermark horizon (3650 days) exceeds the
+      // synthetic ts spread, so no state is evicted mid-run — eviction
+      // itself is pinned by StreamsSpec. Like st4, the driver-side
+      // collect is the MemoryStream harness's, not the operator's.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val maxId = docs.last._1
+        val c1 = maxId / 3
+        val c2 = 2 * maxId / 3
+        def cp(b: Array[(Long, String)]) = b.map { case (i, x) => (i + 10000000L, x) }
+        val o1 = docs.filter(_._1 <= c1)
+        val o2 = docs.filter(d => d._1 > c1 && d._1 <= c2)
+        val o3 = docs.filter(_._1 > c2)
+        val batches = Seq(o1, o2 ++ cp(o1), o3 ++ cp(o2))
+        val mem = MemoryStream[(Long, String)]
+        val deduped = Streams.dedupStream(
+          mem.toDF().toDF("doc_id", "text")
+            .withColumn("ts", timestamp_seconds(
+              lit(1704067200L) + pmod(col("doc_id"), lit(10000000L)))),
+          "ts", "text", watermark = "3650 days")
+        val sinkName = "st5_dedup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = deduped.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try batches.foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.table(sinkName).select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("SELECT min(doc_id) AS doc_id FROM (" +
+        "SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 10000000, text FROM documents " +
+        "WHERE doc_id <= (SELECT 2 * max(doc_id) // 3 FROM documents)) " +
+        s"GROUP BY md5(${PipelineQueries.normSql}) ORDER BY doc_id")),
   )
 }

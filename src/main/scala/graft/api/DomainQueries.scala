@@ -95,6 +95,31 @@ object DomainQueries {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
+    Q("s12_json_roundtrip",
+      // line-delimited JSON ingest path (s2's twin for the second
+      // ubiquitous interchange format): write JSONL → read back with
+      // an EXPLICIT schema (never inferred — inference is a full
+      // extra pass at scale), aggregate to prove type fidelity.
+      // Doubles survive exactly: Spark writes shortest-roundtrip
+      // decimal forms.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_json_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        c.write.mode("overwrite").json(path)
+        s.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+          .json(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
     Q("s4_cow_update",
       // point/predicate UPDATE as copy-on-write (stocks.js:163-169)
       (s, dir) => Kernels.cowUpdate(t(s, dir, "part"),
@@ -348,6 +373,44 @@ object DomainQueries {
         "BETWEEN '1995-01-01' AND '1995-12-31' " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s13_compact_echo",
+      // small-file compaction (Layout.compact): write the zoned table
+      // deliberately over-fragmented (16 range slices per bucket),
+      // bin-pack back to ≤2 files per bucket, then read a key+range
+      // slice through the refreshed manifest — content ≡ the plain
+      // filter. File-count and manifest mechanics are pinned by
+      // LayoutSpec; this gates end-to-end fidelity under the oracle.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_compact_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(src, path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 16)
+        graft.catalog.Layout.compact(s, path, "symbol", "ship",
+          filesPerBucket = 2)
+        graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4,
+            symbolEq = Some("A"),
+            timeRange = Some((lit("1996-01-01").cast("date"),
+              lit("1996-12-31").cast("date"))))
+          .groupBy(col("ship"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("ship")
+      },
+      Some("SELECT CAST(l_shipdate AS DATE) AS ship, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_returnflag = 'A' AND CAST(l_shipdate AS DATE) " +
+        "BETWEEN '1996-01-01' AND '1996-12-31' " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current
@@ -525,6 +588,35 @@ object DomainQueries {
         "UNION ALL SELECT u1 FROM edges WHERE u2 = 7) " +
         "SELECT neighbor, s_name FROM nb JOIN supplier ON neighbor = s_suppkey " +
         "ORDER BY neighbor")),
+
+    Q("j16_mutual_pairs",
+      // mutual-neighbor counting over the j7 friend graph
+      // (Kernels.mutualNeighborCounts): two-hop equi self-join on the
+      // shared neighbor, one count agg per pair — the set-returning
+      // generalization of the reference's per-user neighbor read
+      // (users.js:68-77).
+      (s, dir) => {
+        // key-bounded subgraph (suppkey ≤ 100 — the st4 discipline):
+        // the mutual-pair candidate space is Σ deg(w)² BY NATURE, so
+        // the gate pins semantics on a graph whose size is stable
+        // across SFs instead of scaling quadratically with suppliers
+        val edges = Kernels.normalizeEdge(
+          t(s, dir, "lineitem").filter(col("l_suppkey") <= 100)
+            .select(col("l_suppkey").as("a"),
+              pmod(col("l_partkey"), lit(100)).as("b")),
+          "a", "b").filter(col("u1") =!= col("u2")).distinct()
+        Kernels.mutualNeighborCounts(edges, "u1", "u2")
+          .filter(col("mutuals") >= 40)
+          .orderBy("x", "y")
+      },
+      Some("WITH edges AS (SELECT DISTINCT least(l_suppkey, l_partkey % 100) AS u1, " +
+        "greatest(l_suppkey, l_partkey % 100) AS u2 FROM lineitem " +
+        "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100), " +
+        "adj AS (SELECT u1 AS u, u2 AS w FROM edges " +
+        "UNION ALL SELECT u2, u1 FROM edges) " +
+        "SELECT a.u AS x, b.u AS y, count(*) AS mutuals " +
+        "FROM adj a JOIN adj b ON a.w = b.w AND a.u < b.u " +
+        "GROUP BY 1, 2 HAVING count(*) >= 40 ORDER BY x, y")),
 
     Q("j12_anti_probe",
       // negative existence probe (users.js:318-326 inverse) → left_anti

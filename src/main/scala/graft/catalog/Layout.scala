@@ -73,9 +73,16 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy("sym_bucket")
       .parquet(path)
-    val spark = df.sparkSession
-    // one pass over the just-written table (column-pruned to `time`),
-    // collected driver-side: bounded by FILE count, not rows
+    writeZoneManifest(df.sparkSession, path, time)
+  }
+
+  /** (Re)build the `_zonemap/` manifest from the table's CURRENT data
+    * files: one pass over the table (column-pruned to `time`),
+    * collected driver-side — bounded by FILE count, not rows. Paths
+    * are stored RELATIVE to the table root (the manifest survives a
+    * table move) and URI-DECODED (input_file_name returns escaped
+    * URIs; see [[literalPath]]). */
+  def writeZoneManifest(spark: SparkSession, path: String, time: String): Unit = {
     val written = spark.read.option("basePath", path).parquet(path)
     val agg = written
       .groupBy(input_file_name().as("file"), col("sym_bucket"))
@@ -83,9 +90,6 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
-    // store paths RELATIVE to the table root (the manifest survives a
-    // table move) and URI-DECODED (input_file_name returns escaped
-    // URIs; see [[literalPath]])
     val rows = agg.collect().map { r =>
       val p = fs.makeQualified(
         new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))).toString
@@ -94,6 +98,53 @@ object Layout {
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
+  /** Small-file compaction — the maintenance pass every streaming /
+    * CoW writer eventually needs (each micro-batch or merge epoch
+    * lands more files; at 100 TB an uncompacted table turns every scan
+    * into a metadata+open storm). Bin-packs each over-fragmented
+    * bucket back to ≤ `filesPerBucket` time-zoned files:
+    *
+    *   - O(affected buckets), the [[graft.streaming.Streams.scd2Sink]]
+    *     discipline: buckets already at or under the target are not
+    *     read, not rewritten;
+    *   - a rewritten bucket keeps the layout contract — range-sliced
+    *     on `time` (tight zones for [[ZoneMap]] skipping), rows sorted
+    *     by (symbol, time);
+    *   - each bucket directory is swapped by rename, then `_zonemap/`
+    *     is rebuilt ONCE at the end. Same single-writer contract as
+    *     [[writeClusteredZoned]]; readers racing the swap may see
+    *     FileNotFound.
+    *
+    * Returns the number of buckets rewritten. */
+  def compact(spark: SparkSession, path: String, symbol: String, time: String,
+              filesPerBucket: Int = 4): Int = {
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(rootP).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("sym_bucket="))
+    var rewritten = 0
+    buckets.foreach { b =>
+      val dataFiles = fs.listStatus(b.getPath).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      if (dataFiles.length > filesPerBucket) {
+        val df = spark.read.parquet(globEscape(b.getPath.toString))
+        val tmp = new org.apache.hadoop.fs.Path(rootP,
+          "." + b.getPath.getName + "_compact_" + spark.sparkContext.applicationId)
+        df.repartitionByRange(filesPerBucket, col(time))
+          .sortWithinPartitions(col(symbol), col(time))
+          .write.mode("overwrite").parquet(tmp.toString)
+        // no _SUCCESS marker inside a partition directory
+        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+        fs.delete(b.getPath, true)
+        if (!fs.rename(tmp, b.getPath))
+          throw new java.io.IOException(s"compact: rename failed for ${b.getPath}")
+        rewritten += 1
+      }
+    }
+    if (rewritten > 0) writeZoneManifest(spark, path, time)
+    rewritten
   }
 
   /** `input_file_name()` / manifest entries → literal reader paths:

@@ -147,6 +147,29 @@ object Kernels {
     edges.filter(col(u1) === v).select(col(u2).as("neighbor"))
       .union(edges.filter(col(u2) === v).select(col(u1).as("neighbor")))
 
+  /** Mutual-neighbor counts over normalized undirected edges — the
+    * "people you may know" generalization of the reference's friend
+    * graph (`users.js:68-77` reads one user's neighbors; ranking
+    * candidate friends needs the mutual count for EVERY pair at
+    * once). Classic two-hop self-join: expand edges to both directed
+    * adjacencies, equi-join on the shared neighbor `w`, count per
+    * ordered pair (x < y — each unordered pair once).
+    *
+    * Scale shape: the join is equi (hash/sort-merge, never a nested
+    * loop) and cost is Σ_w deg(w)² — the algorithm's candidate space,
+    * not a plan artifact. On power-law graphs cap or salt hub
+    * vertices first (the [[graft.pipeline.Dedup]] df-cap discipline).
+    */
+  def mutualNeighborCounts(edges: DataFrame, u1: String, u2: String): DataFrame = {
+    val adj = edges.select(col(u1).as("u"), col(u2).as("w"))
+      .union(edges.select(col(u2).as("u"), col(u1).as("w")))
+    adj.select(col("u").as("x"), col("w"))
+      .join(adj.select(col("u").as("y"), col("w")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("mutuals"))
+  }
+
   /** Access-control semi-join — correlated `EXISTS(SELECT 1 …)` in
     * WHERE (reference `lists.js:190-194`, `reviews.js:46-53`).
     */

@@ -65,6 +65,43 @@ class LayoutSpec extends SparkSpec {
     assert(orc == expect && json == expect)
   }
 
+  test("compact bin-packs over-fragmented buckets, refreshes the zone manifest") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 2000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 12)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles: Map[String, Int] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("sym_bucket="))
+      .map(b => b.getPath.getName -> fs.listStatus(b.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))).toMap
+    val before = bucketFiles
+    assert(before.values.exists(_ > 2), before.toString)
+    val rewritten = Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    assert(rewritten == before.count(_._2 > 2))
+    val after = bucketFiles
+    assert(after.values.forall(_ <= 2), after.toString)
+    // content identical through the pruned read path
+    val got = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        symbolEq = Some("SYM7"), timeRange = Some((lit(100L), lit(999L))))
+      .select($"ts").as[Long].collect().toSet
+    val exp = df.filter($"symbol" === "SYM7" && $"ts".between(100L, 999L))
+      .select($"ts").as[Long].collect().toSet
+    assert(got == exp)
+    // the manifest was rebuilt: every entry resolves to a live file
+    // (stale pre-compact names would 404 on read)
+    val manifest = spark.read.parquet(s"$dir/_zonemap")
+      .select($"file").as[String].collect()
+    assert(manifest.nonEmpty && manifest.forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, f))), manifest.mkString("\n"))
+    // idempotent: already-compact buckets are not rewritten
+    assert(Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2) == 0)
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product analytics over an event log — funnel and
+  * cohort-retention, the two queries every events table gets asked
+  * first. The reference records the raw material for both (the
+  * Transaction ledger, `portfolio.js:162-174`, is an event log) but
+  * answers neither; an engine replacing it at 100 TB should.
+  */
+object Behavior {
+
+  /** Ordered funnel: a user completes step i only with an event of
+    * `steps(i)` STRICTLY AFTER their first qualifying completion of
+    * step i-1 (first-touch attribution). Returns one row per step:
+    * (step, event_type, users).
+    *
+    * Shape: one pass over `events` per step (N = steps.size, small
+    * and fixed), each an equi-join of the filtered event scan against
+    * the previous step's frontier (one row per surviving user) and a
+    * min-agg back to a frontier. Frontiers are the only shuffled
+    * state; at bounded user cardinality AQE broadcasts them. Never a
+    * per-user sort of the whole log.
+    */
+  def funnelSteps(events: DataFrame, user: String, time: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: need at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(user)).agg(min(col(time)).as("__t"))
+    val frontiers = steps.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(user), col("__t").as("__prev_t")), user)
+        .filter(col(time) > col("__prev_t"))
+        .groupBy(col(user)).agg(min(col(time)).as("__t"))
+    }
+    steps.zip(frontiers).zipWithIndex.map { case ((st, f), i) =>
+      f.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: cohort = the Monday-aligned week of a
+    * user's first event; one output row per (cohort_week,
+    * week_offset) with the count of cohort users active that week.
+    * Two aggregations and one join — the classic retention triangle,
+    * never a window over the whole log. Offsets are exact integer
+    * arithmetic on epoch seconds (week truncation is DST-free in
+    * UTC-pinned sessions — the repo-wide convention).
+    */
+  def cohortRetention(events: DataFrame, user: String, time: String): DataFrame = {
+    val week = date_trunc("week", col(time))
+    val activity = events.select(col(user), week.as("week")).distinct()
+    val cohorts = activity.groupBy(col(user))
+      .agg(min(col("week")).as("cohort_week"))
+    activity.join(cohorts, user)
+      .withColumn("week_offset",
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+          / 604800L).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.functions._
+import graft.analytics.Behavior
 import graft.catalog.Tables
 import graft.pipeline.Similarity
 
@@ -79,6 +80,130 @@ object AnalyticsQueries {
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
         "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY rf, ls")),
+
+    Q("a17_funnel",
+      // ordered 3-step funnel (Behavior.funnelSteps): signup → first
+      // view strictly after it → first purchase strictly after that.
+      // Timestamps are µs-exact in both engines (Tables.load truncates
+      // the parquet nanos; the generator emits µs precision), so the
+      // strict comparisons agree.
+      (s, dir) => Behavior.funnelSteps(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("signup", "view", "purchase"))
+        .orderBy("step"),
+      Some("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t " +
+        "WHERE e.event_type = 'view' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, " +
+        "count(*) AS users FROM s1 " +
+        "UNION ALL SELECT 2, 'view', count(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM s3 ORDER BY step")),
+
+    Q("a18_cohort_retention",
+      // weekly cohort retention triangle (Behavior.cohortRetention):
+      // cohort = Monday-aligned week of first activity; offsets are
+      // exact integer arithmetic on epoch seconds (both engines
+      // truncate weeks to Monday; sessions are UTC-pinned).
+      (s, dir) => Behavior.cohortRetention(
+          Tables.load(s, dir, "events"), "user_id", "ts")
+        .select(to_date(col("cohort_week")).as("cohort_week"),
+          col("week_offset"), col("users"))
+        .orderBy("cohort_week", "week_offset"),
+      Some("WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) " +
+        "AS week FROM events), " +
+        "c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1) " +
+        "SELECT CAST(c.cohort_week AS DATE) AS cohort_week, " +
+        "CAST((epoch(a.week) - epoch(c.cohort_week)) / 604800 AS BIGINT) " +
+        "AS week_offset, count(*) AS users FROM a JOIN c USING (user_id) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    Q("a19_approx_distinct",
+      // HyperLogLog++ approximate distinct — THE cardinality operator
+      // at 100 TB (fixed 2^p-register state, mergeable, one pass,
+      // where exact distinct shuffles every key). DuckDB's approx HLL
+      // is a different implementation, so the gate is a PROPERTY
+      // oracle: the estimate's 5% accuracy band (rsd = 0.02, fixed
+      // deterministic hash) is emitted as a boolean the oracle pins
+      // to TRUE; the exact counts anchor the rows.
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(col("l_returnflag"), col("exact"),
+          (col("__approx") >= col("exact") * 0.95 &&
+            col("__approx") <= col("exact") * 1.05).as("ok"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact, " +
+        "true AS ok FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    Q("a20_cms_counts",
+      // count-min sketch frequency estimates (mergeable counter
+      // matrix — the heavy-key frequency primitive that pairs with
+      // t12's Misra-Gries top-k). Property oracle like a19: the CMS
+      // guarantee at a FIXED seed (exact ≤ est ≤ exact + ⌈eps·N⌉) is
+      // emitted as a boolean pinned to TRUE. The 20-key estimate read
+      // is a driver-side probe of a kilobyte sketch, not a data scan.
+      (s, dir) => {
+        val keys = Tables.load(s, dir, "lineitem").select(col("l_suppkey"))
+        val cms = keys.stat.countMinSketch(col("l_suppkey"), eps = 1e-4,
+          confidence = 0.999, seed = 42)
+        val slack = math.ceil(1e-4 * cms.totalCount()).toLong
+        val est = s.createDataFrame(
+          (0L to 20L).map(k => (k, cms.estimateCount(k))))
+          .toDF("l_suppkey", "__est")
+        keys.filter(col("l_suppkey") <= 20)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact"))
+          .join(broadcast(est), "l_suppkey")
+          .select(col("l_suppkey"), col("exact"),
+            (col("__est") >= col("exact") &&
+              col("__est") <= col("exact") + lit(slack)).as("ok"))
+          .orderBy("l_suppkey")
+      },
+      Some("SELECT l_suppkey, count(*) AS exact, true AS ok FROM lineitem " +
+        "WHERE l_suppkey <= 20 GROUP BY 1 ORDER BY 1")),
+
+    Q("a21_pagerank",
+      // fixed-iteration PageRank (Graph.pageRank, 3 rounds, d=0.85)
+      // over the j16 friend graph; the oracle is the SAME recurrence
+      // unrolled as chained CTEs — both engines evaluate identical
+      // IEEE expression trees, contribution sums sit behind a
+      // 6-decimal round.
+      (s, dir) => {
+        val edges = graft.ops.Kernels.normalizeEdge(
+          Tables.load(s, dir, "lineitem").filter(col("l_suppkey") <= 100)
+            .select(col("l_suppkey").as("a"),
+              pmod(col("l_partkey"), lit(100)).as("b")),
+          "a", "b").filter(col("u1") =!= col("u2")).distinct()
+        graft.analytics.Graph.pageRank(edges, "u1", "u2", iters = 3, d = 0.85)
+          .select(col("node"), round(col("pr"), 6).as("pr"))
+          .orderBy("node")
+      },
+      Some("WITH edges AS (SELECT DISTINCT least(l_suppkey, l_partkey % 100) AS u1, " +
+        "greatest(l_suppkey, l_partkey % 100) AS u2 FROM lineitem " +
+        "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100), " +
+        "adj AS (SELECT u1 AS src, u2 AS dst FROM edges " +
+        "UNION ALL SELECT u2, u1 FROM edges), " +
+        "deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM adj), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "p0 AS (SELECT node, 1.0 / st.n AS pr FROM nodes CROSS JOIN st), " +
+        "c1 AS (SELECT a.dst AS node, sum(p.pr / d.deg) AS ip FROM adj a " +
+        "JOIN p0 p ON a.src = p.node JOIN deg d ON a.src = d.src GROUP BY 1), " +
+        "p1 AS (SELECT nd.node, (1.0 - 0.85) / st.n + 0.85 * coalesce(c1.ip, 0.0) AS pr " +
+        "FROM nodes nd CROSS JOIN st LEFT JOIN c1 ON nd.node = c1.node), " +
+        "c2 AS (SELECT a.dst AS node, sum(p.pr / d.deg) AS ip FROM adj a " +
+        "JOIN p1 p ON a.src = p.node JOIN deg d ON a.src = d.src GROUP BY 1), " +
+        "p2 AS (SELECT nd.node, (1.0 - 0.85) / st.n + 0.85 * coalesce(c2.ip, 0.0) AS pr " +
+        "FROM nodes nd CROSS JOIN st LEFT JOIN c2 ON nd.node = c2.node), " +
+        "c3 AS (SELECT a.dst AS node, sum(p.pr / d.deg) AS ip FROM adj a " +
+        "JOIN p2 p ON a.src = p.node JOIN deg d ON a.src = d.src GROUP BY 1), " +
+        "p3 AS (SELECT nd.node, (1.0 - 0.85) / st.n + 0.85 * coalesce(c3.ip, 0.0) AS pr " +
+        "FROM nodes nd CROSS JOIN st LEFT JOIN c3 ON nd.node = c3.node) " +
+        "SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node")),
 
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise

@@ -1,0 +1,63 @@
+package graft.analytics
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Hand-checked semantics for the behavioral analytics: strict
+  * ordering in the funnel, Monday week alignment + offsets in cohort
+  * retention. */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnelSteps: strict after-previous-step ordering, first-touch") {
+    val events = Seq(
+      // u1 completes all three in order
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "view"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: purchase BEFORE the first view → stops at view
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 10:30:00"), "purchase"),
+      (2L, ts("2024-01-02 11:00:00"), "view"),
+      // u3: view before signup doesn't count; the later one does
+      (3L, ts("2024-01-03 09:00:00"), "view"),
+      (3L, ts("2024-01-03 10:00:00"), "signup"),
+      (3L, ts("2024-01-03 10:00:00"), "view"), // SAME ts: excluded (strict >)
+      (3L, ts("2024-01-03 11:00:00"), "view"),
+      // u4 never signs up
+      (4L, ts("2024-01-04 10:00:00"), "view"),
+      (4L, ts("2024-01-04 11:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnelSteps(events, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      .orderBy("step")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "signup", 3L),   // u1, u2, u3
+      (2L, "view", 3L),     // u1, u2 (11:00 > 10:00), u3 (11:00 only)
+      (3L, "purchase", 1L)))// u1 only (u2's purchase precedes its view)
+  }
+
+  test("cohortRetention: Monday-aligned cohorts, integer week offsets") {
+    val events = Seq(
+      // 2024-01-01 is a Monday; u1 active weeks 0, 1, 3
+      (1L, ts("2024-01-02 10:00:00"), "view"),
+      (1L, ts("2024-01-08 10:00:00"), "view"),
+      (1L, ts("2024-01-10 10:00:00"), "click"), // same week as above
+      (1L, ts("2024-01-25 10:00:00"), "view"),
+      // u2 first active in week 1, returns week 2
+      (2L, ts("2024-01-09 10:00:00"), "view"),
+      (2L, ts("2024-01-15 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Behavior.cohortRetention(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select($"cohort_week".cast("date").cast("string"),
+        $"week_offset", $"users")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+}

@@ -173,10 +173,10 @@ class PlanQualitySpec extends SparkSpec {
       // BroadcastNestedLoopJoin is acceptable ONLY for deliberate
       // tiny-side cross joins: e1's exact baseline and e6's PQ ADC
       // scan (query set × corpus — the broadcast cross IS the designed
-      // scan shape), and t16/t17's 1-ROW corpus-stats broadcast
-      // (N/avgdl, vocabulary size) attached to every posting/bigram
-      if (!Set("e1_cosine_topk", "e6_pq_topk",
-          "t16_bm25_search", "t17_lm_score").contains(n))
+      // scan shape), and the 1-ROW stats broadcasts (corpus N/avgdl,
+      // vocabulary size, node count) t16/t17/t18/a21 attach per row
+      if (!Set("e1_cosine_topk", "e6_pq_topk", "t16_bm25_search",
+          "t17_lm_score", "t18_tfidf", "a21_pagerank").contains(n))
         assert(!p.contains("BroadcastNestedLoopJoin"), n)
     }
   }

@@ -240,6 +240,29 @@ object PipelineQueries {
         "SELECT doc_id, n_terms, CAST(round(CAST(ssum AS DOUBLE), 6) AS DOUBLE) " +
         "AS score FROM r WHERE rk <= 20 ORDER BY score DESC, doc_id")),
 
+    Q("t18_tfidf",
+      // TF-IDF posting weights (TextAnalysis.tfIdf) over the same
+      // index/tokenization as t13/t16; gate slice = repeated-use
+      // postings (tf ≥ 3 — the synthetic corpus has a 31-term
+      // vocabulary, so df-based rarity cuts are degenerate) under a
+      // deterministic (doc, term) order — no float ranking anywhere;
+      // ln sits behind a 6-decimal round.
+      (s, dir) => TextAnalysis.tfIdf(t(s, dir, "documents"),
+          "doc_id", "text")
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "term"),
+      Some("WITH idx AS (SELECT term, doc_id, count(*) AS tf FROM (" +
+        s"SELECT doc_id, unnest($toksSql) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "dfs AS (SELECT term, count(*) AS df FROM idx GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) " +
+        "SELECT i.doc_id, i.term, i.tf, d.df, " +
+        "round(CAST(i.tf AS DOUBLE) * ln(st.n / d.df), 6) AS tfidf " +
+        "FROM idx i JOIN dfs d USING (term) CROSS JOIN st " +
+        "WHERE i.tf >= 3 ORDER BY doc_id, term")),
+
     Q("t17_lm_score",
       // corpus-trained bigram-LM negative log likelihood per doc (the
       // perplexity quality filter): add-0.5 smoothed transition

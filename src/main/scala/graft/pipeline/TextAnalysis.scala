@@ -188,6 +188,24 @@ object TextAnalysis {
       .drop("__k", "__sum")
   }
 
+  /** TF-IDF weights per (term, doc) posting — [[searchBm25]]'s classic
+    * sibling, the feature-weighting primitive (document vectors,
+    * keyword extraction, stop-term discovery): idf = ln(N/df) (raw
+    * form; df ≥ 1 on a real index so always finite), weight = tf·idf.
+    *
+    * Scale shape: per-term df is one agg over the postings, the
+    * corpus size a 1-row broadcast; output cost ∝ index size, all
+    * joins equi on `term`. Emits (term, id, tf, df, tfidf). */
+  def tfIdf(df: DataFrame, id: String, text: String): DataFrame = {
+    val idx = termIndex(df, id, text)
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val dfs = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    idx.join(dfs, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") * log(col("__n") / col("df")))
+      .drop("__n")
+  }
+
   /** Deterministic train/val/test assignment by md5 prefix of the
     * (salted) id: reproducible across engines, runs, and cluster
     * layouts, and STABLE UNDER CORPUS GROWTH — a doc's split never

@@ -116,7 +116,8 @@ object IvfIndex {
     IndexIo.vacuum(spark, path)
 
   /** Build the index: deterministic Lloyd's k-means (fixed seed) on a
-    * bounded sample, then one distributed pass assigning every vector
+    * bounded sample, optionally refined by FULL-CORPUS distributed
+    * Lloyd's rounds, then one distributed pass assigning every vector
     * to its nearest (Euclidean) centroid cell.
     *
     * METRIC (FAISS convention for cosine): the quantizer is trained,
@@ -127,12 +128,21 @@ object IvfIndex {
     * vectors stay RAW (cosine is scale-invariant, and the exact
     * re-rank keeps bit-parity with the brute-force oracle).
     *
+    * `distIters` > 0 runs that many distributed Lloyd's rounds seeded
+    * from the sample-trained centroids — the 100 TB training path
+    * when the reservoir sample under-represents the corpus (each
+    * round is one codegen assignment pass + one map-side-combined
+    * aggregation; see [[distributedLloyd]]). Default 0 keeps the
+    * bounded-sample contract (FAISS's own default posture) and exact
+    * run-to-run determinism — distributed float sums are
+    * shuffle-order-dependent in the last ulp.
+    *
     * The persisted cells frame (the index itself) and the build-time
     * base frame are registered in [[graft.ops.CacheScope]]; release
     * the scope (or call [[IvfIndex.close]]) when done. */
   def build(corpus: DataFrame, id: String, vec: String,
             nCells: Int, seed: Long = 42L,
-            maxTrainRows: Int = 100000): IvfIndex = {
+            maxTrainRows: Int = 100000, distIters: Int = 0): IvfIndex = {
     val base = CacheScope.persist(Kernels.ensureParallelism(
         corpus.select(col(id), Similarity.vecD(col(vec)).as("cv"))))
     // bounded per-partition reservoir sample (see [[Sampling]]): no
@@ -140,13 +150,47 @@ object IvfIndex {
     // ingest, O(maxTrainRows · dims) driver memory at ANY corpus size
     val sample = Sampling.boundedVectorSample(
       base.select(col("cv")), maxTrainRows, seed).map(normalizeLocal)
-    val centroids = localKMeans(sample, nCells, iters = 5, seed = seed)
+    val seeded = localKMeans(sample, nCells, iters = 5, seed = seed)
+    val centroids =
+      if (distIters <= 0) seeded
+      else distributedLloyd(
+        base.select(graft.functions.VectorExprs.l2_normalize(col("cv")).as("nv")),
+        seeded, distIters)
     val assigned = CacheScope.persist(
       base.withColumn("cell", nearestCellEuclid(
           graft.functions.VectorExprs.l2_normalize(col("cv")), typedlit(
           centroids.map(_.toSeq).toSeq)))
         .select(col(id), col("cell"), col("cv")))
     new IvfIndex(assigned, centroids, id, System.currentTimeMillis())
+  }
+
+  /** Distributed Lloyd's rounds over the FULL (normalized) corpus:
+    * per round, one assignment pass with the centroid array as a
+    * codegen literal (no join, no pre-agg shuffle) and one
+    * (cell, dim) hash aggregation — map-side partials collapse each
+    * task to ≤ nCells·dims rows, so the shuffle and the driver
+    * collect are O(nCells · dims) at ANY corpus size. Empty cells
+    * keep their previous centroid (standard Lloyd's, same rule as
+    * [[localKMeans]]). */
+  private[pipeline] def distributedLloyd(normed: DataFrame,
+                                         init: Array[Array[Double]],
+                                         iters: Int): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val stats = normed
+        .withColumn("cell", nearestCellEuclid(col("nv"),
+          typedlit(cents.map(_.toSeq).toSeq)))
+        .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
   }
 
   /** Driver-side twin of [[graft.functions.L2Normalize]] (same

@@ -73,6 +73,36 @@ class IvfSpec extends SparkSpec {
     built.close(); loaded.close()
   }
 
+  test("distributed Lloyd's refinement lowers clustering cost, keeps invariants") {
+    import graft.functions.VectorExprs.l2_normalize
+    val normed = emb.select(l2_normalize(
+      Similarity.vecD($"embedding")).as("nv"))
+    // inertia comparand: Σ min_c (‖c‖² − 2·v·c) — differs from true
+    // inertia by the centroid-independent Σ‖v‖², so ordering is exact
+    def cost(cents: Array[Array[Double]]): Double = {
+      val lit = typedlit(cents.map(_.toSeq).toSeq)
+      normed.select(aggregate(
+          transform(lit, c => graft.functions.VectorExprs.dot_product(c, c) -
+            org.apache.spark.sql.functions.lit(2.0) *
+              graft.functions.VectorExprs.dot_product($"nv", c)),
+          org.apache.spark.sql.functions.lit(Double.MaxValue),
+          (acc, d) => least(acc, d)).as("d"))
+        .agg(sum($"d")).as[Double].head()
+    }
+    val sampleOnly = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8,
+      maxTrainRows = 64) // deliberately tiny sample → refinable seed
+    val refined = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8,
+      maxTrainRows = 64, distIters = 3)
+    assert(cost(refined.centroids) <= cost(sampleOnly.centroids) + 1e-9,
+      "full-corpus Lloyd's rounds must not increase clustering cost")
+    // the refined index keeps the assignment≡probe invariant: a corpus
+    // vector used as its own query still finds itself at nProbe=1
+    val self = refined.topK(emb.filter($"vec_id" < 4), "embedding",
+        k = 1, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(self.length == 4) // every query answered from its own cell
+  }
+
   test("IVF with partial probe returns k ranked candidates from probed cells") {
     val queries = emb.filter($"vec_id" < 3)
     val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)

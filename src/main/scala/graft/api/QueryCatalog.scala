@@ -337,6 +337,53 @@ object QueryCatalog {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "ORDER BY l_returnflag, day")),
 
+    Q("a22_cube",
+      // CUBE grouping sets (a10's ROLLUP sibling — all 2^n subtotal
+      // combinations); grouping-null keys coalesced to a marker so
+      // cross-engine null ordering never matters.
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+        "coalesce(l_linestatus, 'ALL') AS ls, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY rf, ls")),
+
+    Q("w6_range_rolling",
+      // time-RANGE window frame (vs a14's row-counted frames): 7-day
+      // rolling totals per key — the frame is defined by the ORDER-BY
+      // VALUE interval, so gap days widen nothing and dense days
+      // aren't truncated. Both engines get the identical integer
+      // day-offset ordering; sums in exact DECIMAL.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(unix_date(col("day")))
+          .rangeBetween(-6, 0)
+        dailyCloses(t(s, dir, "lineitem"))
+          .withColumn("close_7d",
+            sum(col("close").cast("decimal(18,2)")).over(w)
+              .cast("double"))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .select(col("l_returnflag"), col("day"), col("close"),
+            col("close_7d"), col("n_7d"))
+          .orderBy("l_returnflag", "day")
+      },
+      Some("WITH " + dailySql +
+        " SELECT l_returnflag, day, close, " +
+        "CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE) AS close_7d, " +
+        "count(*) OVER w AS n_7d FROM daily " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY " +
+        "datediff('day', DATE '1970-01-01', day) " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY l_returnflag, day")),
+
     Q("a5_corr_matrix",
       // pairwise corr/covar matrix, upper triangle (portfolio.js:449-477)
       (s, dir) => TimeSeries.corrMatrix(retFrame(s, dir), "l_returnflag", "day")

@@ -411,6 +411,47 @@ object DomainQueries {
         "BETWEEN '1996-01-01' AND '1996-12-31' " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s14_append_echo",
+      // growing-table ingest (Layout.appendClusteredZoned): the base
+      // write holds ≤1996, a second batch appends 1997+ WITHOUT
+      // rewriting the table, with the zone manifest updated from just
+      // the fresh files; a key+range read SPANNING the append boundary
+      // equals the plain filter. Incremental-manifest mechanics are
+      // pinned by LayoutSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_append_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        val cut = lit("1997-01-01").cast("date")
+        graft.catalog.Layout.writeClusteredZoned(
+          src.filter(col("ship") < cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.appendClusteredZoned(
+          src.filter(col("ship") >= cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4,
+            symbolEq = Some("N"),
+            timeRange = Some((lit("1996-06-01").cast("date"),
+              lit("1997-06-30").cast("date"))))
+          .groupBy(col("ship"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("ship")
+      },
+      Some("SELECT CAST(l_shipdate AS DATE) AS ship, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_returnflag = 'N' AND CAST(l_shipdate AS DATE) " +
+        "BETWEEN '1996-06-01' AND '1997-06-30' " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

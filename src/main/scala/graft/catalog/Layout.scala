@@ -100,6 +100,70 @@ object Layout {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
   }
 
+  /** Append a new slice to an existing clustered+zoned table WITHOUT
+    * rewriting it — the ingest path for a growing fact table (daily
+    * bars, event batches): a full [[writeClusteredZoned]] rewrite per
+    * batch is O(table) at 100 TB; this is O(batch).
+    *
+    * The appended slice gets the same layout discipline (bucket
+    * directories, time-range slicing, (symbol, time) sort within
+    * files), and the `_zonemap/` manifest is updated INCREMENTALLY:
+    * zones are aggregated over just the fresh files (diff of the
+    * bucket listings around the write — bounded by file count) and
+    * unioned with the existing manifest rows. Appending many small
+    * batches fragments buckets — run [[compact]] periodically (the
+    * manifest survives both). Same single-writer contract as every
+    * Layout write. */
+  def appendClusteredZoned(df: DataFrame, path: String, symbol: String,
+                           time: String, numBuckets: Int = 16,
+                           filesPerBucket: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Set[String] =
+      if (!fs.exists(rootP)) Set.empty
+      else fs.listStatus(rootP).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("sym_bucket=")).flatMap(b =>
+        fs.listStatus(b.getPath).filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+          .map(f => b.getPath.getName + "/" + f.getPath.getName)).toSet
+    val before = dataFiles
+    df.withColumn("sym_bucket", bucketOf(col(symbol), numBuckets))
+      .repartitionByRange(numBuckets * filesPerBucket,
+        col("sym_bucket"), col(time))
+      .sortWithinPartitions(col(symbol), col(time))
+      .write.mode("append")
+      .partitionBy("sym_bucket")
+      .parquet(path)
+    val fresh = (dataFiles -- before).toSeq.sorted
+    if (fresh.nonEmpty) {
+      val root = fs.makeQualified(rootP).toString
+      val freshPaths = fresh.map(f => globEscape(
+        new org.apache.hadoop.fs.Path(path, f).toString))
+      val agg = spark.read.option("basePath", path).parquet(freshPaths: _*)
+        .groupBy(input_file_name().as("file"), col("sym_bucket"))
+        .agg(min(col(time)).as("zmin"), max(col(time)).as("zmax"))
+      val freshRows = agg.collect().map { r =>
+        val p = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))).toString
+        org.apache.spark.sql.Row(
+          p.stripPrefix(root).stripPrefix("/"), r.get(1), r.get(2), r.get(3))
+      }
+      val freshDf = spark.createDataFrame(
+        java.util.Arrays.asList(freshRows: _*), agg.schema)
+      val mPath = new org.apache.hadoop.fs.Path(path, "_zonemap")
+      val merged =
+        if (fs.exists(mPath))
+          spark.read.parquet(mPath.toString).unionByName(freshDf)
+        else freshDf
+      // overwrite reads-then-writes the same path: materialize first
+      val rows = merged.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        .coalesce(1).write.mode("overwrite").parquet(mPath.toString)
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every streaming /
     * CoW writer eventually needs (each micro-batch or merge epoch
     * lands more files; at 100 TB an uncompacted table turns every scan

@@ -102,6 +102,45 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2) == 0)
   }
 
+  test("appendClusteredZoned: O(batch) manifest delta, zoned reads span the boundary") {
+    val dir = Files.createTempDirectory("graft_appz").toString + "/t"
+    val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df.filter($"ts" <= 500), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    val baseManifest = spark.read.parquet(s"$dir/_zonemap")
+      .select($"file").as[String].collect().toSet
+    Layout.appendClusteredZoned(df.filter($"ts" > 500), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    val merged = spark.read.parquet(s"$dir/_zonemap")
+      .select($"file").as[String].collect().toSet
+    // incremental: every pre-append manifest row survives untouched,
+    // and only the fresh files were added
+    assert(baseManifest.subsetOf(merged))
+    assert(merged.size > baseManifest.size)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    assert(merged.forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, f))))
+    // a read spanning the append boundary is exact
+    val got = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        symbolEq = Some("SYM7"), timeRange = Some((lit(400L), lit(700L))))
+      .select($"ts").as[Long].collect().toSet
+    val exp = df.filter($"symbol" === "SYM7" && $"ts".between(400L, 700L))
+      .select($"ts").as[Long].collect().toSet
+    assert(got == exp)
+    // compact after many appends keeps content + manifest consistent
+    Layout.appendClusteredZoned(df.filter($"ts" <= 500), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2) // duplicate slice, more files
+    Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    val afterCompact = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        symbolEq = Some("SYM7"), timeRange = Some((lit(400L), lit(700L))))
+      .select($"ts").as[Long].collect().toSeq.sorted
+    val expDup = (exp.toSeq ++ df.filter($"symbol" === "SYM7" &&
+        $"ts".between(400L, 500L)).select($"ts").as[Long].collect()).sorted
+    assert(afterCompact == expDup)
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

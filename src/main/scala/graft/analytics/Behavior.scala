@@ -13,8 +13,11 @@ object Behavior {
 
   /** Ordered funnel: a user completes step i only with an event of
     * `steps(i)` STRICTLY AFTER their first qualifying completion of
-    * step i-1 (first-touch attribution). Returns one row per step:
-    * (step, event_type, users).
+    * step i-1 (first-touch attribution) — and, when `withinMs` is
+    * set, no later than that completion plus the conversion window
+    * (the standard product-analytics cutoff: a purchase a month
+    * after the view doesn't convert the view). Returns one row per
+    * step: (step, event_type, users).
     *
     * Shape: one pass over `events` per step (N = steps.size, small
     * and fixed), each an equi-join of the filtered event scan against
@@ -24,14 +27,21 @@ object Behavior {
     * per-user sort of the whole log.
     */
   def funnelSteps(events: DataFrame, user: String, time: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String],
+                  withinMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: need at least one step")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(user)).agg(min(col(time)).as("__t"))
     val frontiers = steps.tail.scanLeft(first) { (prev, st) =>
+      // µs arithmetic: the event log is µs-precision and a millis
+      // round-trip would truncate the cutoff
+      val inWindow = withinMs.fold(lit(true)) { ms =>
+        col(time) <= timestamp_micros(
+          unix_micros(col("__prev_t")) + lit(ms * 1000L))
+      }
       events.filter(col(typeCol) === st)
         .join(prev.select(col(user), col("__t").as("__prev_t")), user)
-        .filter(col(time) > col("__prev_t"))
+        .filter(col(time) > col("__prev_t") && inWindow)
         .groupBy(col(user)).agg(min(col(time)).as("__t"))
     }
     steps.zip(frontiers).zipWithIndex.map { case ((st, f), i) =>

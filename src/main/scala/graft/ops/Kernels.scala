@@ -157,14 +157,25 @@ object Kernels {
     *
     * Scale shape: the join is equi (hash/sort-merge, never a nested
     * loop) and cost is Σ_w deg(w)² — the algorithm's candidate space,
-    * not a plan artifact. On power-law graphs cap or salt hub
-    * vertices first (the [[graft.pipeline.Dedup]] df-cap discipline).
-    */
-  def mutualNeighborCounts(edges: DataFrame, u1: String, u2: String): DataFrame = {
+    * not a plan artifact. On power-law graphs that sum is dominated
+    * by a few hub vertices: `maxDegree` drops hubs above the cap
+    * from the SHARED-NEIGHBOR role (they still appear as pair
+    * endpoints via their other neighbors), bounding the candidate
+    * space at deg·cap per vertex — the same df-cap discipline as
+    * [[graft.pipeline.Dedup]]'s hot-shingle cap, and like there the
+    * cap is part of the operator's declared contract, not a silent
+    * approximation. */
+  def mutualNeighborCounts(edges: DataFrame, u1: String, u2: String,
+                           maxDegree: Option[Int] = None): DataFrame = {
     val adj = edges.select(col(u1).as("u"), col(u2).as("w"))
       .union(edges.select(col(u2).as("u"), col(u1).as("w")))
-    adj.select(col("u").as("x"), col("w"))
-      .join(adj.select(col("u").as("y"), col("w")), Seq("w"))
+    val capped = maxDegree.fold(adj) { cap =>
+      val hubs = adj.groupBy(col("w")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") > cap).select(col("w"))
+      adj.join(hubs, Seq("w"), "left_anti")
+    }
+    capped.select(col("u").as("x"), col("w"))
+      .join(capped.select(col("u").as("y"), col("w")), Seq("w"))
       .filter(col("x") < col("y"))
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("mutuals"))

@@ -40,6 +40,28 @@ class BehaviorSpec extends SparkSpec {
       (3L, "purchase", 1L)))// u1 only (u2's purchase precedes its view)
   }
 
+  test("funnelSteps: conversion window drops late completions") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:30:00"), "view"),   // within 1h → converts
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 12:00:01"), "view"))   // 2h+1s later → dropped
+      .toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnelSteps(events, "user_id", "ts", "event_type",
+        Seq("signup", "view"), withinMs = Some(2L * 3600 * 1000))
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "signup", 2L), (2L, "view", 1L)))
+    // boundary is inclusive: exactly +window converts
+    val boundary = Seq(
+      (3L, ts("2024-01-03 10:00:00"), "signup"),
+      (3L, ts("2024-01-03 12:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val b = Behavior.funnelSteps(boundary, "user_id", "ts", "event_type",
+        Seq("signup", "view"), withinMs = Some(2L * 3600 * 1000))
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(b == Seq((1L, "signup", 1L), (2L, "view", 1L)))
+  }
+
   test("cohortRetention: Monday-aligned cohorts, integer week offsets") {
     val events = Seq(
       // 2024-01-01 is a Monday; u1 active weeks 0, 1, 3

@@ -96,6 +96,26 @@ class KernelsSpec extends SparkSpec {
     assert(got == Seq(7, 9))
   }
 
+  test("mutualNeighborCounts: pair counts on a known graph; hub cap drops only hub paths") {
+    // star around hub 1 (1-2, 1-3, 1-4) plus edge 2-3: mutuals via
+    // hub 1 for all leaf pairs, plus {2,3} see each other AND share 1
+    val edges = Kernels.normalizeEdge(
+      Seq((1, 2), (1, 3), (1, 4), (2, 3)).toDF("a", "b"), "a", "b")
+    val got = Kernels.mutualNeighborCounts(edges, "u1", "u2")
+      .orderBy("x", "y").as[(Int, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 2, 1L), // share 3
+      (1, 3, 1L), // share 2
+      (2, 3, 1L), // share 1
+      (2, 4, 1L), (3, 4, 1L))) // share 1
+    // cap degree at 2: hub 1 (deg 3) no longer mediates pairs, but
+    // still appears as an endpoint via its leaves
+    val capped = Kernels.mutualNeighborCounts(edges, "u1", "u2",
+        maxDegree = Some(2))
+      .orderBy("x", "y").as[(Int, Int, Long)].collect().toSeq
+    assert(capped == Seq((1, 2, 1L), (1, 3, 1L)))
+  }
+
   test("existsFlags: missing grants coalesce to false") {
     val rows = Seq(1, 2, 3).toDF("k")
     val grants = Seq((1, 10), (1, 20), (2, 10)).toDF("k", "uid")

@@ -28,7 +28,7 @@ object DomainQueries {
     * queries report the closed-form avg and the recurrence's own avg
     * stays pinned by TradingSpec. Shared by u6 (Dataset fold path)
     * and u9 (hold_fold SQL-surface path). */
-  private def demoTrades(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[api] def demoTrades(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     val ev = t(s, dir, "events")
@@ -57,7 +57,7 @@ object DomainQueries {
 
   /** Oracle for the demoTrades fold output — shared by u6 and u9
     * (identical semantics through two execution paths). */
-  private val holdFoldOracle =
+  private[api] val holdFoldOracle =
     "WITH tr AS (SELECT user_id AS portfolio, event_type AS symbol, " +
       "event_id, CAST(value AS DECIMAL(12,2)) AS price, " +
       "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn, " +

@@ -226,5 +226,41 @@ object StreamingQueries {
         "SELECT doc_id + 10000000, text FROM documents " +
         "WHERE doc_id <= (SELECT 2 * max(doc_id) // 3 FROM documents)) " +
         s"GROUP BY md5(${PipelineQueries.normSql}) ORDER BY doc_id")),
+
+    Q("st6_stream_holdings",
+      // the avg-cost holdings fold through REAL streaming execution
+      // (Streams.holdingsStream, flatMapGroupsWithState) — u6/u9's
+      // third execution path against the SAME oracle: the demo trade
+      // log arrives as three time-ordered micro-batches; per key the
+      // latest update (max n_trades version stamp) must equal the
+      // batch replay. avg_cost is reported from the shared closed-form
+      // DECIMAL quotient exactly as u6 does (the fold's sequential
+      // float recurrence is pinned by TradingSpec/StreamsSpec). Like
+      // st4/st5, the driver-side collect is the MemoryStream
+      // harness's, not the operator's.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val (trades, closedAvg) = DomainQueries.demoTrades(s, dir)
+        val log = trades.as[Streams.StreamTrade].collect()
+          .sortBy(t => (t.ts, t.seq))
+        val batches = log.grouped(math.max(1, (log.length + 2) / 3)).toSeq
+        val mem = MemoryStream[Streams.StreamTrade]
+        val sinkName = "st6_hold_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = Streams.holdingsStream(mem.toDS()).writeStream
+          .format("memory").queryName(sinkName).outputMode("append").start()
+        try batches.foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        graft.ops.Kernels.latestPerKey(s.table(sinkName),
+            Seq("portfolio", "symbol"), Seq(col("n_trades")))
+          .drop("avg_cost", "n_trades")
+          .join(closedAvg, Seq("portfolio", "symbol"))
+          .select(col("portfolio"), col("symbol"), col("shares"),
+            col("avg_cost"), col("n_rejected"))
+          .orderBy("portfolio", "symbol")
+      },
+      Some(DomainQueries.holdFoldOracle)),
   )
 }

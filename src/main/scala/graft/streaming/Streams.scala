@@ -40,9 +40,11 @@ object Streams {
 
   case class StreamTrade(portfolio: Long, symbol: String, ts: Long, seq: Long,
                          side: String, qty: Double, price: Double)
-  case class PositionState(shares: Double, avg: Double, rejected: Long)
+  case class PositionState(shares: Double, avg: Double, rejected: Long,
+                           n: Long)
   case class HoldingUpdate(portfolio: Long, symbol: String,
-                           shares: Double, avg_cost: Double, n_rejected: Long)
+                           shares: Double, avg_cost: Double, n_rejected: Long,
+                           n_trades: Long)
 
   /** Streaming holdings maintenance: the avg-cost fold (U6/U7,
     * graft.domain.Trading semantics) applied incrementally — state is
@@ -50,7 +52,10 @@ object Streams {
     * (time-ordered) trades into the running state and emits the
     * updated holding. The streaming form of event-sourced Holdings:
     * replaying the whole log through this yields exactly
-    * Trading.replay of the log. */
+    * Trading.replay of the log. `n_trades` counts every trade folded
+    * into the position — a monotone per-key version stamp, so
+    * downstream consumers (and the st6 gate) can pick the latest
+    * update per key without relying on arrival order. */
   def holdingsStream(trades: Dataset[StreamTrade]): Dataset[HoldingUpdate] = {
     import trades.sparkSession.implicits._
     trades.groupByKey(t => (t.portfolio, t.symbol))
@@ -58,23 +63,27 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: (Long, String), rows: Iterator[StreamTrade],
          state: GroupState[PositionState]) =>
-          var st = state.getOption.getOrElse(PositionState(0.0, 0.0, 0L))
+          var st = state.getOption.getOrElse(PositionState(0.0, 0.0, 0L, 0L))
           rows.toSeq.sortBy(t => (t.ts, t.seq)).foreach { t =>
             if (t.side == "BUY") {
-              if (st.shares == 0.0) st = PositionState(t.qty, t.price, st.rejected)
+              if (st.shares == 0.0)
+                st = PositionState(t.qty, t.price, st.rejected, st.n + 1)
               else st = PositionState(st.shares + t.qty,
                 (st.avg * st.shares + t.price * t.qty) / (st.shares + t.qty),
-                st.rejected)
+                st.rejected, st.n + 1)
             } else {
-              if (t.qty > st.shares) st = st.copy(rejected = st.rejected + 1)
+              if (t.qty > st.shares)
+                st = st.copy(rejected = st.rejected + 1, n = st.n + 1)
               else {
                 val s2 = st.shares - t.qty
-                st = PositionState(s2, if (s2 == 0.0) 0.0 else st.avg, st.rejected)
+                st = PositionState(s2, if (s2 == 0.0) 0.0 else st.avg,
+                  st.rejected, st.n + 1)
               }
             }
           }
           state.update(st)
-          Iterator.single(HoldingUpdate(key._1, key._2, st.shares, st.avg, st.rejected))
+          Iterator.single(HoldingUpdate(key._1, key._2, st.shares, st.avg,
+            st.rejected, st.n))
       }
   }
 

@@ -66,10 +66,11 @@ class StreamsSpec extends SparkSpec {
       Streams.StreamTrade(1L, "A", 3, 3, "SELL", 4, 9.0),
       Streams.StreamTrade(2L, "B", 1, 1, "SELL", 5, 9.0))
     q.processAllAvailable()
+    // n_trades is the monotone version stamp: latest update per key
     val last = spark.sql(
       """SELECT portfolio, symbol, shares, avg_cost, n_rejected FROM (
            SELECT *, row_number() OVER (PARTITION BY portfolio, symbol
-             ORDER BY shares) AS rn FROM hold) WHERE rn = 1""")
+             ORDER BY n_trades DESC) AS rn FROM hold) WHERE rn = 1""")
     // final state must equal the batch fold of the full log
     val batch = graft.domain.Trading.replay(Seq(
       graft.domain.Trade(1L, "A", 1, 1, "BUY", 10, 5.0),

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, MediaRecord}
+import graft.pipeline.{Dedup, Multimodal, Similarity, Sq, TextAnalysis, MediaRecord}
 
 /** Batch 3: the training-data pipeline operators — text analysis,
   * deduplication, similarity search, multimodal plumbing — over the
@@ -742,6 +742,41 @@ object PipelineQueries {
         val idx = graft.pipeline.PqIndex.load(s, path)
         idx.topK(un.filter(col("vec_id") < 5), "embedding", k = 1,
             nCandidates = 256)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id")
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM base WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM base) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
+        "WHERE rank = 1 ORDER BY query_id")),
+
+    Q("e9_sq8_topk",
+      // SQ8 scalar-quantization ANN top-1 (Sq.topK) over embeddings ∪
+      // id-shifted copies — the planted-twin recipe on the TRAINING-
+      // FREE codec: encode/decode are pure codegen expressions (no
+      // codebook, no seed), so the whole path is reproducible by
+      // construction. The twin shares the query's vector; per-
+      // component dequantization error ≤ max|x|/254 keeps its
+      // approximate cosine ≥ ~0.99 vs ≤ ~0.62 natural max, so it is
+      // always a candidate, and the exact re-rank puts it first at
+      // cos 1.0 → SQ8 top-1 ≡ brute-force top-1 and e1's exact SQL at
+      // k=1 is a true oracle. Quantization error bounds: SqSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val un = emb.unionByName(
+          emb.withColumn("vec_id", col("vec_id") + 10000000L))
+        Sq.topK(un, un.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 1, nCandidates = 256)
           .select(col("query_id"), col("neighbor_id"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id")

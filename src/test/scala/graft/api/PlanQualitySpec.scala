@@ -171,12 +171,14 @@ class PlanQualitySpec extends SparkSpec {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), n)
       // BroadcastNestedLoopJoin is acceptable ONLY for deliberate
-      // tiny-side cross joins: e1's exact baseline and e6's PQ ADC
-      // scan (query set × corpus — the broadcast cross IS the designed
-      // scan shape), and the 1-ROW stats broadcasts (corpus N/avgdl,
-      // vocabulary size, node count) t16/t17/t18/a21 attach per row
-      if (!Set("e1_cosine_topk", "e6_pq_topk", "t16_bm25_search",
-          "t17_lm_score", "t18_tfidf", "a21_pagerank").contains(n))
+      // tiny-side cross joins: e1's exact baseline and the e6/e9
+      // quantized scans (query set × encoded corpus — the broadcast
+      // cross IS the designed scan shape), and the 1-ROW stats
+      // broadcasts (corpus N/avgdl, vocabulary size, node count)
+      // t16/t17/t18/a21 attach per row
+      if (!Set("e1_cosine_topk", "e6_pq_topk", "e9_sq8_topk",
+          "t16_bm25_search", "t17_lm_score", "t18_tfidf",
+          "a21_pagerank").contains(n))
         assert(!p.contains("BroadcastNestedLoopJoin"), n)
     }
   }

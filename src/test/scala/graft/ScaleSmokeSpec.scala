@@ -77,6 +77,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(graft.pipeline.Dedup.exact(docs, "doc_id", "text").count() == G)
   }
 
+  test("pageRank at 1M edges: ring graph keeps the uniform fixed point") {
+    // directed-both-ways ring over 1M nodes: every node has deg 2 and
+    // the uniform vector 1/N is PageRank's exact fixed point, so any
+    // iteration count must return 1/N per node — closed form at scale
+    val M = 1000000L
+    val ring = spark.range(M).select(col("id").as("u1"),
+      ((col("id") + 1) % M).as("u2"))
+    val pr = graft.analytics.Graph.pageRank(ring, "u1", "u2", iters = 2)
+    val (mn, mx, n) = pr.agg(min(col("pr")), max(col("pr")), count(lit(1)))
+      .as[(Double, Double, Long)].head()
+    assert(n == M)
+    assert(math.abs(mn - 1.0 / M) < 1e-15 && math.abs(mx - 1.0 / M) < 1e-15)
+  }
+
+  test("funnel at 5M events: closed-form step survivors") {
+    // per user (100k): 50 events with seq 0..49; type = signup at
+    // seq 0, view at seq 25, purchase at seq 49 ONLY for even keys →
+    // exactly K signups, K views, K/2 purchases, all strictly ordered
+    val ev = big.select(col("k").as("user_id"),
+      timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+      when(col("seq") === 0, "signup")
+        .when(col("seq") === 25, "view")
+        .when(col("seq") === 49 && col("k") % 2 === 0, "purchase")
+        .otherwise("click").as("event_type"))
+    val got = graft.analytics.Behavior.funnelSteps(ev, "user_id", "ts",
+        "event_type", Seq("signup", "view", "purchase"))
+      .orderBy("step").select(col("users")).as[Long].collect().toSeq
+    assert(got == Seq(K, K, K / 2))
+  }
+
   test("salted aggregation survives one pathologically hot key") {
     // 4M rows on ONE key + 1M spread over the rest
     val skewed = spark.range(N)

@@ -140,6 +140,45 @@ object PipelineQueries {
         "JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2) " +
         "WHERE j >= 0.2 ORDER BY id1, id2")),
 
+    Q("d5_containment_pairs",
+      // containment near-SUBSET pairs ≥ 0.9 (Dedup.containmentPairs):
+      // the corpus is documents ∪ planted 10-token-prefix snippets
+      // (id-shifted) — a snippet's shingle set is contained in its
+      // original by construction, the asymmetry Jaccard misses. Both
+      // engines compute the EXACT same shingle sets, so incidental
+      // cross-doc containment (the 31-term vocabulary makes shingles
+      // collide) matches too. df-cap mirrored in the oracle like d2.
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val snip = d.select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(TextAnalysis.tokensWs(
+            TextAnalysis.normalize(col("text"))), 1, 10), " ").as("text"))
+        Dedup.containmentPairs(
+            d.select("doc_id", "text").unionByName(snip),
+            "doc_id", "text", n = 3, minContainment = 0.9, maxDf = Some(20))
+          .select(col("id1"), col("id2"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("id1", "id2")
+      },
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000, " +
+        s"array_to_string(($toksSql)[1:10], ' ') FROM documents), " +
+        "toks AS (SELECT doc_id, regexp_split_to_array(" +
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS w " +
+        "FROM corpus), " +
+        "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
+        "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
+        "sh0 AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "sh AS (SELECT * FROM sh0 WHERE g NOT IN " +
+        "(SELECT g FROM sh0 GROUP BY g HAVING count(*) > 20)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix " +
+        "FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id1, id2, round(c, 6) AS containment FROM (" +
+        "SELECT id1, id2, CAST(ix AS DOUBLE) / least(c1.n, c2.n) AS c FROM inter " +
+        "JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2) " +
+        "WHERE c >= 0.9 ORDER BY id1, id2")),
+
     Q("t5_vocabulary",
       // corpus vocabulary stats: term frequency + document frequency
       (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")

@@ -76,7 +76,36 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         n: Int = 3, minJaccard: Double = 0.2,
-                        maxDf: Option[Int] = None): DataFrame = {
+                        maxDf: Option[Int] = None): DataFrame =
+    shinglePairStats(df, id, text, n, maxDf)
+      .withColumn("jaccard",
+        col("ix").cast("double") / (col("n1") + col("n2") - col("ix")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Near-SUBSET detection: containment coefficient C(A,B) =
+    * |A∩B| / min(|A|,|B|) over the same word-n-gram shingle sets as
+    * [[ngramJaccardPairs]] — the overlap measure Jaccard structurally
+    * misses: a short document fully quoted inside a long one has
+    * J = |A|/|B| → 0 as the host grows, but C = 1 regardless (the
+    * quote/boilerplate/excerpt case every corpus dedup hits; Lee et
+    * al. 2022 deduplicate on exactly this asymmetry). Same
+    * inverted-index self-join + df-cap scale shape as Jaccard. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       n: Int = 3, minContainment: Double = 0.9,
+                       maxDf: Option[Int] = None): DataFrame =
+    shinglePairStats(df, id, text, n, maxDf)
+      .withColumn("containment",
+        col("ix").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id1"), col("id2"), col("containment"))
+
+  /** Shared machinery of the exact set-overlap pair measures:
+    * (id1, id2, ix, n1, n2) = intersection size + per-doc shingle-set
+    * sizes for every co-shingled pair, via the df-capped inverted
+    * index self-join. */
+  private def shinglePairStats(df: DataFrame, id: String, text: String,
+                               n: Int, maxDf: Option[Int]): DataFrame = {
     // join on the 8-byte shingle hash, not the shingle string: the
     // inverted-index self-join shuffles fixed-width longs (collision
     // probability ~ |shingles|²/2⁶⁴ — negligible)
@@ -96,17 +125,12 @@ object Dedup {
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(id).as("id1"), col("shingle"))
     val b = sh.select(col(id).as("id2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("ix"))
-    inter
       .join(counts.select(col(id).as("id1"), col("n_sh").as("n1")), Seq("id1"))
       .join(counts.select(col(id).as("id2"), col("n_sh").as("n2")), Seq("id2"))
-      .withColumn("jaccard",
-        col("ix").cast("double") / (col("n1") + col("n2") - col("ix")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** MinHash signature per doc: k independent permutations simulated

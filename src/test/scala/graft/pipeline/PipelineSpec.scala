@@ -96,6 +96,26 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment catches a quoted subset that Jaccard misses") {
+    val host = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    val corpus = Seq(
+      (1L, host),                            // 20 tokens → 18 shingles
+      (2L, "alpha bravo charlie delta echo"),// prefix quote: 3 shingles ⊆ host
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, minContainment = 0.99)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(c == Seq((1L, 2L, 1.0))) // the quote is fully contained
+    // the same pair is invisible to Jaccard at any useful threshold:
+    // J = 3/18 ≈ 0.17
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!j.contains((1L, 2L)))
+  }
+
   test("minhash LSH surfaces high-jaccard pairs") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
         n = 2, k = 32, bands = 16, minEstJaccard = 0.3)

@@ -180,4 +180,58 @@ object GraftProperties extends Properties("graft") {
       val exp = rows.map(_._2).scanLeft(0L)(_ + _).init
       got == exp
     }
+
+  property("containment dominates jaccard; both bounded in (0, 1]") =
+    forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val c = graft.pipeline.Dedup.containmentPairs(
+          df, "doc_id", "text", n = 2, minContainment = 0.0)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, v) => (a, b) -> v }.toMap
+      val j = graft.pipeline.Dedup.ngramJaccardPairs(
+          df, "doc_id", "text", n = 2, minJaccard = 0.0)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, v) => (a, b) -> v }.toMap
+      // same candidate pairs (same index), C ≥ J on each (the min
+      // denominator never exceeds the union), both in (0, 1]
+      c.keySet == j.keySet &&
+        c.forall { case (k, cv) =>
+          cv >= j(k) - 1e-12 && cv > 0.0 && cv <= 1.0 + 1e-12 }
+    }
+
+  property("sq8: dequantization error within maxAbs/254 per component") =
+    forAll(Gen.listOfN(4, Gen.listOfN(6,
+        Gen.choose(-1000, 1000).map(_ / 37.0)))) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val rows = graft.pipeline.Sq.quantize(df, "vec_id", "embedding")
+        .select(col("vec_id"), col("sq_scale"), col("sq_codes"))
+        .as[(Long, Double, Seq[Byte])].collect()
+      rows.forall { case (i, scale, codes) =>
+        val v = vecs(i.toInt)
+        val maxAbs = v.map(math.abs).max
+        if (maxAbs == 0.0) scale == 0.0 && codes.forall(_ == 0)
+        else codes.zip(v).forall { case (c, x) =>
+          // float32 ingest adds ≤ 2^-24 relative error on top of the
+          // int8 rounding bound maxAbs/254
+          math.abs(c / scale - x) <= maxAbs / 254.0 + maxAbs * 1e-6
+        }
+      }
+    }
+
+  property("pageRank: mass conserved and strictly positive at any iteration count") =
+    forAll(for {
+      n <- Gen.choose(2, 6)
+      iters <- Gen.choose(0, 3)
+      edges <- Gen.nonEmptyListOf(for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (edges.distinct, iters)) { case (edges, iters) =>
+      val pr = graft.analytics.Graph.pageRank(
+          edges.toDF("u1", "u2"), "u1", "u2", iters = iters)
+        .as[(Long, Double)].collect()
+      math.abs(pr.map(_._2).sum - 1.0) < 1e-9 && pr.forall(_._2 > 0.0)
+    }
 }

@@ -993,5 +993,40 @@ object PipelineQueries {
         "CAST(1 + strlen(text) % 64 AS INT) AS height, CAST(3 AS INT) AS channels, " +
         "CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_byte " +
         "FROM documents WHERE doc_id < 200 ORDER BY media_id")),
+
+    Q("mm4_audio_decode",
+      // REAL audio codec through real bytes — mm3's recipe for sound:
+      // per doc, synthesize a constant-amplitude 16-bit PCM WAV with
+      // arithmetically-determined (rate, channels, frames, amplitude)
+      // via the JDK encoder, push it through the binary-column
+      // pipeline and javax.sound.sampled decode, and emit the DECODED
+      // format + mean |sample|. PCM WAV is lossless, so the oracle
+      // predicts every output from the same arithmetic — a
+      // mis-reported rate, channel count, frame count, or sample
+      // value breaks the hash.
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), octet_length(col("text")).as("len"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, len) =>
+            val wav = Multimodal.pcmWav(
+              nFrames = 100 + len % 100,
+              sampleRate = 8000 + (id % 4).toInt * 4000,
+              channels = 1 + (id % 2).toInt,
+              amplitude = ((id * 13) % 1000).toInt)
+            MediaRecord(id, "audio/wav", wav, wav.length.toLong)
+          })
+        Multimodal.extractAudioFeatures(media).toDF()
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("mean_abs"))
+          .orderBy("media_id")
+      },
+      Some("SELECT doc_id AS media_id, " +
+        "CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate, " +
+        "CAST(1 + doc_id % 2 AS INT) AS channels, " +
+        "CAST(100 + strlen(text) % 100 AS BIGINT) AS n_frames, " +
+        "CAST(doc_id * 13 % 1000 AS DOUBLE) AS mean_abs " +
+        "FROM documents WHERE doc_id < 200 ORDER BY media_id")),
   )
 }

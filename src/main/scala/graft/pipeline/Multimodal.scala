@@ -14,16 +14,23 @@ case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Long,
                          width: Int, height: Int, channels: Int,
                          checksum: Long, mean_byte: Double)
 
+/** Decoded form of an audio record (PCM). */
+case class AudioFeatures(media_id: Long, media_type: String, n_bytes: Long,
+                         sample_rate: Int, channels: Int, n_frames: Long,
+                         mean_abs: Double)
+
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * The Spark-side contract is real and tested — binary schema, typed
   * Dataset encoders, partition-preserving mapPartitions (the Scala
   * analog of a Pandas-UDF `mapInPandas` batch loop), deterministic
   * output. The codec edge is split by format: PNG/JPEG/BMP/GIF decode
-  * is REAL (JDK `javax.imageio` — zero external deps, headless-safe);
-  * audio/video and unknown types keep the documented [[decodeStub]]
-  * (this container ships no media libraries beyond the JDK) — swap it
-  * for a JNI/javacpp codec without touching any plumbing.
+  * is REAL (JDK `javax.imageio` — zero external deps, headless-safe),
+  * and WAV/PCM audio decode is REAL (JDK `javax.sound.sampled`, same
+  * zero-dep posture); video and unknown types keep the documented
+  * [[decodeStub]] (this container ships no media libraries beyond the
+  * JDK) — swap it for a JNI/javacpp codec without touching any
+  * plumbing.
   */
 object Multimodal {
 
@@ -109,6 +116,71 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** REAL audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, 16-bit signed PCM): parses the container and returns
+    * the TRUE decoded format (sample rate, channels, frame count) and
+    * the mean ABSOLUTE sample value across all channels — a genuine
+    * waveform statistic computed in exact integer arithmetic (one
+    * double division at the end). `None` for payloads no installed
+    * reader recognizes or non-16-bit encodings. */
+  def decodeAudio(r: MediaRecord): Option[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val v =
+            if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+            else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          sum += math.abs(v)
+          i += 1
+        }
+        Some(AudioFeatures(r.media_id, r.media_type, r.n_bytes,
+          fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
+          if (n == 0) 0.0 else sum.toDouble / n))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    }
+
+  /** Deterministic constant-amplitude 16-bit PCM WAV through the REAL
+    * encoder — [[grayPng]]'s audio twin: every sample is `amplitude`,
+    * so an arithmetic oracle predicts exactly what the decoder must
+    * recover (PCM WAV is lossless). */
+  def pcmWav(nFrames: Int, sampleRate: Int, channels: Int,
+             amplitude: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val a = amplitude.toShort
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      data(2 * i) = (a & 0xff).toByte
+      data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched audio decode over partitions — [[extractFeatures]]'
+    * audio twin; records the codec can't parse are dropped (a real
+    * pipeline would route them to a quarantine sink). */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(decodeAudio))
   }
 
   /** Batched decode/feature-extract over partitions — each partition

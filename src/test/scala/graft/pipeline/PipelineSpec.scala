@@ -96,6 +96,24 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("WAV codec roundtrip: decoded format and waveform stats are exact") {
+    // stereo, 44.1k, constant amplitude -300 → mean |sample| = 300
+    val wav = Multimodal.pcmWav(nFrames = 50, sampleRate = 44100,
+      channels = 2, amplitude = -300)
+    val got = Multimodal.decodeAudio(
+      MediaRecord(1L, "audio/wav", wav, wav.length.toLong)).get
+    assert(got.sample_rate == 44100 && got.channels == 2 &&
+      got.n_frames == 50L && got.mean_abs == 300.0)
+    // silence decodes to zero energy
+    val quiet = Multimodal.pcmWav(10, 8000, 1, amplitude = 0)
+    assert(Multimodal.decodeAudio(
+      MediaRecord(2L, "audio/wav", quiet, quiet.length.toLong))
+      .get.mean_abs == 0.0)
+    // garbage bytes are rejected, not mis-decoded
+    assert(Multimodal.decodeAudio(
+      MediaRecord(3L, "audio/wav", Array[Byte](1, 2, 3, 4), 4L)).isEmpty)
+  }
+
   test("containment catches a quoted subset that Jaccard misses") {
     val host = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliett kilo lima mike november oscar papa quebec romeo sierra tango"

@@ -1028,5 +1028,39 @@ object PipelineQueries {
         "CAST(100 + strlen(text) % 100 AS BIGINT) AS n_frames, " +
         "CAST(doc_id * 13 % 1000 AS DOUBLE) AS mean_abs " +
         "FROM documents WHERE doc_id < 200 ORDER BY media_id")),
+
+    Q("mm5_video_frames",
+      // REAL multi-frame decode — the video-shaped path through an
+      // actual codec (animated GIF, the one multi-frame container the
+      // JDK parses natively): per doc, synthesize a 2-5 frame GIF
+      // whose frame grays follow arithmetic, decode it back through
+      // the sequence reader, one row per frame with true dims + mean
+      // pixel. GIF palettes are exact for solid frames, so the oracle
+      // predicts every row; a skipped frame, wrong index, or palette
+      // mix-up breaks the hash. MP4-class codecs stay external; the
+      // row shape is theirs to fill.
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), octet_length(col("text")).as("len"))
+          .as[(Long, Int)]
+          .mapPartitions(_.map { case (id, len) =>
+            val grays = (0 until (2 + (id % 4).toInt))
+              .map(i => ((id * 11 + i * 37) % 256).toInt)
+            val gif = Multimodal.animatedGif(
+              width = 4 + (id % 8).toInt, height = 3 + len % 8, grays)
+            MediaRecord(id, "image/gif", gif, gif.length.toLong)
+          })
+        Multimodal.extractFrames(media)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("WITH f AS (SELECT doc_id, strlen(text) AS len, " +
+        "unnest(generate_series(0, CAST(1 + doc_id % 4 AS INT))) AS fi " +
+        "FROM documents WHERE doc_id < 100) " +
+        "SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, " +
+        "CAST(4 + doc_id % 8 AS INT) AS width, " +
+        "CAST(3 + len % 8 AS INT) AS height, " +
+        "CAST((doc_id * 11 + fi * 37) % 256 AS DOUBLE) AS mean_byte " +
+        "FROM f ORDER BY media_id, frame_idx")),
   )
 }

@@ -114,6 +114,19 @@ class PipelineSpec extends SparkSpec {
       MediaRecord(3L, "audio/wav", Array[Byte](1, 2, 3, 4), 4L)).isEmpty)
   }
 
+  test("animated-GIF frame decode recovers every frame's gray exactly") {
+    val gif = Multimodal.animatedGif(width = 5, height = 4,
+      grays = Seq(0, 77, 200, 255))
+    val frames = Multimodal.decodeFrames(
+      MediaRecord(9L, "image/gif", gif, gif.length.toLong))
+    assert(frames.map(_._2) == Seq(0, 1, 2, 3))
+    assert(frames.forall(f => f._3 == 5 && f._4 == 4))
+    assert(frames.map(_._5) == Seq(0.0, 77.0, 200.0, 255.0))
+    // garbage bytes decode to no frames, not an exception
+    assert(Multimodal.decodeFrames(
+      MediaRecord(10L, "video/mp4", Array[Byte](9, 9, 9), 3L)).isEmpty)
+  }
+
   test("containment catches a quoted subset that Jaccard misses") {
     val host = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliett kilo lima mike november oscar papa quebec romeo sierra tango"

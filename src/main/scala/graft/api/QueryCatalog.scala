@@ -256,6 +256,38 @@ object QueryCatalog {
         "WINDOW w AS (PARTITION BY l_returnflag ORDER BY close, day) " +
         "ORDER BY l_returnflag, day")),
 
+    Q("w7_value_windows",
+      // value-picking window functions (first/last/nth over an
+      // explicit frame): the month's opening close, running latest
+      // close, and second-lowest close per (key, month) — all over
+      // ONE (key, day) sort. last_value needs the full-partition
+      // frame spelled out (the default frame ends at CURRENT ROW);
+      // nth_value(2) is NULL for 1-row frames in both engines.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"), trunc(col("day"), "month"))
+          .orderBy(col("close"), col("day"))
+        val full = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        dailyCloses(t(s, dir, "lineitem"))
+          .withColumn("lo1", first_value(col("close")).over(full))
+          .withColumn("lo2", nth_value(col("close"), 2).over(full))
+          .withColumn("hi", last_value(col("close")).over(full))
+          .select(col("l_returnflag"), col("day"), col("close"),
+            col("lo1"), col("lo2"), col("hi"))
+          .orderBy("l_returnflag", "day")
+      },
+      Some("WITH " + dailySql +
+        " SELECT l_returnflag, day, close, " +
+        "first_value(close) OVER w AS lo1, " +
+        "nth_value(close, 2) OVER w AS lo2, " +
+        "last_value(close) OVER w AS hi FROM daily " +
+        "WINDOW w AS (PARTITION BY l_returnflag, date_trunc('month', day) " +
+        "ORDER BY close, day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY l_returnflag, day")),
+
     // ---- statistics (SURVEY §2.4 A2-A5, §3 trace 1) ----
 
     Q("a2_cov",

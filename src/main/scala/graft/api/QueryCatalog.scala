@@ -232,6 +232,29 @@ object QueryCatalog {
         "lag(close) OVER (PARTITION BY l_returnflag ORDER BY day), 6) AS ret " +
         "FROM daily ORDER BY l_returnflag, day")),
 
+    Q("a23_grouping_sets",
+      // arbitrary GROUPING SETS (the general form behind a10's ROLLUP
+      // and a22's CUBE — here an asymmetric set list no ROLLUP/CUBE
+      // can express), driven through the spark.sql surface with the
+      // LITERALLY identical statement as the oracle: one aggregation
+      // pass, grouping-null keys coalesced to a marker (the grouped
+      // columns are never null in the data).
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("a23_li")
+        s.sql("SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+          "coalesce(l_linestatus, 'ALL') AS ls, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+          "count(*) AS n FROM a23_li GROUP BY GROUPING SETS " +
+          "((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus)) " +
+          "ORDER BY rf, ls")
+      },
+      Some("SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+        "coalesce(l_linestatus, 'ALL') AS ls, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n FROM lineitem GROUP BY GROUPING SETS " +
+        "((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus)) " +
+        "ORDER BY rf, ls")),
+
     Q("w5_ntile",
       // rank-family window surface: ntile quartiles + percent_rank +
       // cume_dist over the daily series. The window orders by (close,

@@ -659,6 +659,34 @@ object DomainQueries {
         "FROM adj a JOIN adj b ON a.w = b.w AND a.u < b.u " +
         "GROUP BY 1, 2 HAVING count(*) >= 40 ORDER BY x, y")),
 
+    Q("j17_full_outer",
+      // FULL OUTER join — the one join type the reference never needs
+      // (its app code always probes one side) but a complete engine
+      // must have: per-nation customer counts vs supplier counts with
+      // DISJOINT key ranges forced on each side, so both unmatched
+      // directions are exercised; nulls coalesced to 0/key on both
+      // engines identically.
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_nationkey") >= 5)
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = t(s, dir, "supplier").filter(col("s_nationkey") < 15)
+          .groupBy(col("s_nationkey").as("nation"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, Seq("nation"), "full_outer")
+          .select(col("nation"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nation")
+      },
+      Some("SELECT coalesce(c.nation, s.nation) AS nation, " +
+        "coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp " +
+        "FROM (SELECT c_nationkey AS nation, count(*) AS n_cust " +
+        "FROM customer WHERE c_nationkey >= 5 GROUP BY 1) c " +
+        "FULL OUTER JOIN (SELECT s_nationkey AS nation, count(*) AS n_supp " +
+        "FROM supplier WHERE s_nationkey < 15 GROUP BY 1) s " +
+        "ON c.nation = s.nation ORDER BY nation")),
+
     Q("j12_anti_probe",
       // negative existence probe (users.js:318-326 inverse) → left_anti
       (s, dir) => t(s, dir, "customer")

@@ -166,6 +166,27 @@ class PlanQualitySpec extends SparkSpec {
       s"live orders scan in join plan:\n$p")
   }
 
+  test("rolling/rank/range windows shuffle on the series key only") {
+    Seq("a14_rolling_indicators", "w5_ntile", "w6_range_rolling",
+        "w7_value_windows").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Window"), n)
+      assert(p.contains("hashpartitioning(l_returnflag"), n)
+    }
+  }
+
+  test("a17 funnel is frontier joins + aggs — never a per-user window sort") {
+    val p = plan("a17_funnel")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("a18 cohort retention: two aggs + one equi join, no window") {
+    val p = plan("a18_cohort_retention")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query ever plans a cartesian product or nested-loop join") {
     QueryCatalog.entries.map(_.name).foreach { n =>
       val p = plan(n)

@@ -1,7 +1,8 @@
 package graft.catalog
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** Storage layout for the fact table — the Spark analog of the
   * reference's clustered composite PK `Stocks(symbol, timestamp)`
@@ -19,11 +20,30 @@ import org.apache.spark.sql.functions._
   * Directory partitioning by raw symbol would create one directory
   * per symbol (fine for 500 S&P symbols, catastrophic for unbounded
   * keys) — the hash bucket bounds directory count at any cardinality.
+  *
+  * MAINTENANCE IS CRASH-ATOMIC: zoned tables carry a
+  * [[SnapshotManifest]] log (`_manifests/` parts + `_snaps/` +
+  * `_latest` pointer). [[appendClusteredZoned]] and [[compact]] write
+  * ONLY NEW files, then flip the pointer last; [[read]] resolves the
+  * live file list from the manifest, never from directory discovery,
+  * so a crash at any point of a maintenance op leaves every reader on
+  * the previous complete snapshot — no silently partial table, ever.
+  * Dead files are reclaimed by [[vacuum]] (keep-last-2). SINGLE
+  * WRITER, many readers — the IndexIo/scd2Sink contract.
   */
 object Layout {
 
   def bucketOf(symbol: org.apache.spark.sql.Column, numBuckets: Int) =
     pmod(xxhash64(symbol), lit(numBuckets))
+
+  /** Test-only crash injection: when set to a failpoint name, the
+    * matching maintenance op throws AFTER its data files are in place
+    * but BEFORE the snapshot flip — LayoutSpec uses it to pin that a
+    * crashed append/compact is invisible to readers. */
+  @volatile private[graft] var testFailpoint: Option[String] = None
+  private def failpoint(name: String): Unit =
+    if (testFailpoint.contains(name))
+      throw new java.io.IOException(s"injected failpoint: $name")
 
   /** Write a time-series frame in the clustered layout. */
   def writeClustered(df: DataFrame, path: String, symbol: String,
@@ -53,16 +73,17 @@ object Layout {
     * slice in its bucket directory (a slice straddling two buckets
     * just writes one file into each).
     *
-    * The zone manifest is persisted AT WRITE TIME to `_zonemap/` (one
-    * row per data file: relative path, bucket, zmin, zmax — the
-    * Delta/Iceberg stats-manifest shape): [[read]] consults it instead
-    * of re-deriving zones from data files per query, which at 100×
-    * files is a metadata job per read. The leading underscore keeps it
-    * out of data discovery. SINGLE WRITER: mode=overwrite replaces
-    * data then manifest in place — concurrent readers of an
-    * in-progress overwrite may see FileNotFound (a snapshotting table
-    * format is the production answer; [[graft.pipeline.IndexIo]] shows
-    * the pattern). */
+    * The zone manifest (one row per data file: relative path, bucket,
+    * zmin, zmax — the Delta/Iceberg stats-manifest shape) is persisted
+    * AT WRITE TIME under the [[SnapshotManifest]] log: [[read]]
+    * consults it instead of re-deriving zones from data files per
+    * query, which at 100× files is a metadata job per read.
+    *
+    * This is the destructive TABLE-(RE)CREATE path — mode=overwrite
+    * replaces the directory wholesale (including any previous snapshot
+    * log), so it is NOT safe against concurrent readers; use
+    * [[appendClusteredZoned]] + [[compact]] for all incremental
+    * maintenance, which IS crash-atomic. */
   def writeClusteredZoned(df: DataFrame, path: String, symbol: String,
                           time: String, numBuckets: Int = 16,
                           filesPerBucket: Int = 4): Unit = {
@@ -76,139 +97,233 @@ object Layout {
     writeZoneManifest(df.sparkSession, path, time)
   }
 
-  /** (Re)build the `_zonemap/` manifest from the table's CURRENT data
-    * files: one pass over the table (column-pruned to `time`),
-    * collected driver-side — bounded by FILE count, not rows. Paths
-    * are stored RELATIVE to the table root (the manifest survives a
-    * table move) and URI-DECODED (input_file_name returns escaped
-    * URIs; see [[literalPath]]). */
+  /** (Re)build the zone manifest from the table's CURRENT data files
+    * and commit it as a fresh single-part snapshot: one pass over the
+    * table (column-pruned to `time`), bounded by FILE count, not rows.
+    * Doubles as the legacy-table migration and the repair tool —
+    * NOTE it trusts directory contents, so when recovering from a
+    * crashed maintenance op run [[vacuum]] FIRST to drop the dead
+    * files a crashed append/compact may have left, or they are
+    * resurrected into the new snapshot. */
   def writeZoneManifest(spark: SparkSession, path: String, time: String): Unit = {
-    val written = spark.read.option("basePath", path).parquet(path)
-    val agg = written
-      .groupBy(input_file_name().as("file"), col("sym_bucket"))
+    val (schema, rows) = zoneRows(spark, path, Seq(path), time)
+    commitPart(spark, path, schema, rows, replaceAll = true)
+  }
+
+  /** The CURRENT zone manifest (file, sym_bucket, zmin, zmax) — union
+    * of the live snapshot's parts. None when the table has no snapshot
+    * log (legacy [[writeClustered]] layout). */
+  def manifest(spark: SparkSession, path: String): Option[DataFrame] =
+    SnapshotManifest.currentParts(spark, path).map { parts =>
+      spark.read.parquet(
+        parts.map(p => SnapshotManifest.partPath(path, p)): _*)
+    }
+
+  /** Per-file (bucket, zmin, zmax) rows for the data files under
+    * `scan`, with paths RELATIVE to `root` and URI-DECODED
+    * (input_file_name returns escaped URIs; see [[literalPath]]). One
+    * column-pruned aggregate; driver memory bounded by FILE count. */
+  private def zoneRows(spark: SparkSession, root: String, scan: Seq[String],
+                       time: String)
+      : (org.apache.spark.sql.types.StructType, Array[Row]) = {
+    val agg = spark.read.option("basePath", root).parquet(scan: _*)
+      .groupBy(input_file_name().as("file"),
+        col("sym_bucket").cast("long").as("sym_bucket"))
       .agg(min(col(time)).as("zmin"), max(col(time)).as("zmax"))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = fs.makeQualified(new Path(root)).toString
     val rows = agg.collect().map { r =>
       val p = fs.makeQualified(
-        new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))).toString
-      org.apache.spark.sql.Row(
-        p.stripPrefix(root).stripPrefix("/"), r.get(1), r.get(2), r.get(3))
+        new Path(new java.net.URI(r.getString(0)))).toString
+      Row(p.stripPrefix(qroot).stripPrefix("/"), r.get(1), r.get(2), r.get(3))
     }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+    (agg.schema, rows)
+  }
+
+  /** Write `rows` as a fresh immutable manifest part (temp dir +
+    * rename — never observable half-written), then commit a snapshot
+    * referencing this part alone (`replaceAll`, the fold/rebuild case)
+    * or the current parts plus it (the append-delta case). */
+  private def commitPart(spark: SparkSession, root: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         rows: Array[Row], replaceAll: Boolean): Unit = {
+    val fs = SnapshotManifest.fsOf(spark, root)
+    val mDir = new Path(root, SnapshotManifest.ManifestsDir)
+    fs.mkdirs(mDir)
+    val part = SnapshotManifest.newPartName()
+    val tmp = new Path(mDir, s".tmp_$part")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.parquet(tmp.toString)
+    if (!fs.rename(tmp, new Path(mDir, part)))
+      throw new java.io.IOException(s"manifest part rename failed: $part")
+    val parts =
+      if (replaceAll) Seq(part)
+      else SnapshotManifest.currentParts(spark, root).getOrElse(Seq.empty) :+ part
+    SnapshotManifest.commit(spark, root, parts)
   }
 
   /** Append a new slice to an existing clustered+zoned table WITHOUT
     * rewriting it — the ingest path for a growing fact table (daily
     * bars, event batches): a full [[writeClusteredZoned]] rewrite per
-    * batch is O(table) at 100 TB; this is O(batch).
+    * batch is O(table) at 100 TB; this is O(batch) — the batch is
+    * staged, its zones aggregated over JUST the staged files, the
+    * files moved into their bucket directories, and a fresh manifest
+    * PART (only the fresh rows — existing parts are untouched)
+    * committed with an atomic `_latest` flip.
     *
-    * The appended slice gets the same layout discipline (bucket
-    * directories, time-range slicing, (symbol, time) sort within
-    * files), and the `_zonemap/` manifest is updated INCREMENTALLY:
-    * zones are aggregated over just the fresh files (diff of the
-    * bucket listings around the write — bounded by file count) and
-    * unioned with the existing manifest rows. Appending many small
-    * batches fragments buckets — run [[compact]] periodically (the
-    * manifest survives both). Same single-writer contract as every
-    * Layout write. */
+    * Crash at any point before the flip: the staged/moved files are
+    * unreferenced by the live snapshot, so [[read]] still returns the
+    * exact pre-append table — retry the append, then [[vacuum]]
+    * reclaims the orphans. Appending many small batches fragments
+    * buckets AND accumulates manifest parts — [[compact]] folds both.
+    * Same single-writer contract as every Layout write. */
   def appendClusteredZoned(df: DataFrame, path: String, symbol: String,
                            time: String, numBuckets: Int = 16,
                            filesPerBucket: Int = 4): Unit = {
     val spark = df.sparkSession
-    val rootP = new org.apache.hadoop.fs.Path(path)
+    val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles: Set[String] =
-      if (!fs.exists(rootP)) Set.empty
-      else fs.listStatus(rootP).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("sym_bucket=")).flatMap(b =>
-        fs.listStatus(b.getPath).filter(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-          .map(f => b.getPath.getName + "/" + f.getPath.getName)).toSet
-    val before = dataFiles
+    // first append to a legacy (no-snapshot-log) table: migrate by
+    // building the manifest for the files already present
+    if (fs.exists(rootP) && SnapshotManifest.currentSnap(spark, path).isEmpty &&
+        fs.listStatus(rootP).exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("sym_bucket=")))
+      writeZoneManifest(spark, path, time)
+    val stage = new Path(rootP, s".stage_append_${System.nanoTime()}")
     df.withColumn("sym_bucket", bucketOf(col(symbol), numBuckets))
       .repartitionByRange(numBuckets * filesPerBucket,
         col("sym_bucket"), col(time))
       .sortWithinPartitions(col(symbol), col(time))
-      .write.mode("append")
+      .write.mode("overwrite")
       .partitionBy("sym_bucket")
-      .parquet(path)
-    val fresh = (dataFiles -- before).toSeq.sorted
-    if (fresh.nonEmpty) {
-      val root = fs.makeQualified(rootP).toString
-      val freshPaths = fresh.map(f => globEscape(
-        new org.apache.hadoop.fs.Path(path, f).toString))
-      val agg = spark.read.option("basePath", path).parquet(freshPaths: _*)
-        .groupBy(input_file_name().as("file"), col("sym_bucket"))
-        .agg(min(col(time)).as("zmin"), max(col(time)).as("zmax"))
-      val freshRows = agg.collect().map { r =>
-        val p = fs.makeQualified(
-          new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))).toString
-        org.apache.spark.sql.Row(
-          p.stripPrefix(root).stripPrefix("/"), r.get(1), r.get(2), r.get(3))
-      }
-      val freshDf = spark.createDataFrame(
-        java.util.Arrays.asList(freshRows: _*), agg.schema)
-      val mPath = new org.apache.hadoop.fs.Path(path, "_zonemap")
-      val merged =
-        if (fs.exists(mPath))
-          spark.read.parquet(mPath.toString).unionByName(freshDf)
-        else freshDf
-      // overwrite reads-then-writes the same path: materialize first
-      val rows = merged.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-        .coalesce(1).write.mode("overwrite").parquet(mPath.toString)
+      .parquet(stage.toString)
+    val staged = fs.listStatus(stage).exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith("sym_bucket="))
+    if (!staged) { fs.delete(stage, true); return } // empty batch
+    val (schema, rows) = zoneRows(spark, stage.toString, Seq(stage.toString), time)
+    rows.foreach { r =>
+      val rel = r.getString(0)
+      val dst = new Path(rootP, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(stage, rel), dst))
+        throw new java.io.IOException(s"append: rename failed for $rel")
     }
+    fs.delete(stage, true)
+    failpoint("append-before-flip")
+    commitPart(spark, path, schema, rows, replaceAll = false)
   }
 
   /** Small-file compaction — the maintenance pass every streaming /
     * CoW writer eventually needs (each micro-batch or merge epoch
     * lands more files; at 100 TB an uncompacted table turns every scan
     * into a metadata+open storm). Bin-packs each over-fragmented
-    * bucket back to ≤ `filesPerBucket` time-zoned files:
+    * bucket back to ≤ `filesPerBucket` time-zoned files, and FOLDS the
+    * manifest parts accumulated by [[appendClusteredZoned]] back into
+    * one:
     *
-    *   - O(affected buckets), the [[graft.streaming.Streams.scd2Sink]]
-    *     discipline: buckets already at or under the target are not
-    *     read, not rewritten;
+    *   - O(affected buckets), driven by the MANIFEST (dead files from
+    *     crashed ops are neither read nor counted): buckets already at
+    *     or under the target are not read, not rewritten;
     *   - a rewritten bucket keeps the layout contract — range-sliced
     *     on `time` (tight zones for [[ZoneMap]] skipping), rows sorted
     *     by (symbol, time);
-    *   - each bucket directory is swapped by rename, then `_zonemap/`
-    *     is rebuilt ONCE at the end. Same single-writer contract as
-    *     [[writeClusteredZoned]]; readers racing the swap may see
-    *     FileNotFound.
+    *   - replacement files are NEW files in the bucket directories;
+    *     the old ones stay on disk until the folded manifest has
+    *     flipped, so a crash mid-compact leaves every reader on the
+    *     complete previous snapshot (no delete-then-rename window);
+    *   - ends with a keep-last-2 [[vacuum]]: files the previous
+    *     snapshot still references survive one more cycle for
+    *     in-flight readers; older orphans are reclaimed.
     *
     * Returns the number of buckets rewritten. */
   def compact(spark: SparkSession, path: String, symbol: String, time: String,
               filesPerBucket: Int = 4): Int = {
-    val rootP = new org.apache.hadoop.fs.Path(path)
+    val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buckets = fs.listStatus(rootP).filter(st => st.isDirectory &&
-      st.getPath.getName.startsWith("sym_bucket="))
-    var rewritten = 0
-    buckets.foreach { b =>
-      val dataFiles = fs.listStatus(b.getPath).filter(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      if (dataFiles.length > filesPerBucket) {
-        val df = spark.read.parquet(globEscape(b.getPath.toString))
-        val tmp = new org.apache.hadoop.fs.Path(rootP,
-          "." + b.getPath.getName + "_compact_" + spark.sparkContext.applicationId)
-        df.repartitionByRange(filesPerBucket, col(time))
-          .sortWithinPartitions(col(symbol), col(time))
-          .write.mode("overwrite").parquet(tmp.toString)
-        // no _SUCCESS marker inside a partition directory
-        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-        fs.delete(b.getPath, true)
-        if (!fs.rename(tmp, b.getPath))
-          throw new java.io.IOException(s"compact: rename failed for ${b.getPath}")
-        rewritten += 1
+    if (SnapshotManifest.currentSnap(spark, path).isEmpty)
+      writeZoneManifest(spark, path, time) // migrate legacy table
+    val live = manifest(spark, path).get
+    val schema = live.schema
+    val liveRows = live.collect() // bounded by FILE count
+    val targets = liveRows.groupBy(_.getLong(1))
+      .filter(_._2.length > filesPerBucket)
+    var replaced = Set.empty[String]
+    var freshRows = Array.empty[Row]
+    targets.foreach { case (bucket, rows) =>
+      val files = rows.map(r =>
+        globEscape(new Path(rootP, r.getString(0)).toString))
+      val bdf = spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+      val stage = new Path(rootP, s".stage_compact_${bucket}_${System.nanoTime()}")
+      bdf.repartitionByRange(filesPerBucket, col(time))
+        .sortWithinPartitions(col(symbol), col(time))
+        .write.mode("overwrite")
+        .partitionBy("sym_bucket")
+        .parquet(stage.toString)
+      val (_, newRows) = zoneRows(spark, stage.toString, Seq(stage.toString), time)
+      newRows.foreach { r =>
+        val rel = r.getString(0)
+        val dst = new Path(rootP, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(stage, rel), dst))
+          throw new java.io.IOException(s"compact: rename failed for $rel")
+      }
+      fs.delete(stage, true)
+      replaced ++= rows.map(_.getString(0))
+      freshRows ++= newRows
+    }
+    val nParts = SnapshotManifest.currentParts(spark, path).map(_.size).getOrElse(0)
+    if (targets.nonEmpty || nParts > 1) {
+      val folded = liveRows.filterNot(r => replaced(r.getString(0))) ++ freshRows
+      failpoint("compact-before-flip")
+      commitPart(spark, path, schema, folded, replaceAll = true)
+      vacuum(spark, path)
+    }
+    targets.size
+  }
+
+  /** Reclaim everything the snapshot log no longer references:
+    * orphaned data files (crashed appends/compacts, superseded
+    * pre-compact files), dead manifest parts, dead snap files, and
+    * abandoned `.stage_*` dirs. By default KEEPS the previous snapshot
+    * too (keep-last-2 — in-flight readers of the prior snapshot stay
+    * valid through one maintenance cycle, the scd2Sink GC discipline);
+    * `retainPrevious = false` reclaims down to the live snapshot only
+    * (writer-only, after a grace period covering the longest read).
+    * No-op on tables without a snapshot log. */
+  def vacuum(spark: SparkSession, path: String,
+             retainPrevious: Boolean = true): Unit = {
+    val cur = SnapshotManifest.currentSnap(spark, path).getOrElse(return)
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keepSnaps =
+      if (retainPrevious) SnapshotManifest.keepLast2(spark, path) else Seq(cur)
+    val keepParts = keepSnaps
+      .flatMap(s => SnapshotManifest.partsOf(spark, path, s)).distinct
+    SnapshotManifest.snaps(spark, path).filterNot(keepSnaps.contains)
+      .foreach(s => fs.delete(
+        new Path(new Path(path, SnapshotManifest.SnapsDir), s), false))
+    val mDir = new Path(path, SnapshotManifest.ManifestsDir)
+    if (fs.exists(mDir)) fs.listStatus(mDir).foreach { st =>
+      if (!keepParts.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+    // data files referenced by NO kept snapshot are dead
+    val liveFiles = keepParts.flatMap { p =>
+      spark.read.parquet(SnapshotManifest.partPath(path, p))
+        .select(col("file")).collect().map(_.getString(0))
+    }.toSet
+    fs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".stage_")) fs.delete(st.getPath, true)
+      else if (st.isDirectory && n.startsWith("sym_bucket=")) {
+        fs.listStatus(st.getPath).foreach { f =>
+          val name = f.getPath.getName
+          if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+              !liveFiles(n + "/" + name))
+            fs.delete(f.getPath, false)
+        }
+        if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
       }
     }
-    if (rewritten > 0) writeZoneManifest(spark, path, time)
-    rewritten
   }
 
   /** `input_file_name()` / manifest entries → literal reader paths:
@@ -217,25 +332,27 @@ object Layout {
     * the second `spark.read.parquet` resolves the SAME file even when
     * the path contains `%`, spaces, or `{}[]*?`. */
   private def literalPath(uriString: String): String =
-    globEscape(new org.apache.hadoop.fs.Path(new java.net.URI(uriString)).toString)
+    globEscape(new Path(new java.net.URI(uriString)).toString)
 
   private def globEscape(p: String): String =
     p.replaceAll("([{}\\[\\]*?\\\\])", "\\\\$1")
 
   /** ONE catalog read composing BOTH prunings — what a real table
-    * wants behind a single entry point: the bucket partition filter
-    * (key equality → 1/numBuckets of directories, pruned by Catalyst
-    * partition pruning before any footer is opened) and the zone-map
-    * file skip (range predicate → only overlapping files of the
-    * surviving bucket make the task list). Zones come from the
-    * write-time `_zonemap/` manifest when present — a range read then
-    * opens NO non-matching data file at all, not even its footer
-    * (pinned by ZoneMapSpec against corrupted cold files); tables
-    * written without a manifest fall back to deriving zones from the
-    * bucket-pruned data files. Exact predicates are re-applied on the
-    * pruned scan; the result is always ≡ the plain filter (the s11
-    * oracle). Assumes the [[writeClusteredZoned]] single-writer
-    * contract — a read racing an overwrite may see FileNotFound. */
+    * wants behind a single entry point: the bucket filter (key
+    * equality → 1/numBuckets of the manifest rows) and the zone-map
+    * file skip (range predicate → only overlapping files make the
+    * task list — a range read opens NO non-matching data file at all,
+    * not even its footer; pinned by ZoneMapSpec against corrupted
+    * cold files).
+    *
+    * Snapshot tables resolve their live file list from the
+    * [[SnapshotManifest]] log — NEVER from directory discovery — so
+    * stray files left by a crashed append/compact are invisible and a
+    * read concurrent with maintenance sees the complete previous
+    * snapshot. Legacy tables (no `_latest`) fall back to directory
+    * discovery with footer-derived zones. Exact predicates are
+    * re-applied on the pruned scan; the result is always ≡ the plain
+    * filter (the s11 oracle). */
   def read(spark: SparkSession, path: String, symbol: String, time: String,
            numBuckets: Int = 16, symbolEq: Option[String] = None,
            timeRange: Option[(Column, Column)] = None): DataFrame = {
@@ -244,27 +361,38 @@ object Layout {
     }
     def fullScan = bucketPruned(
       spark.read.option("basePath", path).parquet(path))
-    val zoned = timeRange match {
-      case None => fullScan
-      case Some((lo, hi)) =>
-        val mPath = new org.apache.hadoop.fs.Path(path, "_zonemap")
-        val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // both branches are bounded by FILE count (of one bucket)
-        val files: Array[String] =
-          if (fs.exists(mPath)) {
-            val m = spark.read.parquet(mPath.toString)
-            bucketPruned(m).filter(col("zmax") >= lo && col("zmin") <= hi)
-              .select(col("file")).collect().map(r => globEscape(
-                new org.apache.hadoop.fs.Path(path, r.getString(0)).toString))
-          } else ZoneMap.manifestOf(fullScan, time)
-            .filter(col("zmax") >= lo && col("zmin") <= hi)
-            .select(col("file")).collect()
-            .map(r => literalPath(r.getString(0)))
-        if (files.isEmpty) fullScan.limit(0)
-        else bucketPruned(
-          spark.read.option("basePath", path).parquet(files.toSeq: _*))
+    val base = manifest(spark, path) match {
+      case Some(m) =>
+        val pruned0 = bucketPruned(m)
+        val pruned = timeRange.fold(pruned0) { case (lo, hi) =>
+          pruned0.filter(col("zmax") >= lo && col("zmin") <= hi)
+        }
+        // bounded by FILE count (of one bucket under a key predicate)
+        val files = pruned.select(col("file")).collect().map(r =>
+          globEscape(new Path(path, r.getString(0)).toString))
+        if (files.isEmpty) {
+          // nothing overlaps: keep the schema via any live file
+          val any = m.select(col("file")).limit(1).collect()
+          if (any.isEmpty) fullScan.limit(0)
+          else spark.read.option("basePath", path)
+            .parquet(globEscape(new Path(path, any(0).getString(0)).toString))
+            .limit(0)
+        } else bucketPruned(
+          spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*))
+      case None =>
+        timeRange match {
+          case None => fullScan
+          case Some((lo, hi)) =>
+            val files = ZoneMap.manifestOf(fullScan, time)
+              .filter(col("zmax") >= lo && col("zmin") <= hi)
+              .select(col("file")).collect()
+              .map(r => literalPath(r.getString(0)))
+            if (files.isEmpty) fullScan.limit(0)
+            else bucketPruned(
+              spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*))
+        }
     }
-    val keyed = symbolEq.fold(zoned)(v => zoned.filter(col(symbol) === v))
+    val keyed = symbolEq.fold(base)(v => base.filter(col(symbol) === v))
     timeRange.fold(keyed) { case (lo, hi) =>
       keyed.filter(col(time) >= lo && col(time) <= hi)
     }

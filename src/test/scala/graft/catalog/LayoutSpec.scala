@@ -7,6 +7,22 @@ import java.nio.file.Files
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  private def hfs = org.apache.hadoop.fs.FileSystem
+    .get(spark.sparkContext.hadoopConfiguration)
+
+  /** Live (manifest-referenced) file count per bucket. */
+  private def liveFilesPerBucket(dir: String): Map[Long, Int] =
+    Layout.manifest(spark, dir).get.collect()
+      .groupBy(_.getLong(1)).map { case (b, rows) => b -> rows.length }
+
+  /** Data files physically present per bucket directory. */
+  private def diskFilesPerBucket(dir: String): Map[String, Int] = hfs
+    .listStatus(new org.apache.hadoop.fs.Path(dir))
+    .filter(s => s.isDirectory && s.getPath.getName.startsWith("sym_bucket="))
+    .map(b => b.getPath.getName -> hfs.listStatus(b.getPath)
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))).toMap
+
   test("clustered layout prunes partitions on symbol lookups (SURVEY §4)") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/stocks"
     val df = (1 to 1000).map(i => (s"SYM${i % 50}", i, i * 1.5))
@@ -44,7 +60,7 @@ class LayoutSpec extends SparkSpec {
     Layout.writeClusteredZoned(df, dir, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 4)
     assert(readBack(dir) == exp)
-    // fallback path (no _zonemap): input_file_name() strings are
+    // fallback path (no snapshot log): input_file_name() strings are
     // decoded + glob-escaped before the second read
     val dir2 = Files.createTempDirectory("graft_pct2").toString + "/t %25 table"
     Layout.writeClustered(df, dir2, "symbol", "ts", numBuckets = 4)
@@ -65,25 +81,17 @@ class LayoutSpec extends SparkSpec {
     assert(orc == expect && json == expect)
   }
 
-  test("compact bin-packs over-fragmented buckets, refreshes the zone manifest") {
+  test("compact bin-packs over-fragmented buckets, folds the manifest") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val df = (1 to 2000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
       .toDF("symbol", "ts", "close")
     Layout.writeClusteredZoned(df, dir, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 12)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-    def bucketFiles: Map[String, Int] = fs
-      .listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("sym_bucket="))
-      .map(b => b.getPath.getName -> fs.listStatus(b.getPath)
-        .count(f => f.isFile && !f.getPath.getName.startsWith("_")
-          && !f.getPath.getName.startsWith("."))).toMap
-    val before = bucketFiles
+    val before = liveFilesPerBucket(dir)
     assert(before.values.exists(_ > 2), before.toString)
     val rewritten = Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
     assert(rewritten == before.count(_._2 > 2))
-    val after = bucketFiles
+    val after = liveFilesPerBucket(dir)
     assert(after.values.forall(_ <= 2), after.toString)
     // content identical through the pruned read path
     val got = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
@@ -92,12 +100,17 @@ class LayoutSpec extends SparkSpec {
     val exp = df.filter($"symbol" === "SYM7" && $"ts".between(100L, 999L))
       .select($"ts").as[Long].collect().toSet
     assert(got == exp)
-    // the manifest was rebuilt: every entry resolves to a live file
-    // (stale pre-compact names would 404 on read)
-    val manifest = spark.read.parquet(s"$dir/_zonemap")
+    // every manifest entry resolves to a live file
+    val manifest = Layout.manifest(spark, dir).get
       .select($"file").as[String].collect()
     assert(manifest.nonEmpty && manifest.forall(f =>
-      fs.exists(new org.apache.hadoop.fs.Path(dir, f))), manifest.mkString("\n"))
+      hfs.exists(new org.apache.hadoop.fs.Path(dir, f))), manifest.mkString("\n"))
+    // keep-last-2: superseded files survive ONE cycle for in-flight
+    // readers; a full vacuum reclaims them so disk == manifest
+    Layout.vacuum(spark, dir, retainPrevious = false)
+    val disk = diskFilesPerBucket(dir)
+    assert(disk.values.sum == manifest.length, disk.toString)
+    assert(disk.values.forall(_ <= 2), disk.toString)
     // idempotent: already-compact buckets are not rewritten
     assert(Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2) == 0)
   }
@@ -108,20 +121,24 @@ class LayoutSpec extends SparkSpec {
       .toDF("symbol", "ts", "close")
     Layout.writeClusteredZoned(df.filter($"ts" <= 500), dir, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 2)
-    val baseManifest = spark.read.parquet(s"$dir/_zonemap")
+    val baseParts = SnapshotManifest.currentParts(spark, dir).get
+    val baseManifest = Layout.manifest(spark, dir).get
       .select($"file").as[String].collect().toSet
     Layout.appendClusteredZoned(df.filter($"ts" > 500), dir, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 2)
-    val merged = spark.read.parquet(s"$dir/_zonemap")
+    // O(batch): existing manifest parts are UNTOUCHED; the append adds
+    // exactly one new part holding only the fresh files' rows
+    val parts = SnapshotManifest.currentParts(spark, dir).get
+    assert(parts.size == baseParts.size + 1 && parts.startsWith(baseParts))
+    val freshPart = spark.read
+      .parquet(SnapshotManifest.partPath(dir, parts.last))
       .select($"file").as[String].collect().toSet
-    // incremental: every pre-append manifest row survives untouched,
-    // and only the fresh files were added
-    assert(baseManifest.subsetOf(merged))
-    assert(merged.size > baseManifest.size)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    assert(freshPart.nonEmpty && freshPart.intersect(baseManifest).isEmpty)
+    val merged = Layout.manifest(spark, dir).get
+      .select($"file").as[String].collect().toSet
+    assert(merged == baseManifest ++ freshPart)
     assert(merged.forall(f =>
-      fs.exists(new org.apache.hadoop.fs.Path(dir, f))))
+      hfs.exists(new org.apache.hadoop.fs.Path(dir, f))))
     // a read spanning the append boundary is exact
     val got = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
         symbolEq = Some("SYM7"), timeRange = Some((lit(400L), lit(700L))))
@@ -129,16 +146,83 @@ class LayoutSpec extends SparkSpec {
     val exp = df.filter($"symbol" === "SYM7" && $"ts".between(400L, 700L))
       .select($"ts").as[Long].collect().toSet
     assert(got == exp)
-    // compact after many appends keeps content + manifest consistent
+    // compact after many appends keeps content consistent and folds
+    // the accumulated parts back to one
     Layout.appendClusteredZoned(df.filter($"ts" <= 500), dir, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 2) // duplicate slice, more files
     Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    assert(SnapshotManifest.currentParts(spark, dir).get.size == 1)
     val afterCompact = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
         symbolEq = Some("SYM7"), timeRange = Some((lit(400L), lit(700L))))
       .select($"ts").as[Long].collect().toSeq.sorted
     val expDup = (exp.toSeq ++ df.filter($"symbol" === "SYM7" &&
         $"ts".between(400L, 500L)).select($"ts").as[Long].collect()).sorted
     assert(afterCompact == expDup)
+  }
+
+  test("a crashed append is invisible: readers stay on the previous snapshot") {
+    val dir = Files.createTempDirectory("graft_crash_ap").toString + "/t"
+    val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df.filter($"ts" <= 500), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    def full() = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    val base = full()
+    assert(base == (1L to 500L).toSet)
+    // crash AFTER the batch's files land in the bucket dirs, BEFORE
+    // the snapshot flip — the worst window of the old delete/rename
+    // scheme
+    Layout.testFailpoint = Some("append-before-flip")
+    try intercept[java.io.IOException] {
+      Layout.appendClusteredZoned(df.filter($"ts" > 500), dir, "symbol", "ts",
+        numBuckets = 4, filesPerBucket = 2)
+    } finally Layout.testFailpoint = None
+    // no partial data, no missing data: the exact pre-append table
+    assert(full() == base)
+    // the retry lands the batch exactly once (the orphaned first
+    // attempt is unreferenced, not resurrected)
+    Layout.appendClusteredZoned(df.filter($"ts" > 500), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    val want = df.select($"ts").as[Long].collect().toSet
+    assert(full() == want)
+    assert(Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .count() == 1000) // no duplicates from the crashed attempt
+    // vacuum reclaims the orphans; the table still reads in full
+    Layout.vacuum(spark, dir, retainPrevious = false)
+    val live = Layout.manifest(spark, dir).get
+      .select($"file").as[String].collect().toSet
+    val disk = diskFilesPerBucket(dir)
+    assert(disk.values.sum == live.size, s"$disk vs ${live.size}")
+    assert(full() == want)
+  }
+
+  test("a crashed compact is invisible: full table until the manifest flips") {
+    val dir = Files.createTempDirectory("graft_crash_cp").toString + "/t"
+    val df = (1 to 2000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 12)
+    def full() = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    val want = (1L to 2000L).toSet
+    assert(full() == want)
+    // crash AFTER replacement files are written, BEFORE the folded
+    // manifest flips: the old delete-then-rename scheme would lose
+    // whole buckets here
+    Layout.testFailpoint = Some("compact-before-flip")
+    try intercept[java.io.IOException] {
+      Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    } finally Layout.testFailpoint = None
+    assert(full() == want)
+    // re-running compact completes the job
+    val rewritten = Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    assert(rewritten > 0)
+    assert(full() == want)
+    assert(liveFilesPerBucket(dir).values.forall(_ <= 2))
+    Layout.vacuum(spark, dir, retainPrevious = false)
+    assert(full() == want)
+    assert(diskFilesPerBucket(dir).values.forall(_ <= 2))
   }
 
   test("append write + read-back echo (S3/U1)") {

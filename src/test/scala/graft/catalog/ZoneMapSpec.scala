@@ -57,8 +57,9 @@ class ZoneMapSpec extends SparkSpec {
         ($"id" / 8).cast("long").as("ts"), $"id".as("payload"))
     Layout.writeClusteredZoned(df, cpath, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 4)
-    // the manifest landed next to the data at write time
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_zonemap")))
+    // the snapshot-manifest log landed next to the data at write time
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_latest")))
+    assert(Layout.manifest(spark, cpath).nonEmpty)
     def read() = Layout.read(spark, cpath, "symbol", "ts", numBuckets = 4,
       symbolEq = Some("S3"), timeRange = Some((lit(100L), lit(299L))))
     val exp = df.filter($"symbol" === "S3" && $"ts".between(100, 299))

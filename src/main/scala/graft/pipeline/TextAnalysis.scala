@@ -188,6 +188,76 @@ object TextAnalysis {
       .drop("__k", "__sum")
   }
 
+  /** Persist a [[termIndex]] (plus the [[docLengths]] BM25 needs)
+    * BUCKETED BY TERM, under an [[IndexIo]] `_latest` snapshot:
+    *
+    *   - postings land in `term_bucket=H/` directories
+    *     (`pmod(xxhash64(term), nBuckets)` — bounded directory count
+    *     at any vocabulary size, the [[graft.catalog.Layout]]
+    *     discipline), sorted by (term, id) within files so one term's
+    *     postings are contiguous and row-group stats prune within the
+    *     bucket;
+    *   - a query for K terms reads AT MOST K bucket directories
+    *     (Catalyst partition pruning on the `term_bucket` filter
+    *     [[loadTermPostings]] derives — `PartitionFilters` in the
+    *     plan, pinned by PlanQualitySpec), postings ∝ the query
+    *     terms' lists, never the corpus;
+    *   - the snapshot flip makes refresh atomic: readers of the
+    *     previous index version are never broken mid-rebuild.
+    *
+    * SINGLE WRITER, many readers — the IndexIo contract. */
+  def saveTermIndex(docs: DataFrame, id: String, text: String,
+                    root: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val snap = IndexIo.newSnap()
+    val dir = s"$root/$snap"
+    termIndex(docs, id, text)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term"), col(id))
+      .write.partitionBy("term_bucket").parquet(s"$dir/postings")
+    docLengths(docs, id, text).write.parquet(s"$dir/doclen")
+    IndexIo.writeMeta(spark, dir,
+      Seq("kind" -> "terms", "nBuckets" -> nBuckets.toString, "id" -> id))
+    IndexIo.flip(spark, root, snap)
+  }
+
+  /** True when `root` holds a committed term-index snapshot. */
+  def termIndexExists(spark: org.apache.spark.sql.SparkSession,
+                      root: String): Boolean =
+    IndexIo.currentSnap(spark, root).isDefined
+
+  /** Query-term postings from a [[saveTermIndex]] index: the scan is
+    * pruned to the ≤ |terms| bucket directories the query terms hash
+    * into BEFORE any file is listed (partition pruning), then to the
+    * exact terms. Feed the result straight to [[searchAllTerms]] /
+    * [[searchBm25]]. */
+  def loadTermPostings(spark: org.apache.spark.sql.SparkSession,
+                       root: String, terms: Seq[String]): DataFrame = {
+    val snap = IndexIo.currentSnap(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"$root/_latest"))
+    val meta = IndexIo.readMeta(spark, s"$root/$snap")
+    val n = meta("nBuckets").toInt
+    val q = terms.map(_.toLowerCase).distinct
+    // the terms' bucket ids, via the engine's own xxhash64 (one
+    // driver-local job over |terms| rows — planning-time metadata)
+    import spark.implicits._
+    val buckets = q.toDS()
+      .select(pmod(xxhash64(col("value")), lit(n)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    spark.read.option("basePath", s"$root/$snap/postings")
+      .parquet(s"$root/$snap/postings")
+      .filter(col("term_bucket").isin(buckets: _*) && col("term").isin(q: _*))
+  }
+
+  /** The stored [[docLengths]] side of a [[saveTermIndex]] index. */
+  def loadDocLengths(spark: org.apache.spark.sql.SparkSession,
+                     root: String): DataFrame = {
+    val snap = IndexIo.currentSnap(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"$root/_latest"))
+    spark.read.parquet(s"$root/$snap/doclen")
+  }
+
   /** TF-IDF weights per (term, doc) posting — [[searchBm25]]'s classic
     * sibling, the feature-weighting primitive (document vectors,
     * keyword extraction, stop-term discovery): idf = ln(N/df) (raw

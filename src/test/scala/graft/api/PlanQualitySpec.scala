@@ -187,6 +187,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("stored term index: a 2-term query scans at most 2 bucket directories") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tidx").toString + "/idx"
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"word$i alpha ${if (i % 3 == 0) "beta" else "gamma"} tail$i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.TextAnalysis.saveTermIndex(docs, "doc_id", "text",
+      root, nBuckets = 16)
+    val postings = graft.pipeline.TextAnalysis.loadTermPostings(spark, root,
+      Seq("alpha", "beta"))
+    postings.collect()
+    val exec = postings.queryExecution.executedPlan
+    val p = exec.toString
+    // the bucket cut happens at PLAN time (PartitionFilters), so only
+    // the matching term_bucket directories are ever listed/opened
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"), p)
+    val scan = exec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val nPart = scan.selectedPartitions.partitionCount
+    assert(nPart >= 1 && nPart <= 2, s"expected ≤2 pruned buckets, got $nPart")
+    // pruned postings ≡ the unpruned in-memory index filtered to the terms
+    val exp = graft.pipeline.TextAnalysis.termIndex(docs, "doc_id", "text")
+      .filter(col("term").isin("alpha", "beta"))
+      .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
+    val got = postings.select("term", "doc_id", "tf")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == exp)
+  }
+
   test("no query ever plans a cartesian product or nested-loop join") {
     QueryCatalog.entries.map(_.name).foreach { n =>
       val p = plan(n)

@@ -19,6 +19,13 @@ case class AudioFeatures(media_id: Long, media_type: String, n_bytes: Long,
                          sample_rate: Int, channels: Int, n_frames: Long,
                          mean_abs: Double)
 
+/** A record the codec edge could not parse — routed to a quarantine
+  * output with its identity and a reason column instead of being
+  * silently dropped: at 100 TB a silent drop is unauditable data
+  * loss; a quarantine table is re-processable after a codec fix. */
+case class QuarantinedMedia(media_id: Long, media_type: String,
+                            n_bytes: Long, reason: String)
+
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * The Spark-side contract is real and tested — binary schema, typed
@@ -176,11 +183,34 @@ object Multimodal {
   }
 
   /** Batched audio decode over partitions — [[extractFeatures]]'
-    * audio twin; records the codec can't parse are dropped (a real
-    * pipeline would route them to a quarantine sink). */
+    * audio twin; records the codec can't parse are dropped (use
+    * [[extractAudioFeaturesWithQuarantine]] to keep them). */
   def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(decodeAudio))
+  }
+
+  /** [[extractAudioFeatures]] with a quarantine lane: payloads no
+    * installed reader parses (or non-16-bit encodings, or mid-read
+    * decode failures) land in the second output with their id and a
+    * reason. Both outputs derive from one tagged narrow pass (no
+    * shuffle); persist `media` upstream when decode cost dominates
+    * and both lanes are consumed. */
+  def extractAudioFeaturesWithQuarantine(media: Dataset[MediaRecord])
+      : (Dataset[AudioFeatures], Dataset[QuarantinedMedia]) = {
+    import media.sparkSession.implicits._
+    val tagged = media.mapPartitions(_.map { r =>
+      val dec = try decodeAudio(r) catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+      dec match {
+        case Some(f) => (Some(f), Option.empty[QuarantinedMedia])
+        case None => (Option.empty[AudioFeatures], Some(QuarantinedMedia(
+          r.media_id, r.media_type, r.n_bytes,
+          "unparseable or non-16-bit audio payload")))
+      }
+    })
+    (tagged.flatMap(_._1), tagged.flatMap(_._2))
   }
 
   /** Batched decode/feature-extract over partitions — each partition
@@ -191,6 +221,31 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(decode))
+  }
+
+  /** [[extractFeatures]] with a quarantine lane: an image-typed
+    * payload no installed reader recognizes (or that fails mid-decode)
+    * lands in the second output with a reason, INSTEAD of the silent
+    * [[decodeStub]] fallback [[decode]] applies; declared-fake and
+    * non-image types still go through the stub (they are the
+    * harness's own contract, not decode failures). */
+  def extractFeaturesWithQuarantine(media: Dataset[MediaRecord])
+      : (Dataset[MediaFeatures], Dataset[QuarantinedMedia]) = {
+    import media.sparkSession.implicits._
+    val tagged = media.mapPartitions(_.map { r =>
+      if (r.media_type.startsWith("image/") && r.media_type != "image/fake") {
+        val dec = try decodeImage(r) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        dec match {
+          case Some(f) => (Some(f), Option.empty[QuarantinedMedia])
+          case None => (Option.empty[MediaFeatures], Some(QuarantinedMedia(
+            r.media_id, r.media_type, r.n_bytes,
+            "no imageio reader decodes the payload")))
+        }
+      } else (Some(decodeStub(r)), Option.empty[QuarantinedMedia])
+    })
+    (tagged.flatMap(_._1), tagged.flatMap(_._2))
   }
 
   /** Frame sampling stub: every `stride`-th byte stands in for a
@@ -214,35 +269,62 @@ object Multimodal {
   def decodeFrames(r: MediaRecord): Seq[(Long, Int, Int, Int, Double)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(r.payload))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) Seq.empty
-    else {
-      val reader = readers.next()
-      reader.setInput(iis)
-      val out = (0 until reader.getNumImages(true)).map { i =>
-        val img = reader.read(i)
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          // getRGB resolves palette indices to actual channel values
-          while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
-          y += 1
-        }
-        (r.media_id, i, w, h, sum.toDouble / (w.toLong * h))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          (0 until reader.getNumImages(true)).map { i =>
+            val img = reader.read(i)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              // getRGB resolves palette indices to actual channel values
+              while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            (r.media_id, i, w, h, sum.toDouble / (w.toLong * h))
+          }
+        } catch {
+          // recognized-but-corrupt (e.g. truncated mid-frame): yield no
+          // frames rather than failing the whole task — the decodeAudio
+          // posture
+          case scala.util.control.NonFatal(_) => Seq.empty
+        } finally reader.dispose()
       }
-      reader.dispose()
-      out
-    }
+    } finally iis.close()
   }
 
   /** Batched frame extraction over partitions — the decoded-video
-    * twin of the byte-stub [[sampleFrames]]. */
+    * twin of the byte-stub [[sampleFrames]]. Records yielding no
+    * frames are dropped (use [[extractFramesWithQuarantine]] to keep
+    * them). */
   def extractFrames(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap(decodeFrames)
       .toDF("media_id", "frame_idx", "width", "height", "mean_byte")
+  }
+
+  /** [[extractFrames]] with a quarantine lane: payloads that decode
+    * to zero frames (unrecognized container, or recognized but
+    * corrupt) land in the second output with their id and a reason. */
+  def extractFramesWithQuarantine(media: Dataset[MediaRecord])
+      : (DataFrame, Dataset[QuarantinedMedia]) = {
+    import media.sparkSession.implicits._
+    val tagged = media.mapPartitions(_.map { r =>
+      val frames = decodeFrames(r)
+      if (frames.isEmpty)
+        (frames, Some(QuarantinedMedia(r.media_id, r.media_type, r.n_bytes,
+          "no frames decoded (unrecognized or corrupt container)")))
+      else (frames, Option.empty[QuarantinedMedia])
+    })
+    (tagged.flatMap(_._1)
+      .toDF("media_id", "frame_idx", "width", "height", "mean_byte"),
+      tagged.flatMap(_._2))
   }
 
   /** Deterministic animated GIF through the REAL encoder: frame i is

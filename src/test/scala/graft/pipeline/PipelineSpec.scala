@@ -127,6 +127,44 @@ class PipelineSpec extends SparkSpec {
       MediaRecord(10L, "video/mp4", Array[Byte](9, 9, 9), 3L)).isEmpty)
   }
 
+  test("quarantine lanes: undecodable media keeps its id + reason, never dropped") {
+    import spark.implicits._
+    val png = Multimodal.grayPng(4, 3, 128)
+    val wav = Multimodal.pcmWav(10, 8000, 1, amplitude = 5)
+    val gif = Multimodal.animatedGif(3, 3, Seq(10, 20))
+    val junk = Array[Byte](0x13, 0x37, 0x00, 0x42)
+    // a truncated PNG: recognized magic, corrupt body
+    val torn = png.take(24)
+
+    val images = Seq(
+      MediaRecord(1L, "image/png", png, png.length.toLong),
+      MediaRecord(2L, "image/png", junk, junk.length.toLong),
+      MediaRecord(3L, "image/png", torn, torn.length.toLong),
+      MediaRecord(4L, "image/fake", junk, junk.length.toLong)).toDS()
+    val (feat, featQ) = Multimodal.extractFeaturesWithQuarantine(images)
+    // decoded lane: the real PNG plus the declared-fake stub record
+    assert(feat.collect().map(_.media_id).toSet == Set(1L, 4L))
+    val q = featQ.collect()
+    assert(q.map(_.media_id).toSet == Set(2L, 3L))
+    assert(q.forall(r => r.reason.nonEmpty && r.media_type == "image/png"))
+
+    val audio = Seq(
+      MediaRecord(11L, "audio/wav", wav, wav.length.toLong),
+      MediaRecord(12L, "audio/wav", junk, junk.length.toLong)).toDS()
+    val (af, aq) = Multimodal.extractAudioFeaturesWithQuarantine(audio)
+    assert(af.collect().map(_.media_id).toSeq == Seq(11L))
+    assert(aq.collect().map(q => (q.media_id, q.n_bytes)) ===
+      Array((12L, junk.length.toLong)))
+
+    val vids = Seq(
+      MediaRecord(21L, "image/gif", gif, gif.length.toLong),
+      MediaRecord(22L, "video/mp4", junk, junk.length.toLong)).toDS()
+    val (frames, fq) = Multimodal.extractFramesWithQuarantine(vids)
+    assert(frames.select("media_id").as[Long].collect().toSet == Set(21L))
+    assert(frames.count() == 2) // both GIF frames
+    assert(fq.collect().map(_.media_id).toSeq == Seq(22L))
+  }
+
   test("containment catches a quoted subset that Jaccard misses") {
     val host = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliett kilo lima mike november oscar papa quebec romeo sierra tango"

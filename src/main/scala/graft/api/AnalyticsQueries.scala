@@ -126,16 +126,19 @@ object AnalyticsQueries {
       // at 100 TB (fixed 2^p-register state, mergeable, one pass,
       // where exact distinct shuffles every key). DuckDB's approx HLL
       // is a different implementation, so the gate is a PROPERTY
-      // oracle: the estimate's 5% accuracy band (rsd = 0.02, fixed
+      // oracle: the estimate's accuracy band (rsd = 0.02, fixed
       // deterministic hash) is emitted as a boolean the oracle pins
-      // to TRUE; the exact counts anchor the rows.
+      // to TRUE; the exact counts anchor the rows. The band is ±10%
+      // — 5σ at rsd 0.02 — so it holds by the sketch's own contract
+      // with real slack, not just for the current data+seed (a data
+      // refresh inside HLL's guarantee can't flip the gate).
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("__approx"),
           countDistinct(col("l_partkey")).as("exact"))
         .select(col("l_returnflag"), col("exact"),
-          (col("__approx") >= col("exact") * 0.95 &&
-            col("__approx") <= col("exact") * 1.05).as("ok"))
+          (col("__approx") >= col("exact") * 0.90 &&
+            col("__approx") <= col("exact") * 1.10).as("ok"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact, " +
         "true AS ok FROM lineitem GROUP BY 1 ORDER BY 1")),
@@ -144,14 +147,19 @@ object AnalyticsQueries {
       // count-min sketch frequency estimates (mergeable counter
       // matrix — the heavy-key frequency primitive that pairs with
       // t12's Misra-Gries top-k). Property oracle like a19: the CMS
-      // guarantee at a FIXED seed (exact ≤ est ≤ exact + ⌈eps·N⌉) is
-      // emitted as a boolean pinned to TRUE. The 20-key estimate read
-      // is a driver-side probe of a kilobyte sketch, not a data scan.
+      // guarantees est ≥ exact ALWAYS (over-count only), and the
+      // over-count budget is pinned at DOUBLE the eps·N contract —
+      // per-row Markov overshoot of 2⌈eps·N⌉ is ≤ 1/(2e), so across
+      // the sketch's d = ⌈ln(1/0.001)⌉ = 7 rows the per-key failure
+      // odds are ~7e-6: the boolean holds with real slack under any
+      // data refresh, not just the current seed+data. The 20-key
+      // estimate read is a driver-side probe of a kilobyte sketch,
+      // not a data scan.
       (s, dir) => {
         val keys = Tables.load(s, dir, "lineitem").select(col("l_suppkey"))
         val cms = keys.stat.countMinSketch(col("l_suppkey"), eps = 1e-4,
           confidence = 0.999, seed = 42)
-        val slack = math.ceil(1e-4 * cms.totalCount()).toLong
+        val slack = 2L * math.ceil(1e-4 * cms.totalCount()).toLong
         val est = s.createDataFrame(
           (0L to 20L).map(k => (k, cms.estimateCount(k))))
           .toDF("l_suppkey", "__est")

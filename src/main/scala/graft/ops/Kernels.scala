@@ -22,7 +22,12 @@ object Kernels {
     * input is already wide (the 100 TB case). */
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // queryExecution.toRdd reuses the frame's own (cached) plan —
+    // unlike df.rdd, which builds a SECOND QueryExecution around a
+    // row-deserializer and re-runs analysis/optimization per call
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Latest-row-per-key — the rewrite of the reference's N+1

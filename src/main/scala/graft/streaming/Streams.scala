@@ -186,7 +186,20 @@ object Streams {
         // query restarted without its checkpoint re-delivers applied
         // batches under SMALLER epoch ids — in both cases the batch's
         // effect is already durable in history, so skip
-        if (!current.exists(_.epoch >= epoch)) {
+        if (current.exists(_.epoch >= epoch)) {
+          // a skipped NON-EMPTY batch is normal only for the
+          // crash-between-flip-and-commit replay; after a LOST
+          // checkpoint it silently discards genuinely new rows — make
+          // that observable so a mis-restarted query is detectable
+          // (recover by restarting WITH the original checkpoint)
+          if (!batch.isEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"scd2Sink($root): high-water guard skipped non-empty " +
+                s"epoch $epoch (manifest epoch ${current.get.epoch}). " +
+                "Expected once after a crash-replay; if this repeats, " +
+                "the query was restarted without its original checkpoint " +
+                "and incoming data is being DISCARDED.")
+        } else {
           val bucketed = batch.toDF()
             .withColumn("__kb", scd2Bucket(keys, nBuckets))
           // affected buckets: bounded by nBuckets, not by batch rows

@@ -50,4 +50,66 @@ object Graph {
     }
     pr
   }
+
+  /** DIRECTED, convergence-driven PageRank with the dangling-mass
+    * term (the full Brin–Page model — [[pageRank]]'s undirected form
+    * needs neither, since expanding each edge both ways guarantees
+    * deg ≥ 1):
+    *
+    *   prₖ₊₁(v) = (1−d)/N + d·Σ_{u→v} prₖ(u)/outdeg(u)
+    *              + d·(Σ_{u: outdeg(u)=0} prₖ(u))/N
+    *
+    * The dangling term redistributes sink mass uniformly, so Σpr = 1
+    * holds every round on ANY directed graph (the mass-conservation
+    * property GraphSpec pins). Runs until the L1 delta between
+    * successive rank vectors drops to `tol`, or `maxIters` rounds —
+    * whichever first; returns (node, pr, iterations, converged).
+    *
+    * Scale shape: per round, ONE equi-join from the edge list to the
+    * rank vector plus one hash aggregation, exactly like [[pageRank]];
+    * the rank vector is `localCheckpoint`ed each round (the
+    * [[graft.pipeline.Dedup.dupClusters]] discipline) so the plan
+    * never grows with the iteration count, and the previous round's
+    * blocks are freed as soon as the next is materialized. The
+    * dangling-mass and L1-delta reads are 1-scalar driver hops over
+    * the already-materialized vectors — O(nodes) work, no data-path
+    * collect. */
+  def pageRankDirected(edges: DataFrame, src: String, dst: String,
+                       maxIters: Int = 20, d: Double = 0.85,
+                       tol: Double = 1e-6): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, "pageRankDirected: maxIters must be >= 1")
+    val out = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+    val odeg = out.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val nodes = out.select(col("src").as("node"))
+      .unionAll(out.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    val nN = nodes.count().toDouble
+    var pr = nodes.select(col("node"), lit(1.0 / nN).as("pr"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta > tol) {
+      val dangling = pr
+        .join(odeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
+      val contrib = out
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(odeg, "src")
+        .groupBy(col("dst")).agg(sum(col("pr") / col("__deg")).as("__in"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / nN) + lit(d * dangling / nN) +
+            lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
+        .localCheckpoint(eager = true)
+      delta = pr.select(col("node"), col("pr").as("__old"))
+        .join(next.select(col("node"), col("pr").as("__new")), Seq("node"))
+        .agg(sum(abs(col("__new") - col("__old")))).head.getDouble(0)
+      graft.ops.CacheScope.freeCheckpointBlocks(pr)
+      pr = next
+      it += 1
+    }
+    graft.ops.CacheScope.freeCheckpointBlocks(nodes)
+    (graft.ops.CacheScope.register(pr), it, delta <= tol)
+  }
 }

@@ -213,6 +213,58 @@ object AnalyticsQueries {
         "FROM nodes nd CROSS JOIN st LEFT JOIN c3 ON nd.node = c3.node) " +
         "SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node")),
 
+    Q("a24_pagerank_directed",
+      // DIRECTED PageRank with the dangling-mass term
+      // (Graph.pageRankDirected, 3 fixed rounds via tol=0, d=0.85):
+      // edges point supplier → part-bucket WITHOUT symmetrization, so
+      // the graph has genuine sinks (bucket 0 never supplies) and the
+      // sink mass must be redistributed each round for Σpr = 1 —
+      // convergence behavior itself is pinned by GraphSpec against an
+      // independent power iteration. Oracle = the same recurrence
+      // unrolled as chained CTEs, a21's convention (identical IEEE
+      // expression trees, 6-decimal round at the end).
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 100)
+          .select(col("l_suppkey").as("s"),
+            pmod(col("l_partkey"), lit(100)).as("t"))
+          .filter(col("s") =!= col("t")).distinct()
+        graft.analytics.Graph.pageRankDirected(edges, "s", "t",
+            maxIters = 3, d = 0.85, tol = 0.0)._1
+          .select(col("node"), round(col("pr"), 6).as("pr"))
+          .orderBy("node")
+      },
+      Some("WITH edges AS (SELECT DISTINCT l_suppkey AS src, " +
+        "l_partkey % 100 AS dst FROM lineitem " +
+        "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100), " +
+        "odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1), " +
+        "nodes AS (SELECT src AS node FROM edges " +
+        "UNION SELECT dst FROM edges), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "p0 AS (SELECT node, 1.0 / st.n AS pr FROM nodes CROSS JOIN st), " +
+        "d1 AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM p0 " +
+        "WHERE node NOT IN (SELECT src FROM odeg)), " +
+        "c1 AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS ip FROM edges e " +
+        "JOIN p0 p ON e.src = p.node JOIN odeg d ON e.src = d.src GROUP BY 1), " +
+        "p1 AS (SELECT nd.node, (1.0 - 0.85) / st.n + 0.85 * d1.dm / st.n + " +
+        "0.85 * coalesce(c1.ip, 0.0) AS pr FROM nodes nd CROSS JOIN st " +
+        "CROSS JOIN d1 LEFT JOIN c1 ON nd.node = c1.node), " +
+        "d2 AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM p1 " +
+        "WHERE node NOT IN (SELECT src FROM odeg)), " +
+        "c2 AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS ip FROM edges e " +
+        "JOIN p1 p ON e.src = p.node JOIN odeg d ON e.src = d.src GROUP BY 1), " +
+        "p2 AS (SELECT nd.node, (1.0 - 0.85) / st.n + 0.85 * d2.dm / st.n + " +
+        "0.85 * coalesce(c2.ip, 0.0) AS pr FROM nodes nd CROSS JOIN st " +
+        "CROSS JOIN d2 LEFT JOIN c2 ON nd.node = c2.node), " +
+        "d3 AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM p2 " +
+        "WHERE node NOT IN (SELECT src FROM odeg)), " +
+        "c3 AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS ip FROM edges e " +
+        "JOIN p2 p ON e.src = p.node JOIN odeg d ON e.src = d.src GROUP BY 1), " +
+        "p3 AS (SELECT nd.node, (1.0 - 0.85) / st.n + 0.85 * d3.dm / st.n + " +
+        "0.85 * coalesce(c3.ip, 0.0) AS pr FROM nodes nd CROSS JOIN st " +
+        "CROSS JOIN d3 LEFT JOIN c3 ON nd.node = c3.node) " +
+        "SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

@@ -27,4 +27,55 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got(0)._2 - got(2)._2) < 1e-12)
     assert(got(1)._2 > got(0)._2) // the hub outranks the leaves
   }
+
+  /** Plain-Scala power iteration over the same directed model — the
+    * independent arithmetic the Spark implementation must match. */
+  private def powerIter(edges: Seq[(Long, Long)], d: Double,
+                        tol: Double, maxIters: Int): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.distinct.groupBy(_._1)
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    var delta = Double.MaxValue
+    var it = 0
+    while (it < maxIters && delta > tol) {
+      val dangling = nodes.filterNot(out.contains).map(pr).sum
+      val in = edges.distinct.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => pr(e._1) / out(e._1).size).sum
+      }
+      val next = nodes.map(v => v ->
+        ((1.0 - d) / n + d * dangling / n + d * in.getOrElse(v, 0.0))).toMap
+      delta = nodes.map(v => math.abs(next(v) - pr(v))).sum
+      pr = next
+      it += 1
+    }
+    pr
+  }
+
+  test("pageRankDirected: converges on a sink graph, conserves mass, matches power iteration") {
+    // 3 is a pure sink (no out-edges); 4 feeds the cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L), (2L, 1L))
+    val (prDf, iters, converged) = Graph.pageRankDirected(
+      edges.toDF("s", "t"), "s", "t", maxIters = 100, d = 0.85, tol = 1e-10)
+    val got = prDf.orderBy("node").as[(Long, Double)].collect().toMap
+    assert(converged && iters < 100, s"iters=$iters converged=$converged")
+    // dangling-mass term keeps Σpr = 1 despite the sink
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, got.toString)
+    val exp = powerIter(edges, d = 0.85, tol = 1e-10, maxIters = 100)
+    exp.foreach { case (v, p) =>
+      assert(math.abs(got(v) - p) < 1e-8, s"node $v: got ${got(v)} want $p")
+    }
+    // the sink accumulates more than its feeders' leaves
+    assert(got(3L) > got(4L))
+  }
+
+  test("pageRankDirected: maxIters caps work and reports non-convergence") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L))
+    val (prDf, iters, converged) = Graph.pageRankDirected(
+      edges.toDF("s", "t"), "s", "t", maxIters = 2, d = 0.85, tol = 1e-15)
+    assert(iters == 2 && !converged)
+    // partial result is still a valid distribution (mass conserved)
+    val sum = prDf.as[(Long, Double)].collect().map(_._2).sum
+    assert(math.abs(sum - 1.0) < 1e-9)
+  }
 }

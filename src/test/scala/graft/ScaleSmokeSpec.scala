@@ -117,4 +117,36 @@ class ScaleSmokeSpec extends SparkSpec {
       finals = Map("total" -> sum(col("s")), "n" -> sum(col("c"))))
     assert(got.filter(col("k") === 0L).select(col("n")).as[Long].head() >= 4000000L)
   }
+
+  test("pipeline heavies scale ≤ ~linearly across sf0.001 → sf0.01 → sf0.1") {
+    // The single-sf bench can't see a quadratic candidate-space
+    // regression (a dropped df-cap, a banding bug, an unpruned probe):
+    // at one scale it just looks "a bit slow". Driving the exact gate
+    // queries at three corpus sizes and bounding the wall-time ratio
+    // catches the *growth exponent*. Data grows 10× per step; a linear
+    // operator's time grows ≤10× (usually far less — fixed plan/JVM
+    // overhead dominates small sfs); an all-pairs regression grows
+    // ~100×. The bound is 15× on the big step (10× data + generous
+    // noise slack) — loose enough for CI jitter, tight enough that
+    // quadratic blowup cannot pass.
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val heavies = Seq("d2_ngram_jaccard", "d5_containment_pairs",
+      "e7_ivfpq_topk", "t17_lm_score")
+    def runOnce(name: String, dir: String): Long = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).collect()
+      graft.ops.CacheScope.releaseAll()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    heavies.foreach(runOnce(_, sfs.head)) // JVM/plan warmup, unmeasured
+    val times = heavies.map(q => q -> sfs.map(runOnce(q, _))).toMap
+    times.foreach { case (q, Seq(t1, t2, t3)) =>
+      info(f"$q%-22s sf0.001=${t1}ms sf0.01=${t2}ms sf0.1=${t3}ms " +
+        f"slope=${t3.toDouble / t2.max(1)}%.1fx")
+      assert(t3 <= t2.max(1) * 15,
+        s"$q grew ${t3.toDouble / t2.max(1)}x over a 10x data step " +
+          s"(sf0.01=${t2}ms, sf0.1=${t3}ms) — super-linear regression")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -102,13 +102,17 @@ object Streams {
       .start()
 
   /** Parsed `_latest` manifest of an [[scd2Sink]] table: the epoch
-    * that wrote it + the current data directory of every key bucket
+    * that wrote it, the sink's bucket count (enables key→bucket
+    * pruning at read time; None on manifests written before it was
+    * recorded), and the current data directory of every key bucket
     * (paths relative to the table root). */
   private[streaming] case class Scd2Manifest(epoch: Long,
-                                             buckets: Map[Int, String]) {
+                                             buckets: Map[Int, String],
+                                             nBuckets: Option[Int] = None) {
     def serialize: String =
-      (s"epoch $epoch" +: buckets.toSeq.sortBy(_._1)
-        .map { case (b, p) => s"$b $p" }).mkString("\n")
+      (Seq(s"epoch $epoch") ++ nBuckets.map(n => s"nbuckets $n") ++
+        buckets.toSeq.sortBy(_._1)
+          .map { case (b, p) => s"$b $p" }).mkString("\n")
   }
 
   private[streaming] def readScd2Manifest(
@@ -121,11 +125,13 @@ object Streams {
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
       val epoch = lines.head.stripPrefix("epoch ").trim.toLong
-      val buckets = lines.tail.map { l =>
+      val nb = lines.tail.headOption.filter(_.startsWith("nbuckets "))
+        .map(_.stripPrefix("nbuckets ").trim.toInt)
+      val buckets = lines.tail.filterNot(_.startsWith("nbuckets ")).map { l =>
         val Array(b, p) = l.split(" ", 2)
         b.toInt -> p
       }.toMap
-      Some(Scd2Manifest(epoch, buckets))
+      Some(Scd2Manifest(epoch, buckets, nb))
     }
 
   /** Key-hash bucket of a history row — the COW granule of
@@ -221,9 +227,26 @@ object Streams {
             .sortWithinPartitions(keys.map(col) :+ col("valid_from"): _*)
             .write.mode("overwrite").partitionBy("__kb")
             .parquet(root + "/" + epochDir)
+          // zone rows for the rewritten buckets — per-bucket min/max
+          // valid_from (the Layout `_zonemap` shape, natively typed),
+          // aggregated from the just-written files (column-pruned,
+          // affected buckets only) and landed INSIDE the epoch dir
+          // BEFORE the flip: they share the epoch's crash-atomicity
+          // and GC lifetime, and [[scd2History]] range reads skip
+          // whole buckets by them without opening any data footer
+          val epochPath = root + "/" + epochDir
+          if (affected.nonEmpty) // an empty batch writes no bucket dirs
+            s.read.option("basePath", epochPath)
+              .parquet(affected.map(b => s"$epochPath/__kb=$b").toIndexedSeq: _*)
+              .groupBy(col("__kb").cast("int").as("__kb"))
+              .agg(min(col("valid_from")).as("zmin"),
+                max(col("valid_from")).as("zmax"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(epochPath + "/_zones")
           val next = Scd2Manifest(epoch,
             current.map(_.buckets).getOrElse(Map.empty) ++
-              affected.map(b => b -> s"$epochDir/__kb=$b"))
+              affected.map(b => b -> s"$epochDir/__kb=$b"),
+            Some(nBuckets))
           // atomic manifest flip (FileContext rename with OVERWRITE —
           // plain FileSystem.rename refuses existing destinations)
           val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$epoch")
@@ -262,14 +285,68 @@ object Streams {
   /** Read the current SCD2 history maintained by [[scd2Sink]]: resolve
     * the manifest, read the union of every bucket's current directory.
     * Lazy like any DataFrame — re-resolve on FileNotFound if more than
-    * one flip elapsed between planning and execution. */
+    * one flip elapsed between planning and execution.
+    *
+    * PRUNED READS (both prunings happen on manifest/zone METADATA —
+    * non-matching bucket directories never reach the scan's file list,
+    * the [[graft.catalog.Layout.read]] discipline):
+    *   - `keyEq`: (column → literal) pairs for the sink's key columns
+    *     IN THE SINK'S KEY ORDER, with literal types matching the
+    *     columns' — the key's bucket is computed from the manifest's
+    *     recorded bucket count and only that directory is read;
+    *   - `validFromRange`: inclusive (lo, hi) literal bounds on
+    *     `valid_from` — buckets whose zone rows ([[scd2Sink]]'s
+    *     `_zones`) don't overlap are skipped; epochs written before
+    *     zone emission are read unpruned (never dropped).
+    * Exact predicates are re-applied on the pruned scan, so the result
+    * always equals the plain filter over the full history. */
   def scd2History(spark: org.apache.spark.sql.SparkSession,
-                  root: String): DataFrame = {
+                  root: String,
+                  validFromRange: Option[(Column, Column)] = None,
+                  keyEq: Seq[(String, Column)] = Nil): DataFrame = {
     val pointer = new org.apache.hadoop.fs.Path(root, "_latest")
     val fs = pointer.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = readScd2Manifest(fs, pointer).getOrElse(
       throw new java.io.FileNotFoundException(s"$root/_latest"))
-    spark.read.parquet(m.buckets.values.toSeq.distinct.map(root + "/" + _): _*)
+    val afterKey: Map[Int, String] =
+      if (keyEq.isEmpty) m.buckets
+      else {
+        val n = m.nBuckets.getOrElse(throw new IllegalStateException(
+          s"$root/_latest predates bucket-count tracking — re-run the " +
+            "sink once (any epoch) to upgrade before key-pruned reads"))
+        val b = spark.range(1)
+          .select(pmod(xxhash64(keyEq.map(_._2): _*), lit(n)).cast("int"))
+          .head.getInt(0)
+        m.buckets.filter(_._1 == b)
+      }
+    val live: Map[Int, String] = validFromRange.fold(afterKey) {
+      case (lo, hi) =>
+        afterKey.groupBy(_._2.takeWhile(_ != '/')).flatMap {
+          case (epochDir, bs) =>
+            val zp = new org.apache.hadoop.fs.Path(root, epochDir + "/_zones")
+            if (!fs.exists(zp)) bs // pre-zone epoch: never skip
+            else {
+              val keep = spark.read.parquet(zp.toString)
+                .filter(col("zmax") >= lo && col("zmin") <= hi)
+                .select(col("__kb")).collect().map(_.getInt(0)).toSet
+              bs.filter(kv => keep(kv._1))
+            }
+        }
+    }
+    val dirs = live.values.toSeq.distinct.map(root + "/" + _)
+    val base =
+      if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+      else // nothing overlaps — empty frame, schema from any live file
+        spark.read.parquet(m.buckets.values.headOption
+          .map(root + "/" + _).getOrElse(
+            throw new java.io.FileNotFoundException(s"$root: empty manifest")))
+          .limit(0)
+    val keyed = keyEq.foldLeft(base) { case (df, (k, v)) =>
+      df.filter(col(k) === v)
+    }
+    validFromRange.fold(keyed) { case (lo, hi) =>
+      keyed.filter(col("valid_from") >= lo && col("valid_from") <= hi)
+    }
   }
 
   /** Streaming exact dedup — the training-pipeline ingest guard

@@ -267,6 +267,49 @@ class StreamsSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("scd2Sink zone rows let scd2History prune reads by key and valid_from range") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2z").toString + "/dim"
+    val nB = 8
+    // two keys in DIFFERENT buckets, with disjoint valid_from ranges —
+    // the setup where both prunings have something to skip
+    def bucketOf(k: Int): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(nB)).cast("int")).head.getInt(0)
+    val k1 = 1
+    val k2 = (2 to 50).find(bucketOf(_) != bucketOf(k1)).get
+    val mem = MemoryStream[(Int, Long, Long, String)]
+    val changes = mem.toDF().toDF("k", "ts", "ord", "attr")
+    val q = Streams.scd2Sink(changes, root, Seq("k"), "ts", "ord", Seq("attr"),
+      nBuckets = nB)
+    mem.addData((k1, 10L, 1L, "a"), (k1, 20L, 2L, "b"),
+      (k2, 1000L, 3L, "x"), (k2, 2000L, 4L, "y"))
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq($"k", $"attr", $"valid_from", $"valid_to", $"is_current")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select(cols: _*)
+      .as[(Int, String, Long, Option[Long], Boolean)].collect().toSet
+    val full = Streams.scd2History(spark, root)
+    assert(rows(full).size == 4)
+    // key-equality read prunes to ONE bucket directory at the metadata
+    // level: the other key's files never enter the scan's file list
+    val byKey = Streams.scd2History(spark, root, keyEq = Seq("k" -> lit(k1)))
+    assert(rows(byKey) == rows(full.filter($"k" === k1)))
+    assert(byKey.inputFiles.length < full.inputFiles.length)
+    assert(byKey.inputFiles.forall(f => !f.contains(s"__kb=${bucketOf(k2)}")))
+    // valid_from range read skips buckets whose zones don't overlap
+    val byRange = Streams.scd2History(spark, root,
+      validFromRange = Some((lit(1000L), lit(3000L))))
+    assert(rows(byRange) ==
+      rows(full.filter($"valid_from" >= 1000L && $"valid_from" <= 3000L)))
+    assert(byRange.inputFiles.length < full.inputFiles.length)
+    assert(byRange.inputFiles.forall(f => !f.contains(s"__kb=${bucketOf(k1)}")))
+    // a range overlapping nothing reads NO data files but keeps schema
+    val empty = Streams.scd2History(spark, root,
+      validFromRange = Some((lit(90000L), lit(99999L))))
+    assert(empty.count() == 0 && empty.columns.contains("valid_from"))
+  }
+
   test("quotedTrades: watermarked interval join picks up in-window quotes only") {
     implicit val sqlCtx = spark.sqlContext
     val qmem = MemoryStream[Streams.Quote]

@@ -112,4 +112,60 @@ object Graph {
     graft.ops.CacheScope.freeCheckpointBlocks(nodes)
     (graft.ops.CacheScope.register(pr), it, delta <= tol)
   }
+
+  /** PERSONALIZED PageRank (Page et al. 1999's biased surfer; the
+    * Pinterest/Twitter recommendation primitive): teleport AND
+    * dangling mass return to the SOURCE set instead of spreading
+    * uniformly —
+    *
+    *   prₖ₊₁(v) = (1−d)·p(v) + d·Σ_{u→v} prₖ(u)/outdeg(u)
+    *              + d·(Σ_{u: outdeg(u)=0} prₖ(u))·p(v)
+    *
+    * with p uniform over `sources`, zero elsewhere, so Σpr = 1 every
+    * round and rank measures proximity to the sources: unreachable
+    * nodes hold exactly 0. Convergence/iteration contract, per-round
+    * plan shape (one equi-join + one agg), and localCheckpoint
+    * discipline are identical to [[pageRankDirected]]. */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+                           sources: Seq[Any], maxIters: Int = 20,
+                           d: Double = 0.85,
+                           tol: Double = 1e-6): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, "personalizedPageRank: maxIters must be >= 1")
+    require(sources.nonEmpty, "personalizedPageRank: sources must be non-empty")
+    val out = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+    val odeg = out.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val nodes = out.select(col("src").as("node"))
+      .unionAll(out.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    // the teleport vector as a codegen expression — no join needed
+    val p = when(col("node").isin(sources: _*),
+      lit(1.0) / lit(sources.size.toDouble)).otherwise(lit(0.0))
+    var pr = nodes.select(col("node"), p.as("pr"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta > tol) {
+      val dangling = pr
+        .join(odeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
+      val contrib = out
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(odeg, "src")
+        .groupBy(col("dst")).agg(sum(col("pr") / col("__deg")).as("__in"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0 - d) + lit(d * dangling)) * p +
+            lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
+        .localCheckpoint(eager = true)
+      delta = pr.select(col("node"), col("pr").as("__old"))
+        .join(next.select(col("node"), col("pr").as("__new")), Seq("node"))
+        .agg(sum(abs(col("__new") - col("__old")))).head.getDouble(0)
+      graft.ops.CacheScope.freeCheckpointBlocks(pr)
+      pr = next
+      it += 1
+    }
+    graft.ops.CacheScope.freeCheckpointBlocks(nodes)
+    (graft.ops.CacheScope.register(pr), it, delta <= tol)
+  }
 }

@@ -265,6 +265,58 @@ object AnalyticsQueries {
         "CROSS JOIN d3 LEFT JOIN c3 ON nd.node = c3.node) " +
         "SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node")),
 
+    Q("a25_personalized_pagerank",
+      // PERSONALIZED PageRank (Graph.personalizedPageRank, 3 fixed
+      // rounds via tol=0, sources = suppliers {1,2,3}): teleport and
+      // dangling mass return to the source set, so rank measures
+      // proximity to the sources and nodes unreachable from them hold
+      // exactly 0 — same directed sink-bearing graph as a24. Oracle =
+      // the recurrence unrolled as chained CTEs with the teleport
+      // vector as a CASE expression, IEEE tree mirrored, 6-decimal
+      // round at the end.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 100)
+          .select(col("l_suppkey").as("s"),
+            pmod(col("l_partkey"), lit(100)).as("t"))
+          .filter(col("s") =!= col("t")).distinct()
+        graft.analytics.Graph.personalizedPageRank(edges, "s", "t",
+            sources = Seq(1L, 2L, 3L), maxIters = 3, d = 0.85, tol = 0.0)._1
+          .select(col("node"), round(col("pr"), 6).as("pr"))
+          .orderBy("node")
+      },
+      Some("WITH edges AS (SELECT DISTINCT l_suppkey AS src, " +
+        "l_partkey % 100 AS dst FROM lineitem " +
+        "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100), " +
+        "odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1), " +
+        "nodes AS (SELECT src AS node FROM edges " +
+        "UNION SELECT dst FROM edges), " +
+        "tp AS (SELECT node, CASE WHEN node IN (1, 2, 3) " +
+        "THEN CAST(1.0 AS DOUBLE) / 3 ELSE 0.0 END AS p FROM nodes), " +
+        "p0 AS (SELECT node, p AS pr FROM tp), " +
+        "d1 AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM p0 " +
+        "WHERE node NOT IN (SELECT src FROM odeg)), " +
+        "c1 AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS ip FROM edges e " +
+        "JOIN p0 p ON e.src = p.node JOIN odeg d ON e.src = d.src GROUP BY 1), " +
+        "p1 AS (SELECT t.node, ((1.0 - 0.85) + 0.85 * d1.dm) * t.p + " +
+        "0.85 * coalesce(c1.ip, 0.0) AS pr FROM tp t CROSS JOIN d1 " +
+        "LEFT JOIN c1 ON t.node = c1.node), " +
+        "d2 AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM p1 " +
+        "WHERE node NOT IN (SELECT src FROM odeg)), " +
+        "c2 AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS ip FROM edges e " +
+        "JOIN p1 p ON e.src = p.node JOIN odeg d ON e.src = d.src GROUP BY 1), " +
+        "p2 AS (SELECT t.node, ((1.0 - 0.85) + 0.85 * d2.dm) * t.p + " +
+        "0.85 * coalesce(c2.ip, 0.0) AS pr FROM tp t CROSS JOIN d2 " +
+        "LEFT JOIN c2 ON t.node = c2.node), " +
+        "d3 AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM p2 " +
+        "WHERE node NOT IN (SELECT src FROM odeg)), " +
+        "c3 AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS ip FROM edges e " +
+        "JOIN p2 p ON e.src = p.node JOIN odeg d ON e.src = d.src GROUP BY 1), " +
+        "p3 AS (SELECT t.node, ((1.0 - 0.85) + 0.85 * d3.dm) * t.p + " +
+        "0.85 * coalesce(c3.ip, 0.0) AS pr FROM tp t CROSS JOIN d3 " +
+        "LEFT JOIN c3 ON t.node = c3.node) " +
+        "SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

@@ -452,6 +452,46 @@ object DomainQueries {
         "BETWEEN '1996-06-01' AND '1997-06-30' " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s15_time_travel",
+      // snapshot time travel: an append commits a NEW snapshot
+      // (SnapshotManifest log); reading the PREVIOUS snap name
+      // resolves that snapshot's manifest and returns the table
+      // exactly as of the pre-append commit — the oracle is the base
+      // slice alone, proving the appended rows are invisible to the
+      // historical read. Readability of old snaps is bounded by
+      // vacuum's keep-last-2 retention (LayoutSpec).
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_travel_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        val cut = lit("1997-01-01").cast("date")
+        graft.catalog.Layout.writeClusteredZoned(
+          src.filter(col("ship") < cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.appendClusteredZoned(
+          src.filter(col("ship") >= cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        val snaps = graft.catalog.Layout.snapshots(s, path)
+        graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4,
+            asOfSnap = Some(snaps(snaps.size - 2)))
+          .groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("symbol")
+      },
+      Some("SELECT l_returnflag AS symbol, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) < '1997-01-01' " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

@@ -856,6 +856,39 @@ object PipelineQueries {
         "SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r " +
         "WHERE rank = 1 ORDER BY query_id")),
 
+    Q("e10_ann_join",
+      // cross-corpus ANN JOIN (IvfIndex.annJoin): top-3 reference
+      // neighbors for EVERY left row — the labelling/enrichment shape
+      // where the left side is too large to broadcast. Candidates come
+      // from a shuffle hash join on the IVF cell id (both sides
+      // partition by cell; nothing broadcasts by contract, no
+      // all-pairs). FULL probe makes it exact by construction, so the
+      // brute-force SQL is a true oracle while the query exercises the
+      // join-shaped plumbing; partial-probe recall: AnnRecallSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val corpus = emb.filter(col("vec_id") % 5 === 0)
+        val left = emb.filter(col("vec_id") % 5 =!= 0)
+        val idx = graft.pipeline.IvfIndex.build(
+          corpus, "vec_id", "embedding", nCells = 8)
+        idx.annJoin(left, "vec_id", "embedding", k = 3, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, " +
+        "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
+        "WHERE vec_id % 5 <> 0), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id % 5 = 0), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos FROM q, c), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
+        "WHERE rank <= 3 ORDER BY query_id, rank")),
+
     Q("e7_ivfpq_topk",
       // IVF-PQ composed PROBED path (PqIndex.topKProbed — the
       // billion-vector architecture: coarse cells cut candidates

@@ -114,10 +114,26 @@ object Layout {
     * of the live snapshot's parts. None when the table has no snapshot
     * log (legacy [[writeClustered]] layout). */
   def manifest(spark: SparkSession, path: String): Option[DataFrame] =
-    SnapshotManifest.currentParts(spark, path).map { parts =>
-      spark.read.parquet(
-        parts.map(p => SnapshotManifest.partPath(path, p)): _*)
-    }
+    manifestAsOf(spark, path, None)
+
+  /** The zone manifest of a SPECIFIC snapshot (`snap` from
+    * [[snapshots]]), or the current one when None. A named snap that
+    * doesn't exist throws rather than silently falling back. */
+  def manifestAsOf(spark: SparkSession, path: String,
+                   snap: Option[String]): Option[DataFrame] =
+    snap.fold(SnapshotManifest.currentParts(spark, path))(s =>
+        Some(SnapshotManifest.partsOf(spark, path, s)))
+      .map { parts =>
+        spark.read.parquet(
+          parts.map(p => SnapshotManifest.partPath(path, p)): _*)
+      }
+
+  /** All retained snapshot names, ascending by commit order — the
+    * time-travel axis. Retention is governed by [[vacuum]]
+    * (keep-last-2 by default), so history depth is bounded by the
+    * maintenance policy, not unbounded growth. */
+  def snapshots(spark: SparkSession, path: String): Seq[String] =
+    SnapshotManifest.snaps(spark, path)
 
   /** Per-file (bucket, zmin, zmax) rows for the data files under
     * `scan`, with paths RELATIVE to `root` and URI-DECODED
@@ -352,16 +368,23 @@ object Layout {
     * snapshot. Legacy tables (no `_latest`) fall back to directory
     * discovery with footer-derived zones. Exact predicates are
     * re-applied on the pruned scan; the result is always ≡ the plain
-    * filter (the s11 oracle). */
+    * filter (the s11 oracle).
+    *
+    * TIME TRAVEL: `asOfSnap` (a name from [[snapshots]]) resolves the
+    * file list from that snapshot's manifest instead of the current
+    * one — the table exactly as of that commit, readable as long as
+    * [[vacuum]]'s retention (keep-last-2 by default) still holds the
+    * snapshot's files (the s15 oracle). */
   def read(spark: SparkSession, path: String, symbol: String, time: String,
            numBuckets: Int = 16, symbolEq: Option[String] = None,
-           timeRange: Option[(Column, Column)] = None): DataFrame = {
+           timeRange: Option[(Column, Column)] = None,
+           asOfSnap: Option[String] = None): DataFrame = {
     def bucketPruned(df: DataFrame): DataFrame = symbolEq.fold(df) { v =>
       df.filter(col("sym_bucket") === bucketOf(lit(v), numBuckets))
     }
     def fullScan = bucketPruned(
       spark.read.option("basePath", path).parquet(path))
-    val base = manifest(spark, path) match {
+    val base = manifestAsOf(spark, path, asOfSnap) match {
       case Some(m) =>
         val pruned0 = bucketPruned(m)
         val pruned = timeRange.fold(pruned0) { case (lo, hi) =>

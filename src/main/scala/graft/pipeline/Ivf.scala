@@ -54,6 +54,40 @@ class IvfIndex private (val cells: DataFrame,
           .orderBy(col("cos").desc, col("neighbor_id"))))
   }
 
+  /** Cross-corpus ANN JOIN: cosine top-k corpus neighbors for EVERY
+    * left row — the labelling/enrichment shape ("nearest reference
+    * doc for each training doc"). Unlike [[topK]] (whose query set is
+    * broadcast by contract), the left side may be arbitrarily large:
+    * probing is one codegen projection against the centroid literal
+    * (no join), and candidates come from a shuffle hash join on the
+    * cell id — both sides partition by cell, nothing broadcasts, and
+    * candidate work per left row is ~nProbe/nCells of the corpus, so
+    * the plan never degenerates to all-pairs at any |left|.
+    *
+    * Each corpus vector lives in exactly one cell, so a
+    * (query, neighbor) pair arises at most once — no dedup pass.
+    * `excludeSelf` only matters when left IS the corpus (self-join
+    * enrichment); cross-corpus id collisions are not identity. */
+  def annJoin(left: DataFrame, leftId: String, vec: String, k: Int,
+              nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
+    val q = Kernels.ensureParallelism(
+      left.select(col(leftId).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
+    val probed = q.withColumn("cell",
+      explode(probeCells(col("qv"), nProbe)))
+    val c = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
+    val joined = probed.join(c, Seq("cell"))
+    val filtered =
+      if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+      else joined
+    val cand = filtered.select(col("query_id"), col("neighbor_id"),
+      Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    Kernels.topKPerKey(cand, Seq("query_id"),
+        Seq(col("cos"), -col("neighbor_id")), k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+  }
+
   /** Persist the index so later sessions query WITHOUT retraining —
     * at 100 TB, re-running Lloyd's per job is not an option. The
     * centroid array lands as a tiny parquet, the assigned corpus as a

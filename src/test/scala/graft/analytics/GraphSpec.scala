@@ -78,4 +78,54 @@ class GraphSpec extends SparkSpec {
     val sum = prDf.as[(Long, Double)].collect().map(_._2).sum
     assert(math.abs(sum - 1.0) < 1e-9)
   }
+
+  /** Independent power iteration for the PERSONALIZED model: teleport
+    * and dangling mass go to the source distribution p. */
+  private def personalIter(edges: Seq[(Long, Long)], sources: Set[Long],
+                           d: Double, tol: Double,
+                           maxIters: Int): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.distinct.groupBy(_._1)
+    def p(v: Long) = if (sources(v)) 1.0 / sources.size else 0.0
+    var pr = nodes.map(v => v -> p(v)).toMap
+    var delta = Double.MaxValue
+    var it = 0
+    while (it < maxIters && delta > tol) {
+      val dangling = nodes.filterNot(out.contains).map(pr).sum
+      val in = edges.distinct.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => pr(e._1) / out(e._1).size).sum
+      }
+      val next = nodes.map(v => v ->
+        ((1.0 - d) * p(v) + d * dangling * p(v) +
+          d * in.getOrElse(v, 0.0))).toMap
+      delta = nodes.map(v => math.abs(next(v) - pr(v))).sum
+      pr = next
+      it += 1
+    }
+    pr
+  }
+
+  test("personalizedPageRank: proximity to sources, zero off-component, mass conserved") {
+    // component A: 1→2→3 (3 a sink); component B: 10↔11, unreachable
+    // from the sources {1}
+    // d = 0.5 so the 3-chain + teleport loop contracts fast enough to
+    // hit tol within the cap (the chain mixes at exactly rate d/round)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L))
+    val (prDf, iters, converged) = Graph.personalizedPageRank(
+      edges.toDF("s", "t"), "s", "t", sources = Seq(1L),
+      maxIters = 60, d = 0.5, tol = 1e-9)
+    val got = prDf.orderBy("node").as[(Long, Double)].collect().toMap
+    assert(converged && iters < 60)
+    // sink dangling mass returns to the source set → Σpr = 1 exactly
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, got.toString)
+    // the unreachable component holds exactly zero rank
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+    // proximity ordering: source > its child > grandchild
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+    val exp = personalIter(edges, Set(1L), d = 0.5, tol = 1e-9,
+      maxIters = 60)
+    exp.foreach { case (v, x) =>
+      assert(math.abs(got(v) - x) < 1e-8, s"node $v: got ${got(v)} want $x")
+    }
+  }
 }

@@ -160,6 +160,46 @@ class LayoutSpec extends SparkSpec {
     assert(afterCompact == expDup)
   }
 
+  test("time travel: a prior snap reads the exact pre-append table; vacuum bounds history") {
+    val dir = Files.createTempDirectory("graft_travel").toString + "/t"
+    val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df.filter($"ts" <= 500), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    Layout.appendClusteredZoned(df.filter($"ts" > 500), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    val snaps = Layout.snapshots(spark, dir)
+    assert(snaps.size == 2)
+    // the previous snap is the pre-append table, bit-exact
+    val past = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        asOfSnap = Some(snaps.head))
+      .select($"symbol", $"ts", $"close")
+      .as[(String, Long, Double)].collect().toSet
+    val expPast = df.filter($"ts" <= 500)
+      .as[(String, Long, Double)].collect().toSet
+    assert(past == expPast)
+    // asOfSnap of the CURRENT snap ≡ the plain read; prunings compose
+    val cur = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        symbolEq = Some("SYM7"), timeRange = Some((lit(400L), lit(700L))),
+        asOfSnap = Some(snaps.last))
+      .select($"ts").as[Long].collect().toSet
+    val exp = df.filter($"symbol" === "SYM7" && $"ts".between(400L, 700L))
+      .select($"ts").as[Long].collect().toSet
+    assert(cur == exp)
+    // an unknown snap name throws instead of silently falling back
+    intercept[java.io.FileNotFoundException] {
+      Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        asOfSnap = Some("snap_does_not_exist"))
+    }
+    // retention: after a compact (which vacuums, keep-last-2), only
+    // the last two snaps remain on the time-travel axis
+    Layout.appendClusteredZoned(df.filter($"ts" <= 100), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    val retained = Layout.snapshots(spark, dir)
+    assert(retained.size == 2 && !retained.contains(snaps.head))
+  }
+
   test("a crashed append is invisible: readers stay on the previous snapshot") {
     val dir = Files.createTempDirectory("graft_crash_ap").toString + "/t"
     val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))

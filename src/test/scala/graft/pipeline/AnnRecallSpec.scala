@@ -108,6 +108,21 @@ class AnnRecallSpec extends SparkSpec {
     rpq.close(); flat.close(); coarse.close()
   }
 
+  test("ANN join recall@10 at partial probe; full probe exact") {
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding",
+      nCells = nClusters, maxTrainRows = 2000)
+    // left = the query rows themselves (excludeSelf reproduces the
+    // brute-force ground truth's self-exclusion)
+    val r2 = recall(idx.annJoin(queries, "vec_id", "embedding", k,
+      nProbe = 2, excludeSelf = true))
+    val rFull = recall(idx.annJoin(queries, "vec_id", "embedding", k,
+      nProbe = nClusters, excludeSelf = true))
+    info(f"annJoin recall@10: nProbe2=$r2%.3f full=$rFull%.3f")
+    assert(rFull == 1.0, s"full-probe ANN join must be exact, got $rFull")
+    assert(r2 >= 0.90, s"ANN join recall@10 at nProbe=2/16 was $r2")
+    idx.close()
+  }
+
   test("SQ8 recall@10 at reduced candidates") {
     val r16 = recall(Sq.topK(corpus, queries, "vec_id", "embedding",
       k = k, nCandidates = 16))

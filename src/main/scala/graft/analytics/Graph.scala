@@ -64,6 +64,9 @@ object Graph {
     * property GraphSpec pins). Runs until the L1 delta between
     * successive rank vectors drops to `tol`, or `maxIters` rounds —
     * whichever first; returns (node, pr, iterations, converged).
+    * `tol` ≤ 0 requests exactly `maxIters` rounds (fixed-iteration
+    * mode): the per-round delta join+agg is skipped entirely and
+    * `converged` reports false.
     *
     * Scale shape: per round, ONE equi-join from the edge list to the
     * rank vector plus one hash aggregation, exactly like [[pageRank]];
@@ -102,9 +105,13 @@ object Graph {
           (lit((1.0 - d) / nN) + lit(d * dangling / nN) +
             lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
         .localCheckpoint(eager = true)
-      delta = pr.select(col("node"), col("pr").as("__old"))
-        .join(next.select(col("node"), col("pr").as("__new")), Seq("node"))
-        .agg(sum(abs(col("__new") - col("__old")))).head.getDouble(0)
+      // fixed-iteration mode (tol ≤ 0) skips the L1-delta join+agg —
+      // a third of each round's actions, pure overhead when the caller
+      // asked for exactly maxIters rounds
+      if (tol > 0.0)
+        delta = pr.select(col("node"), col("pr").as("__old"))
+          .join(next.select(col("node"), col("pr").as("__new")), Seq("node"))
+          .agg(sum(abs(col("__new") - col("__old")))).head.getDouble(0)
       graft.ops.CacheScope.freeCheckpointBlocks(pr)
       pr = next
       it += 1
@@ -158,9 +165,10 @@ object Graph {
           ((lit(1.0 - d) + lit(d * dangling)) * p +
             lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
         .localCheckpoint(eager = true)
-      delta = pr.select(col("node"), col("pr").as("__old"))
-        .join(next.select(col("node"), col("pr").as("__new")), Seq("node"))
-        .agg(sum(abs(col("__new") - col("__old")))).head.getDouble(0)
+      if (tol > 0.0) // fixed-iteration mode: see [[pageRankDirected]]
+        delta = pr.select(col("node"), col("pr").as("__old"))
+          .join(next.select(col("node"), col("pr").as("__new")), Seq("node"))
+          .agg(sum(abs(col("__new") - col("__old")))).head.getDouble(0)
       graft.ops.CacheScope.freeCheckpointBlocks(pr)
       pr = next
       it += 1

@@ -867,6 +867,43 @@ object DomainQueries {
         "ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rts " +
         "ORDER BY e.event_id")),
 
+    Q("j18_range_join",
+      // binned point-in-interval range join (RangeJoin.pointInInterval,
+      // 30-day bins): shipments falling inside sampled orders' 60-day
+      // windows, across keys — no equality exists, so a naive plan is
+      // a cartesian; the bin equi-key makes it a shuffle hash join
+      // (inequality-join family: j13 as-of = nearest-predecessor, j18
+      // = containment). Oracle = DuckDB's native BETWEEN join;
+      // per-interval count + lag checksum keeps the shape compact.
+      (s, dir) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val points = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 37 === 0)
+          .select(col("l_orderkey"), datediff(to_date(col("l_shipdate")),
+            epoch).cast("long").as("d"))
+        val intervals = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 331 === 0)
+          .select(col("o_orderkey"), datediff(to_date(col("o_orderdate")),
+            epoch).cast("long").as("lo"))
+          .withColumn("hi", col("lo") + 60)
+        graft.ops.RangeJoin.pointInInterval(
+            points, "d", intervals, "lo", "hi", binWidth = 30)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("d") - col("lo")).as("lag_sum"))
+          .orderBy("o_orderkey")
+      },
+      Some("WITH p AS (SELECT l_orderkey, CAST(CAST(l_shipdate AS DATE) - " +
+        "DATE '1970-01-01' AS BIGINT) AS d FROM lineitem " +
+        "WHERE l_orderkey % 37 = 0), " +
+        "i AS (SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) - " +
+        "DATE '1970-01-01' AS BIGINT) AS lo FROM orders " +
+        "WHERE o_orderkey % 331 = 0) " +
+        "SELECT o_orderkey, count(*) AS n, " +
+        "CAST(sum(d - lo) AS BIGINT) AS lag_sum " +
+        "FROM p JOIN i ON p.d BETWEEN i.lo AND i.lo + 60 " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u3_upsert",
       // INSERT … ON CONFLICT DO UPDATE (lists.js:483-491,
       // portfolio.js:427-445) via the upsert kernel: updated rows win,

@@ -324,6 +324,25 @@ object PipelineQueries {
         "FROM idx i JOIN dfs d USING (term) CROSS JOIN st " +
         "WHERE i.tf >= 3 ORDER BY doc_id, term")),
 
+    Q("t19_stratified_sample",
+      // exact-quota stratified selection (TextAnalysis.stratifiedSample):
+      // at most 40 docs per source, ranked by salted md5 — the
+      // deterministic per-source cap a corpus mix applies before
+      // training. The oracle replays the identical ranking (same md5
+      // input string, same DESC order, same id tie-break), so the
+      // SELECTED SET matches row-for-row; the gate aggregates it
+      // per-source (count + id checksum) for a compact stable shape.
+      (s, dir) => TextAnalysis.stratifiedSample(
+          t(s, dir, "documents"), "source", "doc_id", "q7", quota = 40)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"),
+      Some("WITH r AS (SELECT source, doc_id, row_number() OVER (" +
+        "PARTITION BY source ORDER BY md5('q7|' || CAST(doc_id AS VARCHAR)) " +
+        "DESC, doc_id DESC) AS rn FROM documents) " +
+        "SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+        "FROM r WHERE rn <= 40 GROUP BY 1 ORDER BY 1")),
+
     Q("t17_lm_score",
       // corpus-trained bigram-LM negative log likelihood per doc (the
       // perplexity quality filter): add-0.5 smoothed transition

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join — the batch point-in-interval join, completing
+  * the inequality-join family next to [[AsOf]] (nearest-predecessor)
+  * and [[graft.streaming.Streams.quotedTrades]] (the watermarked
+  * stream form).
+  */
+object RangeJoin {
+
+  /** Join each point row to every interval row whose `[lo, hi]`
+    * contains it (inclusive both ends). `ts`, `lo`, `hi` must be
+    * integral (epoch units of the caller's choosing).
+    *
+    * A raw `p.ts BETWEEN i.lo AND i.hi` predicate has no equality, so
+    * Spark plans a broadcast-nested-loop / cartesian — O(|P|·|I|)
+    * compared pairs, the classic range-join scale cliff. Discretizing
+    * time into `binWidth`-sized bins restores an equi-key: a point
+    * falls in exactly ONE bin, an interval is exploded to the bins it
+    * spans (`sequence`), the join becomes a plain shuffle hash join
+    * on the bin id, and the exact BETWEEN re-filter runs only on
+    * bin-colocated pairs. A (point, interval) pair can only meet in
+    * the point's single bin, so the output needs no dedup pass.
+    *
+    * Pick `binWidth` near the TYPICAL interval length: explode cost is
+    * |I|·(len/binWidth + 1) rows and candidate cost is the per-bin
+    * point×interval product — narrower bins trade explode rows for
+    * tighter candidates. A degenerate giant interval explodes to
+    * len/binWidth rows; cap interval lengths upstream or raise the
+    * width. Bin ids come from `floor(x / binWidth)` (correct for
+    * negative epochs, where truncating division would shift bins);
+    * the double-precision floor is exact for |x| < 2⁵³ — every
+    * realistic epoch unit. */
+  def pointInInterval(points: DataFrame, ts: String,
+                      intervals: DataFrame, lo: String, hi: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "pointInInterval: binWidth must be >= 1")
+    val p = points.withColumn("__bin", floor(col(ts) / binWidth))
+    // an inverted interval (lo > hi) matches nothing by definition —
+    // drop it BEFORE sequence(), which would otherwise count DOWN and
+    // explode spurious candidate bins
+    val i = intervals.filter(col(lo) <= col(hi)).withColumn("__bin",
+      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    p.join(i, Seq("__bin"))
+      .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
+      .drop("__bin")
+  }
+}

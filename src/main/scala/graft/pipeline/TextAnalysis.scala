@@ -305,6 +305,30 @@ object TextAnalysis {
     fracs.scanLeft(0.0)(_ + _).tail.init.map(f =>
       f"${math.min(65535, math.floor(f * 65536).toLong)}%04x")
 
+  /** EXACT-QUOTA stratified selection — keep at most `quota` rows per
+    * stratum ("no more than N docs from any one domain/source"), the
+    * hard-cap complement of [[weightedMix]]'s fractional mixing.
+    * Deterministic where `df.stat.sampleBy` is probabilistic and
+    * quota-less: rows rank within their stratum by the salted md5 of
+    * their id ([[hashSplit]]'s engine-portable ordering device; ties
+    * broken by the id itself, so the order is total) and the first
+    * `quota` survive. Same salt + same corpus ⇒ the same selection on
+    * any engine, any cluster layout, any run.
+    *
+    * Scale shape: one shuffle on the stratum key + a per-stratum sort
+    * ([[graft.ops.Kernels.topKPerKey]]) — no global sort, no driver
+    * state; a pathologically hot stratum is one sorted partition, the
+    * same bound every per-key window in the engine carries. */
+  def stratifiedSample(df: DataFrame, stratum: String, idCol: String,
+                       salt: String, quota: Int): DataFrame = {
+    require(quota >= 1, "stratifiedSample: quota must be >= 1")
+    val h = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    graft.ops.Kernels.topKPerKey(
+        df.withColumn("__rank_h", h), Seq(stratum),
+        Seq(col("__rank_h"), col(idCol)), quota)
+      .drop("__rank_h")
+  }
+
   /** Intra-document repetition metrics (Gopher/RefinedWeb-style
     * filters): token bigrams and how many are duplicates of an earlier
     * bigram in the SAME document. Pure per-row array expressions — no

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned range join equals the naive theta join on every bin geometry") {
+    val points = (0L to 200L).map(t => (t, s"p$t")).toDF("ts", "pid")
+    // intervals of assorted lengths/alignments, including bin-exact
+    // edges, sub-bin slivers, multi-bin spans, and an inverted one
+    val intervals = Seq(
+      (1L, 10L, 40L), (2L, 15L, 15L), (3L, 29L, 31L), (4L, 0L, 200L),
+      (5L, 60L, 89L), (6L, 90L, 90L), (7L, 199L, 250L), (8L, 50L, 49L))
+      .toDF("iid", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .filter($"ts" >= $"lo" && $"ts" <= $"hi")
+      .select($"pid", $"iid").as[(String, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 30L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, "ts", intervals,
+          "lo", "hi", binWidth = w)
+        .select($"pid", $"iid").as[(String, Long)].collect().toSet
+      assert(got == naive, s"binWidth=$w")
+    }
+  }
+
+  test("negative epochs bin correctly (floor, not truncation)") {
+    val points = (-50L to 50L).map(t => (t, t)).toDF("ts", "pid")
+    val intervals = Seq((1L, -30L, -10L), (2L, -5L, 5L)).toDF("iid", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .filter($"ts" >= $"lo" && $"ts" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val got = RangeJoin.pointInInterval(points, "ts", intervals,
+        "lo", "hi", binWidth = 7)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
+  test("output multiplicity: one row per (point, interval) containment") {
+    // nested intervals: a point inside both matches twice, never more
+    val points = Seq((5L, "x")).toDF("ts", "pid")
+    val intervals = Seq((1L, 0L, 10L), (2L, 4L, 6L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "ts", intervals,
+      "lo", "hi", binWidth = 3)
+    assert(got.count() == 2)
+  }
+}

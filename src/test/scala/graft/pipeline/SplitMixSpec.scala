@@ -25,6 +25,28 @@ class SplitMixSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.1) < 0.02)
   }
 
+  test("stratifiedSample: exact quotas, deterministic selection, salt re-rolls") {
+    // 3 strata of sizes 100 / 40 / 10 — over-, at-, and under-quota
+    val docs = spark.range(0, 150).toDF("id")
+      .withColumn("src", when($"id" < 100, "a")
+        .when($"id" < 140, "b").otherwise("c"))
+    val got = TextAnalysis.stratifiedSample(docs, "src", "id", "s1", quota = 40)
+      .select($"src", $"id").as[(String, Long)].collect()
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // quota binds exactly where the stratum exceeds it, passes through
+    // whole strata at or under it
+    assert(bySrc("a").size == 40)
+    assert(bySrc("b") == (100L until 140L).toSet)
+    assert(bySrc("c") == (140L until 150L).toSet)
+    // same salt → identical selection; different salt → different cut
+    val again = TextAnalysis.stratifiedSample(docs, "src", "id", "s1", 40)
+      .select($"id").as[Long].collect().toSet
+    assert(again == got.map(_._2).toSet)
+    val rerolled = TextAnalysis.stratifiedSample(docs, "src", "id", "s2", 40)
+      .filter($"src" === "a").select($"id").as[Long].collect().toSet
+    assert(rerolled != bySrc("a"))
+  }
+
   test("different salts re-roll assignments") {
     val df = spark.range(0, 2000).toDF("id")
     val fr = Seq("a" -> 0.5, "b" -> 0.5)

@@ -492,6 +492,41 @@ object DomainQueries {
         "FROM lineitem WHERE CAST(l_shipdate AS DATE) < '1997-01-01' " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s16_zorder",
+      // z-order (Morton) clustered layout: lineitem rewritten with
+      // (l_partkey, shipdate-epoch-day) bit-interleaved, 2-D zone
+      // manifest committed through the snapshot log; a range read on
+      // BOTH dimensions prunes files from metadata and still equals
+      // the plain filter. Per-axis skip effectiveness: ZOrderSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_zorder_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          datediff(to_date(col("l_shipdate")),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+          col("l_quantity").as("qty"))
+        graft.catalog.ZOrder.write(src, path, "l_partkey", "d",
+          filesTarget = 16)
+        graft.catalog.ZOrder.read(s, path, "l_partkey", "d",
+            c1Range = Some((lit(100L), lit(600L))),
+            c2Range = Some((lit(8800L), lit(9300L))))
+          .groupBy((col("d") % 30).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("bucket")
+      },
+      Some("SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' " +
+        "AS BIGINT) % 30 AS bucket, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_partkey BETWEEN 100 AND 600 AND " +
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) " +
+        "BETWEEN 8800 AND 9300 GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

@@ -1,0 +1,70 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 100×100 uniform grid: x = i % 100, y = i / 100 — every cell filled,
+  // so pruning effectiveness is geometry, not data luck
+  private lazy val grid = spark.range(0, 10000)
+    .select($"id", ($"id" % 100).as("x"), ($"id" / 100).cast("long").as("y"))
+
+  test("interleaveBits: hand-checked Morton codes") {
+    val got = spark.range(1)
+      .select(
+        ZOrder.interleaveBits(lit(0L), lit(0L), 8),
+        ZOrder.interleaveBits(lit(1L), lit(0L), 8),  // x bit 0 → z bit 0
+        ZOrder.interleaveBits(lit(0L), lit(1L), 8),  // y bit 0 → z bit 1
+        ZOrder.interleaveBits(lit(3L), lit(5L), 8),  // 0b011 ⋈ 0b101
+        ZOrder.interleaveBits(lit(255L), lit(255L), 8))
+      .as[(Long, Long, Long, Long, Long)].head()
+    // 3 = 011, 5 = 101 → z = b5 a5 b4 a4 … = 1 0 0 1 1 1 = 0b100111 = 39
+    assert(got == ((0L, 1L, 2L, 39L, 65535L)))
+  }
+
+  test("z-ordered reads equal the plain filter on either or both dims") {
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/t"
+    ZOrder.write(grid, dir, "x", "y", filesTarget = 16)
+    def expect(p: org.apache.spark.sql.Column) =
+      grid.filter(p).select($"id").as[Long].collect().toSet
+    val both = ZOrder.read(spark, dir, "x", "y",
+        c1Range = Some((lit(10L), lit(19L))),
+        c2Range = Some((lit(30L), lit(39L))))
+      .select($"id").as[Long].collect().toSet
+    assert(both == expect($"x".between(10, 19) && $"y".between(30, 39)))
+    val xOnly = ZOrder.read(spark, dir, "x", "y",
+        c1Range = Some((lit(97L), lit(99L))))
+      .select($"id").as[Long].collect().toSet
+    assert(xOnly == expect($"x".between(97, 99)))
+    val yOnly = ZOrder.read(spark, dir, "x", "y",
+        c2Range = Some((lit(0L), lit(2L))))
+      .select($"id").as[Long].collect().toSet
+    assert(yOnly == expect($"y".between(0, 2)))
+    // a range outside the data reads no files, keeps the schema
+    val none = ZOrder.read(spark, dir, "x", "y",
+      c1Range = Some((lit(1000L), lit(2000L))))
+    assert(none.count() == 0 && none.columns.contains("y"))
+  }
+
+  test("file skipping works on BOTH dimensions — the property a linear sort lacks") {
+    val dir = Files.createTempDirectory("graft_zorder_skip").toString + "/t"
+    ZOrder.write(grid, dir, "x", "y", filesTarget = 16)
+    val total = ZOrder.manifest(spark, dir).count()
+    assert(total >= 8) // enough files for skipping to be meaningful
+    // a 10%-wide slice in EITHER dimension must prune over half the
+    // files (a (x,y)-sorted layout prunes only the leading column)
+    val xPruned = ZOrder.pruneZones(spark, dir,
+      Some((lit(10L), lit(19L))), None).count()
+    val yPruned = ZOrder.pruneZones(spark, dir,
+      None, Some((lit(30L), lit(39L)))).count()
+    assert(xPruned <= total / 2, s"x-slice touched $xPruned of $total files")
+    assert(yPruned <= total / 2, s"y-slice touched $yPruned of $total files")
+    // and the 2-D intersection prunes at least as hard as either axis
+    val bothPruned = ZOrder.pruneZones(spark, dir,
+      Some((lit(10L), lit(19L))), Some((lit(30L), lit(39L)))).count()
+    assert(bothPruned <= math.min(xPruned, yPruned))
+  }
+}

@@ -120,6 +120,62 @@ object Graph {
     (graft.ops.CacheScope.register(pr), it, delta <= tol)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    * list, L1-normalized after each half-step:
+    *
+    *   authₖ(v) = Σ_{u→v} hubₖ₋₁(u)   (÷ Σ_v authₖ(v))
+    *   hubₖ(u)  = Σ_{u→v} authₖ(v)    (÷ Σ_u hubₖ(u))
+    *
+    * starting from hub₀ ≡ 1. Nodes with no in-edges hold auth 0, no
+    * out-edges hub 0. Returns (node, hub, auth) after `iters` rounds.
+    *
+    * Scale shape: per round, two equi-joins from the edge list + two
+    * hash aggregations; the normalizers are 1-scalar driver hops over
+    * already-aggregated frames; both vectors are `localCheckpoint`ed
+    * per round so the plan never grows with the iteration count (the
+    * [[pageRankDirected]] discipline). */
+  def hits(edges: DataFrame, src: String, dst: String,
+           iters: Int = 5): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val out = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+    val nodes = out.select(col("src").as("node"))
+      .unionAll(out.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+      .localCheckpoint(eager = true)
+    var auth: DataFrame = null // set by the first half-step below
+    for (_ <- 1 to iters) {
+      val araw = out
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
+        .localCheckpoint(eager = true)
+      val asum = araw.agg(sum(col("raw"))).head.getDouble(0)
+      val nextAuth = nodes
+        .join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("raw"), lit(0.0)) / lit(asum)).as("auth"))
+        .localCheckpoint(eager = true)
+      val hraw = out
+        .join(nextAuth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("raw"))
+        .localCheckpoint(eager = true)
+      val hsum = hraw.agg(sum(col("raw"))).head.getDouble(0)
+      val nextHub = nodes
+        .join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("raw"), lit(0.0)) / lit(hsum)).as("hub"))
+        .localCheckpoint(eager = true)
+      graft.ops.CacheScope.freeCheckpointBlocks(hub)
+      if (auth != null) graft.ops.CacheScope.freeCheckpointBlocks(auth)
+      graft.ops.CacheScope.freeCheckpointBlocks(araw)
+      graft.ops.CacheScope.freeCheckpointBlocks(hraw)
+      hub = nextHub
+      auth = nextAuth
+    }
+    graft.ops.CacheScope.freeCheckpointBlocks(nodes)
+    graft.ops.CacheScope.register(hub.join(auth, Seq("node")))
+  }
+
   /** PERSONALIZED PageRank (Page et al. 1999's biased surfer; the
     * Pinterest/Twitter recommendation primitive): teleport AND
     * dangling mass return to the SOURCE set instead of spreading

@@ -317,6 +317,53 @@ object AnalyticsQueries {
         "LEFT JOIN c3 ON t.node = c3.node) " +
         "SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node")),
 
+    Q("a26_hits",
+      // HITS hubs & authorities (Graph.hits, 2 rounds) on the same
+      // directed supplier→part-bucket graph as a24/a25 — the natural
+      // bipartite-ish hub/authority shape (suppliers point, buckets
+      // receive). Oracle = the half-step recurrence unrolled as
+      // chained CTEs with L1 normalizers as scalar subqueries, IEEE
+      // trees mirrored, 6-decimal round.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 100)
+          .select(col("l_suppkey").as("s"),
+            pmod(col("l_partkey"), lit(100)).as("t"))
+          .filter(col("s") =!= col("t")).distinct()
+        graft.analytics.Graph.hits(edges, "s", "t", iters = 2)
+          .select(col("node"), round(col("hub"), 6).as("hub"),
+            round(col("auth"), 6).as("auth"))
+          .orderBy("node")
+      },
+      Some("WITH edges AS (SELECT DISTINCT l_suppkey AS src, " +
+        "l_partkey % 100 AS dst FROM lineitem " +
+        "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100), " +
+        "nodes AS (SELECT src AS node FROM edges " +
+        "UNION SELECT dst FROM edges), " +
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes), " +
+        "a1r AS (SELECT e.dst AS node, sum(h.hub) AS raw FROM edges e " +
+        "JOIN h0 h ON e.src = h.node GROUP BY 1), " +
+        "a1s AS (SELECT sum(raw) AS t FROM a1r), " +
+        "a1 AS (SELECT nd.node, coalesce(r.raw, 0.0) / s.t AS auth " +
+        "FROM nodes nd CROSS JOIN a1s s LEFT JOIN a1r r ON nd.node = r.node), " +
+        "h1r AS (SELECT e.src AS node, sum(a.auth) AS raw FROM edges e " +
+        "JOIN a1 a ON e.dst = a.node GROUP BY 1), " +
+        "h1s AS (SELECT sum(raw) AS t FROM h1r), " +
+        "h1 AS (SELECT nd.node, coalesce(r.raw, 0.0) / s.t AS hub " +
+        "FROM nodes nd CROSS JOIN h1s s LEFT JOIN h1r r ON nd.node = r.node), " +
+        "a2r AS (SELECT e.dst AS node, sum(h.hub) AS raw FROM edges e " +
+        "JOIN h1 h ON e.src = h.node GROUP BY 1), " +
+        "a2s AS (SELECT sum(raw) AS t FROM a2r), " +
+        "a2 AS (SELECT nd.node, coalesce(r.raw, 0.0) / s.t AS auth " +
+        "FROM nodes nd CROSS JOIN a2s s LEFT JOIN a2r r ON nd.node = r.node), " +
+        "h2r AS (SELECT e.src AS node, sum(a.auth) AS raw FROM edges e " +
+        "JOIN a2 a ON e.dst = a.node GROUP BY 1), " +
+        "h2s AS (SELECT sum(raw) AS t FROM h2r), " +
+        "h2 AS (SELECT nd.node, coalesce(r.raw, 0.0) / s.t AS hub " +
+        "FROM nodes nd CROSS JOIN h2s s LEFT JOIN h2r r ON nd.node = r.node) " +
+        "SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth " +
+        "FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

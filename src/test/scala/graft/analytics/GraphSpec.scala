@@ -79,6 +79,51 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(sum - 1.0) < 1e-9)
   }
 
+  /** Plain-Scala HITS with L1 normalization per half-step. */
+  private def localHits(edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, (Double, Double)] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val araw = es.groupBy(_._2).map { case (v, in) =>
+        v -> in.map(e => hub(e._1)).sum }
+      val asum = araw.values.sum
+      auth = nodes.map(v => v -> araw.getOrElse(v, 0.0) / asum).toMap
+      val hraw = es.groupBy(_._1).map { case (u, outE) =>
+        u -> outE.map(e => auth(e._2)).sum }
+      val hsum = hraw.values.sum
+      hub = nodes.map(v => v -> hraw.getOrElse(v, 0.0) / hsum).toMap
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  test("hits: star graph closed form and independent-iteration agreement") {
+    // 1→3, 2→3: node 3 is the only authority (auth 1), nodes 1 and 2
+    // split hub mass evenly; stable at any iteration count
+    val star = Seq((1L, 3L), (2L, 3L))
+    val got = Graph.hits(star.toDF("s", "t"), "s", "t", iters = 3)
+      .orderBy("node").as[(Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(got(0)._2 - 0.5) < 1e-12 && got(0)._3 == 0.0)
+    assert(math.abs(got(1)._2 - 0.5) < 1e-12 && got(1)._3 == 0.0)
+    assert(got(2)._2 == 0.0 && math.abs(got(2)._3 - 1.0) < 1e-12)
+    // richer graph: match the independent local implementation
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 2L), (3L, 4L))
+    val spark2 = Graph.hits(edges.toDF("s", "t"), "s", "t", iters = 4)
+      .orderBy("node").as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exp = localHits(edges, iters = 4)
+    exp.foreach { case (v, (h, a)) =>
+      assert(math.abs(spark2(v)._1 - h) < 1e-9, s"hub($v)")
+      assert(math.abs(spark2(v)._2 - a) < 1e-9, s"auth($v)")
+    }
+    // L1 normalization holds on both vectors
+    assert(math.abs(spark2.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(spark2.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   /** Independent power iteration for the PERSONALIZED model: teleport
     * and dangling mass go to the source distribution p. */
   private def personalIter(edges: Seq[(Long, Long)], sources: Set[Long],

@@ -176,6 +176,51 @@ object Graph {
     graft.ops.CacheScope.register(hub.join(auth, Seq("node")))
   }
 
+  /** EXACT triangle count via degree-ordered orientation (the
+    * Schank–Wagner / Latapy forward algorithm, join-shaped): each
+    * undirected edge is oriented from its (degree, id)-smaller
+    * endpoint to the larger, making the graph a DAG under a total
+    * order in which every triangle a<b<c appears as exactly the path
+    * a→b, a→c closed by b→c — counted once, no ÷6 correction, no
+    * duplicate pairs.
+    *
+    * Scale shape: orientation caps every node's out-degree at O(√m)
+    * (a high-degree hub receives its edges instead of fanning them
+    * out), so the wedge join generates O(m^{3/2}) candidates instead
+    * of Σdeg² — the difference between feasible and not on a
+    * power-law graph; the close check is one more equi-join
+    * (semi-join) against the oriented list. Everything is equi-joins
+    * + one aggregate: no cartesian, no driver state. */
+  def triangleCount(edges: DataFrame, u1: String, u2: String): DataFrame = {
+    val und = edges
+      .select(least(col(u1), col(u2)).as("a"),
+        greatest(col(u1), col(u2)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          col("db").as("ddeg")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+          col("da").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+    val wedges = oriented.select(col("src"), col("dst").as("v"),
+        col("ddeg").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"),
+        col("ddeg").as("dw")), Seq("src"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    wedges
+      .join(oriented.select(col("dst").as("w"), col("src").as("v")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
   /** PERSONALIZED PageRank (Page et al. 1999's biased surfer; the
     * Pinterest/Twitter recommendation primitive): teleport AND
     * dangling mass return to the SOURCE set instead of spreading

@@ -364,6 +364,28 @@ object AnalyticsQueries {
         "SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth " +
         "FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node")),
 
+    Q("a27_triangles",
+      // exact triangle count (Graph.triangleCount, degree-ordered
+      // orientation → O(m^1.5) wedges) over the undirected
+      // supplier/part-bucket graph. The oracle counts by an
+      // INDEPENDENT formulation — canonical a<b<c triple join — so
+      // agreement validates the orientation algebra end-to-end; the
+      // result is an exact integer, no float parity needed.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 100)
+          .select(col("l_suppkey").as("s"),
+            pmod(col("l_partkey"), lit(100)).as("t"))
+          .filter(col("s") =!= col("t"))
+        graft.analytics.Graph.triangleCount(edges, "s", "t")
+      },
+      Some("WITH und AS (SELECT DISTINCT " +
+        "least(l_suppkey, l_partkey % 100) AS a, " +
+        "greatest(l_suppkey, l_partkey % 100) AS b FROM lineitem " +
+        "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100) " +
+        "SELECT count(*) AS triangles FROM und x " +
+        "JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

@@ -79,6 +79,22 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(sum - 1.0) < 1e-9)
   }
 
+  test("triangleCount: closed forms and robustness to duplicate/reversed edges") {
+    def count(es: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(es.toDF("u1", "u2"), "u1", "u2")
+        .as[Long].head()
+    // K4: C(4,3) = 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(count(k4) == 4L)
+    // path: none
+    assert(count(Seq((1L, 2L), (2L, 3L))) == 0L)
+    // one closed wedge among noise
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))) == 1L)
+    // duplicates, reversals, and self-loops don't change the answer
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((2L, 2L)) ++ k4
+    assert(count(messy) == 4L)
+  }
+
   /** Plain-Scala HITS with L1 normalization per half-step. */
   private def localHits(edges: Seq[(Long, Long)],
                         iters: Int): Map[Long, (Double, Double)] = {

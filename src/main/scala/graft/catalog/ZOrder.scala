@@ -12,11 +12,11 @@ import org.apache.hadoop.fs.Path
   * column and a range predicate on EITHER prunes files (the Delta
   * `OPTIMIZE ZORDER BY` / Iceberg sort-order idea).
   *
-  * Mechanics: each column is quantized to 8-bit bins spanning its
-  * observed min..max (uniform widths — one tiny agg; a skew-heavy
-  * column would upgrade to quantile boundaries, same plumbing), the
-  * bin ids are bit-interleaved into a 16-bit z-value, and the frame is
-  * range-partitioned + sorted by z into `filesTarget` files. The zone
+  * Mechanics: each column is quantized to 8-bit bins — equi-depth
+  * (approximate-quantile boundaries, skew-robust, the default) or
+  * uniform min..max widths — the bin ids are bit-interleaved into a
+  * 16-bit z-value, and the frame is range-partitioned + sorted by z
+  * into `filesTarget` files. The zone
   * manifest (one row per file: min/max of BOTH raw columns) commits
   * through [[SnapshotManifest]], so creation is observable only at the
   * final pointer flip and [[read]] prunes from metadata without
@@ -51,15 +51,41 @@ object ZOrder {
       floor((c.cast("double") - lit(mn)) / lit(width)).cast("long")))
   }
 
-  /** Write `df` z-ordered on numeric columns (`c1`, `c2`). */
+  /** Quantile bin id: the count of boundaries ≤ v, boundaries being
+    * the column's 1/256…255/256 approximate quantiles. EQUI-DEPTH
+    * bins — on a heavy-tailed column, uniform widths collapse the
+    * dense region into one bin (its z-locality, and with it per-file
+    * zone tightness, is lost: every dense-region range query overlaps
+    * every dense file), while equi-depth spends the full bin budget
+    * where the data actually lives. One higher-order-function
+    * projection at WRITE time; no UDF. */
+  private def quantileBin(c: Column, bounds: Seq[Double]): Column =
+    size(filter(typedlit(bounds),
+      b => b <= c.cast("double"))).cast("long")
+
+  /** Write `df` z-ordered on numeric columns (`c1`, `c2`).
+    * `equiDepth = true` (default) bins each dimension by approximate
+    * quantiles (skew-robust, one approxQuantile pass per column —
+    * bounded driver memory); false uses uniform min..max widths (one
+    * tiny agg, fine for evenly spread data). The manifest stores RAW
+    * column min/max per file either way, so [[read]] is
+    * binning-agnostic. */
   def write(df: DataFrame, path: String, c1: String, c2: String,
-            filesTarget: Int = 64): Unit = {
+            filesTarget: Int = 64, equiDepth: Boolean = true): Unit = {
     val spark = df.sparkSession
-    val st = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head
-    val z = interleaveBits(
-      bin(col(c1), st.getDouble(0), st.getDouble(1)),
-      bin(col(c2), st.getDouble(2), st.getDouble(3)), Bits)
+    val n = 1 << Bits
+    def binner(name: String): Column =
+      if (equiDepth) {
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        val bounds = df.select(col(name).cast("double").as(name))
+          .stat.approxQuantile(name, probs, 0.001)
+        quantileBin(col(name), bounds.toSeq)
+      } else {
+        val st = df.agg(min(col(name)).cast("double"),
+          max(col(name)).cast("double")).head
+        bin(col(name), st.getDouble(0), st.getDouble(1))
+      }
+    val z = interleaveBits(binner(c1), binner(c2), Bits)
     df.withColumn("__z", z)
       .repartitionByRange(filesTarget, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -132,7 +132,7 @@ class ScaleSmokeSpec extends SparkSpec {
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
     val heavies = Seq("d2_ngram_jaccard", "d5_containment_pairs",
-      "e7_ivfpq_topk", "t17_lm_score")
+      "e7_ivfpq_topk", "t17_lm_score", "e10_ann_join")
     def runOnce(name: String, dir: String): Long = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()

@@ -49,6 +49,36 @@ class ZOrderSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.contains("y"))
   }
 
+  test("equi-depth binning keeps dense-region skipping under heavy skew") {
+    // 99% of x lives in [0, 100); 1% is a 1e9-scale tail. Uniform bins
+    // collapse the dense region into bin 0 — every dense-region range
+    // query then overlaps every dense file — while equi-depth bins
+    // spend the budget where the data is.
+    val skew = spark.range(0, 10000).select($"id",
+      when($"id" % 100 =!= 99, $"id" % 100)
+        .otherwise(lit(1000000000L) + $"id").cast("long").as("x"),
+      ($"id" / 100).cast("long").as("y"))
+    val uDir = Files.createTempDirectory("graft_zskew_u").toString + "/t"
+    val qDir = Files.createTempDirectory("graft_zskew_q").toString + "/t"
+    ZOrder.write(skew, uDir, "x", "y", filesTarget = 16, equiDepth = false)
+    ZOrder.write(skew, qDir, "x", "y", filesTarget = 16)
+    val xSlice = Some((lit(10L), lit(19L))) // 10% of the dense region
+    val uPruned = ZOrder.pruneZones(spark, uDir, xSlice, None).count()
+    val uTotal = ZOrder.manifest(spark, uDir).count()
+    val qPruned = ZOrder.pruneZones(spark, qDir, xSlice, None).count()
+    val qTotal = ZOrder.manifest(spark, qDir).count()
+    info(s"uniform: $uPruned/$uTotal files; equi-depth: $qPruned/$qTotal")
+    assert(qPruned <= qTotal / 2,
+      s"equi-depth x-slice touched $qPruned of $qTotal files")
+    assert(qPruned.toDouble / qTotal < uPruned.toDouble / uTotal,
+      "equi-depth must out-prune uniform binning under skew")
+    // correctness is binning-agnostic
+    val got = ZOrder.read(spark, qDir, "x", "y", c1Range = xSlice)
+      .select($"id").as[Long].collect().toSet
+    assert(got == skew.filter($"x".between(10, 19))
+      .select($"id").as[Long].collect().toSet)
+  }
+
   test("file skipping works on BOTH dimensions — the property a linear sort lacks") {
     val dir = Files.createTempDirectory("graft_zorder_skip").toString + "/t"
     ZOrder.write(grid, dir, "x", "y", filesTarget = 16)

@@ -527,6 +527,42 @@ object DomainQueries {
         "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) " +
         "BETWEEN 8800 AND 9300 GROUP BY 1 ORDER BY 1")),
 
+    Q("s17_bucketed_join",
+      // storage-co-located join (Bucketing): both sides persisted
+      // bucketed + per-bucket-sorted on the join key, then equi-joined
+      // with the shuffle-free contract ENFORCED in-plan —
+      // colocatedJoin throws on any Exchange under the join, so this
+      // gate fails if the zero-shuffle property ever regresses — and
+      // the result still equals the plain join. Plan shape also
+      // pinned by BucketingSpec.
+      (s, dir) => {
+        val tag = Integer.toHexString(s.sparkContext.applicationId.hashCode) +
+          "_" + Integer.toHexString(dir.hashCode)
+        val base = System.getProperty("java.io.tmpdir") + "/graft_bucketed_" + tag
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.catalog.Bucketing.writeBucketed(
+          li, s"li_bkt_$tag", base + "/li", "l_orderkey", 8)
+        graft.catalog.Bucketing.writeBucketed(
+          o, s"o_bkt_$tag", base + "/o", "l_orderkey", 8)
+        graft.catalog.Bucketing.colocatedJoin(
+            s, s"li_bkt_$tag", s"o_bkt_$tag", "l_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

@@ -198,6 +198,23 @@ object PipelineQueries {
         "JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2) " +
         "WHERE c >= 0.9 ORDER BY id1, id2")),
 
+    Q("d8_edit_pairs",
+      // exact Levenshtein ≤ 10 pairs (Dedup.editDistancePairs): the
+      // q-gram count bound + length band generate candidates from an
+      // inverted index (never all-pairs); each survivor is verified
+      // with one τ-bounded levenshtein. The oracle computes the same
+      // measure the direct way — DuckDB's levenshtein over the
+      // length-banded pairs — so the prefilter's exactness (no lost
+      // pair, no false positive) is what this gate pins.
+      (s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"),
+          "doc_id", "text", tau = 10, q = 3)
+        .orderBy("id1", "id2"),
+      Some("SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +
+        "AND abs(length(a.text) - length(b.text)) <= 10 " +
+        "WHERE levenshtein(a.text, b.text) <= 10 ORDER BY 1, 2")),
+
     Q("t5_vocabulary",
       // corpus vocabulary stats: term frequency + document frequency
       (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")

@@ -466,4 +466,94 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+
+  /** EXACT edit-distance pairs: all (id1 < id2) with
+    * levenshtein(a, b) ≤ `tau`, NEVER by comparing all pairs. The
+    * typo/near-identical-revision dedup measure — set-based measures
+    * (Jaccard/containment) are blind to small in-word edits that
+    * shift every surrounding shingle.
+    *
+    * Candidate generation (Gravano et al., "Approximate string joins
+    * in a database (almost) for free", VLDB 2001; bound per Ukkonen
+    * 1992): ed(a,b) ≤ τ ⇒ (i) lengths differ by ≤ τ, and (ii) their
+    * char-q-gram MULTISETS share ≥ max(|a|,|b|) − q + 1 − q·τ
+    * occurrences. So: explode each string to hashed q-grams with
+    * per-doc occurrence counts, inverted-index self-join on the 8-byte
+    * gram hash with the length band applied in the join condition,
+    * sum of per-gram min-counts = multiset intersection, keep pairs
+    * meeting the count bound, and verify each survivor with ONE
+    * τ-bounded levenshtein (O(τ·len) per pair, not O(len²)).
+    *
+    * Strings short enough that the count bound is vacuous
+    * (max len ≤ q·(τ+1) − 1 — such a pair can share ZERO q-grams and
+    * still be within τ) go through a separate short-band pass joined
+    * only on the length band; the gram path excludes them, so the
+    * union is exact and duplicate-free. For q ≥ 2 a string with no
+    * grams at all (len < q) can only pair within the short band,
+    * so nothing is missed.
+    *
+    * Scale: the inverted-index join shuffles (gram-hash, count) longs;
+    * `maxDf` caps hot grams (df docs → O(df²) candidate pairs) as an
+    * explicit RECALL control — dropping a gram only loses candidates,
+    * never admits a false positive (the exact verify guards). The
+    * short band is a self-join over only the ≤ q·(τ+1)−1-char strings
+    * — a negligible slice of a real corpus; cap τ to keep it so. */
+  def editDistancePairs(df0: DataFrame, id: String, text: String,
+                        tau: Int, q: Int = 3,
+                        maxDf: Option[Int] = None): DataFrame = {
+    require(q >= 2, s"q must be >= 2 for the short-band split, got $q")
+    val df = Kernels.ensureParallelism(df0)
+    // texts read by gram build + both verify probes — one scan, cached
+    val base = CacheScope.persist(df.select(
+      col(id), col(text).as("__t"), length(col(text)).as("__len")))
+    val shortMax = q * (tau + 1) - 1
+    val idxs = when(col("__len") >= q,
+        sequence(lit(1), col("__len") - (q - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams0 = base.select(col(id), col("__len"),
+        explode(transform(idxs,
+          i => xxhash64(col("__t").substr(i, lit(q))))).as("g"))
+      .groupBy(col(id), col("__len"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val grams = maxDf match {
+      case Some(cap) =>
+        val hot = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("g")
+        grams0.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => grams0
+    }
+    val a = grams.select(col(id).as("id1"), col("__len").as("len1"),
+      col("g"), col("c").as("c1"))
+    val b = grams.select(col(id).as("id2"), col("__len").as("len2"),
+      col("g"), col("c").as("c2"))
+    val gramCand = a.join(b, Seq("g"))
+      .filter(col("id1") < col("id2") &&
+        abs(col("len1") - col("len2")) <= tau &&
+        greatest(col("len1"), col("len2")) > shortMax)
+      .groupBy(col("id1"), col("id2"), col("len1"), col("len2"))
+      .agg(sum(least(col("c1"), col("c2"))).as("ix"))
+      .filter(col("ix") >=
+        greatest(col("len1"), col("len2")) - lit(q - 1) - lit(q * tau))
+      .select(col("id1"), col("id2"))
+    // short band: equi-join on a length bin of width τ+1 (pairs within
+    // τ land in the same or adjacent bins; left exploded to ±1 bins →
+    // each pair matches exactly once) — no nested-loop/cartesian plan
+    val binW = tau + 1
+    val shorts = base.filter(col("__len") <= shortMax).select(col(id),
+      col("__len"), (col("__len") / binW).cast("long").as("__bin"))
+    val shortCand = shorts.select(col(id).as("id1"), col("__len").as("len1"),
+        explode(array(col("__bin") - 1, col("__bin"), col("__bin") + 1))
+          .as("__bin"))
+      .join(shorts.select(col(id).as("id2"), col("__len").as("len2"),
+        col("__bin")), Seq("__bin"))
+      .filter(col("id1") < col("id2") &&
+        abs(col("len1") - col("len2")) <= tau)
+      .select(col("id1"), col("id2"))
+    gramCand.unionByName(shortCand)
+      .join(base.select(col(id).as("id1"), col("__t").as("__t1")), Seq("id1"))
+      .join(base.select(col(id).as("id2"), col("__t").as("__t2")), Seq("id2"))
+      .withColumn("ed", levenshtein(col("__t1"), col("__t2"), tau))
+      .filter(col("ed").between(0, tau)) // bounded DP returns -1 past tau
+      .select(col("id1"), col("id2"), col("ed").cast("long").as("ed"))
+  }
 }

@@ -89,6 +89,36 @@ class PipelineSpec extends SparkSpec {
     assert(sh.count() == 0)
   }
 
+  test("editDistancePairs equals brute force, including the short band") {
+    // mixed corpus: long strings (gram path), tiny strings below the
+    // vacuous-bound cutoff (short band: q=2, tau=3 → shortMax=7), and
+    // an out-of-band unrelated long string
+    val strs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumped over the lazy dog", // ed 2
+      3L -> "a completely different sentence with other words here",
+      4L -> "cat", 5L -> "cart", 6L -> "carts", 7L -> "dog",
+      8L -> "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    val tau = 3
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (i1, s1) <- strs; (i2, s2) <- strs
+      if i1 < i2 && lev(s1, s2) <= tau
+    } yield (i1, i2, lev(s1, s2).toLong)).toSet
+    val got = Dedup.editDistancePairs(strs.toDF("doc_id", "text"),
+        "doc_id", "text", tau = tau, q = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.contains((1L, 2L, 2L)) && expected.contains((4L, 5L, 1L)))
+  }
+
   test("ngramJaccard finds the near-dup pair and not the unrelated doc") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

@@ -277,4 +277,53 @@ object Graph {
     graft.ops.CacheScope.freeCheckpointBlocks(nodes)
     (graft.ops.CacheScope.register(pr), it, delta <= tol)
   }
+
+  /** Unweighted BFS hop distances from a source set over an
+    * undirected edge list: (node, hop) for every node within
+    * `maxHops` of any source, hop = the MINIMUM edge count to reach
+    * it (0 for the sources themselves). Multi-source is the
+    * "distance to nearest seed" shape (contamination radius around
+    * known-bad documents, social distance from a trust set);
+    * single-source is the classic reachability probe.
+    *
+    * Frontier expansion, the scalable BFS on a shuffle engine: round
+    * k joins the CURRENT frontier (only the nodes first reached at
+    * hop k−1, not the whole settled set) to the adjacency list, then
+    * anti-joins out already-settled nodes — each edge is traversed at
+    * most twice over the whole run, and per-round work shrinks with
+    * the frontier. Both the settled set and the frontier are
+    * `localCheckpoint`ed per round (the [[pageRankDirected]]
+    * discipline) so the plan never grows with the hop count; the
+    * only driver hop is the per-round frontier count (1 scalar),
+    * which doubles as the termination probe. */
+  def bfsHops(edges: DataFrame, u1: String, u2: String,
+              sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "bfsHops: maxHops must be >= 0")
+    require(sources.nonEmpty, "bfsHops: need at least one source")
+    val spark = edges.sparkSession
+    val adj = edges.select(col(u1).as("src"), col(u2).as("dst"))
+      .union(edges.select(col(u2).as("src"), col(u1).as("dst")))
+    import spark.implicits._
+    var settled = sources.distinct.toDF("node")
+      .select(col("node").cast("long").as("node"), lit(0L).as("hop"))
+      .localCheckpoint(eager = true)
+    var frontier = settled.select(col("node"))
+    var hop = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && hop < maxHops) {
+      hop += 1
+      val next = adj.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("hop"))
+        .localCheckpoint(eager = true)
+      val grown = settled.unionByName(next).localCheckpoint(eager = true)
+      graft.ops.CacheScope.freeCheckpointBlocks(settled)
+      graft.ops.CacheScope.freeCheckpointBlocks(frontier)
+      settled = grown
+      frontier = next.select(col("node"))
+      frontierSize = next.count()
+    }
+    graft.ops.CacheScope.register(settled)
+  }
 }

@@ -386,6 +386,36 @@ object AnalyticsQueries {
         "SELECT count(*) AS triangles FROM und x " +
         "JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b")),
 
+    Q("a28_bfs_hops",
+      // BFS hop distances from node 1 over the a21 friend graph
+      // (Graph.bfsHops, frontier expansion, ≤ 4 hops). The oracle is
+      // an INDEPENDENT formulation — DuckDB's recursive CTE
+      // enumerates (node, hop) reachability rows and takes min(hop)
+      // — so agreement validates the frontier/anti-join algebra, not
+      // just a mirrored computation. Exact integers, no float parity.
+      (s, dir) => {
+        val edges = graft.ops.Kernels.normalizeEdge(
+          Tables.load(s, dir, "lineitem").filter(col("l_suppkey") <= 100)
+            .select(col("l_suppkey").as("a"),
+              pmod(col("l_partkey"), lit(100)).as("b")),
+          "a", "b").filter(col("u1") =!= col("u2")).distinct()
+        graft.analytics.Graph.bfsHops(edges, "u1", "u2",
+            sources = Seq(1L), maxHops = 4)
+          .orderBy("node")
+      },
+      Some("WITH RECURSIVE edges AS (SELECT DISTINCT " +
+        "least(l_suppkey, l_partkey % 100) AS u1, " +
+        "greatest(l_suppkey, l_partkey % 100) AS u2 FROM lineitem " +
+        "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100), " +
+        "adj AS (SELECT u1 AS src, u2 AS dst FROM edges " +
+        "UNION ALL SELECT u2, u1 FROM edges), " +
+        "reach(node, hop) AS (" +
+        "SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop " +
+        "UNION " +
+        "SELECT a.dst, r.hop + 1 FROM reach r JOIN adj a ON r.node = a.src " +
+        "WHERE r.hop < 4) " +
+        "SELECT node, min(hop) AS hop FROM reach GROUP BY 1 ORDER BY 1")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

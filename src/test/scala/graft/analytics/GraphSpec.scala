@@ -189,4 +189,26 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(got(v) - x) < 1e-8, s"node $v: got ${got(v)} want $x")
     }
   }
+
+  test("bfsHops: ring closed form, multi-source min, maxHops cutoff") {
+    // 8-ring: hop(v) from source 0 = min(v, 8-v)
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "t")
+    val got = Graph.bfsHops(ring, "s", "t", sources = Seq(0L), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 8L).map(v => v -> math.min(v, 8 - v)).toMap)
+    // multi-source: distance to the NEAREST of {0, 4} on the same ring
+    val multi = Graph.bfsHops(ring, "s", "t", sources = Seq(0L, 4L),
+      maxHops = 10).as[(Long, Long)].collect().toMap
+    assert(multi == (0L until 8L).map(v =>
+      v -> math.min(math.min(v, 8 - v), math.abs(v - 4))).toMap)
+    // maxHops truncates the expansion: only hops ≤ 2 survive
+    val cut = Graph.bfsHops(ring, "s", "t", sources = Seq(0L), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(cut == got.filter(_._2 <= 2), cut.toString)
+    // disconnected component is never reached
+    val twoComp = Seq((1L, 2L), (10L, 11L)).toDF("s", "t")
+    val reach = Graph.bfsHops(twoComp, "s", "t", sources = Seq(1L),
+      maxHops = 5).as[(Long, Long)].collect().toMap
+    assert(reach == Map(1L -> 0L, 2L -> 1L))
+  }
 }

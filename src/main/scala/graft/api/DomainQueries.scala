@@ -616,6 +616,36 @@ object DomainQueries {
         "WHERE l_linenumber = 1) GROUP BY 1, 2 HAVING count(*) > 1)) " +
         "ORDER BY check_name")),
 
+    Q("v2_profile",
+      // column profiling (Profile.profile): one aggregation pass
+      // produces every column's row/null/distinct counts, stringified
+      // min/max, and exact-decimal mean, unpivoted to long format.
+      // The date column is pre-projected (timestamp→date) so the
+      // string rendering is engine-neutral; means follow the
+      // DECIMAL(27,6)-sum parity convention.
+      (s, dir) => graft.analytics.Profile.profile(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"), to_date(col("l_shipdate")).as("ship")),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "ship"))
+        .orderBy("col_name"),
+      Some(Seq(
+        ("l_orderkey", "l_orderkey", true),
+        ("l_quantity", "l_quantity", true),
+        ("l_returnflag", "l_returnflag", false),
+        ("ship", "CAST(l_shipdate AS DATE)", false)).map {
+          case (name, expr, numeric) =>
+            val mean = if (numeric)
+              s"round(CAST(sum(CAST($expr AS DECIMAL(27,6))) AS DOUBLE) " +
+                s"/ count($expr), 6)"
+            else "CAST(NULL AS DOUBLE)"
+            s"SELECT '$name' AS col_name, count(*) AS n_rows, " +
+              s"count(*) - count($expr) AS n_nulls, " +
+              s"count(DISTINCT $expr) AS n_distinct, " +
+              s"CAST(min($expr) AS VARCHAR) AS min_s, " +
+              s"CAST(max($expr) AS VARCHAR) AS max_s, " +
+              s"$mean AS mean FROM lineitem"
+        }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
+
     Q("u11_scd2",
       // type-2 slowly-changing-dimension historization: the orders
       // stream as a per-customer changelog of (status, priority), no-op

@@ -71,4 +71,38 @@ object Behavior {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** BATCH gap-based sessionization — the historical-reprocessing
+    * complement of [[graft.streaming.Streams]]' stateful sessionize
+    * (st2): a session breaks where the gap since the user's previous
+    * event exceeds `gapMinutes`. One row per session: (user,
+    * session_id (1-based per user), session_start, session_end,
+    * n_events).
+    *
+    * Shape: lag + running-sum windows partitioned by the USER KEY
+    * ONLY (shuffles once on user, never a global single-partition
+    * window), then one hash aggregation on (user, session_id). Gap
+    * arithmetic is µs-exact (the event log's precision). Both windows
+    * keep the default RANGE frame over the event time, so rows tied
+    * on (user, ts) — duplicate ticks — deterministically land in the
+    * same session with the same id regardless of physical order, and
+    * the output needs no tie-break column to be stable. */
+  def sessionize(events: DataFrame, user: String, time: String,
+                 gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(col(time))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.select(col(user), col(time))
+      .withColumn("__new",
+        when(col(time).isNull, lit(0L)) // null ts: degenerate, one bucket
+          .when(lag(col(time), 1).over(w).isNull, lit(1L))
+          .when(unix_micros(col(time)) -
+            unix_micros(lag(col(time), 1).over(w)) > gapUs, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("__new")).over(w))
+      .groupBy(col(user), col("session_id"))
+      .agg(min(col(time)).as("session_start"),
+        max(col(time)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

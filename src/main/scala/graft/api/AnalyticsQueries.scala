@@ -416,6 +416,27 @@ object AnalyticsQueries {
         "WHERE r.hop < 4) " +
         "SELECT node, min(hop) AS hop FROM reach GROUP BY 1 ORDER BY 1")),
 
+    Q("a29_sessions",
+      // BATCH gap sessionization (Behavior.sessionize, 30-min gap)
+      // over the event log — the historical complement of the st2
+      // streaming sessionizer. Both engines break sessions on the
+      // same µs-exact gap predicate; the RANGE-framed running sum
+      // keeps duplicate-timestamp rows in one deterministic session,
+      // so no tie-break column is needed for hash parity.
+      (s, dir) => graft.analytics.Behavior.sessionize(
+          Tables.load(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+        .orderBy("user_id", "session_id"),
+      Some("WITH l AS (SELECT user_id, ts, lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
+        "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(pts) > 30*60*1000000 THEN 1 ELSE 0 END " +
+        "AS nf FROM l), " +
+        "s AS (SELECT user_id, ts, sum(nf) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) AS session_id FROM f) " +
+        "SELECT user_id, session_id, min(ts) AS session_start, " +
+        "max(ts) AS session_end, count(*) AS n_events FROM s " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

@@ -62,6 +62,25 @@ class BehaviorSpec extends SparkSpec {
     assert(b == Seq((1L, "signup", 1L), (2L, "view", 1L)))
   }
 
+  test("sessionize: gap breaks, boundary-exact gap keeps, ties share a session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:20:00")),  // 20 min < 30 → same session
+      (1L, ts("2024-01-01 10:50:00")),  // exactly 30 min → same (strict >)
+      (1L, ts("2024-01-01 12:00:00")),  // 70 min → new session
+      (1L, ts("2024-01-01 12:00:00")),  // duplicate tick → same session
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "t")
+    val got = Behavior.sessionize(ev, "user_id", "t", gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 3L),
+      (1L, 2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 2L),
+      (2L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L)),
+      got.toString)
+  }
+
   test("cohortRetention: Monday-aligned cohorts, integer week offsets") {
     val events = Seq(
       // 2024-01-01 is a Monday; u1 active weeks 0, 1, 3

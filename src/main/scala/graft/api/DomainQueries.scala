@@ -684,6 +684,44 @@ object DomainQueries {
         "valid_to IS NULL AS is_current FROM v " +
         "ORDER BY custkey, valid_from, status, prio, valid_to")),
 
+    Q("u12_merge",
+      // full three-clause ANSI MERGE (Kernels.merge3): a CDC-style
+      // source batch carries repriced existing orders (every 7th key,
+      // price doubled) and brand-new orders (every 11th key, shifted
+      // id) — matched rows whose source price exceeds 350k DELETE,
+      // the rest of the matched UPDATE to the source row, unmatched
+      // source rows INSERT. One full-outer join on the key; the
+      // oracle is the same clause routing as an explicit FULL OUTER
+      // + CASE, so the flag algebra (not a mirrored impl) is pinned.
+      (s, dir) => {
+        val tgt = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val src = tgt.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(tgt.filter(col("o_orderkey") % 11 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), lit(100.0).as("o_totalprice")))
+        graft.ops.Kernels.merge3(tgt, src, Seq("o_orderkey"),
+            deleteWhen = Some(col("s.o_totalprice") > 350000.0))
+          .orderBy("o_orderkey")
+      },
+      Some("WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM orders), " +
+        "src AS (SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice * 2 AS o_totalprice FROM tgt WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, 'N', 100.0 FROM tgt " +
+        "WHERE o_orderkey % 11 = 0) " +
+        "SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus " +
+        "ELSE t.o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice " +
+        "ELSE t.o_totalprice END AS o_totalprice " +
+        "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey " +
+        "WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL " +
+        "AND s.o_totalprice > 350000.0) " +
+        "ORDER BY o_orderkey")),
+
     Q("p5_ilike_search",
       // case-insensitive substring page (users.js:50-53)
       (s, dir) => t(s, dir, "customer")

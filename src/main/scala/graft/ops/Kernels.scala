@@ -89,6 +89,50 @@ object Kernels {
       .unionByName(srcAligned)
   }
 
+  /** Full three-clause ANSI MERGE — the general form of [[upsert]]
+    * (the reference only ever needs ON CONFLICT DO UPDATE/NOTHING;
+    * a warehouse CDC-applies changelogs with all three clauses):
+    *
+    *   MERGE INTO target t USING src s ON keys
+    *     WHEN MATCHED AND deleteWhen THEN DELETE
+    *     WHEN MATCHED [AND updateWhen] THEN UPDATE SET * (source wins)
+    *     WHEN NOT MATCHED [AND insertWhen] THEN INSERT *
+    *
+    * Clause conditions are Columns over the ALIASED sides — reference
+    * target columns as `col("t.x")`, source as `col("s.x")` (clause
+    * order is the ANSI one: delete is tested before update; a matched
+    * row failing both conditions is kept unchanged).
+    *
+    * ONE full-outer shuffle join on the keys (each side scanned
+    * once); with both sides bucketed on the key it is shuffle-free.
+    * Matching is plain equality (ANSI): null keys never match — a
+    * null-keyed target row survives, a null-keyed source row inserts.
+    * Presence is tracked with literal flags, not key nullability, so
+    * nullable keys don't corrupt clause routing. Requires `src`
+    * key-unique ([[dedupExactKeys]] upstream), else matched rows fan
+    * out — same contract as [[upsert]].
+    */
+  def merge3(target: DataFrame, src: DataFrame, keys: Seq[String],
+             deleteWhen: Option[Column] = None,
+             updateWhen: Option[Column] = None,
+             insertWhen: Option[Column] = None): DataFrame = {
+    val cols = target.columns.toSeq
+    val t = target.withColumn("__te", lit(1)).as("t")
+    val s = src.select(cols.map(col): _*).withColumn("__se", lit(1)).as("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val matched = col("t.__te").isNotNull && col("s.__se").isNotNull
+    val srcOnly = col("t.__te").isNull
+    val doDelete = deleteWhen.fold(lit(false))(matched && _)
+    val doUpdate = updateWhen.fold(matched)(matched && _) && !doDelete
+    val doInsert = insertWhen.fold(srcOnly)(srcOnly && _)
+    t.join(s, joinCond, "full_outer")
+      .filter((matched && !doDelete) || col("s.__se").isNull || doInsert)
+      .select(cols.map(c =>
+        when(doUpdate || srcOnly, col(s"s.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
   /** Insert-if-absent — `ON CONFLICT DO NOTHING` (reference
     * `users.js:208-213` friend edge, `stocks.js:137-142` symbol dim,
     * `lists.js:388-395` share grant). Existing target rows win.

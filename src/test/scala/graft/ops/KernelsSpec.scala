@@ -116,6 +116,43 @@ class KernelsSpec extends SparkSpec {
     assert(capped == Seq((1, 2, 1L), (1, 3, 1L)))
   }
 
+  test("merge3 routes all five clause paths, null keys never match") {
+    val tgt = Seq[(java.lang.Long, String, Double)](
+      (1L, "keep", 1.0),    // no source match → unchanged
+      (2L, "upd", 2.0),     // matched, update condition true → source row
+      (3L, "del", 9.0),     // matched, delete condition true → gone
+      (4L, "skip", 4.0),    // matched, neither condition → unchanged
+      (null, "tnull", 0.0)  // null key → never matches, survives
+    ).toDF("k", "v", "x")
+    val src = Seq[(java.lang.Long, String, Double)](
+      (2L, "updated", 2.5),
+      (3L, "doomed", 9.9),
+      (4L, "blocked", 4.4),
+      (5L, "inserted", 5.0),
+      (6L, "filtered", 6.0),  // insert condition false → not inserted
+      (null, "snull", 7.0)    // null key → NOT MATCHED path
+    ).toDF("k", "v", "x")
+    val got = Kernels.merge3(tgt, src, Seq("k"),
+        deleteWhen = Some(col("s.v") === "doomed"),
+        updateWhen = Some(col("s.x") < 3.0),
+        insertWhen = Some(col("s.v") =!= "filtered"))
+      .as[(Option[Long], String, Double)].collect().toSet
+    assert(got == Set(
+      (Some(1L), "keep", 1.0), (Some(2L), "updated", 2.5),
+      (Some(4L), "skip", 4.0), (Some(5L), "inserted", 5.0),
+      (None, "tnull", 0.0), (None, "snull", 7.0)), got.toString)
+  }
+
+  test("merge3 defaults degenerate to upsert semantics") {
+    val tgt = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val src = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val got = Kernels.merge3(tgt, src, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    val ups = Kernels.upsert(tgt, src, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == ups && got == Set((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
   test("existsFlags: missing grants coalesce to false") {
     val rows = Seq(1, 2, 3).toDF("k")
     val grants = Seq((1, 10), (1, 20), (2, 10)).toDF("k", "uid")

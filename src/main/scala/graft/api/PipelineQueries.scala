@@ -360,6 +360,27 @@ object PipelineQueries {
         "SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
         "FROM r WHERE rn <= 40 GROUP BY 1 ORDER BY 1")),
 
+    Q("t20_topk_groups",
+      // bounded-heap top-k per group (Kernels.topKPerKeyAgg /
+      // TopKAgg.topk_rows): the 3 highest-priced lineitems per
+      // returnflag under a TOTAL order (price, orderkey, linenumber)
+      // — computed as a mergeable k-row aggregate that partial-combines
+      // map-side (TopKAggSpec pins the ObjectHashAggregate plan with
+      // no window sort), while the oracle ranks the classic way with
+      // row_number. Agreement pins the heap/merge algebra against an
+      // independent formulation.
+      (s, dir) => graft.ops.Kernels.topKPerKeyAgg(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          k = 3)
+        .orderBy("l_returnflag", "l_extendedprice", "l_orderkey"),
+      Some("SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber " +
+        "FROM lineitem QUALIFY row_number() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) " +
+        "<= 3 ORDER BY l_returnflag, l_extendedprice, l_orderkey")),
+
     Q("t17_lm_score",
       // corpus-trained bigram-LM negative log likelihood per doc (the
       // perplexity quality filter): add-0.5 smoothed transition

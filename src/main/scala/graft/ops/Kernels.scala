@@ -69,6 +69,25 @@ object Kernels {
       .drop("__rn")
   }
 
+  /** [[topKPerKey]] without the per-key sort: the bounded-heap
+    * aggregate [[graft.functions.TopKAgg.topk_rows]] carries at most
+    * k rows per group through a partial/final combine, so the map
+    * side discards everything below each partition's local top-k and
+    * the shuffle moves O(keys · k) rows regardless of group size —
+    * use this form when groups are large or skewed (a window sort
+    * moves and sorts EVERY group row; at 100 TB that is the fact
+    * table). Same result as [[topKPerKey]] given the same total
+    * `ord` (largest-first on each ord column; add tie-breaks for a
+    * total order, exactly as a window needs). */
+  def topKPerKeyAgg(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+                    k: Int): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKAgg.topk_rows(payload, ord, k).as("__top"))
+      .select(explode(col("__top")).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** MERGE/upsert semantics — the reference's `INSERT … ON CONFLICT DO
     * UPDATE` (`lists.js:483-491` stockin shares, `portfolio.js:427-445`
     * statistics_cache write-back).

@@ -278,6 +278,60 @@ object Graph {
     (graft.ops.CacheScope.register(pr), it, delta <= tol)
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983;
+    * distributed peeling per Montresor et al. 2013): repeatedly drop
+    * every node whose degree in the CURRENT subgraph is < k, until
+    * none remains (the fixpoint is the k-core: the maximal subgraph
+    * with all degrees ≥ k) or `maxRounds` peels have run — whichever
+    * first. Returns (survivors with their in-core degree, rounds
+    * peeled, converged). A capped run returns the round-`maxRounds`
+    * subgraph — deterministic at ANY data scale, which is what lets
+    * the driver gate unroll the same fixed rounds in SQL; once
+    * converged, further rounds are no-ops, so the cap only matters
+    * pre-convergence.
+    *
+    * Scale shape: per round, one degree aggregation + two anti-joins
+    * of the edge list against the sub-threshold node set — all
+    * equi-joins on node ids; the edge list is `localCheckpoint`ed per
+    * round so the plan never grows. The only driver hop is the
+    * per-round sub-threshold count (1 scalar, the termination probe).
+    * Peeling removes whole frontiers per round, so round count is
+    * bounded by the degeneracy ordering's depth, not node count —
+    * small in practice even on web graphs. */
+  def kCore(edges: DataFrame, u1: String, u2: String, k: Int,
+            maxRounds: Int = 20): (DataFrame, Int, Boolean) = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(maxRounds >= 0, "kCore: maxRounds must be >= 0")
+    var und = edges.select(least(col(u1), col(u2)).as("u1"),
+        greatest(col(u1), col(u2)).as("u2"))
+      .filter(col("u1") =!= col("u2")).distinct()
+      .localCheckpoint(eager = true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u1").as("node")).unionAll(e.select(col("u2").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val bad = degrees(und).filter(col("deg") < k).select(col("node"))
+      if (bad.isEmpty) converged = true
+      else {
+        val peeled = und
+          .join(bad.withColumnRenamed("node", "u1"), Seq("u1"), "left_anti")
+          .join(bad.withColumnRenamed("node", "u2"), Seq("u2"), "left_anti")
+          .select(col("u1"), col("u2"))
+          .localCheckpoint(eager = true)
+        graft.ops.CacheScope.freeCheckpointBlocks(und)
+        und = peeled
+        rounds += 1
+      }
+    }
+    // the cap round may itself have reached the fixpoint — report that
+    // accurately (one cheap agg over the already-peeled edge list)
+    if (!converged)
+      converged = degrees(und).filter(col("deg") < k).isEmpty
+    (graft.ops.CacheScope.register(degrees(und)), rounds, converged)
+  }
+
   /** Unweighted BFS hop distances from a source set over an
     * undirected edge list: (node, hop) for every node within
     * `maxHops` of any source, hop = the MINIMUM edge count to reach

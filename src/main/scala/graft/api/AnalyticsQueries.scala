@@ -416,6 +416,42 @@ object AnalyticsQueries {
         "WHERE r.hop < 4) " +
         "SELECT node, min(hop) AS hop FROM reach GROUP BY 1 ORDER BY 1")),
 
+    Q("a30_kcore",
+      // k-core by iterative peeling (Graph.kCore, k=16, round cap 5)
+      // over the THINNED co-occurrence graph (pairs co-occurring ≥ 15
+      // times — the full graph is complete and peel-trivial). At this
+      // SF peeling converges in 3 rounds (93 survivors); the oracle
+      // unrolls exactly 5 peel rounds as chained CTEs — no-ops after
+      // the fixpoint — so the capped operator matches at any scale.
+      // Exact integers end to end.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 100)
+          .select(col("l_suppkey").as("a"),
+            pmod(col("l_partkey"), lit(100)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(least(col("a"), col("b")).as("u1"),
+            greatest(col("a"), col("b")).as("u2"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 15)
+        graft.analytics.Graph.kCore(edges, "u1", "u2", k = 16,
+            maxRounds = 5)._1
+          .orderBy("node")
+      },
+      Some {
+        val und = "SELECT least(l_suppkey, l_partkey % 100) AS u1, " +
+          "greatest(l_suppkey, l_partkey % 100) AS u2 FROM lineitem " +
+          "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100 " +
+          "GROUP BY 1, 2 HAVING count(*) >= 15"
+        def deg(i: Int) = s"d$i AS (SELECT node, count(*) AS deg FROM " +
+          s"(SELECT u1 AS node FROM e$i UNION ALL SELECT u2 FROM e$i) GROUP BY 1)"
+        def peel(i: Int) = s"e${i + 1} AS (SELECT * FROM e$i WHERE " +
+          s"u1 NOT IN (SELECT node FROM d$i WHERE deg < 16) AND " +
+          s"u2 NOT IN (SELECT node FROM d$i WHERE deg < 16))"
+        "WITH e0 AS (" + und + "), " +
+          (0 until 5).map(i => deg(i) + ", " + peel(i)).mkString(", ") +
+          ", " + deg(5) + " SELECT node, deg FROM d5 ORDER BY node"
+      }),
+
     Q("a29_sessions",
       // BATCH gap sessionization (Behavior.sessionize, 30-min gap)
       // over the event log — the historical complement of the st2

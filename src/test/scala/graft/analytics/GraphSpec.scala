@@ -190,6 +190,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCore: clique survives, pendant chain peels in cascade, cap truncates") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5-6: 2-core = the clique
+    // (node 6 peels first, exposing 5 — a genuine multi-round cascade)
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "t")
+    val (core, rounds, converged) = Graph.kCore(edges, "s", "t", k = 2)
+    val got = core.as[(Long, Long)].collect().toMap
+    assert(converged && rounds == 2, s"rounds=$rounds")
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // k above the max degree empties the graph
+    val (empty, _, conv2) = Graph.kCore(edges, "s", "t", k = 10)
+    assert(conv2 && empty.isEmpty)
+    // cap mid-cascade: one round only peels node 6; 5 still present
+    val (capped, r3, conv3) = Graph.kCore(edges, "s", "t", k = 2,
+      maxRounds = 1)
+    assert(!conv3 && r3 == 1)
+    assert(capped.as[(Long, Long)].collect().toMap.contains(5L))
+    // duplicate + reversed edges don't double-count degrees
+    val dup = edges.unionAll(Seq((2L, 1L), (1L, 2L)).toDF("s", "t"))
+    val (core2, _, _) = Graph.kCore(dup, "s", "t", k = 2)
+    assert(core2.as[(Long, Long)].collect().toMap == got)
+  }
+
   test("bfsHops: ring closed form, multi-source min, maxHops cutoff") {
     // 8-ring: hop(v) from source 0 = min(v, 8-v)
     val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "t")

@@ -332,6 +332,52 @@ object Graph {
     (graft.ops.CacheScope.register(degrees(und)), rounds, converged)
   }
 
+  /** Weighted single/multi-source shortest paths by Bellman-Ford
+    * relaxation rounds over a DIRECTED edge list: after round R,
+    * `cost(v)` is the cheapest path from any source to `v` using at
+    * most R edges — so a run capped at `maxRounds` computes the
+    * HOP-BOUNDED shortest path (a semantic of its own: "cheapest
+    * route within R legs"), and a run that converges before the cap
+    * has found the true shortest paths (`converged` reports which).
+    * Non-negative integer weights; costs are exact longs.
+    *
+    * Per round: ONE equi-join of the current distance vector to the
+    * edge list (the relax step) + one min-aggregation folding the
+    * candidates into the vector, then a change-count probe (1 driver
+    * scalar) for early termination; the vector is `localCheckpoint`ed
+    * per round ([[pageRankDirected]] discipline). Never all-pairs,
+    * never a driver-side frontier. */
+  def shortestPaths(edges: DataFrame, src: String, dst: String,
+                    weight: String, sources: Seq[Long],
+                    maxRounds: Int): (DataFrame, Int, Boolean) = {
+    require(maxRounds >= 0, "shortestPaths: maxRounds must be >= 0")
+    require(sources.nonEmpty, "shortestPaths: need at least one source")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+      col(weight).cast("long").as("w"))
+    var dist = sources.distinct.toDF("node")
+      .select(col("node").cast("long").as("node"), lit(0L).as("cost"))
+      .localCheckpoint(eager = true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val cand = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      val next = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(eager = true)
+      val changed = next
+        .join(dist.withColumnRenamed("cost", "__old"), Seq("node"), "left")
+        .filter(col("__old").isNull || col("cost") < col("__old"))
+        .count()
+      graft.ops.CacheScope.freeCheckpointBlocks(dist)
+      dist = next
+      if (changed == 0) converged = true else rounds += 1
+    }
+    (graft.ops.CacheScope.register(dist), rounds, converged)
+  }
+
   /** Unweighted BFS hop distances from a source set over an
     * undirected edge list: (node, hop) for every node within
     * `maxHops` of any source, hop = the MINIMUM edge count to reach

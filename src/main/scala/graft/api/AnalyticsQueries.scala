@@ -416,6 +416,38 @@ object AnalyticsQueries {
         "WHERE r.hop < 4) " +
         "SELECT node, min(hop) AS hop FROM reach GROUP BY 1 ORDER BY 1")),
 
+    Q("a31_shortest_paths",
+      // weighted shortest paths from node 1 (Graph.shortestPaths,
+      // Bellman-Ford, 6 relaxation rounds) over the DIRECTED
+      // supplier→bucket graph with the co-occurrence count as the
+      // edge weight. Capped rounds = hop-bounded cheapest paths, a
+      // deterministic semantic at any scale; the oracle unrolls the
+      // same 6 relax-and-fold rounds as chained CTEs. Exact integer
+      // costs end to end.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 100)
+          .select(col("l_suppkey").as("s"),
+            pmod(col("l_partkey"), lit(100)).as("t"))
+          .filter(col("s") =!= col("t"))
+          .groupBy(col("s"), col("t")).agg(count(lit(1)).as("w"))
+        graft.analytics.Graph.shortestPaths(edges, "s", "t", "w",
+            sources = Seq(1L), maxRounds = 6)._1
+          .orderBy("node")
+      },
+      Some {
+        val base = "SELECT l_suppkey AS src, l_partkey % 100 AS dst, " +
+          "count(*) AS w FROM lineitem WHERE l_suppkey <= 100 AND " +
+          "l_suppkey <> l_partkey % 100 GROUP BY 1, 2"
+        def relax(i: Int) = s"d${i + 1} AS (SELECT node, min(cost) AS cost " +
+          s"FROM (SELECT node, cost FROM d$i UNION ALL SELECT e.dst, " +
+          s"d$i.cost + e.w FROM d$i JOIN e ON d$i.node = e.src) GROUP BY 1)"
+        "WITH e AS (" + base + "), " +
+          "d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost), " +
+          (0 until 6).map(relax).mkString(", ") +
+          " SELECT node, cost FROM d6 ORDER BY node"
+      }),
+
     Q("a30_kcore",
       // k-core by iterative peeling (Graph.kCore, k=16, round cap 5)
       // over the THINNED co-occurrence graph (pairs co-occurring ≥ 15

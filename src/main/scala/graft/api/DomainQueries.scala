@@ -722,6 +722,38 @@ object DomainQueries {
         "AND s.o_totalprice > 350000.0) " +
         "ORDER BY o_orderkey")),
 
+    Q("u13_incremental_agg",
+      // incremental materialized-aggregate maintenance
+      // (IncrementalAgg): the per-customer-bucket rollup is built
+      // from pre-1997 orders only, then the 1997+ batch is FOLDED IN
+      // via mergeable states (count / exact-decimal sum / min / max)
+      // — the base facts are never re-read. The oracle recomputes the
+      // same rollup directly over ALL orders, so the gate pins
+      // refresh(state(A), B) ≡ state(A ∪ B) bit-for-bit (sums exact
+      // DECIMAL; avg derived at read time, round 4).
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          pmod(col("o_custkey"), lit(100)).as("cust_bucket"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("d"))
+        val cut = lit("1997-01-01").cast("date")
+        val st = graft.ops.IncrementalAgg.state(
+          o.filter(col("d") < cut), Seq("cust_bucket"), Seq("o_totalprice"))
+        graft.ops.IncrementalAgg.refresh(st, o.filter(col("d") >= cut),
+            Seq("cust_bucket"), Seq("o_totalprice"))
+          .select(col("cust_bucket"), col("__cnt").as("n"),
+            col("sum_o_totalprice").cast("double").as("sum_price"),
+            col("min_o_totalprice").as("min_price"),
+            col("max_o_totalprice").as("max_price"),
+            round(col("sum_o_totalprice").cast("double") / col("__cnt"), 4)
+              .as("avg_price"))
+          .orderBy("cust_bucket")
+      },
+      Some("SELECT o_custkey % 100 AS cust_bucket, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "/ count(*), 4) AS avg_price FROM orders GROUP BY 1 ORDER BY 1")),
+
     Q("p5_ilike_search",
       // case-insensitive substring page (users.js:50-53)
       (s, dir) => t(s, dir, "customer")

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a materialized aggregate — the
+  * warehouse answer to "the nightly rollup re-reads 100 TB to add one
+  * day": keep the aggregate as MERGEABLE per-group states (count +
+  * exact-decimal sum + min + max per value column), and fold each
+  * new batch in with one delta-sized aggregation plus one outer join
+  * — the base FACTS are never re-read. (The reference recomputes its
+  * `statistics_cache` rows from scratch on every write-back,
+  * `portfolio.js:427-445` — viable at Postgres scale, not at ours.)
+  *
+  * APPEND-ONLY contract: count/sum/min/max are all mergeable under
+  * row insertion, so `refresh(state(A), B) ≡ state(A ∪ B)` exactly
+  * (the IncrementalAggSpec property, and the u13 gate against a
+  * direct full-recompute oracle). Deletions would need retractable
+  * states (count/sum subtract; min/max do NOT retract — they'd need
+  * a per-group sketch or recompute); route deletes through a rebuild.
+  *
+  * Derived statistics (avg = sum/count, etc.) are projections over
+  * the state — compute them at READ time, never store them (they
+  * don't merge).
+  *
+  * Scale shape: the delta aggregation shuffles only the batch; the
+  * fold is one full-outer equi-join on the group keys — state-sized,
+  * not fact-sized, and shuffle-free when both sides live bucketed on
+  * the keys ([[graft.catalog.Bucketing]] / the Scd bucket
+  * discipline). Sums are exact DECIMAL(28,2) — order-independent, so
+  * any merge tree gives identical bits. */
+object IncrementalAgg {
+
+  private def sumT = "decimal(28,2)"
+
+  /** Aggregate `df` into the mergeable state shape: one row per key
+    * tuple with `__cnt` plus (`sum_c`, `min_c`, `max_c`) per value
+    * column. */
+  def state(df: DataFrame, keys: Seq[String],
+            values: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__cnt") +: values.flatMap { c =>
+      Seq(sum(col(c).cast("decimal(18,2)")).cast(sumT).as(s"sum_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold an append batch into an existing state:
+    * `refresh(state(A), B) ≡ state(A ∪ B)`. Groups new to the batch
+    * appear; untouched groups pass through bit-identical. */
+  def refresh(st: DataFrame, delta: DataFrame, keys: Seq[String],
+              values: Seq[String]): DataFrame = {
+    val d = state(delta, keys, values)
+    val renamed = (Seq("__cnt") ++ values.flatMap(c =>
+      Seq(s"sum_$c", s"min_$c", s"max_$c")))
+    val dR = renamed.foldLeft(d)((f, c) => f.withColumnRenamed(c, s"__d_$c"))
+    val merged = Seq(
+      (coalesce(col("__cnt"), lit(0L)) +
+        coalesce(col("__d___cnt"), lit(0L))).as("__cnt")) ++
+      values.flatMap { c =>
+        Seq(
+          (coalesce(col(s"sum_$c"), lit(0).cast(sumT)) +
+            coalesce(col(s"__d_sum_$c"), lit(0).cast(sumT)))
+            .cast(sumT).as(s"sum_$c"),
+          least(col(s"min_$c"), col(s"__d_min_$c")).as(s"min_$c"),
+          greatest(col(s"max_$c"), col(s"__d_max_$c")).as(s"max_$c"))
+      }
+    st.join(dR, keys, "full_outer")
+      .select((keys.map(col) ++ merged): _*)
+  }
+}

@@ -213,6 +213,29 @@ class GraphSpec extends SparkSpec {
     assert(core2.as[(Long, Long)].collect().toMap == got)
   }
 
+  test("shortestPaths: cheap long route beats expensive direct edge, hop cap bounds it") {
+    // 1→4 direct costs 10; 1→2→3→4 costs 3. Bellman-Ford must prefer
+    // the 3-hop route once allowed enough rounds.
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L)).toDF("s", "t", "w")
+    val (d, rounds, conv) = Graph.shortestPaths(e, "s", "t", "w",
+      sources = Seq(1L), maxRounds = 10)
+    assert(conv && rounds <= 5)
+    assert(d.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // hop cap 1: only ≤1-edge routes exist → direct edge wins at 10
+    val (d1, _, conv1) = Graph.shortestPaths(e, "s", "t", "w",
+      sources = Seq(1L), maxRounds = 1)
+    assert(!conv1)
+    assert(d1.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // multi-source: nearest of {1, 5} (5 has no out-edges beyond none)
+    val (dm, _, _) = Graph.shortestPaths(e, "s", "t", "w",
+      sources = Seq(1L, 4L), maxRounds = 10)
+    assert(dm.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("bfsHops: ring closed form, multi-source min, maxHops cutoff") {
     // 8-ring: hop(v) from source 0 = min(v, 8-v)
     val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "t")

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalAggSpec extends SparkSpec {
+
+  private def rows(seed: Int, n: Int): DataFrame =
+    spark.range(0, n).select(
+      (xxhash64(col("id") + seed) % 7).as("k"),
+      ((xxhash64(col("id") * 31 + seed) % 10000).cast("double") / 100)
+        .as("v"))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.orderBy("k").collect().map(_.toString).toSeq
+
+  test("refresh(state(A), B) equals state(A ∪ B) exactly") {
+    val a = rows(1, 2000)
+    val b = rows(2, 500)
+    val direct = IncrementalAgg.state(a.unionAll(b), Seq("k"), Seq("v"))
+    val inc = IncrementalAgg.refresh(
+      IncrementalAgg.state(a, Seq("k"), Seq("v")), b, Seq("k"), Seq("v"))
+    assert(canon(inc) == canon(direct))
+  }
+
+  test("multi-batch folds associate; fresh groups appear, untouched pass through") {
+    val a = rows(3, 1000).filter(col("k") >= 0) // hash gives ±; keep mixed
+    val b = rows(4, 300)
+    val c = rows(5, 300)
+    val oneGo = IncrementalAgg.state(a.unionAll(b).unionAll(c),
+      Seq("k"), Seq("v"))
+    val folded = Seq(b, c).foldLeft(IncrementalAgg.state(a, Seq("k"), Seq("v")))(
+      (st, d) => IncrementalAgg.refresh(st, d, Seq("k"), Seq("v")))
+    assert(canon(folded) == canon(oneGo))
+  }
+
+  test("empty delta is an exact no-op") {
+    val a = rows(6, 800)
+    val st = IncrementalAgg.state(a, Seq("k"), Seq("v"))
+    val refreshed = IncrementalAgg.refresh(st, a.filter(lit(false)),
+      Seq("k"), Seq("v"))
+    assert(canon(refreshed) == canon(st))
+  }
+}

@@ -262,5 +262,45 @@ object StreamingQueries {
           .orderBy("portfolio", "symbol")
       },
       Some(DomainQueries.holdFoldOracle)),
+
+    Q("st7_stream_enrich",
+      // stream–static enrichment through REAL streaming execution:
+      // the event log arrives as three micro-batches, each LEFT-joined
+      // against the broadcast customer dimension (Streams.enrichStream
+      // — stateless, append-exact); the enriched sink is then rolled
+      // up per market segment. The oracle is the same LEFT join done
+      // batch-wise. Money sums exact DECIMAL→DOUBLE (st1 convention).
+      // Like st4–st6, the driver-side collect is the MemoryStream
+      // harness's, not the operator's.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .as[(Long, Long, Double)].collect().sortBy(_._1)
+        val dim = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val batches = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+        val mem = MemoryStream[(Long, Long, Double)]
+        val enriched = Streams.enrichStream(
+          mem.toDF().toDF("event_id", "user_id", "value"), dim, "user_id")
+        val sinkName = "st7_enrich_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = enriched.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try batches.foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.table(sinkName)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1 ORDER BY 1")),
   )
 }

@@ -464,4 +464,20 @@ object Streams {
           }
       }
   }
+
+  /** Stream–static enrichment: LEFT-join each micro-batch against a
+    * batch dimension table, keeping every stream row (a dim miss
+    * yields nulls downstream can route — never a silent drop of an
+    * event because a dimension row lagged). Structured Streaming
+    * re-plans the static side per micro-batch, so a dim backed by a
+    * snapshot table ([[graft.analytics.StatsCache]] / Layout `_latest`)
+    * picks up dimension updates between batches with no restart.
+    *
+    * The dim is broadcast (explicitly — dimension tables are the
+    * canonical broadcast side); stateless, so no watermark needed and
+    * append mode is exact. For a dim too large to broadcast, drop the
+    * hint and pre-bucket both sides on the key. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

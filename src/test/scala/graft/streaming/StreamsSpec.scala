@@ -330,6 +330,27 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set(11.0, 12.0))
   }
 
+  test("enrichStream keeps dim-miss rows with nulls — never drops an event") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = Streams.enrichStream(
+      mem.toDF().toDF("event_id", "uid"), dim, "uid")
+    val q = enriched.writeStream.format("memory")
+      .queryName("st_enrich_spec").outputMode("append").start()
+    try {
+      mem.addData((10L, 1L), (11L, 9L)) // uid 9 has no dim row
+      q.processAllAvailable()
+      mem.addData((12L, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st_enrich_spec")
+      .select("event_id", "uid", "tier")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set((10L, 1L, Some("gold")), (11L, 9L, None),
+      (12L, 2L, Some("silver"))), got.toString)
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]

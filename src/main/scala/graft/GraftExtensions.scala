@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.Decimal
-import graft.functions.{HeavyHittersAgg, HoldingFoldAgg, QuantileSketchAgg}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, HeavyHittersAgg, HoldingFoldAgg, QuantileSketchAgg}
 
 /** Session-extension wiring for cluster deployment: ship the jar and
   * set `spark.sql.extensions=graft.GraftExtensions` — every session
@@ -60,5 +60,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"heavy_hitters: k must be a positive integer literal, got $kd")
         HeavyHittersAgg(exprs(0), kd.toInt)
       }))
+    // exact distinct-id bitmaps (BitmapAgg scaladoc)
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitmap_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapAgg(exprs(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_card"),
+      new ExpressionInfo(classOf[BitmapCard].getName, "bitmap_card"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapCard(exprs(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_and_card"),
+      new ExpressionInfo(classOf[BitmapAndCard].getName, "bitmap_and_card"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapAndCard(exprs(0), exprs(1))))
   }
 }

@@ -505,6 +505,78 @@ object AnalyticsQueries {
         "max(ts) AS session_end, count(*) AS n_events FROM s " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    Q("a32_basket_pairs",
+      // a-priori frequent-pair mining over order baskets: which parts
+      // co-occur in the same order, with confidence. Item-frequency
+      // prune BEFORE the pair self-join (Baskets scaladoc) — the long
+      // tail never enters pair generation; basket-size cap guards
+      // degenerate fanout. Counts are exact BIGINT both sides; conf
+      // is an exact small-integer ratio rounded for parity.
+      (s, dir) => graft.analytics.Baskets.frequentPairs(
+          Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minItemSupport = 40, minPairSupport = 2, maxBasketSize = 32)
+        .orderBy("p1", "p2"),
+      Some("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "sized AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= 32), " +
+        "base AS (SELECT i.ok, i.pk FROM items i " +
+        "WHERE EXISTS (SELECT 1 FROM sized s WHERE s.ok = i.ok)), " +
+        "freq AS (SELECT pk, count(*) AS sup FROM base GROUP BY pk " +
+        "HAVING count(*) >= 40), " +
+        "fb AS (SELECT b.ok, b.pk FROM base b " +
+        "WHERE EXISTS (SELECT 1 FROM freq f WHERE f.pk = b.pk)), " +
+        "pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS pair_sup " +
+        "FROM fb a JOIN fb b ON a.ok = b.ok AND a.pk < b.pk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT p1, p2, pair_sup, " +
+        "round(CAST(pair_sup AS DOUBLE) / f.sup, 6) AS conf " +
+        "FROM pairs JOIN freq f ON pairs.p1 = f.pk ORDER BY p1, p2")),
+
+    Q("a33_bitmap_distinct",
+      // EXACT distinct users per segment via the mergeable chunked
+      // bitmap aggregate (BitmapAgg scaladoc) — the exact counterpart
+      // of a19's HLL++: same one-pass map-side-combined shape, but the
+      // per-group state is an exact id bitmap, so the count is exact
+      // and the bitmaps themselves compose (a34). The oracle is the
+      // definitionally-equal COUNT(DISTINCT).
+      (s, dir) => {
+        import graft.functions.BitmapAgg.{bitmap_agg, bitmap_card}
+        Tables.load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(bitmap_card(bitmap_agg(col("user_id"))).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1")),
+
+    Q("a34_segment_overlap",
+      // audience overlap: exact |A ∩ B| for every segment pair from
+      // the PRE-AGGREGATED bitmaps — one scan of the fact builds k
+      // audience bitmaps; the pairwise stage touches only those k
+      // rows (bitmap_and_card never re-reads the fact). This is the
+      // query HLL sketches cannot answer (no intersection); the exact
+      // fact-side oracle is the distinct-pair self-join. The k×k
+      // pairing is a deliberate tiny broadcast-nested-loop over
+      // aggregate rows, k = |segments| — allowlisted in
+      // PlanQualitySpec with the other 1-row-side crosses.
+      (s, dir) => {
+        import graft.functions.BitmapAgg.{bitmap_agg, bitmap_and_card}
+        val bm = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(bitmap_agg(col("user_id")).as("bm"))
+        bm.as("a").join(bm.as("b"),
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("t1"), col("b.event_type").as("t2"),
+            bitmap_and_card(col("a.bm"), col("b.bm")).as("overlap"))
+          .filter(col("overlap") > 0)
+          .orderBy("t1", "t2")
+      },
+      Some("WITH au AS (SELECT DISTINCT event_type, user_id FROM events) " +
+        "SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS overlap " +
+        "FROM au a JOIN au b ON a.user_id = b.user_id " +
+        "AND a.event_type < b.event_type GROUP BY 1, 2 ORDER BY 1, 2")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

@@ -1,0 +1,235 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** EXACT distinct-id bitmaps as a mergeable aggregate — the
+  * Druid/ClickHouse audience primitive. `bitmap_agg(id)` condenses a
+  * group's long ids into a compressed bitmap (BinaryType);
+  * `bitmap_card` reads exact cardinality off it and `bitmap_and_card`
+  * the exact intersection cardinality of two — the query
+  * (segment-overlap, set arithmetic over pre-aggregated audiences)
+  * that `approx_count_distinct` fundamentally cannot answer: HLL
+  * sketches union but never intersect.
+  *
+  * Layout: roaring-style two-level (Chambi et al. 2016, by published
+  * form) — ids are chunked on their high 48 bits; each chunk is a
+  * dense 64 Ki-bit word array, serialized with leading/trailing zero
+  * words trimmed and chunks sorted by key (deterministic bytes under
+  * any merge order). Per-group state is ∝ occupied id-range/8 bytes,
+  * map-side combined like any TypedImperativeAggregate; a 10M-dense-id
+  * audience is ~1.2 MB. For adversarially sparse ids (one bit per
+  * chunk) the trim bounds a chunk at one word + header — the shape
+  * stays ≤ 24 bytes/id worst-case rather than range-proportional.
+  */
+private[functions] final class ChunkBitmap {
+  // chunk key (id >> 16) → 1024-word dense bitset over the low 16 bits
+  val chunks: mutable.LongMap[Array[Long]] = mutable.LongMap.empty
+
+  def add(id: Long): Unit = {
+    val words = chunks.getOrElseUpdate(id >> 16, new Array[Long](1024))
+    val low = (id & 0xFFFFL).toInt
+    words(low >>> 6) |= 1L << (low & 63)
+  }
+
+  def merge(other: ChunkBitmap): Unit =
+    other.chunks.foreach { case (key, ws) =>
+      chunks.get(key) match {
+        case Some(mine) =>
+          var i = 0; while (i < 1024) { mine(i) |= ws(i); i += 1 }
+        case None => chunks.update(key, ws.clone())
+      }
+    }
+}
+
+object Bitmaps {
+  /** Serialize: [int nChunks] then per chunk in ascending key order
+    * [long key][int firstWord][int nWords][nWords longs], zero words
+    * trimmed at both ends (an all-zero chunk is dropped entirely). */
+  private[functions] def serialize(bm: ChunkBitmap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val keys = bm.chunks.keys.toArray.sorted
+    val kept = keys.flatMap { key =>
+      val ws = bm.chunks(key)
+      var lo = 0; while (lo < 1024 && ws(lo) == 0L) lo += 1
+      var hi = 1023; while (hi >= lo && ws(hi) == 0L) hi -= 1
+      if (lo > hi) None else Some((key, ws, lo, hi))
+    }
+    out.writeInt(kept.length)
+    kept.foreach { case (key, ws, lo, hi) =>
+      out.writeLong(key); out.writeInt(lo); out.writeInt(hi - lo + 1)
+      var i = lo; while (i <= hi) { out.writeLong(ws(i)); i += 1 }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[functions] def deserialize(bytes: Array[Byte]): ChunkBitmap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val bm = new ChunkBitmap
+    val n = in.readInt()
+    var c = 0
+    while (c < n) {
+      val key = in.readLong(); val lo = in.readInt(); val nw = in.readInt()
+      val ws = new Array[Long](1024)
+      var i = 0; while (i < nw) { ws(lo + i) = in.readLong(); i += 1 }
+      bm.chunks.update(key, ws)
+      c += 1
+    }
+    bm
+  }
+
+  /** Exact cardinality straight off the serialized bytes — no chunk
+    * materialization (called from generated code). */
+  def cardinality(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var total = 0L
+    var c = bb.getInt
+    while (c > 0) {
+      bb.getLong; bb.getInt // key, firstWord
+      var nw = bb.getInt
+      while (nw > 0) { total += java.lang.Long.bitCount(bb.getLong); nw -= 1 }
+      c -= 1
+    }
+    total
+  }
+
+  /** Exact |A ∩ B| via a merge-walk over the two sorted chunk lists —
+    * word-aligned AND within shared chunks only (called from generated
+    * code). Never materializes the intersection. */
+  def andCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    final case class Cur(bb: java.nio.ByteBuffer) {
+      var remaining: Int = bb.getInt
+      var key: Long = 0L; var first: Int = 0
+      var words: Array[Long] = null
+      def advance(): Boolean = {
+        if (remaining == 0) return false
+        remaining -= 1
+        key = bb.getLong; first = bb.getInt
+        val nw = bb.getInt
+        words = new Array[Long](nw)
+        var i = 0; while (i < nw) { words(i) = bb.getLong; i += 1 }
+        true
+      }
+    }
+    val x = Cur(java.nio.ByteBuffer.wrap(a))
+    val y = Cur(java.nio.ByteBuffer.wrap(b))
+    var total = 0L
+    var hasX = x.advance(); var hasY = y.advance()
+    while (hasX && hasY) {
+      if (x.key < y.key) hasX = x.advance()
+      else if (y.key < x.key) hasY = y.advance()
+      else {
+        val lo = math.max(x.first, y.first)
+        val hi = math.min(x.first + x.words.length, y.first + y.words.length)
+        var w = lo
+        while (w < hi) {
+          total += java.lang.Long.bitCount(
+            x.words(w - x.first) & y.words(w - y.first))
+          w += 1
+        }
+        hasX = x.advance(); hasY = y.advance()
+      }
+    }
+    total
+  }
+}
+
+/** `bitmap_agg(id)` → binary (serialized bitmap). */
+case class BitmapAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ChunkBitmap] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes = Seq(LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): ChunkBitmap = new ChunkBitmap
+
+  override def update(buf: ChunkBitmap, input: InternalRow): ChunkBitmap = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: ChunkBitmap, b: ChunkBitmap): ChunkBitmap = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: ChunkBitmap): Any = Bitmaps.serialize(buf)
+
+  override def serialize(buf: ChunkBitmap): Array[Byte] =
+    Bitmaps.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): ChunkBitmap =
+    Bitmaps.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapAgg =
+    copy(child = newChildren(0))
+  override def prettyName: String = "bitmap_agg"
+}
+
+/** `bitmap_card(bm)` → bigint: exact distinct count of a bitmap. */
+case class BitmapCard(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    Bitmaps.cardinality(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bitmaps.cardinality($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BitmapCard =
+    copy(child = newChild)
+  override def prettyName: String = "bitmap_card"
+}
+
+/** `bitmap_and_card(a, b)` → bigint: exact |A ∩ B|. */
+case class BitmapAndCard(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Bitmaps.andCardinality(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Bitmaps.andCardinality($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bitmap_and_card"
+}
+
+object BitmapAgg {
+  def bitmap_agg(x: Column): Column =
+    ColumnBridge.column(
+      BitmapAgg(ColumnBridge.expression(x)).toAggregateExpression())
+  def bitmap_card(x: Column): Column =
+    ColumnBridge.column(BitmapCard(ColumnBridge.expression(x)))
+  def bitmap_and_card(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapAndCard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -41,6 +41,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT heavy_hitters(CAST(id % 3 AS STRING), 16) AS h FROM ext_nums""")
         .selectExpr("h[0].item", "h[0].cnt").as[(String, Long)].head()
       assert(hh == (("1", 34L))) // ids 1..100: 1 mod 3 → 34 hits, ties break by item
+      // exact bitmap distinct + intersection through pure SQL
+      val bc = s2.sql(
+        """SELECT bitmap_card(bitmap_agg(id)) AS n,
+                  bitmap_and_card(bitmap_agg(id),
+                                  bitmap_agg(id * 2)) AS both
+           FROM ext_nums""").as[(Long, Long)].head()
+      assert(bc == ((100L, 50L))) // ids 1..100 ∩ evens 2..200 = 50
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -577,6 +577,51 @@ object AnalyticsQueries {
         "FROM au a JOIN au b ON a.user_id = b.user_id " +
         "AND a.event_type < b.event_type GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    Q("j19_skyline",
+      // Pareto frontier over the part catalog (maximize size, minimize
+      // price) via the agg-reduce + bounded-sweep shape (Skyline
+      // scaladoc) — never the O(n²) dominance anti-join the oracle
+      // spells out. The two formulations are definitionally equal.
+      (s, dir) => graft.ops.Skyline.skyline2d(
+          Tables.load(s, dir, "part"), "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_size, p_retailprice FROM part p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM part q " +
+        "WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice " +
+        "AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)) " +
+        "ORDER BY p_partkey")),
+
+    Q("j20_grid_join",
+      // spatial distance self-join, grid-equi-ized (SpatialJoin
+      // scaladoc): customers placed on a 1000×1000 plane by md5-mixed
+      // deterministic coordinates (portable integer arithmetic — the
+      // t7 hashSplit convention; a linear-hash placement would
+      // lattice-align and produce zero close pairs). The oracle is
+      // the exact all-pairs formulation; the engine plan is the 9×
+      // neighbor-replicated equi-join, never a cartesian.
+      (s, dir) => {
+        def axis(salt: String) =
+          (conv(substring(md5(concat(lit(salt + "|"),
+            col("c_custkey").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 1000000).cast("double") / 1000.0
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            axis("gx").as("x"), axis("gy").as("y"))
+        graft.ops.SpatialJoin.distanceJoin(pts, "id", "x", "y", 5.0)
+          .orderBy("id1", "id2")
+      },
+      Some("WITH pts AS (SELECT c_custkey AS id, " +
+        "CAST(CAST(concat('0x', substr(md5('gx|' || CAST(c_custkey AS VARCHAR)), 1, 6)) " +
+        "AS BIGINT) % 1000000 AS DOUBLE)/1000.0 AS x, " +
+        "CAST(CAST(concat('0x', substr(md5('gy|' || CAST(c_custkey AS VARCHAR)), 1, 6)) " +
+        "AS BIGINT) % 1000000 AS DOUBLE)/1000.0 AS y FROM customer) " +
+        "SELECT a.id AS id1, b.id AS id2, " +
+        "round(sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)), 6) AS dist " +
+        "FROM pts a JOIN pts b ON a.id < b.id " +
+        "WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 25.0 " +
+        "ORDER BY id1, id2")),
+
     Q("e4_centroids",
       // per-label mean embedding (class centroids) — elementwise
       // array aggregation via posexplode, flat output shape

@@ -1174,6 +1174,83 @@ object DomainQueries {
         "o_totalprice BETWEEN 50000 AND 100000 AS in_band " +
         "FROM orders ORDER BY o_orderkey")),
 
+    Q("s18_json_extract",
+      // semi-structured surface: schema'd from_json over the event
+      // payload column, extracted field used in aggregates — the
+      // codegen'd path (a typed struct projection inside the scan
+      // stage), not per-row string re-parsing downstream. BIGINT sums
+      // via the DuckDB HUGEINT cast convention.
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n, " +
+        "min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, " +
+        "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k, " +
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
+    Q("array_exprs",
+      // §2.8 companion: the ARRAY surface — higher-order transform /
+      // filter / aggregate lambdas, sort, join, containment, max —
+      // codegen-planned per row, no explode/shuffle (the same per-row
+      // array discipline as t10's repetition metrics). The array is
+      // derived arithmetically so both engines build bit-identical
+      // inputs (no tokenizer-parity dependence).
+      (s, dir) => {
+        val arr = array(col("doc_id") % 7, col("doc_id") % 11,
+          col("doc_id") % 13)
+        t(s, dir, "documents").select(col("doc_id"),
+            arr.as("arr"))
+          .select(col("doc_id"),
+            aggregate(transform(col("arr"), x => x * 2 + 1),
+              lit(0L), (acc, x) => acc + x).as("t_sum"),
+            size(filter(col("arr"), x => x % 2 === 0)).cast("long").as("n_even"),
+            array_join(sort_array(col("arr")), ",").as("sorted_csv"),
+            array_contains(col("arr"), 5L).as("has5"),
+            array_max(col("arr")).as("mx"))
+          .orderBy("doc_id")
+      },
+      Some("WITH a AS (SELECT doc_id, [doc_id % 7, doc_id % 11, doc_id % 13] " +
+        "AS arr FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(list_sum(list_transform(arr, x -> x * 2 + 1)) AS BIGINT) AS t_sum, " +
+        "len(list_filter(arr, x -> x % 2 = 0)) AS n_even, " +
+        "array_to_string(list_sort(arr), ',') AS sorted_csv, " +
+        "list_contains(arr, 5) AS has5, list_max(arr) AS mx " +
+        "FROM a ORDER BY doc_id")),
+
+    Q("a35_unpivot",
+      // wide→long UNPIVOT (melt) through the native Dataset.unpivot —
+      // the inverse of a16's pivot; value columns coerced to one type
+      // as the relational melt requires. Exact DECIMAL sums surfaced
+      // as DOUBLE (the st1 money convention).
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).cast("double").as("n"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some("WITH s AS (SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "CAST(count(*) AS DOUBLE) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, metric, value FROM (" +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM s " +
+        "UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM s " +
+        "UNION ALL SELECT l_returnflag, 'n', n FROM s) " +
+        "ORDER BY l_returnflag, metric")),
+
     Q("o5_tail_resort",
       // app-side tail-k + reverse (chart.js:25-26, portfolio.js:514)
       // pushed into the engine: DESC limit, then re-sort ASC

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.Decimal
-import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, HeavyHittersAgg, HoldingFoldAgg, QuantileSketchAgg}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, BitmapOrAgg, HeavyHittersAgg, HoldingFoldAgg, QuantileSketchAgg}
 
 /** Session-extension wiring for cluster deployment: ship the jar and
   * set `spark.sql.extensions=graft.GraftExtensions` — every session
@@ -76,5 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BitmapAndCard].getName, "bitmap_and_card"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BitmapAndCard(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_or_agg"),
+      new ExpressionInfo(classOf[BitmapOrAgg].getName, "bitmap_or_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapOrAgg(exprs(0))))
   }
 }

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Connected components over an undirected edge list: (node,
+    * component) with component = min node id reachable. Delegates to
+    * the min-label-propagation + pointer-jumping kernel
+    * ([[graft.pipeline.Dedup.dupClusters]] — ~log₂-diameter rounds,
+    * per-round localCheckpoint, exact fixpoint or throw); this is the
+    * same published algorithm regardless of what the ids identify, so
+    * the graph surface exposes it rather than re-deriving it. Nodes
+    * with no edges don't appear (no component to report). */
+  def connectedComponents(edges: DataFrame, u1: String, u2: String,
+                          maxIters: Int = 50): DataFrame =
+    graft.pipeline.Dedup.dupClusters(
+        edges.select(col(u1).as("id1"), col(u2).as("id2")), maxIters)
+      .select(col("id").as("node"), col("cluster").as("component"))
+
   /** PageRank with a FIXED iteration count (Brin–Page 1998, damping
     * `d`): pr₀ = 1/N, then
     *

@@ -577,6 +577,85 @@ object AnalyticsQueries {
         "FROM au a JOIN au b ON a.user_id = b.user_id " +
         "AND a.event_type < b.event_type GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    Q("a37_rolling_distinct",
+      // EXACT rolling 7-day distinct users per day — the windowed
+      // COUNT(DISTINCT) SQL windows can't express and HLL can only
+      // approximate. Two-level bitmap shape: one scan builds a bitmap
+      // per DAY (the only fact-sized agg); each daily bitmap then
+      // replicates to the ≤7 window anchors it feeds (constant
+      // fanout, the grid-join discipline) and OR-merges per anchor —
+      // re-aggregation cost ∝ days×7 bitmaps, never the fact. The
+      // oracle is the definitional day-grid join with
+      // count(DISTINCT).
+      (s, dir) => {
+        import graft.functions.BitmapAgg.{bitmap_agg, bitmap_card, bitmap_or_agg}
+        val daily = Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+          .groupBy(col("d")).agg(bitmap_agg(col("user_id")).as("bm"))
+        val anchors = daily.select(col("d").as("day"))
+        daily
+          .withColumn("off", explode(array((0 to 6).map(lit): _*)))
+          .select(date_add(col("d"), col("off")).as("day"), col("bm"))
+          .join(anchors, Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(bitmap_card(bitmap_or_agg(col("bm"))).as("users_7d"))
+          .orderBy("day")
+      },
+      Some("WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events), " +
+        "du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events) " +
+        "SELECT w.day, count(DISTINCT du.user_id) AS users_7d " +
+        "FROM days w JOIN du ON du.d BETWEEN w.day - 6 AND w.day " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    Q("a36_connected_components",
+      // connected components (public Graph surface) over the
+      // functional graph u → 7u mod 300 on event users — long cycles
+      // and multi-hop chains that only true transitive closure labels
+      // correctly (the d7 kernel, exposed for arbitrary edge lists).
+      // Oracle: DuckDB recursive-CTE reachability min, the d7 form.
+      (s, dir) => {
+        val u = Tables.load(s, dir, "events")
+          .select(col("user_id")).filter(col("user_id") < 300).distinct()
+        val edges = u.select(col("user_id").as("a"),
+            pmod(col("user_id") * 7, lit(300)).as("b"))
+          .filter(col("a") =!= col("b"))
+        graft.analytics.Graph.connectedComponents(edges, "a", "b")
+          .orderBy("node")
+      },
+      Some("WITH RECURSIVE " +
+        "u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 300), " +
+        "e0 AS (SELECT user_id AS src, (user_id * 7) % 300 AS dst FROM u " +
+        "WHERE user_id <> (user_id * 7) % 300), " +
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "reach AS (SELECT src AS id, dst AS r FROM edges " +
+        "UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src) " +
+        "SELECT id AS node, least(id, min(r)) AS component FROM reach " +
+        "GROUP BY id ORDER BY node")),
+
+    Q("j21_nullsafe_join",
+      // null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the open
+      // orders collapse to a NULL key, and the join must still match
+      // them to the NULL dimension row — a plain equi-join silently
+      // drops every NULL-keyed fact. n_joined ≡ n_in_class per class
+      // pins that no key class (NULL included) leaked.
+      (s, dir) => {
+        val keyed = Tables.load(s, dir, "orders").select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("k"))
+        val dim = keyed.groupBy(col("k")).agg(count(lit(1)).as("n_in_class"))
+        keyed.as("f").join(dim.as("d"), col("f.k") <=> col("d.k"))
+          .groupBy(coalesce(col("f.k"), lit("OPEN")).as("class"),
+            col("n_in_class"))
+          .agg(count(lit(1)).as("n_joined"))
+          .orderBy("class")
+      },
+      Some("WITH keyed AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k " +
+        "FROM orders), " +
+        "dim AS (SELECT k, count(*) AS n_in_class FROM keyed GROUP BY k) " +
+        "SELECT coalesce(keyed.k, 'OPEN') AS class, n_in_class, " +
+        "count(*) AS n_joined FROM keyed JOIN dim " +
+        "ON keyed.k IS NOT DISTINCT FROM dim.k " +
+        "GROUP BY 1, 2 ORDER BY 1")),
+
     Q("j19_skyline",
       // Pareto frontier over the part catalog (maximize size, minimize
       // price) via the agg-reduce + bounded-sweep shape (Skyline

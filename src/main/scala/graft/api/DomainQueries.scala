@@ -722,6 +722,42 @@ object DomainQueries {
         "AND s.o_totalprice > 350000.0) " +
         "ORDER BY o_orderkey")),
 
+    Q("u14_incremental_join",
+      // incremental materialized-JOIN maintenance (IncrementalJoin):
+      // the orders⋈customer view is built from pre-1997 orders and
+      // 9/10ths of customers, then BOTH sides grow (1997+ orders; the
+      // custkey%10=0 customers) and the view is refreshed with two
+      // Δ-probe-sided joins — the old sides are never re-joined with
+      // each other. The oracle is the full re-join: refresh must equal
+      // it as a row multiset. Rolled up per (year, segment) so the
+      // gate output is compact while every view row still counts.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        val cut = col("yr") >= 1997
+        val isNewC = pmod(col("o_custkey"), lit(10)) === 0
+        val dC = c.filter(isNewC)
+        val cOld = c.filter(!isNewC)
+        val m0 = graft.ops.IncrementalJoin.joinState(
+          o.filter(!cut), cOld, Seq("o_custkey"))
+        graft.ops.IncrementalJoin.refreshJoin(m0,
+            o.filter(!cut), cOld, o.filter(cut), dC,
+            Seq("o_custkey"))
+          .groupBy(col("yr"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .orderBy("yr", "c_mktsegment")
+      },
+      Some("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr, " +
+        "c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     Q("u13_incremental_agg",
       // incremental materialized-aggregate maintenance
       // (IncrementalAgg): the per-customer-bucket rollup is built

@@ -302,5 +302,49 @@ object StreamingQueries {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey " +
         "GROUP BY 1 ORDER BY 1")),
+
+    Q("st8_stream_ingest",
+      // streaming ingest into the crash-atomic Layout: the event log
+      // arrives as three micro-batches through Streams.ingestSink —
+      // each epoch an O(batch) appendClusteredZoned with an
+      // epoch-tagged manifest part (exactly-once via the snapshot
+      // itself) — then the BATCH reader aggregates the table. The
+      // oracle is the same aggregate over the source: ingest must be
+      // lossless and duplicate-free across epochs. Money sums exact
+      // DECIMAL→DOUBLE. The driver-side collect is the MemoryStream
+      // harness's, not the operator's.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_st8_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .as[(Long, java.sql.Timestamp, String, Double)]
+          .collect().sortBy(_._1)
+        val batches = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+        val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+        val q = Streams.ingestSink(
+          mem.toDF().toDF("event_id", "ts", "event_type", "value"),
+          path, symbol = "event_type", time = "ts", nBuckets = 4,
+          filesPerBucket = 2)
+        try batches.foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        graft.catalog.Layout.read(s, path, "event_type", "ts", numBuckets = 4)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, min(event_id) AS min_id, " +
+        "max(event_id) AS max_id, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
   )
 }

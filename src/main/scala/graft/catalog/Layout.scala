@@ -162,11 +162,12 @@ object Layout {
     * or the current parts plus it (the append-delta case). */
   private def commitPart(spark: SparkSession, root: String,
                          schema: org.apache.spark.sql.types.StructType,
-                         rows: Array[Row], replaceAll: Boolean): Unit = {
+                         rows: Array[Row], replaceAll: Boolean,
+                         partName: Option[String] = None): Unit = {
     val fs = SnapshotManifest.fsOf(spark, root)
     val mDir = new Path(root, SnapshotManifest.ManifestsDir)
     fs.mkdirs(mDir)
-    val part = SnapshotManifest.newPartName()
+    val part = partName.getOrElse(SnapshotManifest.newPartName())
     val tmp = new Path(mDir, s".tmp_$part")
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .coalesce(1).write.parquet(tmp.toString)
@@ -193,9 +194,15 @@ object Layout {
     * reclaims the orphans. Appending many small batches fragments
     * buckets AND accumulates manifest parts — [[compact]] folds both.
     * Same single-writer contract as every Layout write. */
+  /** `partName`: caller-supplied manifest part name — lets an
+    * exactly-once writer ([[graft.streaming.Streams.ingestSink]]) tag
+    * the part with its epoch so "was this batch committed?" is
+    * answered by the SNAPSHOT itself (atomic with the flip), not by a
+    * side file with its own crash window. */
   def appendClusteredZoned(df: DataFrame, path: String, symbol: String,
                            time: String, numBuckets: Int = 16,
-                           filesPerBucket: Int = 4): Unit = {
+                           filesPerBucket: Int = 4,
+                           partName: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -226,7 +233,7 @@ object Layout {
     }
     fs.delete(stage, true)
     failpoint("append-before-flip")
-    commitPart(spark, path, schema, rows, replaceAll = false)
+    commitPart(spark, path, schema, rows, replaceAll = false, partName)
   }
 
   /** Small-file compaction — the maintenance pass every streaming /

@@ -223,6 +223,52 @@ case class BitmapAndCard(left: Expression, right: Expression)
   override def prettyName: String = "bitmap_and_card"
 }
 
+/** `bitmap_or_agg(bm)` → binary: union of already-aggregated bitmaps
+  * — the re-aggregation path (daily audience bitmaps OR-merged into
+  * weekly/rolling windows) that makes the bitmap state COMPOSABLE the
+  * way HLL sketches are, but exact. Same deterministic serialized
+  * form as [[BitmapAgg]]. */
+case class BitmapOrAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ChunkBitmap] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): ChunkBitmap = new ChunkBitmap
+
+  override def update(buf: ChunkBitmap, input: InternalRow): ChunkBitmap = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(Bitmaps.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: ChunkBitmap, b: ChunkBitmap): ChunkBitmap = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: ChunkBitmap): Any = Bitmaps.serialize(buf)
+
+  override def serialize(buf: ChunkBitmap): Array[Byte] =
+    Bitmaps.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): ChunkBitmap =
+    Bitmaps.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapOrAgg =
+    copy(child = newChildren(0))
+  override def prettyName: String = "bitmap_or_agg"
+}
+
 object BitmapAgg {
   def bitmap_agg(x: Column): Column =
     ColumnBridge.column(
@@ -232,4 +278,7 @@ object BitmapAgg {
   def bitmap_and_card(a: Column, b: Column): Column =
     ColumnBridge.column(
       BitmapAndCard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def bitmap_or_agg(x: Column): Column =
+    ColumnBridge.column(
+      BitmapOrAgg(ColumnBridge.expression(x)).toAggregateExpression())
 }

@@ -69,3 +69,40 @@ object IncrementalAgg {
       .select((keys.map(col) ++ merged): _*)
   }
 }
+
+/** Incremental maintenance of a materialized equi-JOIN view under
+  * append-only deltas on both sides — the insert case of the counting
+  * algorithm (Blakeley et al. 1986, by published form):
+  *
+  * {{{ (A ∪ ΔA) ⋈ (B ∪ ΔB)
+  *     = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+  *     = M   ∪ ΔA⋈(B ∪ ΔB) ∪ A⋈ΔB }}}
+  *
+  * so a refresh touches the materialization only to union onto it —
+  * never re-joins the old sides with each other. The two delta joins
+  * are Δ-probe-sided: a small delta broadcasts (AQE), and against a
+  * key-bucketed Layout side the probe prunes to the delta's buckets.
+  * Multiset semantics throughout (UNION ALL): duplicate source rows
+  * yield exactly the multiplicities the full re-join would.
+  * Append-only, like [[IncrementalAgg]]: deletions need counted rows
+  * (attach a multiplicity column and subtract) — route them through
+  * a rebuild. */
+object IncrementalJoin {
+
+  /** Materialize the view: inner equi-join, key columns first. */
+  def joinState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.join(b, keys)
+
+  /** Fold append deltas into the materialization:
+    * `refreshJoin(joinState(A,B), A, B, ΔA, ΔB) ≡
+    *  joinState(A∪ΔA, B∪ΔB)` exactly (row multiset equality).
+    * Pass an empty delta frame (same schema) for a side that didn't
+    * change — its two joins prune to nothing. */
+  def refreshJoin(m: DataFrame, aOld: DataFrame, bOld: DataFrame,
+                  dA: DataFrame, dB: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    val bNew = bOld.unionByName(dB)
+    m.unionByName(joinState(dA, bNew, keys))
+      .unionByName(joinState(aOld, dB, keys))
+  }
+}

@@ -480,4 +480,58 @@ object Streams {
   def enrichStream(stream: DataFrame, dim: DataFrame,
                    key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Epoch tag appended to a manifest part name by [[ingestSink]];
+    * parsed back for the high-water guard. Default Layout part names
+    * (`m_<ms>_<nano>`) never contain `_e`, so the parse is exact. */
+  private val IngestEpochTag = "_e(\\d+)$".r.unanchored
+
+  /** Streaming ingest into a crash-atomic clustered+zoned Layout
+    * table: each micro-batch lands through
+    * [[graft.catalog.Layout.appendClusteredZoned]] — O(batch) staging,
+    * zone rows, and an atomic snapshot flip — so every committed
+    * epoch is immediately a first-class table slice: bucket-pruned,
+    * zone-skipped, time-travelable, compactable, all with the batch
+    * reader ([[graft.catalog.Layout.read]]).
+    *
+    * EXACTLY-ONCE: the batch's manifest part is tagged with its epoch
+    * (`..._e<epoch>`), so "already committed" is a property of the
+    * snapshot itself — atomic with the `_latest` flip, no side file
+    * with its own crash window. A crash between the flip and the
+    * streaming commit log re-runs the epoch; the high-water guard
+    * (epoch ≤ max committed tag) skips it. As with [[scd2Sink]], a
+    * query restarted WITHOUT its checkpoint re-delivers data under
+    * restarted epoch ids — skipped with a loud warning, recover by
+    * restarting with the original checkpoint. Empty batches commit
+    * nothing and replay as no-ops. Fragmentation from many small
+    * epochs is the documented [[graft.catalog.Layout.compact]] duty.
+    */
+  def ingestSink(stream: DataFrame, root: String, symbol: String,
+                 time: String, nBuckets: Int = 16, filesPerBucket: Int = 4,
+                 checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val s = batch.sparkSession
+        val committed = graft.catalog.SnapshotManifest
+          .currentParts(s, root).getOrElse(Seq.empty)
+          .flatMap { case IngestEpochTag(e) => Some(e.toLong); case _ => None }
+        val highWater = if (committed.isEmpty) -1L else committed.max
+        if (epoch <= highWater) {
+          if (!batch.isEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"ingestSink($root): high-water guard skipped non-empty " +
+                s"epoch $epoch (max committed $highWater). Expected once " +
+                "after a crash-replay; if this repeats, the query was " +
+                "restarted without its original checkpoint and incoming " +
+                "data is being DISCARDED.")
+        } else
+          graft.catalog.Layout.appendClusteredZoned(
+            batch.toDF(), root, symbol, time, nBuckets, filesPerBucket,
+            partName = Some(
+              graft.catalog.SnapshotManifest.newPartName() + s"_e$epoch"))
+      }
+    checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
 }

@@ -39,6 +39,18 @@ class BitmapAggSpec extends SparkSpec {
     assert(got == a.toSet.intersect(b.toSet).size.toLong)
   }
 
+  test("bitmap_or_agg unions pre-aggregated bitmaps exactly") {
+    import BitmapAgg.bitmap_or_agg
+    // three groups with overlapping members; OR of the three bitmaps
+    // must equal the distinct count of the union
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 2L), ("g2", 70000L),
+      ("g3", 1L), ("g3", -5L)).toDF("g", "id")
+    val got = df.groupBy(col("g")).agg(bitmap_agg(col("id")).as("bm"))
+      .agg(bitmap_card(bitmap_or_agg(col("bm"))).as("n"))
+      .as[Long].head()
+    assert(got == 4L) // {1, 2, 70000, -5}
+  }
+
   test("disjoint chunk ranges intersect to zero") {
     assert(Bitmaps.andCardinality(
       Bitmaps.serialize({ val m = new ChunkBitmap; m.add(5L); m }),

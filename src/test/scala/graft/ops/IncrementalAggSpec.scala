@@ -42,4 +42,32 @@ class IncrementalAggSpec extends SparkSpec {
       Seq("k"), Seq("v"))
     assert(canon(refreshed) == canon(st))
   }
+
+  // ---- IncrementalJoin ----
+
+  private def multiset(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("refreshJoin(joinState(A,B), ΔA, ΔB) equals the full re-join as a multiset") {
+    val a = rows(11, 400)      // dup keys on both sides → multiplicities matter
+    val da = rows(12, 150)
+    val b = rows(13, 120).withColumnRenamed("v", "w")
+    val db = rows(14, 60).withColumnRenamed("v", "w")
+    val direct = IncrementalJoin.joinState(
+      a.unionAll(da), b.unionAll(db), Seq("k"))
+    val inc = IncrementalJoin.refreshJoin(
+      IncrementalJoin.joinState(a, b, Seq("k")), a, b, da, db, Seq("k"))
+    assert(multiset(inc) == multiset(direct))
+  }
+
+  test("refreshJoin with one empty delta only adds the other side's matches") {
+    val a = rows(15, 300)
+    val b = rows(16, 100).withColumnRenamed("v", "w")
+    val db = rows(17, 50).withColumnRenamed("v", "w")
+    val direct = IncrementalJoin.joinState(a, b.unionAll(db), Seq("k"))
+    val inc = IncrementalJoin.refreshJoin(
+      IncrementalJoin.joinState(a, b, Seq("k")),
+      a, b, a.filter(lit(false)), db, Seq("k"))
+    assert(multiset(inc) == multiset(direct))
+  }
 }

@@ -383,4 +383,39 @@ class StreamsSpec extends SparkSpec {
     q.stop()
     assert(got.contains((1L, 1L, 4.0, true)), s"trailing session not flushed: $got")
   }
+
+  test("ingestSink lands epochs in the Layout; high-water guard stops replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_spec").toString + "/tbl"
+    def row(i: Long) =
+      (i, java.sql.Timestamp.valueOf(f"2024-01-${i % 27 + 1}%02d 00:00:00"),
+        s"s${i % 3}", i.toDouble)
+    val all = (1L to 30L).map(row)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = Streams.ingestSink(
+      mem.toDF().toDF("id", "ts", "sym", "v"), root,
+      symbol = "sym", time = "ts", nBuckets = 2, filesPerBucket = 2)
+    try {
+      all.grouped(10).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def tableIds = graft.catalog.Layout
+      .read(spark, root, "sym", "ts", numBuckets = 2)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(tableIds == (1L to 30L), s"lossless ingest broken: $tableIds")
+    // epoch-tagged parts committed: one per non-empty batch
+    val parts = graft.catalog.SnapshotManifest
+      .currentParts(spark, root).getOrElse(Seq.empty)
+    assert(parts.count(_.matches(".*_e\\d+$")) == 3, parts.toString)
+    // a query restarted WITHOUT its checkpoint re-delivers the same
+    // data under restarted epoch ids → guard must skip, not duplicate
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q2 = Streams.ingestSink(
+      mem2.toDF().toDF("id", "ts", "sym", "v"), root,
+      symbol = "sym", time = "ts", nBuckets = 2, filesPerBucket = 2)
+    try {
+      mem2.addData(all.take(10)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(tableIds == (1L to 30L), "replayed epoch was re-applied")
+  }
 }

@@ -24,7 +24,10 @@ object Bench {
       try graft.catalog.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = subset of query names (local profiling); the
+    // driver passes none → full suite
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     // two timed passes per query, report the min: a single contended
     // CPU burst on the host otherwise masquerades as a plan
     // regression (the measurement floor is the plan, not the noise)

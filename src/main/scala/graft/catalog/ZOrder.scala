@@ -51,41 +51,44 @@ object ZOrder {
       floor((c.cast("double") - lit(mn)) / lit(width)).cast("long")))
   }
 
-  /** Quantile bin id: the count of boundaries ≤ v, boundaries being
-    * the column's 1/256…255/256 approximate quantiles. EQUI-DEPTH
-    * bins — on a heavy-tailed column, uniform widths collapse the
-    * dense region into one bin (its z-locality, and with it per-file
-    * zone tightness, is lost: every dense-region range query overlaps
-    * every dense file), while equi-depth spends the full bin budget
-    * where the data actually lives. One higher-order-function
-    * projection at WRITE time; no UDF. */
-  private def quantileBin(c: Column, bounds: Seq[Double]): Column =
-    size(filter(typedlit(bounds),
-      b => b <= c.cast("double"))).cast("long")
-
   /** Write `df` z-ordered on numeric columns (`c1`, `c2`).
     * `equiDepth = true` (default) bins each dimension by approximate
-    * quantiles (skew-robust, one approxQuantile pass per column —
-    * bounded driver memory); false uses uniform min..max widths (one
-    * tiny agg, fine for evenly spread data). The manifest stores RAW
-    * column min/max per file either way, so [[read]] is
-    * binning-agnostic. */
+    * quantiles — EQUI-DEPTH bins: on a heavy-tailed column, uniform
+    * widths collapse the dense region into one bin (its z-locality,
+    * and with it per-file zone tightness, is lost: every dense-region
+    * range query overlaps every dense file), while equi-depth spends
+    * the full bin budget where the data actually lives. Both columns'
+    * boundaries come from ONE `percentile_approx` aggregation pass
+    * (mergeable KLL-style sketch, bounded driver memory), and the
+    * per-row bin id is a codegen binary search
+    * ([[graft.functions.BinExprs.sorted_bin]]) — O(log bins), inside
+    * whole-stage codegen, no per-row allocation. `equiDepth = false`
+    * uses uniform min..max widths (one tiny agg, fine for evenly
+    * spread data). The manifest stores RAW column min/max per file
+    * either way, so [[read]] is binning-agnostic. */
   def write(df: DataFrame, path: String, c1: String, c2: String,
             filesTarget: Int = 64, equiDepth: Boolean = true): Unit = {
     val spark = df.sparkSession
     val n = 1 << Bits
-    def binner(name: String): Column =
+    val z =
       if (equiDepth) {
-        val probs = (1 until n).map(_.toDouble / n).toArray
-        val bounds = df.select(col(name).cast("double").as(name))
-          .stat.approxQuantile(name, probs, 0.001)
-        quantileBin(col(name), bounds.toSeq)
+        val probs = typedlit((1 until n).map(_.toDouble / n))
+        val st = df.agg(
+          percentile_approx(col(c1).cast("double"), probs, lit(1000)),
+          percentile_approx(col(c2).cast("double"), probs, lit(1000))).head
+        def bounds(i: Int): Array[Double] =
+          st.getSeq[Double](i).toArray
+        interleaveBits(
+          graft.functions.BinExprs.sorted_bin(col(c1), bounds(0)),
+          graft.functions.BinExprs.sorted_bin(col(c2), bounds(1)), Bits)
       } else {
-        val st = df.agg(min(col(name)).cast("double"),
-          max(col(name)).cast("double")).head
-        bin(col(name), st.getDouble(0), st.getDouble(1))
+        val st = df.agg(
+          min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+          min(col(c2)).cast("double"), max(col(c2)).cast("double")).head
+        interleaveBits(
+          bin(col(c1), st.getDouble(0), st.getDouble(1)),
+          bin(col(c2), st.getDouble(2), st.getDouble(3)), Bits)
       }
-    val z = interleaveBits(binner(c1), binner(c2), Bits)
     df.withColumn("__z", z)
       .repartitionByRange(filesTarget, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -10,37 +10,51 @@ import org.apache.spark.sql.types.NumericType
   * set-wise): one row per profiled column with row/null/distinct
   * counts, string-rendered min/max, and the mean for numerics.
   *
-  * ONE aggregation pass over the table produces every column's stats
-  * simultaneously (a per-column loop would rescan the table k times);
-  * the single wide result row is then unpivoted with `stack` — cheap,
-  * it's one row. Means go through exact DECIMAL(27,6) sums (order-
-  * independent, engine-exact for ≤6-dp inputs) surfaced as rounded
-  * DOUBLE — the repo-wide oracle-parity convention.
+  * One scan-shaped pass per agg FAMILY: the non-distinct stats (a
+  * per-column loop would rescan the table k times) aggregate in one
+  * plain hash agg, and the exact distinct counts aggregate in a
+  * SECOND agg joined back by cross join of two 1-row frames — still a
+  * single Spark query. Keeping them apart matters: a mixed
+  * distinct/non-distinct agg plans an Expand that multiplies every
+  * row by (k+1) streams CARRYING every agg input column (measured 3×
+  * slower at sf0.1 than the two-agg shape). The single wide result
+  * row is then unpivoted with `stack` — cheap, it's one row. Means go
+  * through exact DECIMAL(27,6) sums (order-independent, engine-exact
+  * for ≤6-dp inputs) surfaced as rounded DOUBLE — the repo-wide
+  * oracle-parity convention.
   *
-  * Exact distinct counts plan an Expand (one duplicated stream per
-  * distinct column) — fine into the tens of columns; at 100 TB set
-  * `exactDistinct = false` to swap in HLL++ (approx_count_distinct),
-  * which partial-aggregates map-side with no Expand at all. */
+  * Exact distinct counts still plan an Expand over the pruned
+  * distinct columns only — fine into the tens of columns; at 100 TB
+  * set `exactDistinct = false` to swap in HLL++
+  * (approx_count_distinct), which partial-aggregates map-side with no
+  * Expand at all and folds into the main agg. */
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String],
               exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
+    def nd(c: String): Column = {
+      val e = if (exactDistinct) countDistinct(col(c))
+              else approx_count_distinct(col(c))
+      e.cast("long").as(s"__nd_$c")
+    }
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      val nd =
-        if (exactDistinct) countDistinct(col(c))
-        else approx_count_distinct(col(c))
       val mean = df.schema(c).dataType match {
         case _: NumericType =>
           round(sum(col(c).cast("decimal(27,6)")).cast("double") /
             count(col(c)), 6)
         case _ => lit(null).cast("double")
       }
-      Seq(count(col(c)).as(s"__nn_$c"), nd.cast("long").as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"), mean.as(s"__mean_$c"))
+      (if (exactDistinct) Seq.empty[Column] else Seq(nd(c))) ++
+        Seq(count(col(c)).as(s"__nn_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"), mean.as(s"__mean_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val wide =
+      if (exactDistinct)
+        base.crossJoin(df.agg(nd(cols.head), cols.tail.map(nd): _*))
+      else base
     val tuples = cols.map(c =>
       s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`, `__mean_$c`")
       .mkString(", ")

@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Table registry over the driver's parquet layout (`TESTDATA.md`):
   * one parquet file per table under a scale-factor directory.
@@ -20,14 +20,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
-      // outright; read it as a long and truncate to microseconds (what
-      // DuckDB/pyarrow do implicitly when downcasting ns → µs).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) —
+      // which Spark 4 rejects outright unless read as a long — and
+      // plain TIMESTAMP(MICROS); normalize either encoding to a
+      // session-zone TIMESTAMP so every downstream query sees one
+      // type (the oracle's DuckDB read agrees under the UTC session).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integer DIV, not `/`: epoch-nanos exceed 2^53, so double
-      // division (what `/` means on Columns) is off by ±1µs
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long: truncate to µs with integer DIV, not `/` —
+          // epoch-nanos exceed 2^53, so double division is off by ±1µs
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view for spark.sql use. */

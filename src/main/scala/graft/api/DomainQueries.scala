@@ -563,6 +563,102 @@ object DomainQueries {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s19_delete_vectors",
+      // merge-on-read DELETE (Layout.delete): two predicates land as
+      // dv_* manifest parts — ZERO data files rewritten, positions
+      // only — and the snapshot read anti-joins the live DV, equaling
+      // the plain double-filter. Then compact folds the deletes into
+      // clean files (purging every dv part) and the SAME aggregate
+      // re-runs against the folded snapshot — the union's second half
+      // proves the fold preserved content exactly. Crash-atomicity of
+      // the delete flip and the fold purge are pinned by LayoutSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_dv_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(
+          src, path, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.delete(s, path, "ship", col("qty") < 10)
+        graft.catalog.Layout.delete(s, path, "ship",
+          col("ship") >= lit("1998-06-01").cast("date"))
+        def agg(phase: String) = graft.catalog.Layout
+          .read(s, path, "symbol", "ship", numBuckets = 4)
+          .groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .withColumn("phase", lit(phase))
+        val afterDv = agg("dv")
+        val countedDv = afterDv.collect() // force before the fold flips
+        graft.catalog.Layout.compact(s, path, "symbol", "ship",
+          filesPerBucket = 4)
+        s.createDataFrame(
+            java.util.Arrays.asList(countedDv: _*), afterDv.schema)
+          .unionByName(agg("folded"))
+          .orderBy("phase", "symbol")
+      },
+      Some("WITH k AS (SELECT l_returnflag AS symbol, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE NOT (l_quantity < 10) " +
+        "AND NOT (CAST(l_shipdate AS DATE) >= DATE '1998-06-01') GROUP BY 1) " +
+        "SELECT symbol, n, sum_qty, 'dv' AS phase FROM k " +
+        "UNION ALL SELECT symbol, n, sum_qty, 'folded' FROM k " +
+        "ORDER BY phase, symbol")),
+
+    Q("s20_change_feed",
+      // row-level change data feed (Layout.changes): the window spans
+      // one append and one DV delete; the feed emits the appended rows
+      // still live at the window's end as 'insert' and the
+      // DV-deleted pre-existing rows as 'delete' — net semantics, an
+      // appended-then-deleted row emits nothing. Cost is O(changed
+      // files): only the appended files and the DV-touched files are
+      // scanned, never the whole table.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_cdf_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        val cut = lit("1997-01-01").cast("date")
+        graft.catalog.Layout.writeClusteredZoned(
+          src.filter(col("ship") < cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        val snap1 = graft.catalog.Layout.snapshots(s, path).last
+        graft.catalog.Layout.appendClusteredZoned(
+          src.filter(col("ship") >= cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.delete(s, path, "ship", col("qty") < 5)
+        val snap3 = graft.catalog.Layout.snapshots(s, path).last
+        graft.catalog.Layout.changes(s, path, snap1, snap3)
+          .groupBy(col("_change_type"), col("symbol"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("_change_type", "symbol")
+      },
+      Some("SELECT 'insert' AS _change_type, l_returnflag AS symbol, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01' " +
+        "AND NOT (l_quantity < 5) GROUP BY 2 " +
+        "UNION ALL SELECT 'delete', l_returnflag, count(*), " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01' " +
+        "AND l_quantity < 5 GROUP BY 2 " +
+        "ORDER BY _change_type, symbol")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

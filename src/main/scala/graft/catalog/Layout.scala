@@ -121,12 +121,28 @@ object Layout {
     * doesn't exist throws rather than silently falling back. */
   def manifestAsOf(spark: SparkSession, path: String,
                    snap: Option[String]): Option[DataFrame] =
+    partsAsOf(spark, path, snap).map { parts =>
+      spark.read.parquet(
+        parts.filter(_.startsWith("m_"))
+          .map(p => SnapshotManifest.partPath(path, p)): _*)
+    }
+
+  private def partsAsOf(spark: SparkSession, path: String,
+                        snap: Option[String]): Option[Seq[String]] =
     snap.fold(SnapshotManifest.currentParts(spark, path))(s =>
-        Some(SnapshotManifest.partsOf(spark, path, s)))
-      .map { parts =>
-        spark.read.parquet(
-          parts.map(p => SnapshotManifest.partPath(path, p)): _*)
-      }
+      Some(SnapshotManifest.partsOf(spark, path, s)))
+
+  /** The live deletion vector of a snapshot — union of its `dv_*`
+    * parts, one row per deleted position (file, sym_bucket,
+    * row_index) — or None when the snapshot carries no deletes. */
+  def deletionVectorAsOf(spark: SparkSession, path: String,
+                         snap: Option[String]): Option[DataFrame] =
+    partsAsOf(spark, path, snap).flatMap { parts =>
+      val dv = parts.filter(_.startsWith("dv_"))
+      if (dv.isEmpty) None
+      else Some(spark.read.parquet(
+        dv.map(p => SnapshotManifest.partPath(path, p)): _*))
+    }
 
   /** All retained snapshot names, ascending by commit order — the
     * time-travel axis. Retention is governed by [[vacuum]]
@@ -236,6 +252,149 @@ object Layout {
     commitPart(spark, path, schema, rows, replaceAll = false, partName)
   }
 
+  /** Stamp each scanned row with the position key a deletion vector
+    * addresses: its source file's bucket-relative path and its stable
+    * ordinal within that immutable file (`_metadata.row_index`). */
+  private def withPos(df: DataFrame): DataFrame =
+    df.withColumn("__dv_file", regexp_extract(
+        col("_metadata.file_path"), "(sym_bucket=[^/]+/[^/]+)$", 1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+
+  /** Anti-join a position-stamped scan against a deletion vector —
+    * the merge-on-read apply. The DV side is position keys only
+    * (file, ordinal), tiny next to the data, so AQE broadcasts it. */
+  private def minusDv(scan: DataFrame, dv: DataFrame): DataFrame =
+    scan.join(dv,
+      scan("__dv_file") === dv("file") &&
+        scan("__dv_pos") === dv("row_index"), "left_anti")
+
+  /** Merge-on-read DELETE via a deletion vector — O(matched rows)
+    * written, ZERO data files rewritten (the Delta/Iceberg
+    * deletion-vector idea; a copy-on-write delete rewrites every
+    * touched file, which at 100 TB turns a point delete into a
+    * terabyte job): the matching live rows' positions (file,
+    * sym_bucket, row_index) are written as an immutable `dv_*`
+    * manifest part — a DISTRIBUTED parquet write, never a driver
+    * collect — and committed as a new snapshot; [[read]] anti-joins
+    * every scan against the live DV, so the rows vanish exactly at
+    * the pointer flip. Deletes accumulate one part each; [[compact]]
+    * folds them back into clean data files (and the fold purges the
+    * DV parts from the snapshot). A crash before the flip leaves the
+    * staged part unreferenced — readers stay on the complete previous
+    * snapshot (the append/compact contract). Already-deleted rows
+    * never re-match (the scan applies the live DV first), so replays
+    * are idempotent. Returns the number of rows deleted. */
+  def delete(spark: SparkSession, path: String, time: String,
+             predicate: Column): Long = {
+    if (SnapshotManifest.currentSnap(spark, path).isEmpty)
+      writeZoneManifest(spark, path, time) // migrate legacy table
+    val m = manifest(spark, path).get
+    val files = m.select(col("file")).collect().map(r =>
+      globEscape(new Path(path, r.getString(0)).toString))
+    if (files.isEmpty) return 0L
+    val scanned = withPos(
+      spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*))
+    val survivors = deletionVectorAsOf(spark, path, None)
+      .fold(scanned)(dv => minusDv(scanned, dv))
+    val hits = survivors.filter(predicate)
+      .select(col("__dv_file").as("file"),
+        col("sym_bucket").cast("long").as("sym_bucket"),
+        col("__dv_pos").as("row_index"))
+    val fs = SnapshotManifest.fsOf(spark, path)
+    val mDir = new Path(path, SnapshotManifest.ManifestsDir)
+    fs.mkdirs(mDir)
+    val part = SnapshotManifest.newPartName("dv")
+    val tmp = new Path(mDir, s".tmp_$part")
+    hits.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count() // footer-only job
+    if (n == 0L) { fs.delete(tmp, true); return 0L }
+    if (!fs.rename(tmp, new Path(mDir, part)))
+      throw new java.io.IOException(s"delete: dv part rename failed: $part")
+    failpoint("delete-before-flip")
+    val parts =
+      SnapshotManifest.currentParts(spark, path).getOrElse(Seq.empty) :+ part
+    SnapshotManifest.commit(spark, path, parts)
+    n
+  }
+
+  /** Row-level CHANGE DATA FEED between two snapshots (names from
+    * [[snapshots]], `fromSnap` committed before `toSnap`): every row
+    * appended after `fromSnap` and still live at `toSnap` as
+    * `_change_type = 'insert'`, and every row live at `fromSnap` then
+    * removed by the window's deletion vectors as `'delete'` — NET
+    * semantics (a row appended and deleted inside the window emits
+    * nothing). Valid across [[appendClusteredZoned]] / [[delete]]
+    * commits, whose manifests are strictly additive; a window
+    * crossing a physical rewrite ([[compact]], re-create) throws
+    * rather than reporting the rewrite as churn (Delta's
+    * `dataChange=false` distinction). Cost: scans only the APPENDED
+    * files plus the files the window's DVs touch — O(changed data),
+    * never O(table). */
+  def changes(spark: SparkSession, path: String,
+              fromSnap: String, toSnap: String): DataFrame = {
+    def partsOrExpired(snap: String): Seq[String] =
+      try SnapshotManifest.partsOf(spark, path, snap)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(s"changes: snapshot $snap is " +
+          "unknown or expired (vacuum retention is keep-last-2)")
+      }
+    val pa = partsOrExpired(fromSnap).toSet
+    val pb = partsOrExpired(toSnap)
+    if (!pa.subsetOf(pb.toSet))
+      throw new IllegalStateException(s"changes($fromSnap -> $toSnap): " +
+        "window crosses a physical rewrite (compact/re-create); " +
+        "read the change feed per append/delete window instead")
+    val fresh = pb.filterNot(pa)
+    def readParts(ps: Seq[String]): DataFrame =
+      spark.read.parquet(ps.map(p => SnapshotManifest.partPath(path, p)): _*)
+    def scanFiles(fs: Seq[String]): DataFrame =
+      withPos(spark.read.option("basePath", path).parquet(
+        fs.map(f => globEscape(new Path(path, f).toString)): _*))
+    val freshM = fresh.filter(_.startsWith("m_"))
+    val freshDv = fresh.filter(_.startsWith("dv_"))
+    val insFiles =
+      if (freshM.isEmpty) Array.empty[String]
+      else readParts(freshM).select(col("file")).collect().map(_.getString(0))
+    val inserts =
+      if (insFiles.isEmpty) None
+      else {
+        val sc = scanFiles(insFiles.toIndexedSeq)
+        // window DVs are the only ones that can reference these files
+        val lv = if (freshDv.isEmpty) sc else minusDv(sc, readParts(freshDv))
+        Some(lv.drop("__dv_file", "__dv_pos")
+          .withColumn("_change_type", lit("insert")))
+      }
+    val deletes =
+      if (freshDv.isEmpty) None
+      else {
+        val dv = readParts(freshDv)
+        val ins = insFiles.toSet
+        val delFiles = dv.select(col("file")).distinct().collect()
+          .map(_.getString(0)).filterNot(ins) // bounded by FILE count
+        if (delFiles.isEmpty) None
+        else {
+          val sc = scanFiles(delFiles.toIndexedSeq)
+          Some(sc.join(dv, sc("__dv_file") === dv("file") &&
+              sc("__dv_pos") === dv("row_index"), "left_semi")
+            .drop("__dv_file", "__dv_pos")
+            .withColumn("_change_type", lit("delete")))
+        }
+      }
+    (inserts, deletes) match {
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None)    => i
+      case (None, Some(d))    => d
+      case (None, None) =>
+        // empty window: keep the table schema via any live file
+        val m = manifestAsOf(spark, path, Some(toSnap)).get
+        val any = m.select(col("file")).limit(1).collect()
+        require(any.nonEmpty, s"changes: snapshot $toSnap lists no files")
+        spark.read.option("basePath", path)
+          .parquet(globEscape(new Path(path, any(0).getString(0)).toString))
+          .limit(0).withColumn("_change_type", lit(""))
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every streaming /
     * CoW writer eventually needs (each micro-batch or merge epoch
     * lands more files; at 100 TB an uncompacted table turns every scan
@@ -268,21 +427,41 @@ object Layout {
     val live = manifest(spark, path).get
     val schema = live.schema
     val liveRows = live.collect() // bounded by FILE count
+    // buckets with accumulated deletion vectors are compaction targets
+    // too (regardless of file count): the rewrite materializes the
+    // deletes into clean files, and the folded snapshot drops every
+    // dv_* part — which is only sound if ALL dv-touched buckets were
+    // rewritten this pass
+    val dvOpt = deletionVectorAsOf(spark, path, None)
+    val dvBuckets: Set[Long] = dvOpt.fold(Set.empty[Long])(
+      _.select(col("sym_bucket")).distinct().collect()
+        .map(_.getLong(0)).toSet)
     val targets = liveRows.groupBy(_.getLong(1))
-      .filter(_._2.length > filesPerBucket)
+      .filter { case (b, rows) => rows.length > filesPerBucket || dvBuckets(b) }
     var replaced = Set.empty[String]
     var freshRows = Array.empty[Row]
     targets.foreach { case (bucket, rows) =>
       val files = rows.map(r =>
         globEscape(new Path(rootP, r.getString(0)).toString))
-      val bdf = spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+      val bdf0 = spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+      val bdf = dvOpt match {
+        case Some(dv) if dvBuckets(bucket) =>
+          minusDv(withPos(bdf0), dv.filter(col("sym_bucket") === bucket))
+            .drop("__dv_file", "__dv_pos")
+        case _ => bdf0
+      }
       val stage = new Path(rootP, s".stage_compact_${bucket}_${System.nanoTime()}")
       bdf.repartitionByRange(filesPerBucket, col(time))
         .sortWithinPartitions(col(symbol), col(time))
         .write.mode("overwrite")
         .partitionBy("sym_bucket")
         .parquet(stage.toString)
-      val (_, newRows) = zoneRows(spark, stage.toString, Seq(stage.toString), time)
+      // a fully-deleted bucket stages zero files — fold it to nothing
+      val staged = fs.listStatus(stage).exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith("sym_bucket="))
+      val newRows =
+        if (!staged) Array.empty[Row]
+        else zoneRows(spark, stage.toString, Seq(stage.toString), time)._2
       newRows.foreach { r =>
         val rel = r.getString(0)
         val dst = new Path(rootP, rel)
@@ -407,8 +586,15 @@ object Layout {
           else spark.read.option("basePath", path)
             .parquet(globEscape(new Path(path, any(0).getString(0)).toString))
             .limit(0)
-        } else bucketPruned(
-          spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*))
+        } else {
+          val scanned = spark.read.option("basePath", path)
+            .parquet(files.toIndexedSeq: _*)
+          // merge-on-read: drop positions the live deletion vector
+          // covers (no-op when the snapshot carries no deletes)
+          val lv = deletionVectorAsOf(spark, path, asOfSnap).fold(scanned)(
+            dv => minusDv(withPos(scanned), dv).drop("__dv_file", "__dv_pos"))
+          bucketPruned(lv)
+        }
       case None =>
         timeRange match {
           case None => fullScan

@@ -40,7 +40,10 @@ object SnapshotManifest {
   private def token(): String =
     f"${System.currentTimeMillis()}%013d_${System.nanoTime()}%019d"
 
-  def newPartName(): String = s"m_${token()}"
+  /** `prefix` distinguishes part KINDS within one snapshot: `m` =
+    * data-file zone manifest, `dv` = deletion vector ([[Layout]]
+    * filters by prefix when resolving each). */
+  def newPartName(prefix: String = "m"): String = s"${prefix}_${token()}"
 
   def partPath(root: String, part: String): String =
     s"$root/$ManifestsDir/$part"

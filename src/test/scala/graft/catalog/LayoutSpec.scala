@@ -265,6 +265,86 @@ class LayoutSpec extends SparkSpec {
     assert(diskFilesPerBucket(dir).values.forall(_ <= 2))
   }
 
+  test("deletion vectors: crash-atomic, idempotent, folded by compact") {
+    val dir = Files.createTempDirectory("graft_dv").toString + "/t"
+    val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    def full() = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    // a crashed delete is invisible: dv part staged but never flipped
+    Layout.testFailpoint = Some("delete-before-flip")
+    try intercept[java.io.IOException] {
+      Layout.delete(spark, dir, "ts", $"ts" <= 100)
+    } finally Layout.testFailpoint = None
+    assert(full() == (1L to 1000L).toSet)
+    // the real delete lands; re-deleting the same predicate is a no-op
+    assert(Layout.delete(spark, dir, "ts", $"ts" <= 100) == 100L)
+    assert(full() == (101L to 1000L).toSet)
+    assert(Layout.delete(spark, dir, "ts", $"ts" <= 100) == 0L)
+    // a second DV accumulates; key-pruned reads apply DVs too
+    assert(Layout.delete(spark, dir, "ts", $"ts" > 900) == 100L)
+    val sym1 = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        symbolEq = Some("SYM1"))
+      .select($"ts").as[Long].collect().toSet
+    assert(sym1 == (101L to 900L).filter(_ % 10 == 1).toSet)
+    // compact folds the deletes into clean files and purges dv parts
+    assert(Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2) > 0)
+    assert(SnapshotManifest.currentParts(spark, dir).get
+      .forall(_.startsWith("m_")))
+    assert(full() == (101L to 900L).toSet)
+    // time travel to the pre-fold snapshot still applies its DVs
+    val preFold = Layout.snapshots(spark, dir).takeRight(2).head
+    assert(Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        asOfSnap = Some(preFold))
+      .select($"ts").as[Long].collect().toSet == (101L to 900L).toSet)
+  }
+
+  test("deletion vectors: a fully-deleted bucket folds to nothing") {
+    val dir = Files.createTempDirectory("graft_dv_full").toString + "/t"
+    val df = (1 to 400).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    // wipe one symbol entirely — its bucket may hold only that symbol
+    assert(Layout.delete(spark, dir, "ts", $"symbol" === "SYM2") == 100L)
+    Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    val got = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    assert(got == (1 to 400).filter(_ % 4 != 2).map(_.toLong).toSet)
+  }
+
+  test("change feed: net inserts+deletes; rewrite windows throw") {
+    val dir = Files.createTempDirectory("graft_cdf").toString + "/t"
+    val df = (1 to 600).map(i => (s"SYM${i % 5}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df.filter($"ts" <= 300), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    val snap1 = Layout.snapshots(spark, dir).last
+    Layout.appendClusteredZoned(df.filter($"ts" > 300), dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    // deletes straddle the window: ts<=20 existed at snap1 (delete),
+    // 300<ts<=320 was appended inside the window (net: nothing)
+    Layout.delete(spark, dir, "ts", $"ts" <= 20 || ($"ts" > 300 && $"ts" <= 320))
+    val snap3 = Layout.snapshots(spark, dir).last
+    val feed = Layout.changes(spark, dir, snap1, snap3)
+      .select($"_change_type", $"ts").as[(String, Long)].collect()
+    val ins = feed.filter(_._1 == "insert").map(_._2).toSet
+    val del = feed.filter(_._1 == "delete").map(_._2).toSet
+    assert(ins == (321L to 600L).toSet) // appended-then-deleted net out
+    assert(del == (1L to 20L).toSet)
+    // an empty window emits nothing but keeps the schema
+    val none = Layout.changes(spark, dir, snap3, snap3)
+    assert(none.count() == 0 && none.columns.contains("_change_type"))
+    // compaction inside the window is a physical rewrite — refuse
+    Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    val snap4 = Layout.snapshots(spark, dir).last
+    intercept[IllegalStateException] {
+      Layout.changes(spark, dir, snap1, snap4)
+    }
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, Sq, TextAnalysis, MediaRecord}
+import graft.pipeline.{Cluster, Dedup, Multimodal, Similarity, Sq, TextAnalysis, MediaRecord}
 
 /** Batch 3: the training-data pipeline operators — text analysis,
   * deduplication, similarity search, multimodal plumbing — over the
@@ -214,6 +214,36 @@ object PipelineQueries {
         "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +
         "AND abs(length(a.text) - length(b.text)) <= 10 " +
         "WHERE levenshtein(a.text, b.text) <= 10 ORDER BY 1, 2")),
+
+    Q("d9_dup_spans",
+      // cross-document repeated-span detection (Dedup.duplicateSpans;
+      // Lee et al. 2022 exact-substring dedup): every 8-token window
+      // is hashed, windows seen in ≥2 distinct docs are duplicated
+      // spans, and each doc reports its count of duplicated window
+      // positions. The corpus is originals ∪ shifted-id copies of the
+      // low half, so every low-half window is a planted cross-doc dup
+      // while the high half contributes only organically repeated
+      // spans — the oracle recomputes the same windows from the
+      // literal token strings (the hash path must lose/invent nothing).
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val half = d.filter(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+        Dedup.duplicateSpans(d.unionByName(half), "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000, text FROM documents " +
+        "WHERE doc_id % 2 = 0), " +
+        s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk " +
+        "FROM corpus), " +
+        "g AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram " +
+        "FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)), " +
+        "d AS (SELECT gram FROM g GROUP BY gram " +
+        "HAVING count(DISTINCT doc_id) > 1) " +
+        "SELECT doc_id, count(*) AS n_dup_spans FROM g " +
+        "WHERE gram IN (SELECT gram FROM d) " +
+        "GROUP BY doc_id ORDER BY doc_id")),
 
     Q("t5_vocabulary",
       // corpus vocabulary stats: term frequency + document frequency
@@ -945,6 +975,37 @@ object PipelineQueries {
         "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
         "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
         "WHERE rank <= 3 ORDER BY query_id, rank")),
+
+    Q("e11_kmeans_assign",
+      // k-means assignment (Cluster.assign): every embedding to its
+      // nearest of 8 FIXED centroids (the first 8 corpus vectors —
+      // deterministic, so the full assignment is oracle-checkable in
+      // SQL; the LEARNED-centroid path shares this exact assignment
+      // expression and is pinned by ClusterSpec's recovery/SSE
+      // properties). One codegen projection against the centroid
+      // literal — no join, no shuffle; the oracle recomputes argmin
+      // from literal list_distance.
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // k driver-held centroid vectors — the quantizer-train
+        // contract (O(k·dims)), not a data collect
+        val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(Similarity.vecD(col("embedding")).as("v")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        Cluster.assign(e, "embedding", cents)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+          .orderBy("cluster")
+      },
+      Some("WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id, c.cid, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS d " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "r AS (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a) " +
+        "SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_id " +
+        "FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1")),
 
     Q("e7_ivfpq_topk",
       // IVF-PQ composed PROBED path (PqIndex.topKProbed — the

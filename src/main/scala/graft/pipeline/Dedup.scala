@@ -498,6 +498,48 @@ object Dedup {
     * never admits a false positive (the exact verify guards). The
     * short band is a self-join over only the ≤ q·(τ+1)−1-char strings
     * — a negligible slice of a real corpus; cap τ to keep it so. */
+  /** Cross-document repeated-span detection — the EXACT SUBSTRING
+    * layer of training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: verbatim
+    * spans repeated across documents are what models memorize, and
+    * document-level near-dup misses them entirely): every length-`n`
+    * token window is hashed (xxhash64 over the space-joined window —
+    * the published suffix-array approach finds the same spans; a
+    * distributed engine gets them from a shingle inverted index at a
+    * 2^-64 collision contract, the repo's standing minhash/bloom
+    * convention), windows are counted per DISTINCT document, and each
+    * document reports how many of its window positions start a span
+    * shared with at least one OTHER document.
+    *
+    * Scale shape: the shuffled unit is an 8-byte hash + doc id, never
+    * text; the per-gram doc count is a mergeable two-level agg; the
+    * final probe is a semi-join of the position stream against the
+    * duplicated-gram keys (result cost ∝ duplicated positions). No
+    * df-cap is needed — unlike pair mining (O(df²) per gram), span
+    * counting is linear in postings. Downstream, a masker can cut the
+    * flagged windows; this operator deliberately reports positions,
+    * the decision layer stays separate. */
+  def duplicateSpans(df: DataFrame, id: String, text: String,
+                     n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))
+    // sequence() DESCENDS when stop < start — guard short docs to an
+    // empty window list instead
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    val g = Kernels.ensureParallelism(df)
+      .select(col(id), explode(grams).as("__gram"))
+    val cached = CacheScope.persist(g)
+    val dup = cached.groupBy(col("__gram"))
+      .agg(count_distinct(col(id)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__gram"))
+    cached.join(dup, Seq("__gram"), "left_semi")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_dup_spans"))
+  }
+
   def editDistancePairs(df0: DataFrame, id: String, text: String,
                         tau: Int, q: Int = 3,
                         maxDf: Option[Int] = None): DataFrame = {

@@ -391,6 +391,23 @@ class PipelineSpec extends SparkSpec {
     assert(got.contains(2L))
   }
 
+  test("duplicateSpans: cross-doc windows only, short docs emit nothing") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),       // shares a b..h window with 2
+      (2L, "z a b c d e f g h"),         // one shared 8-gram with 1
+      (3L, "p q r s t u v w x y"),       // unique text: no dup spans
+      (4L, "w1 w2 w3 w4 w5 w6 w7"),      // 7 tokens < n: zero windows
+      (5L, "m m m m m m m m m m m m m m m m")) // self-repeats only
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // doc1: windows at pos1..3; only "a b c d e f g h" (pos1) is in
+    // doc2 too. doc2: pos2 matches. Self-repeats (doc5) and unique
+    // docs (3, 4) emit nothing — the measure is CROSS-document.
+    assert(got == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("multimodal stub codec is deterministic and plumbing-preserving") {
     val media = Multimodal.fromText(docs.filter(col("doc_id") === 1), "doc_id", "text")
       .as[MediaRecord]

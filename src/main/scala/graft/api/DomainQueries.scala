@@ -742,6 +742,33 @@ object DomainQueries {
               s"$mean AS mean FROM lineitem"
         }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
 
+    Q("v3_k_anonymity",
+      // k-anonymity audit + suppression (Privacy, Sweeney 2002): the
+      // quasi-identifier classes of orders (status, priority,
+      // order-year) are audited at k=100 — classes below k come from
+      // kAnonymityViolations, the release frame from
+      // suppressSmallGroups — and the union re-derives EVERY class
+      // with its suppression flag, so the gate pins that enforcement
+      // removed exactly the violating classes and nothing else.
+      (s, dir) => {
+        val qi = Seq("status", "prio", "yr")
+        val o = t(s, dir, "orders").select(
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          year(to_date(col("o_orderdate"))).cast("long").as("yr"))
+        val viol = graft.analytics.Privacy.kAnonymityViolations(o, qi, 100)
+          .withColumn("suppressed", lit(true))
+        val kept = graft.analytics.Privacy.suppressSmallGroups(o, qi, 100)
+          .groupBy(qi.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .withColumn("suppressed", lit(false))
+        viol.unionByName(kept).orderBy("status", "prio", "yr")
+      },
+      Some("SELECT o_orderstatus AS status, o_orderpriority AS prio, " +
+        "year(CAST(o_orderdate AS DATE)) AS yr, count(*) AS n, " +
+        "count(*) < 100 AS suppressed FROM orders " +
+        "GROUP BY 1, 2, 3 ORDER BY status, prio, yr")),
+
     Q("u11_scd2",
       // type-2 slowly-changing-dimension historization: the orders
       // stream as a per-customer changelog of (status, priority), no-op

@@ -1007,6 +1007,37 @@ object PipelineQueries {
         "SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_id " +
         "FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1")),
 
+    Q("d10_semantic_dedup",
+      // SemDeDup (Cluster.semanticDupPairs): embedding near-dup pairs
+      // found by cosine WITHIN k-means clusters only — the clustering
+      // bounds the pair space (Σ|cluster|² ≪ n²), which is what makes
+      // semantic dedup possible at corpus scale. Planted copies have
+      // identical vectors, hence identical argmin assignments, so
+      // every copy pair is structurally reachable; the oracle is the
+      // UNCLUSTERED exact identical-vector join (e2's), proving the
+      // cluster restriction lost nothing at this threshold.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val un = emb.unionByName(
+          emb.withColumn("vec_id", col("vec_id") + 10000000L))
+        val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(Similarity.vecD(col("embedding")).as("v")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        Cluster.semanticDupPairs(un, "vec_id", "embedding", cents,
+            minCosine = 0.999)
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+          .orderBy("id1", "id2")
+      },
+      Some("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM base), " +
+        "cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cv AS c1, b.cv AS c2 " +
+        "FROM v a JOIN v b ON a.cv = b.cv AND a.vec_id < b.vec_id) " +
+        "SELECT id1, id2, round(cos, 6) AS cos FROM (" +
+        "SELECT id1, id2, list_dot_product(c1, c2) / " +
+        "(sqrt(list_dot_product(c1, c1)) * sqrt(list_dot_product(c2, c2))) AS cos " +
+        "FROM cand) WHERE cos >= 0.999 ORDER BY id1, id2")),
+
     Q("e7_ivfpq_topk",
       // IVF-PQ composed PROBED path (PqIndex.topKProbed — the
       // billion-vector architecture: coarse cells cut candidates

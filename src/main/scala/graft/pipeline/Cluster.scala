@@ -47,6 +47,39 @@ object Cluster {
       IvfIndex.nearestCellEuclid(Similarity.vecD(col(vec)),
         typedlit(centroids.map(_.toSeq).toSeq)).cast("long"))
 
+  /** SEMANTIC dedup candidate pairs (SemDeDup — Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): embedding near-duplicates found WITHIN
+    * k-means clusters only. The cluster key turns the all-pairs
+    * cosine join (quadratic in the corpus — impossible at 100 TB)
+    * into a per-cluster self-join whose cost is Σ|cluster|²: the
+    * SemDeDup contract is that k grows with the corpus (k ≈ n/1000)
+    * so cluster sizes stay bounded and the join stays near-linear.
+    * Identical/near-identical vectors assign to the same centroid
+    * (same argmin, deterministic ties), so recall at high thresholds
+    * is structural, not luck — pinned by the d10 gate's planted
+    * copies against an UNCLUSTERED exact oracle. Emits (id1, id2,
+    * cos) with id1 < id2; feed to [[Dedup.removeNearDuplicates]] /
+    * [[Dedup.dupClusters]] for the keep-one decision. */
+  def semanticDupPairs(df: DataFrame, id: String, vec: String,
+                       centroids: Array[Array[Double]],
+                       minCosine: Double): DataFrame = {
+    val assigned = graft.ops.CacheScope.persist(
+      graft.ops.Kernels.ensureParallelism(
+          assign(df.select(col(id), col(vec)), vec, centroids))
+        .select(col(id), col("cluster"), Similarity.vecD(col(vec)).as("__v")))
+    val l = assigned.select(col("cluster"), col(id).as("id1"),
+      col("__v").as("__v1"))
+    val r = assigned.select(col("cluster"), col(id).as("id2"),
+      col("__v").as("__v2"))
+    l.join(r, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", graft.functions.VectorExprs.cosine_sim(
+        col("__v1"), col("__v2")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Σ‖v − c(v)‖² over the frame — the Lloyd's objective; spec-level
     * instrumentation (monotone non-increase per round). */
   def sse(df: DataFrame, vec: String,

@@ -43,6 +43,25 @@ class ClusterSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("semanticDupPairs finds planted copies within clusters only") {
+    val df = blobs
+    val copies = df.filter($"id" < 30)
+      .withColumn("id", $"id" + 1000L)
+    val un = df.unionByName(copies)
+    val cents = Cluster.fit(df, "embedding", k = 3, distIters = 2)
+    val pairs = Cluster.semanticDupPairs(un, "id", "embedding", cents,
+        minCosine = 0.9999)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    // every planted copy pair recovered (identical vectors share an
+    // argmin assignment, so the cluster restriction cannot lose them)
+    assert((0L until 30L).map(i => (i, i + 1000L)).toSet.subsetOf(pairs))
+    // and nothing pairs across different planted blobs (orthogonal-ish
+    // directions: cosine far below threshold)
+    val truthOf = (id: Long) => (id % 1000) % 3
+    assert(pairs.forall { case (a, b) => truthOf(a) == truthOf(b) })
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("assignment ties break to the lowest centroid index") {
     val df = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "embedding")
     val same = Array(Array(0.0, 0.0), Array(0.0, 0.0))

@@ -425,7 +425,8 @@ object DomainQueries {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        val src = t(s, dir, "lineitem").select(
+        val src = t(s, dir, "lineitem")
+          .filter(pmod(col("l_partkey"), lit(4)) === 0).select(
           col("l_returnflag").as("symbol"),
           to_date(col("l_shipdate")).as("ship"),
           col("l_orderkey"), col("l_linenumber"),
@@ -467,7 +468,8 @@ object DomainQueries {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        val src = t(s, dir, "lineitem").select(
+        val src = t(s, dir, "lineitem")
+          .filter(pmod(col("l_partkey"), lit(4)) === 0).select(
           col("l_returnflag").as("symbol"),
           to_date(col("l_shipdate")).as("ship"),
           col("l_orderkey"), col("l_linenumber"),
@@ -579,7 +581,10 @@ object DomainQueries {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        val src = t(s, dir, "lineitem").select(
+        // a quarter slice keeps the gate's I/O proportional to what it
+        // pins (DV mechanics, not write throughput — s13 covers that)
+        val src = t(s, dir, "lineitem")
+          .filter(pmod(col("l_partkey"), lit(4)) === 0).select(
           col("l_returnflag").as("symbol"),
           to_date(col("l_shipdate")).as("ship"),
           col("l_orderkey"), col("l_linenumber"),
@@ -606,7 +611,7 @@ object DomainQueries {
       },
       Some("WITH k AS (SELECT l_returnflag AS symbol, count(*) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
-        "FROM lineitem WHERE NOT (l_quantity < 10) " +
+        "FROM lineitem WHERE l_partkey % 4 = 0 AND NOT (l_quantity < 10) " +
         "AND NOT (CAST(l_shipdate AS DATE) >= DATE '1998-06-01') GROUP BY 1) " +
         "SELECT symbol, n, sum_qty, 'dv' AS phase FROM k " +
         "UNION ALL SELECT symbol, n, sum_qty, 'folded' FROM k " +
@@ -627,7 +632,8 @@ object DomainQueries {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        val src = t(s, dir, "lineitem").select(
+        val src = t(s, dir, "lineitem")
+          .filter(pmod(col("l_partkey"), lit(4)) === 0).select(
           col("l_returnflag").as("symbol"),
           to_date(col("l_shipdate")).as("ship"),
           col("l_orderkey"), col("l_linenumber"),
@@ -651,11 +657,13 @@ object DomainQueries {
       Some("SELECT 'insert' AS _change_type, l_returnflag AS symbol, " +
         "count(*) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
-        "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01' " +
+        "FROM lineitem WHERE l_partkey % 4 = 0 " +
+        "AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01' " +
         "AND NOT (l_quantity < 5) GROUP BY 2 " +
         "UNION ALL SELECT 'delete', l_returnflag, count(*), " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
-        "FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01' " +
+        "FROM lineitem WHERE l_partkey % 4 = 0 " +
+        "AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' " +
         "AND l_quantity < 5 GROUP BY 2 " +
         "ORDER BY _change_type, symbol")),
 

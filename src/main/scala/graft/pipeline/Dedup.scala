@@ -564,19 +564,32 @@ object Dedup {
         grams0.join(broadcast(hot), Seq("g"), "left_anti")
       case None => grams0
     }
-    val a = grams.select(col(id).as("id1"), col("__len").as("len1"),
-      col("g"), col("c").as("c1"))
-    val b = grams.select(col(id).as("id2"), col("__len").as("len2"),
-      col("g"), col("c").as("c2"))
+    // PREFIX FILTERING (Ed-Join — Xiao/Wang/Lin, PVLDB 2008), exact:
+    // τ edits destroy ≤ q·τ grams, so a within-τ pair shares
+    // ≥ l_max−q+1−q·τ gram occurrences — by the prefix-filter lemma
+    // it must then share ≥ 1 occurrence among each doc's FIRST
+    // q·τ+1 occurrences under ONE global total order. Ordering
+    // rarest-first means the self-join only ever touches each doc's
+    // rarest grams: hot grams ("the"-class, df ≈ corpus size — whose
+    // df² join rows made the uncapped index join quadratic) never
+    // enter the candidate join at all, and the bound is still
+    // LOSSLESS (pairs too short for the lemma's LB ≥ 1 are exactly
+    // the ≤ shortMax band below).
+    val p = q * tau + 1
+    val freq = grams.groupBy(col("g")).agg(sum(col("c")).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__df"), col("g"))
+    val pre = grams.join(freq, Seq("g"))
+      .withColumn("__cum", sum(col("c")).over(w))
+      .filter(col("__cum") - col("c") < p) // any occurrence in prefix
+      .select(col(id), col("__len"), col("g"))
+    val a = pre.select(col(id).as("id1"), col("__len").as("len1"), col("g"))
+    val b = pre.select(col(id).as("id2"), col("__len").as("len2"), col("g"))
     val gramCand = a.join(b, Seq("g"))
       .filter(col("id1") < col("id2") &&
         abs(col("len1") - col("len2")) <= tau &&
         greatest(col("len1"), col("len2")) > shortMax)
-      .groupBy(col("id1"), col("id2"), col("len1"), col("len2"))
-      .agg(sum(least(col("c1"), col("c2"))).as("ix"))
-      .filter(col("ix") >=
-        greatest(col("len1"), col("len2")) - lit(q - 1) - lit(q * tau))
-      .select(col("id1"), col("id2"))
+      .select(col("id1"), col("id2")).distinct()
     // short band: equi-join on a length bin of width τ+1 (pairs within
     // τ land in the same or adjacent bins; left exploded to ±1 bins →
     // each pair matches exactly once) — no nested-loop/cartesian plan

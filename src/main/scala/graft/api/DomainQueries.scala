@@ -425,8 +425,7 @@ object DomainQueries {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        val src = t(s, dir, "lineitem")
-          .filter(pmod(col("l_partkey"), lit(4)) === 0).select(
+        val src = t(s, dir, "lineitem").select(
           col("l_returnflag").as("symbol"),
           to_date(col("l_shipdate")).as("ship"),
           col("l_orderkey"), col("l_linenumber"),
@@ -468,8 +467,7 @@ object DomainQueries {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        val src = t(s, dir, "lineitem")
-          .filter(pmod(col("l_partkey"), lit(4)) === 0).select(
+        val src = t(s, dir, "lineitem").select(
           col("l_returnflag").as("symbol"),
           to_date(col("l_shipdate")).as("ship"),
           col("l_orderkey"), col("l_linenumber"),

@@ -390,6 +390,40 @@ object PipelineQueries {
         "SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
         "FROM r WHERE rn <= 40 GROUP BY 1 ORDER BY 1")),
 
+    Q("t21_cluster_sample",
+      // cluster-balanced sampling: k-means topics (e11's deterministic
+      // first-8 centroids) become sampling strata, each capped at 50
+      // vectors by the t19 salted-md5 rank — the semantic twin of
+      // per-source mixing (a training set balanced by CONTENT topic,
+      // not just provenance). Assignment is the e11 codegen argmin;
+      // the oracle replays both the argmin and the exact rank.
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(Similarity.vecD(col("embedding")).as("v")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        val assigned = Cluster.assign(e, "embedding", cents)
+          .select(col("vec_id"), col("cluster"))
+        TextAnalysis.stratifiedSample(assigned, "cluster", "vec_id",
+            "c9", quota = 50)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+          .orderBy("cluster")
+      },
+      Some("WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id, c.cid, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS d " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "asg AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn " +
+        "FROM a) WHERE rn = 1), " +
+        "r AS (SELECT cluster, vec_id, row_number() OVER (" +
+        "PARTITION BY cluster ORDER BY md5('c9|' || CAST(vec_id AS VARCHAR)) " +
+        "DESC, vec_id DESC) AS rn FROM asg) " +
+        "SELECT cluster, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum " +
+        "FROM r WHERE rn <= 50 GROUP BY 1 ORDER BY 1")),
+
     Q("t20_topk_groups",
       // bounded-heap top-k per group (Kernels.topKPerKeyAgg /
       // TopKAgg.topk_rows): the 3 highest-priced lineitems per

@@ -23,13 +23,16 @@ import org.apache.hadoop.fs.Path
   *
   * MAINTENANCE IS CRASH-ATOMIC: zoned tables carry a
   * [[SnapshotManifest]] log (`_manifests/` parts + `_snaps/` +
-  * `_latest` pointer). [[appendClusteredZoned]] and [[compact]] write
-  * ONLY NEW files, then flip the pointer last; [[read]] resolves the
-  * live file list from the manifest, never from directory discovery,
-  * so a crash at any point of a maintenance op leaves every reader on
-  * the previous complete snapshot — no silently partial table, ever.
-  * Dead files are reclaimed by [[vacuum]] (keep-last-2). SINGLE
-  * WRITER, many readers — the IndexIo/scd2Sink contract.
+  * `_latest` pointer). [[appendClusteredZoned]], [[delete]]
+  * (merge-on-read deletion vectors) and [[compact]] write ONLY NEW
+  * files, then flip the pointer last; [[read]] resolves the live file
+  * list (and the live deletion vector) from the manifest, never from
+  * directory discovery, so a crash at any point of a maintenance op
+  * leaves every reader on the previous complete snapshot — no
+  * silently partial table, ever. Dead files are reclaimed by
+  * [[vacuum]] (keep-last-2). Snapshots are the time-travel axis
+  * ([[read]]'s asOfSnap) and the change-feed axis ([[changes]]).
+  * SINGLE WRITER, many readers — the IndexIo/scd2Sink contract.
   */
 object Layout {
 

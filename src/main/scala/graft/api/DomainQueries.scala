@@ -665,6 +665,59 @@ object DomainQueries {
         "AND l_quantity < 5 GROUP BY 2 " +
         "ORDER BY _change_type, symbol")),
 
+    Q("s21_replicate",
+      // CDC replication (Layout.applyChanges): source and target start
+      // as the same snapshot; the source takes one append and one DV
+      // delete; the change feed for that window is applied to the
+      // target (semi-join keyed delete + O(batch) append, each half
+      // crash-atomic on the target's own snapshot log) — and the
+      // TARGET's aggregate must equal the source's final state, i.e.
+      // the plain double-filter oracle.
+      (s, dir) => {
+        val base = System.getProperty("java.io.tmpdir") +
+          "/graft_repl_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val srcPath = base + "/src"
+        val tgtPath = base + "/tgt"
+        // orders, not lineitem: CDC keying needs a REAL unique key
+        // (o_orderkey; the synthetic lineitem's (orderkey, linenumber)
+        // is not unique)
+        val src = t(s, dir, "orders").select(
+          col("o_orderstatus").as("symbol"),
+          to_date(col("o_orderdate")).as("ship"),
+          col("o_orderkey"),
+          col("o_totalprice").as("qty"))
+        val cut = lit("1997-01-01").cast("date")
+        val initial = src.filter(col("ship") < cut)
+        graft.catalog.Layout.writeClusteredZoned(
+          initial, srcPath, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.writeClusteredZoned(
+          initial, tgtPath, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+        val snap1 = graft.catalog.Layout.snapshots(s, srcPath).last
+        graft.catalog.Layout.appendClusteredZoned(
+          src.filter(col("ship") >= cut), srcPath, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.delete(s, srcPath, "ship",
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        val snap3 = graft.catalog.Layout.snapshots(s, srcPath).last
+        graft.catalog.Layout.applyChanges(
+          graft.catalog.Layout.changes(s, srcPath, snap1, snap3),
+          tgtPath, "symbol", "ship", keys = Seq("o_orderkey"),
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.read(s, tgtPath, "symbol", "ship", numBuckets = 4)
+          .groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("symbol")
+      },
+      Some("SELECT o_orderstatus AS symbol, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM orders WHERE o_orderkey % 7 <> 0 " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

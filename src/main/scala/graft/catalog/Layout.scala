@@ -288,7 +288,14 @@ object Layout {
     * never re-match (the scan applies the live DV first), so replays
     * are idempotent. Returns the number of rows deleted. */
   def delete(spark: SparkSession, path: String, time: String,
-             predicate: Column): Long = {
+             predicate: Column): Long =
+    deleteWhere(spark, path, time, _.filter(predicate))
+
+  /** [[delete]] generalized to ANY row selector over the live scan —
+    * the form CDC needs ([[applyChanges]] deletes by semi-join against
+    * a key frame, which a `Column` predicate cannot express). */
+  def deleteWhere(spark: SparkSession, path: String, time: String,
+                  selector: DataFrame => DataFrame): Long = {
     if (SnapshotManifest.currentSnap(spark, path).isEmpty)
       writeZoneManifest(spark, path, time) // migrate legacy table
     val m = manifest(spark, path).get
@@ -299,7 +306,7 @@ object Layout {
       spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*))
     val survivors = deletionVectorAsOf(spark, path, None)
       .fold(scanned)(dv => minusDv(scanned, dv))
-    val hits = survivors.filter(predicate)
+    val hits = selector(survivors)
       .select(col("__dv_file").as("file"),
         col("sym_bucket").cast("long").as("sym_bucket"),
         col("__dv_pos").as("row_index"))
@@ -396,6 +403,34 @@ object Layout {
           .parquet(globEscape(new Path(path, any(0).getString(0)).toString))
           .limit(0).withColumn("_change_type", lit(""))
     }
+  }
+
+  /** CDC REPLICATION: apply a [[changes]] feed to another zoned table
+    * — deletes land first ([[deleteWhere]] semi-join on `keys`, a
+    * dv_* part, zero rewrites), then inserts append
+    * ([[appendClusteredZoned]], O(batch)). After applying the
+    * feed for a window, the target's live rows equal the source's —
+    * the snapshot-log replication loop (publish window → read feed →
+    * apply) with each half crash-atomic on the target's own log.
+    * `keys` must identify rows uniquely in the target (the usual CDC
+    * primary-key contract); cost is O(changed data) end to end. */
+  def applyChanges(feed: DataFrame, targetPath: String, symbol: String,
+                   time: String, keys: Seq[String], numBuckets: Int = 16,
+                   filesPerBucket: Int = 4): Unit = {
+    val spark = feed.sparkSession
+    val data = feed.persist()
+    try {
+      val dels = data.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+      if (!dels.isEmpty)
+        deleteWhere(spark, targetPath, time,
+          scan => scan.join(dels, keys, "left_semi"))
+      val ins = data.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      if (!ins.isEmpty)
+        appendClusteredZoned(ins, targetPath, symbol, time,
+          numBuckets, filesPerBucket)
+    } finally data.unpersist()
   }
 
   /** Small-file compaction — the maintenance pass every streaming /

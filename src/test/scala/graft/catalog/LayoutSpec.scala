@@ -345,6 +345,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("applyChanges replicates a window onto a same-snapshot target") {
+    val base = Files.createTempDirectory("graft_repl").toString
+    val (sp, tp) = (base + "/s", base + "/t")
+    val df = (1 to 600).map(i => (s"SYM${i % 5}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    val initial = df.filter($"ts" <= 300)
+    Layout.writeClusteredZoned(initial, sp, "symbol", "ts", 4, 2)
+    Layout.writeClusteredZoned(initial, tp, "symbol", "ts", 4, 2)
+    val snap1 = Layout.snapshots(spark, sp).last
+    Layout.appendClusteredZoned(df.filter($"ts" > 300), sp, "symbol", "ts", 4, 2)
+    Layout.delete(spark, sp, "ts", $"ts" <= 20 || ($"ts" > 300 && $"ts" <= 320))
+    val snap3 = Layout.snapshots(spark, sp).last
+    Layout.applyChanges(Layout.changes(spark, sp, snap1, snap3),
+      tp, "symbol", "ts", keys = Seq("ts"), numBuckets = 4, filesPerBucket = 2)
+    def live(p: String) = Layout.read(spark, p, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    assert(live(tp) == live(sp))
+    assert(live(tp) == ((21L to 300L) ++ (321L to 600L)).toSet)
+    // an empty feed window is a no-op on the target
+    Layout.applyChanges(Layout.changes(spark, sp, snap3, snap3),
+      tp, "symbol", "ts", keys = Seq("ts"), numBuckets = 4, filesPerBucket = 2)
+    assert(live(tp) == live(sp))
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

@@ -132,7 +132,12 @@ class ScaleSmokeSpec extends SparkSpec {
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
     val heavies = Seq("d2_ngram_jaccard", "d5_containment_pairs",
-      "e7_ivfpq_topk", "t17_lm_score", "e10_ann_join")
+      "e7_ivfpq_topk", "t17_lm_score", "e10_ann_join",
+      // d8: the Ed-Join prefix filter is exactly what keeps the
+      // q-gram join off the hot grams — without it the candidate
+      // stage is ~quadratic in corpus size (this bound caught it);
+      // d9: span counting must stay linear in postings
+      "d8_edit_pairs", "d9_dup_spans")
     def runOnce(name: String, dir: String): Long = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()

@@ -718,6 +718,83 @@ object DomainQueries {
         "FROM orders WHERE o_orderkey % 7 <> 0 " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s22_retention",
+      // time-retention expiry (Layout.expireBefore): rows before the
+      // cutoff age out of the zoned table — completely-expired files
+      // leave the manifest WITHOUT being opened (metadata-only, the
+      // dominant case for a time-clustered layout), straddle files
+      // get a deletion vector for their sub-cutoff rows; the read
+      // equals the plain filter. File-drop accounting and the
+      // crash-atomic flip are pinned by LayoutSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_retain_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "orders").select(
+          col("o_orderstatus").as("symbol"),
+          to_date(col("o_orderdate")).as("ship"),
+          col("o_orderkey"),
+          col("o_totalprice").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(
+          src, path, "symbol", "ship", numBuckets = 4, filesPerBucket = 6)
+        graft.catalog.Layout.expireBefore(s, path, "ship",
+          lit("1995-01-01").cast("date"))
+        graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4)
+          .groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("symbol")
+      },
+      Some("SELECT o_orderstatus AS symbol, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    Q("s23_schema_evolution",
+      // additive schema evolution: the table starts without `prio`,
+      // a later batch appends WITH it, and a mergeSchema read unions
+      // the file schemas — pre-evolution rows surface NULL prio
+      // (count(prio) counts only post-evolution rows), values
+      // unchanged. The zone manifest and bucket layout are untouched
+      // by the widened schema.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_evolve_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val o = t(s, dir, "orders")
+        val cut = lit("1997-01-01").cast("date")
+        val v1 = o.select(col("o_orderstatus").as("symbol"),
+          to_date(col("o_orderdate")).as("ship"),
+          col("o_orderkey"), col("o_totalprice").as("qty"))
+        val v2 = o.select(col("o_orderstatus").as("symbol"),
+          to_date(col("o_orderdate")).as("ship"),
+          col("o_orderkey"), col("o_totalprice").as("qty"),
+          col("o_orderpriority").as("prio"))
+        graft.catalog.Layout.writeClusteredZoned(
+          v1.filter(col("ship") < cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.appendClusteredZoned(
+          v2.filter(col("ship") >= cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4,
+            mergeSchema = true)
+          .groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n"), count(col("prio")).as("n_prio"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("symbol")
+      },
+      Some("SELECT o_orderstatus AS symbol, count(*) AS n, " +
+        "count(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-01-01' " +
+        "THEN o_orderpriority END) AS n_prio, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
     Q("u10_serial_keys",
       // SERIAL surrogate-key allocation (§7.4 risk 1): deterministic
       // dense ids for a batch of new rows, offset past the current

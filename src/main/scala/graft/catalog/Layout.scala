@@ -327,6 +327,89 @@ object Layout {
     n
   }
 
+  /** TIME-RETENTION EXPIRY: drop every row with `time` < `cutoff` —
+    * the nightly job of any time-partitioned fact table at 100 TB,
+    * and the reason zone manifests earn their keep: a file whose
+    * zmax < cutoff is COMPLETELY expired and is dropped from the
+    * manifest without being opened (metadata-only — the dominant case
+    * for a time-clustered layout, where whole old slices age out);
+    * only files STRADDLING the cutoff (zmin < cutoff ≤ zmax — a
+    * handful per bucket by construction) get a deletion-vector part
+    * for their sub-cutoff rows. Work is O(straddle files), never
+    * O(expired data). Commits as one snapshot (filtered manifest +
+    * straddle DV, pointer flip last — the standing crash contract);
+    * dropped files are reclaimed by [[vacuum]]. Like [[compact]],
+    * this is a physical rewrite of the file list, so [[changes]]
+    * windows crossing it refuse (it is not row-additive). Returns
+    * (filesDropped, straddleRowsDeleted). */
+  def expireBefore(spark: SparkSession, path: String, time: String,
+                   cutoff: Column): (Int, Long) = {
+    if (SnapshotManifest.currentSnap(spark, path).isEmpty)
+      writeZoneManifest(spark, path, time) // migrate legacy table
+    val live = manifest(spark, path).get
+    val schema = live.schema
+    val liveRows = live.collect() // bounded by FILE count
+    val cut = spark.range(1).select(cutoff.as("c")).head.get(0)
+    val cutLit = lit(cut)
+    // zone bounds and the evaluated cutoff share the time column's
+    // external type (Date/Timestamp/number — all Comparable)
+    def lt(a: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(cut) < 0
+    val dropped = liveRows.filter(r => lt(r.get(3))) // zmax < cutoff
+    val droppedSet = dropped.map(_.getString(0)).toSet
+    val straddle = liveRows.filterNot(r => droppedSet(r.getString(0)))
+      .filter(r => lt(r.get(2))) // zmin < cutoff ≤ zmax
+    val fs = SnapshotManifest.fsOf(spark, path)
+    val dvPart: Option[String] =
+      if (straddle.isEmpty) None
+      else {
+        val files = straddle.map(r =>
+          globEscape(new Path(path, r.getString(0)).toString))
+        val scanned = withPos(spark.read.option("basePath", path)
+          .parquet(files.toIndexedSeq: _*))
+        val survivors = deletionVectorAsOf(spark, path, None)
+          .fold(scanned)(dv => minusDv(scanned, dv))
+        val hits = survivors.filter(col(time) < cutLit)
+          .select(col("__dv_file").as("file"),
+            col("sym_bucket").cast("long").as("sym_bucket"),
+            col("__dv_pos").as("row_index"))
+        val mDir = new Path(path, SnapshotManifest.ManifestsDir)
+        fs.mkdirs(mDir)
+        val part = SnapshotManifest.newPartName("dv")
+        val tmp = new Path(mDir, s".tmp_$part")
+        hits.write.mode("overwrite").parquet(tmp.toString)
+        if (spark.read.parquet(tmp.toString).isEmpty) {
+          fs.delete(tmp, true); None
+        } else {
+          if (!fs.rename(tmp, new Path(mDir, part)))
+            throw new java.io.IOException(s"expire: dv rename failed: $part")
+          Some(part)
+        }
+      }
+    val straddleDeleted = dvPart.fold(0L)(p =>
+      spark.read.parquet(SnapshotManifest.partPath(path, p)).count())
+    if (dropped.nonEmpty || dvPart.nonEmpty) {
+      val keptRows = liveRows.filterNot(r => droppedSet(r.getString(0)))
+      // fold the kept manifest rows into ONE fresh part; existing DV
+      // parts stay referenced (entries for dropped files dangle
+      // harmlessly until compact folds them away)
+      val keptDvParts = SnapshotManifest.currentParts(spark, path)
+        .getOrElse(Seq.empty).filter(_.startsWith("dv_"))
+      val mPart = SnapshotManifest.newPartName()
+      val mDir = new Path(path, SnapshotManifest.ManifestsDir)
+      val tmp = new Path(mDir, s".tmp_$mPart")
+      spark.createDataFrame(
+          java.util.Arrays.asList(keptRows: _*), schema)
+        .coalesce(1).write.parquet(tmp.toString)
+      if (!fs.rename(tmp, new Path(mDir, mPart)))
+        throw new java.io.IOException(s"expire: manifest rename failed: $mPart")
+      failpoint("expire-before-flip")
+      SnapshotManifest.commit(spark, path,
+        mPart +: (keptDvParts ++ dvPart.toSeq))
+    }
+    (dropped.length, straddleDeleted)
+  }
+
   /** Row-level CHANGE DATA FEED between two snapshots (names from
     * [[snapshots]], `fromSnap` committed before `toSnap`): every row
     * appended after `fromSnap` and still live at `toSnap` as
@@ -599,15 +682,25 @@ object Layout {
     * one — the table exactly as of that commit, readable as long as
     * [[vacuum]]'s retention (keep-last-2 by default) still holds the
     * snapshot's files (the s15 oracle). */
+  /** SCHEMA EVOLUTION: `mergeSchema = true` unions the file schemas
+    * across the snapshot (parquet schema merging), so batches appended
+    * with ADDED columns read back with nulls for pre-evolution rows —
+    * additive evolution only, the Delta/Iceberg default posture.
+    * Off by default: merging reads every file footer up front, which
+    * a stable-schema table shouldn't pay. */
   def read(spark: SparkSession, path: String, symbol: String, time: String,
            numBuckets: Int = 16, symbolEq: Option[String] = None,
            timeRange: Option[(Column, Column)] = None,
-           asOfSnap: Option[String] = None): DataFrame = {
+           asOfSnap: Option[String] = None,
+           mergeSchema: Boolean = false): DataFrame = {
+    def rd = {
+      val r = spark.read.option("basePath", path)
+      if (mergeSchema) r.option("mergeSchema", "true") else r
+    }
     def bucketPruned(df: DataFrame): DataFrame = symbolEq.fold(df) { v =>
       df.filter(col("sym_bucket") === bucketOf(lit(v), numBuckets))
     }
-    def fullScan = bucketPruned(
-      spark.read.option("basePath", path).parquet(path))
+    def fullScan = bucketPruned(rd.parquet(path))
     val base = manifestAsOf(spark, path, asOfSnap) match {
       case Some(m) =>
         val pruned0 = bucketPruned(m)
@@ -621,12 +714,11 @@ object Layout {
           // nothing overlaps: keep the schema via any live file
           val any = m.select(col("file")).limit(1).collect()
           if (any.isEmpty) fullScan.limit(0)
-          else spark.read.option("basePath", path)
+          else rd
             .parquet(globEscape(new Path(path, any(0).getString(0)).toString))
             .limit(0)
         } else {
-          val scanned = spark.read.option("basePath", path)
-            .parquet(files.toIndexedSeq: _*)
+          val scanned = rd.parquet(files.toIndexedSeq: _*)
           // merge-on-read: drop positions the live deletion vector
           // covers (no-op when the snapshot carries no deletes)
           val lv = deletionVectorAsOf(spark, path, asOfSnap).fold(scanned)(
@@ -642,8 +734,7 @@ object Layout {
               .select(col("file")).collect()
               .map(r => literalPath(r.getString(0)))
             if (files.isEmpty) fullScan.limit(0)
-            else bucketPruned(
-              spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*))
+            else bucketPruned(rd.parquet(files.toIndexedSeq: _*))
         }
     }
     val keyed = symbolEq.fold(base)(v => base.filter(col(symbol) === v))

@@ -369,6 +369,40 @@ class LayoutSpec extends SparkSpec {
     assert(live(tp) == live(sp))
   }
 
+  test("expireBefore: whole files drop metadata-only, straddlers get DVs") {
+    val dir = Files.createTempDirectory("graft_retain").toString + "/t"
+    val df = (1 to 1200).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 6)
+    val before = Layout.manifest(spark, dir).get.count()
+    // crash before the flip: the full table stays readable
+    Layout.testFailpoint = Some("expire-before-flip")
+    try intercept[java.io.IOException] {
+      Layout.expireBefore(spark, dir, "ts", lit(601L))
+    } finally Layout.testFailpoint = None
+    assert(Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .count() == 1200)
+    val (nDropped, nStraddle) = Layout.expireBefore(spark, dir, "ts", lit(601L))
+    // ~half the time range ages out: most of it as whole-file manifest
+    // drops, only the cutoff-straddling files contribute DV rows
+    assert(nDropped > 0 && nDropped < before)
+    assert(Layout.manifest(spark, dir).get.count() == before - nDropped)
+    val live = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    assert(live == (601L to 1200L).toSet)
+    assert(nStraddle < 600, s"straddle DV covered $nStraddle rows — " +
+      "whole-file expiry should dominate")
+    // idempotent: nothing left below the cutoff
+    assert(Layout.expireBefore(spark, dir, "ts", lit(601L)) == ((0, 0L)))
+    // compact folds the straddle DVs away; content unchanged
+    Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 6)
+    assert(Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet == live)
+    assert(SnapshotManifest.currentParts(spark, dir).get
+      .forall(_.startsWith("m_")))
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

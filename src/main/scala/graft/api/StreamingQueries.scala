@@ -1,5 +1,6 @@
 package graft.api
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -11,6 +12,26 @@ import graft.streaming.Streams
   * streaming execution itself is pinned by StreamsSpec with
   * MemoryStream). */
 object StreamingQueries {
+
+  /** Size the STATEFUL shuffle for a toy-volume stream before start:
+    * a streaming query snapshots `spark.sql.shuffle.partitions` when
+    * it starts, and every stateful operator then commits one state
+    * store per partition per micro-batch — at gate scale (thousands
+    * of keys) 32 stores are pure commit overhead. 8 keeps the
+    * operators identical and the commit machinery proportional; a
+    * production stream sizes this to its key volume (the knob IS the
+    * tuning surface). Applied only to the PURE-STATE streams
+    * (dedup/fold/enrich); the write-heavy sinks (scd2, ingest) keep
+    * the session default — their per-epoch Layout writes want the
+    * I/O parallelism. Restored immediately after start so batch
+    * queries in the same session are untouched. */
+  private def startWithStatePartitions[T](s: SparkSession, n: Int)
+                                         (start: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try start finally s.conf.set(key, old)
+  }
 
   val entries: Seq[Q] = Seq(
     Q("st1_windowed_agg",
@@ -214,8 +235,9 @@ object StreamingQueries {
           "ts", "text", watermark = "3650 days")
         val sinkName = "st5_dedup_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = deduped.writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
+        val q = startWithStatePartitions(s, 8)(
+          deduped.writeStream.format("memory").queryName(sinkName)
+            .outputMode("append").start())
         try batches.foreach { b =>
           mem.addData(b.toIndexedSeq); q.processAllAvailable()
         } finally q.stop()
@@ -248,8 +270,9 @@ object StreamingQueries {
         val mem = MemoryStream[Streams.StreamTrade]
         val sinkName = "st6_hold_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = Streams.holdingsStream(mem.toDS()).writeStream
-          .format("memory").queryName(sinkName).outputMode("append").start()
+        val q = startWithStatePartitions(s, 8)(
+          Streams.holdingsStream(mem.toDS()).writeStream
+            .format("memory").queryName(sinkName).outputMode("append").start())
         try batches.foreach { b =>
           mem.addData(b.toIndexedSeq); q.processAllAvailable()
         } finally q.stop()
@@ -286,8 +309,9 @@ object StreamingQueries {
           mem.toDF().toDF("event_id", "user_id", "value"), dim, "user_id")
         val sinkName = "st7_enrich_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = enriched.writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
+        val q = startWithStatePartitions(s, 8)(
+          enriched.writeStream.format("memory").queryName(sinkName)
+            .outputMode("append").start())
         try batches.foreach { b =>
           mem.addData(b.toIndexedSeq); q.processAllAvailable()
         } finally q.stop()

@@ -301,6 +301,25 @@ class LayoutSpec extends SparkSpec {
       .select($"ts").as[Long].collect().toSet == (101L to 900L).toSet)
   }
 
+  test("DV reads plan a hash anti-join on position keys, never a nested loop") {
+    val dir = Files.createTempDirectory("graft_dv_plan").toString + "/t"
+    val df = (1 to 500).map(i => (s"SYM${i % 5}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    Layout.delete(spark, dir, "ts", $"ts" <= 50)
+    val scan = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+    scan.collect() // materialize so AQE settles the final plan
+    val plan = scan.queryExecution.executedPlan.toString
+    // the merge-on-read apply must stay an equi-keyed hash join (the
+    // DV side is tiny → broadcast); a nested-loop plan here would make
+    // every deleted table O(rows·dv) to scan
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("deletion vectors: a fully-deleted bucket folds to nothing") {
     val dir = Files.createTempDirectory("graft_dv_full").toString + "/t"
     val df = (1 to 400).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))

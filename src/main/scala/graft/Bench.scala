@@ -27,6 +27,9 @@ object Bench {
     // optional args = subset of query names (local profiling); the
     // driver passes none → full suite
     val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val unknown = args.filterNot(names0.contains)
+    require(unknown.isEmpty, // a typo must not silently run nothing
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     // two timed passes per query, report the min: a single contended
     // CPU burst on the host otherwise masquerades as a plan

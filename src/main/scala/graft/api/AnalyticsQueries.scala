@@ -494,13 +494,18 @@ object AnalyticsQueries {
       (s, dir) => graft.analytics.Behavior.sessionize(
           Tables.load(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
         .orderBy("user_id", "session_id"),
+      // session_id: DuckDB sum(int) over a window returns HUGEINT
+      // (int128); the driver stringifies int128 unlike BIGINT while the
+      // local replica hides it (st2's r1-r3 failure, documented at
+      // StreamingQueries.scala:66-71). CAST AS BIGINT — the Spark side
+      // is already LongType.
       Some("WITH l AS (SELECT user_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts) AS pts FROM events), " +
         "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR " +
         "epoch_us(ts) - epoch_us(pts) > 30*60*1000000 THEN 1 ELSE 0 END " +
         "AS nf FROM l), " +
-        "s AS (SELECT user_id, ts, sum(nf) OVER " +
-        "(PARTITION BY user_id ORDER BY ts) AS session_id FROM f) " +
+        "s AS (SELECT user_id, ts, CAST(sum(nf) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id FROM f) " +
         "SELECT user_id, session_id, min(ts) AS session_start, " +
         "max(ts) AS session_end, count(*) AS n_events FROM s " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),

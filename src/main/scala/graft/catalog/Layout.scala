@@ -349,12 +349,18 @@ object Layout {
     val live = manifest(spark, path).get
     val schema = live.schema
     val liveRows = live.collect() // bounded by FILE count
-    val cut = spark.range(1).select(cutoff.as("c")).head.get(0)
+    // cast the cutoff to the zone-bound (= time column) type so a
+    // caller's lit(601) Int compares against a long column's bounds
+    val boundType = schema("zmin").dataType
+    val cut = spark.range(1)
+      .select(cutoff.cast(boundType).as("c")).head.get(0)
+    require(cut != null,
+      s"expireBefore cutoff is null after cast to $boundType")
     val cutLit = lit(cut)
-    // zone bounds and the evaluated cutoff share the time column's
-    // external type (Date/Timestamp/number — all Comparable)
+    // a null zone bound (all-null time column in that file) can never
+    // be proven expired — treat it as non-expired and keep the file
     def lt(a: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(cut) < 0
+      a != null && a.asInstanceOf[Comparable[Any]].compareTo(cut) < 0
     val dropped = liveRows.filter(r => lt(r.get(3))) // zmax < cutoff
     val droppedSet = dropped.map(_.getString(0)).toSet
     val straddle = liveRows.filterNot(r => droppedSet(r.getString(0)))
@@ -496,20 +502,29 @@ object Layout {
     * the snapshot-log replication loop (publish window → read feed →
     * apply) with each half crash-atomic on the target's own log.
     * `keys` must identify rows uniquely in the target (the usual CDC
-    * primary-key contract); cost is O(changed data) end to end. */
+    * primary-key contract); cost is O(changed data) end to end.
+    *
+    * RETRY-IDEMPOTENT: the delete pass removes the INSERT batch's keys
+    * too (one extra semi-join input, still one delete snapshot), so
+    * re-running the whole call after a crash between or after the two
+    * commits converges to the same table — a half-applied append's
+    * rows are swept before the batch re-appends, never duplicated
+    * (standard MERGE key semantics; a no-op when the feed's own
+    * delete rows already covered the key). */
   def applyChanges(feed: DataFrame, targetPath: String, symbol: String,
                    time: String, keys: Seq[String], numBuckets: Int = 16,
                    filesPerBucket: Int = 4): Unit = {
     val spark = feed.sparkSession
     val data = feed.persist()
     try {
-      val dels = data.filter(col("_change_type") === "delete")
-        .select(keys.map(col): _*)
-      if (!dels.isEmpty)
-        deleteWhere(spark, targetPath, time,
-          scan => scan.join(dels, keys, "left_semi"))
       val ins = data.filter(col("_change_type") === "insert")
         .drop("_change_type")
+      val sweep = data.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+        .unionByName(ins.select(keys.map(col): _*))
+      if (!sweep.isEmpty)
+        deleteWhere(spark, targetPath, time,
+          scan => scan.join(sweep, keys, "left_semi"))
       if (!ins.isEmpty)
         appendClusteredZoned(ins, targetPath, symbol, time,
           numBuckets, filesPerBucket)

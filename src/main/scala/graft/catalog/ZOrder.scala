@@ -76,8 +76,12 @@ object ZOrder {
         val st = df.agg(
           percentile_approx(col(c1).cast("double"), probs, lit(1000)),
           percentile_approx(col(c2).cast("double"), probs, lit(1000))).head
+        // percentile_approx yields NULL for an empty frame or an
+        // all-null column — degrade to no boundaries (single bin 0)
+        // instead of NPEing, like the uniform path's clamp does
         def bounds(i: Int): Array[Double] =
-          st.getSeq[Double](i).toArray
+          if (st.isNullAt(i)) Array.empty[Double]
+          else st.getSeq[Double](i).toArray
         interleaveBits(
           graft.functions.BinExprs.sorted_bin(col(c1), bounds(0)),
           graft.functions.BinExprs.sorted_bin(col(c2), bounds(1)), Bits)
@@ -85,9 +89,11 @@ object ZOrder {
         val st = df.agg(
           min(col(c1)).cast("double"), max(col(c1)).cast("double"),
           min(col(c2)).cast("double"), max(col(c2)).cast("double")).head
+        def d(i: Int): Double = // null agg (empty/all-null) → bin 0
+          if (st.isNullAt(i)) 0.0 else st.getDouble(i)
         interleaveBits(
-          bin(col(c1), st.getDouble(0), st.getDouble(1)),
-          bin(col(c2), st.getDouble(2), st.getDouble(3)), Bits)
+          bin(col(c1), d(0), d(1)),
+          bin(col(c2), d(2), d(3)), Bits)
       }
     df.withColumn("__z", z)
       .repartitionByRange(filesTarget, col("__z"))

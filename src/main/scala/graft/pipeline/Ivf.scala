@@ -9,15 +9,18 @@ import graft.ops.{CacheScope, Kernels}
   * query probes only the `nProbe` nearest cells — the classic
   * FAISS-IVF-Flat structure expressed as DataFrames.
   *
-  * Scale shape: the quantizer trains DRIVER-LOCALLY on a sample of at
-  * most `maxTrainRows` vectors (FAISS trains coarse quantizers the
-  * same way — the sample is bounded by construction, so the collect
-  * is O(maxTrainRows · dims) regardless of corpus size, and no
-  * distributed ML iterations are paid). Cell ASSIGNMENT is one
-  * distributed pass over the full corpus with the centroid array as a
-  * literal (codegen dot products, no join, no shuffle), and a query
-  * touches ~nProbe/nCells of the corpus. The cell column is the
-  * natural partition key for the stored index.
+  * Scale shape: the quantizer SEEDS driver-locally on a bounded
+  * reservoir sample (≤ `maxTrainRows` vectors — FAISS's own coarse-
+  * training posture; the collect is O(maxTrainRows · dims) at any
+  * corpus size) and then REFINES with full-corpus distributed
+  * Lloyd's rounds — the same shared kernel as [[Cluster.fit]], where
+  * each round is one codegen assignment projection plus one
+  * map-side-combined (cell, dim) aggregation whose shuffle is
+  * O(nCells · dims). Cell ASSIGNMENT is one distributed pass over
+  * the full corpus with the centroid array as a literal (codegen dot
+  * products, no join, no shuffle), and a query touches
+  * ~nProbe/nCells of the corpus. The cell column is the natural
+  * partition key for the stored index.
   */
 class IvfIndex private (val cells: DataFrame,
                         private[pipeline] val centroids: Array[Array[Double]],
@@ -162,21 +165,24 @@ object IvfIndex {
     * vectors stay RAW (cosine is scale-invariant, and the exact
     * re-rank keeps bit-parity with the brute-force oracle).
     *
-    * `distIters` > 0 runs that many distributed Lloyd's rounds seeded
+    * `distIters` runs that many distributed Lloyd's rounds seeded
     * from the sample-trained centroids — the 100 TB training path
     * when the reservoir sample under-represents the corpus (each
     * round is one codegen assignment pass + one map-side-combined
-    * aggregation; see [[distributedLloyd]]). Default 0 keeps the
-    * bounded-sample contract (FAISS's own default posture) and exact
-    * run-to-run determinism — distributed float sums are
-    * shuffle-order-dependent in the last ulp.
+    * aggregation; see [[distributedLloyd]] — the SAME kernel
+    * [[Cluster.fit]] uses). Default 1: every build refines on the
+    * full corpus. Pass 0 to keep the pure bounded-sample posture and
+    * exact run-to-run determinism — distributed float sums are
+    * shuffle-order-dependent in the last ulp (query results stay
+    * exact either way wherever probing is full or re-ranked exactly;
+    * only the cell boundaries can drift an ulp).
     *
     * The persisted cells frame (the index itself) and the build-time
     * base frame are registered in [[graft.ops.CacheScope]]; release
     * the scope (or call [[IvfIndex.close]]) when done. */
   def build(corpus: DataFrame, id: String, vec: String,
             nCells: Int, seed: Long = 42L,
-            maxTrainRows: Int = 100000, distIters: Int = 0): IvfIndex = {
+            maxTrainRows: Int = 100000, distIters: Int = 1): IvfIndex = {
     val base = CacheScope.persist(Kernels.ensureParallelism(
         corpus.select(col(id), Similarity.vecD(col(vec)).as("cv"))))
     // bounded per-partition reservoir sample (see [[Sampling]]): no

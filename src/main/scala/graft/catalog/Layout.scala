@@ -32,7 +32,15 @@ import org.apache.hadoop.fs.Path
   * silently partial table, ever. Dead files are reclaimed by
   * [[vacuum]] (keep-last-2). Snapshots are the time-travel axis
   * ([[read]]'s asOfSnap) and the change-feed axis ([[changes]]).
-  * SINGLE WRITER, many readers — the IndexIo/scd2Sink contract.
+  * SINGLE WRITER, many readers — the IndexIo/scd2Sink contract —
+  * backstopped by optimistic concurrency: every incremental mutator
+  * (append/delete/expire/compact) captures the snapshot it read and
+  * commits compare-and-swap against it
+  * ([[SnapshotManifest.commit]]'s `expectedSnap`), so two
+  * maintainers racing (compact + delete) can never silently drop
+  * each other's parts — the loser throws
+  * [[SnapshotManifest.ConcurrentCommitException]] and retries
+  * against the winner's snapshot.
   */
 object Layout {
 
@@ -44,9 +52,23 @@ object Layout {
     * but BEFORE the snapshot flip — LayoutSpec uses it to pin that a
     * crashed append/compact is invisible to readers. */
   @volatile private[graft] var testFailpoint: Option[String] = None
-  private def failpoint(name: String): Unit =
+
+  /** Test-only interleave injection: when set to (failpoint-name, f),
+    * the matching maintenance op runs `f` ONCE just before its
+    * snapshot flip — LayoutSpec races a second writer inside the
+    * window to pin the optimistic-concurrency contract. */
+  @volatile private[graft] var testInterleave: Option[(String, () => Unit)] =
+    None
+  private def failpoint(name: String): Unit = {
     if (testFailpoint.contains(name))
       throw new java.io.IOException(s"injected failpoint: $name")
+    testInterleave match {
+      case Some((n, thunk)) if n == name =>
+        testInterleave = None // self-clearing: the thunk's own ops pass
+        thunk()
+      case _ => ()
+    }
+  }
 
   /** Write a time-series frame in the clustered layout. */
   def writeClustered(df: DataFrame, path: String, symbol: String,
@@ -137,14 +159,33 @@ object Layout {
 
   /** The live deletion vector of a snapshot — union of its `dv_*`
     * parts, one row per deleted position (file, sym_bucket,
-    * row_index) — or None when the snapshot carries no deletes. */
+    * row_index) — or None when the snapshot carries no deletes.
+    *
+    * JOIN-STRATEGY PIN: the [[minusDv]] anti-join must never
+    * degenerate — a tiny DV broadcasts (the common case), but a DV
+    * that outgrew the broadcast threshold must degrade to a SHUFFLED
+    * hash join, not a sort-merge (pointless double sort on position
+    * keys) and certainly not a nested loop. The decision is made here
+    * from METADATA: the dv parts' on-disk bytes (O(parts) filesystem
+    * calls — the same size estimate Spark's own join selection reads
+    * from file statistics) against the session broadcast threshold;
+    * oversized (or broadcast-disabled) DVs carry a `shuffle_hash`
+    * hint on the build side. */
   def deletionVectorAsOf(spark: SparkSession, path: String,
                          snap: Option[String]): Option[DataFrame] =
     partsAsOf(spark, path, snap).flatMap { parts =>
       val dv = parts.filter(_.startsWith("dv_"))
       if (dv.isEmpty) None
-      else Some(spark.read.parquet(
-        dv.map(p => SnapshotManifest.partPath(path, p)): _*))
+      else {
+        val df = spark.read.parquet(
+          dv.map(p => SnapshotManifest.partPath(path, p)): _*)
+        val fs = SnapshotManifest.fsOf(spark, path)
+        val bytes = dv.map(p => fs.getContentSummary(
+          new Path(SnapshotManifest.partPath(path, p))).getLength).sum
+        val thr = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        Some(if (thr >= 0 && bytes <= thr) df else df.hint("shuffle_hash"))
+      }
     }
 
   /** All retained snapshot names, ascending by commit order — the
@@ -182,7 +223,8 @@ object Layout {
   private def commitPart(spark: SparkSession, root: String,
                          schema: org.apache.spark.sql.types.StructType,
                          rows: Array[Row], replaceAll: Boolean,
-                         partName: Option[String] = None): Unit = {
+                         partName: Option[String] = None,
+                         expected: Option[Option[String]] = None): Unit = {
     val fs = SnapshotManifest.fsOf(spark, root)
     val mDir = new Path(root, SnapshotManifest.ManifestsDir)
     fs.mkdirs(mDir)
@@ -195,7 +237,7 @@ object Layout {
     val parts =
       if (replaceAll) Seq(part)
       else SnapshotManifest.currentParts(spark, root).getOrElse(Seq.empty) :+ part
-    SnapshotManifest.commit(spark, root, parts)
+    SnapshotManifest.commit(spark, root, parts, expected)
   }
 
   /** Append a new slice to an existing clustered+zoned table WITHOUT
@@ -231,6 +273,7 @@ object Layout {
         fs.listStatus(rootP).exists(st => st.isDirectory &&
           st.getPath.getName.startsWith("sym_bucket=")))
       writeZoneManifest(spark, path, time)
+    val baseSnap = SnapshotManifest.currentSnap(spark, path)
     val stage = new Path(rootP, s".stage_append_${System.nanoTime()}")
     df.withColumn("sym_bucket", bucketOf(col(symbol), numBuckets))
       .repartitionByRange(numBuckets * filesPerBucket,
@@ -252,7 +295,8 @@ object Layout {
     }
     fs.delete(stage, true)
     failpoint("append-before-flip")
-    commitPart(spark, path, schema, rows, replaceAll = false, partName)
+    commitPart(spark, path, schema, rows, replaceAll = false, partName,
+      expected = Some(baseSnap))
   }
 
   /** Stamp each scanned row with the position key a deletion vector
@@ -298,6 +342,7 @@ object Layout {
                   selector: DataFrame => DataFrame): Long = {
     if (SnapshotManifest.currentSnap(spark, path).isEmpty)
       writeZoneManifest(spark, path, time) // migrate legacy table
+    val baseSnap = SnapshotManifest.currentSnap(spark, path)
     val m = manifest(spark, path).get
     val files = m.select(col("file")).collect().map(r =>
       globEscape(new Path(path, r.getString(0)).toString))
@@ -323,7 +368,7 @@ object Layout {
     failpoint("delete-before-flip")
     val parts =
       SnapshotManifest.currentParts(spark, path).getOrElse(Seq.empty) :+ part
-    SnapshotManifest.commit(spark, path, parts)
+    SnapshotManifest.commit(spark, path, parts, Some(baseSnap))
     n
   }
 
@@ -346,6 +391,7 @@ object Layout {
                    cutoff: Column): (Int, Long) = {
     if (SnapshotManifest.currentSnap(spark, path).isEmpty)
       writeZoneManifest(spark, path, time) // migrate legacy table
+    val baseSnap = SnapshotManifest.currentSnap(spark, path)
     val live = manifest(spark, path).get
     val schema = live.schema
     val liveRows = live.collect() // bounded by FILE count
@@ -411,7 +457,7 @@ object Layout {
         throw new java.io.IOException(s"expire: manifest rename failed: $mPart")
       failpoint("expire-before-flip")
       SnapshotManifest.commit(spark, path,
-        mPart +: (keptDvParts ++ dvPart.toSeq))
+        mPart +: (keptDvParts ++ dvPart.toSeq), Some(baseSnap))
     }
     (dropped.length, straddleDeleted)
   }
@@ -531,13 +577,62 @@ object Layout {
     } finally data.unpersist()
   }
 
+  /** One bucket's maintenance pressure, as [[planMaintenance]] reports
+    * it: `files` live data files (manifest), `dvFiles` of them carrying
+    * deletion-vector rows, `dvRows` total deleted positions. A bucket
+    * appears in a plan only when at least one flag is set. */
+  case class BucketMaintenance(bucket: Long, files: Int, dvFiles: Int,
+                               dvRows: Long, overFragmented: Boolean,
+                               dvPressure: Boolean)
+
+  /** MAINTENANCE PLANNER — the policy that decides WHICH buckets
+    * [[compact]] rewrites, surfaced so operators can inspect/schedule
+    * it instead of having to remember that deletes accumulate one
+    * `dv_*` part each and every read pays the anti-join until a
+    * compaction folds them. Metadata-only: file counts come from the
+    * zone manifest, DV pressure from one bounded aggregation over the
+    * `dv_*` parts (O(deleted positions) read, O(buckets) out) — no
+    * data file is opened. Flags per bucket:
+    *
+    *   - `overFragmented`: more live files than `filesPerBucket` —
+    *     the small-file metadata/open-storm axis;
+    *   - `dvPressure`: any deletion-vector rows — every scan of this
+    *     bucket pays the merge-on-read anti-join until rewritten.
+    *
+    * Returns ONLY flagged buckets (the compaction worklist), ascending
+    * by bucket id; empty ⇒ the table needs no rewrite. [[compact]]
+    * consumes exactly this plan, so planner output and compaction
+    * behavior cannot drift apart. */
+  def planMaintenance(spark: SparkSession, path: String,
+                      filesPerBucket: Int = 4): Seq[BucketMaintenance] = {
+    val m = manifest(spark, path).getOrElse(return Seq.empty)
+    val files = m.collect().groupBy(_.getLong(1)) // bounded by FILE count
+      .map { case (b, rows) => b -> rows.length }
+    val dv: Map[Long, (Int, Long)] =
+      deletionVectorAsOf(spark, path, None).fold(Map.empty[Long, (Int, Long)])(
+        _.groupBy(col("sym_bucket"))
+          .agg(countDistinct(col("file")).as("dvf"), count(lit(1)).as("dvr"))
+          .collect() // bounded by BUCKET count
+          .map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2))).toMap)
+    files.keySet.union(dv.keySet).toSeq.sorted.flatMap { b =>
+      val nf = files.getOrElse(b, 0)
+      val (dvf, dvr) = dv.getOrElse(b, (0, 0L))
+      val frag = nf > filesPerBucket
+      val pressure = dvr > 0L
+      if (frag || pressure)
+        Some(BucketMaintenance(b, nf, dvf, dvr, frag, pressure))
+      else None
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every streaming /
     * CoW writer eventually needs (each micro-batch or merge epoch
     * lands more files; at 100 TB an uncompacted table turns every scan
-    * into a metadata+open storm). Bin-packs each over-fragmented
-    * bucket back to ≤ `filesPerBucket` time-zoned files, and FOLDS the
-    * manifest parts accumulated by [[appendClusteredZoned]] back into
-    * one:
+    * into a metadata+open storm). Targets exactly the buckets
+    * [[planMaintenance]] flags (over-fragmented or DV-pressured),
+    * bin-packs each back to ≤ `filesPerBucket` time-zoned files, and
+    * FOLDS the manifest parts accumulated by [[appendClusteredZoned]]
+    * back into one:
     *
     *   - O(affected buckets), driven by the MANIFEST (dead files from
     *     crashed ops are neither read nor counted): buckets already at
@@ -560,20 +655,21 @@ object Layout {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (SnapshotManifest.currentSnap(spark, path).isEmpty)
       writeZoneManifest(spark, path, time) // migrate legacy table
+    val baseSnap = SnapshotManifest.currentSnap(spark, path)
     val live = manifest(spark, path).get
     val schema = live.schema
     val liveRows = live.collect() // bounded by FILE count
-    // buckets with accumulated deletion vectors are compaction targets
-    // too (regardless of file count): the rewrite materializes the
-    // deletes into clean files, and the folded snapshot drops every
+    // target selection IS the planner's output: dv-pressured buckets
+    // are rewritten regardless of file count (the rewrite materializes
+    // the deletes into clean files, and the folded snapshot drops every
     // dv_* part — which is only sound if ALL dv-touched buckets were
-    // rewritten this pass
+    // rewritten this pass)
     val dvOpt = deletionVectorAsOf(spark, path, None)
-    val dvBuckets: Set[Long] = dvOpt.fold(Set.empty[Long])(
-      _.select(col("sym_bucket")).distinct().collect()
-        .map(_.getLong(0)).toSet)
+    val plan = planMaintenance(spark, path, filesPerBucket)
+    val dvBuckets: Set[Long] = plan.filter(_.dvPressure).map(_.bucket).toSet
+    val planned = plan.map(_.bucket).toSet
     val targets = liveRows.groupBy(_.getLong(1))
-      .filter { case (b, rows) => rows.length > filesPerBucket || dvBuckets(b) }
+      .filter { case (b, _) => planned(b) }
     var replaced = Set.empty[String]
     var freshRows = Array.empty[Row]
     targets.foreach { case (bucket, rows) =>
@@ -613,7 +709,8 @@ object Layout {
     if (targets.nonEmpty || nParts > 1) {
       val folded = liveRows.filterNot(r => replaced(r.getString(0))) ++ freshRows
       failpoint("compact-before-flip")
-      commitPart(spark, path, schema, folded, replaceAll = true)
+      commitPart(spark, path, schema, folded, replaceAll = true,
+        expected = Some(baseSnap))
       vacuum(spark, path)
     }
     targets.size

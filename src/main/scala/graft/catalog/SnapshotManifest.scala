@@ -23,12 +23,27 @@ import java.nio.charset.StandardCharsets
   * previous snapshot fully intact and the partial artifacts
   * unreferenced: invisible to readers, reclaimed later by the
   * owner's vacuum (e.g. [[Layout.vacuum]]). SINGLE WRITER, many
-  * readers — same concurrency contract as IndexIo/StatsCache.
+  * readers — same concurrency contract as IndexIo/StatsCache —
+  * with an OPTIMISTIC-CONCURRENCY safety net: a [[commit]] carrying
+  * `expectedSnap` verifies, under the commit lock, that the table is
+  * still on the snapshot the writer based its work on, and throws
+  * [[ConcurrentCommitException]] otherwise. Two maintainers racing
+  * (compact + delete) can no longer silently drop each other's
+  * parts: the loser fails loudly and retries against the winner's
+  * snapshot.
   */
 object SnapshotManifest {
   val ManifestsDir = "_manifests"
   val SnapsDir = "_snaps"
   val LatestFile = "_latest"
+  val LockFile = "_commit_lock"
+
+  /** A conditional [[commit]] found the table moved past the
+    * snapshot the writer read — the optimistic-concurrency loser.
+    * Nothing was committed; recompute against the current snapshot
+    * and retry. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
 
   def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,8 +91,32 @@ object SnapshotManifest {
 
   /** Commit a new snapshot referencing `parts`: write the snap file
     * (temp + rename — never observable half-written), then atomically
-    * flip `_latest`. Returns the snap name. */
-  def commit(spark: SparkSession, root: String, parts: Seq[String]): String = {
+    * flip `_latest`. Returns the snap name.
+    *
+    * `expectedSnap` = compare-and-swap: `Some(prev)` verifies — under
+    * the table's commit lock — that `_latest` still names `prev`
+    * (`Some(None)` = "no snapshot yet", the create case) and throws
+    * [[ConcurrentCommitException]] without committing when the table
+    * moved. `None` commits unconditionally (the create/repair paths,
+    * which own the table by contract). */
+  def commit(spark: SparkSession, root: String, parts: Seq[String],
+             expectedSnap: Option[Option[String]] = None): String =
+    expectedSnap match {
+      case None => doCommit(spark, root, parts)
+      case Some(exp) => withLock(spark, root) {
+        val cur = currentSnap(spark, root)
+        if (cur != exp)
+          throw new ConcurrentCommitException(
+            s"commit at $root expected snapshot ${exp.getOrElse("<none>")} " +
+              s"but found ${cur.getOrElse("<none>")}: a concurrent writer " +
+              "committed first — recompute against the current snapshot " +
+              "and retry")
+        doCommit(spark, root, parts)
+      }
+    }
+
+  private def doCommit(spark: SparkSession, root: String,
+                       parts: Seq[String]): String = {
     val fs = fsOf(spark, root)
     val snapsDir = new Path(root, SnapsDir)
     fs.mkdirs(snapsDir)
@@ -90,6 +129,30 @@ object SnapshotManifest {
       throw new java.io.IOException(s"snapshot commit: rename failed for $snap")
     flip(spark, root, snap)
     snap
+  }
+
+  /** Table-level commit mutex via atomic create-if-absent of
+    * `_commit_lock` (atomic on HDFS and POSIX). Bounded wait, then a
+    * loud failure naming the lock — a crashed holder's stale lock is
+    * broken by deleting the file (the error says so). The lock only
+    * serializes the verify+flip window of CONDITIONAL commits; reads
+    * never touch it. */
+  private def withLock[T](spark: SparkSession, root: String)(body: => T): T = {
+    val fs = fsOf(spark, root)
+    val lock = new Path(root, LockFile)
+    val deadline = System.currentTimeMillis() + 10000
+    var acquired = false
+    while (!acquired) {
+      try { fs.create(lock, false).close(); acquired = true }
+      catch { case _: java.io.IOException =>
+        if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"timed out acquiring $lock; if its writer crashed, " +
+              "delete the file to break the stale lock")
+        Thread.sleep(20)
+      }
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Atomically point `_latest` at `snap` (the IndexIo flip verbatim:

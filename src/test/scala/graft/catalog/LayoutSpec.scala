@@ -301,6 +301,72 @@ class LayoutSpec extends SparkSpec {
       .select($"ts").as[Long].collect().toSet == (101L to 900L).toSet)
   }
 
+  test("optimistic concurrency: a racing commit fails the loser, loses no parts") {
+    val dir = Files.createTempDirectory("graft_cas").toString + "/t"
+    val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 1) // fragmented → compact has work
+    Layout.delete(spark, dir, "ts", $"ts" > 900) // a DV part to lose
+    def full() = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    // interleave a DELETE inside compact's pre-flip window: compact
+    // based its fold on the pre-delete snapshot, so last-writer-wins
+    // would silently drop the delete's dv part (resurrecting ts<=100)
+    Layout.testInterleave = Some(("compact-before-flip", () => {
+      assert(Layout.delete(spark, dir, "ts", $"ts" <= 100) == 100L)
+    }))
+    try intercept[SnapshotManifest.ConcurrentCommitException] {
+      Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
+    } finally Layout.testInterleave = None
+    // loser lost: table = winner's snapshot (both deletes live)
+    assert(full() == (101L to 900L).toSet)
+    // retried loser succeeds against the new snapshot and folds BOTH
+    assert(Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2) > 0)
+    assert(full() == (101L to 900L).toSet)
+    assert(SnapshotManifest.currentParts(spark, dir).get
+      .forall(_.startsWith("m_")))
+    // the commit lock is released — the next mutation proceeds
+    assert(Layout.delete(spark, dir, "ts", $"ts" <= 200) == 100L)
+    assert(full() == (201L to 900L).toSet)
+  }
+
+  test("planMaintenance flags exactly the dv-touched buckets; compact clears them") {
+    val dir = Files.createTempDirectory("graft_dv_plan_maint").toString + "/t"
+    // one symbol per bucket (numBuckets ≥ distinct symbols ⇒ buckets
+    // don't collide only by luck — derive the expectation from bucketOf)
+    val df = (1 to 800).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 8, filesPerBucket = 2)
+    // threshold = the freshly-written layout's own max files/bucket
+    // (the write fans its global slice budget over POPULATED buckets,
+    // so the per-bucket count depends on symbol→bucket collisions)
+    val fpb = liveFilesPerBucket(dir).values.max
+    assert(Layout.planMaintenance(spark, dir, fpb).isEmpty)
+    // delete rows of ONE symbol → dv rows land only in its bucket
+    assert(Layout.delete(spark, dir, "ts",
+      $"symbol" === "SYM2" && $"ts" <= 400) > 0)
+    val expBucket = spark.range(1)
+      .select(Layout.bucketOf(lit("SYM2"), 8)).as[Long].head()
+    val plan = Layout.planMaintenance(spark, dir, fpb)
+    assert(plan.map(_.bucket) == Seq(expBucket), plan.toString)
+    val p = plan.head
+    assert(p.dvPressure && !p.overFragmented && p.dvRows > 0 && p.dvFiles > 0)
+    // compact consumes the plan: rewrites exactly the flagged bucket,
+    // after which the planner reports a clean table
+    assert(Layout.compact(spark, dir, "symbol", "ts", fpb) == 1)
+    assert(Layout.planMaintenance(spark, dir, fpb).isEmpty)
+    // fragmentation axis: a small append fans fresh files into buckets
+    val extra = (801 to 1000).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.appendClusteredZoned(extra, dir, "symbol", "ts",
+      numBuckets = 8, filesPerBucket = 2)
+    val plan2 = Layout.planMaintenance(spark, dir, fpb)
+    assert(plan2.nonEmpty && plan2.forall(b =>
+      b.overFragmented && !b.dvPressure && b.files > fpb))
+  }
+
   test("DV reads plan a hash anti-join on position keys, never a nested loop") {
     val dir = Files.createTempDirectory("graft_dv_plan").toString + "/t"
     val df = (1 to 500).map(i => (s"SYM${i % 5}", i.toLong, i * 1.0))
@@ -318,6 +384,31 @@ class LayoutSpec extends SparkSpec {
       plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("DV outgrowing broadcast degrades to a shuffled hash anti-join") {
+    // at 100 TB a mass delete's DV can exceed the broadcast threshold;
+    // the apply must fall back to a SHUFFLED hash join on the position
+    // keys — never a sort-merge (pointless double sort) or nested loop
+    val dir = Files.createTempDirectory("graft_dv_shj").toString + "/t"
+    val df = (1 to 500).map(i => (s"SYM${i % 5}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    Layout.delete(spark, dir, "ts", $"ts" <= 50)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val scan = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      assert(scan.select($"ts").as[Long].collect().toSet ==
+        (51L to 500L).toSet) // fallback plan is still the same table
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+        plan.take(2000))
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("deletion vectors: a fully-deleted bucket folds to nothing") {

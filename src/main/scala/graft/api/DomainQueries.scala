@@ -527,6 +527,89 @@ object DomainQueries {
         "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) " +
         "BETWEEN 8800 AND 9300 GROUP BY 1 ORDER BY 1")),
 
+    Q("s24_point_skip",
+      // per-file bloom equality skipping (Layout.buildBloomIndex):
+      // zone maps prune range predicates but are blind to a
+      // high-cardinality id scattered across every file's key range;
+      // the bloom index lets a point probe open only might-contain
+      // files. The probe targets max(l_orderkey) — deterministic at
+      // every SF — and the result ≡ the plain equality filter (the
+      // oracle). File-open reduction itself is pinned by LayoutSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_bloom_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        // quarter slice: the gate pins bloom-skip mechanics, not write
+        // throughput (the s19 discipline)
+        val src = t(s, dir, "lineitem")
+          .filter(pmod(col("l_partkey"), lit(4)) === 0).select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(src, path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.buildBloomIndex(s, path, "l_orderkey", "ship",
+          expectedItemsPerFile = 100000L)
+        val key = src.agg(max(col("l_orderkey"))).head.getLong(0)
+        graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4,
+            pointEq = Some(("l_orderkey", lit(key))))
+          .select(col("symbol"), col("ship"), col("l_orderkey"),
+            col("l_linenumber"), col("qty"))
+          .orderBy("symbol", "ship", "l_linenumber", "qty")
+      },
+      Some("SELECT l_returnflag AS symbol, CAST(l_shipdate AS DATE) AS ship, " +
+        "l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem " +
+        "WHERE l_partkey % 4 = 0 AND l_orderkey = " +
+        "(SELECT max(l_orderkey) FROM lineitem WHERE l_partkey % 4 = 0) " +
+        "ORDER BY symbol, ship, l_linenumber, qty")),
+
+    Q("s25_zorder3",
+      // n-D z-order (ZOrder.writeN): lineitem reclustered on THREE
+      // interleaved axes (l_partkey, shipdate-epoch-day, l_suppkey) —
+      // the multi-tenant (tenant, time, key) layout — and a range read
+      // constraining all three prunes files from metadata while still
+      // equaling the plain triple filter. Per-axis skip effectiveness
+      // on the 3-D manifest is pinned by ZOrderSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_zorder3_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        // quarter slice: the gate pins 3-axis skip mechanics, not
+        // write throughput (the s19 discipline)
+        val src = t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(4)) === 0).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+          col("l_quantity").as("qty"))
+        graft.catalog.ZOrder.writeN(src, path,
+          Seq("l_partkey", "d", "l_suppkey"), filesTarget = 16)
+        graft.catalog.ZOrder.readN(s, path, Seq("l_partkey", "d", "l_suppkey"),
+            Seq(Some((lit(100L), lit(600L))),
+              Some((lit(8800L), lit(9300L))),
+              Some((lit(1L), lit(40L)))))
+          .groupBy((col("d") % 30).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("bucket")
+      },
+      Some("SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' " +
+        "AS BIGINT) % 30 AS bucket, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0 AND " +
+        "l_partkey BETWEEN 100 AND 600 AND " +
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) " +
+        "BETWEEN 8800 AND 9300 AND l_suppkey BETWEEN 1 AND 40 " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("s17_bucketed_join",
       // storage-co-located join (Bucketing): both sides persisted
       // bucketed + per-bucket-sorted on the join key, then equi-joined

@@ -195,6 +195,72 @@ object Layout {
   def snapshots(spark: SparkSession, path: String): Seq[String] =
     SnapshotManifest.snaps(spark, path)
 
+  /** Build a per-file BLOOM index for `column` — the EQUALITY
+    * complement of the zone manifest's range skipping: zones prune by
+    * min/max, which is useless for a high-cardinality id scattered
+    * across every file's full key range; a per-file bloom lets a point
+    * probe (`WHERE order_id = ?`) open only the files that MIGHT
+    * contain the value — at 100 TB, the difference between a
+    * full-table scan and a handful of file opens. This is the
+    * Parquet/Iceberg bloom-filter idea lifted to the table manifest,
+    * where it keeps non-matching files off the TASK LIST entirely
+    * rather than pruning row groups inside files already opened.
+    *
+    * One column-pruned distributed pass over the live files (values
+    * hashed to longs via codegen xxhash64 — type-agnostic;
+    * [[graft.functions.BloomAgg]]), grouped by file with map-side
+    * combine; the (file, column, bloom) rows commit as a `bf_*`
+    * manifest part under the standing crash contract (pointer flip
+    * last, CAS against the base snapshot). Sizing: `expectedItemsPerFile`
+    * bounds each filter's bit budget (~1.2 MB per file at 1 M items /
+    * 1% fpp — manifest-scale metadata).
+    *
+    * Lifecycle: rebuilding for the same column replaces its previous
+    * `bf_*` part; a different column adds a second index — [[read]]
+    * consults the one matching its probe column. Files APPENDED after
+    * the build have no entry and are conservatively scanned (probes
+    * stay exact; rebuild to regain skipping). [[compact]] rewrites
+    * files, so its folded snapshot drops every `bf_*` part — rebuild
+    * after compaction. [[expireBefore]] only narrows the file list,
+    * so it carries the index forward untouched. */
+  def buildBloomIndex(spark: SparkSession, path: String, column: String,
+                      time: String, fpp: Double = 0.01,
+                      expectedItemsPerFile: Long = 1000000L): Unit = {
+    if (SnapshotManifest.currentSnap(spark, path).isEmpty)
+      writeZoneManifest(spark, path, time) // migrate legacy table
+    val baseSnap = SnapshotManifest.currentSnap(spark, path)
+    val m = manifest(spark, path).get
+    val files = m.select(col("file")).collect().map(r =>
+      globEscape(new Path(path, r.getString(0)).toString))
+    if (files.isEmpty) return
+    val agg = spark.read.option("basePath", path)
+      .parquet(files.toIndexedSeq: _*)
+      .groupBy(regexp_extract(col("_metadata.file_path"),
+        "(sym_bucket=[^/]+/[^/]+)$", 1).as("file"))
+      .agg(graft.functions.BloomAgg.bloom_agg(
+        xxhash64(col(column)), expectedItemsPerFile, fpp).as("bloom"))
+      .withColumn("column", lit(column))
+      .select(col("file"), col("column"), col("bloom"))
+    val fs = SnapshotManifest.fsOf(spark, path)
+    val mDir = new Path(path, SnapshotManifest.ManifestsDir)
+    fs.mkdirs(mDir)
+    val part = SnapshotManifest.newPartName("bf")
+    val tmp = new Path(mDir, s".tmp_$part")
+    agg.coalesce(1).write.parquet(tmp.toString)
+    if (!fs.rename(tmp, new Path(mDir, part)))
+      throw new java.io.IOException(s"bloom index rename failed: $part")
+    // replace any previous index for the SAME column; keep the rest
+    val cur = SnapshotManifest.currentParts(spark, path).getOrElse(Seq.empty)
+    val kept = cur.filterNot { p =>
+      p.startsWith("bf_") && {
+        val c = spark.read.parquet(SnapshotManifest.partPath(path, p))
+          .select(col("column")).limit(1).collect()
+        c.nonEmpty && c(0).getString(0) == column
+      }
+    }
+    SnapshotManifest.commit(spark, path, kept :+ part, Some(baseSnap))
+  }
+
   /** Per-file (bucket, zmin, zmax) rows for the data files under
     * `scan`, with paths RELATIVE to `root` and URI-DECODED
     * (input_file_name returns escaped URIs; see [[literalPath]]). One
@@ -443,10 +509,12 @@ object Layout {
     if (dropped.nonEmpty || dvPart.nonEmpty) {
       val keptRows = liveRows.filterNot(r => droppedSet(r.getString(0)))
       // fold the kept manifest rows into ONE fresh part; existing DV
-      // parts stay referenced (entries for dropped files dangle
-      // harmlessly until compact folds them away)
+      // and bloom-index parts stay referenced (expiry only NARROWS the
+      // file list — surviving files' entries are still valid; entries
+      // for dropped files dangle harmlessly until compact folds them)
       val keptDvParts = SnapshotManifest.currentParts(spark, path)
-        .getOrElse(Seq.empty).filter(_.startsWith("dv_"))
+        .getOrElse(Seq.empty)
+        .filter(p => p.startsWith("dv_") || p.startsWith("bf_"))
       val mPart = SnapshotManifest.newPartName()
       val mDir = new Path(path, SnapshotManifest.ManifestsDir)
       val tmp = new Path(mDir, s".tmp_$mPart")
@@ -741,8 +809,11 @@ object Layout {
     if (fs.exists(mDir)) fs.listStatus(mDir).foreach { st =>
       if (!keepParts.contains(st.getPath.getName)) fs.delete(st.getPath, true)
     }
-    // data files referenced by NO kept snapshot are dead
-    val liveFiles = keepParts.flatMap { p =>
+    // data files referenced by NO kept snapshot's ZONE manifest are
+    // dead (dv_/bf_ parts reference data files too, but only as
+    // annotations on m_-listed files — a dangling dv/bf entry must
+    // not keep an expired file alive)
+    val liveFiles = keepParts.filter(_.startsWith("m_")).flatMap { p =>
       spark.read.parquet(SnapshotManifest.partPath(path, p))
         .select(col("file")).collect().map(_.getString(0))
     }.toSet
@@ -800,11 +871,21 @@ object Layout {
     * additive evolution only, the Delta/Iceberg default posture.
     * Off by default: merging reads every file footer up front, which
     * a stable-schema table shouldn't pay. */
+  /** POINT-PROBE SKIPPING: `pointEq = Some((column, literal))` prunes
+    * the file list through the column's per-file bloom index
+    * ([[buildBloomIndex]]) before scanning — files whose filter proves
+    * the value absent never make the task list. Conservative by
+    * construction: files without an entry (appended after the build,
+    * or no index at all) are scanned, and the exact equality predicate
+    * is re-applied on the pruned scan either way, so the result is
+    * always ≡ the plain filter (the s24 oracle) — the index only ever
+    * removes work, never rows. */
   def read(spark: SparkSession, path: String, symbol: String, time: String,
            numBuckets: Int = 16, symbolEq: Option[String] = None,
            timeRange: Option[(Column, Column)] = None,
            asOfSnap: Option[String] = None,
-           mergeSchema: Boolean = false): DataFrame = {
+           mergeSchema: Boolean = false,
+           pointEq: Option[(String, Column)] = None): DataFrame = {
     def rd = {
       val r = spark.read.option("basePath", path)
       if (mergeSchema) r.option("mergeSchema", "true") else r
@@ -820,8 +901,11 @@ object Layout {
           pruned0.filter(col("zmax") >= lo && col("zmin") <= hi)
         }
         // bounded by FILE count (of one bucket under a key predicate)
-        val files = pruned.select(col("file")).collect().map(r =>
-          globEscape(new Path(path, r.getString(0)).toString))
+        val rel0 = pruned.select(col("file")).collect().map(_.getString(0))
+        val rel = pointEq.fold(rel0) { case (bc, v) =>
+          bloomPrune(spark, path, asOfSnap, bc, v, rel0)
+        }
+        val files = rel.map(r => globEscape(new Path(path, r).toString))
         if (files.isEmpty) {
           // nothing overlaps: keep the schema via any live file
           val any = m.select(col("file")).limit(1).collect()
@@ -850,8 +934,36 @@ object Layout {
         }
     }
     val keyed = symbolEq.fold(base)(v => base.filter(col(symbol) === v))
-    timeRange.fold(keyed) { case (lo, hi) =>
+    val ranged = timeRange.fold(keyed) { case (lo, hi) =>
       keyed.filter(col(time) >= lo && col(time) <= hi)
     }
+    pointEq.fold(ranged) { case (bc, v) => ranged.filter(col(bc) === v) }
+  }
+
+  /** Keep only the manifest files whose bloom filter might contain
+    * `value` (files without an entry are kept — conservative). The
+    * probe literal is cast to the indexed column's type BEFORE
+    * hashing, so `lit(42)` probes a long column correctly; the filter
+    * bytes are read driver-side, bounded by FILE count. */
+  private def bloomPrune(spark: SparkSession, path: String,
+                         snap: Option[String], column: String, value: Column,
+                         rel: Array[String]): Array[String] = {
+    val bfParts = partsAsOf(spark, path, snap)
+      .getOrElse(Seq.empty).filter(_.startsWith("bf_"))
+    if (bfParts.isEmpty || rel.isEmpty) return rel
+    val entries = spark.read.parquet(
+        bfParts.map(p => SnapshotManifest.partPath(path, p)): _*)
+      .filter(col("column") === column)
+      .select(col("file"), col("bloom"))
+      .collect() // bounded by FILE count
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    if (entries.isEmpty) return rel
+    val dt = spark.read
+      .parquet(globEscape(new Path(path, rel(0)).toString))
+      .schema(column).dataType
+    val hashed = spark.range(1)
+      .select(xxhash64(value.cast(dt))).head.getLong(0)
+    rel.filter(f => entries.get(f).forall(
+      graft.functions.BloomAgg.mightContain(_, hashed)))
   }
 }

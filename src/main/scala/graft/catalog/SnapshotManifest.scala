@@ -56,8 +56,8 @@ object SnapshotManifest {
     f"${System.currentTimeMillis()}%013d_${System.nanoTime()}%019d"
 
   /** `prefix` distinguishes part KINDS within one snapshot: `m` =
-    * data-file zone manifest, `dv` = deletion vector ([[Layout]]
-    * filters by prefix when resolving each). */
+    * data-file zone manifest, `dv` = deletion vector, `bf` = per-file
+    * bloom index ([[Layout]] filters by prefix when resolving each). */
   def newPartName(prefix: String = "m"): String = s"${prefix}_${token()}"
 
   def partPath(root: String, part: String): String =

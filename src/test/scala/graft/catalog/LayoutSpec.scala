@@ -513,6 +513,93 @@ class LayoutSpec extends SparkSpec {
       .forall(_.startsWith("m_")))
   }
 
+  test("bloom index: a point probe opens ≈1 file, stays exact, degrades conservatively") {
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/t"
+    // key is unique and UNCORRELATED with the (symbol, ts) clustering,
+    // so zone maps can never prune a key-equality probe — each key's
+    // single home file is findable only through the bloom index
+    val df = (1 to 4000).map(i => (s"SYM${i % 8}", i.toLong, i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "key", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 4)
+    val totalFiles = Layout.manifest(spark, dir).get.count()
+    assert(totalFiles >= 8)
+    def probe(k: Long) = Layout.read(spark, dir, "symbol", "ts",
+      numBuckets = 4, pointEq = Some(("key", lit(k))))
+    // without an index the probe is exact but scans everything
+    assert(probe(2718L).select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    assert(probe(2718L).inputFiles.length == totalFiles)
+    Layout.buildBloomIndex(spark, dir, "key", "ts",
+      expectedItemsPerFile = 10000L)
+    // indexed: only might-contain files make the task list — the true
+    // home file plus at most a couple of 1%-fpp false positives
+    val hit = probe(2718L)
+    assert(hit.select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    val opened = hit.inputFiles.length
+    assert(opened >= 1 && opened <= 3,
+      s"point probe opened $opened of $totalFiles files")
+    // an absent key usually opens nothing (never returns rows)
+    assert(probe(999999L).count() == 0)
+    // lit(42) Int probes the long column correctly (cast-before-hash)
+    assert(Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+        pointEq = Some(("key", lit(42))))
+      .select($"ts").as[Long].collect().toSeq == Seq(42L))
+    // composes with bucket pruning: symbol + key probe opens ≤ the
+    // bloom-pruned set restricted to one bucket
+    val both = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
+      symbolEq = Some("SYM6"), pointEq = Some(("key", lit(2718L))))
+    assert(both.select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    assert(both.inputFiles.length <= opened)
+    // appended files carry no bloom entry → conservatively scanned:
+    // probes for NEW keys are correct without a rebuild
+    Layout.appendClusteredZoned(
+      Seq(("SYM1", 5001L, 5001L, 1.0)).toDF("symbol", "ts", "key", "close"),
+      dir, "symbol", "ts", numBuckets = 4, filesPerBucket = 4)
+    assert(probe(5001L).select($"ts").as[Long].collect().toSeq == Seq(5001L))
+    assert(probe(2718L).select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    // compact folds the snapshot and DROPS the stale index (files were
+    // rewritten); probes stay exact, skipping returns after a rebuild
+    Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 4)
+    assert(SnapshotManifest.currentParts(spark, dir).get
+      .forall(_.startsWith("m_")))
+    assert(probe(2718L).select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    Layout.buildBloomIndex(spark, dir, "key", "ts",
+      expectedItemsPerFile = 10000L)
+    val re = probe(5001L)
+    assert(re.select($"ts").as[Long].collect().toSeq == Seq(5001L))
+    assert(re.inputFiles.length <= 3)
+  }
+
+  test("expireBefore carries the bloom index forward; probes stay exact across expiry") {
+    val dir = Files.createTempDirectory("graft_bloom_exp").toString + "/t"
+    val df = (1 to 1200).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 6)
+    Layout.buildBloomIndex(spark, dir, "ts", "ts",
+      expectedItemsPerFile = 10000L)
+    val total = Layout.manifest(spark, dir).get.count()
+    Layout.expireBefore(spark, dir, "ts", lit(601L))
+    // expiry only narrowed the file list — bf_* parts survive it
+    assert(SnapshotManifest.currentParts(spark, dir).get
+      .exists(_.startsWith("bf_")))
+    def probe(k: Long) = Layout.read(spark, dir, "symbol", "ts",
+      numBuckets = 4, pointEq = Some(("ts", lit(k))))
+    // a live key still skips: far fewer opens than the surviving files
+    val hit = probe(900L)
+    assert(hit.select($"close").as[Double].collect().toSeq == Seq(900.0))
+    assert(hit.inputFiles.length <= 3 &&
+      hit.inputFiles.length < Layout.manifest(spark, dir).get.count())
+    // an expired key returns nothing (DV/manifest-drop wins over the
+    // index's stale might-contain)
+    assert(probe(100L).count() == 0)
+    // vacuum reclaims the dropped files despite dangling bf entries
+    Layout.vacuum(spark, dir, retainPrevious = false)
+    assert(probe(900L).select($"close").as[Double].collect().toSeq ==
+      Seq(900.0))
+    assert(total >= Layout.manifest(spark, dir).get.count())
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

@@ -97,4 +97,58 @@ class ZOrderSpec extends SparkSpec {
       Some((lit(10L), lit(19L))), Some((lit(30L), lit(39L)))).count()
     assert(bothPruned <= math.min(xPruned, yPruned))
   }
+
+  test("interleaveBitsN: hand-checked 3-D Morton codes") {
+    val got = spark.range(1)
+      .select(
+        ZOrder.interleaveBitsN(Seq(lit(1L), lit(0L), lit(0L)), 8),
+        ZOrder.interleaveBitsN(Seq(lit(0L), lit(1L), lit(0L)), 8),
+        ZOrder.interleaveBitsN(Seq(lit(0L), lit(0L), lit(1L)), 8),
+        ZOrder.interleaveBitsN(Seq(lit(3L), lit(5L), lit(1L)), 8))
+      .as[(Long, Long, Long, Long)].head()
+    // bit i of col j → position 3i + j:
+    // x=0b011 → z bits 0,3 = 9; y=0b101 → z bits 1,7 = 130;
+    // w=0b001 → z bit 2 = 4 → 143
+    assert(got == ((1L, 2L, 4L, 143L)))
+  }
+
+  test("3-D z-order: ANY single axis prunes files; reads equal the plain filter") {
+    // 32×32×10 cube, every cell filled — the (tenant, time, key) shape
+    val cube = spark.range(0, 10240).select($"id",
+      ($"id" % 32).as("x"),
+      (($"id" / 32) % 32).cast("long").as("y"),
+      ($"id" / 1024).cast("long").as("w"))
+    val dir = Files.createTempDirectory("graft_zorder3").toString + "/t"
+    ZOrder.writeN(cube, dir, Seq("x", "y", "w"), filesTarget = 16)
+    val total = ZOrder.manifest(spark, dir).count()
+    assert(total >= 8)
+    def expect(p: org.apache.spark.sql.Column) =
+      cube.filter(p).select($"id").as[Long].collect().toSet
+    // all three axes constrained at once
+    val all = ZOrder.readN(spark, dir, Seq("x", "y", "w"),
+        Seq(Some((lit(4L), lit(7L))), Some((lit(8L), lit(15L))),
+          Some((lit(2L), lit(5L)))))
+      .select($"id").as[Long].collect().toSet
+    assert(all == expect($"x".between(4, 7) && $"y".between(8, 15) &&
+      $"w".between(2, 5)))
+    // each axis ALONE prunes files and stays exact — a linear
+    // (x, y, w) sort gives this for x only
+    val axes = Seq(
+      (Seq(Some((lit(0L), lit(3L))), None, None), $"x".between(0, 3)),
+      (Seq(None, Some((lit(0L), lit(3L))), None), $"y".between(0, 3)),
+      (Seq(None, None, Some((lit(0L), lit(1L)))), $"w".between(0, 1)))
+    for (((ranges, pred), i) <- axes.zipWithIndex) {
+      val kept = ZOrder.pruneZonesN(spark, dir, ranges).count()
+      info(s"axis $i: $kept/$total files")
+      assert(kept < total, s"axis $i pruned nothing ($kept of $total)")
+      val got = ZOrder.readN(spark, dir, Seq("x", "y", "w"), ranges)
+        .select($"id").as[Long].collect().toSet
+      assert(got == expect(pred), s"axis $i result mismatch")
+    }
+    // 2-D API unchanged: it is the n = 2 case of the same kernel
+    val two = ZOrder.read(spark, dir, "x", "y",
+      c1Range = Some((lit(0L), lit(3L)))) // works on the 3-D manifest
+    assert(two.select($"id").as[Long].collect().toSet ==
+      expect($"x".between(0, 3)))
+  }
 }

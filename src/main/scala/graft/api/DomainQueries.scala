@@ -801,6 +801,57 @@ object DomainQueries {
         "FROM orders WHERE o_orderkey % 7 <> 0 " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s26_cdc_incremental",
+      // storage CDC driving a materialized view through DELETES
+      // (IncrementalAgg.applyChangeFeed): the per-symbol count/sum
+      // view materializes at T0, the table takes one append and one
+      // DV delete, and the snapshot change feed folds into the view
+      // with signed weights — one feed-sized aggregation + one
+      // state-sized join, base facts never re-read; the folded view
+      // equals recomputing from the final table (the oracle). The
+      // retraction algebra itself is pinned by IncrementalAggSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_cdcview_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        // quarter slice: the gate pins the CDC→view loop, not write
+        // throughput (the s19 discipline)
+        val src = t(s, dir, "orders")
+          .filter(pmod(col("o_orderkey"), lit(4)) === 0).select(
+          col("o_orderstatus").as("symbol"),
+          to_date(col("o_orderdate")).as("ship"),
+          col("o_orderkey"),
+          col("o_totalprice").as("qty"))
+        val cut = lit("1997-01-01").cast("date")
+        graft.catalog.Layout.writeClusteredZoned(
+          src.filter(col("ship") < cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        val snap1 = graft.catalog.Layout.snapshots(s, path).last
+        val st0 = graft.ops.IncrementalAgg.retractableState(
+          graft.catalog.Layout.read(s, path, "symbol", "ship",
+            numBuckets = 4),
+          Seq("symbol"), Seq("qty"))
+        graft.catalog.Layout.appendClusteredZoned(
+          src.filter(col("ship") >= cut), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.delete(s, path, "ship",
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        val snap3 = graft.catalog.Layout.snapshots(s, path).last
+        val feed = graft.catalog.Layout.changes(s, path, snap1, snap3)
+        graft.ops.IncrementalAgg.applyChangeFeed(
+            st0, feed, Seq("symbol"), Seq("qty"))
+          .select(col("symbol"), col("__cnt").as("n"),
+            col("sum_qty").cast("double").as("sum_qty"))
+          .orderBy("symbol")
+      },
+      Some("SELECT o_orderstatus AS symbol, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0 " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("s22_retention",
       // time-retention expiry (Layout.expireBefore): rows before the
       // cutoff age out of the zoned table — completely-expired files

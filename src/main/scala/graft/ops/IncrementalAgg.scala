@@ -68,6 +68,63 @@ object IncrementalAgg {
     st.join(dR, keys, "full_outer")
       .select((keys.map(col) ++ merged): _*)
   }
+
+  /** RETRACTABLE per-group state: `__cnt` plus exact-decimal `sum_c`
+    * per value column — exactly the statistics that subtract, so the
+    * state folds a change-data feed with DELETES, not just appends
+    * (the Flink/Materialize retraction idea; min/max do NOT retract
+    * and are deliberately absent — a view needing them under deletes
+    * recomputes affected groups or keeps a per-group sketch).
+    * Derived stats (avg = sum/cnt) are read-time projections, as in
+    * [[state]]. */
+  def retractableState(df: DataFrame, keys: Seq[String],
+                       values: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__cnt") +: values.map(c =>
+      sum(col(c).cast("decimal(18,2)")).cast(sumT).as(s"sum_$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a [[graft.catalog.Layout.changes]]-shaped feed (rows tagged
+    * `_change_type` ∈ insert/delete) into a retractable state:
+    * inserts add with weight +1, deletes subtract with weight −1, in
+    * ONE delta-sized signed aggregation plus one state-sized outer
+    * join — the base facts are never re-read, completing the loop the
+    * append-only [[refresh]] can't close: storage-level CDC
+    * ([[graft.catalog.Layout]] deletion vectors + change feed)
+    * driving a materialized view through row REMOVALS at O(changed
+    * data). Groups whose count reaches zero drop from the state, so
+    * `applyChangeFeed(retractableState(T₀), changes(T₀→T₁)) ≡
+    * retractableState(T₁)` exactly (the s26 oracle; net feed
+    * semantics make over-retraction impossible for a feed produced by
+    * the snapshot log). Scale shape matches [[refresh]]: the feed
+    * aggregation shuffles only the window's changes; the fold join is
+    * state-sized. */
+  def applyChangeFeed(st: DataFrame, feed: DataFrame, keys: Seq[String],
+                      values: Seq[String]): DataFrame = {
+    // an unknown tag would silently corrupt counts — fail loudly,
+    // in-pass (raise_error costs nothing on valid rows)
+    val w = when(col("_change_type") === "insert", lit(1L))
+      .when(col("_change_type") === "delete", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("applyChangeFeed: _change_type must be insert/delete, got "),
+        col("_change_type"))).cast("long"))
+    val signed = feed.withColumn("__w", w)
+    val aggs = sum(col("__w")).as("__d___cnt") +: values.map(c =>
+      sum(col("__w").cast(sumT) * col(c).cast("decimal(18,2)"))
+        .cast(sumT).as(s"__d_sum_$c"))
+    val d = signed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged = Seq(
+      (coalesce(col("__cnt"), lit(0L)) +
+        coalesce(col("__d___cnt"), lit(0L))).as("__cnt")) ++
+      values.map { c =>
+        (coalesce(col(s"sum_$c"), lit(0).cast(sumT)) +
+          coalesce(col(s"__d_sum_$c"), lit(0).cast(sumT)))
+          .cast(sumT).as(s"sum_$c")
+      }
+    st.join(d, keys, "full_outer")
+      .select((keys.map(col) ++ merged): _*)
+      .filter(col("__cnt") > 0)
+  }
 }
 
 /** Incremental maintenance of a materialized equi-JOIN view under

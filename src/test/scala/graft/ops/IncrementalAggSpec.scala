@@ -43,6 +43,49 @@ class IncrementalAggSpec extends SparkSpec {
     assert(canon(refreshed) == canon(st))
   }
 
+  test("applyChangeFeed(retractableState(T0), feed) equals retractableState(T1)") {
+    val t0 = rows(21, 2000)
+    // window: delete a deterministic subset of T0, insert fresh rows
+    val deleted = t0.filter(xxhash64(col("k"), col("v")) % 3 === 0)
+    val inserted = rows(22, 400)
+    val t1 = t0.exceptAll(deleted).unionAll(inserted)
+    val feed = inserted.withColumn("_change_type", lit("insert"))
+      .unionByName(deleted.withColumn("_change_type", lit("delete")))
+    val direct = IncrementalAgg.retractableState(t1, Seq("k"), Seq("v"))
+    val inc = IncrementalAgg.applyChangeFeed(
+      IncrementalAgg.retractableState(t0, Seq("k"), Seq("v")),
+      feed, Seq("k"), Seq("v"))
+    assert(canon(inc) == canon(direct))
+  }
+
+  test("a fully-deleted group drops from the retractable state") {
+    val t0 = rows(23, 600)
+    val gone = t0.filter(col("k") === 2)
+    assert(gone.count() > 0)
+    val feed = gone.withColumn("_change_type", lit("delete"))
+    val inc = IncrementalAgg.applyChangeFeed(
+      IncrementalAgg.retractableState(t0, Seq("k"), Seq("v")),
+      feed, Seq("k"), Seq("v"))
+    assert(inc.filter(col("k") === 2).isEmpty)
+    assert(canon(inc) == canon(
+      IncrementalAgg.retractableState(t0.filter(col("k") =!= 2),
+        Seq("k"), Seq("v"))))
+  }
+
+  test("an unknown change tag fails loudly, never corrupts counts") {
+    val t0 = rows(24, 100)
+    val feed = t0.limit(5).withColumn("_change_type", lit("upsert"))
+    val ex = intercept[Exception] {
+      IncrementalAgg.applyChangeFeed(
+        IncrementalAgg.retractableState(t0, Seq("k"), Seq("v")),
+        feed, Seq("k"), Seq("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("insert/delete")))
+  }
+
   // ---- IncrementalJoin ----
 
   private def multiset(df: DataFrame): Map[String, Int] =

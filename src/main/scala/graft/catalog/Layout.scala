@@ -215,24 +215,44 @@ object Layout {
     * bounds each filter's bit budget (~1.2 MB per file at 1 M items /
     * 1% fpp — manifest-scale metadata).
     *
-    * Lifecycle: rebuilding for the same column replaces its previous
-    * `bf_*` part; a different column adds a second index — [[read]]
-    * consults the one matching its probe column. Files APPENDED after
-    * the build have no entry and are conservatively scanned (probes
-    * stay exact; rebuild to regain skipping). [[compact]] rewrites
-    * files, so its folded snapshot drops every `bf_*` part — rebuild
-    * after compaction. [[expireBefore]] only narrows the file list,
-    * so it carries the index forward untouched. */
+    * Lifecycle: INCREMENTAL by default — a re-run after
+    * [[appendClusteredZoned]] indexes only the manifest files not yet
+    * covered by the column's existing `bf_*` parts (O(appended data),
+    * the same delta discipline as every other maintenance op here) and
+    * keeps the prior parts; `rebuild = true` rescans everything and
+    * replaces them (use after changing fpp/sizing, or to shed entries
+    * dangling from expired files). A different column adds an
+    * independent index — [[read]] consults the one matching its probe
+    * column. Unindexed files are conservatively scanned either way
+    * (probes stay exact). [[compact]] rewrites files, so its folded
+    * snapshot drops every `bf_*` part — rebuild after compaction.
+    * [[expireBefore]] only narrows the file list, so it carries the
+    * index forward untouched. */
   def buildBloomIndex(spark: SparkSession, path: String, column: String,
                       time: String, fpp: Double = 0.01,
-                      expectedItemsPerFile: Long = 1000000L): Unit = {
+                      expectedItemsPerFile: Long = 1000000L,
+                      rebuild: Boolean = false): Unit = {
     if (SnapshotManifest.currentSnap(spark, path).isEmpty)
       writeZoneManifest(spark, path, time) // migrate legacy table
     val baseSnap = SnapshotManifest.currentSnap(spark, path)
     val m = manifest(spark, path).get
-    val files = m.select(col("file")).collect().map(r =>
-      globEscape(new Path(path, r.getString(0)).toString))
-    if (files.isEmpty) return
+    val cur = SnapshotManifest.currentParts(spark, path).getOrElse(Seq.empty)
+    // this column's existing index parts and the files they cover —
+    // driver-side reads bounded by part count × FILE count
+    val colParts = cur.filter(_.startsWith("bf_")).filter { p =>
+      val c = spark.read.parquet(SnapshotManifest.partPath(path, p))
+        .select(col("column")).limit(1).collect()
+      c.nonEmpty && c(0).getString(0) == column
+    }
+    val covered: Set[String] =
+      if (rebuild || colParts.isEmpty) Set.empty
+      else spark.read.parquet(
+          colParts.map(p => SnapshotManifest.partPath(path, p)): _*)
+        .select(col("file")).collect().map(_.getString(0)).toSet
+    val toIndex = m.select(col("file")).collect().map(_.getString(0))
+      .filterNot(covered)
+    if (toIndex.isEmpty) return // fully covered — nothing to commit
+    val files = toIndex.map(r => globEscape(new Path(path, r).toString))
     val agg = spark.read.option("basePath", path)
       .parquet(files.toIndexedSeq: _*)
       .groupBy(regexp_extract(col("_metadata.file_path"),
@@ -249,15 +269,9 @@ object Layout {
     agg.coalesce(1).write.parquet(tmp.toString)
     if (!fs.rename(tmp, new Path(mDir, part)))
       throw new java.io.IOException(s"bloom index rename failed: $part")
-    // replace any previous index for the SAME column; keep the rest
-    val cur = SnapshotManifest.currentParts(spark, path).getOrElse(Seq.empty)
-    val kept = cur.filterNot { p =>
-      p.startsWith("bf_") && {
-        val c = spark.read.parquet(SnapshotManifest.partPath(path, p))
-          .select(col("column")).limit(1).collect()
-        c.nonEmpty && c(0).getString(0) == column
-      }
-    }
+    // incremental: keep the column's prior parts (disjoint file sets);
+    // rebuild: replace them
+    val kept = if (rebuild) cur.filterNot(colParts.contains) else cur
     SnapshotManifest.commit(spark, path, kept :+ part, Some(baseSnap))
   }
 

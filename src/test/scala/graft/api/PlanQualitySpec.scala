@@ -218,6 +218,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("s24 point probe: bloom-pruned file list AND parquet pushdown compose") {
+    // the bloom index shrinks the task list (pinned by LayoutSpec);
+    // the re-applied equality must ALSO reach the parquet reader so
+    // row groups inside the surviving file(s) still prune
+    val p = plan("s24_point_skip")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_orderkey"))
+  }
+
   test("no query ever plans a cartesian product or nested-loop join") {
     QueryCatalog.entries.map(_.name).foreach { n =>
       val p = plan(n)

@@ -552,11 +552,33 @@ class LayoutSpec extends SparkSpec {
     assert(both.inputFiles.length <= opened)
     // appended files carry no bloom entry → conservatively scanned:
     // probes for NEW keys are correct without a rebuild
+    val preAppend = Layout.manifest(spark, dir).get.collect()
+      .map(_.getString(0)).toSet
     Layout.appendClusteredZoned(
       Seq(("SYM1", 5001L, 5001L, 1.0)).toDF("symbol", "ts", "key", "close"),
       dir, "symbol", "ts", numBuckets = 4, filesPerBucket = 4)
     assert(probe(5001L).select($"ts").as[Long].collect().toSeq == Seq(5001L))
     assert(probe(2718L).select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    // re-running the build is INCREMENTAL: a second bf part covering
+    // exactly the appended files, prior parts kept, skipping restored
+    Layout.buildBloomIndex(spark, dir, "key", "ts",
+      expectedItemsPerFile = 10000L)
+    val bfParts = SnapshotManifest.currentParts(spark, dir).get
+      .filter(_.startsWith("bf_")).sorted
+    assert(bfParts.size == 2, s"expected 2 bf parts, got $bfParts")
+    val deltaFiles = spark.read
+      .parquet(SnapshotManifest.partPath(dir, bfParts.last))
+      .select($"file").as[String].collect().toSet
+    val appended = Layout.manifest(spark, dir).get.collect()
+      .map(_.getString(0)).toSet -- preAppend
+    assert(deltaFiles == appended,
+      s"delta part covers $deltaFiles, appended were $appended")
+    assert(probe(5001L).inputFiles.length <= 3)
+    // fully covered → a further re-run is a no-op (no new snapshot)
+    val snapBefore = SnapshotManifest.currentSnap(spark, dir)
+    Layout.buildBloomIndex(spark, dir, "key", "ts",
+      expectedItemsPerFile = 10000L)
+    assert(SnapshotManifest.currentSnap(spark, dir) == snapBefore)
     // compact folds the snapshot and DROPS the stale index (files were
     // rewritten); probes stay exact, skipping returns after a rebuild
     Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 4)

@@ -266,7 +266,10 @@ object Layout {
     fs.mkdirs(mDir)
     val part = SnapshotManifest.newPartName("bf")
     val tmp = new Path(mDir, s".tmp_$part")
-    agg.coalesce(1).write.parquet(tmp.toString)
+    // DISTRIBUTED part write (the dv_* discipline): at scale this part
+    // is file-count × filter-size of binary — never funnel it through
+    // one task the way the row-per-file zone manifests can afford
+    agg.write.parquet(tmp.toString)
     if (!fs.rename(tmp, new Path(mDir, part)))
       throw new java.io.IOException(s"bloom index rename failed: $part")
     // incremental: keep the column's prior parts (disjoint file sets);
@@ -957,8 +960,12 @@ object Layout {
   /** Keep only the manifest files whose bloom filter might contain
     * `value` (files without an entry are kept — conservative). The
     * probe literal is cast to the indexed column's type BEFORE
-    * hashing, so `lit(42)` probes a long column correctly; the filter
-    * bytes are read driver-side, bounded by FILE count. */
+    * hashing, so `lit(42)` probes a long column correctly. Membership
+    * tests run WHERE THE FILTERS LIVE: a distributed scan of the
+    * `bf_*` parts evaluates mightContain per entry (a UDF off the hot
+    * path — this is metadata-scale work, file-count rows) and only
+    * FILE NAMES come back to the driver — the filter bytes
+    * (file-count × ~MB at scale) never do. */
   private def bloomPrune(spark: SparkSession, path: String,
                          snap: Option[String], column: String, value: Column,
                          rel: Array[String]): Array[String] = {
@@ -968,16 +975,18 @@ object Layout {
     val entries = spark.read.parquet(
         bfParts.map(p => SnapshotManifest.partPath(path, p)): _*)
       .filter(col("column") === column)
-      .select(col("file"), col("bloom"))
-      .collect() // bounded by FILE count
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    if (entries.isEmpty) return rel
+    val covered = entries.select(col("file"))
+      .collect().map(_.getString(0)).toSet // names only, FILE count
+    if (covered.isEmpty) return rel
     val dt = spark.read
       .parquet(globEscape(new Path(path, rel(0)).toString))
       .schema(column).dataType
     val hashed = spark.range(1)
       .select(xxhash64(value.cast(dt))).head.getLong(0)
-    rel.filter(f => entries.get(f).forall(
-      graft.functions.BloomAgg.mightContain(_, hashed)))
+    val might = udf((b: Array[Byte]) =>
+      graft.functions.BloomAgg.mightContain(b, hashed))
+    val survivors = entries.filter(might(col("bloom")))
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    rel.filter(f => !covered(f) || survivors(f))
   }
 }

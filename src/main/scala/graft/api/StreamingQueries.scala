@@ -370,5 +370,51 @@ object StreamingQueries {
         "max(event_id) AS max_id, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM events GROUP BY 1 ORDER BY 1")),
+
+    Q("st9_stream_view",
+      // continuously-maintained view over a CDC stream
+      // (Streams.viewSink): epoch 1 inserts a quarter slice of orders,
+      // epoch 2 retracts the %7 keys — each epoch one signed
+      // batch-sized fold into the copy-on-write state snapshot
+      // (exactly-once via the epoch-named pointer). The final state
+      // must equal recomputing over the net rows (the oracle); fold
+      // algebra is pinned by IncrementalAggSpec, epoch/GC/replay
+      // mechanics by StreamsSpec. Money sums exact DECIMAL→DOUBLE; the
+      // driver-side collect is the MemoryStream harness's, not the
+      // operator's.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val root = System.getProperty("java.io.tmpdir") +
+          "/graft_st9_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val rows = Tables.load(s, dir, "orders")
+          .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+          .select(col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderkey"))
+          .as[(String, Double, Long)].collect()
+        val inserts = rows.map { case (k, v, _) => (k, v, "insert") }
+        val deletes = rows.filter(_._3 % 7 == 0)
+          .map { case (k, v, _) => (k, v, "delete") }
+        val mem = MemoryStream[(String, Double, String)]
+        val q = Streams.viewSink(
+          mem.toDF().toDF("symbol", "qty", "_change_type"), root,
+          Seq("symbol"), Seq("qty"))
+        try {
+          mem.addData(inserts.toIndexedSeq); q.processAllAvailable()
+          mem.addData(deletes.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        Streams.viewState(s, root).get
+          .select(col("symbol"), col("__cnt").as("n"),
+            col("sum_qty").cast("double").as("sum_qty"))
+          .orderBy("symbol")
+      },
+      Some("SELECT o_orderstatus AS symbol, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0 " +
+        "GROUP BY 1 ORDER BY 1")),
   )
 }

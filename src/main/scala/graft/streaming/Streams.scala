@@ -506,6 +506,81 @@ object Streams {
     * nothing and replay as no-ops. Fragmentation from many small
     * epochs is the documented [[graft.catalog.Layout.compact]] duty.
     */
+  /** Epoch-stamped state-snapshot dir name used by [[viewSink]]. */
+  private val ViewEpochTag = "^state_e(\\d+)$".r
+
+  /** The current state of a [[viewSink]]-maintained view, if any
+    * epoch has committed. Readable concurrently with the running
+    * stream: the keep-last-2 GC leaves the previous snapshot on disk
+    * through one further epoch. */
+  def viewState(spark: org.apache.spark.sql.SparkSession,
+                root: String): Option[DataFrame] =
+    graft.catalog.SnapshotManifest.currentSnap(spark, root)
+      .map(c => spark.read.parquet(s"$root/$c"))
+
+  /** CONTINUOUSLY-MAINTAINED AGGREGATE VIEW over a change-data
+    * stream — the streaming face of
+    * [[graft.ops.IncrementalAgg.applyChangeFeed]] (the s26 batch
+    * loop): each micro-batch of insert/delete-tagged rows folds into
+    * the retractable per-group state (one batch-sized signed
+    * aggregation + one state-sized join — base facts never exist,
+    * let alone get re-read), and the refreshed state lands as a fresh
+    * `state_e<epoch>` parquet snapshot with an atomic `_latest` flip
+    * (the StatsCache/IndexIo copy-on-write read contract: readers of
+    * the previous state never break).
+    *
+    * EXACTLY-ONCE: the epoch is the snapshot NAME, so "already
+    * committed" is a property of the pointer itself — a crash between
+    * the flip and the streaming commit log re-runs the epoch and the
+    * high-water guard skips it; a crash before the flip re-runs it
+    * against the unchanged previous state (overwrite, idempotent).
+    * Empty batches commit nothing and replay as no-ops. As with
+    * [[ingestSink]], a query restarted WITHOUT its checkpoint
+    * re-delivers under restarted epoch ids — skipped with a loud
+    * warning. Keep-last-2 GC bounds the state history. */
+  def viewSink(feed: DataFrame, root: String, keys: Seq[String],
+               values: Seq[String],
+               checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = feed.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val s = batch.sparkSession
+        val cur = graft.catalog.SnapshotManifest.currentSnap(s, root)
+        val hw = cur.collect { case ViewEpochTag(e) => e.toLong }
+          .getOrElse(-1L)
+        if (epoch <= hw) {
+          if (!batch.isEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"viewSink($root): high-water guard skipped non-empty " +
+                s"epoch $epoch (max committed $hw). Expected once after " +
+                "a crash-replay; if this repeats, the query was restarted " +
+                "without its original checkpoint and incoming changes are " +
+                "being DISCARDED.")
+        } else if (!batch.isEmpty) {
+          val st0 = cur.map(c => s.read.parquet(s"$root/$c")).getOrElse(
+            graft.ops.IncrementalAgg.retractableState(
+              batch.toDF().drop("_change_type").limit(0), keys, values))
+          val st1 = graft.ops.IncrementalAgg.applyChangeFeed(
+            st0, batch.toDF(), keys, values)
+          val snap = s"state_e$epoch"
+          st1.write.mode("overwrite").parquet(s"$root/$snap")
+          graft.catalog.SnapshotManifest.flip(s, root, snap)
+          // keep-last-2: the just-superseded state (epoch hw) survives
+          // one more cycle for in-flight readers; older snaps go
+          val fs = graft.catalog.SnapshotManifest.fsOf(s, root)
+          fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+            st.getPath.getName match {
+              case ViewEpochTag(e) if st.isDirectory && e.toLong < hw =>
+                fs.delete(st.getPath, true)
+              case _ => ()
+            }
+          }
+        }
+      }
+    checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
+
   def ingestSink(stream: DataFrame, root: String, symbol: String,
                  time: String, nBuckets: Int = 16, filesPerBucket: Int = 4,
                  checkpointLocation: Option[String] = None): StreamingQuery = {

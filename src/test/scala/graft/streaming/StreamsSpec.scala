@@ -102,6 +102,59 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map(1L -> 70.0, 2L -> 7.0)) // batch-2 upsert replaced user 1
   }
 
+  test("viewSink maintains a retractable view across epochs; deletes retract; GC keeps last 2") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_view").toString + "/v"
+    val mem = MemoryStream[(String, Double, String)]
+    val q = Streams.viewSink(
+      mem.toDF().toDF("k", "v", "_change_type"), root, Seq("k"), Seq("v"))
+    def state: Map[String, (Long, Double)] =
+      Streams.viewState(spark, root).get
+        .select($"k", $"__cnt", $"sum_v".cast("double"))
+        .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3))
+        .toMap
+    try {
+      mem.addData(("a", 10.0, "insert"), ("a", 20.0, "insert"),
+        ("b", 5.0, "insert"))
+      q.processAllAvailable()
+      assert(state == Map("a" -> ((2L, 30.0)), "b" -> ((1L, 5.0))))
+      // epoch 2: retract one of a's rows, b entirely; add c
+      mem.addData(("a", 10.0, "delete"), ("b", 5.0, "delete"),
+        ("c", 7.0, "insert"))
+      q.processAllAvailable()
+      assert(state == Map("a" -> ((1L, 20.0)), "c" -> ((1L, 7.0))))
+      // epoch 3: pure insert — then only the last 2 state snaps remain
+      mem.addData(("c", 3.0, "insert"))
+      q.processAllAvailable()
+      assert(state == Map("a" -> ((1L, 20.0)), "c" -> ((2L, 10.0))))
+      val snaps = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.startsWith("state_e"))
+      assert(snaps.length == 2, snaps.mkString(","))
+    } finally q.stop()
+  }
+
+  test("viewSink high-water guard skips re-delivered epochs after a lost checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_view_hw").toString + "/v"
+    val mem = MemoryStream[(String, Double, String)]
+    val q = Streams.viewSink(
+      mem.toDF().toDF("k", "v", "_change_type"), root, Seq("k"), Seq("v"))
+    try { mem.addData(("a", 1.0, "insert")); q.processAllAvailable() }
+    finally q.stop()
+    // a fresh query (new checkpoint) restarts epochs at 0 — its
+    // re-delivered batch must be SKIPPED, not double-counted
+    val mem2 = MemoryStream[(String, Double, String)]
+    val q2 = Streams.viewSink(
+      mem2.toDF().toDF("k", "v", "_change_type"), root, Seq("k"), Seq("v"))
+    try { mem2.addData(("a", 1.0, "insert")); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = Streams.viewState(spark, root).get
+      .select($"k", $"__cnt").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L))
+  }
+
   test("dedupStream drops repeated content within the watermark, state evicted after") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

@@ -231,36 +231,70 @@ object Layout {
   def buildBloomIndex(spark: SparkSession, path: String, column: String,
                       time: String, fpp: Double = 0.01,
                       expectedItemsPerFile: Long = 1000000L,
-                      rebuild: Boolean = false): Unit = {
+                      rebuild: Boolean = false): Unit =
+    buildBloomIndexes(spark, path, Seq(column), time, fpp,
+      expectedItemsPerFile, rebuild)
+
+  /** [[buildBloomIndex]] for SEVERAL columns in ONE table pass — at
+    * scale, k indexes for the price of one scan (the aggregation
+    * computes k filters per file side by side). Incrementality is
+    * per column: each column indexes only the files its existing
+    * entries don't cover, and the single delta part carries exactly
+    * the missing (file, column) entries. `rebuild = true` rescans the
+    * named columns everywhere and drops their superseded parts (a
+    * part also carrying OTHER columns' entries is kept — its stale
+    * rows for the rebuilt columns degrade reads conservatively, never
+    * incorrectly, until their own rebuild). */
+  def buildBloomIndexes(spark: SparkSession, path: String,
+                        columns: Seq[String], time: String,
+                        fpp: Double = 0.01,
+                        expectedItemsPerFile: Long = 1000000L,
+                        rebuild: Boolean = false): Unit = {
+    require(columns.nonEmpty && columns.distinct.size == columns.size,
+      s"buildBloomIndexes: columns must be non-empty and distinct: $columns")
     if (SnapshotManifest.currentSnap(spark, path).isEmpty)
       writeZoneManifest(spark, path, time) // migrate legacy table
     val baseSnap = SnapshotManifest.currentSnap(spark, path)
     val m = manifest(spark, path).get
     val cur = SnapshotManifest.currentParts(spark, path).getOrElse(Seq.empty)
-    // this column's existing index parts and the files they cover —
-    // driver-side reads bounded by part count × FILE count
-    val colParts = cur.filter(_.startsWith("bf_")).filter { p =>
-      val c = spark.read.parquet(SnapshotManifest.partPath(path, p))
-        .select(col("column")).limit(1).collect()
-      c.nonEmpty && c(0).getString(0) == column
-    }
-    val covered: Set[String] =
-      if (rebuild || colParts.isEmpty) Set.empty
-      else spark.read.parquet(
-          colParts.map(p => SnapshotManifest.partPath(path, p)): _*)
-        .select(col("file")).collect().map(_.getString(0)).toSet
-    val toIndex = m.select(col("file")).collect().map(_.getString(0))
-      .filterNot(covered)
-    if (toIndex.isEmpty) return // fully covered — nothing to commit
-    val files = toIndex.map(r => globEscape(new Path(path, r).toString))
+    val bfParts = cur.filter(_.startsWith("bf_"))
+    // per-column covered file sets + per-part column sets — names
+    // only, bounded by part count × FILE count
+    val partEntries: Map[String, Array[(String, String)]] = bfParts.map { p =>
+      p -> spark.read.parquet(SnapshotManifest.partPath(path, p))
+        .select(col("column"), col("file")).collect()
+        .map(r => r.getString(0) -> r.getString(1))
+    }.toMap
+    val covered: Map[String, Set[String]] = columns.map { c =>
+      c -> (if (rebuild) Set.empty[String]
+            else partEntries.values.flatten
+              .collect { case (`c`, f) => f }.toSet)
+    }.toMap
+    val liveFiles = m.select(col("file")).collect().map(_.getString(0))
+    val toIndex: Map[String, Set[String]] = columns.map { c =>
+      c -> liveFiles.filterNot(covered(c)).toSet
+    }.toMap
+    val scanFiles = toIndex.values.flatten.toSeq.distinct
+    if (scanFiles.isEmpty) return // fully covered — nothing to commit
+    val files = scanFiles.map(r => globEscape(new Path(path, r).toString))
+    val bloomAggs = columns.map(c =>
+      graft.functions.BloomAgg.bloom_agg(
+        xxhash64(col(c)), expectedItemsPerFile, fpp).as(s"__bloom_$c"))
     val agg = spark.read.option("basePath", path)
       .parquet(files.toIndexedSeq: _*)
       .groupBy(regexp_extract(col("_metadata.file_path"),
         "(sym_bucket=[^/]+/[^/]+)$", 1).as("file"))
-      .agg(graft.functions.BloomAgg.bloom_agg(
-        xxhash64(col(column)), expectedItemsPerFile, fpp).as("bloom"))
-      .withColumn("column", lit(column))
-      .select(col("file"), col("column"), col("bloom"))
+      .agg(bloomAggs.head, bloomAggs.tail: _*)
+    // keep only the (file, column) entries actually missing — a tiny
+    // broadcast semi-join, never a driver-sized in-list
+    val wanted = spark.createDataFrame(
+      toIndex.toSeq.flatMap { case (c, fs) => fs.map(f => (f, c)) })
+      .toDF("file", "column")
+    val entries = columns.map(c =>
+        agg.select(col("file"), lit(c).as("column"),
+          col(s"__bloom_$c").as("bloom")))
+      .reduce(_.unionByName(_))
+      .join(broadcast(wanted), Seq("file", "column"), "left_semi")
     val fs = SnapshotManifest.fsOf(spark, path)
     val mDir = new Path(path, SnapshotManifest.ManifestsDir)
     fs.mkdirs(mDir)
@@ -269,12 +303,16 @@ object Layout {
     // DISTRIBUTED part write (the dv_* discipline): at scale this part
     // is file-count × filter-size of binary — never funnel it through
     // one task the way the row-per-file zone manifests can afford
-    agg.write.parquet(tmp.toString)
+    entries.write.parquet(tmp.toString)
     if (!fs.rename(tmp, new Path(mDir, part)))
       throw new java.io.IOException(s"bloom index rename failed: $part")
-    // incremental: keep the column's prior parts (disjoint file sets);
-    // rebuild: replace them
-    val kept = if (rebuild) cur.filterNot(colParts.contains) else cur
+    // incremental: keep prior parts (per-column file sets disjoint by
+    // construction); rebuild: drop parts fully owned by these columns
+    val kept =
+      if (!rebuild) cur
+      else cur.filterNot { p =>
+        partEntries.get(p).exists(_.map(_._1).toSet.subsetOf(columns.toSet))
+      }
     SnapshotManifest.commit(spark, path, kept :+ part, Some(baseSnap))
   }
 

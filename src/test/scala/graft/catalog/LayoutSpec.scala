@@ -592,6 +592,38 @@ class LayoutSpec extends SparkSpec {
     assert(re.inputFiles.length <= 3)
   }
 
+  test("buildBloomIndexes: k columns in one pass; per-column incremental delta") {
+    val dir = Files.createTempDirectory("graft_bloom_k").toString + "/t"
+    val df = (1 to 4000).map(i =>
+        (s"SYM${i % 8}", i.toLong, i.toLong, (i + 100000).toLong, i * 1.5))
+      .toDF("symbol", "ts", "key", "key2", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 4)
+    val total = Layout.manifest(spark, dir).get.count()
+    // index key first alone, then BOTH — the second call must only add
+    // key2 entries (key is already fully covered)
+    Layout.buildBloomIndex(spark, dir, "key", "ts",
+      expectedItemsPerFile = 10000L)
+    Layout.buildBloomIndexes(spark, dir, Seq("key", "key2"), "ts",
+      expectedItemsPerFile = 10000L)
+    val bfParts = SnapshotManifest.currentParts(spark, dir).get
+      .filter(_.startsWith("bf_")).sorted
+    assert(bfParts.size == 2)
+    val delta = spark.read
+      .parquet(SnapshotManifest.partPath(dir, bfParts.last))
+      .select($"column").distinct().as[String].collect().toSet
+    assert(delta == Set("key2"), s"delta part columns: $delta")
+    // both columns now skip
+    def probe(c: String, v: Long) = Layout.read(spark, dir, "symbol", "ts",
+      numBuckets = 4, pointEq = Some((c, lit(v))))
+    val p1 = probe("key", 2718L)
+    assert(p1.select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    assert(p1.inputFiles.length <= 3 && total >= 8)
+    val p2 = probe("key2", 102718L)
+    assert(p2.select($"ts").as[Long].collect().toSeq == Seq(2718L))
+    assert(p2.inputFiles.length <= 3)
+  }
+
   test("expireBefore carries the bloom index forward; probes stay exact across expiry") {
     val dir = Files.createTempDirectory("graft_bloom_exp").toString + "/t"
     val df = (1 to 1200).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))

@@ -348,6 +348,76 @@ object PipelineQueries {
         "SELECT doc_id, n_terms, CAST(round(CAST(ssum AS DOUBLE), 6) AS DOUBLE) " +
         "AS score FROM r WHERE rk <= 20 ORDER BY score DESC, doc_id")),
 
+    Q("t22_hybrid_rrf",
+      // HYBRID retrieval: the t16 BM25 ranking fused with a vector
+      // ranking (brute-force cosine for query vec_id 0) by reciprocal
+      // rank fusion (Hybrid.rrf, Cormack et al.) — score =
+      // Σ 1/(60+rank), no cross-scorer calibration. Determinism: both
+      // input rankings are the gates' own oracle-pinned orders; the
+      // 2-list RRF sum is a single commutative double add, so the
+      // fused ORDER is engine-independent; score surfaces rounded.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val postings = storedTermPostings(s, dir,
+          Seq("query", "window", "scan"))
+        val dls = TextAnalysis.loadDocLengths(s, termIndexRoot(s, dir))
+        // rank the FULL matching set by the 6-decimal score (+ id
+        // tiebreak) on BOTH sides, then cut — near-ties beyond the
+        // round grid can never flip a rank or the top-50 boundary
+        val text = TextAnalysis.searchBm25(postings, dls, "doc_id",
+            Seq("query", "window", "scan"), k = Int.MaxValue)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 50)
+          .select(col("doc_id"), col("rank"))
+        val emb = Tables.load(s, dir, "embeddings")
+        val vec = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
+        val fused = graft.pipeline.Hybrid.rrf(Seq(text, vec), "doc_id")
+        val rw = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        fused.withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 20)
+          .select(col("doc_id"), col("n_lists"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("WITH idx AS (SELECT term, doc_id, count(*) AS tf FROM (" +
+        s"SELECT doc_id, unnest($toksSql) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        s"dls AS (SELECT doc_id, len($toksSql) AS dl FROM documents), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "avg(CAST(dl AS DOUBLE)) AS avgdl FROM dls), " +
+        "dfs AS (SELECT term, count(*) AS df FROM idx " +
+        "WHERE term IN ('query', 'window', 'scan') GROUP BY 1), " +
+        "sc AS (SELECT i.doc_id, CAST(round(" +
+        "ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * " +
+        "(i.tf * (1.2 + 1.0) / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl)))" +
+        ", 8) AS DECIMAL(28,8)) AS s " +
+        "FROM idx i JOIN dfs USING (term) JOIN dls d USING (doc_id), st), " +
+        "m AS (SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS bscore " +
+        "FROM sc GROUP BY doc_id), " +
+        "tr AS (SELECT doc_id, row_number() OVER (ORDER BY bscore DESC, doc_id) " +
+        "AS rank FROM m QUALIFY rank <= 50), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "vs AS (SELECT vec_id AS doc_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings) WHERE vec_id <> 0), " +
+        "vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) " +
+        "AS rank FROM vs QUALIFY rank <= 50), " +
+        "u AS (SELECT doc_id, rank FROM tr UNION ALL " +
+        "SELECT doc_id, rank FROM vr), " +
+        "f AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS score, " +
+        "count(*) AS n_lists FROM u GROUP BY 1), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) " +
+        "AS rk FROM f) " +
+        "SELECT doc_id, n_lists, round(score, 6) AS score FROM r " +
+        "WHERE rk <= 20 ORDER BY score DESC, doc_id")),
+
     Q("t18_tfidf",
       // TF-IDF posting weights (TextAnalysis.tfIdf) over the same
       // index/tokenization as t13/t16; gate slice = repeated-use
@@ -848,6 +918,69 @@ object PipelineQueries {
           .save(path)
         val idx = graft.pipeline.IvfIndex.load(s, path)
         idx.topK(emb.filter(col("vec_id") < 5), "embedding", k = 10, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")),
+
+    Q("e12_filtered_ann",
+      // FILTERED vector search (the metadata-predicate shape every
+      // vector deployment needs): candidates restricted to label = 3
+      // ids by a semi-join on the inverted lists BEFORE distance
+      // math — pre-filtering keeps all k results valid. Full probe ⇒
+      // exact, so the brute-force-over-the-filtered-corpus oracle
+      // applies; partial-probe recall under filters is IvfSpec's.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.pipeline.IvfIndex.build(
+          emb, "vec_id", "embedding", nCells = 8)
+        idx.topK(emb.filter(col("vec_id") < 5), "embedding", k = 10,
+            nProbe = 8,
+            allowed = Some(emb.filter(col("label") === 3).select("vec_id")))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM q, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE label = 3) " +
+        "WHERE vec_id <> query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")),
+
+    Q("e13_ivf_append",
+      // incremental IVF APPEND — the ingest path that makes a
+      // persisted index viable at scale: build on the even half,
+      // append the odd half assigned against the EXISTING centroids
+      // (one codegen pass, no retrain), query the grown index. Full
+      // probe ⇒ exact over old + new vectors alike, so e1's
+      // whole-corpus brute-force oracle applies verbatim; centroid
+      // immutability and partial-probe behavior are IvfSpec's.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.pipeline.IvfIndex.build(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", nCells = 8)
+          .append(emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+        idx.topK(emb.filter(col("vec_id") < 5), "embedding", k = 10,
+            nProbe = 8)
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rank")

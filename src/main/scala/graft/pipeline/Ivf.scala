@@ -36,15 +36,30 @@ class IvfIndex private (val cells: DataFrame,
     IvfIndex.nearestCells(
       graft.functions.VectorExprs.l2_normalize(qv), centroidLit, nProbe)
 
-  /** Cosine top-k for each query vector, probing `nProbe` cells. */
-  def topK(queries: DataFrame, vec: String, k: Int, nProbe: Int): DataFrame = {
+  /** Cosine top-k for each query vector, probing `nProbe` cells.
+    *
+    * FILTERED SEARCH: `allowed` restricts candidates to an id set (a
+    * frame holding the index's id column — the result of an arbitrary
+    * metadata predicate on the corpus) via a semi-join on the
+    * inverted lists BEFORE any distance math — the "vector search
+    * with a metadata filter" shape. Pre-filtering keeps the k results
+    * all-valid (post-filtering a top-k can return < k), at the
+    * classic recall cost under selective filters: a cell may hold
+    * matches the probe budget skips — raise `nProbe` as the filter
+    * narrows (at full probe the filtered search is exact, the e12
+    * oracle). */
+  def topK(queries: DataFrame, vec: String, k: Int, nProbe: Int,
+           allowed: Option[DataFrame] = None): DataFrame = {
     val q = Kernels.ensureParallelism(
       queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
     // rank centroids per query, keep nProbe nearest (assignment metric,
     // normalized space — matches the final cosine ranking)
     val probed = q.withColumn("cell",
         explode(probeCells(col("qv"), nProbe)))
-    val c = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
+    val c0 = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
+    val c = allowed.fold(c0)(a =>
+      c0.join(a.select(col(id).as("neighbor_id")), Seq("neighbor_id"),
+        "left_semi"))
     val cand = broadcast(probed).join(c, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -120,6 +135,33 @@ class IvfIndex private (val cells: DataFrame,
       "metric" -> "cosine-normalized", // trained/assigned/probed on unit vectors
       "built_at" -> builtAt.toString))
     IndexIo.flip(s, path, snap)
+  }
+
+  /** INCREMENTAL APPEND — index a new vector batch WITHOUT
+    * retraining: the batch is assigned against the EXISTING centroids
+    * (one codegen projection — the same expression the original
+    * assignment used, so an appended vector lands exactly where a
+    * full rebuild would put it given these centroids) and unioned
+    * into the inverted lists. At 100 TB this is the ingest path: a
+    * rebuild per batch re-trains and re-assigns the whole corpus;
+    * this is O(batch). Queries over the returned index see old and
+    * new vectors identically ([[topK]]'s math is
+    * centroid-driven, not age-driven); [[save]] persists the grown
+    * lists as a fresh snapshot.
+    *
+    * Drift contract: centroids stop being the corpus's k-means
+    * optimum as appends skew the distribution — recall at partial
+    * probe degrades gradually (full probe stays exact regardless,
+    * the e13 oracle). Periodically [[IvfIndex.build]] a fresh index
+    * and [[save]] over the same path (readers flip atomically). */
+  def append(batch: DataFrame, vec: String): IvfIndex = {
+    val b = Kernels.ensureParallelism(
+      batch.select(col(id), Similarity.vecD(col(vec)).as("cv")))
+    val assigned = b.withColumn("cell", IvfIndex.nearestCellEuclid(
+        graft.functions.VectorExprs.l2_normalize(col("cv")), centroidLit))
+      .select(col(id), col("cell"), col("cv"))
+    new IvfIndex(CacheScope.persist(cells.unionByName(assigned)),
+      centroids, id, System.currentTimeMillis())
   }
 
   /** Release the cached cells frame (queries recompute afterwards). */

@@ -103,6 +103,47 @@ class IvfSpec extends SparkSpec {
     assert(self.length == 4) // every query answered from its own cell
   }
 
+  test("append indexes a batch against FROZEN centroids; grown index ≡ one-shot assignment") {
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val base = IvfIndex.build(even, "vec_id", "embedding", nCells = 8,
+      distIters = 0) // deterministic centroids for the comparison
+    val grown = base.append(odd, "embedding")
+    // centroids are untouched — append never retrains
+    assert(grown.centroids.map(_.toSeq).toSeq ==
+      base.centroids.map(_.toSeq).toSeq)
+    // every appended vector lands in the cell a fresh assignment
+    // against the same centroids would give it
+    val expect = odd.count()
+    val evenIds = even.select($"vec_id").as[Long].collect().toSet
+    val appended = grown.cells.filter(!$"vec_id".isin(evenIds.toSeq: _*))
+    assert(appended.count() == expect)
+    // full-probe query over the grown index ≡ brute force over ALL
+    val q = emb.filter($"vec_id" < 3)
+    val got = grown.topK(q, "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == bf)
+  }
+
+  test("filtered search: every result satisfies the filter; full probe is filtered-exact") {
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val allowed = emb.filter($"label" === 3).select("vec_id")
+    val allowedSet = allowed.as[Long].collect().toSet
+    assert(allowedSet.nonEmpty)
+    val q = emb.filter($"vec_id" < 3)
+    val got = idx.topK(q, "embedding", k = 5, nProbe = 8,
+      allowed = Some(allowed))
+    got.select("neighbor_id").as[Long].collect()
+      .foreach(n => assert(allowedSet(n), s"neighbor $n violates the filter"))
+    val bf = Similarity.bruteForceTopK(
+        emb.filter($"label" === 3), q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet == bf)
+  }
+
   test("IVF with partial probe returns k ranked candidates from probed cells") {
     val queries = emb.filter($"vec_id" < 3)
     val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)

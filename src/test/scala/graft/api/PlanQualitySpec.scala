@@ -235,12 +235,13 @@ class PlanQualitySpec extends SparkSpec {
       // quantized scans (query set × encoded corpus — the broadcast
       // cross IS the designed scan shape), and the 1-ROW stats
       // broadcasts (corpus N/avgdl, vocabulary size, node count)
-      // t16/t17/t18/a21 attach per row; a34's k×k pairing of
+      // t16/t17/t18/a21 attach per row (t22 fuses t16's BM25 list, so
+      // it carries the same 1-row stats cross); a34's k×k pairing of
       // per-segment AGGREGATE rows (k = |segments|, never the fact);
       // v2's cross of its two 1-ROW agg results (the non-distinct ×
       // distinct stats split — see Profile.profile)
       if (!Set("e1_cosine_topk", "e6_pq_topk", "e9_sq8_topk",
-          "t16_bm25_search", "t17_lm_score", "t18_tfidf",
+          "t16_bm25_search", "t17_lm_score", "t18_tfidf", "t22_hybrid_rrf",
           "a21_pagerank", "a34_segment_overlap",
           "v2_profile").contains(n))
         assert(!p.contains("BroadcastNestedLoopJoin"), n)

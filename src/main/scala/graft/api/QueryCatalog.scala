@@ -311,6 +311,46 @@ object QueryCatalog {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY l_returnflag, day")),
 
+    Q("w8_gap_fill",
+      // calendar gap-fill + forward fill — the resample/asfreq shape
+      // every time-series store needs: each key's daily series is
+      // densified to its full min..max calendar (sequence + explode,
+      // per-key — never a global calendar cross join) and missing
+      // days carry the last observation forward (last(ignoreNulls)
+      // over a running frame; one window pass per key). is_gap marks
+      // synthesized rows. Scale shape: the calendar explode is
+      // O(days-per-key), the join is keyed, the fill is the same
+      // single-shuffle window discipline as w1.
+      (s, dir) => {
+        val daily = dailyCloses(t(s, dir, "lineitem"))
+        val cal = daily.groupBy(col("l_returnflag"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("l_returnflag"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        cal.join(daily, Seq("l_returnflag", "day"), "left")
+          .withColumn("filled", last(col("close"), ignoreNulls = true).over(w))
+          .withColumn("is_gap", col("close").isNull)
+          .select(col("l_returnflag"), col("day"), col("filled"),
+            col("is_gap"))
+          .orderBy("l_returnflag", "day")
+      },
+      Some("WITH " + dailySql +
+        ", b AS (SELECT l_returnflag, min(day) AS d0, max(day) AS d1 " +
+        "FROM daily GROUP BY 1), " +
+        "cal AS (SELECT l_returnflag, CAST(unnest(generate_series(d0, d1, " +
+        "INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+        "j AS (SELECT c.l_returnflag, c.day, d.close FROM cal c " +
+        "LEFT JOIN daily d USING (l_returnflag, day)) " +
+        "SELECT l_returnflag, day, " +
+        "last_value(close IGNORE NULLS) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS filled, close IS NULL AS is_gap FROM j " +
+        "ORDER BY l_returnflag, day")),
+
     // ---- statistics (SURVEY §2.4 A2-A5, §3 trace 1) ----
 
     Q("a2_cov",

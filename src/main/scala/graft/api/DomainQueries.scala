@@ -552,8 +552,7 @@ object DomainQueries {
           col("l_quantity").as("qty"))
         graft.catalog.Layout.writeClusteredZoned(src, path, "symbol", "ship",
           numBuckets = 4, filesPerBucket = 4)
-        graft.catalog.Layout.buildBloomIndex(s, path, "l_orderkey", "ship",
-          expectedItemsPerFile = 100000L)
+        graft.catalog.Layout.buildBloomIndex(s, path, "l_orderkey", "ship")
         val key = src.agg(max(col("l_orderkey"))).head.getLong(0)
         graft.catalog.Layout.read(s, path, "symbol", "ship", numBuckets = 4,
             pointEq = Some(("l_orderkey", lit(key))))

@@ -135,19 +135,24 @@ object Layout {
     commitPart(spark, path, schema, rows, replaceAll = true)
   }
 
-  /** The CURRENT zone manifest (file, sym_bucket, zmin, zmax) — union
-    * of the live snapshot's parts. None when the table has no snapshot
-    * log (legacy [[writeClustered]] layout). */
+  /** The CURRENT zone manifest (file, sym_bucket, zmin, zmax,
+    * n_rows) — union of the live snapshot's parts. None when the
+    * table has no snapshot log (legacy [[writeClustered]] layout). */
   def manifest(spark: SparkSession, path: String): Option[DataFrame] =
     manifestAsOf(spark, path, None)
 
   /** The zone manifest of a SPECIFIC snapshot (`snap` from
     * [[snapshots]]), or the current one when None. A named snap that
-    * doesn't exist throws rather than silently falling back. */
+    * doesn't exist throws rather than silently falling back.
+    * mergeSchema: manifest parts written before a stats column was
+    * added (n_rows) union with newer deltas — old entries read NULL
+    * for the new stat; consumers treat NULL as stat-unknown. The
+    * footer cost is per manifest PART (a handful of tiny files),
+    * not per data file. */
   def manifestAsOf(spark: SparkSession, path: String,
                    snap: Option[String]): Option[DataFrame] =
     partsAsOf(spark, path, snap).map { parts =>
-      spark.read.parquet(
+      spark.read.option("mergeSchema", "true").parquet(
         parts.filter(_.startsWith("m_"))
           .map(p => SnapshotManifest.partPath(path, p)): _*)
     }
@@ -230,7 +235,7 @@ object Layout {
     * index forward untouched. */
   def buildBloomIndex(spark: SparkSession, path: String, column: String,
                       time: String, fpp: Double = 0.01,
-                      expectedItemsPerFile: Long = 1000000L,
+                      expectedItemsPerFile: Long = 0L,
                       rebuild: Boolean = false): Unit =
     buildBloomIndexes(spark, path, Seq(column), time, fpp,
       expectedItemsPerFile, rebuild)
@@ -244,11 +249,18 @@ object Layout {
     * named columns everywhere and drops their superseded parts (a
     * part also carrying OTHER columns' entries is kept — its stale
     * rows for the rebuilt columns degrade reads conservatively, never
-    * incorrectly, until their own rebuild). */
+    * incorrectly, until their own rebuild).
+    *
+    * SIZING: `expectedItemsPerFile = 0` (default) auto-sizes the
+    * filters from the zone manifest's per-file `n_rows` stat — max
+    * over the files being indexed, ×1.25 headroom — so the bit budget
+    * tracks actual file fill instead of a caller's guess; an explicit
+    * positive value overrides (e.g. distinct count ≪ rows). Falls
+    * back to 1M when the stat is absent (pre-stat manifest parts). */
   def buildBloomIndexes(spark: SparkSession, path: String,
                         columns: Seq[String], time: String,
                         fpp: Double = 0.01,
-                        expectedItemsPerFile: Long = 1000000L,
+                        expectedItemsPerFile: Long = 0L,
                         rebuild: Boolean = false): Unit = {
     require(columns.nonEmpty && columns.distinct.size == columns.size,
       s"buildBloomIndexes: columns must be non-empty and distinct: $columns")
@@ -270,16 +282,28 @@ object Layout {
             else partEntries.values.flatten
               .collect { case (`c`, f) => f }.toSet)
     }.toMap
-    val liveFiles = m.select(col("file")).collect().map(_.getString(0))
+    val liveRows: Array[(String, Option[Long])] =
+      if (m.columns.contains("n_rows"))
+        m.select(col("file"), col("n_rows")).collect().map(r =>
+          r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      else m.select(col("file")).collect().map(_.getString(0) -> None)
+    val liveFiles = liveRows.map(_._1)
     val toIndex: Map[String, Set[String]] = columns.map { c =>
       c -> liveFiles.filterNot(covered(c)).toSet
     }.toMap
     val scanFiles = toIndex.values.flatten.toSeq.distinct
     if (scanFiles.isEmpty) return // fully covered — nothing to commit
+    val sized =
+      if (expectedItemsPerFile > 0) expectedItemsPerFile
+      else {
+        val scanSet = scanFiles.toSet
+        val known = liveRows.collect { case (f, Some(n)) if scanSet(f) => n }
+        if (known.isEmpty) 1000000L else math.max(64L, known.max * 5 / 4)
+      }
     val files = scanFiles.map(r => globEscape(new Path(path, r).toString))
     val bloomAggs = columns.map(c =>
       graft.functions.BloomAgg.bloom_agg(
-        xxhash64(col(c)), expectedItemsPerFile, fpp).as(s"__bloom_$c"))
+        xxhash64(col(c)), sized, fpp).as(s"__bloom_$c"))
     val agg = spark.read.option("basePath", path)
       .parquet(files.toIndexedSeq: _*)
       .groupBy(regexp_extract(col("_metadata.file_path"),
@@ -316,23 +340,29 @@ object Layout {
     SnapshotManifest.commit(spark, path, kept :+ part, Some(baseSnap))
   }
 
-  /** Per-file (bucket, zmin, zmax) rows for the data files under
-    * `scan`, with paths RELATIVE to `root` and URI-DECODED
+  /** Per-file (bucket, zmin, zmax, n_rows) rows for the data files
+    * under `scan`, with paths RELATIVE to `root` and URI-DECODED
     * (input_file_name returns escaped URIs; see [[literalPath]]). One
-    * column-pruned aggregate; driver memory bounded by FILE count. */
+    * column-pruned aggregate; driver memory bounded by FILE count.
+    * `n_rows` is the file's PHYSICAL row count (the Delta
+    * `numRecords` stat — deletion vectors subtract logically, not
+    * here): it sizes [[buildBloomIndexes]]'s filters and weights
+    * [[planMaintenance]] without opening data files. */
   private def zoneRows(spark: SparkSession, root: String, scan: Seq[String],
                        time: String)
       : (org.apache.spark.sql.types.StructType, Array[Row]) = {
     val agg = spark.read.option("basePath", root).parquet(scan: _*)
       .groupBy(input_file_name().as("file"),
         col("sym_bucket").cast("long").as("sym_bucket"))
-      .agg(min(col(time)).as("zmin"), max(col(time)).as("zmax"))
+      .agg(min(col(time)).as("zmin"), max(col(time)).as("zmax"),
+        count(lit(1)).as("n_rows"))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qroot = fs.makeQualified(new Path(root)).toString
     val rows = agg.collect().map { r =>
       val p = fs.makeQualified(
         new Path(new java.net.URI(r.getString(0)))).toString
-      Row(p.stripPrefix(qroot).stripPrefix("/"), r.get(1), r.get(2), r.get(3))
+      Row(p.stripPrefix(qroot).stripPrefix("/"),
+        r.get(1), r.get(2), r.get(3), r.get(4))
     }
     (agg.schema, rows)
   }
@@ -702,10 +732,14 @@ object Layout {
 
   /** One bucket's maintenance pressure, as [[planMaintenance]] reports
     * it: `files` live data files (manifest), `dvFiles` of them carrying
-    * deletion-vector rows, `dvRows` total deleted positions. A bucket
-    * appears in a plan only when at least one flag is set. */
+    * deletion-vector rows, `dvRows` total deleted positions,
+    * `physRows` the bucket's physical row count from the manifest's
+    * `n_rows` stat (−1 when any file predates the stat — unknown,
+    * never guessed; live rows = physRows − dvRows). A bucket appears
+    * in a plan only when at least one flag is set. */
   case class BucketMaintenance(bucket: Long, files: Int, dvFiles: Int,
-                               dvRows: Long, overFragmented: Boolean,
+                               dvRows: Long, physRows: Long,
+                               overFragmented: Boolean,
                                dvPressure: Boolean)
 
   /** MAINTENANCE PLANNER — the policy that decides WHICH buckets
@@ -729,8 +763,16 @@ object Layout {
   def planMaintenance(spark: SparkSession, path: String,
                       filesPerBucket: Int = 4): Seq[BucketMaintenance] = {
     val m = manifest(spark, path).getOrElse(return Seq.empty)
-    val files = m.collect().groupBy(_.getLong(1)) // bounded by FILE count
-      .map { case (b, rows) => b -> rows.length }
+    val hasRows = m.columns.contains("n_rows")
+    // (file count, physical rows) per bucket — bounded by FILE count
+    val files = m.collect().groupBy(_.getLong(1))
+      .map { case (b, rows) =>
+        val phys =
+          if (hasRows && rows.forall(!_.isNullAt(4)))
+            rows.map(_.getLong(4)).sum
+          else -1L // any pre-stat file makes the count unknown
+        b -> (rows.length, phys)
+      }
     val dv: Map[Long, (Int, Long)] =
       deletionVectorAsOf(spark, path, None).fold(Map.empty[Long, (Int, Long)])(
         _.groupBy(col("sym_bucket"))
@@ -738,12 +780,12 @@ object Layout {
           .collect() // bounded by BUCKET count
           .map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2))).toMap)
     files.keySet.union(dv.keySet).toSeq.sorted.flatMap { b =>
-      val nf = files.getOrElse(b, 0)
+      val (nf, phys) = files.getOrElse(b, (0, -1L))
       val (dvf, dvr) = dv.getOrElse(b, (0, 0L))
       val frag = nf > filesPerBucket
       val pressure = dvr > 0L
       if (frag || pressure)
-        Some(BucketMaintenance(b, nf, dvf, dvr, frag, pressure))
+        Some(BucketMaintenance(b, nf, dvf, dvr, phys, frag, pressure))
       else None
     }
   }

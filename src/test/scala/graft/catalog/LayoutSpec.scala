@@ -353,6 +353,12 @@ class LayoutSpec extends SparkSpec {
     assert(plan.map(_.bucket) == Seq(expBucket), plan.toString)
     val p = plan.head
     assert(p.dvPressure && !p.overFragmented && p.dvRows > 0 && p.dvFiles > 0)
+    // physical rows come from the manifest stat: the bucket holds 200
+    // rows per symbol hashing into it; dvRows subtract to live rows
+    val symsHere = Seq("SYM0", "SYM1", "SYM2", "SYM3").count(sym =>
+      spark.range(1).select(Layout.bucketOf(lit(sym), 8))
+        .as[Long].head() == expBucket)
+    assert(p.physRows == symsHere * 200L && p.dvRows == 100L, p.toString)
     // compact consumes the plan: rewrites exactly the flagged bucket,
     // after which the planner reports a clean table
     assert(Layout.compact(spark, dir, "symbol", "ts", fpb) == 1)
@@ -600,12 +606,16 @@ class LayoutSpec extends SparkSpec {
     Layout.writeClusteredZoned(df, dir, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 4)
     val total = Layout.manifest(spark, dir).get.count()
+    // the manifest carries per-file physical row counts (the stat
+    // that auto-sizes the filters below)
+    val man = Layout.manifest(spark, dir).get
+    assert(man.columns.contains("n_rows"))
+    assert(man.agg(sum($"n_rows")).head.getLong(0) == 4000L)
     // index key first alone, then BOTH — the second call must only add
-    // key2 entries (key is already fully covered)
-    Layout.buildBloomIndex(spark, dir, "key", "ts",
-      expectedItemsPerFile = 10000L)
-    Layout.buildBloomIndexes(spark, dir, Seq("key", "key2"), "ts",
-      expectedItemsPerFile = 10000L)
+    // key2 entries (key is already fully covered); default sizing =
+    // auto from the manifest's n_rows stat
+    Layout.buildBloomIndex(spark, dir, "key", "ts")
+    Layout.buildBloomIndexes(spark, dir, Seq("key", "key2"), "ts")
     val bfParts = SnapshotManifest.currentParts(spark, dir).get
       .filter(_.startsWith("bf_")).sorted
     assert(bfParts.size == 2)

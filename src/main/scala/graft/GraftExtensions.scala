@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // aggregate-navigation MV rewrite (graft.plans.MvRewriteRule);
+    // a no-op until an MV is registered in graft.plans.MvCatalog
+    ext.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
     ext.injectFunction((
       new FunctionIdentifier("hold_fold"),
       new ExpressionInfo(classOf[HoldingFoldAgg].getName, "hold_fold"),

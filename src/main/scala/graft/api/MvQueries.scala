@@ -1,0 +1,154 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+import graft.plans.{Mv, MvCatalog}
+
+/** Materialized-view rewrite gates (SURVEY §2.11): an aggregate query
+  * written against the BASE fact table is transparently re-pointed at
+  * a pre-aggregated summary parquet by the Catalyst rule
+  * [[graft.plans.MvRewriteRule]], and must still match the oracle's
+  * from-scratch aggregation over the raw table. Each gate hard-asserts
+  * the optimized plan actually reads the MV (and not the fact), so a
+  * green gate proves rewrite-fired AND answers-match — not just that
+  * the un-rewritten plan happened to be correct.
+  *
+  * The fact table is a session-scoped copy of `lineitem` (the same
+  * tmp-dir convention as `s13_compact_echo`), so the registry can
+  * never capture another gate's scan. Built at most once per
+  * (session, sf-dir); qty is cast to BIGINT (exact cross-engine sums,
+  * the a29/st2 HUGEINT lesson baked in) and price to DECIMAL(18,2)
+  * (order-independent exact sums, surfaced as DOUBLE). */
+object MvQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Build fact+MV once per (applicationId, sf-dir); returns the fact
+    * DataFrame. Skip-if-exists keeps repeated gate calls off the
+    * FileStatusCache's stale-listing path and makes reruns free. */
+  private def factWithMv(s: SparkSession, dir: String): DataFrame = {
+    val root = System.getProperty("java.io.tmpdir") + "/graft_mv_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+    val factPath = root + "/fact"
+    val mvPath = root + "/mv"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mvPath, "_SUCCESS"))) {
+      t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_quantity").cast("bigint").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        .write.mode("overwrite").parquet(factPath)
+      Mv.build(s.read.parquet(factPath), s"mv_fact_$dir", Seq("rf", "ls"),
+        measures = Seq("qty", "price"), mvPath = mvPath,
+        mins = Seq("qty"), maxs = Seq("qty"))
+    } else if (MvCatalog.forPaths(
+        Mv.basePathsOf(s.read.parquet(factPath))).isEmpty) {
+      // fresh JVM over a previous run's files: re-register only
+      Mv.build(s.read.parquet(factPath), s"mv_fact_$dir", Seq("rf", "ls"),
+        measures = Seq("qty", "price"), mvPath = mvPath,
+        mins = Seq("qty"), maxs = Seq("qty"))
+    }
+    Mv.install(s)
+    s.read.parquet(factPath)
+  }
+
+  /** Fail loudly if the optimized plan still reads the fact —
+    * a silently-bailed rewrite must not pass as a correct gate. */
+  private def assertMvScan(df: DataFrame): DataFrame = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten.toSet
+    require(paths.exists(_.contains("/mv")) && !paths.exists(_.contains("/fact")),
+      s"MV rewrite did not fire; scans = $paths")
+    df
+  }
+
+  private val factSql =
+    "fact AS (SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+      "CAST(l_quantity AS BIGINT) AS qty, " +
+      "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem)"
+
+  val entries: Seq[Q] = Seq(
+
+    Q("mv1_rewrite",
+      // rollup to rf + dim residual filter, the five decomposable
+      // aggregates in one query; answered entirely from the summary
+      (s, dir) => {
+        val f = factWithMv(s, dir)
+        assertMvScan(f.filter(col("ls") === "F").groupBy("rf").agg(
+          sum("qty").as("sum_qty"),
+          count(lit(1)).as("n"),
+          round(avg("qty"), 4).as("avg_qty"),
+          sum("price").cast("double").as("revenue"),
+          min("qty").as("min_qty"),
+          max("qty").as("max_qty")).orderBy("rf"))
+      },
+      Some(s"WITH $factSql SELECT rf, CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+        "count(*) AS n, round(CAST(sum(qty) AS DOUBLE) / count(qty), 4) AS avg_qty, " +
+        "CAST(sum(price) AS DOUBLE) AS revenue, min(qty) AS min_qty, " +
+        "max(qty) AS max_qty FROM fact WHERE ls = 'F' GROUP BY rf ORDER BY rf")),
+
+    Q("mv2_mv_rollup",
+      // rollup to the OTHER dim subset, no filter — partials
+      // re-aggregate across the collapsed rf axis
+      (s, dir) => {
+        val f = factWithMv(s, dir)
+        assertMvScan(f.groupBy("ls").agg(
+          count(col("qty")).as("n_qty"),
+          sum("qty").as("sum_qty"),
+          sum("price").cast("double").as("revenue")).orderBy("ls"))
+      },
+      Some(s"WITH $factSql SELECT ls, count(qty) AS n_qty, " +
+        "CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(price) AS DOUBLE) AS revenue " +
+        "FROM fact GROUP BY ls ORDER BY ls")),
+
+    Q("mv3_mv_refresh",
+      // incremental append-refresh: the summary is built over 3/4 of
+      // the fact, the remaining quarter folds in via refreshAppend
+      // (O(batch+MV), copy-on-write re-point) — then a query over the
+      // FULL fact must answer from the refreshed summary alone
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv3_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv3_" + Integer.toHexString(root.hashCode)
+        val factPath = root + "/fact"
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "lineitem").select(
+            col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+            col("l_orderkey").as("ok"),
+            col("l_quantity").cast("bigint").as("qty"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(factPath)
+          val full = s.read.parquet(factPath)
+          Mv.build(full.filter(col("ok") % 4 =!= 0), name, Seq("rf", "ls"),
+            measures = Seq("qty", "price"), mvPath = root + "/mv",
+            mins = Seq("qty"), maxs = Seq("qty"))
+          Mv.refreshAppend(s, name, full.filter(col("ok") % 4 === 0))
+        }
+        Mv.install(s)
+        assertMvScan(s.read.parquet(factPath)
+          .filter(col("ls") === "O").groupBy("rf").agg(
+            sum("qty").as("sum_qty"),
+            count(lit(1)).as("n"),
+            sum("price").cast("double").as("revenue"),
+            min("qty").as("min_qty"),
+            max("qty").as("max_qty")).orderBy("rf"))
+      },
+      Some(s"WITH $factSql SELECT rf, CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+        "count(*) AS n, CAST(sum(price) AS DOUBLE) AS revenue, " +
+        "min(qty) AS min_qty, max(qty) AS max_qty " +
+        "FROM fact WHERE ls = 'O' GROUP BY rf ORDER BY rf")),
+  )
+}

@@ -53,7 +53,8 @@ object QueryCatalog {
 
   lazy val entries: Seq[Q] =
     core ++ DomainQueries.entries ++ PipelineQueries.entries ++
-      StreamingQueries.entries ++ AnalyticsQueries.entries
+      StreamingQueries.entries ++ AnalyticsQueries.entries ++
+      MvQueries.entries
 
   private val core: Seq[Q] = Seq(
 

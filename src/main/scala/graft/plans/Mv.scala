@@ -1,0 +1,315 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** A registered materialized view: a pre-aggregated parquet summary of
+  * a file-backed base table, plus the metadata the rewrite rule needs
+  * to recognize queries it can answer.
+  *
+  * Column-naming contract (fixed by [[Mv.build]]): for each measure
+  * column `m` the MV stores `sum_m` and `cnt_m` (non-null count);
+  * optionally `min_m` / `max_m`; and one `cnt` = COUNT(*). Dims keep
+  * their base names. The rewrite re-aggregates those partials, which
+  * is exact because SUM/COUNT/MIN/MAX are self-decomposable.
+  *
+  * STALENESS is the caller's contract, exactly as in every MV system:
+  * the view answers for the base table as of its build. At 100 TB the
+  * MV lives beside the base in the Layout catalog and is refreshed
+  * incrementally from the snapshot change feed (the `u13`/`st9`
+  * incremental-aggregation kernels); rebuilding here is one grouped
+  * pass — O(|base|) once, amortized over every rewritten query. */
+case class MvDef(name: String,
+                 basePaths: Set[String],
+                 mvPath: String,
+                 dims: Seq[String],
+                 measures: Set[String],
+                 mins: Set[String],
+                 maxs: Set[String])
+
+/** Session-wide MV registry, keyed by the base scan's root paths —
+  * the same identity the rewrite rule recovers from a candidate plan's
+  * leaf [[HadoopFsRelation]], so registration and lookup can never
+  * disagree on path spelling. */
+object MvCatalog {
+  private val defs = TrieMap.empty[String, MvDef]
+
+  def register(d: MvDef): Unit = defs.put(d.name, d)
+  def get(name: String): Option[MvDef] = defs.get(name)
+  def unregister(name: String): Unit = defs.remove(name)
+  def clear(): Unit = defs.clear()
+  def isEmpty: Boolean = defs.isEmpty
+
+  /** All MVs whose base is exactly this scan's root-path set. */
+  def forPaths(paths: Set[String]): Seq[MvDef] =
+    defs.values.filter(_.basePaths == paths).toSeq.sortBy(_.name)
+}
+
+/** AGGREGATE-NAVIGATION MATERIALIZED VIEWS — the classic summary-table
+  * rewrite (Gupta & Mumick's MV survey; same shape as Hive/Calcite's
+  * `AggregateProjectMergeRule`-based MV matching): queries that
+  * aggregate the BASE fact table are transparently re-pointed at a
+  * tiny pre-aggregated parquet summary, including
+  *
+  *   - ROLLUPS to any SUBSET of the MV's group-by dims (partials
+  *     re-aggregate: sum of sums, sum of counts, min of mins …),
+  *   - dim-only residual filters (σ over group-by columns commutes
+  *     with the aggregation, so they evaluate against the MV),
+  *   - SUM / COUNT(*) / COUNT(col) / MIN / MAX / AVG (avg splits into
+  *     sum_m / cnt_m — exact, not an approximation).
+  *
+  * This is the scan-side complement of the incremental-maintenance
+  * kernels: at 100 TB the summary is GBs where the fact is TBs, so a
+  * rewritten dashboard query reads ~1000× less. The rewrite runs as a
+  * normal Catalyst [[Rule]] — plans stay declarative, Catalyst still
+  * prunes/pushes on the MV scan it substitutes.
+  *
+  * Safety: the rule rewrites ONLY when every piece of the query is
+  * provably answerable — every grouping expression is a bare dim
+  * column, every residual filter references dims only, every aggregate
+  * call is one of the decomposable five over a registered measure,
+  * nothing is DISTINCT or FILTERed. Anything else leaves the plan
+  * untouched. Output attribute ids/names/types are preserved
+  * exactly (aliases re-use the original `exprId`s; re-aggregated
+  * types are cast back where widening differs, e.g. decimal sums). */
+object Mv {
+
+  /** Root paths of the file-backed leaves of `df`'s plan — the base
+    * identity MVs are registered under. */
+  def basePathsOf(df: DataFrame): Set[String] = {
+    val paths = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten.toSet
+    require(paths.nonEmpty, "MV base must be a file-backed scan")
+    paths
+  }
+
+  /** Build the summary parquet for `base` grouped by `dims` and
+    * register it. One distributed grouped pass over the base (partial
+    * hash-agg, map-side combined); the MV's row count is the dim-combo
+    * cardinality — the whole point is that it is ≪ |base|. */
+  /** The MV's partial-aggregate shape over any slice of base rows —
+    * shared by [[build]] (whole base) and [[refreshAppend]] (a batch),
+    * so the two can never disagree on the column contract. */
+  private def summarize(df: DataFrame, dims: Seq[String],
+                        measures: Seq[String], mins: Seq[String],
+                        maxs: Seq[String]): DataFrame = {
+    val aggs =
+      measures.flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
+        count(col(m)).as(s"cnt_$m"))) ++
+        mins.map(m => min(col(m)).as(s"min_$m")) ++
+        maxs.map(m => max(col(m)).as(s"max_$m")) :+
+        count(lit(1)).as("cnt")
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def build(base: DataFrame, name: String, dims: Seq[String],
+            measures: Seq[String], mvPath: String,
+            mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
+    summarize(base, dims, measures, mins, maxs)
+      .write.mode("overwrite").parquet(mvPath)
+    val d = MvDef(name, basePathsOf(base), mvPath, dims,
+      measures.toSet, mins.toSet, maxs.toSet)
+    MvCatalog.register(d)
+    d
+  }
+
+  /** INCREMENTAL APPEND-REFRESH — fold a batch of new base rows into
+    * the summary WITHOUT touching the base: summarize the batch with
+    * the identical partial shape, then merge partials group-wise
+    * (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxs).
+    * O(|batch| + |MV|) — never O(|base|), which is the whole point at
+    * 100 TB where the nightly batch is GBs against a TB-scale fact.
+    *
+    * Copy-on-write: the merged summary lands in a FRESH directory and
+    * the registry entry is re-pointed afterwards, so in-flight readers
+    * of the previous summary never observe a half-written view and a
+    * crashed refresh leaves the registered MV untouched (the same
+    * snapshot-then-flip discipline as `pipeline/IndexIo`; the pointer
+    * here is the session-scoped registry — a multi-session deployment
+    * persists it via that `_latest` pattern instead).
+    *
+    * DELETES are deliberately not folded here: SUM/COUNT retract, but
+    * MIN/MAX do not (dropping the current minimum forces a rescan of
+    * its group). A deleting refresh either rebuilds ([[build]], one
+    * grouped pass) or recomputes just the delete-touched groups — the
+    * retractable-fold kernels in `ops/IncrementalAgg` cover the
+    * min/max-free case. */
+  def refreshAppend(spark: SparkSession, name: String,
+                    batch: DataFrame): MvDef = {
+    val d = MvCatalog.get(name).getOrElse(
+      throw new NoSuchElementException(s"MV $name is not registered"))
+    val cur = spark.read.parquet(d.mvPath)
+    val ms = d.measures.toSeq.sorted
+    val delta = summarize(batch, d.dims, ms, d.mins.toSeq.sorted,
+      d.maxs.toSeq.sorted)
+    // cast re-summed partials back to the stored column's type so the
+    // summary schema is stable across any number of refreshes (decimal
+    // sums widen per level otherwise)
+    val mergeAggs = ms.flatMap(m => Seq(
+      sum(col(s"sum_$m")).cast(cur.schema(s"sum_$m").dataType).as(s"sum_$m"),
+      sum(col(s"cnt_$m")).cast("long").as(s"cnt_$m"))) ++
+      d.mins.toSeq.sorted.map(m => min(col(s"min_$m")).as(s"min_$m")) ++
+      d.maxs.toSeq.sorted.map(m => max(col(s"max_$m")).as(s"max_$m")) :+
+      sum(col("cnt")).cast("long").as("cnt")
+    val merged = cur.unionByName(delta).groupBy(d.dims.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
+    merged.write.mode("errorifexists").parquet(next)
+    val nd = d.copy(mvPath = next)
+    MvCatalog.register(nd)
+    nd
+  }
+
+  /** Idempotently install the rewrite rule on a session (the local /
+    * per-session path; cluster sessions get it via
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule(spark)
+}
+
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvCatalog.isEmpty ||
+      conf.getConfString("graft.mv.rewrite.enabled", "true") != "true") plan
+    else plan.transformDown {
+      case agg: Aggregate =>
+        // try every MV registered for this base; first one that can
+        // answer the query wins (they differ in dims/measures, so
+        // "can answer" is the selection criterion that matters)
+        candidates(agg).view.flatMap(mv => tryRewrite(agg, mv))
+          .headOption.getOrElse(agg)
+    }
+
+  private def candidates(agg: Aggregate): Seq[MvDef] =
+    stripToScan(agg.child, Nil).map { case (_, fs, _) =>
+      MvCatalog.forPaths(fs.location.rootPaths.map(_.toString).toSet)
+    }.getOrElse(Nil)
+
+  /** Strip column-pruning Projects and residual Filters down to the
+    * leaf file scan; collect the filter conditions on the way. Bails
+    * (None) on any node that could change aggregate semantics. */
+  private def stripToScan(p: LogicalPlan, conds: Seq[Expression])
+  : Option[(LogicalRelation, HadoopFsRelation, Seq[Expression])] = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToScan(child, conds)
+    case Filter(c, child) => stripToScan(child, conds :+ c)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => Some((lr, fs, conds))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val (lr, _, conds) = stripToScan(agg.child, Nil).getOrElse(return None)
+
+    // grouping: bare dim columns only
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if mv.dims.contains(a.name) => a
+      case _ => return None
+    }
+    val dimNames = mv.dims.toSet
+
+    // residual filters must touch dims only (σ over group-bys commutes
+    // with the aggregation, so they evaluate unchanged against the MV)
+    if (!conds.forall(_.references.forall(a => dimNames.contains(a.name))))
+      return None
+
+    // fresh-attribute MV scan (fresh ids per rewrite site, so two
+    // rewrites in one tree can never collide)
+    val mvRel = spark.read.parquet(mv.mvPath).queryExecution.analyzed match {
+      case rel: LogicalRelation => rel
+      case Project(_, rel: LogicalRelation) => rel
+      case _ => return None
+    }
+    val mvAttr: Map[String, AttributeReference] =
+      mvRel.output.map(a => a.name -> a).toMap
+    def m(n: String): AttributeReference =
+      mvAttr.getOrElse(n, throw new IllegalStateException(s"MV ${mv.name} lacks $n"))
+
+    val tz = Some(conf.sessionLocalTimeZone)
+    def resum(mvCol: String, want: org.apache.spark.sql.types.DataType): Expression = {
+      val s = Sum(m(mvCol)).toAggregateExpression()
+      if (s.dataType == want) s else Cast(s, want, tz)
+    }
+
+    /** One decomposable aggregate call → its partial re-aggregation. */
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Sum(a: AttributeReference, _) if mv.measures.contains(a.name) =>
+          Some(resum(s"sum_${a.name}", ae.dataType))
+        case Count(Seq(l: Literal)) if l.value != null =>
+          Some(Coalesce(Seq(Sum(m("cnt")).toAggregateExpression(),
+            Literal(0L, LongType))))
+        case Count(Seq()) =>
+          Some(Coalesce(Seq(Sum(m("cnt")).toAggregateExpression(),
+            Literal(0L, LongType))))
+        case Count(Seq(a: AttributeReference)) if mv.measures.contains(a.name) =>
+          Some(Coalesce(Seq(Sum(m(s"cnt_${a.name}")).toAggregateExpression(),
+            Literal(0L, LongType))))
+        case Min(a: AttributeReference) if mv.mins.contains(a.name) =>
+          Some(Min(m(s"min_${a.name}")).toAggregateExpression())
+        case Max(a: AttributeReference) if mv.maxs.contains(a.name) =>
+          Some(Max(m(s"max_${a.name}")).toAggregateExpression())
+        case Average(a: AttributeReference, _)
+          if mv.measures.contains(a.name) && ae.dataType == DoubleType &&
+            !a.dataType.isInstanceOf[DecimalType] =>
+          // exact: Σ partial sums / Σ partial non-null counts
+          Some(Divide(
+            Cast(Sum(m(s"sum_${a.name}")).toAggregateExpression(), DoubleType, tz),
+            Cast(Sum(m(s"cnt_${a.name}")).toAggregateExpression(), DoubleType, tz)))
+        case _ => None
+      }
+    }
+
+    val baseAttrIds = lr.output.map(_.exprId).toSet
+    def remapDims(e: Expression): Option[Expression] = {
+      var ok = true
+      val out = e.transformUp {
+        case a: AttributeReference if baseAttrIds.contains(a.exprId) =>
+          if (dimNames.contains(a.name)) m(a.name) else { ok = false; a }
+      }
+      if (ok) Some(out) else None
+    }
+
+    // result expressions: swap every aggregate call and every dim ref,
+    // preserving the original output names and exprIds exactly
+    val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if dimNames.contains(a.name) =>
+        Alias(m(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      case al @ Alias(child, aname) =>
+        var ok = true
+        val step1 = child.transformUp {
+          case ae: AggregateExpression =>
+            mapAgg(ae) match { case Some(e) => e; case None => ok = false; ae }
+        }
+        if (!ok) return None
+        val step2 = remapDims(step1).getOrElse(return None)
+        Alias(step2, aname)(exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None
+    }
+
+    val newGroup = groupAttrs.map(a => m(a.name))
+    val newCond = conds.map(c => remapDims(c).getOrElse(return None))
+    val filtered: LogicalPlan =
+      newCond.reduceOption(And).map(Filter(_, mvRel)).getOrElse(mvRel)
+    val needed = (newResult.flatMap(_.references) ++ newGroup).distinct
+    Some(Aggregate(newGroup, newResult, Project(needed, filtered)))
+  }
+}

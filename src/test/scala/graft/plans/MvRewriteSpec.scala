@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** Pins the aggregate-navigation MV rewrite: matching queries are
+  * re-pointed at the summary parquet (leaf-scan-asserted), results are
+  * identical to the un-rewritten base aggregation, and every bail-out
+  * guard (non-dim filter, unsupported aggregate, DISTINCT) leaves the
+  * plan on the base scan. */
+class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val root = System.getProperty("java.io.tmpdir") + "/graft_mvspec_" +
+    java.util.UUID.randomUUID().toString.take(8)
+  private val factPath = root + "/fact"
+  private val mvPath = root + "/mv"
+
+  private def fact: DataFrame = spark.read.parquet(factPath)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.load(spark, sf, "lineitem").select(
+      col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+      col("l_quantity").cast("bigint").as("qty"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite").parquet(factPath)
+    Mv.build(fact, "mvspec_fact", Seq("rf", "ls"),
+      measures = Seq("qty", "price"), mvPath = mvPath,
+      mins = Seq("qty"), maxs = Seq("qty"))
+    Mv.install(spark)
+  }
+
+  override def afterAll(): Unit = {
+    MvCatalog.unregister("mvspec_fact")
+    spark.conf.unset("graft.mv.rewrite.enabled")
+    super.afterAll()
+  }
+
+  /** Root paths of every file scan left in the optimized plan. */
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten.toSet
+
+  private def readsMv(df: DataFrame): Boolean = {
+    val p = scanPaths(df)
+    p.exists(_.endsWith("/mv")) && !p.exists(_.endsWith("/fact"))
+  }
+
+  /** Run `mk` with the rewrite on and off; both result sets. */
+  private def onOff(mk: => DataFrame): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+    val on = mk.collect().toSeq
+    spark.conf.set("graft.mv.rewrite.enabled", "false")
+    val off = try mk.collect().toSeq
+    finally spark.conf.set("graft.mv.rewrite.enabled", "true")
+    (on, off)
+  }
+
+  private def q(df: DataFrame): DataFrame =
+    df.groupBy("rf").agg(
+      sum("qty").as("sum_qty"),
+      count(lit(1)).as("n"),
+      round(avg("qty"), 4).as("avg_qty"),
+      sum("price").cast("double").as("revenue"),
+      min("qty").as("min_qty"),
+      max("qty").as("max_qty")).orderBy("rf")
+
+  test("matching rollup+filter query is re-pointed at the MV parquet") {
+    assert(readsMv(q(fact.filter(col("ls") === "F"))))
+  }
+
+  test("rewritten results are identical to the base aggregation") {
+    val (on, off) = onOff(q(fact.filter(col("ls") === "F")))
+    assert(on.nonEmpty && on == off)
+  }
+
+  test("rollup to the other dim subset rewrites and matches") {
+    def g = fact.groupBy("ls").agg(
+      count(col("qty")).as("n_qty"), sum("qty").as("sum_qty")).orderBy("ls")
+    assert(readsMv(g))
+    val (on, off) = onOff(g)
+    assert(on.nonEmpty && on == off)
+  }
+
+  test("global COUNT(*) over an empty residual slice is 0, not null") {
+    def df = fact.filter(col("ls") === "Z").agg(count(lit(1)).as("n"))
+    assert(readsMv(df))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("non-dim residual filter bails to the base scan") {
+    val df = fact.filter(col("qty") > 10).groupBy("rf").agg(sum("qty").as("s"))
+    assert(scanPaths(df).exists(_.endsWith("/fact")))
+  }
+
+  test("unsupported aggregate (stddev) bails to the base scan") {
+    val df = fact.groupBy("rf").agg(stddev("qty").as("s"))
+    assert(scanPaths(df).exists(_.endsWith("/fact")))
+  }
+
+  test("DISTINCT aggregate bails to the base scan") {
+    val df = fact.groupBy("rf").agg(countDistinct("qty").as("d"))
+    assert(scanPaths(df).exists(_.endsWith("/fact")))
+  }
+
+  test("append-refresh merges partials, re-points copy-on-write, answers for the full base") {
+    val fp = root + "/fact2"
+    Tables.load(spark, sf, "lineitem").select(
+      col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
+      col("l_quantity").cast("bigint").as("qty"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite").parquet(fp)
+    val full = spark.read.parquet(fp)
+    try {
+      val d0 = Mv.build(full.filter(col("ok") % 4 =!= 0), "mvspec_refresh",
+        Seq("rf"), measures = Seq("qty", "price"), mvPath = root + "/mv2",
+        mins = Seq("qty"), maxs = Seq("qty"))
+      val d1 = Mv.refreshAppend(spark, "mvspec_refresh",
+        full.filter(col("ok") % 4 === 0))
+      assert(d1.mvPath != d0.mvPath, "refresh must re-point, not overwrite")
+      // schema stays stable across a second refresh (decimal cast-back)
+      val d2 = Mv.refreshAppend(spark, "mvspec_refresh", full.limit(0))
+      assert(spark.read.parquet(d2.mvPath).schema("sum_price")
+        .dataType.typeName == "decimal(28,2)")
+      def g = spark.read.parquet(fp).groupBy("rf").agg(
+        sum("qty").as("s"), min("qty").as("mn"), max("qty").as("mx"),
+        count(lit(1)).as("n")).orderBy("rf")
+      assert(!scanPaths(g).exists(_.endsWith("/fact2")), scanPaths(g))
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off)
+    } finally MvCatalog.unregister("mvspec_refresh")
+  }
+
+  test("refreshAppend on an unregistered name fails loudly") {
+    intercept[NoSuchElementException] {
+      Mv.refreshAppend(spark, "nope", fact)
+    }
+  }
+
+  test("decimal SUM round-trips with its original widened type") {
+    val df = fact.groupBy("rf").agg(sum("price").as("rev"))
+    assert(df.schema("rev").dataType.typeName == "decimal(28,2)")
+    assert(readsMv(df))
+    val (on, off) = onOff(fact.groupBy("rf").agg(sum("price").as("rev")).orderBy("rf"))
+    assert(on == off)
+  }
+}

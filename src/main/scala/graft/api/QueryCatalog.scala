@@ -280,6 +280,34 @@ object QueryCatalog {
         "WINDOW w AS (PARTITION BY l_returnflag ORDER BY close, day) " +
         "ORDER BY l_returnflag, day")),
 
+    Q("w9_rank_family",
+      // rank vs dense_rank under REAL ties (ordering by the coarse
+      // month key, so whole months tie), plus row_number over the
+      // fully tie-broken (month, day) order — the remaining §2.5
+      // rank-family members w5 doesn't cover.
+      (s, dir) => {
+        val wTies = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("mon"))
+        val wTotal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("mon"), col("day"))
+        dailyCloses(t(s, dir, "lineitem"))
+          .withColumn("mon", date_trunc("month", col("day")).cast("date"))
+          .withColumn("rk", rank().over(wTies).cast("long"))
+          .withColumn("drk", dense_rank().over(wTies).cast("long"))
+          .withColumn("rn", row_number().over(wTotal).cast("long"))
+          .orderBy("l_returnflag", "day")
+      },
+      Some("WITH " + dailySql +
+        ", d2 AS (SELECT l_returnflag, day, close, " +
+        "CAST(date_trunc('month', day) AS DATE) AS mon FROM daily) " +
+        "SELECT l_returnflag, day, close, mon, " +
+        "CAST(rank() OVER wt AS BIGINT) AS rk, " +
+        "CAST(dense_rank() OVER wt AS BIGINT) AS drk, " +
+        "CAST(row_number() OVER wn AS BIGINT) AS rn FROM d2 " +
+        "WINDOW wt AS (PARTITION BY l_returnflag ORDER BY mon), " +
+        "wn AS (PARTITION BY l_returnflag ORDER BY mon, day) " +
+        "ORDER BY l_returnflag, day")),
+
     Q("w7_value_windows",
       // value-picking window functions (first/last/nth over an
       // explicit frame): the month's opening close, running latest

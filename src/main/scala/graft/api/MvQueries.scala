@@ -66,7 +66,7 @@ object MvQueries {
         case _ => Seq.empty
       }
     }.flatten.toSet
-    require(paths.exists(_.contains("/mv")) && !paths.exists(_.contains("/fact")),
+    require(paths.nonEmpty && paths.forall(_.contains("/mv")),
       s"MV rewrite did not fire; scans = $paths")
     df
   }
@@ -150,5 +150,46 @@ object MvQueries {
         "count(*) AS n, CAST(sum(price) AS DOUBLE) AS revenue, " +
         "min(qty) AS min_qty, max(qty) AS max_qty " +
         "FROM fact WHERE ls = 'O' GROUP BY rf ORDER BY rf")),
+
+    Q("mv4_mv_star",
+      // star-schema MV: the summary is built over orders ⋈ customer;
+      // a query that re-joins the two tables, filters a fact dim, and
+      // rolls up to a CUSTOMER attribute is answered from the summary
+      // alone — neither base table is scanned (hard-asserted)
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv4_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv4_" + Integer.toHexString(root.hashCode)
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(root + "/sfact")
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(root + "/sdim")
+          Mv.buildJoin(s.read.parquet(root + "/sfact"),
+            s.read.parquet(root + "/sdim"), name, on = Seq("ck" -> "ck2"),
+            dims = Seq("seg", "status"), measures = Seq("price"),
+            mvPath = root + "/mv")
+        }
+        Mv.install(s)
+        assertMvScan(s.read.parquet(root + "/sfact")
+          .join(s.read.parquet(root + "/sdim"),
+            col("ck") === col("ck2"), "inner")
+          .filter(col("status") === "F")
+          .groupBy("seg").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("seg"))
+      },
+      Some("WITH sfact AS (SELECT o_custkey AS ck, o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
+        "sdim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM sfact JOIN sdim ON ck = ck2 WHERE status = 'F' " +
+        "GROUP BY seg ORDER BY seg")),
   )
 }

@@ -5,6 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -27,13 +28,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * incrementally from the snapshot change feed (the `u13`/`st9`
   * incremental-aggregation kernels); rebuilding here is one grouped
   * pass — O(|base|) once, amortized over every rewritten query. */
+/** Join pedigree of a star-schema MV: the summary was built over
+  * `fact INNER JOIN dim ON factKeys = dimKeys`; `dimPaths` is the dim
+  * side's root-path identity ([[MvDef.basePaths]] stays the fact's). */
+case class MvJoin(dimPaths: Set[String],
+                  factKeys: Seq[String],
+                  dimKeys: Seq[String])
+
 case class MvDef(name: String,
                  basePaths: Set[String],
                  mvPath: String,
                  dims: Seq[String],
                  measures: Set[String],
                  mins: Set[String],
-                 maxs: Set[String])
+                 maxs: Set[String],
+                 join: Option[MvJoin] = None)
 
 /** Session-wide MV registry, keyed by the base scan's root paths —
   * the same identity the rewrite rule recovers from a candidate plan's
@@ -48,9 +57,15 @@ object MvCatalog {
   def clear(): Unit = defs.clear()
   def isEmpty: Boolean = defs.isEmpty
 
-  /** All MVs whose base is exactly this scan's root-path set. */
+  /** Single-table MVs whose base is exactly this scan's root-path set. */
   def forPaths(paths: Set[String]): Seq[MvDef] =
-    defs.values.filter(_.basePaths == paths).toSeq.sortBy(_.name)
+    defs.values.filter(d => d.join.isEmpty && d.basePaths == paths)
+      .toSeq.sortBy(_.name)
+
+  /** Join MVs over exactly this (fact, dim) root-path pair. */
+  def forJoin(factPaths: Set[String], dimPaths: Set[String]): Seq[MvDef] =
+    defs.values.filter(d => d.join.exists(_.dimPaths == dimPaths) &&
+      d.basePaths == factPaths).toSeq.sortBy(_.name)
 }
 
 /** AGGREGATE-NAVIGATION MATERIALIZED VIEWS — the classic summary-table
@@ -125,6 +140,33 @@ object Mv {
     d
   }
 
+  /** STAR-SCHEMA MV — the summary is built over `fact INNER JOIN dim`
+    * and registered with its join pedigree, so queries that re-join
+    * the same two tables and aggregate get re-pointed at the summary:
+    * at 100 TB this means dashboard rollups never pay the fact×dim
+    * shuffle OR the fact scan again. Dim attributes are ordinary MV
+    * dims (group-bys and residual filters on them rewrite as usual).
+    * `dims` / `measures` names must be unambiguous across the two
+    * inputs (checked). Inner-join semantics are preserved exactly:
+    * the MV and any matched query drop the same unmatched/null-key
+    * rows, which is also why the rule may discard the optimizer's
+    * IsNotNull(join key) filters when matching. */
+  def buildJoin(fact: DataFrame, dim: DataFrame, name: String,
+                on: Seq[(String, String)], dims: Seq[String],
+                measures: Seq[String], mvPath: String,
+                mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
+    val dup = fact.columns.toSet.intersect(dim.columns.toSet)
+    require(dup.isEmpty, s"ambiguous columns across fact and dim: $dup")
+    val cond = on.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
+    summarize(fact.join(dim, cond, "inner"), dims, measures, mins, maxs)
+      .write.mode("overwrite").parquet(mvPath)
+    val d = MvDef(name, basePathsOf(fact), mvPath, dims,
+      measures.toSet, mins.toSet, maxs.toSet,
+      join = Some(MvJoin(basePathsOf(dim), on.map(_._1), on.map(_._2))))
+    MvCatalog.register(d)
+    d
+  }
+
   /** INCREMENTAL APPEND-REFRESH — fold a batch of new base rows into
     * the summary WITHOUT touching the base: summarize the batch with
     * the identical partial shape, then merge partials group-wise
@@ -188,17 +230,84 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       conf.getConfString("graft.mv.rewrite.enabled", "true") != "true") plan
     else plan.transformDown {
       case agg: Aggregate =>
-        // try every MV registered for this base; first one that can
+        // try every MV registered for this source; first one that can
         // answer the query wins (they differ in dims/measures, so
         // "can answer" is the selection criterion that matters)
-        candidates(agg).view.flatMap(mv => tryRewrite(agg, mv))
+        sources(agg).view.flatMap(src => tryRewrite(agg, src))
           .headOption.getOrElse(agg)
     }
 
-  private def candidates(agg: Aggregate): Seq[MvDef] =
-    stripToScan(agg.child, Nil).map { case (_, fs, _) =>
-      MvCatalog.forPaths(fs.location.rootPaths.map(_.toString).toSet)
-    }.getOrElse(Nil)
+  /** A matched query source: the scans' combined output attributes,
+    * the residual filter conditions collected on the way down, and the
+    * MV that claims to answer for this source. */
+  private case class Source(baseAttrs: Seq[Attribute],
+                            conds: Seq[Expression], mv: MvDef)
+
+  private def rootsOf(fs: HadoopFsRelation): Set[String] =
+    fs.location.rootPaths.map(_.toString).toSet
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def sources(agg: Aggregate): Seq[Source] = {
+    val single = stripToScan(agg.child, Nil).toSeq.flatMap {
+      case (lr, fs, conds) =>
+        MvCatalog.forPaths(rootsOf(fs)).map(Source(lr.output, conds, _))
+    }
+    single ++ joinSources(agg.child)
+  }
+
+  /** Match `Aggregate → (Project/Filter)* → Join(Inner) → two scans`
+    * against registered star MVs: the scans' path pair must equal a
+    * registered (fact, dim) pair in either orientation, and the join
+    * condition must decompose into exactly the registered key
+    * equalities. IsNotNull(join key) residuals are discarded — the
+    * inner join already drops those rows on both representations. */
+  private def joinSources(p: LogicalPlan): Seq[Source] = {
+    def stripAbove(p: LogicalPlan, conds: Seq[Expression])
+    : Option[(Join, Seq[Expression])] = p match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripAbove(child, conds)
+      case Filter(c, child) => stripAbove(child, conds :+ c)
+      case j: Join => Some((j, conds))
+      case _ => None
+    }
+    val (j, outer) = stripAbove(p, Nil).getOrElse(return Nil)
+    if (j.joinType != Inner) return Nil
+    val cond = j.condition.getOrElse(return Nil)
+    val (ll, lfs, lconds) = stripToScan(j.left, Nil).getOrElse(return Nil)
+    val (rl, rfs, rconds) = stripToScan(j.right, Nil).getOrElse(return Nil)
+    val (lp, rp) = (rootsOf(lfs), rootsOf(rfs))
+    val defs = MvCatalog.forJoin(lp, rp) ++ MvCatalog.forJoin(rp, lp)
+    if (defs.isEmpty) return Nil
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name, b.name)
+      case _ => return Nil
+    }
+    // split fused filters so per-conjunct checks (IsNotNull-on-key
+    // dropping, dims-only references) see each predicate alone
+    val allConds = (outer ++ lconds ++ rconds).flatMap(conjuncts)
+    defs.flatMap { mv =>
+      val jn = mv.join.get
+      val want = jn.factKeys.zip(jn.dimKeys).toSet
+      val got = pairs.map { case (a, b) =>
+        if (want.contains((a, b))) (a, b) else (b, a)
+      }.toSet
+      if (got != want) None
+      else {
+        val keyNames = (jn.factKeys ++ jn.dimKeys).toSet
+        val kept = allConds.filter {
+          case IsNotNull(a: AttributeReference) if keyNames.contains(a.name) =>
+            false
+          case _ => true
+        }
+        Some(Source(ll.output ++ rl.output, kept, mv))
+      }
+    }
+  }
 
   /** Strip column-pruning Projects and residual Filters down to the
     * leaf file scan; collect the filter conditions on the way. Bails
@@ -215,8 +324,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
-    val (lr, _, conds) = stripToScan(agg.child, Nil).getOrElse(return None)
+  private def tryRewrite(agg: Aggregate, src: Source): Option[LogicalPlan] = {
+    val Source(baseAttrs, conds, mv) = src
 
     // grouping: bare dim columns only
     val groupAttrs = agg.groupingExpressions.map {
@@ -278,7 +387,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-    val baseAttrIds = lr.output.map(_.exprId).toSet
+    val baseAttrIds = baseAttrs.map(_.exprId).toSet
     def remapDims(e: Expression): Option[Expression] = {
       var ok = true
       val out = e.transformUp {

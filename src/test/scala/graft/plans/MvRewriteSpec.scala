@@ -139,6 +139,53 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_refresh")
   }
 
+  test("star MV: fact-join-dim aggregate is answered from the join summary") {
+    val fp = root + "/sfact"
+    val dp = root + "/sdim"
+    Tables.load(spark, sf, "orders").select(
+      col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite").parquet(fp)
+    Tables.load(spark, sf, "customer").select(
+      col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+      .write.mode("overwrite").parquet(dp)
+    val factD = spark.read.parquet(fp)
+    val dimD = spark.read.parquet(dp)
+    try {
+      Mv.buildJoin(factD, dimD, "mvspec_star", on = Seq("ck" -> "ck2"),
+        dims = Seq("seg", "status"), measures = Seq("price"),
+        mvPath = root + "/smv")
+      def g = spark.read.parquet(fp)
+        .join(spark.read.parquet(dp), col("ck") === col("ck2"), "inner")
+        .filter(col("status") === "F")
+        .groupBy("seg")
+        .agg(sum("price").cast("double").as("revenue"),
+          count(lit(1)).as("n")).orderBy("seg")
+      val p = scanPaths(g)
+      assert(!p.exists(_.endsWith("/sfact")) && !p.exists(_.endsWith("/sdim")), p)
+      assert(p.exists(_.endsWith("/smv")), p)
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off)
+    } finally MvCatalog.unregister("mvspec_star")
+  }
+
+  test("star MV: a non-registered join key combination bails to the base join") {
+    val fp = root + "/sfact"
+    val dp = root + "/sdim"
+    try {
+      Mv.buildJoin(spark.read.parquet(fp), spark.read.parquet(dp),
+        "mvspec_star", on = Seq("ck" -> "ck2"),
+        dims = Seq("seg", "status"), measures = Seq("price"),
+        mvPath = root + "/smv")
+      // extra non-key equality in the condition → not answerable
+      val g = spark.read.parquet(fp)
+        .join(spark.read.parquet(dp),
+          col("ck") === col("ck2") && col("status") === col("seg"), "inner")
+        .groupBy("seg").agg(sum("price").as("s"))
+      assert(scanPaths(g).exists(_.endsWith("/sfact")), scanPaths(g))
+    } finally MvCatalog.unregister("mvspec_star")
+  }
+
   test("refreshAppend on an unregistered name fails loudly") {
     intercept[NoSuchElementException] {
       Mv.refreshAppend(spark, "nope", fact)

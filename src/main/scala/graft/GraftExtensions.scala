@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate-navigation MV rewrite (graft.plans.MvRewriteRule);
     // a no-op until an MV is registered in graft.plans.MvCatalog
     ext.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
+    // FK-verified join elimination (graft.plans.JoinElimRule);
+    // a no-op until an edge is declared in graft.plans.FkCatalog
+    ext.injectOptimizerRule(s => graft.plans.JoinElimRule(s))
     ext.injectFunction((
       new FunctionIdentifier("hold_fold"),
       new ExpressionInfo(classOf[HoldingFoldAgg].getName, "hold_fold"),

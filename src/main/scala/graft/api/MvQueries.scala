@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Tables
-import graft.plans.{Mv, MvCatalog}
+import graft.plans.{FkCatalog, JoinElim, Mv, MvCatalog}
 
 /** Materialized-view rewrite gates (SURVEY §2.11): an aggregate query
   * written against the BASE fact table is transparently re-pointed at
@@ -191,5 +191,53 @@ object MvQueries {
         "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM sfact JOIN sdim ON ck = ck2 WHERE status = 'F' " +
         "GROUP BY seg ORDER BY seg")),
+
+    Q("j22_join_elim",
+      // FK-verified join elimination: the query joins orders→customer
+      // by rote but consumes only fact columns; with the FK declared
+      // AND audited, the optimizer drops the customer scan and the
+      // join entirely (hard-asserted) — the oracle still pays the join
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_je_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "je_" + Integer.toHexString(root.hashCode)
+        if (FkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(root + "/child")
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(root + "/dim")
+          JoinElim.declareVerified(name,
+            s.read.parquet(root + "/child"), Seq("ck"),
+            s.read.parquet(root + "/dim"), Seq("ck2"))
+        }
+        JoinElim.install(s)
+        val df = s.read.parquet(root + "/child")
+          .join(s.read.parquet(root + "/dim"),
+            col("ck") === col("ck2"), "inner")
+          .groupBy("status").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("status")
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten.toSet
+        require(!scans.exists(_.endsWith("/dim")) &&
+          scans.exists(_.endsWith("/child")),
+          s"join elimination did not fire; scans = $scans")
+        df
+      },
+      Some("WITH child AS (SELECT o_custkey AS ck, o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
+        "dim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM child JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
   )
 }

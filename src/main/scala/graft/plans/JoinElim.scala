@@ -1,0 +1,165 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.plans.PlanMatch.{conjuncts, equiPairs, rootsOf, stripToScan}
+
+/** A VERIFIED foreign-key edge between two file-backed tables:
+  * every non-null `childKeys` tuple in the child has exactly one
+  * matching `parentKeys` tuple in the parent (existence by the FK
+  * audit, uniqueness + non-null by the PK audit — both actually run at
+  * declaration, see [[JoinElim.declareVerified]]). */
+case class FkDef(name: String,
+                 childPaths: Set[String], childKeys: Seq[String],
+                 parentPaths: Set[String], parentKeys: Seq[String])
+
+object FkCatalog {
+  private val defs = TrieMap.empty[String, FkDef]
+
+  def register(d: FkDef): Unit = defs.put(d.name, d)
+  def get(name: String): Option[FkDef] = defs.get(name)
+  def unregister(name: String): Unit = defs.remove(name)
+  def clear(): Unit = defs.clear()
+  def isEmpty: Boolean = defs.isEmpty
+
+  def forPair(childPaths: Set[String], parentPaths: Set[String]): Seq[FkDef] =
+    defs.values.filter(d => d.childPaths == childPaths &&
+      d.parentPaths == parentPaths).toSeq.sortBy(_.name)
+}
+
+/** FK-BASED JOIN ELIMINATION — the classic referential-integrity
+  * rewrite (every serious optimizer ships it; Spark itself cannot,
+  * because it has no constraint metadata): an INNER join from a fact
+  * to a dimension on a VERIFIED foreign key, where the query consumes
+  * no dimension column, is replaced by
+  *
+  *   `Filter(childKey IS NOT NULL, child)`
+  *
+  * which is exactly equivalent: the FK audit proves every non-null key
+  * matches (no rows added or dropped by the join), the PK audit proves
+  * the parent key unique (no row duplication), and the IsNotNull
+  * filter reproduces the inner join's null-key drop. At 100 TB this
+  * deletes the dimension scan AND the join (broadcast build or
+  * shuffle) from every BI-tool-generated query that joins by rote and
+  * then only aggregates fact columns.
+  *
+  * Trust is earned, not assumed: [[JoinElim.declareVerified]] RUNS the
+  * `ops/Validate` PK + FK audits at declaration time and refuses to
+  * register a violated edge. At scale the audits run per-snapshot on
+  * the changed slice (the Layout change feed makes that O(batch));
+  * the registry is session-scoped like [[MvCatalog]].
+  *
+  * Safety guards (all must hold or the plan is untouched):
+  *   - inner join whose condition decomposes into exactly the
+  *     registered key equalities;
+  *   - the parent side strips to a bare scan with no residual filter
+  *     beyond IsNotNull(parent key) — a real dim filter changes which
+  *     child rows survive and must keep the join;
+  *   - the node above the join (Project or Aggregate) references no
+  *     parent-side attribute. */
+object JoinElim {
+
+  /** Run the PK audit on the parent and the FK audit child→parent
+    * (`ops/Validate`); register the edge only if both are clean. */
+  def declareVerified(name: String, child: DataFrame, childKeys: Seq[String],
+                      parent: DataFrame, parentKeys: Seq[String]): FkDef = {
+    val pkViolations = graft.ops.Validate.primaryKey(parent, parentKeys)
+    require(pkViolations.isEmpty,
+      s"FK $name: parent keys ${parentKeys.mkString(",")} are not a primary key")
+    val fkViolations = graft.ops.Validate.foreignKey(
+      child, parent, childKeys, parentKeys)
+    require(fkViolations.isEmpty,
+      s"FK $name: child has orphaned ${childKeys.mkString(",")} values")
+    val d = FkDef(name, Mv.basePathsOf(child), childKeys,
+      Mv.basePathsOf(parent), parentKeys)
+    FkCatalog.register(d)
+    d
+  }
+
+  /** Idempotently install the rule on a session (cluster sessions get
+    * it via `spark.sql.extensions=graft.GraftExtensions`). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[JoinElimRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JoinElimRule(spark)
+}
+
+case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (FkCatalog.isEmpty ||
+      conf.getConfString("graft.joinelim.enabled", "true") != "true") plan
+    else plan.transformDown {
+      case p @ Project(pl, j: Join) =>
+        eliminate(j, pl.flatMap(_.references)) match {
+          case Some(nc) => Project(pl, nc)
+          case None => p
+        }
+      case a: Aggregate if a.child.isInstanceOf[Join] =>
+        val j = a.child.asInstanceOf[Join]
+        eliminate(j,
+          (a.groupingExpressions ++ a.aggregateExpressions)
+            .flatMap(_.references)) match {
+          case Some(nc) => a.copy(child = nc)
+          case None => a
+        }
+    }
+
+  /** If `j` is a verified-FK inner join whose parent side contributes
+    * nothing to `needed`, return the replacement child subtree. */
+  private def eliminate(j: Join, needed: Seq[Attribute])
+  : Option[LogicalPlan] = {
+    if (j.joinType != Inner) return None
+    val cond = j.condition.getOrElse(return None)
+    val pairs = equiPairs(cond).getOrElse(return None)
+
+    // try both orientations: (child=left, parent=right) and flipped
+    Seq((j.left, j.right), (j.right, j.left)).view.flatMap {
+      case (childPlan, parentPlan) =>
+        tryOne(childPlan, parentPlan, pairs, needed)
+    }.headOption
+  }
+
+  private def tryOne(childPlan: LogicalPlan, parentPlan: LogicalPlan,
+                     pairs: Seq[(String, String)],
+                     needed: Seq[Attribute]): Option[LogicalPlan] = {
+    val (_, cfs, _) = stripToScan(childPlan).getOrElse(return None)
+    val (prl, pfs, pconds) = stripToScan(parentPlan).getOrElse(return None)
+    val fk = FkCatalog.forPair(rootsOf(cfs), rootsOf(pfs))
+      .headOption.getOrElse(return None)
+
+    // condition must be exactly the registered key pairs (either order
+    // inside each equality)
+    val want = fk.childKeys.zip(fk.parentKeys).toSet
+    val got = pairs.map { case (a, b) =>
+      if (want.contains((a, b))) (a, b) else (b, a)
+    }.toSet
+    if (got != want) return None
+
+    // the parent must be unfiltered (IsNotNull on its key is the only
+    // residual the optimizer adds that the FK makes redundant)
+    val parentKeySet = fk.parentKeys.toSet
+    val realParentFilters = pconds.flatMap(conjuncts).exists {
+      case IsNotNull(a: AttributeReference) => !parentKeySet.contains(a.name)
+      case _ => true
+    }
+    if (realParentFilters) return None
+
+    // nothing above the join may consume a parent-side column
+    val parentIds = prl.output.map(_.exprId).toSet
+    if (needed.exists(a => parentIds.contains(a.exprId))) return None
+
+    // child keys must be non-null to mimic the inner join's drop;
+    // resolve them on the child subtree's OUTPUT (post-pruning)
+    val childAttrByName = childPlan.output.map(a => a.name -> a).toMap
+    val notNulls = fk.childKeys.map { k =>
+      IsNotNull(childAttrByName.getOrElse(k, return None))
+    }
+    Some(Filter(notNulls.reduce[Expression](And), childPlan))
+  }
+}

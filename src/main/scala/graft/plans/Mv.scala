@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.plans.PlanMatch.{conjuncts, rootsOf, stripToScan}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -27,10 +28,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * MV lives beside the base in the Layout catalog and is refreshed
   * incrementally from the snapshot change feed (the `u13`/`st9`
   * incremental-aggregation kernels); rebuilding here is one grouped
-  * pass — O(|base|) once, amortized over every rewritten query. */
-/** Join pedigree of a star-schema MV: the summary was built over
-  * `fact INNER JOIN dim ON factKeys = dimKeys`; `dimPaths` is the dim
-  * side's root-path identity ([[MvDef.basePaths]] stays the fact's). */
+  * pass — O(|base|) once, amortized over every rewritten query.
+  *
+  * `join`: present on star-schema MVs — the summary was built over
+  * `fact INNER JOIN dim ON factKeys = dimKeys`; [[MvJoin.dimPaths]] is
+  * the dim side's root-path identity (`basePaths` stays the fact's). */
 case class MvJoin(dimPaths: Set[String],
                   factKeys: Seq[String],
                   dimKeys: Seq[String])
@@ -110,10 +112,6 @@ object Mv {
     paths
   }
 
-  /** Build the summary parquet for `base` grouped by `dims` and
-    * register it. One distributed grouped pass over the base (partial
-    * hash-agg, map-side combined); the MV's row count is the dim-combo
-    * cardinality — the whole point is that it is ≪ |base|. */
   /** The MV's partial-aggregate shape over any slice of base rows —
     * shared by [[build]] (whole base) and [[refreshAppend]] (a batch),
     * so the two can never disagree on the column contract. */
@@ -129,6 +127,10 @@ object Mv {
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Build the summary parquet for `base` grouped by `dims` and
+    * register it. One distributed grouped pass over the base (partial
+    * hash-agg, map-side combined); the MV's row count is the dim-combo
+    * cardinality — the whole point is that it is ≪ |base|. */
   def build(base: DataFrame, name: String, dims: Seq[String],
             measures: Seq[String], mvPath: String,
             mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
@@ -243,16 +245,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class Source(baseAttrs: Seq[Attribute],
                             conds: Seq[Expression], mv: MvDef)
 
-  private def rootsOf(fs: HadoopFsRelation): Set[String] =
-    fs.location.rootPaths.map(_.toString).toSet
-
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => conjuncts(a) ++ conjuncts(b)
-    case other => Seq(other)
-  }
-
   private def sources(agg: Aggregate): Seq[Source] = {
-    val single = stripToScan(agg.child, Nil).toSeq.flatMap {
+    val single = stripToScan(agg.child).toSeq.flatMap {
       case (lr, fs, conds) =>
         MvCatalog.forPaths(rootsOf(fs)).map(Source(lr.output, conds, _))
     }
@@ -277,8 +271,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (j, outer) = stripAbove(p, Nil).getOrElse(return Nil)
     if (j.joinType != Inner) return Nil
     val cond = j.condition.getOrElse(return Nil)
-    val (ll, lfs, lconds) = stripToScan(j.left, Nil).getOrElse(return Nil)
-    val (rl, rfs, rconds) = stripToScan(j.right, Nil).getOrElse(return Nil)
+    val (ll, lfs, lconds) = stripToScan(j.left).getOrElse(return Nil)
+    val (rl, rfs, rconds) = stripToScan(j.right).getOrElse(return Nil)
     val (lp, rp) = (rootsOf(lfs), rootsOf(rfs))
     val defs = MvCatalog.forJoin(lp, rp) ++ MvCatalog.forJoin(rp, lp)
     if (defs.isEmpty) return Nil
@@ -307,21 +301,6 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Source(ll.output ++ rl.output, kept, mv))
       }
     }
-  }
-
-  /** Strip column-pruning Projects and residual Filters down to the
-    * leaf file scan; collect the filter conditions on the way. Bails
-    * (None) on any node that could change aggregate semantics. */
-  private def stripToScan(p: LogicalPlan, conds: Seq[Expression])
-  : Option[(LogicalRelation, HadoopFsRelation, Seq[Expression])] = p match {
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      stripToScan(child, conds)
-    case Filter(c, child) => stripToScan(child, conds :+ c)
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => Some((lr, fs, conds))
-      case _ => None
-    }
-    case _ => None
   }
 
   private def tryRewrite(agg: Aggregate, src: Source): Option[LogicalPlan] = {

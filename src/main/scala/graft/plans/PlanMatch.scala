@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Shared structural matchers for the optimizer rules in this package
+  * ([[MvRewriteRule]], [[JoinElimRule]]): strip the column-pruning /
+  * residual-filter shell the optimizer leaves around a file scan, and
+  * decompose conjunctions/equi-conditions by column NAME — the rules'
+  * registries are name-and-path keyed, so matching must be too. */
+private[plans] object PlanMatch {
+
+  def rootsOf(fs: HadoopFsRelation): Set[String] =
+    fs.location.rootPaths.map(_.toString).toSet
+
+  /** Strip pruning Projects and Filters down to the leaf file scan;
+    * collect the filter conditions on the way. None on any node that
+    * could change per-row semantics. */
+  def stripToScan(p: LogicalPlan, conds: Seq[Expression] = Nil)
+  : Option[(LogicalRelation, HadoopFsRelation, Seq[Expression])] = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToScan(child, conds)
+    case Filter(c, child) => stripToScan(child, conds :+ c)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => Some((lr, fs, conds))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Decompose a join condition into attr-name equality pairs; None if
+    * any conjunct is not a plain attribute equality. */
+  def equiPairs(cond: Expression): Option[Seq[(String, String)]] = {
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name, b.name)
+      case _ => return None
+    }
+    Some(pairs)
+  }
+}

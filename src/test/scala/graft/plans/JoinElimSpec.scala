@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** Pins FK-based join elimination: a verified-FK inner join whose
+  * parent side contributes no columns is reduced to the child scan
+  * plus an IsNotNull(fk) filter; every guard (parent filter, parent
+  * column use, wrong keys, outer join, FK violation at declare time)
+  * keeps or refuses the rewrite. */
+class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val root = System.getProperty("java.io.tmpdir") + "/graft_jespec_" +
+    java.util.UUID.randomUUID().toString.take(8)
+  private val cp = root + "/child"
+  private val pp = root + "/parent"
+
+  private def child: DataFrame = spark.read.parquet(cp)
+  private def parent: DataFrame = spark.read.parquet(pp)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.load(spark, sf, "orders").select(
+      col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite").parquet(cp)
+    Tables.load(spark, sf, "customer").select(
+      col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+      .write.mode("overwrite").parquet(pp)
+    JoinElim.declareVerified("jespec_fk", child, Seq("ck"), parent, Seq("ck2"))
+    JoinElim.install(spark)
+  }
+
+  override def afterAll(): Unit = {
+    FkCatalog.unregister("jespec_fk")
+    super.afterAll()
+  }
+
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten.toSet
+
+  private def joined: DataFrame =
+    child.join(parent, col("ck") === col("ck2"), "inner")
+
+  test("fact-only aggregate over the FK join drops the dim scan") {
+    def g = joined.groupBy("status").agg(
+      sum("price").cast("double").as("rev"), count(lit(1)).as("n"))
+      .orderBy("status")
+    val p = scanPaths(g)
+    assert(!p.exists(_.endsWith("/parent")), p)
+    assert(p.exists(_.endsWith("/child")), p)
+    // results identical with the rule disabled
+    val on = g.collect().toSeq
+    spark.conf.set("graft.joinelim.enabled", "false")
+    val off = try g.collect().toSeq
+    finally spark.conf.unset("graft.joinelim.enabled")
+    assert(on.nonEmpty && on == off)
+  }
+
+  test("fact-only projection over the FK join drops the dim scan") {
+    val g = joined.select(col("status"), col("price"))
+    assert(!scanPaths(g).exists(_.endsWith("/parent")), scanPaths(g))
+  }
+
+  test("consuming a dim column keeps the join") {
+    val g = joined.groupBy("seg").agg(count(lit(1)).as("n"))
+    assert(scanPaths(g).exists(_.endsWith("/parent")), scanPaths(g))
+  }
+
+  test("a real filter on the dim side keeps the join") {
+    val g = child.join(parent.filter(col("seg") =!= "BUILDING"),
+        col("ck") === col("ck2"), "inner")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+    assert(scanPaths(g).exists(_.endsWith("/parent")), scanPaths(g))
+  }
+
+  test("an outer join keeps both sides") {
+    val g = child.join(parent, col("ck") === col("ck2"), "left")
+      .select(col("status"), col("price"))
+    assert(scanPaths(g).exists(_.endsWith("/parent")), scanPaths(g))
+  }
+
+  test("declareVerified refuses a violated FK") {
+    intercept[IllegalArgumentException] {
+      // parent keyed on a non-unique column → PK audit fails
+      JoinElim.declareVerified("jespec_bad", child, Seq("status"),
+        parent.withColumnRenamed("seg", "status2"), Seq("status2"))
+    }
+  }
+}

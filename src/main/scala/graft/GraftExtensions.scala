@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // FK-verified join elimination (graft.plans.JoinElimRule);
     // a no-op until an edge is declared in graft.plans.FkCatalog
     ext.injectOptimizerRule(s => graft.plans.JoinElimRule(s))
+    // PK-verified distinct elimination (graft.plans.DistinctElimRule)
+    ext.injectOptimizerRule(s => graft.plans.DistinctElimRule(s))
     ext.injectFunction((
       new FunctionIdentifier("hold_fold"),
       new ExpressionInfo(classOf[HoldingFoldAgg].getName, "hold_fold"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Tables
-import graft.plans.{FkCatalog, JoinElim, Mv, MvCatalog}
+import graft.plans.{DistinctElim, FkCatalog, JoinElim, Mv, MvCatalog, PkCatalog}
 
 /** Materialized-view rewrite gates (SURVEY §2.11): an aggregate query
   * written against the BASE fact table is transparently re-pointed at
@@ -239,5 +239,35 @@ object MvQueries {
         "dim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
         "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM child JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
+
+    Q("s27_distinct_elim",
+      // PK-verified distinct elimination: DISTINCT over a superset of
+      // a verified unique key is a per-row no-op, so the aggregate
+      // (and its SHUFFLE) must vanish from the plan — hard-asserted;
+      // the oracle still runs the real DISTINCT
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_de_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "de_" + Integer.toHexString(root.hashCode)
+        if (PkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_orderkey").as("ok"), col("o_orderstatus").as("status"))
+            .write.mode("overwrite").parquet(root + "/t")
+          DistinctElim.declareUniqueKey(name,
+            s.read.parquet(root + "/t"), Seq("ok"))
+        }
+        DistinctElim.install(s)
+        val df = s.read.parquet(root + "/t")
+          .select("ok", "status").distinct().orderBy("ok")
+        require(!df.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+          "distinct elimination did not fire:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      },
+      Some("SELECT DISTINCT o_orderkey AS ok, o_orderstatus AS status " +
+        "FROM orders ORDER BY ok")),
   )
 }

@@ -1,0 +1,119 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.plans.PlanMatch.{rootsOf, stripToScan}
+
+/** A VERIFIED unique key on a file-backed table (the PK audit actually
+  * ran at declaration — see [[DistinctElim.declareUniqueKey]]). */
+case class UniqueKeyDef(name: String, paths: Set[String], keys: Seq[String])
+
+object PkCatalog {
+  private val defs = TrieMap.empty[String, UniqueKeyDef]
+
+  def register(d: UniqueKeyDef): Unit = defs.put(d.name, d)
+  def get(name: String): Option[UniqueKeyDef] = defs.get(name)
+  def unregister(name: String): Unit = defs.remove(name)
+  def clear(): Unit = defs.clear()
+  def isEmpty: Boolean = defs.isEmpty
+
+  def forPaths(paths: Set[String]): Seq[UniqueKeyDef] =
+    defs.values.filter(_.paths == paths).toSeq.sortBy(_.name)
+}
+
+/** PK-BASED DISTINCT ELIMINATION — when a column set is verified
+  * unique, deduplicating by a superset of it is a per-row no-op, yet
+  * Spark (with no constraint metadata) plans a full hash-aggregate
+  * SHUFFLE for it. This rule removes that shuffle:
+  *
+  *   - `DISTINCT` / `dropDuplicates` whose keys ⊇ a verified unique
+  *     key of the underlying scan → plain Project (zero exchanges);
+  *   - `COUNT(DISTINCT k)` with k ⊇ a unique key → `COUNT(k)` —
+  *     dropping the Expand + extra shuffle Spark plans for distinct
+  *     aggregates.
+  *
+  * Uniqueness survives Filter and Project (a subset of unique rows is
+  * still unique), so the scan may carry residual filters; it does NOT
+  * survive joins or unions, so only direct scans match. Trust is
+  * earned as in [[JoinElim]]: [[DistinctElim.declareUniqueKey]] RUNS
+  * the PK audit and refuses a violated declaration. At 100 TB this is
+  * the difference between a metadata no-op and reshuffling terabytes
+  * because a query generator bolted DISTINCT onto a primary key. */
+object DistinctElim {
+
+  /** Run the `ops/Validate` PK audit; register only if unique. */
+  def declareUniqueKey(name: String, df: DataFrame,
+                       keys: Seq[String]): UniqueKeyDef = {
+    require(graft.ops.Validate.primaryKey(df, keys).isEmpty,
+      s"unique key $name: ${keys.mkString(",")} has duplicate tuples")
+    val d = UniqueKeyDef(name, Mv.basePathsOf(df), keys)
+    PkCatalog.register(d)
+    d
+  }
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[DistinctElimRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DistinctElimRule(spark)
+}
+
+case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (PkCatalog.isEmpty ||
+      conf.getConfString("graft.distinctelim.enabled", "true") != "true") plan
+    else plan.transformDown {
+      case d @ Deduplicate(keys, child) =>
+        if (coversUniqueKey(child, keys)) child else d
+
+      case agg: Aggregate =>
+        // DISTINCT (bare grouping attrs out) or dropDuplicates (Spark
+        // rewrites Deduplicate into group-by-keys + first(col) — with
+        // verified-unique keys every group is ONE row, so first(col)
+        // IS col): both collapse to a plain Project
+        val groupAttrs = agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference])
+        val collapsed: Option[Seq[NamedExpression]] =
+          if (!groupAttrs || agg.groupingExpressions.isEmpty) None
+          else {
+            val out = agg.aggregateExpressions.map {
+              case a: AttributeReference
+                if agg.groupingExpressions.exists(_.semanticEquals(a)) => a
+              case al @ Alias(AggregateExpression(
+                  First(a: AttributeReference, _), _, false, None, _), nm) =>
+                Alias(a, nm)(exprId = al.exprId, qualifier = al.qualifier)
+              case _ => null
+            }
+            if (out.contains(null)) None else Some(out)
+          }
+        if (collapsed.isDefined &&
+          coversUniqueKey(agg.child,
+            agg.groupingExpressions.map(_.asInstanceOf[Attribute])))
+          Project(collapsed.get, agg.child)
+        else {
+          // COUNT(DISTINCT k ⊇ unique key) → COUNT(k)
+          val newAggs = agg.aggregateExpressions.map(_.transformUp {
+            case ae @ AggregateExpression(Count(cs), _, true, None, _)
+              if cs.forall(_.isInstanceOf[AttributeReference]) &&
+                coversUniqueKey(agg.child,
+                  cs.map(_.asInstanceOf[Attribute])) =>
+              ae.copy(isDistinct = false)
+          }.asInstanceOf[NamedExpression])
+          if (newAggs == agg.aggregateExpressions) agg
+          else agg.copy(aggregateExpressions = newAggs)
+        }
+    }
+
+  /** Does `attrs` contain a verified unique key of the scan `p` strips
+    * to? Residual Filters/Projects are fine — uniqueness is preserved
+    * on any row subset. */
+  private def coversUniqueKey(p: LogicalPlan, attrs: Seq[Attribute]): Boolean =
+    stripToScan(p).exists { case (_, fs, _) =>
+      val names = attrs.map(_.name).toSet
+      PkCatalog.forPaths(rootsOf(fs)).exists(_.keys.forall(names.contains))
+    }
+}

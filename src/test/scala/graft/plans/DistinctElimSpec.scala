@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** Pins PK-based distinct elimination: DISTINCT/dropDuplicates over a
+  * superset of a verified unique key loses its Aggregate/Deduplicate
+  * (and therefore its shuffle); COUNT(DISTINCT pk) loses its distinct;
+  * non-covering keys and post-join dedup keep the full plan. */
+class DistinctElimSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val root = System.getProperty("java.io.tmpdir") + "/graft_despec_" +
+    java.util.UUID.randomUUID().toString.take(8)
+  private val tp = root + "/t"
+
+  private def t: DataFrame = spark.read.parquet(tp)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.load(spark, sf, "orders").select(
+      col("o_orderkey").as("ok"), col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+      .write.mode("overwrite").parquet(tp)
+    DistinctElim.declareUniqueKey("despec_pk", t, Seq("ok"))
+    DistinctElim.install(spark)
+  }
+
+  override def afterAll(): Unit = {
+    PkCatalog.unregister("despec_pk")
+    super.afterAll()
+  }
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("DISTINCT over a key superset loses the aggregate and its shuffle") {
+    val df = t.select("ok", "status").distinct()
+    assert(!optimized(df).contains("Aggregate"), optimized(df))
+    assert(!physical(df).contains("Exchange"), physical(df))
+    // equality against the un-eliminated result
+    spark.conf.set("graft.distinctelim.enabled", "false")
+    val off = try t.select("ok", "status").distinct().collect().toSet
+    finally spark.conf.unset("graft.distinctelim.enabled")
+    assert(df.collect().toSet == off && off.nonEmpty)
+  }
+
+  test("dropDuplicates over the key collapses first() groups to a Project") {
+    // Spark rewrites Deduplicate into group-by + first(col); verified
+    // uniqueness makes every group one row, so the whole aggregate
+    // (and its shuffle) must vanish
+    val df = t.dropDuplicates("ok")
+    assert(!optimized(df).contains("Aggregate"), optimized(df))
+    assert(!physical(df).contains("Exchange"), physical(df))
+    spark.conf.set("graft.distinctelim.enabled", "false")
+    val off = try t.dropDuplicates("ok").collect().toSet
+    finally spark.conf.unset("graft.distinctelim.enabled")
+    assert(df.collect().toSet == off && off.nonEmpty)
+  }
+
+  test("COUNT(DISTINCT pk) loses the distinct (no Expand)") {
+    val df = t.agg(countDistinct("ok").as("n"))
+    assert(!physical(df).contains("Expand"), physical(df))
+    spark.conf.set("graft.distinctelim.enabled", "false")
+    val off = try t.agg(countDistinct("ok").as("n")).collect()(0).getLong(0)
+    finally spark.conf.unset("graft.distinctelim.enabled")
+    assert(df.collect()(0).getLong(0) == off)
+  }
+
+  test("DISTINCT over non-covering columns keeps the aggregate") {
+    val df = t.select("status").distinct()
+    assert(optimized(df).contains("Aggregate"), optimized(df))
+  }
+
+  test("dedup above a join keeps its aggregate (uniqueness not provable)") {
+    val df = t.as("a").join(t.as("b"), Seq("status")).dropDuplicates("ok")
+    assert(optimized(df).contains("Aggregate"), optimized(df))
+  }
+
+  test("declareUniqueKey refuses a duplicate column") {
+    intercept[IllegalArgumentException] {
+      DistinctElim.declareUniqueKey("despec_bad", t, Seq("status"))
+    }
+  }
+}

@@ -886,6 +886,34 @@ object DomainQueries {
         "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s28_metadata_count",
+      // metadata-only COUNT(*) (Layout.countFast): Σ manifest n_rows
+      // − |deletion vector| — no data file opened. Exercised across a
+      // DV delete so the logical/physical distinction is live; the
+      // oracle pays the real filtered count. Append/time-travel/
+      // compaction accounting is pinned by LayoutSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_cfast_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(
+          src, path, "symbol", "ship", numBuckets = 4)
+        graft.catalog.Layout.deleteWhere(s, path, "ship",
+          _.filter(col("qty") < 10))
+        val n = graft.catalog.Layout.countFast(s, path)
+        s.range(1).select(lit(n).as("n"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "WHERE NOT (l_quantity < 10)")),
+
     Q("s23_schema_evolution",
       // additive schema evolution: the table starts without `prio`,
       // a later batch appends WITH it, and a mergeSchema read unions

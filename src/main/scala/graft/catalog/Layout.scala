@@ -929,6 +929,37 @@ object Layout {
     }
   }
 
+  /** METADATA-ONLY COUNT(*) — the table's live row count from the
+    * snapshot log alone: Σ manifest `n_rows` − |deletion vector|.
+    * No data file is opened when stats are complete (the normal case:
+    * every write/append/compact records `n_rows`); files from
+    * pre-stat manifest parts fall back to a parquet footer count of
+    * exactly those files. At 100 TB this answers the most common
+    * dashboard probe in O(manifest parts) instead of a full scan —
+    * the same AddFile-stats trick Delta's COUNT(*) optimization
+    * pulls. DV-aware by construction: `n_rows` is physical, the
+    * deletion vector subtracts logically, so the number equals what
+    * [[read]] would count after its merge-on-read anti-join. Pass a
+    * `snap` from [[snapshots]] to count a time-travel version. */
+  def countFast(spark: SparkSession, path: String,
+                snap: Option[String] = None): Long = {
+    val m = manifestAsOf(spark, path, snap).getOrElse(
+      throw new IllegalArgumentException(s"countFast: no snapshot log at $path"))
+    val rows = // bounded by FILE count, like every manifest consumer
+      if (m.columns.contains("n_rows"))
+        m.select(col("file"), col("n_rows")).collect()
+      else m.select(col("file"), lit(null).cast("long").as("n_rows")).collect()
+    val known = rows.collect { case r if !r.isNullAt(1) => r.getLong(1) }.sum
+    val unknown = rows.collect { case r if r.isNullAt(1) => r.getString(0) }
+    val fallback =
+      if (unknown.isEmpty) 0L
+      else spark.read.option("basePath", path)
+        .parquet(unknown.map(f => globEscape(new Path(path, f).toString)): _*)
+        .count() // footer-count job over ONLY the stat-less files
+    val dv = deletionVectorAsOf(spark, path, snap).fold(0L)(_.count())
+    known + fallback - dv
+  }
+
   /** `input_file_name()` / manifest entries → literal reader paths:
     * URI-unescape (a `%20` or `%25` in the stored string is a space or
     * percent on disk), then backslash-escape glob metacharacters so

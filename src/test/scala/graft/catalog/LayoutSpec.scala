@@ -664,6 +664,30 @@ class LayoutSpec extends SparkSpec {
     assert(total >= Layout.manifest(spark, dir).get.count())
   }
 
+  test("countFast: metadata count tracks appends, DV deletes, and time travel") {
+    val dir = Files.createTempDirectory("graft_cfast").toString + "/t"
+    val df = (1 to 500).map(i => (s"S${i % 4}", i, i * 1.0))
+      .toDF("symbol", "ts", "v")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts", numBuckets = 4)
+    assert(Layout.countFast(spark, dir) == 500)
+    Layout.appendClusteredZoned(
+      (501 to 600).map(i => (s"S${i % 4}", i, i * 1.0))
+        .toDF("symbol", "ts", "v"), dir, "symbol", "ts", numBuckets = 4)
+    assert(Layout.countFast(spark, dir) == 600)
+    val preDelete = Layout.snapshots(spark, dir).last
+    val n = Layout.deleteWhere(spark, dir, "ts", _.filter(col("ts") <= 100))
+    assert(n == 100)
+    assert(Layout.countFast(spark, dir) == 500)
+    // physical files unchanged by the DV delete, yet the count is
+    // logical; the pre-delete snapshot still counts 600 (time travel)
+    assert(Layout.countFast(spark, dir, Some(preDelete)) == 600)
+    // compaction materializes the deletes; count is unchanged
+    Layout.compact(spark, dir, "symbol", "ts")
+    assert(Layout.countFast(spark, dir) == 500)
+    assert(Layout.countFast(spark, dir) ==
+      Layout.read(spark, dir, "symbol", "ts", numBuckets = 4).count())
+  }
+
   test("append write + read-back echo (S3/U1)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     Seq(("AAA", 1, 10.0)).toDF("symbol", "ts", "close")

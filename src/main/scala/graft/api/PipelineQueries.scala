@@ -596,6 +596,27 @@ object PipelineQueries {
         "greatest(tok_offset, pack_id * 512) AS slice_len " +
         "FROM s ORDER BY doc_id, pack_id")),
 
+    Q("t23_chunk_overlap",
+      // RAG-style overlapping chunking: 32-token windows advancing by
+      // 24 (8-token overlap); starts stop at n−overlap so the tail
+      // chunk covers the end and no chunk is contained in its
+      // predecessor. One projection + one explode — no shuffle; the
+      // oracle replays the window algebra over DuckDB list slicing.
+      (s, dir) => graft.pipeline.TextAnalysis.chunkOverlap(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "st AS (SELECT doc_id, tk, " +
+        "unnest(generate_series(0, greatest(len(tk) - 9, 0), 24)) AS s " +
+        "FROM toks) " +
+        "SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx, " +
+        "CAST(least(32, len(tk) - s) AS BIGINT) AS n_chunk_tokens, " +
+        "array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text " +
+        "FROM st ORDER BY doc_id, chunk_idx")),
+
     Q("t7_split",
       // deterministic train/val/test split: md5-prefix thresholding on
       // the salted doc id — reproducible across engines/runs/cluster

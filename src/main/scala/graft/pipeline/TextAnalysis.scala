@@ -523,4 +523,36 @@ object TextAnalysis {
         least(col("offset") + n, (col("pack_id") + lit(1L)) * b) -
           greatest(col("offset"), col("pack_id") * b))
   }
+
+  /** OVERLAPPING CHUNKING — the RAG/embedding emission shape: each doc
+    * becomes windows of `chunkTokens` whitespace tokens advancing by
+    * `chunkTokens − overlapTokens` (so consecutive chunks share
+    * `overlapTokens`). One projection + one explode, rows ∝ output —
+    * like [[packSequencesSliced]] it never shuffles, so at 100 TB it
+    * runs inside the scan stage and the only cost is the output
+    * itself. Zero-token docs emit nothing; starts stop at
+    * `n − overlap`, so the final (possibly short) chunk always covers
+    * the tail and a chunk fully contained in its predecessor is never
+    * emitted. Output: (id, chunk_idx, n_chunk_tokens, chunk_text),
+    * chunk_idx dense from 0. */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokensWs(col(textCol))
+    df.withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__start", explode(sequence(
+        lit(0),
+        greatest(size(col("__toks")) - overlapTokens - 1, lit(0)),
+        lit(stride))))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start"))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

@@ -449,4 +449,35 @@ class PipelineSpec extends SparkSpec {
     val audio = MediaRecord(3L, "audio/wav", Array[Byte](9, 8, 7), 3L)
     assert(Multimodal.decode(audio).width == 1 + 9 % 64)
   }
+
+  test("chunkOverlap: stride windows share the overlap and reconstruct the doc") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", (1 to 37).map(i => s"t$i").mkString(" ")), // tail chunk short
+      ("d2", (1 to 16).map(i => s"t$i").mkString(" ")), // exactly one chunk
+      ("d3", "solo"),                                   // shorter than chunk
+      ("d4", "   "),                                    // whitespace-only: dropped
+      ("d5", "")                                        // empty: dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkOverlap(docs, "doc_id", "text",
+      chunkTokens = 16, overlapTokens = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+
+    assert(!out.exists(t => t._1 == "d4" || t._1 == "d5"))
+    // exactly chunk-sized doc: ONE chunk, no contained tail duplicate
+    assert(out.filter(_._1 == "d2") ===
+      Array(("d2", 0L, 16L, (1 to 16).map(i => s"t$i").mkString(" "))))
+    assert(out.filter(_._1 == "d3") === Array(("d3", 0L, 1L, "solo")))
+
+    // d1: starts 0,12,24 -> lens 16,16,13; consecutive chunks share
+    // exactly the 4-token overlap; stitching strides rebuilds the doc
+    val d1 = out.filter(_._1 == "d1")
+    assert(d1.map(_._3).toSeq == Seq(16L, 16L, 13L))
+    val chunks = d1.map(_._4.split(" ").toSeq)
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(a.takeRight(4) == b.take(4)) }
+    val stitched = chunks.head ++ chunks.tail.flatMap(_.drop(4))
+    assert(stitched == (1 to 37).map(i => s"t$i"))
+  }
 }

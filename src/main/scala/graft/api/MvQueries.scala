@@ -151,6 +151,25 @@ object MvQueries {
         "min(qty) AS min_qty, max(qty) AS max_qty " +
         "FROM fact WHERE ls = 'O' GROUP BY rf ORDER BY rf")),
 
+    Q("mv5_mv_rollup_sets",
+      // ROLLUP answered from the summary: the Aggregate→Expand plan is
+      // rebuilt over MV partials (dim slots mirror attr-or-null per
+      // grouping set, gid literals copy verbatim) — subtotal and
+      // grand-total rows come out of the summary, never the fact
+      (s, dir) => {
+        val f = factWithMv(s, dir)
+        assertMvScan(f.rollup("rf", "ls").agg(
+          sum("qty").as("sum_qty"),
+          count(lit(1)).as("n"),
+          sum("price").cast("double").as("revenue"))
+          .orderBy(col("rf").asc_nulls_first, col("ls").asc_nulls_first))
+      },
+      Some(s"WITH $factSql SELECT rf, ls, " +
+        "CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n, " +
+        "CAST(sum(price) AS DOUBLE) AS revenue FROM fact " +
+        "GROUP BY ROLLUP (rf, ls) " +
+        "ORDER BY rf NULLS FIRST, ls NULLS FIRST")),
+
     Q("mv4_mv_star",
       // star-schema MV: the summary is built over orders ⋈ customer;
       // a query that re-joins the two tables, filters a fact dim, and

@@ -216,6 +216,27 @@ object Mv {
     nd
   }
 
+  /** Drop superseded summary directories — the `_v*` siblings
+    * [[refreshAppend]] left behind, minus the currently registered
+    * one. Writer-side only, after a grace period covering the longest
+    * in-flight read of the previous version (the same single-writer
+    * contract as `pipeline/IndexIo.vacuum` / `analytics/StatsCache`).
+    * Returns the number of directories reclaimed. */
+  def vacuum(spark: SparkSession, name: String): Int = {
+    val d = MvCatalog.get(name).getOrElse(
+      throw new NoSuchElementException(s"MV $name is not registered"))
+    val cur = new org.apache.hadoop.fs.Path(d.mvPath)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = cur.getName.replaceAll("_v\\d+$", "")
+    fs.listStatus(cur.getParent).count { st =>
+      val n = st.getPath.getName
+      val stale = n != cur.getName &&
+        (n == base || n.startsWith(base + "_v"))
+      if (stale) fs.delete(st.getPath, true)
+      stale
+    }
+  }
+
   /** Idempotently install the rewrite rule on a session (the local /
     * per-session path; cluster sessions get it via
     * `spark.sql.extensions=graft.GraftExtensions`). */
@@ -236,7 +257,9 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // answer the query wins (they differ in dims/measures, so
         // "can answer" is the selection criterion that matters)
         sources(agg).view.flatMap(src => tryRewrite(agg, src))
-          .headOption.getOrElse(agg)
+          .headOption
+          .orElse(tryRewriteExpand(agg))
+          .getOrElse(agg)
     }
 
   /** A matched query source: the scans' combined output attributes,
@@ -303,35 +326,19 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryRewrite(agg: Aggregate, src: Source): Option[LogicalPlan] = {
-    val Source(baseAttrs, conds, mv) = src
-
-    // grouping: bare dim columns only
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference if mv.dims.contains(a.name) => a
-      case _ => return None
-    }
-    val dimNames = mv.dims.toSet
-
-    // residual filters must touch dims only (σ over group-bys commutes
-    // with the aggregation, so they evaluate unchanged against the MV)
-    if (!conds.forall(_.references.forall(a => dimNames.contains(a.name))))
-      return None
-
-    // fresh-attribute MV scan (fresh ids per rewrite site, so two
-    // rewrites in one tree can never collide)
-    val mvRel = spark.read.parquet(mv.mvPath).queryExecution.analyzed match {
-      case rel: LogicalRelation => rel
-      case Project(_, rel: LogicalRelation) => rel
-      case _ => return None
-    }
-    val mvAttr: Map[String, AttributeReference] =
+  /** An MV bound to a FRESH scan of its summary (fresh attr ids per
+    * rewrite site, so two rewrites in one tree can never collide),
+    * with the name→attr map and the shared aggregate-call mapper. */
+  private class Binding(val mv: MvDef, val mvRel: LogicalRelation,
+                        tz: Option[String]) {
+    private val mvAttr: Map[String, AttributeReference] =
       mvRel.output.map(a => a.name -> a).toMap
+
     def m(n: String): AttributeReference =
       mvAttr.getOrElse(n, throw new IllegalStateException(s"MV ${mv.name} lacks $n"))
 
-    val tz = Some(conf.sessionLocalTimeZone)
-    def resum(mvCol: String, want: org.apache.spark.sql.types.DataType): Expression = {
+    private def resum(mvCol: String,
+                      want: org.apache.spark.sql.types.DataType): Expression = {
       val s = Sum(m(mvCol)).toAggregateExpression()
       if (s.dataType == want) s else Cast(s, want, tz)
     }
@@ -365,6 +372,34 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     }
+  }
+
+  private def bind(mv: MvDef): Option[Binding] =
+    spark.read.parquet(mv.mvPath).queryExecution.analyzed match {
+      case rel: LogicalRelation =>
+        Some(new Binding(mv, rel, Some(conf.sessionLocalTimeZone)))
+      case Project(_, rel: LogicalRelation) =>
+        Some(new Binding(mv, rel, Some(conf.sessionLocalTimeZone)))
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate, src: Source): Option[LogicalPlan] = {
+    val Source(baseAttrs, conds, mv) = src
+
+    // grouping: bare dim columns only
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if mv.dims.contains(a.name) => a
+      case _ => return None
+    }
+    val dimNames = mv.dims.toSet
+
+    // residual filters must touch dims only (σ over group-bys commutes
+    // with the aggregation, so they evaluate unchanged against the MV)
+    if (!conds.forall(_.references.forall(a => dimNames.contains(a.name))))
+      return None
+
+    val b = bind(mv).getOrElse(return None)
+    import b.{m, mapAgg, mvRel}
 
     val baseAttrIds = baseAttrs.map(_.exprId).toSet
     def remapDims(e: Expression): Option[Expression] = {
@@ -399,5 +434,116 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       newCond.reduceOption(And).map(Filter(_, mvRel)).getOrElse(mvRel)
     val needed = (newResult.flatMap(_.references) ++ newGroup).distinct
     Some(Aggregate(newGroup, newResult, Project(needed, filtered)))
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS over the base — the plan is
+    * `Aggregate → Expand → scan`, where Expand replicates each row per
+    * grouping set with non-set dims nulled and a literal grouping id.
+    * The MV answers these too: rebuild the Expand OVER THE SUMMARY
+    * (partial columns pass through every set row; dim slots mirror the
+    * original attr-or-null pattern; gid literals copy verbatim) and
+    * re-aggregate partials on top. Correct because every base row
+    * lands in exactly one summary row and Expand replicates both
+    * identically per set — so Σ per set over partials equals the
+    * original per-set aggregate. Dim output attrs and the gid keep
+    * their ORIGINAL exprIds, so the Aggregate's groupings, GROUPING()
+    * projections, and every downstream reference stay valid. */
+  private def tryRewriteExpand(agg: Aggregate): Option[LogicalPlan] = {
+    val ex = agg.child match {
+      case e: Expand => e
+      case _ => return None
+    }
+    val (lr, fs, conds) = stripToScan(ex.child).getOrElse(return None)
+    val scanIds = lr.output.map(_.exprId).toSet
+    val mv = MvCatalog.forPaths(rootsOf(fs)).headOption.getOrElse(return None)
+    val b = bind(mv).getOrElse(return None)
+    val dimNames = mv.dims.toSet
+
+    // classify each Expand output position
+    sealed trait Slot
+    case class Passthrough(scanAttr: AttributeReference) extends Slot
+    case class DimSlot(scanAttr: AttributeReference) extends Slot
+    case object LiteralSlot extends Slot
+    val slots: Seq[Slot] = ex.output.indices.map { i =>
+      val cells = ex.projections.map(_(i))
+      val out = ex.output(i)
+      cells.distinct match {
+        case Seq(a: AttributeReference) if a.exprId == out.exprId =>
+          Passthrough(a) // same attr in every set row, flows through
+        case ds if ds.forall {
+          case _: AttributeReference => true
+          case l: Literal => l.value == null
+          case _ => false
+        } && ds.collect { case a: AttributeReference => a }.distinct.size == 1 =>
+          DimSlot(ds.collectFirst { case a: AttributeReference => a }.get)
+        case ls if ls.forall(_.isInstanceOf[Literal]) => LiteralSlot
+        case _ => return None
+      }
+    }
+
+    // dims must be registered dims; residual filters dim-only
+    val dimSlots = slots.collect { case d: DimSlot => d }
+    if (!dimSlots.forall(d => dimNames.contains(d.scanAttr.name))) return None
+    if (!conds.flatMap(PlanMatch.conjuncts).forall(
+      _.references.forall(a => dimNames.contains(a.name)))) return None
+
+    // groupings must be bare dim/gid Expand outputs (a grouping on a
+    // pass-through measure would lose its attr in the rebuilt Expand)
+    val keptIdx = ex.output.indices.filterNot(i => slots(i).isInstanceOf[Passthrough])
+    if (!agg.groupingExpressions.forall {
+      case a: AttributeReference =>
+        keptIdx.exists(i => ex.output(i).exprId == a.exprId)
+      case _ => false
+    }) return None
+
+    // rebuild the Expand over the summary: all MV columns pass
+    // through; dim/gid slots mirror the original pattern
+    def remap(e: Expression): Option[Expression] = {
+      var ok = true
+      val out = e.transformUp {
+        case a: AttributeReference if scanIds.contains(a.exprId) =>
+          if (dimNames.contains(a.name)) b.m(a.name) else { ok = false; a }
+      }
+      if (ok) Some(out) else None
+    }
+    val newCond = conds.map(c => remap(c).getOrElse(return None))
+    val filtered: LogicalPlan = newCond.reduceOption(And)
+      .map(Filter(_, b.mvRel)).getOrElse(b.mvRel)
+
+    val keptOut = ex.output.indices.collect {
+      case i if !slots(i).isInstanceOf[Passthrough] => ex.output(i)
+    }
+    val newOutput: Seq[Attribute] = b.mvRel.output ++ keptOut
+    val newProjections: Seq[Seq[Expression]] = ex.projections.map { row =>
+      val kept = ex.output.indices.collect {
+        case i if !slots(i).isInstanceOf[Passthrough] =>
+          row(i) match {
+            case a: AttributeReference => b.m(a.name)
+            case l: Literal => l
+            case _ => return None
+          }
+      }
+      b.mvRel.output ++ kept
+    }
+    val newExpand = Expand(newProjections, newOutput, filtered)
+
+    // result expressions: aggregate calls re-aggregate partials; dim
+    // and gid refs flow through untouched (same exprIds); any leftover
+    // reference to a pass-through scan attr means an unmappable shape
+    val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if keptOut.exists(_.exprId == a.exprId) => a
+      case al @ Alias(child, aname) =>
+        var ok = true
+        val step1 = child.transformUp {
+          case ae: AggregateExpression =>
+            b.mapAgg(ae) match { case Some(e) => e; case None => ok = false; ae }
+        }
+        if (!ok) return None
+        if (step1.references.exists(a => scanIds.contains(a.exprId)))
+          return None
+        Alias(step1, aname)(exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None
+    }
+    Some(Aggregate(agg.groupingExpressions, newResult, newExpand))
   }
 }

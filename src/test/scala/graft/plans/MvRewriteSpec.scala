@@ -136,7 +136,40 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       assert(!scanPaths(g).exists(_.endsWith("/fact2")), scanPaths(g))
       val (on, off) = onOff(g)
       assert(on.nonEmpty && on == off)
+      // vacuum reclaims the two superseded versions, keeps the
+      // current one, and the rewrite still answers
+      assert(Mv.vacuum(spark, "mvspec_refresh") == 2)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(d2.mvPath)))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(d0.mvPath)))
+      assert(g.collect().toSeq == off)
     } finally MvCatalog.unregister("mvspec_refresh")
+  }
+
+  test("ROLLUP over the base is answered from the MV (Expand rebuilt over partials)") {
+    def g = fact.rollup("rf", "ls").agg(
+      sum("qty").as("s"), count(lit(1)).as("n"),
+      round(avg("qty"), 4).as("a"), min("qty").as("mn"))
+      .orderBy(col("rf").asc_nulls_first, col("ls").asc_nulls_first)
+    assert(readsMv(g), scanPaths(g))
+    val (on, off) = onOff(g)
+    assert(on.nonEmpty && on == off)
+  }
+
+  test("CUBE with a dim filter and grouping_id is answered from the MV") {
+    def g = fact.filter(col("ls") === "F").cube("rf", "ls").agg(
+      grouping_id().as("gid"), sum("qty").as("s"), count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("rf").asc_nulls_first,
+        col("ls").asc_nulls_first)
+    assert(readsMv(g), scanPaths(g))
+    val (on, off) = onOff(g)
+    assert(on.nonEmpty && on == off)
+  }
+
+  test("ROLLUP with an unsupported aggregate bails to the base") {
+    val g = fact.rollup("rf").agg(stddev("qty").as("s"))
+    assert(scanPaths(g).exists(_.endsWith("/fact")), scanPaths(g))
   }
 
   test("star MV: fact-join-dim aggregate is answered from the join summary") {

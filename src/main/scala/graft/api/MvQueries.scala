@@ -104,10 +104,14 @@ object MvQueries {
         assertMvScan(f.groupBy("ls").agg(
           count(col("qty")).as("n_qty"),
           sum("qty").as("sum_qty"),
+          // COUNT(DISTINCT dim): distinct combos are preserved exactly
+          // in the summary, so even this answers without the fact
+          countDistinct(col("rf")).as("n_rf"),
           sum("price").cast("double").as("revenue")).orderBy("ls"))
       },
       Some(s"WITH $factSql SELECT ls, count(qty) AS n_qty, " +
         "CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+        "count(DISTINCT rf) AS n_rf, " +
         "CAST(sum(price) AS DOUBLE) AS revenue " +
         "FROM fact GROUP BY ls ORDER BY ls")),
 

@@ -345,7 +345,21 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     /** One decomposable aggregate call → its partial re-aggregation. */
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        // COUNT(DISTINCT dims): the summary preserves distinct dim
+        // combinations EXACTLY (one row per live combo), so the
+        // distinct count re-evaluates over the tiny MV instead of the
+        // fact — still a distinct aggregate, but over ~nothing
+        case Count(cs) if cs.nonEmpty && cs.forall {
+          case a: AttributeReference => mv.dims.contains(a.name)
+          case _ => false
+        } =>
+          Some(AggregateExpression(
+            Count(cs.map { case a: AttributeReference => m(a.name) }),
+            ae.mode, isDistinct = true, None, NamedExpression.newExprId))
+        case _ => None
+      }
       ae.aggregateFunction match {
         case Sum(a: AttributeReference, _) if mv.measures.contains(a.name) =>
           Some(resum(s"sum_${a.name}", ae.dataType))

@@ -106,9 +106,17 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scanPaths(df).exists(_.endsWith("/fact")))
   }
 
-  test("DISTINCT aggregate bails to the base scan") {
+  test("DISTINCT aggregate over a MEASURE bails to the base scan") {
     val df = fact.groupBy("rf").agg(countDistinct("qty").as("d"))
     assert(scanPaths(df).exists(_.endsWith("/fact")))
+  }
+
+  test("COUNT(DISTINCT dim) is answered from the summary") {
+    def g = fact.groupBy("rf").agg(countDistinct("ls").as("d"),
+      sum("qty").as("s")).orderBy("rf")
+    assert(readsMv(g), scanPaths(g))
+    val (on, off) = onOff(g)
+    assert(on.nonEmpty && on == off)
   }
 
   test("append-refresh merges partials, re-points copy-on-write, answers for the full base") {

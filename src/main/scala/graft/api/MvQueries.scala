@@ -59,7 +59,7 @@ object MvQueries {
 
   /** Fail loudly if the optimized plan still reads the fact —
     * a silently-bailed rewrite must not pass as a correct gate. */
-  private def assertMvScan(df: DataFrame): DataFrame = {
+  private[api] def assertMvScan(df: DataFrame): DataFrame = {
     val paths = df.queryExecution.optimizedPlan.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)

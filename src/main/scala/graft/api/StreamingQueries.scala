@@ -416,5 +416,58 @@ object StreamingQueries {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0 " +
         "GROUP BY 1 ORDER BY 1")),
+
+    Q("st10_stream_mv",
+      // streaming MV maintenance (Streams.mvRefreshSink): the summary
+      // starts EMPTY, two micro-batches of orders fold in via
+      // refreshAppend (O(batch+MV) per epoch, copy-on-write), then an
+      // aggregate over the FULL base table must be answered from the
+      // streamed summary alone (plan-asserted — the fact is never
+      // scanned). Epoch replay/high-water mechanics are StreamsSpec's;
+      // money sums exact DECIMAL→DOUBLE.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val root = System.getProperty("java.io.tmpdir") +
+          "/graft_st10_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val name = "st10_" + Integer.toHexString(root.hashCode)
+        val factPath = root + "/fact"
+        if (graft.plans.MvCatalog.get(name).isEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          Tables.load(s, dir, "orders").select(
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("prio"),
+            col("o_orderkey").as("ok"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(factPath)
+          val full = s.read.parquet(factPath)
+          graft.plans.Mv.build(full.limit(0), name, Seq("status", "prio"),
+            measures = Seq("price"), mvPath = root + "/mv")
+          val rows = full.select(col("status"), col("prio"), col("ok"),
+            col("price").cast("double"))
+            .as[(String, String, Long, Double)].collect()
+          val (first, second) = rows.partition(_._3 % 2 == 0)
+          val mem = MemoryStream[(String, String, Long, Double)]
+          val q = graft.streaming.Streams.mvRefreshSink(
+            mem.toDF().toDF("status", "prio", "ok", "price")
+              .select(col("status"), col("prio"),
+                col("price").cast("decimal(18,2)").as("price")), name)
+          try {
+            mem.addData(first.toIndexedSeq); q.processAllAvailable()
+            mem.addData(second.toIndexedSeq); q.processAllAvailable()
+          } finally q.stop()
+        }
+        graft.plans.Mv.install(s)
+        MvQueries.assertMvScan(s.read.parquet(factPath)
+          .groupBy("status").agg(
+            count(lit(1)).as("n"),
+            sum("price").cast("double").as("total")).orderBy("status"))
+      },
+      Some("SELECT o_orderstatus AS status, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
   )
 }

@@ -609,4 +609,37 @@ object Streams {
       .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
   }
+
+  /** STREAMING MV MAINTENANCE — fold each micro-batch of new base
+    * rows into a registered summary ([[graft.plans.Mv.refreshAppend]]):
+    * O(batch + MV) per epoch, copy-on-write re-point, so rewritten
+    * dashboard queries see the stream's data a micro-batch later
+    * without ever re-scanning the base. Append-only streams only
+    * (refreshAppend's contract — a CDC stream with deletes belongs to
+    * [[viewSink]]'s retractable fold). Epoch-guarded against
+    * foreachBatch replays WITHIN the session; the MV registry itself
+    * is session-scoped, so a restarted session rebuilds the summary
+    * rather than double-applying history — the same high-water
+    * discipline as [[viewSink]], with the registry as the log. */
+  def mvRefreshSink(batches: DataFrame, mvName: String,
+                    checkpointLocation: Option[String] = None): StreamingQuery = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val writer = batches.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (epoch <= applied.get) {
+          if (!batch.isEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"mvRefreshSink($mvName): high-water guard skipped " +
+                s"non-empty epoch $epoch (max applied ${applied.get}).")
+        } else {
+          if (!batch.isEmpty)
+            graft.plans.Mv.refreshAppend(batch.sparkSession, mvName,
+              batch.toDF())
+          applied.set(epoch)
+        }
+      }
+    checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
 }

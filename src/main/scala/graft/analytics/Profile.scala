@@ -65,4 +65,29 @@ object Profile {
         (col("__n") - col("__nn")).as("n_nulls"), col("n_distinct"),
         col("min_s"), col("max_s"), col("mean"))
   }
+
+  /** EQUI-WIDTH HISTOGRAM over a numeric column with caller-fixed
+    * bounds — the one-pass profiling complement of [[profile]]'s
+    * scalar stats and the exact counterpart of the a12 quantile
+    * sketch. Fixed `[lo, hi)` bounds keep it single-pass (a
+    * data-derived range would need a min/max pre-scan — callers that
+    * want it compose `profile` first); out-of-range values CLAMP into
+    * the edge bins (width_bucket's under/overflow buckets folded in,
+    * so the histogram always accounts for every non-null row — a
+    * silently-dropped tail misleads exactly when it matters most).
+    * One groupBy on the bin id: map-side combined, `bins` rows out,
+    * any corpus size in. Empty bins are absent (callers densify with
+    * a `sequence` join if rendering needs zeros). */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins >= 1, s"histogram: bins must be >= 1, got $bins")
+    require(hi > lo, s"histogram: need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(c) - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), min(col(c)).as("lo_v"),
+        max(col(c)).as("hi_v"))
+  }
 }

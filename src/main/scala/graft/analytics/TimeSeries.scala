@@ -210,6 +210,62 @@ object TimeSeries {
         max(col(close)).as("peak_close"),
         count(lit(1)).as("n_bars"))
 
+  /** EXPONENTIAL MOVING AVERAGE — the genuinely recursive window
+    * (`ema_t = α·x_t + (1−α)·ema_{t−1}`, seeded `ema_1 = x_1`) that
+    * declarative window frames cannot express: the closed form needs
+    * `(1−α)^{-i}` factors that overflow double past a few thousand
+    * rows, and SQL's alternative is a recursive CTE. Spark-first
+    * shape: hash-repartition on the series key, sort within
+    * partitions by (key, time, tiebreak), then ONE streaming pass per
+    * partition with O(1) state — per-key sequentiality is inherent to
+    * the recurrence; cross-key parallelism stays full. No per-key
+    * group materialization (a key's series streams through the
+    * iterator), no window shuffle beyond the one repartition, no
+    * driver collect. At 100 TB a (key,time)-clustered layout makes
+    * even the repartition a no-op.
+    *
+    * Determinism: the recurrence is two IEEE-double multiplies and an
+    * add per row in a fixed order, so results are bit-reproducible
+    * for a given sort order; pass `tiebreak` columns whenever
+    * (key,time) does not uniquely order rows. NULL values emit a NULL
+    * ema and leave the state untouched (the gap simply carries the
+    * previous average forward, DuckDB `lag`-ignore-nulls style). */
+  def ema(series: DataFrame, key: String, time: String, value: String,
+          alpha: Double, tiebreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"ema: alpha in (0,1], got $alpha")
+    val in = series.withColumn("__v", col(value).cast("double"))
+      .repartition(col(key))
+      .sortWithinPartitions((Seq(key, time) ++ tiebreak).map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      in.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "ema", org.apache.spark.sql.types.DoubleType, nullable = true))
+    val keyIdx = in.schema.fieldIndex(key)
+    val valIdx = in.schema.fieldIndex("__v")
+    val out = in.mapPartitions { it =>
+      // partition = many whole keys, sorted; O(1) state per scan
+      var curKey: Any = null
+      var haveKey = false
+      var haveEma = false
+      var state = 0.0
+      it.map { r =>
+        val k = r.get(keyIdx)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; haveEma = false; state = 0.0
+        }
+        if (r.isNullAt(valIdx)) {
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ (if (haveEma) java.lang.Double.valueOf(state) else null))
+        } else {
+          val x = r.getDouble(valIdx)
+          state = if (haveEma) alpha * x + (1.0 - alpha) * state else x
+          haveEma = true
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ state)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("__v")
+  }
+
   /** Portfolio market value — Σ latest_close × shares + cash
     * (reference `portfolio.js:288-304`, an app-side JS loop over N+1
     * price queries; here one latestPerKey + one broadcast join + one

@@ -719,5 +719,22 @@ object AnalyticsQueries {
         "FROM (SELECT label, generate_subscripts(embedding, 1) AS dim, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
         "GROUP BY label, dim ORDER BY label, dim")),
+
+    Q("a38_histogram",
+      // one-pass equi-width histogram (Profile.histogram, 24 bins over
+      // [0, 600k)) — exact bin counts with per-bin observed min/max;
+      // out-of-range values clamp into the edge bins rather than drop.
+      // The profiling complement of a9's percentiles and a12's sketch:
+      // a groupBy on the bin id, map-side combined, 24 rows out of any
+      // corpus. Bin arithmetic is the same IEEE double floor both
+      // engines compute bit-identically.
+      (s, dir) => graft.analytics.Profile.histogram(
+          Tables.load(s, dir, "orders"), "o_totalprice",
+          lo = 0.0, hi = 600000.0, bins = 24)
+        .orderBy("bin"),
+      Some("SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 23) " +
+        "AS INT) AS bin, count(*) AS n, min(o_totalprice) AS lo_v, " +
+        "max(o_totalprice) AS hi_v FROM orders " +
+        "WHERE o_totalprice IS NOT NULL GROUP BY 1 ORDER BY 1")),
   )
 }

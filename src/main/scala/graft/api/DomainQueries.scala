@@ -1531,6 +1531,50 @@ object DomainQueries {
         "FROM p JOIN i ON p.d BETWEEN i.lo AND i.lo + 60 " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("j23_interval_overlap",
+      // interval × interval overlap join (RangeJoin.intervalOverlap,
+      // 14-day bins): per-supplier shipment windows [shipdate,
+      // shipdate + qty%14 days] that overlap — the symmetric
+      // generalization of j18, with the canonical-bin guard emitting
+      // each pair exactly once (no distinct pass; scaladoc proof).
+      // The supplier partition key is what bounds the pair count —
+      // the per-entity form every downtime/session-overlap workload
+      // takes. Oracle = DuckDB's native inequality join.
+      (s, dir) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val iv = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1995-01-01" &&
+            col("l_shipdate") < "1995-07-01")
+          .select(col("l_suppkey").as("s"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            datediff(to_date(col("l_shipdate")), epoch).cast("long").as("lo"),
+            (datediff(to_date(col("l_shipdate")), epoch).cast("long") +
+              col("l_quantity").cast("long") % 14).as("hi"))
+        val a = iv.select(col("s"), col("id").as("id_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a"))
+        val b = iv.select(col("s"), col("id").as("id_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b"))
+        graft.ops.RangeJoin.intervalOverlap(a, "lo_a", "hi_a",
+            b, "lo_b", "hi_b", binWidth = 14, partitionKeys = Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("s"), col("id_a"), col("id_b"),
+            (least(col("hi_a"), col("hi_b")) -
+              greatest(col("lo_a"), col("lo_b")) + 1).as("ov_days"))
+          .orderBy("s", "id_a", "id_b")
+      },
+      Some("WITH iv AS (SELECT l_suppkey AS s, " +
+        "l_orderkey * 10 + l_linenumber AS id, " +
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo, " +
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) + " +
+        "CAST(l_quantity AS BIGINT) % 14 AS hi FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1995-07-01') " +
+        "SELECT a.s AS s, a.id AS id_a, b.id AS id_b, " +
+        "least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS ov_days " +
+        "FROM iv a JOIN iv b ON a.s = b.s AND a.lo <= b.hi " +
+        "AND b.lo <= a.hi AND a.id < b.id " +
+        "ORDER BY s, id_a, id_b")),
+
     Q("u3_upsert",
       // INSERT … ON CONFLICT DO UPDATE (lists.js:483-491,
       // portfolio.js:427-445) via the upsert kernel: updated rows win,

@@ -155,6 +155,73 @@ object MvQueries {
         "min(qty) AS min_qty, max(qty) AS max_qty " +
         "FROM fact WHERE ls = 'O' GROUP BY rf ORDER BY rf")),
 
+    Q("mv6_mv_cdc_refresh",
+      // RETRACTABLE CDC refresh: the summary is built over the fact at
+      // T0; a change window then DELETES every ok%5 row and INSERTS a
+      // copy of every ok%7 row. The feed folds into the summary via
+      // refreshChanges — one signed delta aggregation + one MV-sized
+      // merge, O(|feed|+|MV|), the fact is never re-read — and the base
+      // advances in place to the same net state. A query over the
+      // CHANGED base must then answer from the refreshed summary alone
+      // (hard-asserted); the oracle recomputes from scratch over the
+      // same net multiset. Measures are BIGINT + DECIMAL, so the
+      // retraction is exact, not float-approximate.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv6_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv6_" + Integer.toHexString(root.hashCode)
+        val factPath = root + "/fact"
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "lineitem").select(
+            col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+            col("l_orderkey").as("ok"),
+            col("l_quantity").cast("bigint").as("qty"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(factPath)
+          val v0 = s.read.parquet(factPath)
+          Mv.build(v0, name, Seq("rf", "ls"),
+            measures = Seq("qty", "price"), mvPath = root + "/mv")
+          // materialize the window's feed BEFORE the base advances —
+          // a lazy feed re-read after the swap would see T1, the
+          // classic read-your-own-writes CDC footgun
+          v0.filter(col("ok") % 5 === 0)
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(v0.filter(col("ok") % 7 === 0)
+              .withColumn("_change_type", lit("insert")))
+            .write.parquet(root + "/feed")
+          // base → T1 at the SAME path (same table identity the MV is
+          // registered under), via write-aside + atomic rename
+          v0.filter(col("ok") % 5 =!= 0)
+            .unionByName(v0.filter(col("ok") % 7 === 0))
+            .write.parquet(root + "/fact_next")
+          fs.delete(new org.apache.hadoop.fs.Path(factPath), true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(root + "/fact_next"),
+            new org.apache.hadoop.fs.Path(factPath)), "fact swap failed")
+          Mv.refreshChanges(s, name, s.read.parquet(root + "/feed"))
+        }
+        Mv.install(s)
+        assertMvScan(s.read.parquet(factPath)
+          .filter(col("ls") === "F").groupBy("rf").agg(
+            sum("qty").as("sum_qty"),
+            count(lit(1)).as("n"),
+            count(col("price")).as("n_price"),
+            round(avg("qty"), 4).as("avg_qty"),
+            sum("price").cast("double").as("revenue")).orderBy("rf"))
+      },
+      Some("WITH fact AS (SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+        "l_orderkey AS ok, CAST(l_quantity AS BIGINT) AS qty, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem), " +
+        "v1 AS (SELECT * FROM fact WHERE ok % 5 <> 0 " +
+        "UNION ALL SELECT * FROM fact WHERE ok % 7 = 0) " +
+        "SELECT rf, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n, " +
+        "count(price) AS n_price, " +
+        "round(CAST(sum(qty) AS DOUBLE) / count(qty), 4) AS avg_qty, " +
+        "CAST(sum(price) AS DOUBLE) AS revenue " +
+        "FROM v1 WHERE ls = 'F' GROUP BY rf ORDER BY rf")),
+
     Q("mv5_mv_rollup_sets",
       // ROLLUP answered from the summary: the Aggregate→Expand plan is
       // rebuilt over MV partials (dim slots mirror attr-or-null per

@@ -460,6 +460,28 @@ object PipelineQueries {
         "SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
         "FROM r WHERE rn <= 40 GROUP BY 1 ORDER BY 1")),
 
+    Q("t24_weighted_sample",
+      // weighted sampling without replacement (Efraimidis–Spirakis
+      // A-Res, TextAnalysis.weightedSample): 300 docs drawn with
+      // probability ∝ length — the "sample ∝ quality score" selection
+      // a uniform quota can't express. u comes from a mod-first Knuth
+      // multiplicative hash (pure BIGINT arithmetic, identical in both
+      // engines), the score is u^(1/w), and the top-k is one
+      // TakeOrderedAndProject — no global sort, no RNG state. The
+      // oracle replays the identical score and order, so the selected
+      // set matches row-for-row.
+      (s, dir) => TextAnalysis.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 300)
+        .orderBy("doc_id"),
+      Some("WITH s AS (SELECT doc_id, n_chars, " +
+        "pow(CAST((doc_id % 1000003) * 2654435761 % 1000003 AS DOUBLE) " +
+        "/ 1000003.0, 1.0 / n_chars) AS sc " +
+        "FROM documents WHERE n_chars > 0) " +
+        "SELECT doc_id, n_chars FROM " +
+        "(SELECT doc_id, n_chars FROM s ORDER BY sc DESC, doc_id LIMIT 300) " +
+        "ORDER BY doc_id")),
+
     Q("t21_cluster_sample",
       // cluster-balanced sampling: k-means topics (e11's deterministic
       // first-8 centroids) become sampling strata, each capped at 50

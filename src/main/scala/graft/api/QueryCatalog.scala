@@ -380,6 +380,38 @@ object QueryCatalog {
         "AS filled, close IS NULL AS is_gap FROM j " +
         "ORDER BY l_returnflag, day")),
 
+    Q("w10_ema",
+      // exponential moving average — the RECURSIVE window (ema_t =
+      // α·x_t + (1−α)·ema_{t−1}) no SQL frame expresses: the oracle
+      // needs a recursive CTE, the engine streams each key's series
+      // once with O(1) state after a single hash repartition
+      // (TimeSeries.ema scaladoc). α = 0.25 is an exact binary
+      // fraction and the per-row arithmetic order is fixed, so both
+      // engines produce bit-identical doubles; the tiebreak column
+      // pins duplicate order dates to one deterministic sequence.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        graft.analytics.TimeSeries.ema(o, "o_custkey", "o_orderdate",
+            "o_totalprice", alpha = 0.25, tiebreak = Seq("o_orderkey"))
+          // RAW doubles, deliberately un-rounded: the recurrence is
+          // bit-identical across engines (fixed op order, α an exact
+          // binary fraction), while round-at-k-digits is exactly where
+          // engines disagree on halfway doubles
+          .select(col("o_custkey"), col("o_orderkey"), col("ema"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("WITH RECURSIVE t AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(o_totalprice AS DOUBLE) AS x, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
+        "FROM orders), " +
+        "r AS (SELECT o_custkey, o_orderkey, rn, x AS ema FROM t WHERE rn = 1 " +
+        "UNION ALL SELECT t.o_custkey, t.o_orderkey, t.rn, " +
+        "0.25 * t.x + 0.75 * r.ema FROM t JOIN r " +
+        "ON t.o_custkey = r.o_custkey AND t.rn = r.rn + 1) " +
+        "SELECT o_custkey, o_orderkey, ema FROM r " +
+        "ORDER BY o_custkey, o_orderkey")),
+
     // ---- statistics (SURVEY §2.4 A2-A5, §3 trace 1) ----
 
     Q("a2_cov",

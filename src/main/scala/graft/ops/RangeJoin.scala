@@ -47,4 +47,42 @@ object RangeJoin {
       .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
       .drop("__bin")
   }
+
+  /** INTERVAL × INTERVAL overlap join — the symmetric generalization
+    * of [[pointInInterval]]: emit every (left, right) pair whose
+    * closed intervals `[llo, lhi]` and `[rlo, rhi]` overlap
+    * (`llo <= rhi AND rlo <= lhi`), optionally restricted to pairs
+    * sharing `partitionKeys` (the usual per-entity form — downtime
+    * windows per site, sessions per user — which is also what keeps
+    * the output size sane).
+    *
+    * Same bin discretization as the point form, on BOTH sides: each
+    * interval explodes to the bins it spans, candidates meet on
+    * (partitionKeys, bin), the exact overlap predicate re-filters.
+    * Two overlapping intervals co-occupy every bin their
+    * intersection touches, so pairs would duplicate once per shared
+    * bin; instead of a distinct pass (a second shuffle over the whole
+    * output), each pair is emitted ONLY in its canonical bin — the
+    * first bin of the intersection, `max(floor(llo/w), floor(rlo/w))`
+    * — which both sides provably occupy. Exactly-once, no dedup
+    * shuffle. Cost: explode is Σ len/w + 1 per side, candidates are
+    * the per-(key,bin) product — the bin width trades one against
+    * the other exactly as in the point form. */
+  def intervalOverlap(left: DataFrame, llo: String, lhi: String,
+                      right: DataFrame, rlo: String, rhi: String,
+                      binWidth: Long,
+                      partitionKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth >= 1, "intervalOverlap: binWidth must be >= 1")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(lo) <= col(hi)).withColumn("__bin",
+        explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    val l = binned(left, llo, lhi)
+    val r = binned(right, rlo, rhi)
+    l.join(r, partitionKeys :+ "__bin")
+      .filter(col(llo) <= col(rhi) && col(rlo) <= col(lhi) &&
+        // canonical-bin guard: emit once, where the intersection starts
+        col("__bin") === greatest(floor(col(llo) / binWidth),
+          floor(col(rlo) / binWidth)))
+      .drop("__bin")
+  }
 }

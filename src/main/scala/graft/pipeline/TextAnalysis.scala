@@ -329,6 +329,36 @@ object TextAnalysis {
       .drop("__rank_h")
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis,
+    * IPL 2006 — the A-Res order-statistic form): each row draws
+    * u ∈ [0,1) deterministically from its integer id via a Knuth
+    * multiplicative hash (pure BIGINT arithmetic — engine-portable,
+    * no RNG state, and mod-first so the product never overflows at
+    * any id scale) and scores u^(1/w); the k HIGHEST scores are a
+    * weighted random sample without replacement, each row's
+    * inclusion probability proportional to its weight. The quality-
+    * weighted selection shape ("sample docs ∝ quality score") that
+    * [[stratifiedSample]]'s uniform per-stratum quota can't express.
+    *
+    * One scan + one global top-k (TakeOrderedAndProject — k rows per
+    * partition then k at the driver, never a full sort); rows with
+    * non-positive weight are excluded by definition. Ties broken by
+    * id, so the selection is total-ordered and reproducible on any
+    * engine and any cluster layout. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: Long = 0L): DataFrame = {
+    require(k >= 1, "weightedSample: k must be >= 1")
+    val m = 1000003L // prime modulus; ((id%m)*C)%m == (id*C)%m
+    val u = pmod(pmod(col(idCol).cast("long") + salt, lit(m)) *
+      2654435761L, lit(m)).cast("double") / m.toDouble
+    val score = pow(u, lit(1.0) / col(weightCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__ws", score)
+      .orderBy(col("__ws").desc, col(idCol))
+      .limit(k)
+      .drop("__ws")
+  }
+
   /** Intra-document repetition metrics (Gopher/RefinedWeb-style
     * filters): token bigrams and how many are duplicates of an earlier
     * bigram in the SAME document. Pure per-row array expressions — no

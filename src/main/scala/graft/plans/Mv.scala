@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import graft.plans.PlanMatch.{conjuncts, rootsOf, stripToScan}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, concat, count, lit, max, min, raise_error, sum, when}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** A registered materialized view: a pre-aggregated parquet summary of
@@ -211,6 +211,75 @@ object Mv {
       .agg(mergeAggs.head, mergeAggs.tail: _*)
     val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
     merged.write.mode("errorifexists").parquet(next)
+    val nd = d.copy(mvPath = next)
+    MvCatalog.register(nd)
+    nd
+  }
+
+  /** RETRACTABLE CDC REFRESH — fold a row-level change feed (rows
+    * tagged `_change_type` ∈ insert/delete, the exact shape
+    * [[graft.catalog.Layout.changes]] emits) into the summary:
+    * inserts contribute with weight +1, deletes with −1, in ONE
+    * delta-sized signed aggregation plus one MV-sized group-wise
+    * merge — O(|feed| + |MV|), the base fact is never re-read. This
+    * closes the loop [[refreshAppend]] can't: storage-level deletes
+    * (deletion vectors → change feed) now drive the REWRITE-facing
+    * summary through row removals, not just appends (the same
+    * counting/retraction idea as `ops/IncrementalAgg.applyChangeFeed`,
+    * here with the MV column contract: per-measure `cnt_m` partials
+    * retract too, and a group whose non-null count reaches zero gets
+    * its `sum_m` nulled so SUM-over-no-rows still reads as NULL).
+    *
+    * Refuses MVs carrying MIN/MAX partials — those statistics do not
+    * retract (dropping the current minimum forces a rescan of its
+    * group); a deleting refresh of such a view rebuilds instead.
+    * Exactness matches the kernel contract: integral and decimal
+    * measures fold exactly; float measures fold to within
+    * re-association rounding, as in any counting-algorithm view.
+    * Groups whose COUNT(*) reaches zero drop from the summary, so
+    * `refreshChanges(build(T₀), changes(T₀→T₁)) ≡ build(T₁)` for
+    * a net feed. Copy-on-write + registry re-point, exactly as
+    * [[refreshAppend]]. */
+  def refreshChanges(spark: SparkSession, name: String,
+                     feed: DataFrame): MvDef = {
+    val d = MvCatalog.get(name).getOrElse(
+      throw new NoSuchElementException(s"MV $name is not registered"))
+    require(d.mins.isEmpty && d.maxs.isEmpty,
+      s"MV $name keeps MIN/MAX partials, which do not retract under " +
+        "deletes; rebuild instead (Mv.build is one grouped pass)")
+    val cur = spark.read.parquet(d.mvPath)
+    val ms = d.measures.toSeq.sorted
+    // an unknown tag would silently corrupt counts — fail loudly,
+    // in-pass (raise_error costs nothing on valid rows)
+    val w = when(col("_change_type") === "insert", lit(1L))
+      .when(col("_change_type") === "delete", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("refreshChanges: _change_type must be insert/delete, got "),
+        col("_change_type"))).cast("long"))
+    val signed = feed.withColumn("__w", w)
+    val deltaAggs = ms.flatMap(m => Seq(
+      sum(col(m) * col("__w")).cast(cur.schema(s"sum_$m").dataType)
+        .as(s"sum_$m"),
+      sum(when(col(m).isNotNull, col("__w")).otherwise(0L)).cast("long")
+        .as(s"cnt_$m"))) :+ sum(col("__w")).cast("long").as("cnt")
+    val delta = signed.groupBy(d.dims.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val mergeAggs = ms.flatMap(m => Seq(
+      sum(col(s"sum_$m")).cast(cur.schema(s"sum_$m").dataType).as(s"sum_$m"),
+      sum(col(s"cnt_$m")).cast("long").as(s"cnt_$m"))) :+
+      sum(col("cnt")).cast("long").as("cnt")
+    val merged = cur.unionByName(delta).groupBy(d.dims.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .filter(col("cnt") > 0) // fully-retracted groups leave the view
+    // a surviving group whose non-null count hit zero must read
+    // SUM(m) = NULL (sum over no rows), not the cancelled-out 0
+    val nulled = merged.select(d.dims.map(col) ++ ms.flatMap(m => Seq(
+      when(col(s"cnt_$m") === 0L, lit(null))
+        .otherwise(col(s"sum_$m"))
+        .cast(cur.schema(s"sum_$m").dataType).as(s"sum_$m"),
+      col(s"cnt_$m"))) :+ col("cnt"): _*)
+    val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
+    nulled.write.mode("errorifexists").parquet(next)
     val nd = d.copy(mvPath = next)
     MvCatalog.register(nd)
     nd

@@ -32,4 +32,25 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(m("x") - 10000.0) / 10000.0 < 0.05)
     assert(math.abs(m("s") - 97.0) / 97.0 < 0.05)
   }
+
+  test("histogram: exact bin counts, boundary values land in the upper bin") {
+    import spark.implicits._
+    val df = Seq(0.0, 5.0, 9.999, 10.0, 15.0, 25.0, 29.9).toDF("x")
+    val h = Profile.histogram(df, "x", lo = 0.0, hi = 30.0, bins = 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // [0,10): 3 rows; [10,20): 2 (10.0 is a boundary → upper bin); [20,30): 2
+    assert(h == Seq((0, 3L), (1, 2L), (2, 2L)))
+  }
+
+  test("histogram: out-of-range clamps to edge bins, nulls drop, empty bins absent") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(1.0), Some(99.0), None).toDF("x")
+    val h = Profile.histogram(df, "x", lo = 0.0, hi = 30.0, bins = 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // -5 clamps into bin 0 (its observed min shows the clamp), 99 into
+    // bin 2; bin 1 is empty and absent; the null row never counts
+    assert(h == Seq((0, 2L, -5.0, 1.0), (2, 1L, 99.0, 99.0)))
+  }
 }

@@ -129,4 +129,42 @@ class TimeSeriesEdgeSpec extends SparkSpec {
       .select("correlation").head()
     assert(cFlat.isNullAt(0)) // corr of constant series is NULL (PG parity)
   }
+
+  test("ema: recurrence matches a hand-rolled sequential fold per key") {
+    val df = bars // LONG (70 bars) + SHORT (3 bars)
+    val out = TimeSeries.ema(df, "symbol", "timestamp", "close", alpha = 0.25)
+      .select($"symbol", $"timestamp", $"close", $"ema")
+      .orderBy("symbol", "timestamp")
+      .as[(String, Date, Double, Double)].collect()
+    val expected = out.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var e = 0.0; var first = true
+      rows.sortBy(_._2.getTime).toSeq.map { r =>
+        e = if (first) r._3 else 0.25 * r._3 + 0.75 * e
+        first = false
+        (r._1, r._2, e)
+      }
+    }.toSet
+    assert(out.map(r => (r._1, r._2, r._4)).toSet == expected)
+    // first row per key seeds with its own value, exactly
+    assert(out.find(r => r._1 == "SHORT").get._4 == 51.0)
+  }
+
+  test("ema: NULL values emit NULL before the seed, carry state after") {
+    val df = Seq(
+      ("K", 1, Option.empty[Double]), ("K", 2, Some(10.0)),
+      ("K", 3, Option.empty[Double]), ("K", 4, Some(20.0)))
+      .toDF("k", "i", "x")
+    val rows = TimeSeries.ema(df, "k", "i", "x", alpha = 0.5)
+      .orderBy("i").select("ema").collect()
+    assert(rows(0).isNullAt(0))           // null before any seed
+    assert(rows(1).getDouble(0) == 10.0)  // seed
+    assert(rows(2).getDouble(0) == 10.0)  // null row carries state
+    assert(rows(3).getDouble(0) == 15.0)  // 0.5*20 + 0.5*10
+  }
+
+  test("ema: alpha out of range is rejected") {
+    assertThrows[IllegalArgumentException] {
+      TimeSeries.ema(bars, "symbol", "timestamp", "close", alpha = 0.0)
+    }
+  }
 }

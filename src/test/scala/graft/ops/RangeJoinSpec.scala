@@ -45,4 +45,41 @@ class RangeJoinSpec extends SparkSpec {
       "lo", "hi", binWidth = 3)
     assert(got.count() == 2)
   }
+
+  test("interval overlap equals the naive theta join, exactly once, on every bin geometry") {
+    // assorted alignments: nested, identical, touching-at-one-point,
+    // disjoint, multi-bin spans, inverted (dropped), negative epochs
+    val left = Seq(
+      (1L, 0L, 10L), (2L, 5L, 5L), (3L, 29L, 31L), (4L, -20L, -10L),
+      (5L, 0L, 100L), (6L, 40L, 39L))
+      .toDF("lid", "llo", "lhi")
+    val right = Seq(
+      (1L, 10L, 20L), (2L, 5L, 5L), (3L, 0L, 200L), (4L, -15L, -12L),
+      (5L, 32L, 35L), (6L, 90L, 90L))
+      .toDF("rid", "rlo", "rhi")
+    val naive = left.filter($"llo" <= $"lhi")
+      .crossJoin(right.filter($"rlo" <= $"rhi"))
+      .filter($"llo" <= $"rhi" && $"rlo" <= $"lhi")
+      .select($"lid", $"rid").as[(Long, Long)].collect()
+      .sorted.toSeq
+    for (w <- Seq(1L, 7L, 13L, 1000L)) {
+      // collect a LIST, not a set: duplicates from a broken
+      // canonical-bin guard must fail, not collapse away
+      val got = RangeJoin.intervalOverlap(left, "llo", "lhi",
+          right, "rlo", "rhi", binWidth = w)
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"binWidth=$w")
+    }
+  }
+
+  test("interval overlap with a partition key only pairs within the key") {
+    val left = Seq(("a", 1L, 0L, 10L), ("b", 2L, 0L, 10L))
+      .toDF("k", "lid", "llo", "lhi")
+    val right = Seq(("a", 1L, 5L, 15L), ("b", 2L, 50L, 60L))
+      .toDF("k", "rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(left, "llo", "lhi",
+        right, "rlo", "rhi", binWidth = 7, partitionKeys = Seq("k"))
+      .select($"k", $"lid", $"rid").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 1L)))
+  }
 }

@@ -480,4 +480,32 @@ class PipelineSpec extends SparkSpec {
     val stitched = chunks.head ++ chunks.tail.flatMap(_.drop(4))
     assert(stitched == (1 to 37).map(i => s"t$i"))
   }
+
+  test("weightedSample: deterministic, k-bounded, excludes non-positive weights") {
+    import spark.implicits._
+    val df = (1L to 500L).map(id => (id, if (id % 97 == 0) 0.0 else id.toDouble))
+      .toDF("id", "w")
+    val s1 = TextAnalysis.weightedSample(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().sorted.toSeq
+    val s2 = TextAnalysis.weightedSample(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2 && s1.size == 50)
+    assert(s1.forall(_ % 97 != 0), "zero-weight rows must never be drawn")
+    // a different salt draws a different sample
+    val s3 = TextAnalysis.weightedSample(df, "id", "w", k = 50, salt = 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s3 != s1)
+  }
+
+  test("weightedSample: heavier rows are favored (A-Res bias check)") {
+    import spark.implicits._
+    // ids 1..1000: weight 100 for ids <= 100, weight 1 otherwise —
+    // heavy mass fraction = 100*100/(100*100+900) ≈ 0.917, so a
+    // 100-row sample should be dominated by heavy ids
+    val df = (1L to 1000L).map(id =>
+      (id, if (id <= 100) 100.0 else 1.0)).toDF("id", "w")
+    val heavy = TextAnalysis.weightedSample(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().count(_ <= 100)
+    assert(heavy > 55, s"expected heavy-weight dominance, got $heavy/100")
+  }
 }

@@ -155,6 +155,91 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_refresh")
   }
 
+  test("CDC refresh retracts deletes, folds inserts, answers for the changed base") {
+    val fp = root + "/fact3"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tables.load(spark, sf, "lineitem").select(
+      col("l_returnflag").as("rf"), col("l_orderkey").as("ok"),
+      col("l_quantity").cast("bigint").as("qty"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite").parquet(fp)
+    val v0 = spark.read.parquet(fp)
+    try {
+      val d0 = Mv.build(v0, "mvspec_cdc", Seq("rf"),
+        measures = Seq("qty", "price"), mvPath = root + "/mv3")
+      v0.filter(col("ok") % 5 === 0)
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(v0.filter(col("ok") % 7 === 0)
+          .withColumn("_change_type", lit("insert")))
+        .write.parquet(root + "/feed3")
+      v0.filter(col("ok") % 5 =!= 0)
+        .unionByName(v0.filter(col("ok") % 7 === 0))
+        .write.parquet(root + "/fact3n")
+      fs.delete(new org.apache.hadoop.fs.Path(fp), true)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(root + "/fact3n"),
+        new org.apache.hadoop.fs.Path(fp)))
+      val d1 = Mv.refreshChanges(spark, "mvspec_cdc",
+        spark.read.parquet(root + "/feed3"))
+      assert(d1.mvPath != d0.mvPath, "CDC refresh must re-point, not overwrite")
+      // schema stays stable across a second (empty) CDC refresh
+      val d2 = Mv.refreshChanges(spark, "mvspec_cdc",
+        spark.read.parquet(root + "/feed3").limit(0))
+      assert(spark.read.parquet(d2.mvPath).schema("sum_price")
+        .dataType.typeName == "decimal(28,2)")
+      def g = spark.read.parquet(fp).groupBy("rf").agg(
+        sum("qty").as("s"), count(lit(1)).as("n"),
+        count(col("price")).as("np")).orderBy("rf")
+      assert(!scanPaths(g).exists(_.endsWith("/fact3")), scanPaths(g))
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off)
+    } finally MvCatalog.unregister("mvspec_cdc")
+  }
+
+  test("CDC refresh: full retraction drops the group; zero non-null count nulls the sum") {
+    import spark.implicits._
+    val fp = root + "/fact4"
+    Seq(("A", Some(1L)), ("A", Some(2L)), ("B", Some(5L)), ("B", None))
+      .toDF("rf", "qty").write.mode("overwrite").parquet(fp)
+    val v0 = spark.read.parquet(fp)
+    try {
+      Mv.build(v0, "mvspec_cdc0", Seq("rf"), measures = Seq("qty"),
+        mvPath = root + "/mv4")
+      // delete both A rows (group vanishes) and B's only non-null row
+      // (group survives on the null row: cnt=1, cnt_qty=0, sum NULL)
+      val feed = Seq(("A", Some(1L), "delete"), ("A", Some(2L), "delete"),
+        ("B", Some(5L), "delete"))
+        .toDF("rf", "qty", "_change_type")
+      val d = Mv.refreshChanges(spark, "mvspec_cdc0", feed)
+      val rows = spark.read.parquet(d.mvPath)
+        .select("rf", "sum_qty", "cnt_qty", "cnt").collect()
+      assert(rows.length == 1 && rows(0).getString(0) == "B")
+      assert(rows(0).isNullAt(1), "cancelled sum must read as NULL")
+      assert(rows(0).getLong(2) == 0L && rows(0).getLong(3) == 1L)
+    } finally MvCatalog.unregister("mvspec_cdc0")
+  }
+
+  test("CDC refresh refuses a MIN/MAX-carrying view and unknown tags fail loudly") {
+    import spark.implicits._
+    assertThrows[IllegalArgumentException] {
+      Mv.refreshChanges(spark, "mvspec_fact", // registered with min/max
+        Seq(("A", "F", 1L, BigDecimal(1)) )
+          .toDF("rf", "ls", "qty", "price")
+          .withColumn("_change_type", lit("delete")))
+    }
+    val fp = root + "/fact5"
+    Seq(("A", 1L)).toDF("rf", "qty").write.mode("overwrite").parquet(fp)
+    try {
+      Mv.build(spark.read.parquet(fp), "mvspec_cdc1", Seq("rf"),
+        measures = Seq("qty"), mvPath = root + "/mv5")
+      val bad = Seq(("A", 1L, "upsert")).toDF("rf", "qty", "_change_type")
+      val ex = intercept[Exception] {
+        Mv.refreshChanges(spark, "mvspec_cdc1", bad)
+      }
+      assert(ex.getMessage != null)
+    } finally MvCatalog.unregister("mvspec_cdc1")
+  }
+
   test("ROLLUP over the base is answered from the MV (Expand rebuilt over partials)") {
     def g = fact.rollup("rf", "ls").agg(
       sum("qty").as("s"), count(lit(1)).as("n"),

@@ -29,4 +29,26 @@ object Privacy {
   def suppressSmallGroups(df: DataFrame, qi: Seq[String], k: Int): DataFrame =
     df.join(kAnonymityViolations(df, qi, k).select(qi.map(col): _*),
       qi, "left_anti")
+
+  /** L-DIVERSITY audit (Machanavajjhala et al., "ℓ-diversity: privacy
+    * beyond k-anonymity", ICDE 2006) — the attack k-anonymity leaves
+    * open: a QI class can be large yet have every member share the
+    * SAME sensitive value, so linkage still discloses it (the
+    * homogeneity attack). A class is (distinct-)ℓ-diverse when its
+    * rows carry at least ℓ distinct sensitive values; this returns
+    * the violating classes with their size and diversity — the
+    * report a release gate blocks on, the complement of
+    * [[kAnonymityViolations]]'s size-only audit.
+    *
+    * One hash aggregation over the QI key (the distinct count adds
+    * the usual Expand, still one shuffle on QI); NULL sensitive
+    * values count as zero diversity contributors (count distinct
+    * ignores NULL — a class of all-NULL sensitives reports
+    * diversity 0, which IS disclosure of absence). */
+  def lDiversityViolations(df: DataFrame, qi: Seq[String],
+                           sensitive: String, l: Int): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("diversity"))
+      .filter(col("diversity") < l)
 }

@@ -90,4 +90,32 @@ object Profile {
       .agg(count(lit(1)).as("n"), min(col(c)).as("lo_v"),
         max(col(c)).as("hi_v"))
   }
+
+  /** Z-SCORE OUTLIER DETECTION per group — rows whose value sits more
+    * than `z` sample standard deviations from their group's mean,
+    * returned with the score as `z_score`. The data-quality screen
+    * that runs before training ("drop the 4σ latency spikes") and the
+    * simplest anomaly monitor that is still statistically grounded.
+    *
+    * Two passes by necessity (the mean must exist before any row can
+    * be scored), both scale-clean: one hash aggregation to a
+    * groups-sized stats frame, then a keyed join back — the stats
+    * side is one row per group, so Spark broadcasts it at any fact
+    * size. Zero-variance groups produce no outliers by definition
+    * (every member IS the mean); NULL values are ignored, not scored.
+    * Callers needing a hard reproducibility boundary should pick `z`
+    * away from their data's score ties — the group mean is a
+    * float sum, order-sensitive at the ~1e-12 level. */
+  def outliers(df: DataFrame, keys: Seq[String], value: String,
+               z: Double): DataFrame = {
+    require(z > 0, s"outliers: z must be > 0, got $z")
+    val rows = df.filter(col(value).isNotNull)
+    val stats = rows.groupBy(keys.map(col): _*)
+      .agg(avg(col(value)).as("__m"), stddev_samp(col(value)).as("__sd"))
+    rows.join(stats, keys)
+      .filter(col("__sd") > 0 &&
+        abs((col(value) - col("__m")) / col("__sd")) > z)
+      .withColumn("z_score", (col(value) - col("__m")) / col("__sd"))
+      .drop("__m", "__sd")
+  }
 }

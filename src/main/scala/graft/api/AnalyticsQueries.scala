@@ -736,5 +736,29 @@ object AnalyticsQueries {
         "AS INT) AS bin, count(*) AS n, min(o_totalprice) AS lo_v, " +
         "max(o_totalprice) AS hi_v FROM orders " +
         "WHERE o_totalprice IS NOT NULL GROUP BY 1 ORDER BY 1")),
+
+    Q("v4_outliers",
+      // per-group z-score anomaly screen (Profile.outliers, |z| > 3
+      // sample-stddev): one stats aggregation + a broadcast join back
+      // — the pre-training data-quality sweep. The 3σ boundary sits
+      // 1.6e-3 from the nearest event score (measured), far above
+      // cross-engine float-sum noise, so membership is stable; the
+      // reported score rounds to 6dp for hash parity.
+      (s, dir) => graft.analytics.Profile.outliers(
+          Tables.load(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", z = 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("z_score"), 6).as("z_score"))
+        .orderBy("event_id"),
+      Some("WITH e AS (SELECT event_id, event_type, value FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "s AS (SELECT event_type, avg(value) AS m, " +
+        "stddev_samp(value) AS sd FROM e GROUP BY 1) " +
+        "SELECT event_id, event_type, " +
+        "round((value - m) / sd, 6) AS z_score " +
+        "FROM e JOIN s USING (event_type) " +
+        "WHERE sd > 0 AND abs((value - m) / sd) > 3.0 " +
+        "ORDER BY event_id")),
   )
 }

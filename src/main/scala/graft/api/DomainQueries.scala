@@ -411,6 +411,49 @@ object DomainQueries {
         "BETWEEN '1996-01-01' AND '1996-12-31' " +
         "GROUP BY 1 ORDER BY 1")),
 
+    Q("s29_recluster",
+      // cluster-spec evolution (Layout.recluster): the table starts
+      // clustered by returnflag, takes a DV delete, then re-clusters
+      // by LINESTATUS in one crash-atomic replace-all flip — the
+      // rewrite materializes the deletion vectors into clean files and
+      // the new key's bucket pruning works immediately. A key+range
+      // read through the re-clustered manifest must equal the plain
+      // filter minus the deleted rows; flip atomicity, DV
+      // materialization, and prune mechanics are pinned by LayoutSpec.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_recluster_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(src, path, "rf", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.delete(s, path, "ship",
+          col("l_orderkey") % 5 === 0)
+        graft.catalog.Layout.recluster(s, path, "ls", "ship",
+          numBuckets = 4, filesPerBucket = 2)
+        graft.catalog.Layout.read(s, path, "ls", "ship", numBuckets = 4,
+            symbolEq = Some("F"),
+            timeRange = Some((lit("1996-01-01").cast("date"),
+              lit("1996-12-31").cast("date"))))
+          .groupBy(col("ship"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("ship")
+      },
+      Some("SELECT CAST(l_shipdate AS DATE) AS ship, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_linestatus = 'F' AND l_orderkey % 5 <> 0 " +
+        "AND CAST(l_shipdate AS DATE) " +
+        "BETWEEN '1996-01-01' AND '1996-12-31' " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("s14_append_echo",
       // growing-table ingest (Layout.appendClusteredZoned): the base
       // write holds ≤1996, a second batch appends 1997+ WITHOUT
@@ -1065,6 +1108,28 @@ object DomainQueries {
         "year(CAST(o_orderdate AS DATE)) AS yr, count(*) AS n, " +
         "count(*) < 100 AS suppressed FROM orders " +
         "GROUP BY 1, 2, 3 ORDER BY status, prio, yr")),
+
+    Q("v5_l_diversity",
+      // ℓ-diversity audit (Privacy.lDiversityViolations,
+      // Machanavajjhala et al. 2006): QI classes of customers
+      // (segment, nation) whose rows carry fewer than 8 distinct
+      // sensitive values (banded account balance) — the homogeneity
+      // attack k-anonymity misses: a class can be big (k-anonymous)
+      // yet disclose its members' balance band. One hash aggregation
+      // on the QI key; the gate emits the violating classes with
+      // size and diversity.
+      (s, dir) => graft.analytics.Privacy.lDiversityViolations(
+          t(s, dir, "customer").select(
+            col("c_mktsegment").as("seg"),
+            col("c_nationkey").as("nk"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+          Seq("seg", "nk"), "bal_band", l = 8)
+        .orderBy("seg", "nk"),
+      Some("SELECT c_mktsegment AS seg, c_nationkey AS nk, " +
+        "count(*) AS n, " +
+        "count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS diversity " +
+        "FROM customer GROUP BY 1, 2 HAVING diversity < 8 " +
+        "ORDER BY seg, nk")),
 
     Q("u11_scd2",
       // type-2 slowly-changing-dimension historization: the orders

@@ -245,6 +245,56 @@ object PipelineQueries {
         "WHERE gram IN (SELECT gram FROM d) " +
         "GROUP BY doc_id ORDER BY doc_id")),
 
+    Q("d11_dedup_resolve",
+      // quality-aware duplicate RESOLUTION (Dedup.resolveDuplicates):
+      // near-dup pairs (same lang, n_chars within 1 — built from two
+      // EQUI-joins, never a range predicate) close transitively into
+      // clusters, each cluster elects its best doc (max n_chars, tie
+      // → min doc_id), and the corpus drops every loser — the step
+      // that actually shrinks a training corpus after d1–d10 generate
+      // pairs. The oracle replays the closure by recursive-CTE
+      // reachability (the a36 form) and the election by rank.
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val a = d.select(col("lang"), col("doc_id").as("id1"),
+          col("n_chars").as("n1"))
+        val b = d.select(col("lang"), col("doc_id").as("id2"),
+          col("n_chars").as("n2"))
+        val pairs = a.join(b, Seq("lang"))
+          .filter(col("n2") === col("n1") && col("id1") < col("id2"))
+          .unionByName(a.withColumn("n1", col("n1") + 1)
+            .join(b, Seq("lang"))
+            .filter(col("n2") === col("n1") && col("id1") =!= col("id2")))
+          .select(col("id1"), col("id2"))
+        graft.pipeline.Dedup.resolveDuplicates(d, "doc_id", pairs, "n_chars")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("WITH RECURSIVE " +
+        "d AS (SELECT doc_id, lang, n_chars FROM documents), " +
+        "e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b " +
+        "ON a.lang = b.lang AND b.n_chars BETWEEN a.n_chars AND a.n_chars + 1 " +
+        "AND a.doc_id <> b.doc_id), " +
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "reach AS (SELECT src AS id, dst AS r FROM edges " +
+        "UNION SELECT reach.id, edges.dst FROM reach JOIN edges " +
+        "ON reach.r = edges.src), " +
+        "labels AS (SELECT id, least(id, min(r)) AS cluster FROM reach " +
+        "GROUP BY id), " +
+        "m AS (SELECT l.cluster, dd.doc_id, dd.n_chars FROM labels l " +
+        "JOIN d dd ON dd.doc_id = l.id), " +
+        "canon AS (SELECT cluster, doc_id FROM (SELECT cluster, doc_id, " +
+        "row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, " +
+        "doc_id ASC) AS rn FROM m) WHERE rn = 1), " +
+        "kept AS (SELECT * FROM d WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM m WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM canon))) " +
+        "SELECT lang, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+        "FROM kept GROUP BY lang ORDER BY lang")),
+
     Q("t5_vocabulary",
       // corpus vocabulary stats: term frequency + document frequency
       (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")

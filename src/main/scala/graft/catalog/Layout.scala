@@ -881,6 +881,71 @@ object Layout {
     targets.size
   }
 
+  /** ONLINE RE-CLUSTERING — cluster-spec evolution: rewrite the table
+    * clustered by a NEW key (and/or bucket count) in ONE crash-atomic
+    * snapshot flip, the Iceberg "replace sort order / partition spec +
+    * rewrite" move. The access pattern that justified clustering by
+    * `symbol` yesterday (point reads per ticker) is not the one that
+    * matters tomorrow (joins per order); without this the only path is
+    * a manual copy-out/copy-in with a reader-visible window.
+    *
+    * Mechanics mirror [[compact]] table-wide: scan the LIVE rows
+    * (merge-on-read — the rewrite materializes any deletion vectors
+    * into clean files), restage under `bucketOf(newSymbol)`, move
+    * files into place, then commit a replace-all manifest part CAS'd
+    * against the starting snapshot — a concurrent writer or a crash
+    * leaves the old clustering fully live (readers of the previous
+    * snapshot stay valid through keep-last-2). Bloom index parts are
+    * deliberately dropped by the replace-all (they index files that no
+    * longer exist); rebuild with [[buildBloomIndex]] after — reads
+    * without one stay correct, just unpruned. Cost is O(live data),
+    * paid once and scheduled like any compaction; the alternative
+    * (per-query shuffles on the wrong key) is paid forever. */
+  def recluster(spark: SparkSession, path: String, newSymbol: String,
+                time: String, numBuckets: Int = 16,
+                filesPerBucket: Int = 4): Unit = {
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (SnapshotManifest.currentSnap(spark, path).isEmpty)
+      writeZoneManifest(spark, path, time) // migrate legacy table
+    val baseSnap = SnapshotManifest.currentSnap(spark, path)
+    val m = manifest(spark, path).get
+    val files = m.select(col("file")).collect().map(_.getString(0))
+    require(files.nonEmpty, s"recluster: $path has no live files")
+    val sc0 = spark.read.option("basePath", path).parquet(
+      files.map(f => globEscape(new Path(rootP, f).toString)).toIndexedSeq: _*)
+    val live = deletionVectorAsOf(spark, path, None) match {
+      case Some(dv) => minusDv(withPos(sc0), dv).drop("__dv_file", "__dv_pos")
+      case None => sc0
+    }
+    val stage = new Path(rootP, s".stage_recluster_${System.nanoTime()}")
+    live.drop("sym_bucket")
+      .withColumn("sym_bucket", bucketOf(col(newSymbol), numBuckets))
+      .repartitionByRange(numBuckets * filesPerBucket,
+        col("sym_bucket"), col(time))
+      .sortWithinPartitions(col(newSymbol), col(time))
+      .write.mode("overwrite")
+      .partitionBy("sym_bucket")
+      .parquet(stage.toString)
+    val staged = fs.listStatus(stage).exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith("sym_bucket="))
+    val (schema, rows) =
+      if (!staged) (m.schema, Array.empty[Row]) // fully-deleted table
+      else zoneRows(spark, stage.toString, Seq(stage.toString), time)
+    rows.foreach { r =>
+      val rel = r.getString(0)
+      val dst = new Path(rootP, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(stage, rel), dst))
+        throw new java.io.IOException(s"recluster: rename failed for $rel")
+    }
+    fs.delete(stage, true)
+    failpoint("recluster-before-flip")
+    commitPart(spark, path, schema, rows, replaceAll = true,
+      expected = Some(baseSnap))
+    vacuum(spark, path)
+  }
+
   /** Reclaim everything the snapshot log no longer references:
     * orphaned data files (crashed appends/compacts, superseded
     * pre-compact files), dead manifest parts, dead snap files, and

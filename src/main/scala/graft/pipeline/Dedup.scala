@@ -418,6 +418,41 @@ object Dedup {
           .select(col("id").as(id)),
         Seq(id), "left_anti")
 
+  /** QUALITY-AWARE duplicate resolution — the step that completes the
+    * dedup story for a training pipeline: [[removeNearDuplicates]]
+    * keeps each cluster's MIN-ID doc, but real corpus builds keep the
+    * BEST one (longest, highest quality score, freshest crawl). Given
+    * near-dup pairs from any generator (exact, Jaccard, MinHash,
+    * SimHash, semantic), this closes them transitively
+    * ([[dupClusters]]), elects per cluster the doc maximizing
+    * `(quality, −id)` — the id tie-break makes the choice
+    * total-ordered and reproducible — and returns the corpus with
+    * every non-elected cluster member dropped. Docs appearing in no
+    * pair pass through untouched.
+    *
+    * Scale shape: cluster labels exist only for docs that appear in
+    * some pair (≪ corpus at real dup rates); the election is one
+    * max_by hash aggregation over that slice (map-side combined, one
+    * row per cluster); the final drop is a keyed LEFT ANTI join of
+    * the corpus against the loser ids. Nothing here is ever
+    * O(corpus²) — the pair generator already paid the banding/
+    * prefix-filter cost to avoid that. */
+  def resolveDuplicates(docs: DataFrame, id: String, pairs: DataFrame,
+                        quality: String): DataFrame = {
+    val members = docs
+      .join(dupClusters(pairs).withColumnRenamed("id", id), Seq(id))
+      .select(col("cluster"), col(id).as("__mid"),
+        col(quality).as("__q"))
+    val losers = members
+      .join(members.groupBy("cluster")
+          .agg(max_by(col("__mid"),
+            struct(col("__q"), -col("__mid"))).as("__keep")),
+        Seq("cluster"))
+      .filter(col("__mid") =!= col("__keep"))
+      .select(col("__mid").as(id))
+    docs.join(losers, Seq(id), "left_anti")
+  }
+
   /** 64-bit SimHash per doc: each token hashes to 64 bits; bit i of
     * the signature is the sign of Σ_tokens (±1 by token bit i).
     * Computed as 64 conditional sums in one hash aggregation. */

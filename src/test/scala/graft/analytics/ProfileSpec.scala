@@ -53,4 +53,19 @@ class ProfileSpec extends SparkSpec {
     // bin 2; bin 1 is empty and absent; the null row never counts
     assert(h == Seq((0, 2L, -5.0, 1.0), (2, 1L, 99.0, 99.0)))
   }
+
+  test("outliers: flags the spike, skips zero-variance groups and nulls") {
+    import spark.implicits._
+    // group a: 20 values at ~10 plus one spike at 1000 → spike flagged;
+    // group b: constant (sd = 0) → no outliers, no divide-by-zero;
+    // group c: a null value → ignored, not scored
+    val df = ((1 to 20).map(i => ("a", Some(10.0 + (i % 3) * 0.1))) ++
+      Seq(("a", Some(1000.0))) ++
+      (1 to 5).map(_ => ("b", Some(7.0))) ++
+      Seq(("c", Option.empty[Double]), ("c", Some(1.0)), ("c", Some(2.0))))
+      .toDF("g", "x")
+    val out = Profile.outliers(df, Seq("g"), "x", z = 3.0)
+      .select("g", "x").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("a", 1000.0)))
+  }
 }

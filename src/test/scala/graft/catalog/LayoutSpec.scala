@@ -265,6 +265,50 @@ class LayoutSpec extends SparkSpec {
     assert(diskFilesPerBucket(dir).values.forall(_ <= 2))
   }
 
+  test("recluster: re-keys atomically, materializes DVs, prunes on the new key") {
+    val dir = Files.createTempDirectory("graft_reclus").toString + "/t"
+    val df = (1 to 2000).map(i =>
+      (s"SYM${i % 10}", s"EX${i % 3}", i.toLong, i * 1.5))
+      .toDF("symbol", "exch", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 4)
+    Layout.delete(spark, dir, "ts", $"ts" % 7 === 0)
+    val want = (1L to 2000L).filter(_ % 7 != 0).toSet
+    def full() = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    assert(full() == want)
+    // crash AFTER the re-keyed files land, BEFORE the flip: readers
+    // stay on the OLD clustering, nothing lost
+    Layout.testFailpoint = Some("recluster-before-flip")
+    try intercept[java.io.IOException] {
+      Layout.recluster(spark, dir, "exch", "ts", numBuckets = 4,
+        filesPerBucket = 2)
+    } finally Layout.testFailpoint = None
+    assert(full() == want)
+    // the real run: row parity under the NEW key...
+    Layout.recluster(spark, dir, "exch", "ts", numBuckets = 4,
+      filesPerBucket = 2)
+    val after = Layout.read(spark, dir, "exch", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    assert(after == want)
+    // ...with the deletion vectors MATERIALIZED (no dv_* parts left)
+    assert(SnapshotManifest.currentParts(spark, dir).get
+      .forall(p => !p.startsWith("dv_")), "replace-all must fold DVs")
+    // new-key point reads prune to one bucket's files
+    val pruned = Layout.read(spark, dir, "exch", "ts", numBuckets = 4,
+      symbolEq = Some("EX1"))
+    assert(pruned.select($"ts").as[Long].collect().toSet ==
+      want.filter(_ % 3 == 1))
+    val openedAll = Layout.manifest(spark, dir).get.count()
+    val ex1Bucket = spark.range(1)
+      .select(Layout.bucketOf(lit("EX1"), 4)).head.getLong(0)
+    val openedOne = liveFilesPerBucket(dir)(ex1Bucket)
+    assert(openedOne < openedAll, "bucket pruning must reduce the file set")
+    // vacuum reclaims the old clustering's files
+    Layout.vacuum(spark, dir, retainPrevious = false)
+    assert(full() == want)
+  }
+
   test("deletion vectors: crash-atomic, idempotent, folded by compact") {
     val dir = Files.createTempDirectory("graft_dv").toString + "/t"
     val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))

@@ -481,6 +481,22 @@ class PipelineSpec extends SparkSpec {
     assert(stitched == (1 to 37).map(i => s"t$i"))
   }
 
+  test("resolveDuplicates: per-cluster best survives, chains resolve transitively") {
+    import spark.implicits._
+    // cluster {1,2,3} chained 1-2, 2-3 (1 and 3 never paired directly):
+    // doc 2 has the best quality → keep 2, drop 1 and 3.
+    // cluster {10,11}: equal quality → tie-break keeps the SMALLER id.
+    // doc 99 is in no pair → passes through.
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (10L, 4.0), (11L, 4.0), (99L, 1.0))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.resolveDuplicates(docs, "doc_id", pairs, "q")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 10L, 99L))
+  }
+
   test("weightedSample: deterministic, k-bounded, excludes non-positive weights") {
     import spark.implicits._
     val df = (1L to 500L).map(id => (id, if (id % 97 == 0) 0.0 else id.toDouble))

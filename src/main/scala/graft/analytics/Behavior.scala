@@ -105,4 +105,30 @@ object Behavior {
         max(col(time)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** EVENT-TRANSITION MATRIX — first-order Markov counts over each
+    * user's event stream: for every ordered adjacent pair in a user's
+    * timeline, count (state → next state) across all users. The
+    * "what do users do after X" analysis behind product funnels and
+    * next-action models; row-normalizing the counts gives the Markov
+    * transition probabilities.
+    *
+    * One lead() window per user (the same single-shuffle discipline
+    * as [[sessionize]]) + one hash aggregation on the (from, to)
+    * pair. `tiebreak` pins the order of same-timestamp events —
+    * without a total order the adjacency itself would be
+    * nondeterministic (unlike sessionize, a RANGE frame cannot save
+    * an operator whose OUTPUT is the ordering). A user's last event
+    * has no successor and contributes nothing. */
+  def transitions(events: DataFrame, user: String, time: String,
+                  state: String, tiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user))
+      .orderBy((Seq(time) ++ tiebreak).map(col): _*)
+    events.select((Seq(user, time, state) ++ tiebreak).map(col): _*)
+      .withColumn("__next", lead(col(state), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(state).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -737,6 +737,32 @@ object AnalyticsQueries {
         "max(o_totalprice) AS hi_v FROM orders " +
         "WHERE o_totalprice IS NOT NULL GROUP BY 1 ORDER BY 1")),
 
+    Q("a40_event_transitions",
+      // first-order Markov transition matrix (Behavior.transitions):
+      // per-user adjacent event pairs → (from, to) counts + row-
+      // normalized probabilities — the "what happens after X" model
+      // behind next-action analytics. One lead() window per user
+      // (same single-shuffle discipline as a29's sessionize) + one
+      // pair aggregation; event_id pins same-timestamp adjacency to
+      // one deterministic order. The probability is an exact small-
+      // integer ratio in IEEE double — identical both engines.
+      (s, dir) => {
+        val tr = Behavior.transitions(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_type", tiebreak = Seq("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_state"))
+        tr.withColumn("p", round(col("n") / sum(col("n")).over(w), 6))
+          .orderBy("from_state", "to_state")
+      },
+      Some("WITH o AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS nxt FROM events), " +
+        "c AS (SELECT event_type AS from_state, nxt AS to_state, " +
+        "count(*) AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_state, to_state, n, " +
+        "round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p " +
+        "FROM c ORDER BY from_state, to_state")),
+
     Q("v4_outliers",
       // per-group z-score anomaly screen (Profile.outliers, |z| > 3
       // sample-stddev): one stats aggregation + a broadcast join back

@@ -1640,6 +1640,53 @@ object DomainQueries {
         "AND b.lo <= a.hi AND a.id < b.id " +
         "ORDER BY s, id_a, id_b")),
 
+    Q("j24_stats_broadcast",
+      // metadata-driven join strategy (Layout.readForJoin): the dim
+      // side is a snapshot-logged Layout table whose EXACT live row
+      // count comes from the manifest (countFast — no data file
+      // opened), and under the broadcast ceiling the read carries a
+      // broadcast hint. The gate DISABLES Spark's size-based auto
+      // broadcast and hard-asserts the plan still builds a
+      // BroadcastHashJoin — proving the catalog's stats, not the
+      // planner's file-size guess, made the call. At 100 TB this is
+      // the shuffle-the-fact vs broadcast-the-dim decision.
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_statsb_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (graft.catalog.SnapshotManifest.currentSnap(s, path).isEmpty) {
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          graft.catalog.Layout.appendClusteredZoned(
+            t(s, dir, "supplier").select(col("s_suppkey"),
+              col("s_name"), col("s_nationkey")),
+            path, "s_name", "s_suppkey", numBuckets = 4, filesPerBucket = 1)
+        }
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val dim = graft.catalog.Layout.readForJoin(
+            s, path, "s_name", "s_suppkey", numBuckets = 4)
+          val fact = t(s, dir, "lineitem")
+          val df = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+            .groupBy(col("s_nationkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").as("sum_qty"))
+            .orderBy("s_nationkey")
+          // force planning NOW, while auto-broadcast is off
+          require(df.queryExecution.executedPlan.toString
+              .contains("BroadcastHashJoin"),
+            "stats-driven broadcast hint did not reach the plan")
+          df
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      },
+      Some("SELECT s_nationkey, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("u3_upsert",
       // INSERT … ON CONFLICT DO UPDATE (lists.js:483-491,
       // portfolio.js:427-445) via the upsert kernel: updated rows win,

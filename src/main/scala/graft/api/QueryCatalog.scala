@@ -511,6 +511,35 @@ object QueryCatalog {
         "count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY rf, ls")),
 
+    Q("w11_rolling_median",
+      // ORDER-STATISTIC window — exact interpolated median over a
+      // trailing 7-ROW frame, the robust-statistics complement of
+      // w6's rolling SUM (a median shrugs off the price spike that
+      // drags a mean): Spark `percentile` ≡ DuckDB `quantile_cont`
+      // (the a9 equivalence), here as a WINDOW aggregate. The frame
+      // re-sorts 7 values per row — the bounded-frame cost every
+      // engine pays for exact order statistics; unbounded-history
+      // medians go through the a12 mergeable sketch instead.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        dailyCloses(t(s, dir, "lineitem"))
+          .withColumn("med_7",
+            round(percentile(col("close"), lit(0.5)).over(w), 6))
+          .withColumn("n_7", count(lit(1)).over(w))
+          .select(col("l_returnflag"), col("day"), col("close"),
+            col("med_7"), col("n_7"))
+          .orderBy("l_returnflag", "day")
+      },
+      Some("WITH " + dailySql +
+        " SELECT l_returnflag, day, close, " +
+        "round(quantile_cont(close, 0.5) OVER w, 6) AS med_7, " +
+        "count(*) OVER w AS n_7 FROM daily " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY l_returnflag, day")),
+
     Q("w6_range_rolling",
       // time-RANGE window frame (vs a14's row-counted frames): 7-day
       // rolling totals per key — the frame is defined by the ORDER-BY

@@ -129,6 +129,37 @@ object StreamingQueries {
         "WHERE t.event_type = 'purchase' AND q.event_type = 'view' " +
         "ORDER BY 1, 2, 3, 4, 5")),
 
+    Q("st11_outer_join",
+      // LEFT OUTER stream-stream interval join (Streams.
+      // quotedTradesOuter), batch twin: every purchase emits even
+      // with NO view in the prior 2 hours — null-padded quote columns
+      // — the "which conversions had no touchpoint" question an inner
+      // join silently drops. Streaming null-emission at the watermark
+      // is pinned by StreamsSpec; this gates the batch-equivalent
+      // semantics under the oracle (row order is irrelevant to the
+      // driver's hash — it sorts serialized rows).
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val trades = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("string").as("symbol"),
+            col("ts").as("tts"), col("value").as("qty"))
+        val quotes = ev.filter(col("event_type") === "view")
+          .select(col("user_id").cast("string").as("symbol"),
+            col("ts").as("qts"), col("value").as("price"))
+        Streams.quotedTradesOuter(trades, quotes, lookback = "2 hours")
+          .select(col("symbol").cast("long").as("user_id"),
+            unix_micros(col("tts")).as("t_us"), col("qty"),
+            unix_micros(col("qts")).as("q_us"), col("price"))
+          .orderBy("user_id", "t_us", "qty", "q_us", "price")
+      },
+      Some("SELECT t.user_id, epoch_us(t.ts) AS t_us, t.value AS qty, " +
+        "epoch_us(q.ts) AS q_us, q.value AS price " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') t " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q " +
+        "ON t.user_id = q.user_id " +
+        "AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 2 HOURS " +
+        "ORDER BY 1, 2, 3, 4, 5")),
+
     Q("st4_scd2_stream",
       // the STREAMING twin of u11_scd2, through the real sink: the
       // orders changelog arrives as three time-ordered micro-batches,

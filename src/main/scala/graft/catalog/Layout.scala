@@ -1025,6 +1025,28 @@ object Layout {
     known + fallback - dv
   }
 
+  /** METADATA-SIZED JOIN SIDE — the cost-based broadcast decision made
+    * from the snapshot log alone: [[read]] the table, wrapped in a
+    * broadcast hint iff its EXACT live row count ([[countFast]]: Σ
+    * manifest `n_rows` − deletion-vector rows, no data file opened)
+    * fits `broadcastMaxRows`. Spark's own pre-scan estimate is summed
+    * file size — it over-counts DV-deleted rows, knows nothing of the
+    * post-prune cardinality, and a conservative
+    * `autoBroadcastJoinThreshold` then shuffles a fact table against
+    * a dim that would have broadcast. At 100 TB that is the single
+    * most expensive wrong call a planner can make; the snapshot log
+    * already maintains the exact number, so the decision is free.
+    * The hint only ever *adds* a broadcast — an over-threshold table
+    * falls through to whatever the planner picks. */
+  def readForJoin(spark: SparkSession, path: String, symbol: String,
+                  time: String, numBuckets: Int = 16,
+                  broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val df = read(spark, path, symbol, time, numBuckets)
+    if (countFast(spark, path) <= broadcastMaxRows)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   /** `input_file_name()` / manifest entries → literal reader paths:
     * URI-unescape (a `%20` or `%25` in the stored string is a space or
     * percent on disk), then backslash-escape glob metacharacters so

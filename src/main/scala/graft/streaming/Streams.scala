@@ -384,7 +384,25 @@ object Streams {
     * streams' history forever. */
   def quotedTrades(trades: DataFrame, quotes: DataFrame,
                    lookback: String = "15 minutes",
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes"): DataFrame =
+    quotedJoin(trades, quotes, lookback, watermark, "inner")
+
+  /** LEFT OUTER form of [[quotedTrades]] — the join that answers
+    * "which trades had NO quote context": a trade with no in-window
+    * quote still emits, null-padded on the quote columns, once the
+    * WATERMARK passes the end of its lookback window (Spark can only
+    * declare "no match will ever arrive" when late quotes are ruled
+    * out — the standard outer stream-stream contract; in batch it is
+    * a plain left join). Same state bound as the inner form: both
+    * sides' buffers evict at the watermark. */
+  def quotedTradesOuter(trades: DataFrame, quotes: DataFrame,
+                        lookback: String = "15 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    quotedJoin(trades, quotes, lookback, watermark, "leftOuter")
+
+  private def quotedJoin(trades: DataFrame, quotes: DataFrame,
+                         lookback: String, watermark: String,
+                         joinType: String): DataFrame = {
     val t = (if (trades.isStreaming) trades.withWatermark("tts", watermark)
              else trades).alias("t")
     val q = (if (quotes.isStreaming) quotes.withWatermark("qts", watermark)
@@ -392,7 +410,8 @@ object Streams {
     t.join(q,
       col("t.symbol") === col("q.symbol") &&
         col("q.qts") <= col("t.tts") &&
-        col("q.qts") >= col("t.tts") - expr(s"INTERVAL $lookback"))
+        col("q.qts") >= col("t.tts") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("t.symbol").as("symbol"), col("t.tts").as("tts"),
         col("t.qty").as("qty"), col("q.qts").as("qts"),
         col("q.price").as("price"))

@@ -101,4 +101,26 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
+
+  test("transitions: adjacent pairs per user, ties pinned, last event contributes nothing") {
+    val events = Seq(
+      // u1: a → b → b → c; u2: a → c (cross-user adjacency must NOT mix)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "b"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "c"),
+      (2L, ts("2024-01-01 11:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 11:05:00"), 6L, "c"),
+      // u3: two events at the SAME ts — event_id tiebreak makes x→y,
+      // never y→x
+      (3L, ts("2024-01-01 12:00:00"), 7L, "x"),
+      (3L, ts("2024-01-01 12:00:00"), 8L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.transitions(events, "user_id", "ts", "event_type",
+        tiebreak = Seq("event_id"))
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "b", 1L),
+      ("b", "c", 1L), ("x", "y", 1L)))
+  }
 }

@@ -309,6 +309,34 @@ class LayoutSpec extends SparkSpec {
     assert(full() == want)
   }
 
+  test("readForJoin: manifest row count drives the broadcast hint, DV-aware") {
+    val dir = Files.createTempDirectory("graft_rfj").toString + "/t"
+    val df = (1 to 500).map(i => (s"SYM${i % 5}", i.toLong, i * 1.5))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(df, dir, "symbol", "ts",
+      numBuckets = 2, filesPerBucket = 1)
+    val fact = (1 to 5000).map(i => (s"SYM${i % 5}", i.toLong))
+      .toDF("fsym", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(maxRows: Long) = fact.join(
+          Layout.readForJoin(spark, dir, "symbol", "ts", numBuckets = 2,
+            broadcastMaxRows = maxRows),
+          $"fsym" === $"symbol")
+        .queryExecution.executedPlan.toString
+      // under the ceiling: hinted broadcast despite auto off
+      assert(planOf(1000L).contains("BroadcastHashJoin"))
+      // over the ceiling: falls through to the planner's default
+      assert(!planOf(100L).contains("BroadcastHashJoin"))
+      // DV deletes shrink the metadata count back under the ceiling
+      Layout.delete(spark, dir, "ts", $"ts" > 100)
+      assert(Layout.countFast(spark, dir) == 100L)
+      assert(planOf(100L).contains("BroadcastHashJoin"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("deletion vectors: crash-atomic, idempotent, folded by compact") {
     val dir = Files.createTempDirectory("graft_dv").toString + "/t"
     val df = (1 to 1000).map(i => (s"SYM${i % 10}", i.toLong, i * 1.5))

@@ -383,6 +383,34 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set(11.0, 12.0))
   }
 
+  test("quotedTradesOuter: unmatched trades emit null-padded after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val qmem = MemoryStream[Streams.Quote]
+    val tmem = MemoryStream[Streams.StampedTrade]
+    val joined = Streams.quotedTradesOuter(tmem.toDF(), qmem.toDF(),
+      lookback = "15 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("qto").start()
+    try {
+      qmem.addData(Streams.Quote("AAA", ts(10), 11.0))
+      tmem.addData(Streams.StampedTrade("AAA", ts(20), 5.0), // matched
+        Streams.StampedTrade("CCC", ts(20), 7.0))            // no quote ever
+      q.processAllAvailable()
+      // CCC can't emit yet: a 15-min-lookback quote could still arrive
+      val early = spark.sql("SELECT symbol FROM qto").as[String].collect()
+      assert(!early.contains("CCC"))
+      // advance the watermark well past CCC's window on BOTH streams
+      qmem.addData(Streams.Quote("ZZZ", ts(120), 1.0))
+      tmem.addData(Streams.StampedTrade("ZZZ", ts(120), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT symbol, qty, price FROM qto")
+      .as[(String, Double, Option[Double])].collect().toSet
+    // AAA matched its quote; CCC emitted null-padded — not dropped
+    assert(got.contains(("AAA", 5.0, Some(11.0))))
+    assert(got.contains(("CCC", 7.0, None)), got.toString)
+  }
+
   test("enrichStream keeps dim-miss rows with nulls — never drops an event") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")

@@ -266,6 +266,67 @@ object TimeSeries {
     out.drop("__v")
   }
 
+  /** HOLT'S LINEAR-TREND smoothing (double exponential smoothing,
+    * Holt 1957) — the forecasting step past [[ema]]'s flat level and
+    * past [[forecast]]'s single global regression line:
+    *
+    *   level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+    *   trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+    *
+    * seeded level_1 = x_1, trend_1 = 0; the h-step-ahead forecast is
+    * `level + h·trend` (a projection the caller adds). Same execution
+    * shape as [[ema]] — hash-repartition on the key, sorted streaming
+    * scan, O(1) state (two doubles) per key, bit-reproducible for a
+    * given sort order — because the recurrence is inherently
+    * sequential per key and nothing else is. NULL values emit NULL
+    * and leave both states untouched. Emits `level` and `trend`. */
+  def holtLinear(series: DataFrame, key: String, time: String,
+                 value: String, alpha: Double, beta: Double,
+                 tiebreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"holtLinear: alpha in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"holtLinear: beta in [0,1], got $beta")
+    val in = series.withColumn("__v", col(value).cast("double"))
+      .repartition(col(key))
+      .sortWithinPartitions((Seq(key, time) ++ tiebreak).map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      in.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("level",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("trend",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val keyIdx = in.schema.fieldIndex(key)
+    val valIdx = in.schema.fieldIndex("__v")
+    val out = in.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var seeded = false
+      var level = 0.0
+      var trend = 0.0
+      it.map { r =>
+        val kk = r.get(keyIdx)
+        if (!haveKey || kk != curKey) {
+          curKey = kk; haveKey = true; seeded = false
+          level = 0.0; trend = 0.0
+        }
+        if (r.isNullAt(valIdx)) {
+          val pad: Seq[Any] =
+            if (seeded) Seq(level, trend) else Seq(null, null)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ pad)
+        } else {
+          val x = r.getDouble(valIdx)
+          if (!seeded) { level = x; trend = 0.0; seeded = true }
+          else {
+            val prev = level
+            level = alpha * x + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(level, trend))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("__v")
+  }
+
   /** Portfolio market value — Σ latest_close × shares + cash
     * (reference `portfolio.js:288-304`, an app-side JS loop over N+1
     * price queries; here one latestPerKey + one broadcast join + one

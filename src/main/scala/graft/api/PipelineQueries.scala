@@ -964,6 +964,44 @@ object PipelineQueries {
         "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
         "WHERE rank <= 10 ORDER BY query_id, rank")),
 
+    Q("e14_progressive_topk",
+      // Matryoshka progressive re-rank (Similarity.progressiveTopK):
+      // the whole corpus is scored on the FIRST 8 of 64 dims (1/8th
+      // the FLOPs), the top 50 candidates per query re-rank on full
+      // dims — the filter-then-verify shape of e6's ADC with
+      // dimension prefixes as the cheap stage. The oracle replays
+      // BOTH stages (list slicing + two ranked passes), so the gate
+      // pins the algorithm itself, not just its exact-regime result;
+      // ties at both boundaries break on neighbor_id both sides.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.progressiveTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, dPrefix = 8, candidates = 50)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, " +
+        "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, " +
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+        "s1 AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv[1:8], cv[1:8]) / " +
+        "(sqrt(list_dot_product(qv[1:8], qv[1:8])) * " +
+        "sqrt(list_dot_product(cv[1:8], cv[1:8]))) AS pcos " +
+        "FROM q, c WHERE neighbor_id <> query_id), " +
+        "cand AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY pcos DESC, neighbor_id) AS pr FROM s1) WHERE pr <= 50), " +
+        "s2 AS (SELECT d.query_id, d.neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos " +
+        "FROM cand d JOIN q USING (query_id) JOIN c USING (neighbor_id)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s2) " +
+        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")),
+
     Q("e2_embedding_near_dup",
       // hyperplane-LSH near-dup pairs over embeddings ∪ id-shifted
       // copies at cos ≥ 0.999, exact-cosine-verified. An identical

@@ -412,6 +412,38 @@ object QueryCatalog {
         "SELECT o_custkey, o_orderkey, ema FROM r " +
         "ORDER BY o_custkey, o_orderkey")),
 
+    Q("w12_holt",
+      // Holt's double exponential smoothing (TimeSeries.holtLinear):
+      // level + trend per customer spend series — the recursive
+      // TWO-state window (w10's EMA adds a trend term), same keyed
+      // streaming scan, oracle = recursive CTE carrying both
+      // accumulators. α=0.5, β=0.25 are exact binary fractions and
+      // the op order is fixed, so raw doubles match bit-for-bit
+      // (the w10 parity argument; rounding is where engines differ).
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        graft.analytics.TimeSeries.holtLinear(o, "o_custkey",
+            "o_orderdate", "o_totalprice", alpha = 0.5, beta = 0.25,
+            tiebreak = Seq("o_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("level"), col("trend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("WITH RECURSIVE t AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(o_totalprice AS DOUBLE) AS x, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
+        "FROM orders), " +
+        "r AS (SELECT o_custkey, o_orderkey, rn, x AS level, " +
+        "CAST(0 AS DOUBLE) AS trend FROM t WHERE rn = 1 " +
+        "UNION ALL SELECT t.o_custkey, t.o_orderkey, t.rn, " +
+        "0.5 * t.x + 0.5 * (r.level + r.trend), " +
+        "0.25 * ((0.5 * t.x + 0.5 * (r.level + r.trend)) - r.level) " +
+        "+ 0.75 * r.trend " +
+        "FROM t JOIN r ON t.o_custkey = r.o_custkey AND t.rn = r.rn + 1) " +
+        "SELECT o_custkey, o_orderkey, level, trend FROM r " +
+        "ORDER BY o_custkey, o_orderkey")),
+
     // ---- statistics (SURVEY §2.4 A2-A5, §3 trace 1) ----
 
     Q("a2_cov",

@@ -47,6 +47,56 @@ object Similarity {
           .orderBy(col("cos").desc, col("neighbor_id"))))
   }
 
+  /** PROGRESSIVE-DIMENSION re-rank — the Matryoshka/MRL serving trick
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * 2022): stage 1 scores the WHOLE corpus on only the first
+    * `dPrefix` dims and keeps `candidates` ids per query; stage 2
+    * re-ranks just the survivors with FULL-dimension exact cosine.
+    * MRL-trained embeddings order front-load information, so a small
+    * candidate multiple of k preserves recall at dPrefix/d of the
+    * stage-1 FLOPs; candidates = |corpus| makes the result provably
+    * the exact top-k.
+    *
+    * Scale shape: stage 1 keeps e1's zero-corpus-shuffle scan but a
+    * d/dPrefix cheaper score per row (a production deployment
+    * additionally MATERIALIZES the prefix as its own column/table so
+    * the scan's bytes shrink too — here the prefix is sliced in the
+    * projection, which saves compute, not I/O); stage 2 touches full
+    * vectors for only |Q|·candidates rows via a keyed join the
+    * planner broadcasts on the tiny candidate side — the corpus is
+    * never shuffled in either stage. The same filter-then-verify
+    * shape as PQ's ADC + re-rank (e6), with dimension prefixes
+    * instead of quantization as the cheap stage. */
+  def progressiveTopK(corpus: DataFrame, queries: DataFrame,
+                      id: String, vec: String, k: Int,
+                      dPrefix: Int, candidates: Int): DataFrame = {
+    require(dPrefix >= 1, "progressiveTopK: dPrefix must be >= 1")
+    require(candidates >= k, "progressiveTopK: candidates must be >= k")
+    val q = broadcast(queries.select(col(id).as("query_id"),
+      vecD(col(vec)).as("qv")))
+    val c = corpus.select(col(id).as("neighbor_id"), vecD(col(vec)).as("cv"))
+    // stage 1: prefix-dim filter — only (query, neighbor, score) out
+    val cand = Kernels.topKPerKey(
+      c.crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(slice(col("qv"), 1, dPrefix),
+            slice(col("cv"), 1, dPrefix)).as("pcos")),
+      Seq("query_id"), Seq(col("pcos"), -col("neighbor_id")), candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact re-rank on full dims, candidates only
+    val rescored = cand
+      .join(c, Seq("neighbor_id"))
+      .join(q.withColumnRenamed("qv", "__qv"), Seq("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("cv")))
+    Kernels.topKPerKey(
+        rescored.select(col("query_id"), col("neighbor_id"), col("cos")),
+        Seq("query_id"), Seq(col("cos"), -col("neighbor_id")), k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+  }
+
   /** Deterministic random-hyperplane weights: `planes` hyperplanes in
     * `dims` dimensions from a fixed seed. */
   def hyperplanes(planes: Int, dims: Int, seed: Long = 42L): Seq[Seq[Double]] = {

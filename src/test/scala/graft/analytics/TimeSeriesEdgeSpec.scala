@@ -167,4 +167,30 @@ class TimeSeriesEdgeSpec extends SparkSpec {
       TimeSeries.ema(bars, "symbol", "timestamp", "close", alpha = 0.0)
     }
   }
+
+  test("holtLinear: level+trend match a hand-rolled fold; a linear ramp converges on its slope") {
+    // pure linear series 10, 20, 30, …: Holt's trend should converge
+    // toward the true slope (10/step)
+    val ramp = (1 to 40).map(i =>
+      ("R", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1)),
+        i * 10.0)).toDF("symbol", "timestamp", "close")
+    val rows = TimeSeries.holtLinear(ramp, "symbol", "timestamp", "close",
+        alpha = 0.5, beta = 0.25)
+      .orderBy("timestamp")
+      .select($"close", $"level", $"trend")
+      .as[(Double, Double, Double)].collect()
+    // replay the recurrence exactly
+    var l = 0.0; var tr = 0.0; var first = true
+    rows.foreach { case (x, gl, gt) =>
+      if (first) { l = x; tr = 0.0; first = false }
+      else {
+        val prev = l
+        l = 0.5 * x + 0.5 * (l + tr)
+        tr = 0.25 * (l - prev) + 0.75 * tr
+      }
+      assert(gl == l && gt == tr)
+    }
+    assert(math.abs(rows.last._3 - 10.0) < 1.0,
+      s"trend should approach the ramp slope, got ${rows.last._3}")
+  }
 }

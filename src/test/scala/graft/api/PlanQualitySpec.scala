@@ -240,7 +240,10 @@ class PlanQualitySpec extends SparkSpec {
       // per-segment AGGREGATE rows (k = |segments|, never the fact);
       // v2's cross of its two 1-ROW agg results (the non-distinct ×
       // distinct stats split — see Profile.profile)
+      // e14 joins e1's exemption: its stage-1 prefix scan is the same
+      // deliberate broadcast cross of the tiny query set × corpus
       if (!Set("e1_cosine_topk", "e6_pq_topk", "e9_sq8_topk",
+          "e14_progressive_topk",
           "t16_bm25_search", "t17_lm_score", "t18_tfidf", "t22_hybrid_rrf",
           "a21_pagerank", "a34_segment_overlap",
           "v2_profile").contains(n))

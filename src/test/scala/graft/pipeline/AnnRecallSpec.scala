@@ -123,6 +123,23 @@ class AnnRecallSpec extends SparkSpec {
     idx.close()
   }
 
+  test("progressive-dim re-rank: recall rises with prefix width, exact at full candidates") {
+    // this corpus front-loads nothing (the informative axis is the
+    // cluster dim c, uniformly spread over all 16 dims), so treat the
+    // prefix as a generic low-dim filter: even 8/16 dims holds a high
+    // floor because half the cluster axes survive
+    def run(dPrefix: Int, cand: Int) = recall(Similarity.progressiveTopK(
+      corpus, queries, "vec_id", "embedding", k, dPrefix, cand))
+    val r8c40 = run(8, 40)
+    val r16full = run(16, nClusters * perCluster)
+    info(f"progressive recall@10: d8c40=$r8c40%.3f d16full=$r16full%.3f")
+    assert(r16full == 1.0,
+      s"full-prefix full-candidates must be exact, got $r16full")
+    assert(r8c40 >= 0.50, s"8/16-dim 40-candidate recall was $r8c40")
+    // widening the candidate pool at fixed prefix never hurts
+    assert(run(8, 120) >= r8c40 - 1e-9)
+  }
+
   test("SQ8 recall@10 at reduced candidates") {
     val r16 = recall(Sq.topK(corpus, queries, "vec_id", "embedding",
       k = k, nCandidates = 16))

@@ -572,6 +572,72 @@ object QueryCatalog {
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
         "ORDER BY l_returnflag, day")),
 
+    Q("w13_interpolate",
+      // calendar gap-fill with LINEAR INTERPOLATION — the resample
+      // mode w8's carry-forward doesn't cover (LOCF steps, interp
+      // ramps): each key's daily series densifies to its full
+      // calendar, and a missing day takes
+      // prev + (next − prev)·(day − prevDay)/(nextDay − prevDay)
+      // from the nearest real observations on each side (edges fall
+      // back to the one neighbor that exists). Two window passes per
+      // key — one running-backward, one running-forward, both over
+      // the single per-key shuffle; the day offsets are exact
+      // integers so the ramp arithmetic is engine-identical.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = dailyCloses(t(s, dir, "lineitem"))
+        val cal = daily.groupBy(col("l_returnflag"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("l_returnflag"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val base = Window.partitionBy(col("l_returnflag")).orderBy(col("day"))
+        val back = base.rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+        val j = cal.join(daily, Seq("l_returnflag", "day"), "left")
+          .withColumn("pv", last(col("close"), ignoreNulls = true).over(back))
+          .withColumn("pd", last(when(col("close").isNotNull, col("day")),
+            ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("close"), ignoreNulls = true).over(fwd))
+          .withColumn("nd", first(when(col("close").isNotNull, col("day")),
+            ignoreNulls = true).over(fwd))
+        j.withColumn("filled", round(
+            when(col("close").isNotNull, col("close"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                datediff(col("day"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double")), 6))
+          .withColumn("is_gap", col("close").isNull)
+          .select(col("l_returnflag"), col("day"), col("filled"),
+            col("is_gap"))
+          .orderBy("l_returnflag", "day")
+      },
+      Some("WITH " + dailySql +
+        ", b AS (SELECT l_returnflag, min(day) AS d0, max(day) AS d1 " +
+        "FROM daily GROUP BY 1), " +
+        "cal AS (SELECT l_returnflag, CAST(unnest(generate_series(d0, d1, " +
+        "INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+        "j AS (SELECT c.l_returnflag, c.day, d.close FROM cal c " +
+        "LEFT JOIN daily d USING (l_returnflag, day)), " +
+        "f AS (SELECT l_returnflag, day, close, " +
+        "last_value(close IGNORE NULLS) OVER wb AS pv, " +
+        "last_value(CASE WHEN close IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER wb AS pd, " +
+        "first_value(close IGNORE NULLS) OVER wf AS nv, " +
+        "first_value(CASE WHEN close IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER wf AS nd FROM j " +
+        "WINDOW wb AS (PARTITION BY l_returnflag ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY l_returnflag ORDER BY day " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT l_returnflag, day, round(CASE " +
+        "WHEN close IS NOT NULL THEN close " +
+        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * CAST(day - pd AS DOUBLE) / " +
+        "CAST(nd - pd AS DOUBLE) END, 6) AS filled, " +
+        "close IS NULL AS is_gap FROM f " +
+        "ORDER BY l_returnflag, day")),
+
     Q("w6_range_rolling",
       // time-RANGE window frame (vs a14's row-counted frames): 7-day
       // rolling totals per key — the frame is defined by the ORDER-BY

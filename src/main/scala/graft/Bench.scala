@@ -45,10 +45,20 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: full-precision doubles once made the one-line JSON
+    // outgrow the driver's tail capture, truncating the front before it
+    // could parse (r9/r10 artifacts had parsed:null)
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt and braces: also land the JSON as a file, immune to any
+    // stdout tail-capture limit
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

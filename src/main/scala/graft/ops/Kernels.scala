@@ -88,6 +88,25 @@ object Kernels {
       .select(col("__row.*"))
   }
 
+  /** [[topKPerKeyAgg]] plus a 1-based `rank` column, derived from the
+    * heap's sorted output order via `posexplode` — no Window operator
+    * anywhere in the plan, not even over the k-row result. The ANN
+    * selection kernels use this instead of
+    * `topKPerKey(...).withColumn("rank", row_number().over(...))`:
+    * the window form shuffles and per-key SORTS every scored
+    * candidate row; this ships at most partitions × k rows per key
+    * through a map-side-combined heap and reads rank off the array
+    * position. `ord` must be a total order (tie-break columns) for a
+    * deterministic rank, exactly as row_number needs. */
+  def topKPerKeyRanked(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+                       k: Int): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKAgg.topk_rows(payload, ord, k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__row")))
+      .select(col("__row.*") +: Seq((col("__pos") + 1).cast("int").as("rank")): _*)
+  }
+
   /** MERGE/upsert semantics — the reference's `INSERT … ON CONFLICT DO
     * UPDATE` (`lists.js:483-491` stockin shares, `portfolio.js:427-445`
     * statistics_cache write-back).

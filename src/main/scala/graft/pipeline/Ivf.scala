@@ -65,11 +65,8 @@ class IvfIndex private (val cells: DataFrame,
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("cv")).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-    Kernels.topKPerKey(cand, Seq("query_id"),
-        Seq(col("cos"), -col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
+    Kernels.topKPerKeyRanked(cand, Seq("query_id"),
+      Seq(col("cos"), -col("neighbor_id")), k)
   }
 
   /** Cross-corpus ANN JOIN: cosine top-k corpus neighbors for EVERY
@@ -99,11 +96,8 @@ class IvfIndex private (val cells: DataFrame,
       else joined
     val cand = filtered.select(col("query_id"), col("neighbor_id"),
       Similarity.cosine(col("qv"), col("cv")).as("cos"))
-    Kernels.topKPerKey(cand, Seq("query_id"),
-        Seq(col("cos"), -col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
+    Kernels.topKPerKeyRanked(cand, Seq("query_id"),
+      Seq(col("cos"), -col("neighbor_id")), k)
   }
 
   /** Persist the index so later sessions query WITHOUT retraining —

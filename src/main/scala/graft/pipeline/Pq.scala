@@ -103,18 +103,15 @@ class PqIndex private (val codes: DataFrame,
     * de-duplicated before the re-rank join. */
   private def rerank(scored: DataFrame, q: DataFrame, k: Int,
                      nCandidates: Int): DataFrame = {
-    val cand = Kernels.topKPerKey(scored, Seq("query_id"),
+    val cand = Kernels.topKPerKeyAgg(scored, Seq("query_id"),
       Seq(-col("adc"), col("neighbor_id")), nCandidates)
     val withVecs = cand
       .join(codes.select(col(id).as("neighbor_id"), col("cv")), Seq("neighbor_id"))
       .join(broadcast(q.select(col("query_id"), col("qv")).distinct()), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("cv")).as("cos"))
-    Kernels.topKPerKey(withVecs, Seq("query_id"),
-        Seq(col("cos"), -col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
+    Kernels.topKPerKeyRanked(withVecs, Seq("query_id"),
+      Seq(col("cos"), -col("neighbor_id")), k)
   }
 
   /** Persist the index so later sessions query WITHOUT retraining

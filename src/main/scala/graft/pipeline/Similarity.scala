@@ -30,8 +30,10 @@ object Similarity {
 
   /** Exact cosine top-k: each query scored against the whole corpus.
     * The query set is broadcast (it is small by contract); the corpus
-    * is scanned once; per-query ranking is a window over the query
-    * key. O(|Q|·|C|·d) compute, zero corpus shuffle. */
+    * is scanned once; per-query selection is the mergeable bounded
+    * heap ([[Kernels.topKPerKeyRanked]]) — map-side combine discards
+    * below-top-k rows before the shuffle, so O(|Q|·k) rows move, not
+    * the scored frame. O(|Q|·|C|·d) compute, zero corpus shuffle. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      id: String, vec: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(id).as("query_id"), vecD(col(vec)).as("qv")))
@@ -39,12 +41,9 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    Kernels.topKPerKey(
-        scored.select(col("query_id"), col("neighbor_id"), col("cos")),
-        Seq("query_id"), Seq(col("cos"), -col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
+    Kernels.topKPerKeyRanked(
+      scored.select(col("query_id"), col("neighbor_id"), col("cos")),
+      Seq("query_id"), Seq(col("cos"), -col("neighbor_id")), k)
   }
 
   /** PROGRESSIVE-DIMENSION re-rank — the Matryoshka/MRL serving trick
@@ -76,7 +75,7 @@ object Similarity {
       vecD(col(vec)).as("qv")))
     val c = corpus.select(col(id).as("neighbor_id"), vecD(col(vec)).as("cv"))
     // stage 1: prefix-dim filter — only (query, neighbor, score) out
-    val cand = Kernels.topKPerKey(
+    val cand = Kernels.topKPerKeyAgg(
       c.crossJoin(q)
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
@@ -89,12 +88,9 @@ object Similarity {
       .join(c, Seq("neighbor_id"))
       .join(q.withColumnRenamed("qv", "__qv"), Seq("query_id"))
       .withColumn("cos", cosine(col("__qv"), col("cv")))
-    Kernels.topKPerKey(
-        rescored.select(col("query_id"), col("neighbor_id"), col("cos")),
-        Seq("query_id"), Seq(col("cos"), -col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
+    Kernels.topKPerKeyRanked(
+      rescored.select(col("query_id"), col("neighbor_id"), col("cos")),
+      Seq("query_id"), Seq(col("cos"), -col("neighbor_id")), k)
   }
 
   /** Deterministic random-hyperplane weights: `planes` hyperplanes in
@@ -188,7 +184,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv")).distinct()
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    Kernels.topKPerKey(cand.select(col("query_id"), col("neighbor_id"), col("cos")),
+    Kernels.topKPerKeyAgg(
+      cand.select(col("query_id"), col("neighbor_id"), col("cos")),
       Seq("query_id"), Seq(col("cos"), -col("neighbor_id")), k)
   }
 

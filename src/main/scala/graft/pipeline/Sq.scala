@@ -57,17 +57,14 @@ object Sq {
       .select(col("query_id"), col("qv"), col("neighbor_id"),
         Similarity.cosine(col("qv"),
           dequantize(col("sq_codes"), col("sq_scale"))).as("acos"))
-    val cand = Kernels.topKPerKey(approx, Seq("query_id"),
+    val cand = Kernels.topKPerKeyAgg(approx, Seq("query_id"),
       Seq(col("acos"), col("neighbor_id")), nCandidates)
     val raw = corpus.select(col(id).as("neighbor_id"),
       Similarity.vecD(col(vec)).as("cv"))
     val exact = cand.join(raw, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("cv")).as("cos"))
-    Kernels.topKPerKey(exact, Seq("query_id"),
-        Seq(col("cos"), -col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
+    Kernels.topKPerKeyRanked(exact, Seq("query_id"),
+      Seq(col("cos"), -col("neighbor_id")), k)
   }
 }

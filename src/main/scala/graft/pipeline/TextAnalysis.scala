@@ -123,7 +123,7 @@ object TextAnalysis {
                      terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty)
     val q = terms.map(_.toLowerCase).distinct
-    graft.ops.Kernels.topKPerKey(
+    graft.ops.Kernels.topKPerKeyAgg(
       index.filter(col("term").isin(q: _*))
         .groupBy(col(id))
         .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
@@ -179,7 +179,7 @@ object TextAnalysis {
       .join(docLengths, Seq(id))
       .crossJoin(broadcast(stats))
       .withColumn("__s", round(idf * tfc, 8).cast("decimal(28,8)"))
-    graft.ops.Kernels.topKPerKey(
+    graft.ops.Kernels.topKPerKeyAgg(
       scored.groupBy(col(id))
         .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("__sum"))
         .withColumn("__k", lit(1)),
@@ -323,7 +323,7 @@ object TextAnalysis {
                        salt: String, quota: Int): DataFrame = {
     require(quota >= 1, "stratifiedSample: quota must be >= 1")
     val h = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
-    graft.ops.Kernels.topKPerKey(
+    graft.ops.Kernels.topKPerKeyAgg(
         df.withColumn("__rank_h", h), Seq(stratum),
         Seq(col("__rank_h"), col(idCol)), quota)
       .drop("__rank_h")

@@ -124,6 +124,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("e3_ivf_topk").contains("Broadcast"))
   }
 
+  test("ANN candidate selection is the mergeable heap, never a window sort") {
+    // the window form shuffles + per-key sorts EVERY scored candidate
+    // row; topk_rows ships at most partitions × k rows per query and
+    // derives rank from the heap's array position — so no Window node
+    // may appear anywhere in an ANN plan
+    for (q <- Seq("e1_cosine_topk", "e3_ivf_topk", "e6_pq_topk",
+        "e9_sq8_topk", "e10_ann_join", "e14_progressive_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still plans a Window:\n$p")
+      assert(p.contains("topk_rows"), s"$q lacks the bounded-heap agg")
+    }
+  }
+
   test("st1/st2 totals: exact DECIMAL sum inside, DOUBLE surfaced") {
     // gate-output convention (empirically pinned by CORRECTNESS_r01 vs
     // r02): the sum itself must be DECIMAL(18,2) — order-independent

@@ -349,35 +349,71 @@ object Dedup {
     val edges = CacheScope.persist(
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(col("dst")))
-    // seed with min(self, neighbors) — round 1 fused into init
-    var labels = edges
+    // seed with min(self, neighbors) — round 1 fused into init.
+    // `ckpt` owns the round's checkpoint blocks (freed next round);
+    // `labels` re-wraps them as a fresh-stats leaf (PlanBridge) so the
+    // per-round join statistics cannot compound across iterations —
+    // without this, sizeInBytes SQUARES per round and the driver ends
+    // up multiplying million-digit BigInts inside stats estimation
+    var ckpt = edges
       .groupBy(col("dst").as("id"))
       .agg(min(least(col("dst"), col("src"))).as("label"))
+      .select(col("id"), col("label"), col("label").as("__old"),
+        lit(false).as("__changed"))
       .localCheckpoint(eager = true)
+    var fresh = org.apache.spark.sql.graft.PlanBridge.freshLeaf(ckpt)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
+      val labels = fresh.select(col("id"), col("label"))
+      val labelT = fresh.schema("label").dataType
       val viaEdges = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
-      val stepped = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast(labelT).as("__old"))
+      // hash-to-min representative merge (Rastogi et al., "Finding
+      // Connected Components in Map-Reduce", ICDE 2013): every node
+      // whose min DROPPED last round forwards the new min to the
+      // representative it just left behind, so two touching clusters
+      // merge at their representatives in one round and the jump below
+      // redistributes — without this, neighbor-min + path-halving
+      // alone creeps hop-by-hop along chain graphs (observed: >50
+      // rounds on a long n_chars chain that this converges in ~6).
+      // The messages lag one round (read FREE off the previous
+      // checkpoint, no extra aggregation), which at most delays
+      // convergence by a round.
+      val msgs = fresh.filter(col("__changed"))
+        .select(col("__old").as("id"), col("label"),
+          lit(null).cast(labelT).as("__old"))
+      // the previous label threads THROUGH the min-aggregation (every
+      // id has exactly one labels row, so max(__old) recovers it) —
+      // the convergence check then reads off the checkpointed frame
+      // instead of paying a separate shuffle join per round
+      val stepped = labels.withColumn("__old", col("label"))
+        .unionByName(viaEdges).unionByName(msgs)
+        .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
       // pointer jump: label := label(label) (always ≤ — a node's own
       // label row is the min over a set containing itself)
       val next = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("__pl")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("__pl"), col("label")).as("label"))
+        .select(col("id"),
+          coalesce(col("__pl"), col("label")).as("label"), col("__old"),
+          (coalesce(col("__pl"), col("label")) =!= col("__old"))
+            .as("__changed"))
         .localCheckpoint(eager = true)
-      // limit(1) stops the fixpoint probe at the first changed label
-      converged = next
-        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
-        .filter(col("label") =!= col("__old"))
-        .limit(1).count() == 0L
-      freeCheckpoint(labels)
-      labels = next
+      // fixpoint probe over the already-materialized checkpoint blocks
+      // (no joins — limit(1) exits at the first changed label)
+      converged = next.filter(col("__changed")).limit(1).count() == 0L
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(s"[cc] round $it: changed=" +
+          next.filter(col("__changed")).count())
+      freeCheckpoint(ckpt)
+      ckpt = next
+      fresh = org.apache.spark.sql.graft.PlanBridge.freshLeaf(next)
       it += 1
     }
+    val labels = fresh.select(col("id"), col("label"))
     if (!converged)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters rounds")

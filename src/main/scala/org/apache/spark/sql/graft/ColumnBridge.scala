@@ -12,3 +12,29 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Plan-level internal access for iterative kernels. */
+object PlanBridge {
+
+  /** Re-wrap a MATERIALIZED frame (localCheckpoint'ed) as a fresh
+    * LogicalRDD leaf with DEFAULT statistics — zero-copy: the internal
+    * row RDD is reused, no job runs, and the checkpointed blocks stay
+    * the storage.
+    *
+    * Why this exists: `Dataset.localCheckpoint` copies the SOURCE
+    * plan's estimated `Statistics` onto the resulting LogicalRDD. In
+    * an iterative self-join loop (connected components, PageRank…)
+    * those estimates COMPOUND — `sizeInBytes` is a BigInt that joins
+    * multiply and a self-join SQUARES, so its digit count doubles
+    * every round and by round ~20 the driver spends its entire time
+    * inside BigInteger.multiply during stats estimation (observed:
+    * minutes of single-threaded Toom-Cook on a 5 000-row label
+    * frame). Resetting the leaf stats each round keeps every plan's
+    * sizeInBytes a bounded product of per-round factors. */
+  def freshLeaf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+  }
+}

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eager localCheckpoint + fresh-stats leaf rewrap
+    * ([[org.apache.spark.sql.graft.PlanBridge.freshLeaf]]): the plain
+    * checkpoint copies the source plan's estimated Statistics onto the
+    * new leaf, and in an iterative loop those estimates COMPOUND
+    * (sizeInBytes is a BigInt product over join children — k-core's
+    * edges⋈f(edges)⋈f(edges) shape cubes it per round) until the
+    * driver burns its time in BigInteger.multiply during planning.
+    * The rewrap keeps the SAME persisted blocks (freeCheckpointBlocks
+    * still releases them) but resets the leaf statistics. */
+  private def ckptFresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.PlanBridge.freshLeaf(
+      df.localCheckpoint(eager = true))
+
   /** Connected components over an undirected edge list: (node,
     * component) with component = min node id reachable. Delegates to
     * the min-label-propagation + pointer-jumping kernel
@@ -99,10 +112,10 @@ object Graph {
     val odeg = out.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val nodes = out.select(col("src").as("node"))
       .unionAll(out.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     val nN = nodes.count().toDouble
     var pr = nodes.select(col("node"), lit(1.0 / nN).as("pr"))
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta > tol) {
@@ -118,7 +131,7 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - d) / nN) + lit(d * dangling / nN) +
             lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
-        .localCheckpoint(eager = true)
+        .transform(ckptFresh)
       // fixed-iteration mode (tol ≤ 0) skips the L1-delta join+agg —
       // a third of each round's actions, pure overhead when the caller
       // asked for exactly maxIters rounds
@@ -154,31 +167,31 @@ object Graph {
     val out = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
     val nodes = out.select(col("src").as("node"))
       .unionAll(out.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     var auth: DataFrame = null // set by the first half-step below
     for (_ <- 1 to iters) {
       val araw = out
         .join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
-        .localCheckpoint(eager = true)
+        .transform(ckptFresh)
       val asum = araw.agg(sum(col("raw"))).head.getDouble(0)
       val nextAuth = nodes
         .join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("raw"), lit(0.0)) / lit(asum)).as("auth"))
-        .localCheckpoint(eager = true)
+        .transform(ckptFresh)
       val hraw = out
         .join(nextAuth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("auth")).as("raw"))
-        .localCheckpoint(eager = true)
+        .transform(ckptFresh)
       val hsum = hraw.agg(sum(col("raw"))).head.getDouble(0)
       val nextHub = nodes
         .join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("raw"), lit(0.0)) / lit(hsum)).as("hub"))
-        .localCheckpoint(eager = true)
+        .transform(ckptFresh)
       graft.ops.CacheScope.freeCheckpointBlocks(hub)
       if (auth != null) graft.ops.CacheScope.freeCheckpointBlocks(auth)
       graft.ops.CacheScope.freeCheckpointBlocks(araw)
@@ -258,12 +271,12 @@ object Graph {
     val odeg = out.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val nodes = out.select(col("src").as("node"))
       .unionAll(out.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     // the teleport vector as a codegen expression — no join needed
     val p = when(col("node").isin(sources: _*),
       lit(1.0) / lit(sources.size.toDouble)).otherwise(lit(0.0))
     var pr = nodes.select(col("node"), p.as("pr"))
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta > tol) {
@@ -279,7 +292,7 @@ object Graph {
         .select(col("node"),
           ((lit(1.0 - d) + lit(d * dangling)) * p +
             lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
-        .localCheckpoint(eager = true)
+        .transform(ckptFresh)
       if (tol > 0.0) // fixed-iteration mode: see [[pageRankDirected]]
         delta = pr.select(col("node"), col("pr").as("__old"))
           .join(next.select(col("node"), col("pr").as("__new")), Seq("node"))
@@ -319,7 +332,7 @@ object Graph {
     var und = edges.select(least(col(u1), col(u2)).as("u1"),
         greatest(col(u1), col(u2)).as("u2"))
       .filter(col("u1") =!= col("u2")).distinct()
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u1").as("node")).unionAll(e.select(col("u2").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -333,7 +346,7 @@ object Graph {
           .join(bad.withColumnRenamed("node", "u1"), Seq("u1"), "left_anti")
           .join(bad.withColumnRenamed("node", "u2"), Seq("u2"), "left_anti")
           .select(col("u1"), col("u2"))
-          .localCheckpoint(eager = true)
+          .transform(ckptFresh)
         graft.ops.CacheScope.freeCheckpointBlocks(und)
         und = peeled
         rounds += 1
@@ -372,7 +385,7 @@ object Graph {
       col(weight).cast("long").as("w"))
     var dist = sources.distinct.toDF("node")
       .select(col("node").cast("long").as("node"), lit(0L).as("cost"))
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -380,7 +393,7 @@ object Graph {
         .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
       val next = dist.unionByName(cand)
         .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(eager = true)
+        .transform(ckptFresh)
       val changed = next
         .join(dist.withColumnRenamed("cost", "__old"), Seq("node"), "left")
         .filter(col("__old").isNull || col("cost") < col("__old"))
@@ -420,7 +433,7 @@ object Graph {
     import spark.implicits._
     var settled = sources.distinct.toDF("node")
       .select(col("node").cast("long").as("node"), lit(0L).as("hop"))
-      .localCheckpoint(eager = true)
+      .transform(ckptFresh)
     var frontier = settled.select(col("node"))
     var hop = 0L
     var frontierSize = frontier.count()
@@ -430,8 +443,8 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("hop"))
-        .localCheckpoint(eager = true)
-      val grown = settled.unionByName(next).localCheckpoint(eager = true)
+        .transform(ckptFresh)
+      val grown = ckptFresh(settled.unionByName(next))
       graft.ops.CacheScope.freeCheckpointBlocks(settled)
       graft.ops.CacheScope.freeCheckpointBlocks(frontier)
       settled = grown

@@ -35,6 +35,12 @@ object PlanBridge {
       : org.apache.spark.sql.DataFrame = {
     val cs = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+    // reuse the PERSISTED RDD itself (not a physical-plan wrapper), so
+    // CacheScope.freeCheckpointBlocks on the rewrapped frame unpersists
+    // the actual checkpoint blocks
+    val rdd = df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.getOrElse(df.queryExecution.toRdd)
+    cs.internalCreateDataFrame(rdd, df.schema)
   }
 }

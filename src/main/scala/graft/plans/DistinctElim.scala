@@ -10,8 +10,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import graft.plans.PlanMatch.{rootsOf, stripToScan}
 
 /** A VERIFIED unique key on a file-backed table (the PK audit actually
-  * ran at declaration — see [[DistinctElim.declareUniqueKey]]). */
-case class UniqueKeyDef(name: String, paths: Set[String], keys: Seq[String])
+  * ran at declaration — see [[DistinctElim.declareUniqueKey]]).
+  * `fp`: [[TableState]] fingerprint at audit time — the rule refuses
+  * the rewrite when the table has since moved (an appended duplicate
+  * would otherwise survive a DISTINCT). Empty = unstamped. */
+case class UniqueKeyDef(name: String, paths: Set[String],
+                        keys: Seq[String], fp: String = "")
 
 object PkCatalog {
   private val defs = TrieMap.empty[String, UniqueKeyDef]
@@ -51,7 +55,9 @@ object DistinctElim {
                        keys: Seq[String]): UniqueKeyDef = {
     require(graft.ops.Validate.primaryKey(df, keys).isEmpty,
       s"unique key $name: ${keys.mkString(",")} has duplicate tuples")
-    val d = UniqueKeyDef(name, Mv.basePathsOf(df), keys)
+    val paths = Mv.basePathsOf(df)
+    val d = UniqueKeyDef(name, paths, keys,
+      fp = TableState.fingerprint(df.sparkSession, paths))
     PkCatalog.register(d)
     d
   }
@@ -114,6 +120,10 @@ case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def coversUniqueKey(p: LogicalPlan, attrs: Seq[Attribute]): Boolean =
     stripToScan(p).exists { case (_, fs, _) =>
       val names = attrs.map(_.name).toSet
-      PkCatalog.forPaths(rootsOf(fs)).exists(_.keys.forall(names.contains))
+      PkCatalog.forPaths(rootsOf(fs)).exists(d =>
+        d.keys.forall(names.contains) &&
+          // staleness guard: the table moved since the audit → the key
+          // is no longer VERIFIED unique → keep the real aggregate
+          TableState.matches(spark, d.fp, d.paths))
     }
 }

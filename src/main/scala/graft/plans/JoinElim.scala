@@ -14,9 +14,15 @@ import graft.plans.PlanMatch.{conjuncts, equiPairs, rootsOf, stripToScan}
   * matching `parentKeys` tuple in the parent (existence by the FK
   * audit, uniqueness + non-null by the PK audit — both actually run at
   * declaration, see [[JoinElim.declareVerified]]). */
+/** `fp`: [[TableState]] fingerprint of child ∪ parent at audit time —
+  * the rule refuses the rewrite when either table has since moved
+  * (an appended orphan row would otherwise be silently ADDED to
+  * results: the real join drops it, the substituted IsNotNull keeps
+  * it). Empty = unstamped, caller owns freshness. */
 case class FkDef(name: String,
                  childPaths: Set[String], childKeys: Seq[String],
-                 parentPaths: Set[String], parentKeys: Seq[String])
+                 parentPaths: Set[String], parentKeys: Seq[String],
+                 fp: String = "")
 
 object FkCatalog {
   private val defs = TrieMap.empty[String, FkDef]
@@ -75,8 +81,11 @@ object JoinElim {
       child, parent, childKeys, parentKeys)
     require(fkViolations.isEmpty,
       s"FK $name: child has orphaned ${childKeys.mkString(",")} values")
-    val d = FkDef(name, Mv.basePathsOf(child), childKeys,
-      Mv.basePathsOf(parent), parentKeys)
+    val (cp, pp) = (Mv.basePathsOf(child), Mv.basePathsOf(parent))
+    // stamp AFTER the audits: the fingerprint must cover the state the
+    // audits actually proved
+    val d = FkDef(name, cp, childKeys, pp, parentKeys,
+      fp = TableState.fingerprint(child.sparkSession, cp ++ pp))
     FkCatalog.register(d)
     d
   }
@@ -132,6 +141,11 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (prl, pfs, pconds) = stripToScan(parentPlan).getOrElse(return None)
     val fk = FkCatalog.forPair(rootsOf(cfs), rootsOf(pfs))
       .headOption.getOrElse(return None)
+
+    // staleness guard: either table moved since the audit → the edge
+    // is no longer VERIFIED → keep the real join (fall through)
+    if (!TableState.matches(spark, fk.fp, fk.childPaths ++ fk.parentPaths))
+      return None
 
     // condition must be exactly the registered key pairs (either order
     // inside each equality)

@@ -37,6 +37,12 @@ case class MvJoin(dimPaths: Set[String],
                   factKeys: Seq[String],
                   dimKeys: Seq[String])
 
+/** `fp`: [[TableState]] fingerprint of the base (and join dim) at
+  * build/refresh time — the rewrite rule refuses a summary whose base
+  * has since moved, turning the documented staleness contract into an
+  * enforced one (the query falls back to the base scan, correct and
+  * merely slower; refresh to restore the rewrite). Empty = unstamped:
+  * caller owns freshness. */
 case class MvDef(name: String,
                  basePaths: Set[String],
                  mvPath: String,
@@ -44,7 +50,11 @@ case class MvDef(name: String,
                  measures: Set[String],
                  mins: Set[String],
                  maxs: Set[String],
-                 join: Option[MvJoin] = None)
+                 join: Option[MvJoin] = None,
+                 fp: String = "") {
+  def allBasePaths: Set[String] =
+    basePaths ++ join.map(_.dimPaths).getOrElse(Set.empty)
+}
 
 /** Session-wide MV registry, keyed by the base scan's root paths —
   * the same identity the rewrite rule recovers from a candidate plan's
@@ -53,11 +63,43 @@ case class MvDef(name: String,
 object MvCatalog {
   private val defs = TrieMap.empty[String, MvDef]
 
-  def register(d: MvDef): Unit = defs.put(d.name, d)
+  /** Memoized resolved relation per summary directory: binding an MV
+    * costs a file listing + parquet footer schema read, and the
+    * rewrite rule would otherwise pay it PER CANDIDATE AGGREGATE per
+    * planning pass. Keyed by mvPath — every refresh lands in a fresh
+    * `_v*` directory, so a re-point naturally misses the cache and the
+    * superseded entry is dropped on [[register]]. */
+  private val relCache =
+    TrieMap.empty[String, org.apache.spark.sql.execution.datasources.LogicalRelation]
+  /** Count of actual listing+schema loads — pinned by MvRewriteSpec
+    * (one per registered version, not one per planning pass). */
+  private[graft] val bindLoads = new java.util.concurrent.atomic.AtomicLong
+
+  def register(d: MvDef): Unit = {
+    defs.put(d.name, d).foreach { old =>
+      if (old.mvPath != d.mvPath) relCache.remove(old.mvPath)
+    }
+  }
   def get(name: String): Option[MvDef] = defs.get(name)
-  def unregister(name: String): Unit = defs.remove(name)
-  def clear(): Unit = defs.clear()
+  def unregister(name: String): Unit =
+    defs.remove(name).foreach(old => relCache.remove(old.mvPath))
+  def clear(): Unit = { defs.clear(); relCache.clear() }
   def isEmpty: Boolean = defs.isEmpty
+  def all: Seq[MvDef] = defs.values.toSeq.sortBy(_.name)
+
+  private[plans] def resolvedRelation(spark: SparkSession, mvPath: String)
+      : Option[org.apache.spark.sql.execution.datasources.LogicalRelation] =
+    relCache.get(mvPath).orElse {
+      bindLoads.incrementAndGet()
+      spark.read.parquet(mvPath).queryExecution.analyzed match {
+        case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          relCache.put(mvPath, rel); Some(rel)
+        case Project(_, rel:
+            org.apache.spark.sql.execution.datasources.LogicalRelation) =>
+          relCache.put(mvPath, rel); Some(rel)
+        case _ => None
+      }
+    }
 
   /** Single-table MVs whose base is exactly this scan's root-path set. */
   def forPaths(paths: Set[String]): Seq[MvDef] =

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import graft.catalog.SnapshotManifest
+
+/** Table-state fingerprints for the constraint/MV rewrite registries.
+  *
+  * The "trust is earned" audits ([[JoinElim.declareVerified]],
+  * [[DistinctElim.declareUniqueKey]]) and MV builds prove a property
+  * of the table AS OF declaration time; nothing stops the table from
+  * moving afterwards (`Layout.append`, a plain parquet append, a
+  * compaction). A rewrite that still fires then returns silently
+  * wrong answers — the worst failure mode an optimizer can have.
+  * Every registry entry is therefore STAMPED with this fingerprint at
+  * declaration, and each rule re-computes it at plan time, falling
+  * through to the unrewritten plan on mismatch (correct, just
+  * slower — re-declare after re-auditing to restore the rewrite).
+  *
+  * Fingerprint per root path, cheapest-available-evidence order:
+  *   - a [[SnapshotManifest]]-logged table → `snap:<name>` from the
+  *     `_latest` pointer — ONE tiny file read, the same token every
+  *     maintenance op already CAS-commits against;
+  *   - a plain directory → `ls:<files>:<bytes>:<maxMtime>` over its
+  *     recursively listed data files (hidden `_`/`.` components
+  *     skipped) — one listing, O(file count) metadata;
+  *   - a single file → `f:<len>:<mtime>`.
+  * Any append, delete, compact, or overwrite changes the value. The
+  * check runs only AFTER a registry entry's path set has matched the
+  * candidate plan, so queries that touch no registered table never
+  * pay it.
+  */
+object TableState {
+
+  def fingerprint(spark: SparkSession, roots: Set[String]): String =
+    roots.toSeq.sorted.map(one(spark, _)).mkString(";")
+
+  /** Empty stamp = declared without staleness tracking (direct
+    * registry writes, pre-stamp persisted defs): the caller owns
+    * freshness, exactly the pre-r11 contract. */
+  def matches(spark: SparkSession, stamped: String,
+              roots: Set[String]): Boolean =
+    stamped.isEmpty || stamped == fingerprint(spark, roots)
+
+  private def one(spark: SparkSession, root: String): String = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val st = fs.getFileStatus(p)
+    if (st.isFile) return s"f:${st.getLen}:${st.getModificationTime}"
+    SnapshotManifest.currentSnap(spark, root) match {
+      case Some(snap) => s"snap:$snap"
+      case None =>
+        val qroot = fs.makeQualified(p).toString
+        var n = 0L; var bytes = 0L; var mt = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toString.stripPrefix(qroot).stripPrefix("/")
+          val hidden = rel.split('/')
+            .exists(c => c.startsWith("_") || c.startsWith("."))
+          if (!hidden) {
+            n += 1; bytes += f.getLen
+            if (f.getModificationTime > mt) mt = f.getModificationTime
+          }
+        }
+        s"ls:$n:$bytes:$mt"
+    }
+  }
+}

@@ -70,12 +70,16 @@ object DistinctElim {
 
 case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
     if (PkCatalog.isEmpty ||
-      conf.getConfString("graft.distinctelim.enabled", "true") != "true") plan
-    else plan.transformDown {
+      conf.getConfString("graft.distinctelim.enabled", "true") != "true")
+      return plan
+    // one fingerprint probe per table per PASS (FpCache), however
+    // many dedup sites in the tree match a registered key
+    val fpc = new FpCache(spark)
+    plan.transformDown {
       case d @ Deduplicate(keys, child) =>
-        if (coversUniqueKey(child, keys)) child else d
+        if (coversUniqueKey(child, keys, fpc)) child else d
 
       case agg: Aggregate =>
         // DISTINCT (bare grouping attrs out) or dropDuplicates (Spark
@@ -98,7 +102,7 @@ case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         if (collapsed.isDefined &&
           coversUniqueKey(agg.child,
-            agg.groupingExpressions.map(_.asInstanceOf[Attribute])))
+            agg.groupingExpressions.map(_.asInstanceOf[Attribute]), fpc))
           Project(collapsed.get, agg.child)
         else {
           // COUNT(DISTINCT k ⊇ unique key) → COUNT(k)
@@ -106,24 +110,27 @@ case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case ae @ AggregateExpression(Count(cs), _, true, None, _)
               if cs.forall(_.isInstanceOf[AttributeReference]) &&
                 coversUniqueKey(agg.child,
-                  cs.map(_.asInstanceOf[Attribute])) =>
+                  cs.map(_.asInstanceOf[Attribute]), fpc) =>
               ae.copy(isDistinct = false)
           }.asInstanceOf[NamedExpression])
           if (newAggs == agg.aggregateExpressions) agg
           else agg.copy(aggregateExpressions = newAggs)
         }
     }
+  }
 
   /** Does `attrs` contain a verified unique key of the scan `p` strips
     * to? Residual Filters/Projects are fine — uniqueness is preserved
     * on any row subset. */
-  private def coversUniqueKey(p: LogicalPlan, attrs: Seq[Attribute]): Boolean =
+  private def coversUniqueKey(p: LogicalPlan, attrs: Seq[Attribute],
+                              fpc: FpCache): Boolean =
     stripToScan(p).exists { case (_, fs, _) =>
       val names = attrs.map(_.name).toSet
       PkCatalog.forPaths(rootsOf(fs)).exists(d =>
         d.keys.forall(names.contains) &&
           // staleness guard: the table moved since the audit → the key
-          // is no longer VERIFIED unique → keep the real aggregate
-          TableState.matches(spark, d.fp, d.paths))
+          // is no longer VERIFIED unique → keep the real aggregate;
+          // pinned by DistinctElimSpec's violating-append test
+          fpc.matches(d.fp, d.paths))
     }
 }

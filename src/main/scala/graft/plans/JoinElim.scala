@@ -103,26 +103,31 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (FkCatalog.isEmpty ||
       conf.getConfString("graft.joinelim.enabled", "true") != "true") plan
-    else plan.transformDown {
-      case p @ Project(pl, j: Join) =>
-        eliminate(j, pl.flatMap(_.references)) match {
-          case Some(nc) => Project(pl, nc)
-          case None => p
-        }
-      case a: Aggregate if a.child.isInstanceOf[Join] =>
-        val j = a.child.asInstanceOf[Join]
-        eliminate(j,
-          (a.groupingExpressions ++ a.aggregateExpressions)
-            .flatMap(_.references)) match {
-          case Some(nc) => a.copy(child = nc)
-          case None => a
-        }
+    else {
+      // one fingerprint probe per table per PASS (FpCache), however
+      // many joins in the tree match a registered edge
+      val fpc = new FpCache(spark)
+      plan.transformDown {
+        case p @ Project(pl, j: Join) =>
+          eliminate(j, pl.flatMap(_.references), fpc) match {
+            case Some(nc) => Project(pl, nc)
+            case None => p
+          }
+        case a: Aggregate if a.child.isInstanceOf[Join] =>
+          val j = a.child.asInstanceOf[Join]
+          eliminate(j,
+            (a.groupingExpressions ++ a.aggregateExpressions)
+              .flatMap(_.references), fpc) match {
+            case Some(nc) => a.copy(child = nc)
+            case None => a
+          }
+      }
     }
 
   /** If `j` is a verified-FK inner join whose parent side contributes
     * nothing to `needed`, return the replacement child subtree. */
-  private def eliminate(j: Join, needed: Seq[Attribute])
-  : Option[LogicalPlan] = {
+  private def eliminate(j: Join, needed: Seq[Attribute],
+                        fpc: FpCache): Option[LogicalPlan] = {
     if (j.joinType != Inner) return None
     val cond = j.condition.getOrElse(return None)
     val pairs = equiPairs(cond).getOrElse(return None)
@@ -130,21 +135,23 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // try both orientations: (child=left, parent=right) and flipped
     Seq((j.left, j.right), (j.right, j.left)).view.flatMap {
       case (childPlan, parentPlan) =>
-        tryOne(childPlan, parentPlan, pairs, needed)
+        tryOne(childPlan, parentPlan, pairs, needed, fpc)
     }.headOption
   }
 
   private def tryOne(childPlan: LogicalPlan, parentPlan: LogicalPlan,
                      pairs: Seq[(String, String)],
-                     needed: Seq[Attribute]): Option[LogicalPlan] = {
+                     needed: Seq[Attribute],
+                     fpc: FpCache): Option[LogicalPlan] = {
     val (_, cfs, _) = stripToScan(childPlan).getOrElse(return None)
     val (prl, pfs, pconds) = stripToScan(parentPlan).getOrElse(return None)
     val fk = FkCatalog.forPair(rootsOf(cfs), rootsOf(pfs))
       .headOption.getOrElse(return None)
 
     // staleness guard: either table moved since the audit → the edge
-    // is no longer VERIFIED → keep the real join (fall through)
-    if (!TableState.matches(spark, fk.fp, fk.childPaths ++ fk.parentPaths))
+    // is no longer VERIFIED → keep the real join (fall through);
+    // pinned by JoinElimSpec's violating-append test
+    if (!fpc.matches(fk.fp, fk.childPaths ++ fk.parentPaths))
       return None
 
     // condition must be exactly the registered key pairs (either order

@@ -23,12 +23,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * their base names. The rewrite re-aggregates those partials, which
   * is exact because SUM/COUNT/MIN/MAX are self-decomposable.
   *
-  * STALENESS is the caller's contract, exactly as in every MV system:
-  * the view answers for the base table as of its build. At 100 TB the
-  * MV lives beside the base in the Layout catalog and is refreshed
-  * incrementally from the snapshot change feed (the `u13`/`st9`
-  * incremental-aggregation kernels); rebuilding here is one grouped
-  * pass — O(|base|) once, amortized over every rewritten query.
+  * STALENESS is ENFORCED: the view answers for the base table as of
+  * its build/refresh, and the [[MvDef.fp]] fingerprint check in
+  * [[MvRewriteRule]] refuses the rewrite once the base moves — the
+  * query falls back to the base scan until a refresh re-stamps. At
+  * 100 TB the MV lives beside the base in the Layout catalog and is
+  * refreshed incrementally from the snapshot change feed (the
+  * `u13`/`st9` incremental-aggregation kernels); rebuilding here is
+  * one grouped pass — O(|base|) once, amortized over every rewritten
+  * query.
   *
   * `join`: present on star-schema MVs — the summary was built over
   * `fact INNER JOIN dim ON factKeys = dimKeys`; [[MvJoin.dimPaths]] is
@@ -38,11 +41,14 @@ case class MvJoin(dimPaths: Set[String],
                   dimKeys: Seq[String])
 
 /** `fp`: [[TableState]] fingerprint of the base (and join dim) at
-  * build/refresh time — the rewrite rule refuses a summary whose base
-  * has since moved, turning the documented staleness contract into an
-  * enforced one (the query falls back to the base scan, correct and
-  * merely slower; refresh to restore the rewrite). Empty = unstamped:
-  * caller owns freshness. */
+  * build/refresh time — stamped by [[Mv.build]], [[Mv.buildJoin]],
+  * [[Mv.refreshAppend]] and [[Mv.refreshChanges]], and CHECKED by
+  * [[MvRewriteRule]] before every rewrite: a summary whose base has
+  * since moved is refused, turning the documented staleness contract
+  * into an enforced one (the query falls back to the base scan,
+  * correct and merely slower; refresh to restore the rewrite).
+  * Pinned by MvRewriteSpec's base-append test. Empty = unstamped:
+  * caller owns freshness (direct `MvCatalog.register` writes). */
 case class MvDef(name: String,
                  basePaths: Set[String],
                  mvPath: String,
@@ -68,11 +74,15 @@ object MvCatalog {
     * rewrite rule would otherwise pay it PER CANDIDATE AGGREGATE per
     * planning pass. Keyed by mvPath — every refresh lands in a fresh
     * `_v*` directory, so a re-point naturally misses the cache and the
-    * superseded entry is dropped on [[register]]. */
+    * superseded entry is dropped on [[register]]. Consumers must wrap
+    * the cached relation with `newInstance()` per binding site —
+    * attribute ids must stay fresh across rewrite sites
+    * ([[MvRewriteRule.bind]] does). */
   private val relCache =
     TrieMap.empty[String, org.apache.spark.sql.execution.datasources.LogicalRelation]
-  /** Count of actual listing+schema loads — pinned by MvRewriteSpec
-    * (one per registered version, not one per planning pass). */
+  /** Count of actual listing+schema loads — pinned by MvRewriteSpec's
+    * bindLoads test (one per registered version, not one per planning
+    * pass). */
   private[graft] val bindLoads = new java.util.concurrent.atomic.AtomicLong
 
   def register(d: MvDef): Unit = {
@@ -176,10 +186,15 @@ object Mv {
   def build(base: DataFrame, name: String, dims: Seq[String],
             measures: Seq[String], mvPath: String,
             mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
+    val paths = basePathsOf(base)
+    // fingerprint BEFORE the summarizing pass: if the base moves while
+    // the summary is being written, the stamp no longer matches at
+    // plan time and the (possibly torn) summary is never trusted
+    val fp = TableState.fingerprint(base.sparkSession, paths)
     summarize(base, dims, measures, mins, maxs)
       .write.mode("overwrite").parquet(mvPath)
-    val d = MvDef(name, basePathsOf(base), mvPath, dims,
-      measures.toSet, mins.toSet, maxs.toSet)
+    val d = MvDef(name, paths, mvPath, dims,
+      measures.toSet, mins.toSet, maxs.toSet, fp = fp)
     MvCatalog.register(d)
     d
   }
@@ -202,11 +217,14 @@ object Mv {
     val dup = fact.columns.toSet.intersect(dim.columns.toSet)
     require(dup.isEmpty, s"ambiguous columns across fact and dim: $dup")
     val cond = on.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
+    val (fpaths, dpaths) = (basePathsOf(fact), basePathsOf(dim))
+    // fingerprint both sides before the build pass (see [[build]])
+    val fp = TableState.fingerprint(fact.sparkSession, fpaths ++ dpaths)
     summarize(fact.join(dim, cond, "inner"), dims, measures, mins, maxs)
       .write.mode("overwrite").parquet(mvPath)
-    val d = MvDef(name, basePathsOf(fact), mvPath, dims,
+    val d = MvDef(name, fpaths, mvPath, dims,
       measures.toSet, mins.toSet, maxs.toSet,
-      join = Some(MvJoin(basePathsOf(dim), on.map(_._1), on.map(_._2))))
+      join = Some(MvJoin(dpaths, on.map(_._1), on.map(_._2))), fp = fp)
     MvCatalog.register(d)
     d
   }
@@ -236,6 +254,10 @@ object Mv {
                     batch: DataFrame): MvDef = {
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
+    // re-stamp against the base state the refreshed summary reflects:
+    // the caller's contract is base-advance THEN refresh-with-batch,
+    // so at refresh entry the base already holds the batch's rows
+    val fp = TableState.fingerprint(spark, d.allBasePaths)
     val cur = spark.read.parquet(d.mvPath)
     val ms = d.measures.toSeq.sorted
     val delta = summarize(batch, d.dims, ms, d.mins.toSeq.sorted,
@@ -253,7 +275,7 @@ object Mv {
       .agg(mergeAggs.head, mergeAggs.tail: _*)
     val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
     merged.write.mode("errorifexists").parquet(next)
-    val nd = d.copy(mvPath = next)
+    val nd = d.copy(mvPath = next, fp = fp)
     MvCatalog.register(nd)
     nd
   }
@@ -289,6 +311,9 @@ object Mv {
     require(d.mins.isEmpty && d.maxs.isEmpty,
       s"MV $name keeps MIN/MAX partials, which do not retract under " +
         "deletes; rebuild instead (Mv.build is one grouped pass)")
+    // re-stamp at entry: the base has already advanced to the state
+    // the feed's net application reflects (see [[refreshAppend]])
+    val fp = TableState.fingerprint(spark, d.allBasePaths)
     val cur = spark.read.parquet(d.mvPath)
     val ms = d.measures.toSeq.sorted
     // an unknown tag would silently corrupt counts — fail loudly,
@@ -310,8 +335,22 @@ object Mv {
       sum(col(s"sum_$m")).cast(cur.schema(s"sum_$m").dataType).as(s"sum_$m"),
       sum(col(s"cnt_$m")).cast("long").as(s"cnt_$m"))) :+
       sum(col("cnt")).cast("long").as("cnt")
-    val merged = cur.unionByName(delta).groupBy(d.dims.map(col): _*)
+    val merged0 = cur.unionByName(delta).groupBy(d.dims.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
+    // an OVER-RETRACTING feed (deletes of rows the view never held)
+    // drives a count partial negative; silently dropping such a group
+    // at the cnt>0 filter would make a corrupt feed indistinguishable
+    // from a clean full retraction — fail loudly instead, in-pass
+    // (raise_error costs nothing on valid rows)
+    val guarded = (ms.map(m => s"cnt_$m") :+ "cnt").foldLeft(merged0) {
+      (df, c) => df.withColumn(c, when(col(c) < 0L,
+        raise_error(concat(
+          lit(s"refreshChanges($name): over-retracting feed — $c went " +
+            "negative ("), col(c).cast("string"),
+          lit("); the feed deleted rows the view never held")))
+          .cast("long")).otherwise(col(c)))
+    }
+    val merged = guarded
       .filter(col("cnt") > 0) // fully-retracted groups leave the view
     // a surviving group whose non-null count hit zero must read
     // SUM(m) = NULL (sum over no rows), not the cancelled-out 0
@@ -322,7 +361,7 @@ object Mv {
       col(s"cnt_$m"))) :+ col("cnt"): _*)
     val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
     nulled.write.mode("errorifexists").parquet(next)
-    val nd = d.copy(mvPath = next)
+    val nd = d.copy(mvPath = next, fp = fp)
     MvCatalog.register(nd)
     nd
   }
@@ -362,15 +401,20 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvCatalog.isEmpty ||
       conf.getConfString("graft.mv.rewrite.enabled", "true") != "true") plan
-    else plan.transformDown {
-      case agg: Aggregate =>
-        // try every MV registered for this source; first one that can
-        // answer the query wins (they differ in dims/measures, so
-        // "can answer" is the selection criterion that matters)
-        sources(agg).view.flatMap(src => tryRewrite(agg, src))
-          .headOption
-          .orElse(tryRewriteExpand(agg))
-          .getOrElse(agg)
+    else {
+      // one fingerprint probe per base path per PASS, however many
+      // candidate Aggregates match a registered table
+      val fpc = new FpCache(spark)
+      plan.transformDown {
+        case agg: Aggregate =>
+          // try every MV registered for this source; first one that can
+          // answer the query wins (they differ in dims/measures, so
+          // "can answer" is the selection criterion that matters)
+          sources(agg).view.flatMap(src => tryRewrite(agg, src, fpc))
+            .headOption
+            .orElse(tryRewriteExpand(agg, fpc))
+            .getOrElse(agg)
+      }
     }
 
   /** A matched query source: the scans' combined output attributes,
@@ -499,17 +543,23 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Bind through [[MvCatalog.resolvedRelation]] (the listing +
+    * footer-schema read happens once per registered summary version,
+    * not per candidate per pass — pinned by MvRewriteSpec's bindLoads
+    * test), re-instanced per binding site so attribute ids stay fresh
+    * when one tree carries two rewrites of the same MV. */
   private def bind(mv: MvDef): Option[Binding] =
-    spark.read.parquet(mv.mvPath).queryExecution.analyzed match {
-      case rel: LogicalRelation =>
-        Some(new Binding(mv, rel, Some(conf.sessionLocalTimeZone)))
-      case Project(_, rel: LogicalRelation) =>
-        Some(new Binding(mv, rel, Some(conf.sessionLocalTimeZone)))
-      case _ => None
-    }
+    MvCatalog.resolvedRelation(spark, mv.mvPath).map(rel =>
+      new Binding(mv, rel.newInstance(), Some(conf.sessionLocalTimeZone)))
 
-  private def tryRewrite(agg: Aggregate, src: Source): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate, src: Source,
+                         fpc: FpCache): Option[LogicalPlan] = {
     val Source(baseAttrs, conds, mv) = src
+
+    // staleness guard: the base (or join dim) moved since the summary
+    // was built/refreshed → the summary no longer answers for it →
+    // keep the base plan (correct, merely slower; refresh to restore)
+    if (!fpc.matches(mv.fp, mv.allBasePaths)) return None
 
     // grouping: bare dim columns only
     val groupAttrs = agg.groupingExpressions.map {
@@ -573,7 +623,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * original per-set aggregate. Dim output attrs and the gid keep
     * their ORIGINAL exprIds, so the Aggregate's groupings, GROUPING()
     * projections, and every downstream reference stay valid. */
-  private def tryRewriteExpand(agg: Aggregate): Option[LogicalPlan] = {
+  private def tryRewriteExpand(agg: Aggregate,
+                               fpc: FpCache): Option[LogicalPlan] = {
     val ex = agg.child match {
       case e: Expand => e
       case _ => return None
@@ -581,6 +632,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (lr, fs, conds) = stripToScan(ex.child).getOrElse(return None)
     val scanIds = lr.output.map(_.exprId).toSet
     val mv = MvCatalog.forPaths(rootsOf(fs)).headOption.getOrElse(return None)
+    // staleness guard, exactly as in [[tryRewrite]]
+    if (!fpc.matches(mv.fp, mv.allBasePaths)) return None
     val b = bind(mv).getOrElse(return None)
     val dimNames = mv.dims.toSet
 

@@ -32,6 +32,15 @@ import graft.catalog.SnapshotManifest
   */
 object TableState {
 
+  /** Per-root fingerprint probes actually taken (each is a
+    * getFileStatus + either one `_latest` read or one recursive
+    * listing). Pinned by TableStateSpec: within ONE planning pass a
+    * root is probed at most once however many candidate plan nodes
+    * match it — the [[FpCache]] memo is what bounds plan-time cost
+    * for plain-directory registrations (O(file count) per QUERY, not
+    * per candidate Aggregate/Join). */
+  private[graft] val probes = new java.util.concurrent.atomic.AtomicLong
+
   def fingerprint(spark: SparkSession, roots: Set[String]): String =
     roots.toSeq.sorted.map(one(spark, _)).mkString(";")
 
@@ -42,7 +51,8 @@ object TableState {
               roots: Set[String]): Boolean =
     stamped.isEmpty || stamped == fingerprint(spark, roots)
 
-  private def one(spark: SparkSession, root: String): String = {
+  private[plans] def one(spark: SparkSession, root: String): String = {
+    probes.incrementAndGet()
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
@@ -67,4 +77,22 @@ object TableState {
         s"ls:$n:$bytes:$mt"
     }
   }
+}
+
+/** ONE-PLANNING-PASS fingerprint memo. Each rewrite rule constructs a
+  * fresh instance per `apply` invocation, so within a single pass a
+  * root path is fingerprinted AT MOST ONCE no matter how many
+  * candidate plan nodes match a registered table — a query with K
+  * rewrite candidates over a plain-parquet directory of F files costs
+  * one O(F) listing, not K of them, and snapshot-logged tables cost
+  * one `_latest` read. Deliberately NOT a TTL cache: the memo dies
+  * with the pass, so a same-JVM append between two queries is always
+  * seen by the next plan — no staleness window to reason about. */
+final class FpCache(spark: SparkSession) {
+  private val memo = scala.collection.mutable.HashMap.empty[String, String]
+
+  def matches(stamped: String, roots: Set[String]): Boolean =
+    stamped.isEmpty || stamped == roots.toSeq.sorted
+      .map(r => memo.getOrElseUpdate(r, TableState.one(spark, r)))
+      .mkString(";")
 }

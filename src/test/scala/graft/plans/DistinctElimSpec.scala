@@ -83,6 +83,44 @@ class DistinctElimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(optimized(df).contains("Aggregate"), optimized(df))
   }
 
+  test("append after declaration refuses the elimination; re-declaration restores it") {
+    import spark.implicits._
+    val tp2 = root + "/t2"
+    Tables.load(spark, sf, "orders").select(
+      col("o_orderkey").as("ok"), col("o_orderstatus").as("status"))
+      .write.mode("overwrite").parquet(tp2)
+    def t2 = spark.read.parquet(tp2)
+    def d = t2.select("ok", "status").distinct()
+    try {
+      DistinctElim.declareUniqueKey("despec_stale", t2, Seq("ok"))
+      assert(!optimized(d).contains("Aggregate"), optimized(d))
+      // a VALID append (fresh key) still moves the fingerprint: the
+      // audit covered the pre-append state
+      Seq((-1L, "V")).toDF("ok", "status").write.mode("append").parquet(tp2)
+      assert(optimized(d).contains("Aggregate"), optimized(d))
+      // re-auditing restores the elimination
+      DistinctElim.declareUniqueKey("despec_stale", t2, Seq("ok"))
+      assert(!optimized(d).contains("Aggregate"), optimized(d))
+      // an EXACT-duplicate append is the wrong-answer hazard: a
+      // Project-for-Aggregate substitution would emit the row twice —
+      // the guard must keep the real distinct, which collapses it
+      val dup = t2.select("ok", "status").head
+      Seq((dup.getLong(0), dup.getString(1))).toDF("ok", "status")
+        .write.mode("append").parquet(tp2)
+      assert(optimized(d).contains("Aggregate"), optimized(d))
+      val on = d.collect().length
+      spark.conf.set("graft.distinctelim.enabled", "false")
+      val off = try d.collect().length
+      finally spark.conf.unset("graft.distinctelim.enabled")
+      assert(on == off && on.toLong == t2.count() - 1,
+        "the kept real DISTINCT must collapse the duplicate row")
+      // and re-declaration on the violated state refuses loudly
+      intercept[IllegalArgumentException] {
+        DistinctElim.declareUniqueKey("despec_stale", t2, Seq("ok"))
+      }
+    } finally PkCatalog.unregister("despec_stale")
+  }
+
   test("declareUniqueKey refuses a duplicate column") {
     intercept[IllegalArgumentException] {
       DistinctElim.declareUniqueKey("despec_bad", t, Seq("status"))

@@ -90,6 +90,68 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scanPaths(g).exists(_.endsWith("/parent")), scanPaths(g))
   }
 
+  test("append after declaration refuses the rewrite; re-declaration restores it") {
+    import spark.implicits._
+    val c2 = root + "/child2"
+    val p2 = root + "/parent2"
+    Tables.load(spark, sf, "orders").select(
+      col("o_custkey").as("ck"), col("o_orderstatus").as("status"))
+      .write.mode("overwrite").parquet(c2)
+    Tables.load(spark, sf, "customer").select(
+      col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+      .write.mode("overwrite").parquet(p2)
+    def child2 = spark.read.parquet(c2)
+    def parent2 = spark.read.parquet(p2)
+    def g = child2.join(parent2, col("ck") === col("ck2"), "inner")
+      .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
+    try {
+      JoinElim.declareVerified("jespec_stale", child2, Seq("ck"),
+        parent2, Seq("ck2"))
+      assert(!scanPaths(g).exists(_.endsWith("/parent2")), scanPaths(g))
+      // even a VALID append moves the fingerprint: the audit covered
+      // the pre-append state, so the edge is no longer VERIFIED
+      val valid = child2.select("ck").head.getLong(0)
+      Seq((valid, "V")).toDF("ck", "status").write.mode("append").parquet(c2)
+      assert(scanPaths(g).exists(_.endsWith("/parent2")), scanPaths(g))
+      // re-auditing (re-declaration) restores the rewrite
+      JoinElim.declareVerified("jespec_stale", child2, Seq("ck"),
+        parent2, Seq("ck2"))
+      assert(!scanPaths(g).exists(_.endsWith("/parent2")), scanPaths(g))
+      // an ORPHAN append is the wrong-answer hazard: the real join
+      // drops it, the IsNotNull substitution would have KEPT it — the
+      // guard must fall back AND the answer must exclude the orphan
+      Seq((-424242L, "ZZ")).toDF("ck", "status")
+        .write.mode("append").parquet(c2)
+      assert(scanPaths(g).exists(_.endsWith("/parent2")), scanPaths(g))
+      val on = g.collect().toSeq
+      spark.conf.set("graft.joinelim.enabled", "false")
+      val off = try g.collect().toSeq
+      finally spark.conf.unset("graft.joinelim.enabled")
+      assert(on == off && !on.exists(_.getString(0) == "ZZ"),
+        "orphan row must be dropped by the (kept) real join")
+      // and re-declaration on the violated state refuses loudly
+      intercept[IllegalArgumentException] {
+        JoinElim.declareVerified("jespec_stale", child2, Seq("ck"),
+          parent2, Seq("ck2"))
+      }
+    } finally FkCatalog.unregister("jespec_stale")
+  }
+
+  test("one planning pass probes each table's state at most once (FpCache)") {
+    // three candidate join sites over the same declared pair: the
+    // per-pass memo must fingerprint child+parent once per rule
+    // invocation, not once per candidate — bounded by invocations
+    // (fixpoint iterations), never by candidate count
+    val q = joined.select(col("status"))
+      .union(joined.select(col("status")))
+      .union(joined.select(col("status")))
+    val before = TableState.probes.get()
+    assert(!scanPaths(q).exists(_.endsWith("/parent")), scanPaths(q))
+    val delta = TableState.probes.get() - before
+    assert(delta <= 8, s"expected O(paths × passes) probes, got $delta " +
+      "(unmemoized would probe per candidate per pass)")
+  }
+
   test("declareVerified refuses a violated FK") {
     intercept[IllegalArgumentException] {
       // parent keyed on a non-unique column → PK audit fails

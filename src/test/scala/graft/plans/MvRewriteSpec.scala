@@ -219,6 +219,34 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_cdc0")
   }
 
+  test("CDC refresh fails loudly on an over-retracting feed (negative count partial)") {
+    import spark.implicits._
+    val fp = root + "/fact6"
+    Seq(("A", 1L), ("B", 5L)).toDF("rf", "qty")
+      .write.mode("overwrite").parquet(fp)
+    try {
+      Mv.build(spark.read.parquet(fp), "mvspec_overret", Seq("rf"),
+        measures = Seq("qty"), mvPath = root + "/mv6o")
+      // deletes TWO A rows where the view holds one — a corrupt feed;
+      // silently absorbing it (the cnt>0 filter alone) would be
+      // indistinguishable from a clean full retraction
+      val feed = Seq(("A", 1L, "delete"), ("A", 1L, "delete"))
+        .toDF("rf", "qty", "_change_type")
+      val ex = intercept[Exception] {
+        Mv.refreshChanges(spark, "mvspec_overret", feed)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("over-retracting")),
+        s"expected the over-retraction raise_error, got: $ex")
+      // a clean retraction of the row the view DOES hold still works
+      val ok = Seq(("A", 1L, "delete")).toDF("rf", "qty", "_change_type")
+      val d = Mv.refreshChanges(spark, "mvspec_overret", ok)
+      val rows = spark.read.parquet(d.mvPath).select("rf").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("B"))
+    } finally MvCatalog.unregister("mvspec_overret")
+  }
+
   test("CDC refresh refuses a MIN/MAX-carrying view and unknown tags fail loudly") {
     import spark.implicits._
     assertThrows[IllegalArgumentException] {
@@ -310,6 +338,56 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
         .groupBy("seg").agg(sum("price").as("s"))
       assert(scanPaths(g).exists(_.endsWith("/sfact")), scanPaths(g))
     } finally MvCatalog.unregister("mvspec_star")
+  }
+
+  test("base append → rewrite refused (stale stamp), answer is fresh; refresh restores it") {
+    import spark.implicits._
+    val fp0 = root + "/fact_stale"
+    Tables.load(spark, sf, "lineitem").limit(500).select(
+      col("l_returnflag").as("rf"), col("l_quantity").cast("bigint").as("qty"))
+      .write.mode("overwrite").parquet(fp0)
+    try {
+      Mv.build(spark.read.parquet(fp0), "mvspec_stale", Seq("rf"),
+        measures = Seq("qty"), mvPath = root + "/mv_stale")
+      def g = spark.read.parquet(fp0).groupBy("rf")
+        .agg(sum("qty").as("s"), count(lit(1)).as("n")).orderBy("rf")
+      assert(scanPaths(g).exists(_.endsWith("/mv_stale")), scanPaths(g))
+      // the base MOVES: one appended row the summary has never seen —
+      // the fingerprint no longer matches, the rule must fall back to
+      // the base scan and the answer must include the new row
+      val batch = Seq(("Z", 7L)).toDF("rf", "qty")
+      batch.write.mode("append").parquet(fp0)
+      val p = scanPaths(g)
+      assert(p.exists(_.endsWith("/fact_stale")) &&
+        !p.exists(_.endsWith("/mv_stale")), p)
+      val z = g.collect().filter(_.getString(0) == "Z")
+      assert(z.length == 1 && z(0).getLong(1) == 7L && z(0).getLong(2) == 1L,
+        "fallback answer must reflect the appended row")
+      // folding the batch in re-stamps the def → the rewrite returns
+      // (refresh lands in a copy-on-write mv_stale_v* directory)
+      Mv.refreshAppend(spark, "mvspec_stale", batch)
+      assert(scanPaths(g).exists(_.contains("/mv_stale")), scanPaths(g))
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off)
+    } finally MvCatalog.unregister("mvspec_stale")
+  }
+
+  test("binding is memoized: one listing+schema load per registered summary version") {
+    val fp0 = root + "/fact_bind"
+    Tables.load(spark, sf, "lineitem").limit(500).select(
+      col("l_returnflag").as("rf"), col("l_quantity").cast("bigint").as("qty"))
+      .write.mode("overwrite").parquet(fp0)
+    try {
+      Mv.build(spark.read.parquet(fp0), "mvspec_bind", Seq("rf"),
+        measures = Seq("qty"), mvPath = root + "/mv_bind")
+      def g = spark.read.parquet(fp0).groupBy("rf").agg(sum("qty").as("s"))
+      val before = MvCatalog.bindLoads.get()
+      (1 to 3).foreach { _ =>
+        assert(scanPaths(g).exists(_.endsWith("/mv_bind")), scanPaths(g))
+      }
+      assert(MvCatalog.bindLoads.get() - before == 1L,
+        "repeated planning must bind from the memo, not re-read parquet")
+    } finally MvCatalog.unregister("mvspec_bind")
   }
 
   test("refreshAppend on an unregistered name fails loudly") {

@@ -73,8 +73,10 @@ object Profile {
     * data-derived range would need a min/max pre-scan — callers that
     * want it compose `profile` first); out-of-range values CLAMP into
     * the edge bins (width_bucket's under/overflow buckets folded in,
-    * so the histogram always accounts for every non-null row — a
-    * silently-dropped tail misleads exactly when it matters most).
+    * so the histogram accounts for every non-null, non-NaN row — a
+    * silently-dropped tail misleads exactly when it matters most;
+    * NaN, which has no place on the axis, is excluded like NULL
+    * rather than smuggled into the top bin).
     * One groupBy on the bin id: map-side combined, `bins` rows out,
     * any corpus size in. Empty bins are absent (callers densify with
     * a `sequence` join if rendering needs zeros). */
@@ -85,7 +87,12 @@ object Profile {
     val w = (hi - lo) / bins
     val bin = least(greatest(floor((col(c) - lo) / w), lit(0.0)),
       lit((bins - 1).toDouble)).cast("int")
-    df.filter(col(c).isNotNull)
+    // NaN is not a value on the [lo, hi) axis: Spark orders NaN above
+    // every double, so it would otherwise ride greatest/least into the
+    // TOP bin and silently inflate the right tail — exclude it like
+    // NULL (cast first: isnan only accepts floating input, and an
+    // integral column can never produce NaN through the cast)
+    df.filter(col(c).isNotNull && !isnan(col(c).cast("double")))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"), min(col(c)).as("lo_v"),
         max(col(c)).as("hi_v"))

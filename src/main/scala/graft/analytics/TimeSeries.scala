@@ -249,7 +249,10 @@ object TimeSeries {
       var state = 0.0
       it.map { r =>
         val k = r.get(keyIdx)
-        if (!haveKey || k != curKey) {
+        // deepEquals, not !=: a BINARY-typed key surfaces as
+        // Array[Byte], whose == is reference equality — plain != would
+        // reset the state on EVERY row and silently re-seed the series
+        if (!haveKey || !java.util.Objects.deepEquals(k, curKey)) {
           curKey = k; haveKey = true; haveEma = false; state = 0.0
         }
         if (r.isNullAt(valIdx)) {
@@ -304,7 +307,8 @@ object TimeSeries {
       var trend = 0.0
       it.map { r =>
         val kk = r.get(keyIdx)
-        if (!haveKey || kk != curKey) {
+        // deepEquals for array-typed keys — see [[ema]]'s scan
+        if (!haveKey || !java.util.Objects.deepEquals(kk, curKey)) {
           curKey = kk; haveKey = true; seeded = false
           level = 0.0; trend = 0.0
         }

@@ -514,19 +514,22 @@ object PipelineQueries {
       // weighted sampling without replacement (Efraimidis–Spirakis
       // A-Res, TextAnalysis.weightedSample): 300 docs drawn with
       // probability ∝ length — the "sample ∝ quality score" selection
-      // a uniform quota can't express. u comes from a mod-first Knuth
-      // multiplicative hash (pure BIGINT arithmetic, identical in both
-      // engines), the score is u^(1/w), and the top-k is one
-      // TakeOrderedAndProject — no global sort, no RNG state. The
-      // oracle replays the identical score and order, so the selected
-      // set matches row-for-row.
+      // a uniform quota can't express. u comes from TWO mod-first
+      // Knuth multiplicative hashes over distinct primes composed
+      // positionally (~1e12 distinct values, every intermediate below
+      // 2^53 so the double conversion is exact — pure BIGINT
+      // arithmetic, identical in both engines), the score is u^(1/w),
+      // and the top-k is one TakeOrderedAndProject — no global sort,
+      // no RNG state. The oracle replays the identical score and
+      // order, so the selected set matches row-for-row.
       (s, dir) => TextAnalysis.weightedSample(
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", k = 300)
         .orderBy("doc_id"),
       Some("WITH s AS (SELECT doc_id, n_chars, " +
-        "pow(CAST((doc_id % 1000003) * 2654435761 % 1000003 AS DOUBLE) " +
-        "/ 1000003.0, 1.0 / n_chars) AS sc " +
+        "pow(CAST(((doc_id % 1000003) * 2654435761 % 1000003) * 999983 " +
+        "+ ((doc_id % 999983) * 2246822519 % 999983) AS DOUBLE) " +
+        "/ (1000003.0 * 999983.0), 1.0 / n_chars) AS sc " +
         "FROM documents WHERE n_chars > 0) " +
         "SELECT doc_id, n_chars FROM " +
         "(SELECT doc_id, n_chars FROM s ORDER BY sc DESC, doc_id LIMIT 300) " +

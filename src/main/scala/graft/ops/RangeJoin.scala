@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Binned range join — the batch point-in-interval join, completing
   * the inequality-join family next to [[AsOf]] (nearest-predecessor)
@@ -9,6 +10,22 @@ import org.apache.spark.sql.functions._
   * stream form).
   */
 object RangeJoin {
+
+  /** floor(x / w) in PURE INTEGER arithmetic: `x − pmod(x, w)` is
+    * exactly divisible by `w` and non-increasing, so the integral
+    * division IS the floor (correct for negative epochs, where
+    * truncating division would shift bins) — exact at any long-range
+    * epoch scale, unlike a double `floor(x / w)`, which rounds the
+    * quotient once |x| crosses 2⁵³ (microsecond epochs ×
+    * high-precision units get there) and then bins a boundary value
+    * one cell off on one side only, silently dropping matches. */
+  private def floorDiv(c: Column, w: Long): Column = {
+    val x = c.cast("long")
+    val exact = x - pmod(x, lit(w))
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(exact), ColumnBridge.expression(lit(w))))
+  }
 
   /** Join each point row to every interval row whose `[lo, hi]`
     * contains it (inclusive both ends). `ts`, `lo`, `hi` must be
@@ -29,20 +46,19 @@ object RangeJoin {
     * point×interval product — narrower bins trade explode rows for
     * tighter candidates. A degenerate giant interval explodes to
     * len/binWidth rows; cap interval lengths upstream or raise the
-    * width. Bin ids come from `floor(x / binWidth)` (correct for
-    * negative epochs, where truncating division would shift bins);
-    * the double-precision floor is exact for |x| < 2⁵³ — every
-    * realistic epoch unit. */
+    * width. Bin ids come from [[floorDiv]] — integer floor division,
+    * exact at any epoch scale. */
   def pointInInterval(points: DataFrame, ts: String,
                       intervals: DataFrame, lo: String, hi: String,
                       binWidth: Long): DataFrame = {
     require(binWidth >= 1, "pointInInterval: binWidth must be >= 1")
-    val p = points.withColumn("__bin", floor(col(ts) / binWidth))
+    val p = points.withColumn("__bin", floorDiv(col(ts), binWidth))
     // an inverted interval (lo > hi) matches nothing by definition —
     // drop it BEFORE sequence(), which would otherwise count DOWN and
     // explode spurious candidate bins
     val i = intervals.filter(col(lo) <= col(hi)).withColumn("__bin",
-      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+      explode(sequence(floorDiv(col(lo), binWidth),
+        floorDiv(col(hi), binWidth))))
     p.join(i, Seq("__bin"))
       .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
       .drop("__bin")
@@ -75,14 +91,15 @@ object RangeJoin {
     require(binWidth >= 1, "intervalOverlap: binWidth must be >= 1")
     def binned(df: DataFrame, lo: String, hi: String) =
       df.filter(col(lo) <= col(hi)).withColumn("__bin",
-        explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+        explode(sequence(floorDiv(col(lo), binWidth),
+          floorDiv(col(hi), binWidth))))
     val l = binned(left, llo, lhi)
     val r = binned(right, rlo, rhi)
     l.join(r, partitionKeys :+ "__bin")
       .filter(col(llo) <= col(rhi) && col(rlo) <= col(lhi) &&
         // canonical-bin guard: emit once, where the intersection starts
-        col("__bin") === greatest(floor(col(llo) / binWidth),
-          floor(col(rlo) / binWidth)))
+        col("__bin") === greatest(floorDiv(col(llo), binWidth),
+          floorDiv(col(rlo), binWidth)))
       .drop("__bin")
   }
 }

@@ -331,14 +331,22 @@ object TextAnalysis {
 
   /** WEIGHTED sampling without replacement (Efraimidis & Spirakis,
     * IPL 2006 — the A-Res order-statistic form): each row draws
-    * u ∈ [0,1) deterministically from its integer id via a Knuth
-    * multiplicative hash (pure BIGINT arithmetic — engine-portable,
-    * no RNG state, and mod-first so the product never overflows at
-    * any id scale) and scores u^(1/w); the k HIGHEST scores are a
-    * weighted random sample without replacement, each row's
-    * inclusion probability proportional to its weight. The quality-
-    * weighted selection shape ("sample docs ∝ quality score") that
-    * [[stratifiedSample]]'s uniform per-stratum quota can't express.
+    * u ∈ [0,1) deterministically from its integer id via TWO
+    * independent Knuth multiplicative hashes mod distinct primes,
+    * composed positionally (h₁·m₂ + h₂ over m₁·m₂ ≈ 10¹²) — pure
+    * BIGINT arithmetic, engine-portable, no RNG state, mod-first so
+    * no product overflows at any id scale, and every intermediate
+    * below 2⁵³ so the double conversion is EXACT on any engine. A
+    * single small-prime draw has only ~10⁶ distinct u values — at
+    * corpus scale, ids congruent mod the prime share a u and the
+    * equal-weight ties among them resolve by id order, a systematic
+    * bias; the composed draw collides only for ids congruent mod
+    * BOTH primes (~10¹² period). Scores u^(1/w); the k HIGHEST
+    * scores are a weighted random sample without replacement, each
+    * row's inclusion probability proportional to its weight. The
+    * quality-weighted selection shape ("sample docs ∝ quality
+    * score") that [[stratifiedSample]]'s uniform per-stratum quota
+    * can't express.
     *
     * One scan + one global top-k (TakeOrderedAndProject — k rows per
     * partition then k at the driver, never a full sort); rows with
@@ -348,9 +356,11 @@ object TextAnalysis {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: Long = 0L): DataFrame = {
     require(k >= 1, "weightedSample: k must be >= 1")
-    val m = 1000003L // prime modulus; ((id%m)*C)%m == (id*C)%m
-    val u = pmod(pmod(col(idCol).cast("long") + salt, lit(m)) *
-      2654435761L, lit(m)).cast("double") / m.toDouble
+    val (m1, m2) = (1000003L, 999983L) // distinct primes
+    def h(m: Long, mult: Long): Column = // ((id%m)*mult)%m == (id*mult)%m
+      pmod(pmod(col(idCol).cast("long") + salt, lit(m)) * mult, lit(m))
+    val u = (h(m1, 2654435761L) * m2 + h(m2, 2246822519L)).cast("double") /
+      (m1 * m2).toDouble
     val score = pow(u, lit(1.0) / col(weightCol))
     df.filter(col(weightCol) > 0)
       .withColumn("__ws", score)

@@ -54,6 +54,23 @@ class ProfileSpec extends SparkSpec {
     assert(h == Seq((0, 2L, -5.0, 1.0), (2, 1L, 99.0, 99.0)))
   }
 
+  test("histogram: NaN is excluded like NULL, not smuggled into the top bin") {
+    import spark.implicits._
+    // Spark orders NaN above every double, so an unguarded
+    // greatest/least clamp would route it into the LAST bin and
+    // inflate the right tail — it must simply not count
+    val df = Seq(1.0, 15.0, Double.NaN, Double.NaN).toDF("x")
+    val h = Profile.histogram(df, "x", lo = 0.0, hi = 30.0, bins = 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(h == Seq((0, 1L), (1, 1L)), s"got $h")
+    // an integral column goes through the same guard unharmed
+    val di = Seq(1L, 15L, 25L).toDF("x")
+    val hi2 = Profile.histogram(di, "x", lo = 0.0, hi = 30.0, bins = 3)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(hi2 == Seq((0, 1L), (1, 1L), (2, 1L)))
+  }
+
   test("outliers: flags the spike, skips zero-variance groups and nulls") {
     import spark.implicits._
     // group a: 20 values at ~10 plus one spike at 1000 → spike flagged;

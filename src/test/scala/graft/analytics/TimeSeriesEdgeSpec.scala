@@ -162,6 +162,33 @@ class TimeSeriesEdgeSpec extends SparkSpec {
     assert(rows(3).getDouble(0) == 15.0)  // 0.5*20 + 0.5*10
   }
 
+  test("ema/holt: BINARY-typed keys carry state across rows (deep key equality)") {
+    // a BinaryType key surfaces to the scan as Array[Byte], whose ==
+    // is reference equality — a plain != key comparison would reset
+    // the state on EVERY row and the series would degenerate to
+    // ema == close; two interleaved byte keys pin the reset points
+    val df = Seq(
+      (Array[Byte](1, 2), 1, 10.0), (Array[Byte](1, 2), 2, 20.0),
+      (Array[Byte](1, 2), 3, 30.0),
+      (Array[Byte](9), 1, 100.0), (Array[Byte](9), 2, 200.0))
+      .toDF("k", "i", "x")
+    val ema = TimeSeries.ema(df, "k", "i", "x", alpha = 0.5)
+      .select(hex($"k").as("k"), $"i", $"ema")
+      .as[(String, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(ema.map(_._3).toSeq == Seq(
+      10.0, 15.0, 22.5,   // key 0102: seeds then smooths
+      100.0, 150.0),      // key 09: fresh seed at the key change
+      ema.mkString(", "))
+    val holt = TimeSeries.holtLinear(df, "k", "i", "x",
+        alpha = 0.5, beta = 0.5)
+      .select(hex($"k").as("k"), $"i", $"level")
+      .as[(String, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    // second row per key must SMOOTH (0.5·x + 0.5·(level+trend)),
+    // not re-seed at x
+    assert(holt.map(_._3).toSeq == Seq(10.0, 15.0, 23.75, 100.0, 150.0),
+      holt.mkString(", "))
+  }
+
   test("ema: alpha out of range is rejected") {
     assertThrows[IllegalArgumentException] {
       TimeSeries.ema(bars, "symbol", "timestamp", "close", alpha = 0.0)

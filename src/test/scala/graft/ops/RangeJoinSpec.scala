@@ -72,6 +72,42 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("epoch-scale exactness: binning past 2^53 matches the naive join, exactly once") {
+    // beyond 2^53 a double can no longer represent every long, so a
+    // double-division bin id rounds the quotient; the integral
+    // floorDiv binning must stay exact — pin both join forms against
+    // the naive theta join at 2^60-scale epochs (nanosecond-era
+    // timestamps × high-precision units get there)
+    val base = 1L << 60
+    val points = (0L to 400L).map(o => (base + o, o)).toDF("ts", "pid")
+    val intervals = Seq(
+      (1L, base + 10L, base + 40L), (2L, base + 99L, base + 101L),
+      (3L, base - 50L, base + 350L), (4L, base + 200L, base + 200L))
+      .toDF("iid", "lo", "hi")
+    val naiveP = points.crossJoin(intervals)
+      .filter($"ts" >= $"lo" && $"ts" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(97L, 100L, 1024L)) {
+      val got = RangeJoin.pointInInterval(points, "ts", intervals,
+          "lo", "hi", binWidth = w)
+        .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naiveP, s"pointInInterval binWidth=$w")
+    }
+    val left = intervals.toDF("lid", "llo", "lhi")
+    val right = Seq(
+      (1L, base + 35L, base + 120L), (2L, base + 150L, base + 199L),
+      (3L, base + 200L, base + 205L)).toDF("rid", "rlo", "rhi")
+    val naiveI = left.crossJoin(right)
+      .filter($"llo" <= $"rhi" && $"rlo" <= $"lhi")
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(97L, 100L, 1024L)) {
+      val got = RangeJoin.intervalOverlap(left, "llo", "lhi",
+          right, "rlo", "rhi", binWidth = w)
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naiveI, s"intervalOverlap binWidth=$w")
+    }
+  }
+
   test("interval overlap with a partition key only pairs within the key") {
     val left = Seq(("a", 1L, 0L, 10L), ("b", 2L, 0L, 10L))
       .toDF("k", "lid", "llo", "lhi")

@@ -513,6 +513,23 @@ class PipelineSpec extends SparkSpec {
     assert(s3 != s1)
   }
 
+  test("weightedSample: ids colliding mod one prime still draw distinct u (no id-order bias)") {
+    import spark.implicits._
+    // 50 equal-weight ids all ≡ 5 (mod 1000003): a single-prime draw
+    // gives them IDENTICAL u, the id tie-break then always selects the
+    // k smallest ids — a systematic bias toward old documents at
+    // corpus scale. The two-prime composition collides only mod BOTH
+    // primes (~1e12 period), so the selection must not be the k
+    // smallest ids.
+    val ids = (0L until 50L).map(j => j * 1000003L + 5L)
+    val df = ids.map(id => (id, 1.0)).toDF("id", "w")
+    val got = TextAnalysis.weightedSample(df, "id", "w", k = 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got.size == 10)
+    assert(got != ids.sorted.take(10),
+      "selection collapsed to the k smallest ids — u values collided")
+  }
+
   test("weightedSample: heavier rows are favored (A-Res bias check)") {
     import spark.implicits._
     // ids 1..1000: weight 100 for ids <= 100, weight 1 otherwise —

@@ -828,10 +828,15 @@ object DomainQueries {
         graft.catalog.Layout.delete(s, srcPath, "ship",
           pmod(col("o_orderkey"), lit(7)) === 0)
         val snap3 = graft.catalog.Layout.snapshots(s, srcPath).last
+        // epoch = the window identity: the fresh-epoch path sweeps
+        // only the feed's delete keys (no pre-delete over the insert
+        // batch), with crash-retry convergence via the intent/done
+        // markers on the target
         graft.catalog.Layout.applyChanges(
           graft.catalog.Layout.changes(s, srcPath, snap1, snap3),
           tgtPath, "symbol", "ship", keys = Seq("o_orderkey"),
-          numBuckets = 4, filesPerBucket = 4)
+          numBuckets = 4, filesPerBucket = 4,
+          epoch = Some(s"${snap1}_$snap3"))
         graft.catalog.Layout.read(s, tgtPath, "symbol", "ship", numBuckets = 4)
           .groupBy(col("symbol"))
           .agg(count(lit(1)).as("n"),

@@ -703,30 +703,67 @@ object Layout {
     * `keys` must identify rows uniquely in the target (the usual CDC
     * primary-key contract); cost is O(changed data) end to end.
     *
-    * RETRY-IDEMPOTENT: the delete pass removes the INSERT batch's keys
-    * too (one extra semi-join input, still one delete snapshot), so
-    * re-running the whole call after a crash between or after the two
-    * commits converges to the same table — a half-applied append's
-    * rows are swept before the batch re-appends, never duplicated
-    * (standard MERGE key semantics; a no-op when the feed's own
-    * delete rows already covered the key). */
+    * RETRY-IDEMPOTENT, and on the COMMON no-crash path the insert
+    * batch's keys are NOT swept. With an `epoch` id (one per change
+    * window — e.g. "fromSnap_toSnap", the caller's replication-loop
+    * identity), the target carries two tiny markers per epoch under
+    * `_repl/`: `intent` (created before any write) and `done`
+    * (created after both halves committed). A fresh epoch sweeps
+    * only the feed's DELETE keys — pure CDC inserts are new keys by
+    * contract, so a pre-delete pass over them is pure overhead; a
+    * RETRY (intent present without done — the only state a crash
+    * between the two commits can leave) sweeps delete ∪ insert keys,
+    * so a half-applied append's rows are removed before the batch
+    * re-appends, never duplicated (standard MERGE key semantics).
+    * A done epoch re-applies as a metadata-only no-op — the
+    * replication loop can replay its whole history safely. Single
+    * applier per (target, epoch); concurrent appliers already
+    * serialize on the target's CAS commits.
+    *
+    * With `epoch = None` (legacy callers) every pass sweeps
+    * delete ∪ insert keys unconditionally — correct under retry
+    * without any marker state, at the cost of one extra semi-join
+    * input per batch. */
   def applyChanges(feed: DataFrame, targetPath: String, symbol: String,
                    time: String, keys: Seq[String], numBuckets: Int = 16,
-                   filesPerBucket: Int = 4): Unit = {
+                   filesPerBucket: Int = 4,
+                   epoch: Option[String] = None): Unit = {
     val spark = feed.sparkSession
+    val fs = SnapshotManifest.fsOf(spark, targetPath)
+    val replDir = new Path(targetPath, "_repl")
+    def marker(e: String, kind: String): Path =
+      new Path(replDir, e.replaceAll("[^A-Za-z0-9._-]", "_") + "." + kind)
+    val (alreadyDone, retry) = epoch match {
+      case None => (false, false)
+      case Some(e) =>
+        if (fs.exists(marker(e, "done"))) (true, false)
+        else {
+          fs.mkdirs(replDir)
+          // atomic create-if-absent: an existing intent with no done
+          // is exactly the signature of a crashed prior attempt
+          val fresh = fs.createNewFile(marker(e, "intent"))
+          (false, !fresh)
+        }
+    }
+    if (alreadyDone) return
     val data = feed.persist()
     try {
       val ins = data.filter(col("_change_type") === "insert")
         .drop("_change_type")
-      val sweep = data.filter(col("_change_type") === "delete")
+      val delKeys = data.filter(col("_change_type") === "delete")
         .select(keys.map(col): _*)
-        .unionByName(ins.select(keys.map(col): _*))
+      val sweep =
+        if (epoch.isEmpty || retry)
+          delKeys.unionByName(ins.select(keys.map(col): _*))
+        else delKeys
       if (!sweep.isEmpty)
         deleteWhere(spark, targetPath, time,
           scan => scan.join(sweep, keys, "left_semi"))
       if (!ins.isEmpty)
         appendClusteredZoned(ins, targetPath, symbol, time,
           numBuckets, filesPerBucket)
+      failpoint("applychanges-before-done")
+      epoch.foreach(e => fs.create(marker(e, "done"), true).close())
     } finally data.unpersist()
   }
 
@@ -1027,22 +1064,31 @@ object Layout {
 
   /** METADATA-SIZED JOIN SIDE — the cost-based broadcast decision made
     * from the snapshot log alone: [[read]] the table, wrapped in a
-    * broadcast hint iff its EXACT live row count ([[countFast]]: Σ
-    * manifest `n_rows` − deletion-vector rows, no data file opened)
-    * fits `broadcastMaxRows`. Spark's own pre-scan estimate is summed
-    * file size — it over-counts DV-deleted rows, knows nothing of the
-    * post-prune cardinality, and a conservative
-    * `autoBroadcastJoinThreshold` then shuffles a fact table against
-    * a dim that would have broadcast. At 100 TB that is the single
-    * most expensive wrong call a planner can make; the snapshot log
-    * already maintains the exact number, so the decision is free.
-    * The hint only ever *adds* a broadcast — an over-threshold table
-    * falls through to whatever the planner picks. */
+    * broadcast hint iff its estimated in-memory BYTES fit
+    * `broadcastMaxBytes`. The estimate is the EXACT live row count
+    * ([[countFast]]: Σ manifest `n_rows` − deletion-vector rows, no
+    * data file opened) × the schema-derived row width (Catalyst
+    * `defaultSize` per field — the same width Spark's own stats
+    * estimation uses when column stats are absent). Spark's pre-scan
+    * estimate is summed COMPRESSED file size — it over-counts
+    * DV-deleted rows, knows nothing of the post-prune cardinality,
+    * and a conservative `autoBroadcastJoinThreshold` then shuffles a
+    * fact table against a dim that would have broadcast. At 100 TB
+    * that is the single most expensive wrong call a planner can
+    * make; the snapshot log already maintains the exact count, so
+    * the decision is free. Bytes, not rows: a fixed row ceiling
+    * broadcasts a 4M-row × 400-column dim (GBs on every executor —
+    * an OOM, not a plan choice) while refusing nothing useful; the
+    * width term makes the ceiling mean what the executor actually
+    * pays. The hint only ever *adds* a broadcast — an over-threshold
+    * table falls through to whatever the planner picks. */
   def readForJoin(spark: SparkSession, path: String, symbol: String,
                   time: String, numBuckets: Int = 16,
-                  broadcastMaxRows: Long = 4L << 20): DataFrame = {
+                  broadcastMaxBytes: Long = 32L << 20): DataFrame = {
     val df = read(spark, path, symbol, time, numBuckets)
-    if (countFast(spark, path) <= broadcastMaxRows)
+    val rowWidth = df.schema.fields.map(_.dataType.defaultSize.toLong)
+      .sum.max(1L)
+    if (countFast(spark, path) * rowWidth <= broadcastMaxBytes)
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }

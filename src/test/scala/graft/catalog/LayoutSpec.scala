@@ -320,19 +320,21 @@ class LayoutSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      def planOf(maxRows: Long) = fact.join(
+      // row width from defaultSize: string 20 + long 8 + double 8 = 36
+      def planOf(maxBytes: Long) = fact.join(
           Layout.readForJoin(spark, dir, "symbol", "ts", numBuckets = 2,
-            broadcastMaxRows = maxRows),
+            broadcastMaxBytes = maxBytes),
           $"fsym" === $"symbol")
         .queryExecution.executedPlan.toString
-      // under the ceiling: hinted broadcast despite auto off
-      assert(planOf(1000L).contains("BroadcastHashJoin"))
+      // under the ceiling (500 rows × 36 B = 18 000): hinted broadcast
+      // despite auto off
+      assert(planOf(20000L).contains("BroadcastHashJoin"))
       // over the ceiling: falls through to the planner's default
-      assert(!planOf(100L).contains("BroadcastHashJoin"))
+      assert(!planOf(10000L).contains("BroadcastHashJoin"))
       // DV deletes shrink the metadata count back under the ceiling
       Layout.delete(spark, dir, "ts", $"ts" > 100)
       assert(Layout.countFast(spark, dir) == 100L)
-      assert(planOf(100L).contains("BroadcastHashJoin"))
+      assert(planOf(10000L).contains("BroadcastHashJoin"))
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
@@ -555,6 +557,73 @@ class LayoutSpec extends SparkSpec {
     Layout.applyChanges(Layout.changes(spark, sp, snap3, snap3),
       tp, "symbol", "ts", keys = Seq("ts"), numBuckets = 4, filesPerBucket = 2)
     assert(live(tp) == live(sp))
+  }
+
+  test("readForJoin: bytes-aware ceiling — narrow dim broadcasts, wide dim of equal rows does not") {
+    val base = Files.createTempDirectory("graft_rfj").toString
+    val (np, wp) = (base + "/narrow", base + "/wide")
+    val rows = (1 to 20000).map(i => (s"S${i % 7}", i.toLong))
+      .toDF("symbol", "ts")
+    // same 20k rows — far under any row ceiling — but ~1.9 KB/row wide
+    // (228 doubles): the BYTES estimate must refuse the broadcast
+    val wide = rows.select(col("symbol") +: col("ts") +:
+      (1 to 228).map(i => lit(i.toDouble).as(s"c$i")): _*)
+    Layout.writeClusteredZoned(rows, np, "symbol", "ts", 4, 2)
+    Layout.writeClusteredZoned(wide, wp, "symbol", "ts", 4, 2)
+    val fact = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("ts", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(dimPath: String): String = {
+        val dim = Layout.readForJoin(spark, dimPath, "symbol", "ts",
+          numBuckets = 4)
+        fact.join(dim, Seq("ts")).groupBy("symbol")
+          .agg(count(lit(1))).queryExecution.executedPlan.toString
+      }
+      assert(planOf(np).contains("BroadcastHashJoin"),
+        "narrow dim under the byte ceiling must carry the hint")
+      assert(!planOf(wp).contains("BroadcastHashJoin"),
+        "wide dim over the byte ceiling must NOT broadcast " +
+          "(a row-count ceiling would have)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("applyChanges epoch: crash-retry converges, done replays are metadata no-ops") {
+    val base = Files.createTempDirectory("graft_repl_e").toString
+    val (sp, tp) = (base + "/s", base + "/t")
+    val df = (1 to 600).map(i => (s"SYM${i % 5}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    val initial = df.filter($"ts" <= 300)
+    Layout.writeClusteredZoned(initial, sp, "symbol", "ts", 4, 2)
+    Layout.writeClusteredZoned(initial, tp, "symbol", "ts", 4, 2)
+    val snap1 = Layout.snapshots(spark, sp).last
+    Layout.appendClusteredZoned(df.filter($"ts" > 300), sp, "symbol", "ts", 4, 2)
+    Layout.delete(spark, sp, "ts", $"ts" <= 20)
+    val snap3 = Layout.snapshots(spark, sp).last
+    def feed = Layout.changes(spark, sp, snap1, snap3)
+    def live(p: String) = Layout.read(spark, p, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect()
+    // crash AFTER both halves committed, BEFORE the done marker — the
+    // worst retry window: the whole batch already landed on the target
+    Layout.testFailpoint = Some("applychanges-before-done")
+    try intercept[java.io.IOException] {
+      Layout.applyChanges(feed, tp, "symbol", "ts", keys = Seq("ts"),
+        numBuckets = 4, filesPerBucket = 2, epoch = Some("w1"))
+    } finally Layout.testFailpoint = None
+    // retrying the SAME epoch finds intent-without-done and sweeps the
+    // insert keys too — the re-appended batch must not duplicate
+    Layout.applyChanges(feed, tp, "symbol", "ts", keys = Seq("ts"),
+      numBuckets = 4, filesPerBucket = 2, epoch = Some("w1"))
+    val got = live(tp)
+    assert(got.toSet == live(sp).toSet)
+    assert(got.length == got.toSet.size, "retry must not duplicate rows")
+    assert(got.toSet == (21L to 600L).toSet)
+    // a done epoch replays as a metadata-only no-op: no new snapshot
+    val snapsAfter = Layout.snapshots(spark, tp).size
+    Layout.applyChanges(feed, tp, "symbol", "ts", keys = Seq("ts"),
+      numBuckets = 4, filesPerBucket = 2, epoch = Some("w1"))
+    assert(Layout.snapshots(spark, tp).size == snapsAfter)
+    assert(live(tp).toSet == (21L to 600L).toSet)
   }
 
   test("expireBefore: whole files drop metadata-only, straddlers get DVs") {

@@ -47,8 +47,11 @@ object Bench {
     }
     // ms precision: full-precision doubles once made the one-line JSON
     // outgrow the driver's tail capture, truncating the front before it
-    // could parse (r9/r10 artifacts had parsed:null)
-    def ms(v: Double): String = f"$v%.3f"
+    // could parse (r9/r10 artifacts had parsed:null). Locale.ROOT:
+    // default-locale formatting emits a comma decimal separator on
+    // e.g. de_DE hosts — invalid JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

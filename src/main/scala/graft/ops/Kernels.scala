@@ -78,7 +78,13 @@ object Kernels {
     * moves and sorts EVERY group row; at 100 TB that is the fact
     * table). Same result as [[topKPerKey]] given the same total
     * `ord` (largest-first on each ord column; add tie-breaks for a
-    * total order, exactly as a window needs). */
+    * total order, exactly as a window needs) — with ONE deliberate
+    * delta: rows carrying a NULL in any ord key are SKIPPED (SQL
+    * top-k over non-null ranks), where the window form ranks them
+    * nulls-last. Keep every ord expression non-null-producing: in
+    * particular a `-id` tie-break requires a NUMERIC id (unary minus
+    * on a string id is a failed cast — null, or an error under ANSI);
+    * hash or cast non-numeric ids to a non-null orderable first. */
   def topKPerKeyAgg(df: DataFrame, keys: Seq[String], ord: Seq[Column],
                     k: Int): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
@@ -97,7 +103,9 @@ object Kernels {
     * candidate row; this ships at most partitions × k rows per key
     * through a map-side-combined heap and reads rank off the array
     * position. `ord` must be a total order (tie-break columns) for a
-    * deterministic rank, exactly as row_number needs. */
+    * deterministic rank, exactly as row_number needs; the
+    * [[topKPerKeyAgg]] null-ord contract applies (null-ord rows are
+    * skipped — keep ord expressions non-null, numeric-id tie-breaks). */
   def topKPerKeyRanked(df: DataFrame, keys: Seq[String], ord: Seq[Column],
                        k: Int): DataFrame = {
     val payload = struct(df.columns.map(col): _*)

@@ -25,6 +25,7 @@ object PkCatalog {
   def unregister(name: String): Unit = defs.remove(name)
   def clear(): Unit = defs.clear()
   def isEmpty: Boolean = defs.isEmpty
+  def all: Seq[UniqueKeyDef] = defs.values.toSeq.sortBy(_.name)
 
   def forPaths(paths: Set[String]): Seq[UniqueKeyDef] =
     defs.values.filter(_.paths == paths).toSeq.sortBy(_.name)
@@ -59,6 +60,7 @@ object DistinctElim {
     val d = UniqueKeyDef(name, paths, keys,
       fp = TableState.fingerprint(df.sparkSession, paths))
     PkCatalog.register(d)
+    RegistryStore.autoPersist(df.sparkSession)
     d
   }
 
@@ -71,6 +73,9 @@ object DistinctElim {
 case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a fresh driver loads persisted declarations before the isEmpty
+    // short-circuit (no-op unless graft.registry.path is set)
+    RegistryStore.ensureLoaded(spark)
     if (PkCatalog.isEmpty ||
       conf.getConfString("graft.distinctelim.enabled", "true") != "true")
       return plan

@@ -32,6 +32,7 @@ object FkCatalog {
   def unregister(name: String): Unit = defs.remove(name)
   def clear(): Unit = defs.clear()
   def isEmpty: Boolean = defs.isEmpty
+  def all: Seq[FkDef] = defs.values.toSeq.sortBy(_.name)
 
   def forPair(childPaths: Set[String], parentPaths: Set[String]): Seq[FkDef] =
     defs.values.filter(d => d.childPaths == childPaths &&
@@ -87,6 +88,7 @@ object JoinElim {
     val d = FkDef(name, cp, childKeys, pp, parentKeys,
       fp = TableState.fingerprint(child.sparkSession, cp ++ pp))
     FkCatalog.register(d)
+    RegistryStore.autoPersist(child.sparkSession)
     d
   }
 
@@ -100,7 +102,10 @@ object JoinElim {
 
 case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a fresh driver loads persisted declarations before the isEmpty
+    // short-circuit (no-op unless graft.registry.path is set)
+    RegistryStore.ensureLoaded(spark)
     if (FkCatalog.isEmpty ||
       conf.getConfString("graft.joinelim.enabled", "true") != "true") plan
     else {
@@ -123,6 +128,7 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
       }
     }
+  }
 
   /** If `j` is a verified-FK inner join whose parent side contributes
     * nothing to `needed`, return the replacement child subtree. */

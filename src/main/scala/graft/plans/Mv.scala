@@ -196,6 +196,7 @@ object Mv {
     val d = MvDef(name, paths, mvPath, dims,
       measures.toSet, mins.toSet, maxs.toSet, fp = fp)
     MvCatalog.register(d)
+    RegistryStore.autoPersist(base.sparkSession)
     d
   }
 
@@ -226,6 +227,7 @@ object Mv {
       measures.toSet, mins.toSet, maxs.toSet,
       join = Some(MvJoin(dpaths, on.map(_._1), on.map(_._2))), fp = fp)
     MvCatalog.register(d)
+    RegistryStore.autoPersist(fact.sparkSession)
     d
   }
 
@@ -277,6 +279,7 @@ object Mv {
     merged.write.mode("errorifexists").parquet(next)
     val nd = d.copy(mvPath = next, fp = fp)
     MvCatalog.register(nd)
+    RegistryStore.autoPersist(spark)
     nd
   }
 
@@ -363,6 +366,7 @@ object Mv {
     nulled.write.mode("errorifexists").parquet(next)
     val nd = d.copy(mvPath = next, fp = fp)
     MvCatalog.register(nd)
+    RegistryStore.autoPersist(spark)
     nd
   }
 
@@ -398,7 +402,10 @@ object Mv {
 
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a fresh driver loads persisted declarations before the isEmpty
+    // short-circuit (no-op unless graft.registry.path is set)
+    RegistryStore.ensureLoaded(spark)
     if (MvCatalog.isEmpty ||
       conf.getConfString("graft.mv.rewrite.enabled", "true") != "true") plan
     else {
@@ -416,6 +423,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .getOrElse(agg)
       }
     }
+  }
 
   /** A matched query source: the scans' combined output attributes,
     * the residual filter conditions collected on the way down, and the

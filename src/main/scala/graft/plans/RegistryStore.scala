@@ -1,0 +1,164 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.SnapshotManifest
+
+/** DURABLE rule registries. [[MvCatalog]]/[[FkCatalog]]/[[PkCatalog]]
+  * are JVM-wide TrieMaps — good enough inside one driver, but a NEW
+  * driver (cluster job restart, a Thrift/Connect server picking the
+  * rules up via `spark.sql.extensions=graft.GraftExtensions`) starts
+  * with every catalog empty and silently loses every rewrite: queries
+  * stay correct but quietly repay the fact scans, joins, and shuffles
+  * the declarations had eliminated. The cure is the same pointer
+  * pattern every other durable artifact here uses (IndexIo, the
+  * snapshot log): declarations serialize to a versioned JSON file
+  * beside a `_latest` pointer, atomically flipped, pruned to the last
+  * two versions.
+  *
+  *   - Set `graft.registry.path` on the session (or in
+  *     `spark-defaults`) and every declaration — [[Mv.build]]/
+  *     [[Mv.buildJoin]], both refreshes, [[JoinElim.declareVerified]],
+  *     [[DistinctElim.declareUniqueKey]] — WRITES THROUGH to the
+  *     store; each rewrite rule lazily [[ensureLoaded]]s the store on
+  *     its first planning pass, so a fresh driver rebuilds all three
+  *     catalogs from one small file read before the first rewrite
+  *     decision.
+  *   - The [[TableState]] fp stamps persist VERBATIM: a table that
+  *     moved while no driver was running fails the plan-time
+  *     fingerprint check after reload exactly as it would have live —
+  *     durability does not weaken the staleness contract.
+  *   - Without the conf the registries stay session-scoped, the
+  *     pre-r12 behavior.
+  *
+  * Single-writer per registry path (the declaring driver), the same
+  * contract as every maintenance op here; readers only ever see a
+  * complete pointed-to version. */
+object RegistryStore {
+
+  val ConfKey = "graft.registry.path"
+
+  /** Paths already loaded in this JVM — loading is idempotent and
+    * cheap, but planning runs per query and must not re-read. */
+  private val loaded = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private[graft] def resetForTest(): Unit = loaded.clear()
+
+  private def confPath(spark: SparkSession): Option[String] =
+    spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
+
+  /** Write-through hook for declaration sites: persist the current
+    * catalogs iff the session opts in via `graft.registry.path`. */
+  def autoPersist(spark: SparkSession): Unit =
+    confPath(spark).foreach(persist(spark, _))
+
+  /** Rule-side hook: load the store once per JVM per path, BEFORE the
+    * catalogs' isEmpty short-circuit, so a fresh driver's first query
+    * already plans with the persisted declarations. */
+  def ensureLoaded(spark: SparkSession): Unit =
+    confPath(spark).foreach { dir =>
+      loaded.getOrElseUpdate(dir, { load(spark, dir); true })
+    }
+
+  /** Serialize all three catalogs to `dir` (versioned file + `_latest`
+    * flip + keep-last-2 prune). */
+  def persist(spark: SparkSession, dir: String): Unit = {
+    val fs = SnapshotManifest.fsOf(spark, dir)
+    fs.mkdirs(new Path(dir))
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("version", 1)
+    val mvs = root.putArray("mvs")
+    MvCatalog.all.foreach { d =>
+      val o = mvs.addObject()
+      o.put("name", d.name); o.put("mvPath", d.mvPath); o.put("fp", d.fp)
+      o.putPOJO("basePaths", d.basePaths.toSeq.sorted.asJava)
+      o.putPOJO("dims", d.dims.asJava)
+      o.putPOJO("measures", d.measures.toSeq.sorted.asJava)
+      o.putPOJO("mins", d.mins.toSeq.sorted.asJava)
+      o.putPOJO("maxs", d.maxs.toSeq.sorted.asJava)
+      d.join.foreach { j =>
+        val jo = o.putObject("join")
+        jo.putPOJO("dimPaths", j.dimPaths.toSeq.sorted.asJava)
+        jo.putPOJO("factKeys", j.factKeys.asJava)
+        jo.putPOJO("dimKeys", j.dimKeys.asJava)
+      }
+    }
+    val fks = root.putArray("fks")
+    FkCatalog.all.foreach { d =>
+      val o = fks.addObject()
+      o.put("name", d.name); o.put("fp", d.fp)
+      o.putPOJO("childPaths", d.childPaths.toSeq.sorted.asJava)
+      o.putPOJO("childKeys", d.childKeys.asJava)
+      o.putPOJO("parentPaths", d.parentPaths.toSeq.sorted.asJava)
+      o.putPOJO("parentKeys", d.parentKeys.asJava)
+    }
+    val pks = root.putArray("pks")
+    PkCatalog.all.foreach { d =>
+      val o = pks.addObject()
+      o.put("name", d.name); o.put("fp", d.fp)
+      o.putPOJO("paths", d.paths.toSeq.sorted.asJava)
+      o.putPOJO("keys", d.keys.asJava)
+    }
+    val name = "reg_" +
+      f"${System.currentTimeMillis()}%013d_${System.nanoTime()}%019d" + ".json"
+    val tmp = new Path(dir, s".tmp_$name")
+    val out = fs.create(tmp, true)
+    try out.write(m.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, name)))
+      throw new java.io.IOException(s"registry persist: rename failed: $name")
+    SnapshotManifest.flip(spark, dir, name)
+    // keep-last-2: the current version plus one predecessor for
+    // in-flight readers; older files are reclaimed
+    val keep = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(n => n.startsWith("reg_") && n.endsWith(".json"))
+      .sorted.takeRight(2).toSet + name
+    fs.listStatus(new Path(dir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("reg_") && n.endsWith(".json") && !keep.contains(n))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Register every persisted declaration into the live catalogs.
+    * No-op (not an error) when the store has no pointer yet. */
+  def load(spark: SparkSession, dir: String): Unit = {
+    val name = SnapshotManifest.currentSnap(spark, dir).getOrElse(return)
+    val fs = SnapshotManifest.fsOf(spark, dir)
+    val in = fs.open(new Path(dir, name))
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+    val root = new ObjectMapper().readTree(text)
+    def strs(n: com.fasterxml.jackson.databind.JsonNode,
+             f: String): Seq[String] =
+      n.get(f).elements().asScala.map(_.asText()).toSeq
+    root.get("mvs").elements().asScala.foreach { o =>
+      val join = Option(o.get("join")).map(j =>
+        MvJoin(strs(j, "dimPaths").toSet, strs(j, "factKeys"),
+          strs(j, "dimKeys")))
+      MvCatalog.register(MvDef(o.get("name").asText(),
+        strs(o, "basePaths").toSet, o.get("mvPath").asText(),
+        strs(o, "dims"), strs(o, "measures").toSet,
+        strs(o, "mins").toSet, strs(o, "maxs").toSet, join,
+        o.get("fp").asText()))
+    }
+    root.get("fks").elements().asScala.foreach { o =>
+      FkCatalog.register(FkDef(o.get("name").asText(),
+        strs(o, "childPaths").toSet, strs(o, "childKeys"),
+        strs(o, "parentPaths").toSet, strs(o, "parentKeys"),
+        o.get("fp").asText()))
+    }
+    root.get("pks").elements().asScala.foreach { o =>
+      PkCatalog.register(UniqueKeyDef(o.get("name").asText(),
+        strs(o, "paths").toSet, strs(o, "keys"), o.get("fp").asText()))
+    }
+  }
+}

@@ -35,12 +35,20 @@ object PlanBridge {
       : org.apache.spark.sql.DataFrame = {
     val cs = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    // reuse the PERSISTED RDD itself (not a physical-plan wrapper), so
-    // CacheScope.freeCheckpointBlocks on the rewrapped frame unpersists
-    // the actual checkpoint blocks
-    val rdd = df.queryExecution.analyzed.collectFirst {
+    // ROOT-level LogicalRDD only: reuse the PERSISTED RDD itself (not
+    // a physical-plan wrapper), so CacheScope.freeCheckpointBlocks on
+    // the rewrapped frame unpersists the actual checkpoint blocks. A
+    // DERIVED plan over a checkpoint (projection, filter …) must fail
+    // loudly here — pairing some INNER LogicalRDD with the outer
+    // df.schema would reinterpret its rows under the wrong schema and
+    // silently corrupt data.
+    val rdd = df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.getOrElse(df.queryExecution.toRdd)
+      case other => throw new IllegalArgumentException(
+        "freshLeaf expects a directly-checkpointed frame (root " +
+          s"LogicalRDD); got ${other.nodeName} — rewrap the checkpoint " +
+          "BEFORE deriving plans from it")
+    }
     cs.internalCreateDataFrame(rdd, df.schema)
   }
 }

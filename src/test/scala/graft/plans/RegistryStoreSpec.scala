@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** Pins registry durability: with `graft.registry.path` set,
+  * declarations write through to a versioned JSON + `_latest` pointer,
+  * and a FRESH driver (simulated by clearing every in-memory catalog
+  * and the load memo) transparently reloads them on its first planning
+  * pass — the rewrites fire again, fp stamps intact. */
+class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val root = System.getProperty("java.io.tmpdir") + "/graft_regspec_" +
+    java.util.UUID.randomUUID().toString.take(8)
+  private val regDir = root + "/registry"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(RegistryStore.ConfKey, regDir)
+  }
+
+  override def afterAll(): Unit = {
+    // the shared session outlives this suite: leaving the conf set
+    // would write-through (and lazily reload) every later suite's
+    // declarations
+    spark.conf.unset(RegistryStore.ConfKey)
+    Seq("regspec_mv").foreach(MvCatalog.unregister)
+    Seq("regspec_fk").foreach(FkCatalog.unregister)
+    Seq("regspec_pk").foreach(PkCatalog.unregister)
+    RegistryStore.resetForTest()
+    super.afterAll()
+  }
+
+  private def scanPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten.toSet
+
+  test("declarations survive a catalog wipe: a fresh driver reloads and rewrites") {
+    val factP = root + "/fact"
+    val childP = root + "/child"
+    val parentP = root + "/parent"
+    Tables.load(spark, sf, "lineitem").limit(800).select(
+      col("l_returnflag").as("rf"), col("l_quantity").cast("bigint").as("qty"))
+      .write.mode("overwrite").parquet(factP)
+    Tables.load(spark, sf, "orders").select(
+      col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+      col("o_orderstatus").as("status"))
+      .write.mode("overwrite").parquet(childP)
+    Tables.load(spark, sf, "customer").select(
+      col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+      .write.mode("overwrite").parquet(parentP)
+    // declarations write through to the store
+    Mv.build(spark.read.parquet(factP), "regspec_mv", Seq("rf"),
+      measures = Seq("qty"), mvPath = root + "/mv")
+    JoinElim.declareVerified("regspec_fk",
+      spark.read.parquet(childP), Seq("ck"),
+      spark.read.parquet(parentP), Seq("ck2"))
+    DistinctElim.declareUniqueKey("regspec_pk",
+      spark.read.parquet(childP), Seq("ok"))
+    Mv.install(spark); JoinElim.install(spark); DistinctElim.install(spark)
+
+    // simulate a fresh driver: every in-memory catalog gone, load memo
+    // reset — ONLY the persisted store remains
+    MvCatalog.clear(); FkCatalog.clear(); PkCatalog.clear()
+    RegistryStore.resetForTest()
+    assert(MvCatalog.isEmpty && FkCatalog.isEmpty && PkCatalog.isEmpty)
+
+    // first planning pass reloads the store and the MV rewrite fires
+    val g = spark.read.parquet(factP).groupBy("rf").agg(sum("qty").as("s"))
+    assert(scanPaths(g).exists(_.endsWith("/mv")), scanPaths(g))
+    // the reloaded fp stamp still matches (the base never moved)
+    assert(MvCatalog.get("regspec_mv").exists(_.fp.nonEmpty))
+    // join elimination fires from the reloaded FK edge
+    val j = spark.read.parquet(childP)
+      .join(spark.read.parquet(parentP), col("ck") === col("ck2"), "inner")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+    assert(!scanPaths(j).exists(_.endsWith("/parent")), scanPaths(j))
+    // distinct elimination fires from the reloaded unique key
+    val d = spark.read.parquet(childP).select("ok", "status").distinct()
+    assert(!d.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+    // and the reloaded stamps still ENFORCE staleness: move the child,
+    // both child-anchored rewrites must fall through again
+    import spark.implicits._
+    Seq((-1L, -1L, "Z")).toDF("ok", "ck", "status")
+      .write.mode("append").parquet(childP)
+    val j2 = spark.read.parquet(childP)
+      .join(spark.read.parquet(parentP), col("ck") === col("ck2"), "inner")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+    assert(scanPaths(j2).exists(_.endsWith("/parent")), scanPaths(j2))
+    val d2 = spark.read.parquet(childP).select("ok", "status").distinct()
+    assert(d2.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+  }
+
+  test("persist prunes to the last two versions; load without a pointer is a no-op") {
+    val count0 = {
+      val fs = graft.catalog.SnapshotManifest.fsOf(spark, regDir)
+      fs.listStatus(new org.apache.hadoop.fs.Path(regDir))
+        .map(_.getPath.getName).count(_.startsWith("reg_"))
+    }
+    assert(count0 <= 2, s"keep-last-2 must bound the version files, got $count0")
+    // loading an empty/uninitialized dir must not throw
+    RegistryStore.load(spark, root + "/nonexistent_registry")
+  }
+}

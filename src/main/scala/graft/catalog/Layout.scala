@@ -731,8 +731,17 @@ object Layout {
     val spark = feed.sparkSession
     val fs = SnapshotManifest.fsOf(spark, targetPath)
     val replDir = new Path(targetPath, "_repl")
-    def marker(e: String, kind: String): Path =
-      new Path(replDir, e.replaceAll("[^A-Za-z0-9._-]", "_") + "." + kind)
+    // collision-free marker name: a readable sanitized prefix PLUS the
+    // md5 of the raw epoch — plain character-class sanitization alone
+    // would fold distinct ids ("2024/01" vs "2024:01") onto one
+    // marker, silently skipping the second window as already-done
+    def marker(e: String, kind: String): Path = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val readable = e.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
+      new Path(replDir, s"${readable}_$digest.$kind")
+    }
     val (alreadyDone, retry) = epoch match {
       case None => (false, false)
       case Some(e) =>

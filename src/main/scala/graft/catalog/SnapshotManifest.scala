@@ -51,9 +51,14 @@ object SnapshotManifest {
   /** Unique, wall-clock-ordered token: nanoTime alone is NOT ordered
     * across JVM restarts (its origin is arbitrary per process), and
     * keep-last-2 GC needs snapshots written by successive writer
-    * processes to sort correctly. */
-  private def token(): String =
-    f"${System.currentTimeMillis()}%013d_${System.nanoTime()}%019d"
+    * processes to sort correctly. The nano component is masked
+    * non-negative — its origin is arbitrary, so it CAN be negative,
+    * and a '-' sorts before every digit, breaking lexicographic
+    * ordering within one millisecond. Shared (private[graft]) so
+    * other versioned-file artifacts (RegistryStore) inherit the
+    * ordering contract instead of re-deriving it. */
+  private[graft] def token(): String =
+    f"${System.currentTimeMillis()}%013d_${System.nanoTime() & Long.MaxValue}%019d"
 
   /** `prefix` distinguishes part KINDS within one snapshot: `m` =
     * data-file zone manifest, `dv` = deletion vector, `bf` = per-file

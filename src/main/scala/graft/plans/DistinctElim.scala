@@ -54,11 +54,14 @@ object DistinctElim {
   /** Run the `ops/Validate` PK audit; register only if unique. */
   def declareUniqueKey(name: String, df: DataFrame,
                        keys: Seq[String]): UniqueKeyDef = {
+    val paths = Mv.basePathsOf(df)
+    // stamp BEFORE the audit — a mid-audit append (a duplicate the
+    // audit never saw) must fail the plan-time fingerprint check, not
+    // be silently covered by a post-audit stamp (JoinElim ordering)
+    val fp = TableState.fingerprint(df.sparkSession, paths)
     require(graft.ops.Validate.primaryKey(df, keys).isEmpty,
       s"unique key $name: ${keys.mkString(",")} has duplicate tuples")
-    val paths = Mv.basePathsOf(df)
-    val d = UniqueKeyDef(name, paths, keys,
-      fp = TableState.fingerprint(df.sparkSession, paths))
+    val d = UniqueKeyDef(name, paths, keys, fp = fp)
     PkCatalog.register(d)
     RegistryStore.autoPersist(df.sparkSession)
     d

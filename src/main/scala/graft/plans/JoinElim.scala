@@ -75,6 +75,12 @@ object JoinElim {
     * (`ops/Validate`); register the edge only if both are clean. */
   def declareVerified(name: String, child: DataFrame, childKeys: Seq[String],
                       parent: DataFrame, parentKeys: Seq[String]): FkDef = {
+    val (cp, pp) = (Mv.basePathsOf(child), Mv.basePathsOf(parent))
+    // stamp BEFORE the audits: if either table moves WHILE the audit
+    // scans (an appended orphan the audit never saw), the stamp no
+    // longer matches at plan time and the unaudited state is never
+    // trusted — the same ordering as Mv.build's fingerprint
+    val fp = TableState.fingerprint(child.sparkSession, cp ++ pp)
     val pkViolations = graft.ops.Validate.primaryKey(parent, parentKeys)
     require(pkViolations.isEmpty,
       s"FK $name: parent keys ${parentKeys.mkString(",")} are not a primary key")
@@ -82,11 +88,7 @@ object JoinElim {
       child, parent, childKeys, parentKeys)
     require(fkViolations.isEmpty,
       s"FK $name: child has orphaned ${childKeys.mkString(",")} values")
-    val (cp, pp) = (Mv.basePathsOf(child), Mv.basePathsOf(parent))
-    // stamp AFTER the audits: the fingerprint must cover the state the
-    // audits actually proved
-    val d = FkDef(name, cp, childKeys, pp, parentKeys,
-      fp = TableState.fingerprint(child.sparkSession, cp ++ pp))
+    val d = FkDef(name, cp, childKeys, pp, parentKeys, fp = fp)
     FkCatalog.register(d)
     RegistryStore.autoPersist(child.sparkSession)
     d

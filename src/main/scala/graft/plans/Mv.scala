@@ -86,6 +86,12 @@ object MvCatalog {
   private[graft] val bindLoads = new java.util.concurrent.atomic.AtomicLong
 
   def register(d: MvDef): Unit = {
+    // drop BOTH the superseded path's entry and the new path's: a
+    // rebuild-in-place (Mv.build, mode overwrite, same mvPath — the
+    // documented recovery for MIN/MAX-carrying views) deletes the
+    // part files a cached relation's file index still lists; binding
+    // it would fail at execution with FileNotFoundException
+    relCache.remove(d.mvPath)
     defs.put(d.name, d).foreach { old =>
       if (old.mvPath != d.mvPath) relCache.remove(old.mvPath)
     }
@@ -254,6 +260,9 @@ object Mv {
     * min/max-free case. */
   def refreshAppend(spark: SparkSession, name: String,
                     batch: DataFrame): MvDef = {
+    // a fresh driver's first action may be a refresh, not a query —
+    // load persisted declarations here too, not only in the rule
+    RegistryStore.ensureLoaded(spark)
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
     // re-stamp against the base state the refreshed summary reflects:
@@ -309,6 +318,7 @@ object Mv {
     * [[refreshAppend]]. */
   def refreshChanges(spark: SparkSession, name: String,
                      feed: DataFrame): MvDef = {
+    RegistryStore.ensureLoaded(spark) // see [[refreshAppend]]
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
     require(d.mins.isEmpty && d.maxs.isEmpty,
@@ -377,6 +387,7 @@ object Mv {
     * contract as `pipeline/IndexIo.vacuum` / `analytics/StatsCache`).
     * Returns the number of directories reclaimed. */
   def vacuum(spark: SparkSession, name: String): Int = {
+    RegistryStore.ensureLoaded(spark) // see [[refreshAppend]]
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
     val cur = new org.apache.hadoop.fs.Path(d.mvPath)

@@ -54,9 +54,18 @@ object RegistryStore {
     spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
 
   /** Write-through hook for declaration sites: persist the current
-    * catalogs iff the session opts in via `graft.registry.path`. */
+    * catalogs iff the session opts in via `graft.registry.path`.
+    * LOADS FIRST: a fresh driver whose first action is a declaration
+    * (no query planned yet, so the rules' lazy load never ran) would
+    * otherwise serialize only its own new def and atomically replace
+    * the store — silently destroying every previously persisted
+    * declaration. Loading merges the persisted defs into the live
+    * catalogs before the snapshot is written. */
   def autoPersist(spark: SparkSession): Unit =
-    confPath(spark).foreach(persist(spark, _))
+    confPath(spark).foreach { dir =>
+      loaded.getOrElseUpdate(dir, { load(spark, dir); true })
+      persist(spark, dir)
+    }
 
   /** Rule-side hook: load the store once per JVM per path, BEFORE the
     * catalogs' isEmpty short-circuit, so a fresh driver's first query
@@ -106,8 +115,9 @@ object RegistryStore {
       o.putPOJO("paths", d.paths.toSeq.sorted.asJava)
       o.putPOJO("keys", d.keys.asJava)
     }
-    val name = "reg_" +
-      f"${System.currentTimeMillis()}%013d_${System.nanoTime()}%019d" + ".json"
+    // SnapshotManifest.token: wall-clock-ordered and sign-safe, so
+    // the keep-last-2 prune's lexicographic sort is the commit order
+    val name = "reg_" + SnapshotManifest.token() + ".json"
     val tmp = new Path(dir, s".tmp_$name")
     val out = fs.create(tmp, true)
     try out.write(m.writerWithDefaultPrettyPrinter()
@@ -129,7 +139,12 @@ object RegistryStore {
   }
 
   /** Register every persisted declaration into the live catalogs.
-    * No-op (not an error) when the store has no pointer yet. */
+    * FILL-GAPS ONLY: a name already registered in memory wins — the
+    * live def is always at least as new as the store's (every
+    * declaration writes through), and a load racing a just-completed
+    * refresh must not resurrect the superseded version (stale mvPath,
+    * stale fp). No-op (not an error) when the store has no pointer
+    * yet. */
   def load(spark: SparkSession, dir: String): Unit = {
     val name = SnapshotManifest.currentSnap(spark, dir).getOrElse(return)
     val fs = SnapshotManifest.fsOf(spark, dir)
@@ -144,21 +159,24 @@ object RegistryStore {
       val join = Option(o.get("join")).map(j =>
         MvJoin(strs(j, "dimPaths").toSet, strs(j, "factKeys"),
           strs(j, "dimKeys")))
-      MvCatalog.register(MvDef(o.get("name").asText(),
+      val d = MvDef(o.get("name").asText(),
         strs(o, "basePaths").toSet, o.get("mvPath").asText(),
         strs(o, "dims"), strs(o, "measures").toSet,
         strs(o, "mins").toSet, strs(o, "maxs").toSet, join,
-        o.get("fp").asText()))
+        o.get("fp").asText())
+      if (MvCatalog.get(d.name).isEmpty) MvCatalog.register(d)
     }
     root.get("fks").elements().asScala.foreach { o =>
-      FkCatalog.register(FkDef(o.get("name").asText(),
+      val d = FkDef(o.get("name").asText(),
         strs(o, "childPaths").toSet, strs(o, "childKeys"),
         strs(o, "parentPaths").toSet, strs(o, "parentKeys"),
-        o.get("fp").asText()))
+        o.get("fp").asText())
+      if (FkCatalog.get(d.name).isEmpty) FkCatalog.register(d)
     }
     root.get("pks").elements().asScala.foreach { o =>
-      PkCatalog.register(UniqueKeyDef(o.get("name").asText(),
-        strs(o, "paths").toSet, strs(o, "keys"), o.get("fp").asText()))
+      val d = UniqueKeyDef(o.get("name").asText(),
+        strs(o, "paths").toSet, strs(o, "keys"), o.get("fp").asText())
+      if (PkCatalog.get(d.name).isEmpty) PkCatalog.register(d)
     }
   }
 }

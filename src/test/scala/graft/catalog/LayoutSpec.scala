@@ -624,6 +624,20 @@ class LayoutSpec extends SparkSpec {
       numBuckets = 4, filesPerBucket = 2, epoch = Some("w1"))
     assert(Layout.snapshots(spark, tp).size == snapsAfter)
     assert(live(tp).toSet == (21L to 600L).toSet)
+    // distinct epoch ids that sanitize to the same readable prefix
+    // must stay distinct markers (md5 suffix): the second window is
+    // applied, not skipped as already-done
+    val empty = Layout.changes(spark, sp, snap3, snap3)
+    Layout.applyChanges(empty, tp, "symbol", "ts", keys = Seq("ts"),
+      numBuckets = 4, filesPerBucket = 2, epoch = Some("e/p"))
+    Layout.applyChanges(empty, tp, "symbol", "ts", keys = Seq("ts"),
+      numBuckets = 4, filesPerBucket = 2, epoch = Some("e:p"))
+    val fs2 = new org.apache.hadoop.fs.Path(tp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dones = fs2.listStatus(new org.apache.hadoop.fs.Path(tp, "_repl"))
+      .map(_.getPath.getName).filter(n => n.startsWith("e_p_") &&
+        n.endsWith(".done"))
+    assert(dones.length == 2, s"expected two distinct markers, got ${dones.toSeq}")
   }
 
   test("expireBefore: whole files drop metadata-only, straddlers get DVs") {

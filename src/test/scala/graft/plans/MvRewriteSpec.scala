@@ -390,6 +390,36 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_bind")
   }
 
+  test("rebuild-in-place at the same mvPath refreshes the binding cache") {
+    import spark.implicits._
+    val fp0 = root + "/fact_rb"
+    val mvp = root + "/mv_rb"
+    Tables.load(spark, sf, "lineitem").limit(400).select(
+      col("l_returnflag").as("rf"), col("l_quantity").cast("bigint").as("qty"))
+      .write.mode("overwrite").parquet(fp0)
+    try {
+      Mv.build(spark.read.parquet(fp0), "mvspec_rb", Seq("rf"),
+        measures = Seq("qty"), mvPath = mvp)
+      def g = spark.read.parquet(fp0).groupBy("rf")
+        .agg(sum("qty").as("s"), count(lit(1)).as("n")).orderBy("rf")
+      // populate the binding memo
+      assert(scanPaths(g).exists(_.endsWith("/mv_rb")))
+      assert(g.collect().nonEmpty)
+      // the base moves, then the view is REBUILT IN PLACE (overwrite,
+      // same path) — the documented recovery for MIN/MAX views. The
+      // memoized relation's file index lists part files the overwrite
+      // deleted; without invalidation on register, execution fails
+      // with FileNotFoundException
+      Seq(("Z", 7L)).toDF("rf", "qty").write.mode("append").parquet(fp0)
+      Mv.build(spark.read.parquet(fp0), "mvspec_rb", Seq("rf"),
+        measures = Seq("qty"), mvPath = mvp)
+      assert(scanPaths(g).exists(_.endsWith("/mv_rb")), scanPaths(g))
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off)
+      assert(on.exists(_.getString(0) == "Z"), "rebuilt summary must hold the new row")
+    } finally MvCatalog.unregister("mvspec_rb")
+  }
+
   test("refreshAppend on an unregistered name fails loudly") {
     intercept[NoSuchElementException] {
       Mv.refreshAppend(spark, "nope", fact)

@@ -18,6 +18,9 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
   private val root = System.getProperty("java.io.tmpdir") + "/graft_regspec_" +
     java.util.UUID.randomUUID().toString.take(8)
   private val regDir = root + "/registry"
+  private val factP = root + "/fact"
+  private val childP = root + "/child"
+  private val parentP = root + "/parent"
 
   override def beforeAll(): Unit = {
     super.beforeAll()
@@ -31,7 +34,7 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
     spark.conf.unset(RegistryStore.ConfKey)
     Seq("regspec_mv").foreach(MvCatalog.unregister)
     Seq("regspec_fk").foreach(FkCatalog.unregister)
-    Seq("regspec_pk").foreach(PkCatalog.unregister)
+    Seq("regspec_pk", "regspec_pk2").foreach(PkCatalog.unregister)
     RegistryStore.resetForTest()
     super.afterAll()
   }
@@ -45,9 +48,6 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
     }.flatten.toSet
 
   test("declarations survive a catalog wipe: a fresh driver reloads and rewrites") {
-    val factP = root + "/fact"
-    val childP = root + "/child"
-    val parentP = root + "/parent"
     Tables.load(spark, sf, "lineitem").limit(800).select(
       col("l_returnflag").as("rf"), col("l_quantity").cast("bigint").as("qty"))
       .write.mode("overwrite").parquet(factP)
@@ -98,6 +98,30 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scanPaths(j2).exists(_.endsWith("/parent")), scanPaths(j2))
     val d2 = spark.read.parquet(childP).select("ok", "status").distinct()
     assert(d2.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+  }
+
+  test("fresh driver's first-action declaration merges with the store; refresh loads lazily") {
+    // fresh driver again: only the persisted store remains
+    MvCatalog.clear(); FkCatalog.clear(); PkCatalog.clear()
+    RegistryStore.resetForTest()
+    // first action is a NEW declaration — autoPersist must load the
+    // store first, or the write-through would atomically replace the
+    // registry with ONLY this def and destroy regspec_mv/fk/pk
+    DistinctElim.declareUniqueKey("regspec_pk2",
+      spark.read.parquet(parentP), Seq("ck2"))
+    assert(MvCatalog.get("regspec_mv").isDefined,
+      "persisted defs must merge in before the write-through")
+    assert(FkCatalog.get("regspec_fk").isDefined)
+    // and the store now holds the union — verify via a third fresh
+    // driver whose FIRST action is a refresh (no query planned): the
+    // refresh entry point must lazily load too
+    MvCatalog.clear(); FkCatalog.clear(); PkCatalog.clear()
+    RegistryStore.resetForTest()
+    val d = Mv.refreshAppend(spark, "regspec_mv",
+      spark.read.parquet(factP).limit(0))
+    assert(d.name == "regspec_mv" && d.fp.nonEmpty)
+    assert(PkCatalog.get("regspec_pk2").isDefined,
+      "the union store must have survived the first-action declaration")
   }
 
   test("persist prunes to the last two versions; load without a pointer is a no-op") {

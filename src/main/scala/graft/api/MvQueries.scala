@@ -330,6 +330,126 @@ object MvQueries {
         "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM child JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
 
+    Q("j25_fk_reverify",
+      // INCREMENTAL FK RE-VERIFICATION: the edge is declared while the
+      // snapshot-logged child holds only the pre-1997 orders; a
+      // nightly append then moves the table, so the staleness guard
+      // SUSPENDS the join elimination (hard-asserted). Instead of
+      // re-auditing both tables (O(table)), reverifyAppended audits
+      // exactly the Layout.changes window — the appended batch against
+      // the dim — re-stamps at the audited snapshots, and the rewrite
+      // RESUMES (hard-asserted: the dim scan is gone again). The
+      // oracle pays the real join over the full data.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_jr_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "jr_" + Integer.toHexString(root.hashCode)
+        val childP = root + "/child"
+        val dimP = root + "/dim"
+        def scansOf(df: DataFrame): Set[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+          }.flatten.toSet
+        def q: DataFrame = s.read.parquet(childP)
+          .join(s.read.parquet(dimP), col("ck") === col("ck2"), "inner")
+          .groupBy("symbol").agg(
+            count(lit(1)).as("n"),
+            sum(col("price")).cast("double").as("revenue")).orderBy("symbol")
+        if (FkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val o = t(s, dir, "orders").select(
+            col("o_orderstatus").as("symbol"),
+            to_date(col("o_orderdate")).as("ship"),
+            col("o_custkey").as("ck"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+          val cut = lit("1997-01-01").cast("date")
+          graft.catalog.Layout.writeClusteredZoned(o.filter(col("ship") < cut),
+            childP, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(dimP)
+          JoinElim.declareVerified(name,
+            s.read.parquet(childP), Seq("ck"),
+            s.read.parquet(dimP), Seq("ck2"))
+          JoinElim.install(s)
+          require(!scansOf(q).exists(_.endsWith("/dim")),
+            "join elimination should fire at declaration")
+          // the nightly append: the child moves, the audit stamp no
+          // longer matches, the rewrite must SUSPEND
+          graft.catalog.Layout.appendClusteredZoned(
+            o.filter(col("ship") >= cut), childP, "symbol", "ship",
+            numBuckets = 4, filesPerBucket = 4)
+          require(scansOf(q).exists(_.endsWith("/dim")),
+            "staleness guard should suspend the rewrite after the append")
+        }
+        JoinElim.install(s)
+        // O(window) re-verification; idempotent when nothing moved
+        JoinElim.reverifyAppended(s, name)
+        val df = q
+        require(!scansOf(df).exists(_.endsWith("/dim")) &&
+          scansOf(df).exists(_.endsWith("/child")),
+          s"re-verified edge should restore the rewrite; scans = ${scansOf(df)}")
+        df
+      },
+      Some("WITH child AS (SELECT o_orderstatus AS symbol, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_custkey AS ck " +
+        "FROM orders), " +
+        "dim AS (SELECT c_custkey AS ck2 FROM customer) " +
+        "SELECT symbol, count(*) AS n, CAST(sum(price) AS DOUBLE) AS revenue " +
+        "FROM child JOIN dim ON ck = ck2 GROUP BY symbol ORDER BY symbol")),
+
+    Q("s30_unique_reverify",
+      // INCREMENTAL UNIQUE-KEY RE-VERIFICATION (the single-table twin
+      // of j25): DISTINCT elimination is suspended by a nightly append
+      // and restored by auditing ONLY the appended window's keys
+      // against the table (semi-join restriction — batch-sized state),
+      // never the full table. Hard-asserts suspend + resume; the
+      // oracle runs the real DISTINCT over the full data.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_ur_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "ur_" + Integer.toHexString(root.hashCode)
+        val tp = root + "/t"
+        def q: DataFrame = s.read.parquet(tp)
+          .select("ok", "status").distinct().orderBy("ok")
+        def hasAgg: Boolean =
+          q.queryExecution.optimizedPlan.toString.contains("Aggregate")
+        if (PkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val o = t(s, dir, "orders").select(
+            col("o_orderstatus").as("status"),
+            to_date(col("o_orderdate")).as("ship"),
+            col("o_orderkey").as("ok"))
+          val cut = lit("1997-01-01").cast("date")
+          graft.catalog.Layout.writeClusteredZoned(o.filter(col("ship") < cut),
+            tp, "status", "ship", numBuckets = 4, filesPerBucket = 4)
+          DistinctElim.declareUniqueKey(name, s.read.parquet(tp), Seq("ok"))
+          DistinctElim.install(s)
+          require(!hasAgg, "distinct elimination should fire at declaration")
+          graft.catalog.Layout.appendClusteredZoned(
+            o.filter(col("ship") >= cut), tp, "status", "ship",
+            numBuckets = 4, filesPerBucket = 4)
+          require(hasAgg,
+            "staleness guard should suspend the elimination after the append")
+        }
+        DistinctElim.install(s)
+        DistinctElim.reverifyAppended(s, name)
+        val df = q
+        require(!df.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+          "re-verified key should restore the elimination:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      },
+      Some("SELECT DISTINCT o_orderkey AS ok, o_orderstatus AS status " +
+        "FROM orders ORDER BY ok")),
+
     Q("s27_distinct_elim",
       // PK-verified distinct elimination: DISTINCT over a superset of
       // a verified unique key is a per-row no-op, so the aggregate

@@ -94,6 +94,89 @@ object JoinElim {
     d
   }
 
+  /** INCREMENTAL RE-VERIFICATION — restore a staleness-suspended edge
+    * in O(changed window), not O(table). Once either table moves, the
+    * plan-time fingerprint check suspends the rewrite; a full
+    * [[declareVerified]] re-audit costs a scan of BOTH tables — at
+    * 100 TB, exactly the job you don't want after every nightly
+    * append. When the stamped fingerprint recorded SNAPSHOT identities
+    * (the table was snapshot-logged at declaration), the audit gap is
+    * precisely the [[graft.catalog.Layout.changes]] window between the
+    * stamped and current snapshots, and APPEND-ONLY windows re-verify
+    * from the batch alone:
+    *
+    *   - appended PARENT rows: their keys must be unique among
+    *     themselves and against the existing parent — one semi-join of
+    *     the parent restricted to the batch's keys + the PK audit on
+    *     that restriction (O(batch) state through the shuffle);
+    *   - appended CHILD rows: their non-null key tuples must exist in
+    *     the current parent — the FK audit on the batch alone
+    *     (O(batch + dim));
+    *   - windows carrying DELETION VECTORS refuse loudly
+    *     ([[TableState.appendOnlyWindow]]): the plain-read identity
+    *     this registry audits does not apply them, so a dv window
+    *     could cover rows the audit never saw — compact and
+    *     re-declare for that case.
+    *
+    * On success the edge is re-stamped at the snapshots that were
+    * audited and the rewrite resumes. Unchanged roots (fingerprint
+    * segment identical) need no window at all, so a plain-directory
+    * parent that never moves composes fine with a snapshot-logged
+    * child. */
+  def reverifyAppended(spark: SparkSession, name: String): FkDef = {
+    RegistryStore.ensureLoaded(spark)
+    val d = FkCatalog.get(name).getOrElse(
+      throw new NoSuchElementException(s"FK $name is not registered"))
+    val roots = (d.childPaths ++ d.parentPaths).toSeq.sorted
+    val seg = TableState.segments(d.fp, roots.toSet).getOrElse(
+      throw new IllegalStateException(s"FK $name carries no usable " +
+        "fingerprint stamp; run declareVerified"))
+    val curSeg = roots.map(r => r -> TableState.one(spark, r)).toMap
+    val newFp = roots.map(curSeg).mkString(";")
+    if (newFp == d.fp) return d // nothing moved
+    require(d.childPaths.size == 1 && d.parentPaths.size == 1,
+      s"FK $name: incremental re-verification needs single-root tables")
+    val (childRoot, parentRoot) = (d.childPaths.head, d.parentPaths.head)
+
+    /** The window's rows for a moved root; None when unchanged.
+      * Refuses non-snapshot stamps and (via [[TableState
+      * .appendOnlyWindow]]) any deletion-vector-carrying window. */
+    def window(root: String, side: String): Option[DataFrame] = {
+      if (curSeg(root) == seg(root)) return None
+      require(seg(root).startsWith("snap:") &&
+        curSeg(root).startsWith("snap:"),
+        s"FK $name: $side table at $root moved but is not " +
+          "snapshot-logged at both ends; run declareVerified")
+      Some(TableState.appendOnlyWindow(spark, root,
+        seg(root).stripPrefix("snap:"), curSeg(root).stripPrefix("snap:")))
+    }
+    val childW = window(childRoot, "child")
+    val parentW = window(parentRoot, "parent")
+    import org.apache.spark.sql.functions.col
+    parentW.foreach { feed =>
+      val ins = feed.filter(col("_change_type") === "insert")
+        .select(d.parentKeys.map(col): _*)
+      // uniqueness can only break AT the inserted keys: audit the
+      // current parent restricted to them (batch-sized through the
+      // shuffle, one pruned dim scan)
+      val touched = spark.read.parquet(parentRoot)
+        .join(ins, d.parentKeys, "left_semi")
+      require(graft.ops.Validate.primaryKey(touched, d.parentKeys).isEmpty,
+        s"FK $name: appended parent rows duplicate existing keys")
+    }
+    childW.foreach { feed =>
+      // child deletes are existence-safe; audit only the inserts
+      val ins = feed.filter(col("_change_type") === "insert")
+      require(graft.ops.Validate.foreignKey(ins,
+        spark.read.parquet(parentRoot), d.childKeys, d.parentKeys).isEmpty,
+        s"FK $name: appended child rows are orphaned")
+    }
+    val nd = d.copy(fp = newFp)
+    FkCatalog.register(nd)
+    RegistryStore.autoPersist(spark)
+    nd
+  }
+
   /** Idempotently install the rule on a session (cluster sessions get
     * it via `spark.sql.extensions=graft.GraftExtensions`). */
   def install(spark: SparkSession): Unit =

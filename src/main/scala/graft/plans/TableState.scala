@@ -51,6 +51,41 @@ object TableState {
               roots: Set[String]): Boolean =
     stamped.isEmpty || stamped == fingerprint(spark, roots)
 
+  /** Decompose a stamp back into its per-root segments (the stamp is
+    * the sorted roots' segments ';'-joined) — what the incremental
+    * re-verifiers need to recover WHICH snapshot a root was audited
+    * at. None when the stamp is empty or was taken over a different
+    * root set. */
+  private[plans] def segments(stamped: String,
+                              roots: Set[String]): Option[Map[String, String]] = {
+    val rs = roots.toSeq.sorted
+    val segs = stamped.split(";", -1).toSeq
+    if (stamped.isEmpty || segs.length != rs.length) None
+    else Some(rs.zip(segs).toMap)
+  }
+
+  /** The [[graft.catalog.Layout.changes]] feed for `(from → to]`,
+    * guarded for the constraint registries' PLAIN-READ identity: the
+    * audited "table" is `spark.read.parquet(root)`, which does NOT
+    * apply deletion vectors — and `changes` NETS a same-window
+    * insert+delete away, so a dv-carrying window could re-verify a
+    * table whose plain read still contains the (logically deleted,
+    * physically present) violating rows. Any `dv_*` part in the
+    * window therefore refuses loudly; re-declare after a compaction
+    * folds the vectors into clean files. */
+  private[plans] def appendOnlyWindow(spark: SparkSession, root: String,
+                                      from: String, to: String)
+      : org.apache.spark.sql.DataFrame = {
+    val before = SnapshotManifest.partsOf(spark, root, from).toSet
+    val freshDv = SnapshotManifest.partsOf(spark, root, to)
+      .filterNot(before).filter(_.startsWith("dv_"))
+    require(freshDv.isEmpty,
+      s"window $from -> $to at $root carries deletion vectors; the " +
+        "plain-read identity this registry audits does not apply " +
+        "them — compact and re-declare instead")
+    graft.catalog.Layout.changes(spark, root, from, to)
+  }
+
   private[plans] def one(spark: SparkSession, root: String): String = {
     probes.incrementAndGet()
     val p = new Path(root)

@@ -121,6 +121,44 @@ class DistinctElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally PkCatalog.unregister("despec_stale")
   }
 
+  test("reverifyAppended: O(window) audit restores a suspended key; a duplicate append refuses") {
+    import spark.implicits._
+    val tp3 = root + "/t3"
+    val o = Tables.load(spark, sf, "orders").select(
+      col("o_orderstatus").as("status"),
+      to_date(col("o_orderdate")).as("ship"),
+      col("o_orderkey").as("ok"))
+    val cut = lit("1997-01-01").cast("date")
+    graft.catalog.Layout.writeClusteredZoned(o.filter(col("ship") < cut),
+      tp3, "status", "ship", numBuckets = 4, filesPerBucket = 4)
+    def d = spark.read.parquet(tp3).select("ok", "status").distinct()
+    try {
+      DistinctElim.declareUniqueKey("despec_rv",
+        spark.read.parquet(tp3), Seq("ok"))
+      assert(!optimized(d).contains("Aggregate"))
+      // nightly append of FRESH keys → guard suspends until re-audited
+      graft.catalog.Layout.appendClusteredZoned(
+        o.filter(col("ship") >= cut), tp3, "status", "ship",
+        numBuckets = 4, filesPerBucket = 4)
+      assert(optimized(d).contains("Aggregate"))
+      val d1 = DistinctElim.reverifyAppended(spark, "despec_rv")
+      assert(!optimized(d).contains("Aggregate"), optimized(d))
+      // idempotent when nothing moved
+      assert(DistinctElim.reverifyAppended(spark, "despec_rv").fp == d1.fp)
+      // appending an EXACT existing key must refuse re-verification
+      // and keep the elimination suspended
+      val dup = spark.read.parquet(tp3).select("status", "ship", "ok").head
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq((dup.getString(0), dup.getDate(1), dup.getLong(2)))
+          .toDF("status", "ship", "ok"),
+        tp3, "status", "ship", numBuckets = 4, filesPerBucket = 4)
+      intercept[IllegalArgumentException] {
+        DistinctElim.reverifyAppended(spark, "despec_rv")
+      }
+      assert(optimized(d).contains("Aggregate"))
+    } finally PkCatalog.unregister("despec_rv")
+  }
+
   test("declareUniqueKey refuses a duplicate column") {
     intercept[IllegalArgumentException] {
       DistinctElim.declareUniqueKey("despec_bad", t, Seq("status"))

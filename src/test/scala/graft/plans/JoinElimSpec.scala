@@ -152,6 +152,57 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
       "(unmemoized would probe per candidate per pass)")
   }
 
+  test("reverifyAppended: O(window) audit restores a suspended edge; violations and deletes refuse") {
+    import spark.implicits._
+    val c3 = root + "/child3"
+    val p3 = root + "/parent3"
+    val o = Tables.load(spark, sf, "orders").select(
+      col("o_orderstatus").as("symbol"),
+      to_date(col("o_orderdate")).as("ship"),
+      col("o_custkey").as("ck"), col("o_totalprice").as("price"))
+    val cut = lit("1997-01-01").cast("date")
+    graft.catalog.Layout.writeClusteredZoned(o.filter(col("ship") < cut),
+      c3, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+    Tables.load(spark, sf, "customer").select(
+      col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+      .write.mode("overwrite").parquet(p3)
+    def child3 = spark.read.parquet(c3)
+    def g = child3.join(spark.read.parquet(p3),
+        col("ck") === col("ck2"), "inner")
+      .groupBy("symbol").agg(count(lit(1)).as("n"))
+    try {
+      JoinElim.declareVerified("jespec_rv", child3, Seq("ck"),
+        spark.read.parquet(p3), Seq("ck2"))
+      assert(!scanPaths(g).exists(_.endsWith("/parent3")))
+      // nightly append → guard suspends
+      graft.catalog.Layout.appendClusteredZoned(
+        o.filter(col("ship") >= cut), c3, "symbol", "ship",
+        numBuckets = 4, filesPerBucket = 4)
+      assert(scanPaths(g).exists(_.endsWith("/parent3")))
+      // window-only re-audit restores the rewrite; a second call with
+      // nothing moved is a fast no-op returning the same stamp
+      val d1 = JoinElim.reverifyAppended(spark, "jespec_rv")
+      assert(!scanPaths(g).exists(_.endsWith("/parent3")), scanPaths(g))
+      assert(JoinElim.reverifyAppended(spark, "jespec_rv").fp == d1.fp)
+      // an ORPHAN append must refuse re-verification AND stay suspended
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("X", java.sql.Date.valueOf("1999-01-01"), -777L, 1.0))
+          .toDF("symbol", "ship", "ck", "price"),
+        c3, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+      intercept[IllegalArgumentException] {
+        JoinElim.reverifyAppended(spark, "jespec_rv")
+      }
+      assert(scanPaths(g).exists(_.endsWith("/parent3")))
+      // a window carrying a DELETE refuses too (plain-read identity
+      // does not apply deletion vectors) — first clean up the orphan
+      // so the delete is the only refusal cause
+      graft.catalog.Layout.delete(spark, c3, "ship", col("ck") === -777L)
+      intercept[IllegalArgumentException] {
+        JoinElim.reverifyAppended(spark, "jespec_rv")
+      }
+    } finally FkCatalog.unregister("jespec_rv")
+  }
+
   test("declareVerified refuses a violated FK") {
     intercept[IllegalArgumentException] {
       // parent keyed on a non-unique column → PK audit fails

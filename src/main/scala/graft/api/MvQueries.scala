@@ -330,6 +330,65 @@ object MvQueries {
         "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM child JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
 
+    Q("mv7_mv_log_refresh",
+      // LOG-DRIVEN MV SELF-REFRESH: the summary is built while the
+      // snapshot-logged base holds only the pre-1997 orders; a nightly
+      // append moves the base, so the staleness guard SUSPENDS the
+      // rewrite (hard-asserted — queries fall back to the base scan,
+      // fresh but slower). refreshFromLog then reads exactly the
+      // Layout.changes window from the base's own snapshot log — no
+      // caller-assembled batch, no base rescan — folds it in
+      // (O(batch+MV), copy-on-write re-point, restamp), and the
+      // rewrite RESUMES answering for the FULL base (hard-asserted +
+      // oracle-checked).
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv7_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv7_" + Integer.toHexString(root.hashCode)
+        val baseP = root + "/base"
+        def q: DataFrame = s.read.parquet(baseP)
+          .groupBy("symbol").agg(
+            sum(col("qty")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n")).orderBy("symbol")
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val o = t(s, dir, "orders").select(
+            col("o_orderstatus").as("symbol"),
+            to_date(col("o_orderdate")).as("ship"),
+            col("o_totalprice").cast("decimal(18,2)").as("qty"))
+          val cut = lit("1997-01-01").cast("date")
+          graft.catalog.Layout.writeClusteredZoned(o.filter(col("ship") < cut),
+            baseP, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+          Mv.build(s.read.parquet(baseP), name, Seq("symbol"),
+            measures = Seq("qty"), mvPath = root + "/mv")
+          Mv.install(s)
+          assertMvScan(q) // rewrite fires at build
+          // the nightly append: base moves, stamp no longer matches
+          graft.catalog.Layout.appendClusteredZoned(
+            o.filter(col("ship") >= cut), baseP, "symbol", "ship",
+            numBuckets = 4, filesPerBucket = 4)
+          val scans = q.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+          }.flatten.toSet
+          require(scans.exists(_.endsWith("/base")),
+            "staleness guard should suspend the rewrite after the append")
+        }
+        Mv.install(s)
+        // self-heal from the base's own snapshot log; idempotent when
+        // nothing moved (second bench pass)
+        Mv.refreshFromLog(s, name)
+        assertMvScan(q)
+      },
+      Some("WITH base AS (SELECT o_orderstatus AS symbol, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS qty FROM orders) " +
+        "SELECT symbol, CAST(sum(qty) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n FROM base GROUP BY symbol ORDER BY symbol")),
+
     Q("j25_fk_reverify",
       // INCREMENTAL FK RE-VERIFICATION: the edge is declared while the
       // snapshot-logged child holds only the pre-1997 orders; a

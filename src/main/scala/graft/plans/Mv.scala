@@ -380,6 +380,43 @@ object Mv {
     nd
   }
 
+  /** SELF-REFRESH FROM THE SNAPSHOT LOG — the MV leg of the
+    * incremental staleness loop ([[JoinElim.reverifyAppended]] /
+    * [[DistinctElim.reverifyAppended]] are the constraint legs): when
+    * a single-table MV's base is snapshot-logged, the gap between the
+    * stamped and current fingerprints IS the
+    * [[graft.catalog.Layout.changes]] window, so the summary heals
+    * itself — no caller-assembled batch, no base rescan. The window's
+    * inserts fold in via [[refreshAppend]] (O(batch + MV), restamps,
+    * rewrite resumes). Append-only windows only: a deletion-vector
+    * window refuses ([[TableState.appendOnlyWindow]]) because the
+    * rewrite answers for PLAIN directory reads, which do not apply
+    * the vectors — compact, then rebuild, for that case. A no-op
+    * (same stamp) returns the registered def untouched. */
+  def refreshFromLog(spark: SparkSession, name: String): MvDef = {
+    RegistryStore.ensureLoaded(spark)
+    val d = MvCatalog.get(name).getOrElse(
+      throw new NoSuchElementException(s"MV $name is not registered"))
+    require(d.join.isEmpty,
+      s"MV $name is a star (join) summary; refresh it with an " +
+        "explicit batch via refreshAppend")
+    require(d.basePaths.size == 1,
+      s"MV $name: log-driven refresh needs a single-root base")
+    val root = d.basePaths.head
+    val seg = TableState.segments(d.fp, d.basePaths).getOrElse(
+      throw new IllegalStateException(s"MV $name carries no usable " +
+        "fingerprint stamp; rebuild with Mv.build"))
+    val cur = TableState.one(spark, root)
+    if (cur == seg(root)) return d // nothing moved
+    require(seg(root).startsWith("snap:") && cur.startsWith("snap:"),
+      s"MV $name: base at $root moved but is not snapshot-logged at " +
+        "both ends; rebuild with Mv.build")
+    val feed = TableState.appendOnlyWindow(spark, root,
+      seg(root).stripPrefix("snap:"), cur.stripPrefix("snap:"))
+    refreshAppend(spark, name,
+      feed.filter(col("_change_type") === "insert").drop("_change_type"))
+  }
+
   /** Drop superseded summary directories — the `_v*` siblings
     * [[refreshAppend]] left behind, minus the currently registered
     * one. Writer-side only, after a grace period covering the longest

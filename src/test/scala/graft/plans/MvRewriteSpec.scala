@@ -420,6 +420,46 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_rb")
   }
 
+  test("refreshFromLog: a stale MV over a snapshot-logged base self-heals from the change window") {
+    val base = root + "/fact_log"
+    val o = Tables.load(spark, sf, "orders").select(
+      col("o_orderstatus").as("symbol"),
+      org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("ship"),
+      col("o_totalprice").cast("decimal(18,2)").as("qty"))
+    val cut = lit("1997-01-01").cast("date")
+    graft.catalog.Layout.writeClusteredZoned(o.filter(col("ship") < cut),
+      base, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+    def g = spark.read.parquet(base).groupBy("symbol")
+      .agg(sum("qty").cast("double").as("s"), count(lit(1)).as("n"))
+      .orderBy("symbol")
+    try {
+      val d0 = Mv.build(spark.read.parquet(base), "mvspec_log",
+        Seq("symbol"), measures = Seq("qty"), mvPath = root + "/mv_log")
+      assert(d0.fp.contains("snap:"), "snapshot-logged base must stamp snap identity")
+      assert(scanPaths(g).exists(_.contains("/mv_log")))
+      // nightly append → guard suspends
+      graft.catalog.Layout.appendClusteredZoned(o.filter(col("ship") >= cut),
+        base, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+      assert(scanPaths(g).exists(_.endsWith("/fact_log")), scanPaths(g))
+      // the summary heals itself from the base's own snapshot log
+      val d1 = Mv.refreshFromLog(spark, "mvspec_log")
+      assert(d1.mvPath != d0.mvPath)
+      assert(scanPaths(g).exists(_.contains("/mv_log")), scanPaths(g))
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off)
+      // idempotent when nothing moved
+      assert(Mv.refreshFromLog(spark, "mvspec_log").mvPath == d1.mvPath)
+      // a deletion-vector window refuses (plain reads don't apply DVs)
+      graft.catalog.Layout.delete(spark, base, "ship",
+        col("symbol") === "F")
+      intercept[IllegalArgumentException] {
+        Mv.refreshFromLog(spark, "mvspec_log")
+      }
+      assert(scanPaths(g).exists(_.endsWith("/fact_log")),
+        "suspended rewrite must stay suspended after a refused refresh")
+    } finally MvCatalog.unregister("mvspec_log")
+  }
+
   test("refreshAppend on an unregistered name fails loudly") {
     intercept[NoSuchElementException] {
       Mv.refreshAppend(spark, "nope", fact)

@@ -57,15 +57,20 @@ object MvQueries {
     s.read.parquet(factPath)
   }
 
-  /** Fail loudly if the optimized plan still reads the fact —
-    * a silently-bailed rewrite must not pass as a correct gate. */
-  private[api] def assertMvScan(df: DataFrame): DataFrame = {
-    val paths = df.queryExecution.optimizedPlan.collect {
+  /** Root paths of every file scan in the optimized plan — shared by
+    * every plan-asserting gate in this file. */
+  private[api] def scanRoots(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
         case _ => Seq.empty
       }
     }.flatten.toSet
+
+  /** Fail loudly if the optimized plan still reads the fact —
+    * a silently-bailed rewrite must not pass as a correct gate. */
+  private[api] def assertMvScan(df: DataFrame): DataFrame = {
+    val paths = scanRoots(df)
     require(paths.nonEmpty && paths.forall(_.contains("/mv")),
       s"MV rewrite did not fire; scans = $paths")
     df
@@ -369,13 +374,7 @@ object MvQueries {
           graft.catalog.Layout.appendClusteredZoned(
             o.filter(col("ship") >= cut), baseP, "symbol", "ship",
             numBuckets = 4, filesPerBucket = 4)
-          val scans = q.queryExecution.optimizedPlan.collect {
-            case lr: LogicalRelation => lr.relation match {
-              case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
-              case _ => Seq.empty
-            }
-          }.flatten.toSet
-          require(scans.exists(_.endsWith("/base")),
+          require(scanRoots(q).exists(_.endsWith("/base")),
             "staleness guard should suspend the rewrite after the append")
         }
         Mv.install(s)
@@ -405,13 +404,7 @@ object MvQueries {
         val name = "jr_" + Integer.toHexString(root.hashCode)
         val childP = root + "/child"
         val dimP = root + "/dim"
-        def scansOf(df: DataFrame): Set[String] =
-          df.queryExecution.optimizedPlan.collect {
-            case lr: LogicalRelation => lr.relation match {
-              case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
-              case _ => Seq.empty
-            }
-          }.flatten.toSet
+        def scansOf(df: DataFrame): Set[String] = scanRoots(df)
         def q: DataFrame = s.read.parquet(childP)
           .join(s.read.parquet(dimP), col("ck") === col("ck2"), "inner")
           .groupBy("symbol").agg(

@@ -68,14 +68,18 @@ object DistinctElim {
   }
 
   /** INCREMENTAL RE-VERIFICATION — restore a staleness-suspended key
-    * in O(changed window), not O(table) (the [[JoinElim
-    * .reverifyAppended]] idea, single-table): when the stamped
-    * fingerprint recorded a snapshot identity, the audit gap is the
-    * [[graft.catalog.Layout.changes]] window, and an APPEND-ONLY
-    * window re-verifies from the batch alone — uniqueness can only
-    * break AT the appended keys, so the PK audit runs on the current
-    * table restricted (semi-join) to the batch's key tuples:
-    * batch-sized state through the shuffle, one pruned scan. Windows
+    * from the change window instead of a full [[declareUniqueKey]]
+    * re-audit (the [[JoinElim.reverifyAppended]] idea, single-table):
+    * when the stamped fingerprint recorded a snapshot identity, the
+    * audit gap is the [[graft.catalog.Layout.changes]] window, and an
+    * APPEND-ONLY window re-verifies from the batch — uniqueness can
+    * only break AT the appended keys, so the PK audit runs on the
+    * current table restricted (null-safe semi-join) to the batch's
+    * key tuples: batch-sized join/aggregate state and NO global key
+    * aggregation, at the cost of one pass of key-column I/O over the
+    * table (the full re-audit shuffles and aggregates every key;
+    * layout metadata — bloom/zone indexes — can prune the restriction
+    * scan further at deployment). Windows
     * carrying deletion vectors are refused ([[TableState
     * .appendOnlyWindow]]): the plain-directory read identity this
     * registry audits does not apply them, and `changes` NETS a
@@ -86,26 +90,20 @@ object DistinctElim {
     RegistryStore.ensureLoaded(spark)
     val d = PkCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"unique key $name is not registered"))
-    val roots = d.paths.toSeq.sorted
-    val seg = TableState.segments(d.fp, d.paths).getOrElse(
-      throw new IllegalStateException(s"unique key $name carries no " +
-        "usable fingerprint stamp; run declareUniqueKey"))
-    val curSeg = roots.map(r => r -> TableState.one(spark, r)).toMap
-    val newFp = roots.map(curSeg).mkString(";")
-    if (newFp == d.fp) return d // nothing moved
     require(d.paths.size == 1,
       s"unique key $name: incremental re-verification needs a single root")
     val root = d.paths.head
-    require(seg(root).startsWith("snap:") && curSeg(root).startsWith("snap:"),
-      s"unique key $name: table moved but is not snapshot-logged at " +
-        "both ends; run declareUniqueKey")
-    val feed = TableState.appendOnlyWindow(spark, root,
-      seg(root).stripPrefix("snap:"), curSeg(root).stripPrefix("snap:"))
+    val (newFp, moved) = TableState.movedWindows(spark, d.fp, d.paths,
+      s"unique key $name").getOrElse(return d) // nothing moved
     import org.apache.spark.sql.functions.col
-    val insKeys = feed.filter(col("_change_type") === "insert")
+    val insKeys = moved(root).filter(col("_change_type") === "insert")
       .select(d.keys.map(col): _*)
-    val touched = spark.read.parquet(root).join(insKeys, d.keys, "left_semi")
-    require(graft.ops.Validate.primaryKey(touched, d.keys).isEmpty,
+    // uniqueness can only break AT the appended keys: PK-audit the
+    // current table restricted (NULL-SAFE — a NULL-keyed duplicate
+    // counts, exactly as SQL grouping does) to them
+    require(graft.ops.Validate.primaryKey(
+      TableState.restrictToKeys(spark.read.parquet(root), insKeys, d.keys),
+      d.keys).isEmpty,
       s"unique key $name: appended rows duplicate existing key tuples")
     val nd = d.copy(fp = newFp)
     PkCatalog.register(nd)

@@ -84,8 +84,16 @@ object JoinElim {
     val pkViolations = graft.ops.Validate.primaryKey(parent, parentKeys)
     require(pkViolations.isEmpty,
       s"FK $name: parent keys ${parentKeys.mkString(",")} are not a primary key")
+    // NULL child keys are exempt (SQL MATCH SIMPLE): the inner join
+    // and the substituted IsNotNull filter drop such rows IDENTICALLY,
+    // so they can never make the rewrite wrong — refusing them would
+    // permanently bar legitimately-nullable FK columns
+    val nonNull = {
+      import org.apache.spark.sql.functions.col
+      child.filter(childKeys.map(col(_).isNotNull).reduce(_ && _))
+    }
     val fkViolations = graft.ops.Validate.foreignKey(
-      child, parent, childKeys, parentKeys)
+      nonNull, parent, childKeys, parentKeys)
     require(fkViolations.isEmpty,
       s"FK $name: child has orphaned ${childKeys.mkString(",")} values")
     val d = FkDef(name, cp, childKeys, pp, parentKeys, fp = fp)
@@ -95,23 +103,26 @@ object JoinElim {
   }
 
   /** INCREMENTAL RE-VERIFICATION — restore a staleness-suspended edge
-    * in O(changed window), not O(table). Once either table moves, the
-    * plan-time fingerprint check suspends the rewrite; a full
-    * [[declareVerified]] re-audit costs a scan of BOTH tables — at
-    * 100 TB, exactly the job you don't want after every nightly
-    * append. When the stamped fingerprint recorded SNAPSHOT identities
-    * (the table was snapshot-logged at declaration), the audit gap is
-    * precisely the [[graft.catalog.Layout.changes]] window between the
-    * stamped and current snapshots, and APPEND-ONLY windows re-verify
-    * from the batch alone:
+    * from the change window instead of a full [[declareVerified]]
+    * re-audit. Once either table moves, the plan-time fingerprint
+    * check suspends the rewrite; the full re-audit pays a global
+    * key aggregation over the parent AND a full child⋈parent
+    * anti-join — at 100 TB, exactly the job you don't want after
+    * every nightly append. When the stamped fingerprint recorded
+    * SNAPSHOT identities, the audit gap is precisely the
+    * [[graft.catalog.Layout.changes]] window between the stamped and
+    * current snapshots, and APPEND-ONLY windows re-verify from the
+    * batch:
     *
+    *   - appended CHILD rows (the fact side — where the data is):
+    *     their non-null key tuples must exist in the current parent —
+    *     the FK audit on the batch alone, O(batch + dim); the fact
+    *     table is NEVER rescanned;
     *   - appended PARENT rows: their keys must be unique among
-    *     themselves and against the existing parent — one semi-join of
-    *     the parent restricted to the batch's keys + the PK audit on
-    *     that restriction (O(batch) state through the shuffle);
-    *   - appended CHILD rows: their non-null key tuples must exist in
-    *     the current parent — the FK audit on the batch alone
-    *     (O(batch + dim));
+    *     themselves and against the existing parent — the PK audit on
+    *     the parent restricted (null-safe semi-join) to the batch's
+    *     keys: batch-sized join/aggregate state, one pass of
+    *     key-column I/O over the dim (no global dim aggregation);
     *   - windows carrying DELETION VECTORS refuse loudly
     *     ([[TableState.appendOnlyWindow]]): the plain-read identity
     *     this registry audits does not apply them, so a dv window
@@ -127,46 +138,31 @@ object JoinElim {
     RegistryStore.ensureLoaded(spark)
     val d = FkCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"FK $name is not registered"))
-    val roots = (d.childPaths ++ d.parentPaths).toSeq.sorted
-    val seg = TableState.segments(d.fp, roots.toSet).getOrElse(
-      throw new IllegalStateException(s"FK $name carries no usable " +
-        "fingerprint stamp; run declareVerified"))
-    val curSeg = roots.map(r => r -> TableState.one(spark, r)).toMap
-    val newFp = roots.map(curSeg).mkString(";")
-    if (newFp == d.fp) return d // nothing moved
     require(d.childPaths.size == 1 && d.parentPaths.size == 1,
       s"FK $name: incremental re-verification needs single-root tables")
     val (childRoot, parentRoot) = (d.childPaths.head, d.parentPaths.head)
-
-    /** The window's rows for a moved root; None when unchanged.
-      * Refuses non-snapshot stamps and (via [[TableState
-      * .appendOnlyWindow]]) any deletion-vector-carrying window. */
-    def window(root: String, side: String): Option[DataFrame] = {
-      if (curSeg(root) == seg(root)) return None
-      require(seg(root).startsWith("snap:") &&
-        curSeg(root).startsWith("snap:"),
-        s"FK $name: $side table at $root moved but is not " +
-          "snapshot-logged at both ends; run declareVerified")
-      Some(TableState.appendOnlyWindow(spark, root,
-        seg(root).stripPrefix("snap:"), curSeg(root).stripPrefix("snap:")))
-    }
-    val childW = window(childRoot, "child")
-    val parentW = window(parentRoot, "parent")
+    val (newFp, moved) = TableState.movedWindows(spark, d.fp,
+      d.childPaths ++ d.parentPaths, s"FK $name")
+      .getOrElse(return d) // nothing moved
     import org.apache.spark.sql.functions.col
-    parentW.foreach { feed =>
+    moved.get(parentRoot).foreach { feed =>
       val ins = feed.filter(col("_change_type") === "insert")
         .select(d.parentKeys.map(col): _*)
       // uniqueness can only break AT the inserted keys: audit the
-      // current parent restricted to them (batch-sized through the
-      // shuffle, one pruned dim scan)
-      val touched = spark.read.parquet(parentRoot)
-        .join(ins, d.parentKeys, "left_semi")
-      require(graft.ops.Validate.primaryKey(touched, d.parentKeys).isEmpty,
+      // current parent restricted (null-safe) to them — batch-sized
+      // join state, one dim scan
+      require(graft.ops.Validate.primaryKey(
+        TableState.restrictToKeys(spark.read.parquet(parentRoot),
+          ins, d.parentKeys), d.parentKeys).isEmpty,
         s"FK $name: appended parent rows duplicate existing keys")
     }
-    childW.foreach { feed =>
-      // child deletes are existence-safe; audit only the inserts
+    moved.get(childRoot).foreach { feed =>
+      // child deletes are existence-safe; audit only the inserts, and
+      // only their NON-NULL key tuples — SQL FK semantics exempt NULL
+      // keys, and the rewrite's IsNotNull filter drops such rows
+      // exactly as the real inner join does
       val ins = feed.filter(col("_change_type") === "insert")
+        .filter(d.childKeys.map(col(_).isNotNull).reduce(_ && _))
       require(graft.ops.Validate.foreignKey(ins,
         spark.read.parquet(parentRoot), d.childKeys, d.parentKeys).isEmpty,
         s"FK $name: appended child rows are orphaned")

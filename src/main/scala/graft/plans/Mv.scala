@@ -403,18 +403,20 @@ object Mv {
     require(d.basePaths.size == 1,
       s"MV $name: log-driven refresh needs a single-root base")
     val root = d.basePaths.head
-    val seg = TableState.segments(d.fp, d.basePaths).getOrElse(
-      throw new IllegalStateException(s"MV $name carries no usable " +
-        "fingerprint stamp; rebuild with Mv.build"))
-    val cur = TableState.one(spark, root)
-    if (cur == seg(root)) return d // nothing moved
-    require(seg(root).startsWith("snap:") && cur.startsWith("snap:"),
-      s"MV $name: base at $root moved but is not snapshot-logged at " +
-        "both ends; rebuild with Mv.build")
-    val feed = TableState.appendOnlyWindow(spark, root,
-      seg(root).stripPrefix("snap:"), cur.stripPrefix("snap:"))
-    refreshAppend(spark, name,
-      feed.filter(col("_change_type") === "insert").drop("_change_type"))
+    val (newFp, moved) = TableState.movedWindows(spark, d.fp, d.basePaths,
+      s"MV $name").getOrElse(return d) // nothing moved
+    val nd = refreshAppend(spark, name,
+      moved(root).filter(col("_change_type") === "insert")
+        .drop("_change_type"))
+    // PIN the stamp to the snapshot the folded window actually covers:
+    // refreshAppend stamps at ITS OWN entry, and an append racing the
+    // window's materialization would otherwise be covered by a stamp
+    // newer than the folded rows — stamps must never postdate the
+    // audited/folded state (the declareVerified ordering)
+    val pinned = nd.copy(fp = newFp)
+    MvCatalog.register(pinned)
+    RegistryStore.autoPersist(spark)
+    pinned
   }
 
   /** Drop superseded summary directories — the `_v*` siblings

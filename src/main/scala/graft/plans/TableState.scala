@@ -76,7 +76,15 @@ object TableState {
   private[plans] def appendOnlyWindow(spark: SparkSession, root: String,
                                       from: String, to: String)
       : org.apache.spark.sql.DataFrame = {
-    val before = SnapshotManifest.partsOf(spark, root, from).toSet
+    val before =
+      try SnapshotManifest.partsOf(spark, root, from).toSet
+      catch { case _: java.io.FileNotFoundException =>
+        // same guided error changes() gives for its own reads: the
+        // stamped snapshot aged out of keep-last-2 retention
+        throw new IllegalStateException(s"window base snapshot $from " +
+          s"at $root is unknown or expired (vacuum retention is " +
+          "keep-last-2); re-declare against the current state instead")
+      }
     val freshDv = SnapshotManifest.partsOf(spark, root, to)
       .filterNot(before).filter(_.startsWith("dv_"))
     require(freshDv.isEmpty,
@@ -84,6 +92,50 @@ object TableState {
         "plain-read identity this registry audits does not apply " +
         "them — compact and re-declare instead")
     graft.catalog.Layout.changes(spark, root, from, to)
+  }
+
+  /** Shared scaffold for the incremental re-verifiers: decompose the
+    * stamp, probe the current state, and return `(newFp, moved)`
+    * where `moved` maps each CHANGED root to its append-only change
+    * window. `None` when nothing moved (fast no-op path). Refuses —
+    * with the caller's noun in the message — stamps that are unusable
+    * or roots that moved without snapshot identity at both ends. */
+  private[plans] def movedWindows(spark: SparkSession, stamp: String,
+                                  roots: Set[String], what: String)
+      : Option[(String, Map[String, org.apache.spark.sql.DataFrame])] = {
+    val rs = roots.toSeq.sorted
+    val seg = segments(stamp, roots).getOrElse(
+      throw new IllegalStateException(
+        s"$what carries no usable fingerprint stamp; re-declare"))
+    val curSeg = rs.map(r => r -> one(spark, r)).toMap
+    val newFp = rs.map(curSeg).mkString(";")
+    if (newFp == stamp) return None
+    val moved = rs.filter(r => curSeg(r) != seg(r)).map { r =>
+      require(seg(r).startsWith("snap:") && curSeg(r).startsWith("snap:"),
+        s"$what: table at $r moved but is not snapshot-logged at both " +
+          "ends; re-declare instead")
+      r -> appendOnlyWindow(spark, r,
+        seg(r).stripPrefix("snap:"), curSeg(r).stripPrefix("snap:"))
+    }.toMap
+    Some((newFp, moved))
+  }
+
+  /** The current table restricted to the batch's key tuples — the
+    * slice a PK re-audit must cover (uniqueness can only break AT the
+    * touched keys). NULL-SAFE equality: a plain equi-semi-join never
+    * matches NULL keys, so a NULL-keyed duplicate would silently
+    * escape the restricted audit that SQL grouping (and
+    * `Validate.primaryKey`'s groupBy) treats as equal. Batch-sized
+    * join state; one scan of the table. */
+  private[plans] def restrictToKeys(table: org.apache.spark.sql.DataFrame,
+                                    keyRows: org.apache.spark.sql.DataFrame,
+                                    keys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val probe = keyRows
+      .select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    table.join(probe,
+      keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _), "left_semi")
   }
 
   private[plans] def one(spark: SparkSession, root: String): String = {

@@ -159,6 +159,35 @@ class DistinctElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally PkCatalog.unregister("despec_rv")
   }
 
+  test("reverifyAppended: a NULL-keyed duplicate does not slip through the restriction") {
+    import spark.implicits._
+    val tp4 = root + "/t4"
+    // one NULL-keyed row is unique (SQL grouping: one NULL group)
+    graft.catalog.Layout.writeClusteredZoned(
+      Seq(("A", 1L, Option(10L)), ("B", 2L, Option(20L)),
+        ("C", 3L, Option.empty[Long]))
+        .toDF("status", "ship", "ok"),
+      tp4, "status", "ship", numBuckets = 2, filesPerBucket = 2)
+    try {
+      DistinctElim.declareUniqueKey("despec_null",
+        spark.read.parquet(tp4), Seq("ok"))
+      // append a SECOND NULL-keyed row: SQL grouping (and the real
+      // DISTINCT) treats the two as equal — a plain equi-semi-join
+      // restriction would never match NULL and silently re-verify;
+      // the null-safe restriction must refuse
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("D", 4L, Option.empty[Long])).toDF("status", "ship", "ok"),
+        tp4, "status", "ship", numBuckets = 2, filesPerBucket = 2)
+      intercept[IllegalArgumentException] {
+        DistinctElim.reverifyAppended(spark, "despec_null")
+      }
+      // the real distinct over the violated key collapses the NULLs
+      val d = spark.read.parquet(tp4).select("ok").distinct()
+      assert(d.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+      assert(d.count() == 3L) // 10, 20, NULL
+    } finally PkCatalog.unregister("despec_null")
+  }
+
   test("declareUniqueKey refuses a duplicate column") {
     intercept[IllegalArgumentException] {
       DistinctElim.declareUniqueKey("despec_bad", t, Seq("status"))

@@ -184,6 +184,16 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
       val d1 = JoinElim.reverifyAppended(spark, "jespec_rv")
       assert(!scanPaths(g).exists(_.endsWith("/parent3")), scanPaths(g))
       assert(JoinElim.reverifyAppended(spark, "jespec_rv").fp == d1.fp)
+      // a NULL-FK append is legitimate (SQL MATCH SIMPLE): the inner
+      // join and the IsNotNull substitution drop the row IDENTICALLY,
+      // so re-verification must accept it
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("N", java.sql.Date.valueOf("1999-02-01"),
+          Option.empty[Long], 2.0))
+          .toDF("symbol", "ship", "ck", "price"),
+        c3, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+      JoinElim.reverifyAppended(spark, "jespec_rv")
+      assert(!scanPaths(g).exists(_.endsWith("/parent3")), scanPaths(g))
       // an ORPHAN append must refuse re-verification AND stay suspended
       graft.catalog.Layout.appendClusteredZoned(
         Seq(("X", java.sql.Date.valueOf("1999-01-01"), -777L, 1.0))
@@ -201,6 +211,28 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
         JoinElim.reverifyAppended(spark, "jespec_rv")
       }
     } finally FkCatalog.unregister("jespec_rv")
+  }
+
+  test("declareVerified accepts NULL child keys (SQL MATCH SIMPLE) and the rewrite stays exact") {
+    import spark.implicits._
+    val c4 = root + "/child4"
+    val p4 = root + "/parent4"
+    Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "n"))
+      .toDF("ck", "status").write.mode("overwrite").parquet(c4)
+    Seq((1L, "X"), (2L, "Y")).toDF("ck2", "seg")
+      .write.mode("overwrite").parquet(p4)
+    try {
+      // the NULL-ck row is exempt from the FK audit — it can never
+      // make the rewrite wrong (join and IsNotNull both drop it)
+      JoinElim.declareVerified("jespec_null",
+        spark.read.parquet(c4), Seq("ck"),
+        spark.read.parquet(p4), Seq("ck2"))
+      def g = spark.read.parquet(c4)
+        .join(spark.read.parquet(p4), col("ck") === col("ck2"), "inner")
+        .select("status")
+      assert(!scanPaths(g).exists(_.endsWith("/parent4")), scanPaths(g))
+      assert(g.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    } finally FkCatalog.unregister("jespec_null")
   }
 
   test("declareVerified refuses a violated FK") {

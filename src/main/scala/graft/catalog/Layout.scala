@@ -772,7 +772,18 @@ object Layout {
         appendClusteredZoned(ins, targetPath, symbol, time,
           numBuckets, filesPerBucket)
       failpoint("applychanges-before-done")
-      epoch.foreach(e => fs.create(marker(e, "done"), true).close())
+      epoch.foreach { e =>
+        fs.create(marker(e, "done"), true).close()
+        // marker retention: a long-lived replication loop leaves two
+        // files per window forever otherwise. Keep the most recent 64
+        // epochs (128 files, by mtime — the in-flight epoch is always
+        // newest); older windows predate the feed's own keep-last-2
+        // snapshot retention and can never replay anyway.
+        val sts = fs.listStatus(replDir)
+        if (sts.length > 128)
+          sts.sortBy(_.getModificationTime).dropRight(128)
+            .foreach(st => fs.delete(st.getPath, false))
+      }
     } finally data.unpersist()
   }
 

@@ -55,6 +55,9 @@ object DistinctElim {
   def declareUniqueKey(name: String, df: DataFrame,
                        keys: Seq[String]): UniqueKeyDef = {
     val paths = Mv.basePathsOf(df)
+    // the frame's pinned listing must still BE the table (a write in
+    // the read→declare gap would be stamped but unaudited)
+    TableState.requireFresh(df.sparkSession, df, paths, s"unique key $name")
     // stamp BEFORE the audit — a mid-audit append (a duplicate the
     // audit never saw) must fail the plan-time fingerprint check, not
     // be silently covered by a post-audit stamp (JoinElim ordering)
@@ -109,6 +112,13 @@ object DistinctElim {
     PkCatalog.register(nd)
     RegistryStore.autoPersist(spark)
     nd
+  }
+
+  /** Durable revocation — see [[JoinElim.revoke]]. */
+  def revoke(spark: SparkSession, name: String): Unit = {
+    RegistryStore.ensureLoaded(spark)
+    PkCatalog.unregister(name)
+    RegistryStore.writeThrough(spark)
   }
 
   def install(spark: SparkSession): Unit =

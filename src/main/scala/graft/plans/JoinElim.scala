@@ -76,6 +76,11 @@ object JoinElim {
   def declareVerified(name: String, child: DataFrame, childKeys: Seq[String],
                       parent: DataFrame, parentKeys: Seq[String]): FkDef = {
     val (cp, pp) = (Mv.basePathsOf(child), Mv.basePathsOf(parent))
+    // the frames' pinned listings must still BE the tables: a write
+    // landing between the caller's read and this declaration would be
+    // covered by the stamp yet unseen by the audits
+    TableState.requireFresh(child.sparkSession, child, cp, s"FK $name (child)")
+    TableState.requireFresh(child.sparkSession, parent, pp, s"FK $name (parent)")
     // stamp BEFORE the audits: if either table moves WHILE the audit
     // scans (an appended orphan the audit never saw), the stamp no
     // longer matches at plan time and the unaudited state is never
@@ -171,6 +176,18 @@ object JoinElim {
     FkCatalog.register(nd)
     RegistryStore.autoPersist(spark)
     nd
+  }
+
+  /** Revoke a declared edge DURABLY: plain `FkCatalog.unregister` only
+    * mutates this JVM's registry, and a persisted store would
+    * resurrect the def on the next driver's lazy load — the exact
+    * wrong outcome for an edge revoked because its declaration was
+    * semantically mistaken. Loads the store first (so the write-back
+    * is the full remainder), unregisters, writes through. */
+  def revoke(spark: SparkSession, name: String): Unit = {
+    RegistryStore.ensureLoaded(spark)
+    FkCatalog.unregister(name)
+    RegistryStore.writeThrough(spark)
   }
 
   /** Idempotently install the rule on a session (cluster sessions get

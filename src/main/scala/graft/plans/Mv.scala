@@ -193,6 +193,9 @@ object Mv {
             measures: Seq[String], mvPath: String,
             mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
     val paths = basePathsOf(base)
+    // the frame's pinned listing must still BE the table (a write in
+    // the read→build gap would be stamped but not summarized)
+    TableState.requireFresh(base.sparkSession, base, paths, s"MV $name")
     // fingerprint BEFORE the summarizing pass: if the base moves while
     // the summary is being written, the stamp no longer matches at
     // plan time and the (possibly torn) summary is never trusted
@@ -225,6 +228,8 @@ object Mv {
     require(dup.isEmpty, s"ambiguous columns across fact and dim: $dup")
     val cond = on.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
     val (fpaths, dpaths) = (basePathsOf(fact), basePathsOf(dim))
+    TableState.requireFresh(fact.sparkSession, fact, fpaths, s"MV $name (fact)")
+    TableState.requireFresh(fact.sparkSession, dim, dpaths, s"MV $name (dim)")
     // fingerprint both sides before the build pass (see [[build]])
     val fp = TableState.fingerprint(fact.sparkSession, fpaths ++ dpaths)
     summarize(fact.join(dim, cond, "inner"), dims, measures, mins, maxs)
@@ -259,7 +264,16 @@ object Mv {
     * retractable-fold kernels in `ops/IncrementalAgg` cover the
     * min/max-free case. */
   def refreshAppend(spark: SparkSession, name: String,
-                    batch: DataFrame): MvDef = {
+                    batch: DataFrame): MvDef =
+    refreshAppendStamped(spark, name, batch, fpOverride = None)
+
+  /** [[refreshAppend]] with the stamp supplied by the caller —
+    * [[refreshFromLog]] pins it to the snapshot its window actually
+    * covers, so the registered/persisted def can never carry a stamp
+    * newer than the folded rows, not even transiently. */
+  private def refreshAppendStamped(spark: SparkSession, name: String,
+                                   batch: DataFrame,
+                                   fpOverride: Option[String]): MvDef = {
     // a fresh driver's first action may be a refresh, not a query —
     // load persisted declarations here too, not only in the rule
     RegistryStore.ensureLoaded(spark)
@@ -268,7 +282,8 @@ object Mv {
     // re-stamp against the base state the refreshed summary reflects:
     // the caller's contract is base-advance THEN refresh-with-batch,
     // so at refresh entry the base already holds the batch's rows
-    val fp = TableState.fingerprint(spark, d.allBasePaths)
+    val fp = fpOverride.getOrElse(
+      TableState.fingerprint(spark, d.allBasePaths))
     val cur = spark.read.parquet(d.mvPath)
     val ms = d.measures.toSeq.sorted
     val delta = summarize(batch, d.dims, ms, d.mins.toSeq.sorted,
@@ -405,18 +420,14 @@ object Mv {
     val root = d.basePaths.head
     val (newFp, moved) = TableState.movedWindows(spark, d.fp, d.basePaths,
       s"MV $name").getOrElse(return d) // nothing moved
-    val nd = refreshAppend(spark, name,
+    // the stamp is PINNED to the snapshot the folded window actually
+    // covers — an append racing the window's materialization must not
+    // be covered by a stamp newer than the folded rows (the
+    // declareVerified ordering: never postdate the audited state)
+    refreshAppendStamped(spark, name,
       moved(root).filter(col("_change_type") === "insert")
-        .drop("_change_type"))
-    // PIN the stamp to the snapshot the folded window actually covers:
-    // refreshAppend stamps at ITS OWN entry, and an append racing the
-    // window's materialization would otherwise be covered by a stamp
-    // newer than the folded rows — stamps must never postdate the
-    // audited/folded state (the declareVerified ordering)
-    val pinned = nd.copy(fp = newFp)
-    MvCatalog.register(pinned)
-    RegistryStore.autoPersist(spark)
-    pinned
+        .drop("_change_type"),
+      fpOverride = Some(newFp))
   }
 
   /** Drop superseded summary directories — the `_v*` siblings
@@ -439,6 +450,16 @@ object Mv {
       if (stale) fs.delete(st.getPath, true)
       stale
     }
+  }
+
+  /** Durable revocation — see [[JoinElim.revoke]]. The summary parquet
+    * stays on disk (reclaim with a manual delete or [[vacuum]] before
+    * revoking); only the registration — and therefore the rewrite —
+    * is withdrawn, everywhere. */
+  def revoke(spark: SparkSession, name: String): Unit = {
+    RegistryStore.ensureLoaded(spark)
+    MvCatalog.unregister(name)
+    RegistryStore.writeThrough(spark)
   }
 
   /** Idempotently install the rewrite rule on a session (the local /
@@ -689,9 +710,18 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val (lr, fs, conds) = stripToScan(ex.child).getOrElse(return None)
     val scanIds = lr.output.map(_.exprId).toSet
-    val mv = MvCatalog.forPaths(rootsOf(fs)).headOption.getOrElse(return None)
-    // staleness guard, exactly as in [[tryRewrite]]
-    if (!fpc.matches(mv.fp, mv.allBasePaths)) return None
+    // iterate EVERY candidate for this base, staleness-filtered first
+    // (same discipline as tryRewrite's sources loop): a stale
+    // first-by-name def must not veto a fresh sibling that can answer
+    MvCatalog.forPaths(rootsOf(fs)).view
+      .filter(mv => fpc.matches(mv.fp, mv.allBasePaths))
+      .flatMap(mv => tryExpandWith(agg, ex, scanIds, conds, mv))
+      .headOption
+  }
+
+  private def tryExpandWith(agg: Aggregate, ex: Expand,
+                            scanIds: Set[ExprId], conds: Seq[Expression],
+                            mv: MvDef): Option[LogicalPlan] = {
     val b = bind(mv).getOrElse(return None)
     val dimNames = mv.dims.toSet
 

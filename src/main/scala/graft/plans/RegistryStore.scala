@@ -67,6 +67,17 @@ object RegistryStore {
       persist(spark, dir)
     }
 
+  /** Persist WITHOUT the pre-load merge — the revocation path: after
+    * an unregister, [[load]]'s fill-gaps merge would resurrect exactly
+    * the def being revoked. Callers must [[ensureLoaded]] BEFORE the
+    * unregister (the revoke APIs do), so the snapshot written here is
+    * the full store minus the revoked name. */
+  private[plans] def writeThrough(spark: SparkSession): Unit =
+    confPath(spark).foreach { dir =>
+      loaded.put(dir, true) // this JVM's view is now the truth
+      persist(spark, dir)
+    }
+
   /** Rule-side hook: load the store once per JVM per path, BEFORE the
     * catalogs' isEmpty short-circuit, so a fresh driver's first query
     * already plans with the persisted declarations. */

@@ -120,6 +120,56 @@ object TableState {
     Some((newFp, moved))
   }
 
+  /** Guard for the declaration-time audits: the caller's DataFrame
+    * pinned its FILE LISTING when `spark.read.parquet` ran — possibly
+    * before the declaration's fingerprint probe. A writer appending in
+    * that gap would be COVERED by the stamp yet UNSEEN by the audit
+    * (the audit scans the pinned listing), silently defeating the
+    * staleness guard. Refuse when the frame's pinned input files
+    * differ from the roots' current data files; the caller re-reads
+    * and re-declares — one metadata listing, no data read. */
+  private[plans] def requireFresh(spark: SparkSession,
+                                  df: org.apache.spark.sql.DataFrame,
+                                  roots: Set[String], what: String): Unit = {
+    def norm(s: String): String = new Path(s).toUri.getPath
+    // collect from the ANALYZED plan's pinned file index, not
+    // Dataset.inputFiles — the latter propagates empty relations
+    // (e.g. a limit(0) frame reports NO files though its scan pinned
+    // a full listing) and would fail every such declaration
+    val pinned = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(norm).toSet
+    val live = roots.flatMap { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty[String]
+      else {
+        val qroot = fs.makeQualified(p).toString
+        val out = Seq.newBuilder[String]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toString.stripPrefix(qroot).stripPrefix("/")
+          val hidden = rel.split('/')
+            .exists(c => c.startsWith("_") || c.startsWith("."))
+          if (!hidden) out += norm(f.getPath.toString)
+        }
+        out.result()
+      }
+    }
+    require(pinned == live,
+      s"$what: the audited frame's file listing no longer matches the " +
+        "table on disk (a write landed between the read and the " +
+        "declaration, or the frame scans a subset); re-read the table " +
+        s"and re-declare [frame-only: ${(pinned -- live).take(3)}; " +
+        s"disk-only: ${(live -- pinned).take(3)}]")
+  }
+
   /** The current table restricted to the batch's key tuples — the
     * slice a PK re-audit must cover (uniqueness can only break AT the
     * touched keys). NULL-SAFE equality: a plain equi-semi-join never

@@ -638,6 +638,21 @@ class LayoutSpec extends SparkSpec {
       .map(_.getPath.getName).filter(n => n.startsWith("e_p_") &&
         n.endsWith(".done"))
     assert(dones.length == 2, s"expected two distinct markers, got ${dones.toSeq}")
+    // marker retention: seed the dir past the 128-file cap with OLD
+    // markers; the next epoch's cleanup keeps only the newest 128 —
+    // the fresh epoch's own pair must survive
+    val replDir = new org.apache.hadoop.fs.Path(tp, "_repl")
+    (1 to 140).foreach { i =>
+      val f = new org.apache.hadoop.fs.Path(replDir, s"old_$i.done")
+      fs2.create(f, true).close()
+      fs2.setTimes(f, 1000000L + i, -1)
+    }
+    Layout.applyChanges(empty, tp, "symbol", "ts", keys = Seq("ts"),
+      numBuckets = 4, filesPerBucket = 2, epoch = Some("retained"))
+    val after = fs2.listStatus(replDir).map(_.getPath.getName)
+    assert(after.length <= 128, s"marker retention failed: ${after.length}")
+    assert(after.exists(_.startsWith("retained_")),
+      "the fresh epoch's markers must survive the prune")
   }
 
   test("expireBefore: whole files drop metadata-only, straddlers get DVs") {

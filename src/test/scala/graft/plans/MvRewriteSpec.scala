@@ -460,6 +460,31 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_log")
   }
 
+  test("a stale sibling MV does not veto a fresh one (plain and grouping-sets paths)") {
+    import spark.implicits._
+    val fp0 = root + "/fact_sib"
+    Seq(("A", 1L), ("B", 5L)).toDF("rf", "qty")
+      .write.mode("overwrite").parquet(fp0)
+    try {
+      // "a_stale" sorts first by name; it goes stale when the base
+      // moves. "b_fresh" is built AFTER the append and can answer.
+      Mv.build(spark.read.parquet(fp0), "a_stale", Seq("rf"),
+        measures = Seq("qty"), mvPath = root + "/mv_sib_a")
+      Seq(("C", 9L)).toDF("rf", "qty").write.mode("append").parquet(fp0)
+      Mv.build(spark.read.parquet(fp0), "b_fresh", Seq("rf"),
+        measures = Seq("qty"), mvPath = root + "/mv_sib_b")
+      def g = spark.read.parquet(fp0).groupBy("rf")
+        .agg(sum("qty").as("s")).orderBy("rf")
+      assert(scanPaths(g).exists(_.endsWith("/mv_sib_b")), scanPaths(g))
+      def r = spark.read.parquet(fp0).rollup("rf")
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+        .orderBy(col("rf").asc_nulls_first)
+      assert(scanPaths(r).exists(_.endsWith("/mv_sib_b")), scanPaths(r))
+      val (on, off) = onOff(r)
+      assert(on.nonEmpty && on == off)
+    } finally { MvCatalog.unregister("a_stale"); MvCatalog.unregister("b_fresh") }
+  }
+
   test("refreshAppend on an unregistered name fails loudly") {
     intercept[NoSuchElementException] {
       Mv.refreshAppend(spark, "nope", fact)

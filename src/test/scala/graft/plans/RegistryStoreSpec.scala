@@ -124,6 +124,22 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
       "the union store must have survived the first-action declaration")
   }
 
+  test("revoke is durable: a revoked declaration does not resurrect on the next driver") {
+    // regspec_pk2 is in the store from the previous test
+    DistinctElim.revoke(spark, "regspec_pk2")
+    assert(PkCatalog.get("regspec_pk2").isEmpty)
+    // fresh driver: reload everything — the revoked name must STAY
+    // gone (an unpersisted unregister would resurrect here)
+    MvCatalog.clear(); FkCatalog.clear(); PkCatalog.clear()
+    RegistryStore.resetForTest()
+    RegistryStore.ensureLoaded(spark)
+    assert(PkCatalog.get("regspec_pk2").isEmpty,
+      "revoked declaration resurrected from the persisted store")
+    assert(MvCatalog.get("regspec_mv").isDefined,
+      "revocation must not disturb sibling declarations")
+    assert(FkCatalog.get("regspec_fk").isDefined)
+  }
+
   test("persist prunes to the last two versions; load without a pointer is a no-op") {
     val count0 = {
       val fs = graft.catalog.SnapshotManifest.fsOf(spark, regDir)

@@ -30,6 +30,30 @@ class TableStateSpec extends SparkSpec {
     assert(TableState.matches(spark, fp2, Set(p)))
   }
 
+  test("a declaration over a STALE frame refuses (pinned listing vs live files)") {
+    import spark.implicits._
+    val p = root + "/t_fresh"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(p)
+    // this frame pins its file listing NOW…
+    val frame = spark.read.parquet(p)
+    // …and the table moves behind its back. The appended row would be
+    // covered by the declaration's fingerprint but invisible to the
+    // audit (which scans the pinned listing) — declare must refuse.
+    Seq((2L, "dup")).toDF("k", "v").write.mode("append").parquet(p)
+    val ex = intercept[IllegalArgumentException] {
+      DistinctElim.declareUniqueKey("tsspec_stale", frame, Seq("k"))
+    }
+    assert(ex.getMessage.contains("re-read"), ex.getMessage)
+    assert(PkCatalog.get("tsspec_stale").isEmpty)
+    // a fresh read declares fine — wait, the duplicate k=2 now exists,
+    // so the audit itself must refuse (proving the append was real)
+    intercept[IllegalArgumentException] {
+      DistinctElim.declareUniqueKey("tsspec_stale",
+        spark.read.parquet(p), Seq("k"))
+    }
+  }
+
   test("FpCache probes each root exactly once per pass, any number of consultations") {
     val p = root + "/t_memo"
     Tables.load(spark, sf, "region").select(col("r_regionkey").as("k"))

@@ -375,7 +375,23 @@ object Layout {
                          schema: org.apache.spark.sql.types.StructType,
                          rows: Array[Row], replaceAll: Boolean,
                          partName: Option[String] = None,
-                         expected: Option[Option[String]] = None): Unit = {
+                         expected: Option[Option[String]] = None,
+                         extraParts: Seq[String] = Nil): Unit = {
+    val part = writeManifestPart(spark, root, schema, rows, partName)
+    val parts =
+      if (replaceAll) part +: extraParts
+      else (SnapshotManifest.currentParts(spark, root).getOrElse(Seq.empty) :+
+        part) ++ extraParts
+    SnapshotManifest.commit(spark, root, parts, expected)
+  }
+
+  /** Write `rows` as an immutable manifest part file (temp + rename —
+    * never observable half-written) WITHOUT committing a snapshot;
+    * the caller folds the returned name into its own commit. */
+  private def writeManifestPart(spark: SparkSession, root: String,
+                                schema: org.apache.spark.sql.types.StructType,
+                                rows: Array[Row],
+                                partName: Option[String] = None): String = {
     val fs = SnapshotManifest.fsOf(spark, root)
     val mDir = new Path(root, SnapshotManifest.ManifestsDir)
     fs.mkdirs(mDir)
@@ -385,10 +401,7 @@ object Layout {
       .coalesce(1).write.parquet(tmp.toString)
     if (!fs.rename(tmp, new Path(mDir, part)))
       throw new java.io.IOException(s"manifest part rename failed: $part")
-    val parts =
-      if (replaceAll) Seq(part)
-      else SnapshotManifest.currentParts(spark, root).getOrElse(Seq.empty) :+ part
-    SnapshotManifest.commit(spark, root, parts, expected)
+    part
   }
 
   /** Append a new slice to an existing clustered+zoned table WITHOUT
@@ -416,15 +429,42 @@ object Layout {
                            filesPerBucket: Int = 4,
                            partName: Option[String] = None): Unit = {
     val spark = df.sparkSession
+    migrateIfLegacy(spark, path, time)
+    val baseSnap = SnapshotManifest.currentSnap(spark, path)
+    stageAppendPart(df, path, symbol, time, numBuckets, filesPerBucket,
+      partName).foreach { part =>
+      failpoint("append-before-flip")
+      val parts = SnapshotManifest.currentParts(spark, path)
+        .getOrElse(Seq.empty) :+ part
+      SnapshotManifest.commit(spark, path, parts, Some(baseSnap))
+    }
+  }
+
+  /** First write to a legacy (no-snapshot-log) table: migrate by
+    * building the manifest for the files already present. */
+  private def migrateIfLegacy(spark: SparkSession, path: String,
+                              time: String): Unit = {
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // first append to a legacy (no-snapshot-log) table: migrate by
-    // building the manifest for the files already present
     if (fs.exists(rootP) && SnapshotManifest.currentSnap(spark, path).isEmpty &&
         fs.listStatus(rootP).exists(st => st.isDirectory &&
           st.getPath.getName.startsWith("sym_bucket=")))
       writeZoneManifest(spark, path, time)
-    val baseSnap = SnapshotManifest.currentSnap(spark, path)
+  }
+
+  /** Stage an append batch: cluster+zone the rows, move the files into
+    * their bucket directories, and write the zone-manifest PART — but
+    * do NOT commit. Everything staged is unreferenced until the
+    * caller's snapshot flip, so a crash at any point leaves readers on
+    * the previous complete snapshot (and [[vacuum]] reclaims the
+    * orphans). Returns the part name, or None for an empty batch. */
+  private def stageAppendPart(df: DataFrame, path: String, symbol: String,
+                              time: String, numBuckets: Int,
+                              filesPerBucket: Int,
+                              partName: Option[String]): Option[String] = {
+    val spark = df.sparkSession
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(rootP, s".stage_append_${System.nanoTime()}")
     df.withColumn("sym_bucket", bucketOf(col(symbol), numBuckets))
       .repartitionByRange(numBuckets * filesPerBucket,
@@ -435,7 +475,7 @@ object Layout {
       .parquet(stage.toString)
     val staged = fs.listStatus(stage).exists(st => st.isDirectory &&
       st.getPath.getName.startsWith("sym_bucket="))
-    if (!staged) { fs.delete(stage, true); return } // empty batch
+    if (!staged) { fs.delete(stage, true); return None } // empty batch
     val (schema, rows) = zoneRows(spark, stage.toString, Seq(stage.toString), time)
     rows.foreach { r =>
       val rel = r.getString(0)
@@ -445,9 +485,7 @@ object Layout {
         throw new java.io.IOException(s"append: rename failed for $rel")
     }
     fs.delete(stage, true)
-    failpoint("append-before-flip")
-    commitPart(spark, path, schema, rows, replaceAll = false, partName,
-      expected = Some(baseSnap))
+    Some(writeManifestPart(spark, path, schema, rows, partName))
   }
 
   /** Stamp each scanned row with the position key a deletion vector
@@ -494,10 +532,29 @@ object Layout {
     if (SnapshotManifest.currentSnap(spark, path).isEmpty)
       writeZoneManifest(spark, path, time) // migrate legacy table
     val baseSnap = SnapshotManifest.currentSnap(spark, path)
+    stageDvPart(spark, path, selector) match {
+      case None => 0L
+      case Some((part, n)) =>
+        failpoint("delete-before-flip")
+        val parts = SnapshotManifest.currentParts(spark, path)
+          .getOrElse(Seq.empty) :+ part
+        SnapshotManifest.commit(spark, path, parts, Some(baseSnap))
+        n
+    }
+  }
+
+  /** Stage (write, do NOT commit) a deletion-vector part for the
+    * selector's hits over the current live view; the caller folds the
+    * returned part into its own snapshot commit — [[deleteWhere]]'s
+    * single-op commit, or [[applyChanges]]' ONE-COMMIT batch covering
+    * the delete and the append together. None when nothing matched. */
+  private def stageDvPart(spark: SparkSession, path: String,
+                          selector: DataFrame => DataFrame)
+      : Option[(String, Long)] = {
     val m = manifest(spark, path).get
     val files = m.select(col("file")).collect().map(r =>
       globEscape(new Path(path, r.getString(0)).toString))
-    if (files.isEmpty) return 0L
+    if (files.isEmpty) return None
     val scanned = withPos(
       spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*))
     val survivors = deletionVectorAsOf(spark, path, None)
@@ -513,14 +570,10 @@ object Layout {
     val tmp = new Path(mDir, s".tmp_$part")
     hits.write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count() // footer-only job
-    if (n == 0L) { fs.delete(tmp, true); return 0L }
+    if (n == 0L) { fs.delete(tmp, true); return None }
     if (!fs.rename(tmp, new Path(mDir, part)))
       throw new java.io.IOException(s"delete: dv part rename failed: $part")
-    failpoint("delete-before-flip")
-    val parts =
-      SnapshotManifest.currentParts(spark, path).getOrElse(Seq.empty) :+ part
-    SnapshotManifest.commit(spark, path, parts, Some(baseSnap))
-    n
+    Some((part, n))
   }
 
   /** TIME-RETENTION EXPIRY: drop every row with `time` < `cutoff` —
@@ -765,12 +818,33 @@ object Layout {
         if (epoch.isEmpty || retry)
           delKeys.unionByName(ins.select(keys.map(col): _*))
         else delKeys
-      if (!sweep.isEmpty)
-        deleteWhere(spark, targetPath, time,
+      // ONE-COMMIT batch: stage the sweep's deletion-vector part and
+      // the insert batch's files + zone part, then flip the target
+      // snapshot ONCE covering both — half the fixed snapshot cost of
+      // every CDC batch, and no crash window between the halves (a
+      // crash before the flip leaves the target exactly on its
+      // previous snapshot; the intent/done markers then only guard
+      // feed recomputation on retry, never a half-applied batch). The
+      // dv positions reference only pre-existing files (the sweep runs
+      // against the pre-batch live view), so downstream [[changes]]
+      // windows read the batch exactly as two-commit batches did.
+      migrateIfLegacy(spark, targetPath, time)
+      val baseSnap = SnapshotManifest.currentSnap(spark, targetPath)
+      val dvPart =
+        if (sweep.isEmpty) None
+        else stageDvPart(spark, targetPath, time,
           scan => scan.join(sweep, keys, "left_semi"))
-      if (!ins.isEmpty)
-        appendClusteredZoned(ins, targetPath, symbol, time,
-          numBuckets, filesPerBucket)
+      val insPart =
+        if (ins.isEmpty) None
+        else stageAppendPart(ins, targetPath, symbol, time,
+          numBuckets, filesPerBucket, partName = None)
+      val newParts = dvPart.map(_._1).toSeq ++ insPart.toSeq
+      if (newParts.nonEmpty) {
+        failpoint("applychanges-before-flip")
+        val parts = SnapshotManifest.currentParts(spark, targetPath)
+          .getOrElse(Seq.empty) ++ newParts
+        SnapshotManifest.commit(spark, targetPath, parts, Some(baseSnap))
+      }
       failpoint("applychanges-before-done")
       epoch.foreach { e =>
         fs.create(marker(e, "done"), true).close()
@@ -778,11 +852,22 @@ object Layout {
         // files per window forever otherwise. Keep the most recent 64
         // epochs (128 files, by mtime — the in-flight epoch is always
         // newest); older windows predate the feed's own keep-last-2
-        // snapshot retention and can never replay anyway.
+        // snapshot retention and can never replay anyway. EXCEPTION:
+        // a lone `intent` with no paired `done` is exactly the
+        // signature of a crashed epoch — pruning it would let that
+        // epoch's retry take the fresh-epoch path (no insert-key
+        // sweep) and duplicate the half-applied rows; such markers
+        // survive the prune until their epoch completes.
         val sts = fs.listStatus(replDir)
-        if (sts.length > 128)
+        if (sts.length > 128) {
+          val names = sts.map(_.getPath.getName).toSet
+          def orphanIntent(n: String): Boolean =
+            n.endsWith(".intent") &&
+              !names.contains(n.stripSuffix(".intent") + ".done")
           sts.sortBy(_.getModificationTime).dropRight(128)
+            .filterNot(st => orphanIntent(st.getPath.getName))
             .foreach(st => fs.delete(st.getPath, false))
+        }
       }
     } finally data.unpersist()
   }
@@ -1121,8 +1206,35 @@ object Layout {
   private def literalPath(uriString: String): String =
     globEscape(new Path(new java.net.URI(uriString)).toString)
 
-  private def globEscape(p: String): String =
+  private[graft] def globEscape(p: String): String =
     p.replaceAll("([{}\\[\\]*?\\\\])", "\\\\$1")
+
+  /** Does the directory's data-file set equal the live manifest's?
+    * True exactly when the PLAIN read (`spark.read.parquet(path)`)
+    * sees the same files the snapshot log references — the condition
+    * the constraint/MV re-verifiers need before trusting a rewrite
+    * hop: between a [[compact]] and the full [[vacuum]] the directory
+    * holds BOTH file generations (keep-last-2), so plain reads are
+    * transiently duplicated. One recursive listing, O(file count)
+    * metadata — no data file opened. */
+  private[graft] def directoryMatchesManifest(spark: SparkSession,
+                                              path: String): Boolean = {
+    val m = manifest(spark, path).getOrElse(return false)
+    val want = m.select(col("file")).collect().map(_.getString(0)).toSet
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return want.isEmpty
+    val got = Set.newBuilder[String]
+    fs.listStatus(rootP).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("sym_bucket="))
+        fs.listStatus(st.getPath).foreach { f =>
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+            got += st.getPath.getName + "/" + n
+        }
+    }
+    got.result() == want
+  }
 
   /** ONE catalog read composing BOTH prunings — what a real table
     * wants behind a single entry point: the bucket filter (key

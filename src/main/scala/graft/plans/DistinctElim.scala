@@ -55,13 +55,14 @@ object DistinctElim {
   def declareUniqueKey(name: String, df: DataFrame,
                        keys: Seq[String]): UniqueKeyDef = {
     val paths = Mv.basePathsOf(df)
+    // stamp FIRST, then the freshness check: a commit in the
+    // fingerprint→requireFresh gap fails requireFresh loudly; one
+    // landing mid-audit fails the plan-time fp check — no ordering
+    // leaves a covered-but-unaudited duplicate (JoinElim ordering)
+    val fp = TableState.fingerprint(df.sparkSession, paths)
     // the frame's pinned listing must still BE the table (a write in
     // the read→declare gap would be stamped but unaudited)
     TableState.requireFresh(df.sparkSession, df, paths, s"unique key $name")
-    // stamp BEFORE the audit — a mid-audit append (a duplicate the
-    // audit never saw) must fail the plan-time fingerprint check, not
-    // be silently covered by a post-audit stamp (JoinElim ordering)
-    val fp = TableState.fingerprint(df.sparkSession, paths)
     require(graft.ops.Validate.primaryKey(df, keys).isEmpty,
       s"unique key $name: ${keys.mkString(",")} has duplicate tuples")
     val d = UniqueKeyDef(name, paths, keys, fp = fp)

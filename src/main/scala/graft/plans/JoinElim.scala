@@ -76,16 +76,16 @@ object JoinElim {
   def declareVerified(name: String, child: DataFrame, childKeys: Seq[String],
                       parent: DataFrame, parentKeys: Seq[String]): FkDef = {
     val (cp, pp) = (Mv.basePathsOf(child), Mv.basePathsOf(parent))
+    // stamp FIRST, then the freshness checks: a commit in the
+    // fingerprint→requireFresh gap changes the live listing and fails
+    // requireFresh loudly; one landing mid-audit fails the plan-time
+    // fp check — no ordering leaves a covered-but-unaudited write
+    val fp = TableState.fingerprint(child.sparkSession, cp ++ pp)
     // the frames' pinned listings must still BE the tables: a write
     // landing between the caller's read and this declaration would be
     // covered by the stamp yet unseen by the audits
     TableState.requireFresh(child.sparkSession, child, cp, s"FK $name (child)")
     TableState.requireFresh(child.sparkSession, parent, pp, s"FK $name (parent)")
-    // stamp BEFORE the audits: if either table moves WHILE the audit
-    // scans (an appended orphan the audit never saw), the stamp no
-    // longer matches at plan time and the unaudited state is never
-    // trusted — the same ordering as Mv.build's fingerprint
-    val fp = TableState.fingerprint(child.sparkSession, cp ++ pp)
     val pkViolations = graft.ops.Validate.primaryKey(parent, parentKeys)
     require(pkViolations.isEmpty,
       s"FK $name: parent keys ${parentKeys.mkString(",")} are not a primary key")

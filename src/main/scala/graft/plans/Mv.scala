@@ -193,13 +193,17 @@ object Mv {
             measures: Seq[String], mvPath: String,
             mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
     val paths = basePathsOf(base)
+    // fingerprint FIRST, freshness check second: a commit landing in
+    // the fingerprint→requireFresh gap changes the live listing and
+    // fails requireFresh loudly, and one landing after requireFresh
+    // (mid-build) fails the plan-time fp check — no ordering leaves a
+    // covered-but-unaudited write (r12 ADVICE: the reverse order let a
+    // commit in the requireFresh→fingerprint gap be stamped yet unseen
+    // by the summarizing pass's pinned listing)
+    val fp = TableState.fingerprint(base.sparkSession, paths)
     // the frame's pinned listing must still BE the table (a write in
     // the read→build gap would be stamped but not summarized)
     TableState.requireFresh(base.sparkSession, base, paths, s"MV $name")
-    // fingerprint BEFORE the summarizing pass: if the base moves while
-    // the summary is being written, the stamp no longer matches at
-    // plan time and the (possibly torn) summary is never trusted
-    val fp = TableState.fingerprint(base.sparkSession, paths)
     summarize(base, dims, measures, mins, maxs)
       .write.mode("overwrite").parquet(mvPath)
     val d = MvDef(name, paths, mvPath, dims,
@@ -228,10 +232,11 @@ object Mv {
     require(dup.isEmpty, s"ambiguous columns across fact and dim: $dup")
     val cond = on.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
     val (fpaths, dpaths) = (basePathsOf(fact), basePathsOf(dim))
+    // fingerprint FIRST, then the freshness checks (see [[build]]:
+    // no ordering gap may leave a covered-but-unaudited write)
+    val fp = TableState.fingerprint(fact.sparkSession, fpaths ++ dpaths)
     TableState.requireFresh(fact.sparkSession, fact, fpaths, s"MV $name (fact)")
     TableState.requireFresh(fact.sparkSession, dim, dpaths, s"MV $name (dim)")
-    // fingerprint both sides before the build pass (see [[build]])
-    val fp = TableState.fingerprint(fact.sparkSession, fpaths ++ dpaths)
     summarize(fact.join(dim, cond, "inner"), dims, measures, mins, maxs)
       .write.mode("overwrite").parquet(mvPath)
     val d = MvDef(name, fpaths, mvPath, dims,
@@ -443,10 +448,15 @@ object Mv {
     val cur = new org.apache.hadoop.fs.Path(d.mvPath)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = cur.getName.replaceAll("_v\\d+$", "")
+    // EXACT version-suffix match: a prefix test (`startsWith(base+"_v")`)
+    // would reclaim a SIBLING MV whose name merely extends this one's
+    // prefix (e.g. `mv` vacuuming away `mv_v2special`) — only
+    // `<base>` itself and `<base>_v<digits>` are superseded versions
+    val versioned = (java.util.regex.Pattern.quote(base) + "_v\\d+").r
     fs.listStatus(cur.getParent).count { st =>
       val n = st.getPath.getName
       val stale = n != cur.getName &&
-        (n == base || n.startsWith(base + "_v"))
+        (n == base || versioned.matches(n))
       if (stale) fs.delete(st.getPath, true)
       stale
     }

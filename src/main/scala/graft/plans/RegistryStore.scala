@@ -163,30 +163,50 @@ object RegistryStore {
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
     val root = new ObjectMapper().readTree(text)
+    // validate the format BEFORE touching fields: a future-format or
+    // hand-edited file must fail with a guided error naming the file,
+    // not an opaque NullPointerException from an absent node
+    val file = s"$dir/$name"
+    def fail(why: String): Nothing = throw new IllegalStateException(
+      s"registry store $file: $why — expected the version-1 format " +
+        "persist() writes ({version:1, mvs:[...], fks:[...], pks:[...]}); " +
+        "delete or repair the file (keep-last-2 retains the predecessor)")
+    val ver = Option(root.get("version")).filter(_.isInt).map(_.asInt())
+      .getOrElse(fail("missing or non-integer 'version' field"))
+    if (ver != 1) fail(s"unsupported version $ver")
+    def arr(f: String): Iterator[com.fasterxml.jackson.databind.JsonNode] =
+      Option(root.get(f)).filter(_.isArray)
+        .getOrElse(fail(s"missing or non-array '$f' field"))
+        .elements().asScala
+    def field(n: com.fasterxml.jackson.databind.JsonNode, f: String)
+        : com.fasterxml.jackson.databind.JsonNode =
+      Option(n.get(f)).getOrElse(fail(s"entry lacks required field '$f'"))
+    def str(n: com.fasterxml.jackson.databind.JsonNode, f: String): String =
+      field(n, f).asText()
     def strs(n: com.fasterxml.jackson.databind.JsonNode,
              f: String): Seq[String] =
-      n.get(f).elements().asScala.map(_.asText()).toSeq
-    root.get("mvs").elements().asScala.foreach { o =>
+      field(n, f).elements().asScala.map(_.asText()).toSeq
+    arr("mvs").foreach { o =>
       val join = Option(o.get("join")).map(j =>
         MvJoin(strs(j, "dimPaths").toSet, strs(j, "factKeys"),
           strs(j, "dimKeys")))
-      val d = MvDef(o.get("name").asText(),
-        strs(o, "basePaths").toSet, o.get("mvPath").asText(),
+      val d = MvDef(str(o, "name"),
+        strs(o, "basePaths").toSet, str(o, "mvPath"),
         strs(o, "dims"), strs(o, "measures").toSet,
         strs(o, "mins").toSet, strs(o, "maxs").toSet, join,
-        o.get("fp").asText())
+        str(o, "fp"))
       if (MvCatalog.get(d.name).isEmpty) MvCatalog.register(d)
     }
-    root.get("fks").elements().asScala.foreach { o =>
-      val d = FkDef(o.get("name").asText(),
+    arr("fks").foreach { o =>
+      val d = FkDef(str(o, "name"),
         strs(o, "childPaths").toSet, strs(o, "childKeys"),
         strs(o, "parentPaths").toSet, strs(o, "parentKeys"),
-        o.get("fp").asText())
+        str(o, "fp"))
       if (FkCatalog.get(d.name).isEmpty) FkCatalog.register(d)
     }
-    root.get("pks").elements().asScala.foreach { o =>
-      val d = UniqueKeyDef(o.get("name").asText(),
-        strs(o, "paths").toSet, strs(o, "keys"), o.get("fp").asText())
+    arr("pks").foreach { o =>
+      val d = UniqueKeyDef(str(o, "name"),
+        strs(o, "paths").toSet, strs(o, "keys"), str(o, "fp"))
       if (PkCatalog.get(d.name).isEmpty) PkCatalog.register(d)
     }
   }

@@ -64,45 +64,133 @@ object TableState {
     else Some(rs.zip(segs).toMap)
   }
 
-  /** The [[graft.catalog.Layout.changes]] feed for `(from → to]`,
-    * guarded for the constraint registries' PLAIN-READ identity: the
-    * audited "table" is `spark.read.parquet(root)`, which does NOT
-    * apply deletion vectors — and `changes` NETS a same-window
-    * insert+delete away, so a dv-carrying window could re-verify a
-    * table whose plain read still contains the (logically deleted,
-    * physically present) violating rows. Any `dv_*` part in the
-    * window therefore refuses loudly; re-declare after a compaction
-    * folds the vectors into clean files. */
-  private[plans] def appendOnlyWindow(spark: SparkSession, root: String,
-                                      from: String, to: String)
-      : org.apache.spark.sql.DataFrame = {
-    val before =
-      try SnapshotManifest.partsOf(spark, root, from).toSet
-      catch { case _: java.io.FileNotFoundException =>
-        // same guided error changes() gives for its own reads: the
-        // stamped snapshot aged out of keep-last-2 retention
-        throw new IllegalStateException(s"window base snapshot $from " +
-          s"at $root is unknown or expired (vacuum retention is " +
-          "keep-last-2); re-declare against the current state instead")
+  /** One audited step of a root's snapshot history, as the incremental
+    * re-verifiers consume it. The identity audited is the PLAIN READ
+    * (`spark.read.parquet(root)`), so the classification is by what a
+    * commit does to the DIRECTORY's data-file rows, not to the logical
+    * table:
+    *
+    *   - [[AppendHop]]: fresh `m_*`-listed data files — the plain read
+    *     gained exactly those files' rows. Deletion-vector parts in
+    *     the same window are irrelevant HERE: a DV never removes a
+    *     physical row, so the plain read keeps them (this replaces the
+    *     r12 `changes()`-based window, whose NET semantics could hide
+    *     a same-window appended-then-deleted row that the plain read
+    *     still contains — the raw fresh-file feed cannot).
+    *   - [[NoRowChangeHop]]: dv-only / bloom-only commits — the plain
+    *     read is bit-identical; a pure restamp is sound with NO audit.
+    *   - [[RewriteHop]]: a provenance-backed [[graft.catalog.Layout
+    *     .compact]] — the plain rows become a SUBSET of the previous
+    *     plain rows (the base snapshot's deletion vectors materialize
+    *     out; the removed rows are recorded in the commit's own
+    *     `rw_*` change-data part, so they stay recoverable after the
+    *     old generation's files are vacuumed). Emitted only once the
+    *     directory again equals the live manifest (i.e. after a FULL
+    *     `Layout.vacuum(retainPrevious = false)`) — between the
+    *     compact and that vacuum the directory holds BOTH file
+    *     generations and the plain read is transiently duplicated, so
+    *     the re-verifiers refuse with guidance rather than restamp. */
+  private[plans] sealed trait Hop { def from: String; def to: String }
+  private[plans] case class AppendHop(from: String, to: String,
+                                      freshFiles: Seq[String]) extends Hop
+  private[plans] case class NoRowChangeHop(from: String,
+                                           to: String) extends Hop
+  private[plans] case class RewriteHop(from: String, to: String,
+                                       rwPart: String) extends Hop
+
+  private def expired(what: String, root: String, snap: String): Nothing =
+    throw new IllegalStateException(s"$what: stamped snapshot $snap at " +
+      s"$root is unknown or expired (vacuum retention is keep-last-2 " +
+      "and compaction provenance reaches one hop back); re-verify " +
+      "after each maintenance op, or re-declare against the current state")
+
+  private def rwBase(part: String): String =
+    part.stripPrefix("rw_").split("__")(0)
+
+  /** The hop chain `(from → to]` for one snapshot-logged root.
+    * Retained snapshots form a contiguous SUFFIX of history (vacuum
+    * prunes oldest-first), so when `from` is still retained the chain
+    * is the pairwise walk over retained snaps; when it has been
+    * vacuumed away, the one recoverable case is a compact whose
+    * `rw_*` provenance names `from` as its base — the rewrite hop is
+    * then reconstructed from the provenance alone (no old snap file,
+    * no old data files needed). */
+  private[plans] def hopsFor(spark: SparkSession, root: String,
+                             from: String, to: String,
+                             what: String): Seq[Hop] = {
+    if (from == to) return Nil
+    val retained = SnapshotManifest.snaps(spark, root)
+    if (!retained.contains(to))
+      throw new IllegalStateException(
+        s"$what: current snapshot $to is missing from the log at $root")
+    if (retained.contains(from)) {
+      val chain = retained.dropWhile(_ != from).takeWhile(_ <= to)
+      if (chain.lastOption != Some(to))
+        expired(what, root, from) // `to` older than `from`: clock skew
+      chain.sliding(2).map {
+        case Seq(a, b) => classifyPair(spark, root, a, b, what)
+      }.toSeq
+    } else {
+      // `from` vacuumed: find the compact commit whose provenance
+      // names it — it must be the EARLIEST retained snap carrying that
+      // rw part AND look like a bare compact commit (one folded zone
+      // manifest + the provenance); anything else means intermediate
+      // history was pruned and the chain is unrecoverable
+      val hit = retained.view.map(s =>
+        s -> SnapshotManifest.partsOf(spark, root, s)).find {
+        case (_, parts) => parts.exists(p =>
+          p.startsWith("rw_") && rwBase(p) == from)
+      }.getOrElse(expired(what, root, from))
+      val (snapE, parts) = hit
+      val rw = parts.find(p => p.startsWith("rw_") && rwBase(p) == from).get
+      val bare = parts.count(_.startsWith("m_")) == 1 &&
+        parts.forall(p => p == rw || p.startsWith("m_"))
+      if (!bare) expired(what, root, from)
+      RewriteHop(from, snapE, rw) +: hopsFor(spark, root, snapE, to, what)
+    }
+  }
+
+  private def classifyPair(spark: SparkSession, root: String,
+                           a: String, b: String, what: String): Hop = {
+    val pa = SnapshotManifest.partsOf(spark, root, a).toSet
+    val pb = SnapshotManifest.partsOf(spark, root, b)
+    if (pa.subsetOf(pb.toSet)) {
+      val freshM = pb.filterNot(pa).filter(_.startsWith("m_"))
+      if (freshM.isEmpty) NoRowChangeHop(a, b)
+      else {
+        val files = spark.read.parquet(freshM.map(p =>
+            SnapshotManifest.partPath(root, p)): _*)
+          .select("file").collect().map(_.getString(0)).toSeq
+        if (files.isEmpty) NoRowChangeHop(a, b) else AppendHop(a, b, files)
       }
-    val freshDv = SnapshotManifest.partsOf(spark, root, to)
-      .filterNot(before).filter(_.startsWith("dv_"))
-    require(freshDv.isEmpty,
-      s"window $from -> $to at $root carries deletion vectors; the " +
-        "plain-read identity this registry audits does not apply " +
-        "them — compact and re-declare instead")
-    graft.catalog.Layout.changes(spark, root, from, to)
+    } else pb.find(p => p.startsWith("rw_") && rwBase(p) == a) match {
+      case Some(rw) => RewriteHop(a, b, rw)
+      case None => throw new IllegalStateException(
+        s"$what: window $a -> $b at $root crosses a physical rewrite " +
+          "without compaction provenance (recluster / expireBefore / " +
+          "re-create); re-declare against the current state")
+    }
+  }
+
+  /** One changed root's audited history: the stamped and current
+    * snapshots plus the hop chain between them. */
+  private[plans] case class RootChange(root: String, fromSnap: String,
+                                       toSnap: String, hops: Seq[Hop]) {
+    def appendHops: Seq[AppendHop] = hops.collect { case h: AppendHop => h }
+    def rewriteHops: Seq[RewriteHop] = hops.collect { case h: RewriteHop => h }
   }
 
   /** Shared scaffold for the incremental re-verifiers: decompose the
-    * stamp, probe the current state, and return `(newFp, moved)`
-    * where `moved` maps each CHANGED root to its append-only change
-    * window. `None` when nothing moved (fast no-op path). Refuses —
-    * with the caller's noun in the message — stamps that are unusable
-    * or roots that moved without snapshot identity at both ends. */
-  private[plans] def movedWindows(spark: SparkSession, stamp: String,
-                                  roots: Set[String], what: String)
-      : Option[(String, Map[String, org.apache.spark.sql.DataFrame])] = {
+    * stamp, probe the current state, and return `(newFp, changed)`
+    * where `changed` maps each MOVED root to its hop chain. `None`
+    * when nothing moved (fast no-op path). Refuses — with the
+    * caller's noun in the message — stamps that are unusable, roots
+    * that moved without snapshot identity at both ends, and rewrite
+    * hops whose directory still holds the superseded file generation
+    * (plain read transiently duplicated; run the full vacuum first). */
+  private[plans] def movedHops(spark: SparkSession, stamp: String,
+                               roots: Set[String], what: String)
+      : Option[(String, Map[String, RootChange])] = {
     val rs = roots.toSeq.sorted
     val seg = segments(stamp, roots).getOrElse(
       throw new IllegalStateException(
@@ -110,14 +198,53 @@ object TableState {
     val curSeg = rs.map(r => r -> one(spark, r)).toMap
     val newFp = rs.map(curSeg).mkString(";")
     if (newFp == stamp) return None
-    val moved = rs.filter(r => curSeg(r) != seg(r)).map { r =>
+    val changed = rs.filter(r => curSeg(r) != seg(r)).map { r =>
       require(seg(r).startsWith("snap:") && curSeg(r).startsWith("snap:"),
         s"$what: table at $r moved but is not snapshot-logged at both " +
           "ends; re-declare instead")
-      r -> appendOnlyWindow(spark, r,
-        seg(r).stripPrefix("snap:"), curSeg(r).stripPrefix("snap:"))
+      val (from, to) =
+        (seg(r).stripPrefix("snap:"), curSeg(r).stripPrefix("snap:"))
+      val rc = RootChange(r, from, to, hopsFor(spark, r, from, to, what))
+      if (rc.rewriteHops.nonEmpty)
+        require(graft.catalog.Layout.directoryMatchesManifest(spark, r),
+          s"$what: $r was compacted but the directory still holds the " +
+            "superseded file generation (plain reads see both until the " +
+            "full vacuum) — run Layout.vacuum(path, retainPrevious = " +
+            "false) after the reader grace period, then re-verify")
+      r -> rc
     }.toMap
-    Some((newFp, moved))
+    Some((newFp, changed))
+  }
+
+  /** Raw content of an append hop's fresh files — exactly what the
+    * plain read gained in the window. Bounded by the batch; never a
+    * table rescan. A vacuumed-away window (an append that was never
+    * re-verified before a later compact + full vacuum rewrote it)
+    * fails with guidance rather than a bare missing-path error. */
+  private[plans] def hopRows(spark: SparkSession, root: String,
+                             h: AppendHop, what: String)
+      : org.apache.spark.sql.DataFrame = {
+    val paths = h.freshFiles.map(f => graft.catalog.Layout.globEscape(
+      new Path(root, f).toString))
+    try spark.read.option("basePath", root).parquet(paths: _*)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(s"$what: window ${h.from} -> " +
+        s"${h.to} at $root references vacuumed files — re-verify after " +
+        "each maintenance op (before a later compact + full vacuum " +
+        "rewrites the window), or re-declare", e)
+    }
+  }
+
+  /** The rows a rewrite hop materialized OUT of the plain read — the
+    * compact commit's own `rw_*` change-data part, recorded at commit
+    * time precisely so this audit survives the full vacuum that makes
+    * the hop visible. None when the compact removed nothing (pure
+    * defragmentation / manifest fold). */
+  private[plans] def removedRows(spark: SparkSession, root: String,
+                                 h: RewriteHop)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val df = spark.read.parquet(SnapshotManifest.partPath(root, h.rwPart))
+    if (df.isEmpty) None else Some(df)
   }
 
   /** Guard for the declaration-time audits: the caller's DataFrame

@@ -832,7 +832,7 @@ object Layout {
       val baseSnap = SnapshotManifest.currentSnap(spark, targetPath)
       val dvPart =
         if (sweep.isEmpty) None
-        else stageDvPart(spark, targetPath, time,
+        else stageDvPart(spark, targetPath,
           scan => scan.join(sweep, keys, "left_semi"))
       val insPart =
         if (ins.isEmpty) None
@@ -979,14 +979,27 @@ object Layout {
       .filter { case (b, _) => planned(b) }
     var replaced = Set.empty[String]
     var freshRows = Array.empty[Row]
+    // change-data PROVENANCE for the hop-chain re-verifiers
+    // ([[graft.plans.TableState]]): the rows this compact materializes
+    // OUT of the plain directory read (the base snapshot's DV'd rows)
+    // are recorded in the commit's own `rw_<baseSnap>__<token>` part,
+    // so the post-compact audit window stays recoverable after the
+    // full vacuum deletes the superseded file generation. O(deleted
+    // positions) extra write, against files this pass reads anyway.
+    var removedDfs = Seq.empty[DataFrame]
     targets.foreach { case (bucket, rows) =>
       val files = rows.map(r =>
         globEscape(new Path(rootP, r.getString(0)).toString))
       val bdf0 = spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
       val bdf = dvOpt match {
         case Some(dv) if dvBuckets(bucket) =>
-          minusDv(withPos(bdf0), dv.filter(col("sym_bucket") === bucket))
+          val posed = withPos(bdf0)
+          val bdv = dv.filter(col("sym_bucket") === bucket)
+          removedDfs :+= posed.join(bdv,
+            posed("__dv_file") === bdv("file") &&
+              posed("__dv_pos") === bdv("row_index"), "left_semi")
             .drop("__dv_file", "__dv_pos")
+          minusDv(posed, bdv).drop("__dv_file", "__dv_pos")
         case _ => bdf0
       }
       val stage = new Path(rootP, s".stage_compact_${bucket}_${System.nanoTime()}")
@@ -1015,9 +1028,30 @@ object Layout {
     val nParts = SnapshotManifest.currentParts(spark, path).map(_.size).getOrElse(0)
     if (targets.nonEmpty || nParts > 1) {
       val folded = liveRows.filterNot(r => replaced(r.getString(0))) ++ freshRows
+      // stage the provenance part BEFORE the flip so it commits
+      // atomically with the folded manifest. An EMPTY part (pure
+      // defrag / manifest fold — no DV'd rows) is still written when a
+      // schema source exists: it tells the hop classifier "this
+      // rewrite removed nothing", turning a refusal into a clean
+      // [[graft.plans.TableState.RewriteHop]] with zero retractions.
+      val removedSrc: Option[DataFrame] = removedDfs
+        .reduceOption(_ unionByName _)
+        .orElse(liveRows.headOption.map(r =>
+          spark.read.option("basePath", path).parquet(
+            globEscape(new Path(rootP, r.getString(0)).toString)).limit(0)))
+      val rwPart = removedSrc.map { df =>
+        val mDir = new Path(path, SnapshotManifest.ManifestsDir)
+        fs.mkdirs(mDir)
+        val part = s"rw_${baseSnap.get}__${SnapshotManifest.token()}"
+        val tmp = new Path(mDir, s".tmp_$part")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, new Path(mDir, part)))
+          throw new java.io.IOException(s"compact: rw part rename failed: $part")
+        part
+      }
       failpoint("compact-before-flip")
       commitPart(spark, path, schema, folded, replaceAll = true,
-        expected = Some(baseSnap))
+        expected = Some(baseSnap), extraParts = rwPart.toSeq)
       vacuum(spark, path)
     }
     targets.size
@@ -1191,9 +1225,31 @@ object Layout {
                   time: String, numBuckets: Int = 16,
                   broadcastMaxBytes: Long = 32L << 20): DataFrame = {
     val df = read(spark, path, symbol, time, numBuckets)
-    val rowWidth = df.schema.fields.map(_.dataType.defaultSize.toLong)
+    val live = countFast(spark, path)
+    val schemaWidth = df.schema.fields.map(_.dataType.defaultSize.toLong)
       .sum.max(1L)
-    if (countFast(spark, path) * rowWidth <= broadcastMaxBytes)
+    // `defaultSize` is blind to payload width — every string counts a
+    // flat ~20 bytes however long, so a dim of 2 KB descriptions
+    // would sail under the ceiling and OOM every executor. Cross-check
+    // with the snapshot's own on-disk footprint: average compressed
+    // bytes/row (per-file footer overhead amortized out, ×2 for
+    // decode expansion) is a floor on the in-memory build size.
+    // Metadata only — manifest stats + file statuses, no data file
+    // opened. The WIDER of the two estimates decides.
+    val diskWidth: Long = manifest(spark, path)
+      .filter(_.columns.contains("n_rows")).fold(0L) { man =>
+        val rows = man.select(col("file"), col("n_rows")).collect()
+        if (rows.isEmpty || rows.exists(_.isNullAt(1))) 0L
+        else {
+          val fs = SnapshotManifest.fsOf(spark, path)
+          val bytes = rows.map(r =>
+            fs.getFileStatus(new Path(path, r.getString(0))).getLen).sum
+          val phys = rows.map(_.getLong(1)).sum
+          val payload = bytes - rows.length * 2048L // amortize footers
+          if (phys <= 0L || payload <= 0L) 0L else 2L * payload / phys
+        }
+      }
+    if (live * (schemaWidth max diskWidth) <= broadcastMaxBytes)
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }

@@ -160,6 +160,19 @@ object SnapshotManifest {
     try body finally fs.delete(lock, false)
   }
 
+  /** Compare-and-swap flip for ARTIFACTS that manage their own version
+    * files (the registry store): under the directory's commit lock,
+    * point `_latest` at `next` iff it still names `expected`
+    * (`None` = "no pointer yet"). Returns false — flipping nothing —
+    * when a concurrent writer moved the pointer first; the caller
+    * re-reads, re-merges, and retries with a fresh version file. */
+  def casFlip(spark: SparkSession, root: String, next: String,
+              expected: Option[String]): Boolean =
+    withLock(spark, root) {
+      val cur = currentSnap(spark, root)
+      if (cur == expected) { flip(spark, root, next); true } else false
+    }
+
   /** Atomically point `_latest` at `snap` (the IndexIo flip verbatim:
     * FileContext rename with OVERWRITE — a torn or missing pointer is
     * never observable). */

@@ -60,6 +60,7 @@ object DistinctElim {
     // landing mid-audit fails the plan-time fp check — no ordering
     // leaves a covered-but-unaudited duplicate (JoinElim ordering)
     val fp = TableState.fingerprint(df.sparkSession, paths)
+    TableState.warnIfPlainDir(fp, paths, s"unique key $name")
     // the frame's pinned listing must still BE the table (a write in
     // the read→declare gap would be stamped but unaudited)
     TableState.requireFresh(df.sparkSession, df, paths, s"unique key $name")
@@ -83,12 +84,21 @@ object DistinctElim {
     * aggregation, at the cost of one pass of key-column I/O over the
     * table (the full re-audit shuffles and aggregates every key;
     * layout metadata — bloom/zone indexes — can prune the restriction
-    * scan further at deployment). Windows
-    * carrying deletion vectors are refused ([[TableState
-    * .appendOnlyWindow]]): the plain-directory read identity this
-    * registry audits does not apply them, and `changes` NETS a
-    * same-window duplicate-insert+delete away — the plain read would
-    * still contain the duplicate the netted audit never saw.
+    * scan further at deployment). The audit walks the
+    * [[TableState.movedHops]] hop chain — the classification of what
+    * each commit did to the PLAIN READ this registry audits:
+    *
+    *   - [[TableState.AppendHop]]: the fresh files' raw rows
+    *     ([[TableState.hopRows]]) are the audit batch — raw, not the
+    *     netted `changes()` feed, so a same-window
+    *     duplicate-insert+delete the plain read still contains cannot
+    *     hide from the audit;
+    *   - [[TableState.NoRowChangeHop]] (dv-only/bloom-only commit):
+    *     the plain read is bit-identical — nothing to audit;
+    *   - [[TableState.RewriteHop]] (compact + full vacuum): the plain
+    *     rows became a SUBSET of the audited rows, and uniqueness is
+    *     preserved on any row subset — restamp without an audit.
+    *
     * Re-stamps and resumes the rewrite on success. */
   def reverifyAppended(spark: SparkSession, name: String): UniqueKeyDef = {
     RegistryStore.ensureLoaded(spark)
@@ -97,18 +107,23 @@ object DistinctElim {
     require(d.paths.size == 1,
       s"unique key $name: incremental re-verification needs a single root")
     val root = d.paths.head
-    val (newFp, moved) = TableState.movedWindows(spark, d.fp, d.paths,
-      s"unique key $name").getOrElse(return d) // nothing moved
+    val what = s"unique key $name"
+    val (newFp, moved) = TableState.movedHops(spark, d.fp, d.paths, what)
+      .getOrElse(return d) // nothing moved
     import org.apache.spark.sql.functions.col
-    val insKeys = moved(root).filter(col("_change_type") === "insert")
-      .select(d.keys.map(col): _*)
-    // uniqueness can only break AT the appended keys: PK-audit the
-    // current table restricted (NULL-SAFE — a NULL-keyed duplicate
-    // counts, exactly as SQL grouping does) to them
-    require(graft.ops.Validate.primaryKey(
-      TableState.restrictToKeys(spark.read.parquet(root), insKeys, d.keys),
-      d.keys).isEmpty,
-      s"unique key $name: appended rows duplicate existing key tuples")
+    moved(root).appendHops
+      .map(h => TableState.hopRows(spark, root, h, what))
+      .reduceOption(_ unionByName _)
+      .foreach { appended =>
+        val insKeys = appended.select(d.keys.map(col): _*)
+        // uniqueness can only break AT the appended keys: PK-audit the
+        // current table restricted (NULL-SAFE — a NULL-keyed duplicate
+        // counts, exactly as SQL grouping does) to them
+        require(graft.ops.Validate.primaryKey(
+          TableState.restrictToKeys(spark.read.parquet(root), insKeys,
+            d.keys), d.keys).isEmpty,
+          s"$what: appended rows duplicate existing key tuples")
+      }
     val nd = d.copy(fp = newFp)
     PkCatalog.register(nd)
     RegistryStore.autoPersist(spark)
@@ -119,7 +134,7 @@ object DistinctElim {
   def revoke(spark: SparkSession, name: String): Unit = {
     RegistryStore.ensureLoaded(spark)
     PkCatalog.unregister(name)
-    RegistryStore.writeThrough(spark)
+    RegistryStore.writeThrough(spark, exclude = Set(name))
   }
 
   def install(spark: SparkSession): Unit =

@@ -81,6 +81,7 @@ object JoinElim {
     // requireFresh loudly; one landing mid-audit fails the plan-time
     // fp check — no ordering leaves a covered-but-unaudited write
     val fp = TableState.fingerprint(child.sparkSession, cp ++ pp)
+    TableState.warnIfPlainDir(fp, cp ++ pp, s"FK $name")
     // the frames' pinned listings must still BE the tables: a write
     // landing between the caller's read and this declaration would be
     // covered by the stamp yet unseen by the audits
@@ -127,12 +128,20 @@ object JoinElim {
     *     themselves and against the existing parent — the PK audit on
     *     the parent restricted (null-safe semi-join) to the batch's
     *     keys: batch-sized join/aggregate state, one pass of
-    *     key-column I/O over the dim (no global dim aggregation);
-    *   - windows carrying DELETION VECTORS refuse loudly
-    *     ([[TableState.appendOnlyWindow]]): the plain-read identity
-    *     this registry audits does not apply them, so a dv window
-    *     could cover rows the audit never saw — compact and
-    *     re-declare for that case.
+    *     key-column I/O over the dim (no global dim aggregation).
+    *
+    * The window is the [[TableState.movedHops]] hop chain over the
+    * PLAIN READ this registry audits (a dv-only commit is a
+    * [[TableState.NoRowChangeHop]] — bit-identical read, restamp with
+    * no audit). A [[TableState.RewriteHop]] (compact + full vacuum)
+    * makes the rows a SUBSET of the audited rows, which is
+    * ASYMMETRIC here: a shrunken CHILD stays orphan-free (subset of
+    * orphan-free rows), but removed PARENT rows can orphan existing
+    * children — the audit semi-joins the current child to the
+    * compact's own `rw_*` removed-parent keys
+    * ([[TableState.removedRows]], batch-sized) and re-checks just
+    * those children against the current parent. Never a blanket
+    * restamp across a parent rewrite.
     *
     * On success the edge is re-stamped at the snapshots that were
     * audited and the rewrite resumes. Unchanged roots (fingerprint
@@ -146,31 +155,60 @@ object JoinElim {
     require(d.childPaths.size == 1 && d.parentPaths.size == 1,
       s"FK $name: incremental re-verification needs single-root tables")
     val (childRoot, parentRoot) = (d.childPaths.head, d.parentPaths.head)
-    val (newFp, moved) = TableState.movedWindows(spark, d.fp,
-      d.childPaths ++ d.parentPaths, s"FK $name")
+    val what = s"FK $name"
+    val (newFp, moved) = TableState.movedHops(spark, d.fp,
+      d.childPaths ++ d.parentPaths, what)
       .getOrElse(return d) // nothing moved
     import org.apache.spark.sql.functions.col
-    moved.get(parentRoot).foreach { feed =>
-      val ins = feed.filter(col("_change_type") === "insert")
-        .select(d.parentKeys.map(col): _*)
-      // uniqueness can only break AT the inserted keys: audit the
-      // current parent restricted (null-safe) to them — batch-sized
-      // join state, one dim scan
-      require(graft.ops.Validate.primaryKey(
-        TableState.restrictToKeys(spark.read.parquet(parentRoot),
-          ins, d.parentKeys), d.parentKeys).isEmpty,
-        s"FK $name: appended parent rows duplicate existing keys")
+    def appended(root: String,
+                 rc: TableState.RootChange): Option[DataFrame] =
+      rc.appendHops.map(h => TableState.hopRows(spark, root, h, what))
+        .reduceOption(_ unionByName _)
+    moved.get(parentRoot).foreach { rc =>
+      appended(parentRoot, rc).foreach { rows =>
+        val ins = rows.select(d.parentKeys.map(col): _*)
+        // uniqueness can only break AT the inserted keys: audit the
+        // current parent restricted (null-safe) to them — batch-sized
+        // join state, one dim scan
+        require(graft.ops.Validate.primaryKey(
+          TableState.restrictToKeys(spark.read.parquet(parentRoot),
+            ins, d.parentKeys), d.parentKeys).isEmpty,
+          s"$what: appended parent rows duplicate existing keys")
+      }
+      // a parent rewrite REMOVED rows from the plain read — existing
+      // children referencing them are now orphans. Audit only the
+      // children AT the removed keys (rw_* part is batch-sized)
+      // against the current parent; everything else kept its parent.
+      rc.rewriteHops
+        .flatMap(h => TableState.removedRows(spark, parentRoot, h))
+        .reduceOption(_ unionByName _)
+        .foreach { removed =>
+          val rmKeys = removed
+            .select(d.parentKeys.zip(d.childKeys).map {
+              case (p, c) => col(p).as(c) }: _*)
+          val child = spark.read.parquet(childRoot)
+            .filter(d.childKeys.map(col(_).isNotNull).reduce(_ && _))
+          val touched = TableState.restrictToKeys(child, rmKeys, d.childKeys)
+          require(graft.ops.Validate.foreignKey(touched,
+            spark.read.parquet(parentRoot), d.childKeys,
+            d.parentKeys).isEmpty,
+            s"$what: parent compaction removed keys still referenced " +
+              "by child rows")
+        }
     }
-    moved.get(childRoot).foreach { feed =>
-      // child deletes are existence-safe; audit only the inserts, and
-      // only their NON-NULL key tuples — SQL FK semantics exempt NULL
-      // keys, and the rewrite's IsNotNull filter drops such rows
-      // exactly as the real inner join does
-      val ins = feed.filter(col("_change_type") === "insert")
-        .filter(d.childKeys.map(col(_).isNotNull).reduce(_ && _))
-      require(graft.ops.Validate.foreignKey(ins,
-        spark.read.parquet(parentRoot), d.childKeys, d.parentKeys).isEmpty,
-        s"FK $name: appended child rows are orphaned")
+    moved.get(childRoot).foreach { rc =>
+      // child removals (dv commits are NoRowChange on the plain read;
+      // rewrites shrink it) are existence-safe; audit only the
+      // appended rows, and only their NON-NULL key tuples — SQL FK
+      // semantics exempt NULL keys, and the rewrite's IsNotNull
+      // filter drops such rows exactly as the real inner join does
+      appended(childRoot, rc).foreach { rows =>
+        val ins = rows
+          .filter(d.childKeys.map(col(_).isNotNull).reduce(_ && _))
+        require(graft.ops.Validate.foreignKey(ins,
+          spark.read.parquet(parentRoot), d.childKeys, d.parentKeys).isEmpty,
+          s"$what: appended child rows are orphaned")
+      }
     }
     val nd = d.copy(fp = newFp)
     FkCatalog.register(nd)
@@ -187,7 +225,7 @@ object JoinElim {
   def revoke(spark: SparkSession, name: String): Unit = {
     RegistryStore.ensureLoaded(spark)
     FkCatalog.unregister(name)
-    RegistryStore.writeThrough(spark)
+    RegistryStore.writeThrough(spark, exclude = Set(name))
   }
 
   /** Idempotently install the rule on a session (cluster sessions get

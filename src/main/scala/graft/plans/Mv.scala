@@ -201,6 +201,7 @@ object Mv {
     // commit in the requireFresh→fingerprint gap be stamped yet unseen
     // by the summarizing pass's pinned listing)
     val fp = TableState.fingerprint(base.sparkSession, paths)
+    TableState.warnIfPlainDir(fp, paths, s"MV $name")
     // the frame's pinned listing must still BE the table (a write in
     // the read→build gap would be stamped but not summarized)
     TableState.requireFresh(base.sparkSession, base, paths, s"MV $name")
@@ -235,6 +236,7 @@ object Mv {
     // fingerprint FIRST, then the freshness checks (see [[build]]:
     // no ordering gap may leave a covered-but-unaudited write)
     val fp = TableState.fingerprint(fact.sparkSession, fpaths ++ dpaths)
+    TableState.warnIfPlainDir(fp, fpaths ++ dpaths, s"MV $name")
     TableState.requireFresh(fact.sparkSession, fact, fpaths, s"MV $name (fact)")
     TableState.requireFresh(fact.sparkSession, dim, dpaths, s"MV $name (dim)")
     summarize(fact.join(dim, cond, "inner"), dims, measures, mins, maxs)
@@ -287,8 +289,43 @@ object Mv {
     // re-stamp against the base state the refreshed summary reflects:
     // the caller's contract is base-advance THEN refresh-with-batch,
     // so at refresh entry the base already holds the batch's rows
-    val fp = fpOverride.getOrElse(
-      TableState.fingerprint(spark, d.allBasePaths))
+    val fp = fpOverride.getOrElse {
+      val cur = TableState.fingerprint(spark, d.allBasePaths)
+      // GAP-PINNING GUARD (snapshot-logged single-root base): when the
+      // base MOVED since the stamp, the snapshot log knows the exact
+      // gap — a batch that does not cover it would still earn a green
+      // stamp over a summary missing rows, the silently-wrong-MV
+      // class. Refuse when the chain crosses a rewrite (the batch
+      // cannot express retractions) or when the batch's row count
+      // differs from the window's appended rows (footer-only counts,
+      // O(batch) — a cheap necessary condition; [[refreshFromLog]]
+      // folds the exact gap and needs no batch at all). An UNMOVED
+      // base skips the guard: the build-over-subset + fold-remainder
+      // pattern legitimately folds rows the stamp already covers.
+      if (d.join.isEmpty && d.basePaths.size == 1 &&
+          d.fp.startsWith("snap:") && cur != d.fp) {
+        val root = d.basePaths.head
+        val what = s"MV $name"
+        TableState.movedHops(spark, d.fp, d.basePaths, what).foreach {
+          case (_, moved) =>
+            val rc = moved(root)
+            require(rc.rewriteHops.isEmpty,
+              s"$what: the base was compacted since the stamp — a batch " +
+                "cannot express the removed rows; use refreshFromLog " +
+                "(folds the rw_* retractions) or rebuild")
+            val windowRows = rc.appendHops.map(h =>
+              TableState.hopRows(spark, root, h, what).count()).sum
+            val batchRows = batch.count()
+            require(windowRows == batchRows,
+              s"$what: the snapshot log shows $windowRows rows appended " +
+                s"since the stamped snapshot but the supplied batch has " +
+                s"$batchRows — folding it would stamp a summary that " +
+                "does not match the base; fold the exact gap " +
+                "(refreshFromLog does so from the log) or rebuild")
+        }
+      }
+      cur
+    }
     val cur = spark.read.parquet(d.mvPath)
     val ms = d.measures.toSeq.sorted
     val delta = summarize(batch, d.dims, ms, d.mins.toSeq.sorted,
@@ -337,7 +374,16 @@ object Mv {
     * a net feed. Copy-on-write + registry re-point, exactly as
     * [[refreshAppend]]. */
   def refreshChanges(spark: SparkSession, name: String,
-                     feed: DataFrame): MvDef = {
+                     feed: DataFrame): MvDef =
+    refreshChangesStamped(spark, name, feed, fpOverride = None)
+
+  /** [[refreshChanges]] with the stamp supplied by the caller —
+    * [[refreshFromLog]] pins it to the snapshot its hop chain actually
+    * covers (the [[refreshAppendStamped]] discipline: never postdate
+    * the folded rows). */
+  private def refreshChangesStamped(spark: SparkSession, name: String,
+                                    feed: DataFrame,
+                                    fpOverride: Option[String]): MvDef = {
     RegistryStore.ensureLoaded(spark) // see [[refreshAppend]]
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
@@ -346,7 +392,8 @@ object Mv {
         "deletes; rebuild instead (Mv.build is one grouped pass)")
     // re-stamp at entry: the base has already advanced to the state
     // the feed's net application reflects (see [[refreshAppend]])
-    val fp = TableState.fingerprint(spark, d.allBasePaths)
+    val fp = fpOverride.getOrElse(
+      TableState.fingerprint(spark, d.allBasePaths))
     val cur = spark.read.parquet(d.mvPath)
     val ms = d.measures.toSeq.sorted
     // an unknown tag would silently corrupt counts — fail loudly,
@@ -405,14 +452,27 @@ object Mv {
     * [[DistinctElim.reverifyAppended]] are the constraint legs): when
     * a single-table MV's base is snapshot-logged, the gap between the
     * stamped and current fingerprints IS the
-    * [[graft.catalog.Layout.changes]] window, so the summary heals
-    * itself — no caller-assembled batch, no base rescan. The window's
-    * inserts fold in via [[refreshAppend]] (O(batch + MV), restamps,
-    * rewrite resumes). Append-only windows only: a deletion-vector
-    * window refuses ([[TableState.appendOnlyWindow]]) because the
-    * rewrite answers for PLAIN directory reads, which do not apply
-    * the vectors — compact, then rebuild, for that case. A no-op
-    * (same stamp) returns the registered def untouched. */
+    * [[TableState.movedHops]] hop chain, so the summary heals
+    * itself — no caller-assembled batch, no base rescan. The rewrite
+    * answers for PLAIN directory reads of the base, and the chain
+    * classifies exactly what each commit did to that read:
+    *
+    *   - [[TableState.AppendHop]]s contribute their fresh files' raw
+    *     rows as inserts ([[TableState.hopRows]], O(batch));
+    *   - [[TableState.NoRowChangeHop]]s (dv-only commits) contribute
+    *     nothing — the plain read did not move;
+    *   - [[TableState.RewriteHop]]s (compact + full vacuum)
+    *     materialized rows OUT of the plain read; their `rw_*`
+    *     provenance rows ([[TableState.removedRows]]) fold in as
+    *     retractions via the [[refreshChanges]] counting machinery —
+    *     unless the view keeps MIN/MAX partials, which do not
+    *     retract (that case refuses with rebuild guidance).
+    *
+    * Appends and retractions fold as ONE net signed feed (SUM/COUNT
+    * partials commute, so a row appended then compacted away inside
+    * the chain nets to zero). O(changed rows + MV); the base fact is
+    * never re-read. A no-op (same stamp) returns the registered def
+    * untouched. */
   def refreshFromLog(spark: SparkSession, name: String): MvDef = {
     RegistryStore.ensureLoaded(spark)
     val d = MvCatalog.get(name).getOrElse(
@@ -423,16 +483,45 @@ object Mv {
     require(d.basePaths.size == 1,
       s"MV $name: log-driven refresh needs a single-root base")
     val root = d.basePaths.head
-    val (newFp, moved) = TableState.movedWindows(spark, d.fp, d.basePaths,
-      s"MV $name").getOrElse(return d) // nothing moved
-    // the stamp is PINNED to the snapshot the folded window actually
-    // covers — an append racing the window's materialization must not
-    // be covered by a stamp newer than the folded rows (the
-    // declareVerified ordering: never postdate the audited state)
-    refreshAppendStamped(spark, name,
-      moved(root).filter(col("_change_type") === "insert")
-        .drop("_change_type"),
-      fpOverride = Some(newFp))
+    val what = s"MV $name"
+    val (newFp, moved) = TableState.movedHops(spark, d.fp, d.basePaths,
+      what).getOrElse(return d) // nothing moved
+    val rc = moved(root)
+    // the stamp is PINNED to the snapshot the folded chain actually
+    // covers — an append racing the fold must not be covered by a
+    // stamp newer than the folded rows (the declareVerified ordering:
+    // never postdate the audited state)
+    val inserted = rc.appendHops
+      .map(h => TableState.hopRows(spark, root, h, what))
+      .reduceOption(_ unionByName _)
+    val removed = rc.rewriteHops
+      .flatMap(h => TableState.removedRows(spark, root, h))
+      .reduceOption(_ unionByName _)
+    (inserted, removed) match {
+      case (None, None) =>
+        // dv-only / provenance-empty chain: the plain read is
+        // bit-identical — a pure restamp, no fold, no new version
+        val nd = d.copy(fp = newFp)
+        MvCatalog.register(nd)
+        RegistryStore.autoPersist(spark)
+        nd
+      case (Some(ins), None) =>
+        refreshAppendStamped(spark, name, ins, fpOverride = Some(newFp))
+      case (_, Some(rm)) =>
+        require(d.mins.isEmpty && d.maxs.isEmpty,
+          s"$what: base was compacted (rows materialized out of the " +
+            "plain read) and the view keeps MIN/MAX partials, which " +
+            "do not retract; rebuild instead (Mv.build is one grouped " +
+            "pass)")
+        val cols = d.dims ++ d.measures.toSeq.sorted
+        val feed = inserted
+          .map(_.select(cols.map(col): _*)
+            .withColumn("_change_type", lit("insert")))
+          .foldLeft(rm.select(cols.map(col): _*)
+            .withColumn("_change_type", lit("delete")))(
+            (dels, ins) => ins.unionByName(dels))
+        refreshChangesStamped(spark, name, feed, fpOverride = Some(newFp))
+    }
   }
 
   /** Drop superseded summary directories — the `_v*` siblings
@@ -469,7 +558,7 @@ object Mv {
   def revoke(spark: SparkSession, name: String): Unit = {
     RegistryStore.ensureLoaded(spark)
     MvCatalog.unregister(name)
-    RegistryStore.writeThrough(spark)
+    RegistryStore.writeThrough(spark, exclude = Set(name))
   }
 
   /** Idempotently install the rewrite rule on a session (the local /

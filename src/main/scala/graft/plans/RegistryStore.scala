@@ -67,15 +67,18 @@ object RegistryStore {
       persist(spark, dir)
     }
 
-  /** Persist WITHOUT the pre-load merge — the revocation path: after
-    * an unregister, [[load]]'s fill-gaps merge would resurrect exactly
-    * the def being revoked. Callers must [[ensureLoaded]] BEFORE the
-    * unregister (the revoke APIs do), so the snapshot written here is
-    * the full store minus the revoked name. */
-  private[plans] def writeThrough(spark: SparkSession): Unit =
+  /** The revocation path: `exclude` names the defs being revoked, so
+    * the CAS loop's fill-gaps merge cannot resurrect exactly the def
+    * being withdrawn (revocation is authoritative — it wins even over
+    * a concurrent re-declaration of the same name). Callers must
+    * [[ensureLoaded]] BEFORE the unregister (the revoke APIs do), so
+    * the snapshot written here is the full store minus the revoked
+    * names. */
+  private[plans] def writeThrough(spark: SparkSession,
+                                  exclude: Set[String] = Set.empty): Unit =
     confPath(spark).foreach { dir =>
       loaded.put(dir, true) // this JVM's view is now the truth
-      persist(spark, dir)
+      persist(spark, dir, exclude)
     }
 
   /** Rule-side hook: load the store once per JVM per path, BEFORE the
@@ -86,11 +89,62 @@ object RegistryStore {
       loaded.getOrElseUpdate(dir, { load(spark, dir); true })
     }
 
+  /** Test hook — runs a thunk at a named point inside [[persist]]
+    * (the [[graft.catalog.Layout.testInterleave]] pattern): lets a
+    * spec interleave a concurrent writer inside the stage→flip window
+    * to pin the CAS retry. Self-clearing so the thunk's own persist
+    * does not recurse. */
+  @volatile private[graft] var testInterleave: Option[(String, () => Unit)] =
+    None
+  private def interleave(name: String): Unit = testInterleave match {
+    case Some((n, thunk)) if n == name =>
+      testInterleave = None
+      thunk()
+    case _ => ()
+  }
+
   /** Serialize all three catalogs to `dir` (versioned file + `_latest`
-    * flip + keep-last-2 prune). */
-  def persist(spark: SparkSession, dir: String): Unit = {
+    * flip + keep-last-2 prune).
+    *
+    * CONCURRENCY-SAFE: the flip is a compare-and-swap against the
+    * pointer observed at entry ([[SnapshotManifest.casFlip]], under
+    * the directory's commit lock). Two drivers declaring at once can
+    * no longer last-writer-win the whole store: the loser re-reads the
+    * winner's version, MERGES it into the live catalogs (fill-gaps —
+    * its own fresh declarations win by name), re-serializes, and
+    * retries with a fresh version file; bounded attempts, then a loud
+    * failure naming the directory. `exclude` suppresses the merge for
+    * names being revoked (see [[writeThrough]]). */
+  def persist(spark: SparkSession, dir: String,
+              exclude: Set[String] = Set.empty): Unit = {
     val fs = SnapshotManifest.fsOf(spark, dir)
     fs.mkdirs(new Path(dir))
+    var attempts = 0
+    while (attempts < 5) {
+      val expected = SnapshotManifest.currentSnap(spark, dir)
+      // merge any defs a concurrent driver persisted since our last
+      // read — one small file read; live (newer) defs win by name
+      loadExcluding(spark, dir, exclude)
+      val name = stageVersion(spark, dir)
+      interleave("registry-before-flip")
+      if (SnapshotManifest.casFlip(spark, dir, name, expected)) {
+        prune(fs, dir, name)
+        return
+      }
+      // lost the race: discard the staged file, re-merge, retry
+      fs.delete(new Path(dir, name), false)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"registry persist at $dir: lost the concurrent-commit race " +
+        s"$attempts times — a writer is flipping the pointer in a " +
+        "tight loop; serialize declaring drivers or retry later")
+  }
+
+  /** Write the current catalogs as a fresh immutable version file
+    * (temp + rename); returns its name. No pointer is touched. */
+  private def stageVersion(spark: SparkSession, dir: String): String = {
+    val fs = SnapshotManifest.fsOf(spark, dir)
     val m = new ObjectMapper()
     val root = m.createObjectNode()
     root.put("version", 1)
@@ -136,9 +190,13 @@ object RegistryStore {
     finally out.close()
     if (!fs.rename(tmp, new Path(dir, name)))
       throw new java.io.IOException(s"registry persist: rename failed: $name")
-    SnapshotManifest.flip(spark, dir, name)
-    // keep-last-2: the current version plus one predecessor for
-    // in-flight readers; older files are reclaimed
+    name
+  }
+
+  /** keep-last-2: the current version plus one predecessor for
+    * in-flight readers; older files are reclaimed. */
+  private def prune(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                    name: String): Unit = {
     val keep = fs.listStatus(new Path(dir)).map(_.getPath.getName)
       .filter(n => n.startsWith("reg_") && n.endsWith(".json"))
       .sorted.takeRight(2).toSet + name
@@ -156,7 +214,14 @@ object RegistryStore {
     * refresh must not resurrect the superseded version (stale mvPath,
     * stale fp). No-op (not an error) when the store has no pointer
     * yet. */
-  def load(spark: SparkSession, dir: String): Unit = {
+  def load(spark: SparkSession, dir: String): Unit =
+    loadExcluding(spark, dir, Set.empty)
+
+  /** [[load]] skipping `exclude` — the CAS retry path of a revoking
+    * [[writeThrough]] must not re-register the very defs being
+    * withdrawn from a concurrent winner's version. */
+  private def loadExcluding(spark: SparkSession, dir: String,
+                            exclude: Set[String]): Unit = {
     val name = SnapshotManifest.currentSnap(spark, dir).getOrElse(return)
     val fs = SnapshotManifest.fsOf(spark, dir)
     val in = fs.open(new Path(dir, name))
@@ -195,19 +260,22 @@ object RegistryStore {
         strs(o, "dims"), strs(o, "measures").toSet,
         strs(o, "mins").toSet, strs(o, "maxs").toSet, join,
         str(o, "fp"))
-      if (MvCatalog.get(d.name).isEmpty) MvCatalog.register(d)
+      if (!exclude(d.name) && MvCatalog.get(d.name).isEmpty)
+        MvCatalog.register(d)
     }
     arr("fks").foreach { o =>
       val d = FkDef(str(o, "name"),
         strs(o, "childPaths").toSet, strs(o, "childKeys"),
         strs(o, "parentPaths").toSet, strs(o, "parentKeys"),
         str(o, "fp"))
-      if (FkCatalog.get(d.name).isEmpty) FkCatalog.register(d)
+      if (!exclude(d.name) && FkCatalog.get(d.name).isEmpty)
+        FkCatalog.register(d)
     }
     arr("pks").foreach { o =>
       val d = UniqueKeyDef(str(o, "name"),
         strs(o, "paths").toSet, strs(o, "keys"), str(o, "fp"))
-      if (PkCatalog.get(d.name).isEmpty) PkCatalog.register(d)
+      if (!exclude(d.name) && PkCatalog.get(d.name).isEmpty)
+        PkCatalog.register(d)
     }
   }
 }

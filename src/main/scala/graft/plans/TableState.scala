@@ -44,6 +44,38 @@ object TableState {
   def fingerprint(spark: SparkSession, roots: Set[String]): String =
     roots.toSeq.sorted.map(one(spark, _)).mkString(";")
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Count of plain-directory registration warnings issued — pinned by
+    * TableStateSpec (a log line alone is not assertable). */
+  private[graft] val plainDirWarnings =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Declaration-site advisory: registering a PLAIN directory (no
+    * snapshot log) is CORRECT but costs more forever after — every
+    * planning pass that matches the table re-fingerprints it with one
+    * recursive listing (O(file count), vs one `_latest` read), and the
+    * incremental re-verifiers cannot walk a hop chain (any move forces
+    * a full re-declare, O(table) instead of O(batch)). Warn once per
+    * declaration, naming the roots and the fix (migrate under
+    * [[graft.catalog.Layout]]'s snapshot log). */
+  private[plans] def warnIfPlainDir(fp: String, roots: Set[String],
+                                    what: String): Unit =
+    segments(fp, roots).foreach { segs =>
+      val plain = segs.collect {
+        case (r, s) if s.startsWith("ls:") => r }.toSeq.sorted
+      if (plain.nonEmpty) {
+        plainDirWarnings.incrementAndGet()
+        log.warn(s"$what registers plain parquet director" +
+          (if (plain.size == 1) "y " else "ies ") + plain.mkString(", ") +
+          ": staleness is enforced via a recursive listing per planning " +
+          "pass (O(files), not O(1)), and incremental re-verification " +
+          "is unavailable — any write forces a full re-declare. " +
+          "Migrate the table under graft.catalog.Layout's snapshot log " +
+          "(writeClusteredZoned) for O(1) probes and O(batch) re-audits.")
+      }
+    }
+
   /** Empty stamp = declared without staleness tracking (direct
     * registry writes, pre-stamp persisted defs): the caller owns
     * freshness, exactly the pre-r11 contract. */

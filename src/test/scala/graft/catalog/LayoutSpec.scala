@@ -151,7 +151,10 @@ class LayoutSpec extends SparkSpec {
     Layout.appendClusteredZoned(df.filter($"ts" <= 500), dir, "symbol", "ts",
       numBuckets = 4, filesPerBucket = 2) // duplicate slice, more files
     Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2)
-    assert(SnapshotManifest.currentParts(spark, dir).get.size == 1)
+    // folded to ONE zone manifest (+ the compact's rw_ provenance part)
+    val foldedParts = SnapshotManifest.currentParts(spark, dir).get
+    assert(foldedParts.count(_.startsWith("m_")) == 1 &&
+      foldedParts.forall(p => p.startsWith("m_") || p.startsWith("rw_")))
     val afterCompact = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4,
         symbolEq = Some("SYM7"), timeRange = Some((lit(400L), lit(700L))))
       .select($"ts").as[Long].collect().toSeq.sorted
@@ -364,9 +367,10 @@ class LayoutSpec extends SparkSpec {
       .select($"ts").as[Long].collect().toSet
     assert(sym1 == (101L to 900L).filter(_ % 10 == 1).toSet)
     // compact folds the deletes into clean files and purges dv parts
+    // (keeping only the folded manifest + its rw_ change-data part)
     assert(Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2) > 0)
     assert(SnapshotManifest.currentParts(spark, dir).get
-      .forall(_.startsWith("m_")))
+      .forall(p => p.startsWith("m_") || p.startsWith("rw_")))
     assert(full() == (101L to 900L).toSet)
     // time travel to the pre-fold snapshot still applies its DVs
     val preFold = Layout.snapshots(spark, dir).takeRight(2).head
@@ -399,7 +403,7 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 2) > 0)
     assert(full() == (101L to 900L).toSet)
     assert(SnapshotManifest.currentParts(spark, dir).get
-      .forall(_.startsWith("m_")))
+      .forall(p => p.startsWith("m_") || p.startsWith("rw_")))
     // the commit lock is released — the next mutation proceeds
     assert(Layout.delete(spark, dir, "ts", $"ts" <= 200) == 100L)
     assert(full() == (201L to 900L).toSet)
@@ -547,16 +551,34 @@ class LayoutSpec extends SparkSpec {
     Layout.appendClusteredZoned(df.filter($"ts" > 300), sp, "symbol", "ts", 4, 2)
     Layout.delete(spark, sp, "ts", $"ts" <= 20 || ($"ts" > 300 && $"ts" <= 320))
     val snap3 = Layout.snapshots(spark, sp).last
-    Layout.applyChanges(Layout.changes(spark, sp, snap1, snap3),
-      tp, "symbol", "ts", keys = Seq("ts"), numBuckets = 4, filesPerBucket = 2)
     def live(p: String) = Layout.read(spark, p, "symbol", "ts", numBuckets = 4)
       .select($"ts").as[Long].collect().toSet
+    // crash BEFORE the single batch flip: the target stays exactly on
+    // its previous snapshot — there is no longer an inter-commit
+    // window where only the delete half landed
+    val preCrash = live(tp)
+    Layout.testFailpoint = Some("applychanges-before-flip")
+    try intercept[java.io.IOException] {
+      Layout.applyChanges(Layout.changes(spark, sp, snap1, snap3),
+        tp, "symbol", "ts", keys = Seq("ts"), numBuckets = 4, filesPerBucket = 2)
+    } finally Layout.testFailpoint = None
+    assert(live(tp) == preCrash, "pre-flip crash must be invisible")
+    // the real run: deletes + inserts land as ONE snapshot commit —
+    // half the fixed snapshot cost of every CDC batch
+    val snapsBefore = Layout.snapshots(spark, tp).size
+    Layout.applyChanges(Layout.changes(spark, sp, snap1, snap3),
+      tp, "symbol", "ts", keys = Seq("ts"), numBuckets = 4, filesPerBucket = 2)
+    assert(Layout.snapshots(spark, tp).size == snapsBefore + 1,
+      "a delete+insert batch must commit exactly one snapshot")
     assert(live(tp) == live(sp))
     assert(live(tp) == ((21L to 300L) ++ (321L to 600L)).toSet)
-    // an empty feed window is a no-op on the target
+    // an empty feed window is a no-op on the target (no new snapshot)
+    val snapsApplied = Layout.snapshots(spark, tp).size
     Layout.applyChanges(Layout.changes(spark, sp, snap3, snap3),
       tp, "symbol", "ts", keys = Seq("ts"), numBuckets = 4, filesPerBucket = 2)
     assert(live(tp) == live(sp))
+    assert(Layout.snapshots(spark, tp).size == snapsApplied,
+      "an empty window must not commit a snapshot")
   }
 
   test("readForJoin: bytes-aware ceiling — narrow dim broadcasts, wide dim of equal rows does not") {
@@ -585,6 +607,37 @@ class LayoutSpec extends SparkSpec {
       assert(!planOf(wp).contains("BroadcastHashJoin"),
         "wide dim over the byte ceiling must NOT broadcast " +
           "(a row-count ceiling would have)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("readForJoin: wide-STRING dim refuses the broadcast despite defaultSize blindness") {
+    val dir = Files.createTempDirectory("graft_rfj_str").toString + "/t"
+    // ~2 KB of hash noise per row: schema defaultSize says ~36 B/row
+    // (strings count a flat 20 B however long), the on-disk footprint
+    // cross-check says kilobytes — only the latter refuses in time
+    def noise(i: Int): String = (1 to 64).map { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes).map("%02x".format(_)).mkString
+    }.mkString
+    val rows = (1 to 4000).map(i => (s"S${i % 5}", i.toLong, noise(i)))
+      .toDF("symbol", "ts", "payload")
+    Layout.writeClusteredZoned(rows, dir, "symbol", "ts", 4, 2)
+    val fact = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("ts", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def plan(ceiling: Long): String = {
+        val dim = Layout.readForJoin(spark, dir, "symbol", "ts",
+          numBuckets = 4, broadcastMaxBytes = ceiling)
+        fact.join(dim, Seq("ts")).groupBy("symbol")
+          .agg(count(lit(1))).queryExecution.executedPlan.toString
+      }
+      // schema estimate: 4000 × ~36 B ≈ 144 KB — well under 1 MB; a
+      // defaultSize-only ceiling would broadcast the 2 KB/row dim
+      assert(!plan(1L << 20).contains("BroadcastHashJoin"),
+        "the on-disk footprint must veto the string-blind estimate")
+      // a ceiling that covers the real footprint still broadcasts
+      assert(plan(64L << 20).contains("BroadcastHashJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -686,7 +739,7 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
       .select($"ts").as[Long].collect().toSet == live)
     assert(SnapshotManifest.currentParts(spark, dir).get
-      .forall(_.startsWith("m_")))
+      .forall(p => p.startsWith("m_") || p.startsWith("rw_")))
   }
 
   test("bloom index: a point probe opens ≈1 file, stays exact, degrades conservatively") {
@@ -759,7 +812,7 @@ class LayoutSpec extends SparkSpec {
     // rewritten); probes stay exact, skipping returns after a rebuild
     Layout.compact(spark, dir, "symbol", "ts", filesPerBucket = 4)
     assert(SnapshotManifest.currentParts(spark, dir).get
-      .forall(_.startsWith("m_")))
+      .forall(p => p.startsWith("m_") || p.startsWith("rw_")))
     assert(probe(2718L).select($"ts").as[Long].collect().toSeq == Seq(2718L))
     Layout.buildBloomIndex(spark, dir, "key", "ts",
       expectedItemsPerFile = 10000L)

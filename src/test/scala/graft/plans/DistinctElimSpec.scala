@@ -188,6 +188,41 @@ class DistinctElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally PkCatalog.unregister("despec_null")
   }
 
+  test("reverify across compact: dv-only restamps; after the full vacuum the RewriteHop restamps (subset-safe)") {
+    import spark.implicits._
+    val tp5 = root + "/t5"
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 300).map(i => (s"S${i % 3}", i.toLong, i.toLong))
+        .toDF("status", "ship", "ok"),
+      tp5, "status", "ship", numBuckets = 2, filesPerBucket = 2)
+    def d = spark.read.parquet(tp5).select("ok").distinct()
+    try {
+      DistinctElim.declareUniqueKey("despec_cp",
+        spark.read.parquet(tp5), Seq("ok"))
+      assert(!optimized(d).contains("Aggregate"))
+      // a dv delete moves the fingerprint but leaves the PLAIN read
+      // (the audited identity) bit-identical → NoRowChangeHop restamp,
+      // no audit scan
+      graft.catalog.Layout.delete(spark, tp5, "ship", col("ok") <= 50)
+      assert(optimized(d).contains("Aggregate"), "fp move must suspend")
+      DistinctElim.reverifyAppended(spark, "despec_cp")
+      assert(!optimized(d).contains("Aggregate"), optimized(d))
+      // compact: the directory holds both file generations until the
+      // full vacuum — refuse with guidance, stay suspended
+      graft.catalog.Layout.compact(spark, tp5, "status", "ship",
+        filesPerBucket = 2)
+      intercept[IllegalArgumentException] {
+        DistinctElim.reverifyAppended(spark, "despec_cp")
+      }
+      graft.catalog.Layout.vacuum(spark, tp5, retainPrevious = false)
+      // the rewrite made the rows a SUBSET — uniqueness survives any
+      // subset, so the RewriteHop restamps without an audit
+      DistinctElim.reverifyAppended(spark, "despec_cp")
+      assert(!optimized(d).contains("Aggregate"), optimized(d))
+      assert(d.count() == 250L)
+    } finally PkCatalog.unregister("despec_cp")
+  }
+
   test("declareUniqueKey refuses a duplicate column") {
     intercept[IllegalArgumentException] {
       DistinctElim.declareUniqueKey("despec_bad", t, Seq("status"))

@@ -213,6 +213,59 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally FkCatalog.unregister("jespec_rv")
   }
 
+  test("parent compact: childless removals restamp; removals with children refuse (orphan audit)") {
+    import spark.implicits._
+    val c5 = root + "/child5"
+    val p5 = root + "/parent5"
+    // parent keys 1..40; children reference only 1..20
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 40).map(i => (s"P${i % 2}", i.toLong, s"seg$i"))
+        .toDF("psym", "pk", "seg"),
+      p5, "psym", "pk", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 200).map(i => (s"C${i % 2}", i.toLong, (i % 20 + 1).toLong))
+        .toDF("csym", "ts", "fk"),
+      c5, "csym", "ts", numBuckets = 2, filesPerBucket = 2)
+    def g = spark.read.parquet(c5).join(spark.read.parquet(p5),
+        col("fk") === col("pk"), "inner")
+      .groupBy("ts").agg(count(lit(1)).as("n"))
+    try {
+      JoinElim.declareVerified("jespec_cp",
+        spark.read.parquet(c5), Seq("fk"),
+        spark.read.parquet(p5), Seq("pk"))
+      assert(!scanPaths(g).exists(_.endsWith("/parent5")), scanPaths(g))
+      // dv-delete a CHILDLESS parent key: plain read unchanged →
+      // NoRowChangeHop restamp
+      graft.catalog.Layout.delete(spark, p5, "pk", col("pk") === 30L)
+      JoinElim.reverifyAppended(spark, "jespec_cp")
+      assert(!scanPaths(g).exists(_.endsWith("/parent5")), scanPaths(g))
+      // compact materializes the removal; between the flip and the
+      // full vacuum the plain read is duplicated — refuse
+      graft.catalog.Layout.compact(spark, p5, "psym", "pk",
+        filesPerBucket = 2)
+      intercept[IllegalArgumentException] {
+        JoinElim.reverifyAppended(spark, "jespec_cp")
+      }
+      graft.catalog.Layout.vacuum(spark, p5, retainPrevious = false)
+      // the removed key has no children: the RewriteHop orphan audit
+      // (child ⋉ removed keys vs current parent) passes → restamp
+      JoinElim.reverifyAppended(spark, "jespec_cp")
+      assert(!scanPaths(g).exists(_.endsWith("/parent5")), scanPaths(g))
+      // now remove a key that HAS children: a blanket restamp would
+      // leave the rewrite silently wrong — the orphan audit refuses
+      graft.catalog.Layout.delete(spark, p5, "pk", col("pk") === 10L)
+      JoinElim.reverifyAppended(spark, "jespec_cp") // dv-only: restamp ok
+      graft.catalog.Layout.compact(spark, p5, "psym", "pk",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, p5, retainPrevious = false)
+      intercept[IllegalArgumentException] {
+        JoinElim.reverifyAppended(spark, "jespec_cp")
+      }
+      assert(scanPaths(g).exists(_.endsWith("/parent5")),
+        "a refused orphan audit must keep the rewrite suspended")
+    } finally FkCatalog.unregister("jespec_cp")
+  }
+
   test("declareVerified accepts NULL child keys (SQL MATCH SIMPLE) and the rewrite stays exact") {
     import spark.implicits._
     val c4 = root + "/child4"

@@ -421,6 +421,7 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("refreshFromLog: a stale MV over a snapshot-logged base self-heals from the change window") {
+    import spark.implicits._
     val base = root + "/fact_log"
     val o = Tables.load(spark, sf, "orders").select(
       col("o_orderstatus").as("symbol"),
@@ -449,14 +450,41 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       assert(on.nonEmpty && on == off)
       // idempotent when nothing moved
       assert(Mv.refreshFromLog(spark, "mvspec_log").mvPath == d1.mvPath)
-      // a deletion-vector window refuses (plain reads don't apply DVs)
+      // a deletion-vector commit leaves the PLAIN read (the identity
+      // the rewrite answers for) bit-identical → NoRowChangeHop: pure
+      // restamp, same summary version, rewrite resumes
       graft.catalog.Layout.delete(spark, base, "ship",
         col("symbol") === "F")
+      val d2 = Mv.refreshFromLog(spark, "mvspec_log")
+      assert(d2.mvPath == d1.mvPath, "dv-only window must not re-fold")
+      assert(d2.fp != d1.fp)
+      assert(scanPaths(g).exists(_.contains("/mv_log")), scanPaths(g))
+      // the compact MATERIALIZES the deletes out of the plain read;
+      // until the full vacuum the directory holds both generations —
+      // refuse with guidance
+      graft.catalog.Layout.compact(spark, base, "symbol", "ship",
+        filesPerBucket = 4)
       intercept[IllegalArgumentException] {
         Mv.refreshFromLog(spark, "mvspec_log")
       }
-      assert(scanPaths(g).exists(_.endsWith("/fact_log")),
-        "suspended rewrite must stay suspended after a refused refresh")
+      graft.catalog.Layout.vacuum(spark, base, retainPrevious = false)
+      // one more append AFTER the rewrite: the refresh folds the
+      // RewriteHop's rw_* rows as retractions AND the AppendHop's
+      // fresh rows as inserts in ONE net signed feed
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("F", java.sql.Date.valueOf("1999-03-01"), "42.50"))
+          .toDF("symbol", "ship", "qty")
+          .select(col("symbol"), col("ship"),
+            col("qty").cast("decimal(18,2)").as("qty")),
+        base, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+      val d3 = Mv.refreshFromLog(spark, "mvspec_log")
+      assert(d3.mvPath != d2.mvPath)
+      assert(scanPaths(g).exists(_.contains("/mv_log")), scanPaths(g))
+      val (on2, off2) = onOff(g)
+      assert(on2.nonEmpty && on2 == off2,
+        "retraction-folded summary must equal the live base aggregation")
+      assert(on2.exists(r => r.getString(0) == "F" && r.getLong(2) == 1L),
+        s"group F must survive with exactly the re-appended row: ${on2}")
     } finally MvCatalog.unregister("mvspec_log")
   }
 
@@ -483,6 +511,50 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       val (on, off) = onOff(r)
       assert(on.nonEmpty && on == off)
     } finally { MvCatalog.unregister("a_stale"); MvCatalog.unregister("b_fresh") }
+  }
+
+  test("refreshAppend refuses a batch that does not cover the stamped gap (snapshot-logged base)") {
+    import spark.implicits._
+    val base = root + "/fact_gap"
+    val df = (1 to 400).map(i => (s"S${i % 3}", i.toLong, i.toLong))
+      .toDF("symbol", "ts", "qty")
+    graft.catalog.Layout.writeClusteredZoned(df.filter($"ts" <= 300), base,
+      "symbol", "ts", numBuckets = 2, filesPerBucket = 2)
+    try {
+      Mv.build(spark.read.parquet(base), "mvspec_gap", Seq("symbol"),
+        measures = Seq("qty"), mvPath = root + "/mv_gap")
+      val gap = df.filter($"ts" > 300)
+      graft.catalog.Layout.appendClusteredZoned(gap, base,
+        "symbol", "ts", numBuckets = 2, filesPerBucket = 2)
+      // a batch covering only HALF the appended window must refuse —
+      // stamping it green would leave a summary missing 50 rows
+      val ex = intercept[IllegalArgumentException] {
+        Mv.refreshAppend(spark, "mvspec_gap", gap.filter($"ts" <= 350))
+      }
+      assert(ex.getMessage.contains("100") &&
+        ex.getMessage.contains("50"), ex.getMessage)
+      // the exact gap folds fine and the summary answers for the base
+      Mv.refreshAppend(spark, "mvspec_gap", gap)
+      def g = spark.read.parquet(base).groupBy("symbol")
+        .agg(sum("qty").as("s"), count(lit(1)).as("n")).orderBy("symbol")
+      assert(scanPaths(g).exists(_.contains("/mv_gap")), scanPaths(g))
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off)
+      // a dv-only window adds no rows: an empty batch restamps cleanly
+      graft.catalog.Layout.delete(spark, base, "ts", $"ts" <= 10)
+      Mv.refreshAppend(spark, "mvspec_gap",
+        spark.read.parquet(base).limit(0))
+      // a window crossing a compact refuses with refreshFromLog
+      // guidance — a batch cannot express the materialized-out rows
+      graft.catalog.Layout.compact(spark, base, "symbol", "ts",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, base, retainPrevious = false)
+      val ex2 = intercept[IllegalArgumentException] {
+        Mv.refreshAppend(spark, "mvspec_gap",
+          spark.read.parquet(base).limit(0))
+      }
+      assert(ex2.getMessage.contains("refreshFromLog"), ex2.getMessage)
+    } finally MvCatalog.unregister("mvspec_gap")
   }
 
   test("refreshAppend on an unregistered name fails loudly") {

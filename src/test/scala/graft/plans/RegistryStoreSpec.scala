@@ -140,6 +140,41 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
     assert(FkCatalog.get("regspec_fk").isDefined)
   }
 
+  test("CAS persist: a writer interleaved inside the stage→flip window loses no defs") {
+    // driver A starts persisting a store that knows only regspec_cas_a;
+    // inside its stage→flip window driver B (simulated by the
+    // interleave thunk) declares AND persists regspec_cas_b. Blind
+    // last-writer-wins would flip A's pre-B file over the store and
+    // destroy B's def; the CAS must detect the moved pointer, re-merge,
+    // and retry — BOTH defs end up persisted.
+    MvCatalog.clear(); FkCatalog.clear(); PkCatalog.clear()
+    RegistryStore.resetForTest()
+    try {
+      PkCatalog.register(UniqueKeyDef("regspec_cas_a", Set(childP), Seq("ok")))
+      RegistryStore.testInterleave = Some(("registry-before-flip", () => {
+        PkCatalog.register(
+          UniqueKeyDef("regspec_cas_b", Set(parentP), Seq("ck2")))
+        RegistryStore.persist(spark, regDir)
+      }))
+      RegistryStore.persist(spark, regDir)
+      assert(RegistryStore.testInterleave.isEmpty, "thunk must have run")
+      // a fresh driver sees BOTH declarations
+      MvCatalog.clear(); FkCatalog.clear(); PkCatalog.clear()
+      RegistryStore.resetForTest()
+      RegistryStore.load(spark, regDir)
+      assert(PkCatalog.get("regspec_cas_a").isDefined,
+        "the CAS loser's def was dropped")
+      assert(PkCatalog.get("regspec_cas_b").isDefined,
+        "the interleaved winner's def was overwritten (lost update)")
+    } finally {
+      RegistryStore.testInterleave = None
+      Seq("regspec_cas_a", "regspec_cas_b").foreach { n =>
+        PkCatalog.unregister(n)
+        RegistryStore.writeThrough(spark, exclude = Set(n))
+      }
+    }
+  }
+
   test("persist prunes to the last two versions; load without a pointer is a no-op") {
     val count0 = {
       val fs = graft.catalog.SnapshotManifest.fsOf(spark, regDir)

@@ -340,12 +340,14 @@ object MvQueries {
       // snapshot-logged base holds only the pre-1997 orders; a nightly
       // append moves the base, so the staleness guard SUSPENDS the
       // rewrite (hard-asserted — queries fall back to the base scan,
-      // fresh but slower). refreshFromLog then reads exactly the
-      // Layout.changes window from the base's own snapshot log — no
-      // caller-assembled batch, no base rescan — folds it in
-      // (O(batch+MV), copy-on-write re-point, restamp), and the
-      // rewrite RESUMES answering for the FULL base (hard-asserted +
-      // oracle-checked).
+      // fresh but slower). refreshFromLog walks the base's own hop
+      // chain — the append window folds in as inserts (O(batch+MV),
+      // no base rescan), a dv-only delete restamps free (plain reads
+      // do not apply the vectors), and a compact + full vacuum folds
+      // the commit's own rw_* change-data part as RETRACTIONS through
+      // the counting machinery — copy-on-write re-point + restamp each
+      // time, and the rewrite RESUMES answering for the live base
+      // (hard-asserted + oracle-checked over the same survivors).
       (s, dir) => {
         val root = System.getProperty("java.io.tmpdir") + "/graft_mv7_" +
           s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
@@ -376,6 +378,23 @@ object MvQueries {
             numBuckets = 4, filesPerBucket = 4)
           require(scanRoots(q).exists(_.endsWith("/base")),
             "staleness guard should suspend the rewrite after the append")
+          // the append window folds in; rewrite resumes
+          Mv.refreshFromLog(s, name)
+          assertMvScan(q)
+          // dv delete: the plain read the rewrite answers for is
+          // bit-identical → refreshFromLog restamps without a fold
+          graft.catalog.Layout.delete(s, baseP, "ship",
+            col("symbol") === "P")
+          Mv.refreshFromLog(s, name)
+          assertMvScan(q)
+          // compact + full vacuum MATERIALIZE the delete out of the
+          // plain read; the final refresh below retracts the rw_*
+          // provenance rows and the summary answers for the survivors
+          graft.catalog.Layout.compact(s, baseP, "symbol", "ship",
+            filesPerBucket = 4)
+          graft.catalog.Layout.vacuum(s, baseP, retainPrevious = false)
+          require(scanRoots(q).exists(_.endsWith("/base")),
+            "staleness guard should suspend the rewrite after the compact")
         }
         Mv.install(s)
         // self-heal from the base's own snapshot log; idempotent when
@@ -384,20 +403,92 @@ object MvQueries {
         assertMvScan(q)
       },
       Some("WITH base AS (SELECT o_orderstatus AS symbol, " +
-        "CAST(o_totalprice AS DECIMAL(18,2)) AS qty FROM orders) " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS qty FROM orders " +
+        "WHERE o_orderstatus <> 'P') " +
         "SELECT symbol, CAST(sum(qty) AS DOUBLE) AS sum_qty, " +
         "count(*) AS n FROM base GROUP BY symbol ORDER BY symbol")),
+
+    Q("mv8_star_log_refresh",
+      // STAR-MV LOG REFRESH: the summary is built over orders ⋈
+      // customer while the snapshot-logged DIM holds only the
+      // even-keyed customers; the odd half then lands as a nightly dim
+      // append, which SUSPENDS the star rewrite (hard-asserted — this
+      // was the r12 gap: short of an O(fact) buildJoin rebuild the
+      // suspension was permanent). refreshFromLog walks BOTH bases'
+      // snapshot logs, recognizes a dim-only append window, and folds
+      // `F₁ ⋈ ΔD` — ONE probe-sided join of the full fact against the
+      // batch-sized dim delta (the delta broadcasts; the fact is never
+      // re-summarized) — then restamps at the audited snapshots. The
+      // rewrite RESUMES answering for the full join (hard-asserted +
+      // oracle-checked against the from-scratch join over all rows).
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv8_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv8_" + Integer.toHexString(root.hashCode)
+        val factP = root + "/sfact"
+        val dimP = root + "/sdim"
+        def q: DataFrame = s.read.parquet(factP)
+          .join(s.read.parquet(dimP), col("ck") === col("ck2"), "inner")
+          .groupBy("seg").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("seg")
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val o = t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            col("o_orderkey").as("ok"))
+          graft.catalog.Layout.writeClusteredZoned(o, factP,
+            "status", "ok", numBuckets = 4, filesPerBucket = 4)
+          val c = t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+          graft.catalog.Layout.writeClusteredZoned(
+            c.filter(col("ck2") % 2 === 0), dimP,
+            "seg", "ck2", numBuckets = 4, filesPerBucket = 4)
+          // the zoned tables' sym_bucket bookkeeping column is dropped
+          // so the declared frames keep disjoint schemas
+          Mv.buildJoin(
+            s.read.parquet(factP).select("ck", "status", "price"),
+            s.read.parquet(dimP).select("ck2", "seg"),
+            name, on = Seq("ck" -> "ck2"),
+            dims = Seq("seg", "status"), measures = Seq("price"),
+            mvPath = root + "/mv")
+          Mv.install(s)
+          assertMvScan(q) // star rewrite fires at build
+          // the nightly DIM append: half the customers arrive late
+          graft.catalog.Layout.appendClusteredZoned(
+            c.filter(col("ck2") % 2 === 1), dimP,
+            "seg", "ck2", numBuckets = 4, filesPerBucket = 4)
+          require(scanRoots(q).exists(_.endsWith("/sfact")),
+            "staleness guard should suspend the star rewrite after " +
+              "the dim append")
+        }
+        Mv.install(s)
+        // self-heal from the two snapshot logs; idempotent on reruns
+        Mv.refreshFromLog(s, name)
+        assertMvScan(q)
+      },
+      Some("WITH sfact AS (SELECT o_custkey AS ck, o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
+        "sdim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM sfact JOIN sdim ON ck = ck2 GROUP BY seg ORDER BY seg")),
 
     Q("j25_fk_reverify",
       // INCREMENTAL FK RE-VERIFICATION: the edge is declared while the
       // snapshot-logged child holds only the pre-1997 orders; a
       // nightly append then moves the table, so the staleness guard
       // SUSPENDS the join elimination (hard-asserted). Instead of
-      // re-auditing both tables (O(table)), reverifyAppended audits
-      // exactly the Layout.changes window — the appended batch against
-      // the dim — re-stamps at the audited snapshots, and the rewrite
+      // re-auditing both tables (O(table)), reverifyAppended walks the
+      // child's hop chain — the appended batch FK-audits against the
+      // dim (O(batch+dim)), a dv-only delete restamps free (the plain
+      // read is bit-identical), and a compact + full vacuum restamps
+      // through the RewriteHop (a child subset stays orphan-free) —
+      // re-stamping at the audited snapshots each time; the rewrite
       // RESUMES (hard-asserted: the dim scan is gone again). The
-      // oracle pays the real join over the full data.
+      // oracle pays the real join over the same surviving rows.
       (s, dir) => {
         val root = System.getProperty("java.io.tmpdir") + "/graft_jr_" +
           s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
@@ -438,6 +529,23 @@ object MvQueries {
             numBuckets = 4, filesPerBucket = 4)
           require(scansOf(q).exists(_.endsWith("/dim")),
             "staleness guard should suspend the rewrite after the append")
+          // append window audited → rewrite resumes
+          JoinElim.reverifyAppended(s, name)
+          require(!scansOf(q).exists(_.endsWith("/dim")),
+            "append-window audit should restore the rewrite")
+          // dv delete: the plain read is bit-identical → free restamp
+          graft.catalog.Layout.delete(s, childP, "ship",
+            col("symbol") === "P")
+          JoinElim.reverifyAppended(s, name)
+          require(!scansOf(q).exists(_.endsWith("/dim")),
+            "a dv-only window should restamp without suspending")
+          // compact + full vacuum: physical rewrite — the RewriteHop
+          // (child subset, orphan-free by construction) restamps below
+          graft.catalog.Layout.compact(s, childP, "symbol", "ship",
+            filesPerBucket = 4)
+          graft.catalog.Layout.vacuum(s, childP, retainPrevious = false)
+          require(scansOf(q).exists(_.endsWith("/dim")),
+            "staleness guard should suspend the rewrite after the compact")
         }
         JoinElim.install(s)
         // O(window) re-verification; idempotent when nothing moved
@@ -450,7 +558,7 @@ object MvQueries {
       },
       Some("WITH child AS (SELECT o_orderstatus AS symbol, " +
         "CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_custkey AS ck " +
-        "FROM orders), " +
+        "FROM orders WHERE o_orderstatus <> 'P'), " +
         "dim AS (SELECT c_custkey AS ck2 FROM customer) " +
         "SELECT symbol, count(*) AS n, CAST(sum(price) AS DOUBLE) AS revenue " +
         "FROM child JOIN dim ON ck = ck2 GROUP BY symbol ORDER BY symbol")),
@@ -460,8 +568,12 @@ object MvQueries {
       // of j25): DISTINCT elimination is suspended by a nightly append
       // and restored by auditing ONLY the appended window's keys
       // against the table (semi-join restriction — batch-sized state),
-      // never the full table. Hard-asserts suspend + resume; the
-      // oracle runs the real DISTINCT over the full data.
+      // never the full table. The hop chain then carries the key
+      // through the table's whole maintenance life: a dv delete
+      // restamps free (plain read unchanged), and a compact + full
+      // vacuum restamps through the RewriteHop (uniqueness survives
+      // any row subset). Hard-asserts suspend + resume at each step;
+      // the oracle runs the real DISTINCT over the same survivors.
       (s, dir) => {
         val root = System.getProperty("java.io.tmpdir") + "/graft_ur_" +
           s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
@@ -490,6 +602,20 @@ object MvQueries {
             numBuckets = 4, filesPerBucket = 4)
           require(hasAgg,
             "staleness guard should suspend the elimination after the append")
+          // append window audited → elimination resumes
+          DistinctElim.reverifyAppended(s, name)
+          require(!hasAgg, "append-window audit should restore the elimination")
+          // dv delete: plain read unchanged → free restamp
+          graft.catalog.Layout.delete(s, tp, "ship", col("ok") % 10 === 7)
+          DistinctElim.reverifyAppended(s, name)
+          require(!hasAgg, "a dv-only window should restamp without suspending")
+          // compact + full vacuum: the RewriteHop (row subset keeps
+          // uniqueness) restamps below
+          graft.catalog.Layout.compact(s, tp, "status", "ship",
+            filesPerBucket = 4)
+          graft.catalog.Layout.vacuum(s, tp, retainPrevious = false)
+          require(hasAgg,
+            "staleness guard should suspend the elimination after the compact")
         }
         DistinctElim.install(s)
         DistinctElim.reverifyAppended(s, name)
@@ -500,7 +626,7 @@ object MvQueries {
         df
       },
       Some("SELECT DISTINCT o_orderkey AS ok, o_orderstatus AS status " +
-        "FROM orders ORDER BY ok")),
+        "FROM orders WHERE o_orderkey % 10 <> 7 ORDER BY ok")),
 
     Q("s27_distinct_elim",
       // PK-verified distinct elimination: DISTINCT over a superset of

@@ -477,9 +477,7 @@ object Mv {
     RegistryStore.ensureLoaded(spark)
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
-    require(d.join.isEmpty,
-      s"MV $name is a star (join) summary; refresh it with an " +
-        "explicit batch via refreshAppend")
+    d.join.foreach(j => return refreshJoinFromLog(spark, d, j))
     require(d.basePaths.size == 1,
       s"MV $name: log-driven refresh needs a single-root base")
     val root = d.basePaths.head
@@ -520,6 +518,104 @@ object Mv {
           .foldLeft(rm.select(cols.map(col): _*)
             .withColumn("_change_type", lit("delete")))(
             (dels, ins) => ins.unionByName(dels))
+        refreshChangesStamped(spark, name, feed, fpOverride = Some(newFp))
+    }
+  }
+
+  /** STAR-SUMMARY LOG REFRESH — [[refreshFromLog]] for join MVs: when
+    * BOTH the fact and the dim are snapshot-logged, a summary over
+    * `F ⋈ D` heals itself from the two hop chains using the counting
+    * join-delta identity (the [[graft.ops.IncrementalJoin]] algebra,
+    * folded through the MV partials instead of a materialized join):
+    *
+    * {{{ Δ(F⋈D) = ΔF⋈D₁  +  F₁⋈ΔD  −  ΔF⋈ΔD }}}
+    *
+    * where F₁/D₁ are the CURRENT plain reads and ΔF/ΔD the chains'
+    * append-hop rows — every term is Δ-PROBE-SIDED (the delta side is
+    * batch-sized and broadcasts; the full fact is only ever the probe
+    * side of `F₁⋈ΔD`, one scan, no fact×dim shuffle), and the
+    * inclusion–exclusion term folds as a retraction through the
+    * [[refreshChanges]] counting machinery, so the result equals
+    * `summarize(F₁⋈D₁)` exactly. The common nightly shapes need no
+    * signed fold at all: a FACT-ONLY window folds `ΔF⋈D₁` as a plain
+    * insert batch (MIN/MAX partials fine), a DIM-ONLY window folds
+    * `F₁⋈ΔD` likewise, and dv-only windows restamp without touching
+    * the summary. Windows crossing a compact refuse with rebuild
+    * guidance: a star summary cannot retract a physical rewrite's
+    * removed join rows without re-joining them (the rw part holds one
+    * side only). At 100 TB this closes the gap where a dim append
+    * suspended every star rewrite until an O(fact) rebuild. */
+  private def refreshJoinFromLog(spark: SparkSession, d: MvDef,
+                                 j: MvJoin): MvDef = {
+    val name = d.name
+    require(d.basePaths.size == 1 && j.dimPaths.size == 1,
+      s"MV $name: log-driven star refresh needs single-root fact and dim")
+    val (factRoot, dimRoot) = (d.basePaths.head, j.dimPaths.head)
+    val what = s"MV $name"
+    val (newFp, moved) = TableState.movedHops(spark, d.fp,
+      d.basePaths ++ j.dimPaths, what).getOrElse(return d) // nothing moved
+    def delta(root: String): Option[DataFrame] = moved.get(root).flatMap { rc =>
+      require(rc.rewriteHops.isEmpty,
+        s"$what: $root was compacted since the stamp — a star summary " +
+          "cannot retract rewritten join rows from one side's " +
+          "provenance alone; rebuild with Mv.buildJoin (one pass)")
+      rc.appendHops.map(h => TableState.hopRows(spark, root, h, what))
+        .reduceOption(_ unionByName _)
+    }
+    val (dF, dD) = (delta(factRoot), delta(dimRoot))
+    // project each side to ITS OWN contract columns before joining —
+    // plain reads of two Layout tables share bookkeeping columns
+    // (sym_bucket) the declared frames never exposed; anything outside
+    // keys ∪ dims ∪ measures is dropped so the join can never turn
+    // ambiguous. Contract columns must still live on exactly one side.
+    val contract = (d.dims ++ d.measures.toSeq).distinct
+    val factScan = spark.read.parquet(factRoot)
+    val dimScan = spark.read.parquet(dimRoot)
+    val factOwn = contract.filter(factScan.columns.contains)
+    val dimOwn = contract.filter(dimScan.columns.contains)
+    require(factOwn.intersect(dimOwn).isEmpty,
+      s"$what: columns ${factOwn.intersect(dimOwn).mkString(",")} exist " +
+        "on both base tables; the summary contract is ambiguous — rebuild")
+    require((factOwn ++ dimOwn).toSet == contract.toSet,
+      s"$what: contract columns " +
+        s"${contract.diff(factOwn ++ dimOwn).mkString(",")} missing from " +
+        "both base tables; re-declare")
+    def fSide(df: DataFrame): DataFrame =
+      df.select((j.factKeys ++ factOwn).distinct.map(col): _*)
+    def dSide(df: DataFrame): DataFrame =
+      df.select((j.dimKeys ++ dimOwn).distinct.map(col): _*)
+    def joined(f: DataFrame, dm: DataFrame): DataFrame = {
+      val cond = j.factKeys.zip(j.dimKeys)
+        .map { case (fk, dk) => f(fk) === dm(dk) }.reduce(_ && _)
+      f.join(dm, cond, "inner")
+    }
+    (dF, dD) match {
+      case (None, None) =>
+        // dv-only chains: both plain reads are bit-identical — restamp
+        val nd = d.copy(fp = newFp)
+        MvCatalog.register(nd)
+        RegistryStore.autoPersist(spark)
+        nd
+      case (Some(df0), None) => // fact-only window: ΔF ⋈ D₁, pure insert
+        refreshAppendStamped(spark, name,
+          joined(fSide(df0), dSide(dimScan)), fpOverride = Some(newFp))
+      case (None, Some(dd)) => // dim-only window: F₁ ⋈ ΔD, pure insert
+        refreshAppendStamped(spark, name,
+          joined(fSide(factScan), dSide(dd)), fpOverride = Some(newFp))
+      case (Some(df0), Some(dd)) =>
+        // both moved: signed fold, minus the double-counted ΔF⋈ΔD.
+        // Per group the retraction is a subset of the ΔF⋈D₁ inserts
+        // (ΔD ⊆ D₁), so counts never go transiently negative.
+        require(d.mins.isEmpty && d.maxs.isEmpty,
+          s"$what: both bases moved and the view keeps MIN/MAX " +
+            "partials, which do not retract through the signed " +
+            "join-delta fold; rebuild with Mv.buildJoin")
+        val cols = (d.dims ++ d.measures.toSeq.sorted).map(col)
+        def tag(df: DataFrame, t: String): DataFrame =
+          df.select(cols: _*).withColumn("_change_type", lit(t))
+        val feed = tag(joined(fSide(df0), dSide(dimScan)), "insert")
+          .unionByName(tag(joined(fSide(factScan), dSide(dd)), "insert"))
+          .unionByName(tag(joined(fSide(df0), dSide(dd)), "delete"))
         refreshChangesStamped(spark, name, feed, fpOverride = Some(newFp))
     }
   }

@@ -513,6 +513,82 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally { MvCatalog.unregister("a_stale"); MvCatalog.unregister("b_fresh") }
   }
 
+  test("star MV self-heals from the fact AND dim snapshot logs (refreshFromLog)") {
+    import spark.implicits._
+    val factP = root + "/star_fact"
+    val dimP = root + "/star_dim"
+    def factRows(r: Range) = r.map(i =>
+      (i.toLong % 50 + 1, s"S${i % 3}", i.toLong, i.toLong))
+      .toDF("ck", "status", "price", "ts")
+    def dimRows(r: Range) = r.map(i =>
+      (i.toLong, s"G${i % 4}")).toDF("ck2", "seg")
+    graft.catalog.Layout.writeClusteredZoned(factRows(1 to 300), factP,
+      "status", "ts", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(dimRows(1 to 40), dimP,
+      "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+    def q = spark.read.parquet(factP)
+      .join(spark.read.parquet(dimP), col("ck") === col("ck2"), "inner")
+      .groupBy("seg").agg(sum("price").as("rev"), count(lit(1)).as("n"))
+      .orderBy("seg")
+    def star = scanPaths(q).exists(_.contains("/mv_star")) &&
+      !scanPaths(q).exists(_.endsWith("/star_fact"))
+    try {
+      // drop the zoned tables' bookkeeping column so the declared
+      // frames have disjoint schemas (the buildJoin contract)
+      val d0 = Mv.buildJoin(
+        spark.read.parquet(factP).select("ck", "status", "price"),
+        spark.read.parquet(dimP).select("ck2", "seg"),
+        "mvspec_star_log", on = Seq("ck" -> "ck2"),
+        dims = Seq("seg", "status"), measures = Seq("price"),
+        mvPath = root + "/mv_star")
+      assert(d0.fp.contains("snap:"))
+      assert(star, scanPaths(q).toString)
+      // DIM append (the r12 gap: this used to suspend the star
+      // rewrite permanently short of an O(fact) rebuild)
+      graft.catalog.Layout.appendClusteredZoned(dimRows(41 to 100), dimP,
+        "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+      assert(!star, "dim move must suspend the rewrite")
+      val d1 = Mv.refreshFromLog(spark, "mvspec_star_log")
+      assert(d1.mvPath != d0.mvPath)
+      assert(star, scanPaths(q).toString)
+      val (on1, off1) = onOff(q)
+      assert(on1.nonEmpty && on1 == off1,
+        "dim-window fold must equal the full re-join")
+      // FACT append: the other one-sided window
+      graft.catalog.Layout.appendClusteredZoned(factRows(301 to 400), factP,
+        "status", "ts", numBuckets = 2, filesPerBucket = 2)
+      assert(!star)
+      Mv.refreshFromLog(spark, "mvspec_star_log")
+      assert(star, scanPaths(q).toString)
+      val (on2, off2) = onOff(q)
+      assert(on2 == off2, "fact-window fold must equal the full re-join")
+      // BOTH sides move in one window: the signed inclusion–exclusion
+      // fold (−ΔF⋈ΔD) — appended fact rows reference appended dim keys
+      graft.catalog.Layout.appendClusteredZoned(factRows(401 to 500), factP,
+        "status", "ts", numBuckets = 2, filesPerBucket = 2)
+      graft.catalog.Layout.appendClusteredZoned(dimRows(101 to 120), dimP,
+        "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+      Mv.refreshFromLog(spark, "mvspec_star_log")
+      assert(star, scanPaths(q).toString)
+      val (on3, off3) = onOff(q)
+      assert(on3 == off3, "two-sided signed fold must equal the full re-join")
+      // dv-only windows restamp without a fold
+      graft.catalog.Layout.delete(spark, dimP, "ck2", col("ck2") > 110L)
+      val before = MvCatalog.get("mvspec_star_log").get.mvPath
+      val d4 = Mv.refreshFromLog(spark, "mvspec_star_log")
+      assert(d4.mvPath == before, "dv-only star window must restamp only")
+      assert(star, scanPaths(q).toString)
+      // a compact on either side refuses with rebuild guidance
+      graft.catalog.Layout.compact(spark, dimP, "seg", "ck2",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, dimP, retainPrevious = false)
+      val ex = intercept[IllegalArgumentException] {
+        Mv.refreshFromLog(spark, "mvspec_star_log")
+      }
+      assert(ex.getMessage.contains("buildJoin"), ex.getMessage)
+    } finally MvCatalog.unregister("mvspec_star_log")
+  }
+
   test("refreshAppend refuses a batch that does not cover the stamped gap (snapshot-logged base)") {
     import spark.implicits._
     val base = root + "/fact_gap"

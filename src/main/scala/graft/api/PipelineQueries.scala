@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
-import graft.pipeline.{Cluster, Dedup, Multimodal, Similarity, Sq, TextAnalysis, MediaRecord}
+import graft.pipeline.{Cluster, Dedup, LshIndex, Multimodal, Similarity, Sq, TextAnalysis, MediaRecord}
 
 /** Batch 3: the training-data pipeline operators — text analysis,
   * deduplication, similarity search, multimodal plumbing — over the
@@ -922,6 +922,51 @@ object PipelineQueries {
         "fp AS (SELECT doc_id, bit_xor(hash(g)) AS f FROM sh GROUP BY doc_id) " +
         "SELECT a.doc_id AS id1, b.doc_id AS id2 FROM fp a JOIN fp b " +
         "ON a.f = b.f AND a.doc_id < b.doc_id ORDER BY id1, id2")),
+
+    Q("d12_incremental_dedup",
+      // PERSISTED INCREMENTAL LSH CORPUS DEDUP (LshIndex): the index
+      // is BUILT over two thirds of the corpus (the last corpus-sized
+      // pass it ever runs), the remaining third folds in via append —
+      // O(batch) signatures committed as fresh parts under a CAS'd
+      // snapshot, the existing parts untouched — and a probe batch of
+      // id-shifted copies (every fifth doc) is then deduped against
+      // the WHOLE corpus: band-bucket join (probe side broadcast, the
+      // persisted bucket log never shuffles) + exact shingle-SET
+      // verify. Recall is 1 by MinHash determinism, so the oracle
+      // recomputes the same equal-set pairs from scratch in SQL; the
+      // probe must surface hits from BOTH the built and the appended
+      // generation.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_d12_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val idx = root + "/idx"
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        if (graft.catalog.SnapshotManifest.currentSnap(s, idx).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          LshIndex.build(d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+            idx, "doc_id", "text", n = 3, k = 32, bands = 16)
+          LshIndex.append(d.filter(pmod(col("doc_id"), lit(3)) === 0), idx)
+        }
+        val probe = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 20000000L)
+        LshIndex.probe(s, idx, probe).orderBy("probe_id", "corpus_id")
+      },
+      // same cross-engine contract as d3: fingerprints stay inside
+      // each engine, only the resulting id pairs cross
+      Some("WITH all0 AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 20000000, text FROM documents " +
+        "WHERE doc_id % 5 = 0), " +
+        "toks AS (SELECT doc_id, " + toksSql + " AS w FROM all0), " +
+        "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
+        "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "fp AS (SELECT doc_id, bit_xor(hash(g)) AS f FROM sh GROUP BY doc_id) " +
+        "SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id " +
+        "FROM fp p JOIN fp c ON p.f = c.f " +
+        "WHERE p.doc_id >= 20000000 AND c.doc_id < 20000000 " +
+        "ORDER BY probe_id, corpus_id")),
 
     Q("d4_simhash_pairs",
       // SimHash64 + 8×8-bit banding + exact-hamming verify over

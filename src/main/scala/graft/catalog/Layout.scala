@@ -661,9 +661,27 @@ object Layout {
         .coalesce(1).write.parquet(tmp.toString)
       if (!fs.rename(tmp, new Path(mDir, mPart)))
         throw new java.io.IOException(s"expire: manifest rename failed: $mPart")
+      // SHRINK PROVENANCE for the hop-chain re-verifiers
+      // ([[graft.plans.TableState.ShrinkHop]]): the dropped FILE LIST
+      // — metadata-only, O(dropped files). The expired rows
+      // themselves are deliberately NOT recorded (that would be
+      // O(expired data), defeating expiry's metadata-only contract);
+      // subset-safe consumers restamp from the marker alone, row-level
+      // consumers refuse with guidance. Straddle dv rows stay in the
+      // plain read, so only whole-file drops are listed.
+      val rsPart = s"rs_${baseSnap.get}__${SnapshotManifest.token()}"
+      val rsTmp = new Path(mDir, s".tmp_$rsPart")
+      spark.createDataFrame(
+          java.util.Arrays.asList(dropped.map(r => Row(r.getString(0))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType))))
+        .coalesce(1).write.parquet(rsTmp.toString)
+      if (!fs.rename(rsTmp, new Path(mDir, rsPart)))
+        throw new java.io.IOException(s"expire: rs part rename failed: $rsPart")
       failpoint("expire-before-flip")
       SnapshotManifest.commit(spark, path,
-        mPart +: (keptDvParts ++ dvPart.toSeq), Some(baseSnap))
+        mPart +: (keptDvParts ++ dvPart.toSeq) :+ rsPart, Some(baseSnap))
     }
     (dropped.length, straddleDeleted)
   }
@@ -995,10 +1013,24 @@ object Layout {
         case Some(dv) if dvBuckets(bucket) =>
           val posed = withPos(bdf0)
           val bdv = dv.filter(col("sym_bucket") === bucket)
-          removedDfs :+= posed.join(bdv,
-            posed("__dv_file") === bdv("file") &&
-              posed("__dv_pos") === bdv("row_index"), "left_semi")
-            .drop("__dv_file", "__dv_pos")
+          // provenance side scans ONLY the dv-touched FILES of this
+          // bucket (bounded by the deletes, not the bucket) — the
+          // rewrite side above already pays the full-bucket read once
+          // intersect with the bucket's LIVE files: dv entries may
+          // dangle onto expiry-dropped files (documented-harmless for
+          // reads; here they must not resurrect a dead path)
+          val liveHere = rows.map(_.getString(0)).toSet
+          val dvFiles = bdv.select(col("file")).distinct().collect()
+            .map(_.getString(0)).filter(liveHere)
+          if (dvFiles.nonEmpty) {
+            val touched = withPos(spark.read.option("basePath", path)
+              .parquet(dvFiles.map(f =>
+                globEscape(new Path(rootP, f).toString)).toIndexedSeq: _*))
+            removedDfs :+= touched.join(bdv,
+              touched("__dv_file") === bdv("file") &&
+                touched("__dv_pos") === bdv("row_index"), "left_semi")
+              .drop("__dv_file", "__dv_pos")
+          }
           minusDv(posed, bdv).drop("__dv_file", "__dv_pos")
         case _ => bdf0
       }

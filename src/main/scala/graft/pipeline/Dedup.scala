@@ -148,7 +148,8 @@ object Dedup {
     * place the MinHash draw scheme lives (seed-mixed xxhash64 per
     * component); [[minHashSignatures]] and
     * [[minHashVerifiedDuplicates]] both go through here. */
-  private def sigsFromHashedShingles(sh: DataFrame, id: String, k: Int): DataFrame = {
+  private[pipeline] def sigsFromHashedShingles(sh: DataFrame, id: String,
+                                               k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
@@ -192,20 +193,30 @@ object Dedup {
     * the bucket join — signatures/payloads rejoin on ids afterwards. */
   private def bandCandidates(sigs: DataFrame, id: String,
                              k: Int, bands: Int): DataFrame = {
-    val r = k / bands
-    val withBands = sigs.select(col(id),
-      explode(array((0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          xxhash64(lit(bnd), concat_ws("_",
-            (0 until r).map(j => col(s"mh_${bnd * r + j}")): _*)).as("bucket"))): _*))
-        .as("bb"))
-      .select(col(id), col("bb.band"), col("bb.bucket"))
+    val withBands = bandBuckets(sigs, id, k, bands)
     val l = withBands.select(col(id).as("id1"), col("band"), col("bucket"))
     val rr = withBands.select(col(id).as("id2"), col("band"), col("bucket"))
     l.join(rr, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
   }
+
+  /** `(id, band, bucket)` LSH banding rows from a signature frame —
+    * the one place the band→bucket hash lives, shared by the in-batch
+    * candidate join above and the persisted corpus index
+    * ([[LshIndex]]), so the two can never disagree on bucketing. */
+  private[pipeline] def bandBuckets(sigs: DataFrame, id: String,
+                                    k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    sigs.select(col(id),
+      explode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          xxhash64(lit(bnd), concat_ws("_",
+            (0 until r).map(j => col(s"mh_${bnd * r + j}")): _*)).as("bucket"))): _*))
+        .as("bb"))
+      .select(col(id), col("bb.band"), col("bb.bucket"))
+  }
+
 
   /** Equality-verified duplicate pairs via MinHash+LSH: banding
     * candidates verified by exact shingle-SET equality.

@@ -165,6 +165,13 @@ object JoinElim {
       rc.appendHops.map(h => TableState.hopRows(spark, root, h, what))
         .reduceOption(_ unionByName _)
     moved.get(parentRoot).foreach { rc =>
+      // a parent EXPIRY removed rows without materialized provenance —
+      // there is nothing to orphan-audit the children against. The
+      // child side is exempt (subset-safe) below.
+      require(rc.shrinkHops.isEmpty,
+        s"$what: parent at $parentRoot expired rows (time retention) " +
+          "and the removed keys are not recorded; existing children " +
+          "may be orphaned — re-declare against the current state")
       appended(parentRoot, rc).foreach { rows =>
         val ins = rows.select(d.parentKeys.map(col): _*)
         // uniqueness can only break AT the inserted keys: audit the

@@ -309,10 +309,10 @@ object Mv {
         TableState.movedHops(spark, d.fp, d.basePaths, what).foreach {
           case (_, moved) =>
             val rc = moved(root)
-            require(rc.rewriteHops.isEmpty,
-              s"$what: the base was compacted since the stamp — a batch " +
-                "cannot express the removed rows; use refreshFromLog " +
-                "(folds the rw_* retractions) or rebuild")
+            require(rc.rewriteHops.isEmpty && rc.shrinkHops.isEmpty,
+              s"$what: the base was compacted or expired since the " +
+                "stamp — a batch cannot express the removed rows; use " +
+                "refreshFromLog (folds the rw_* retractions) or rebuild")
             val windowRows = rc.appendHops.map(h =>
               TableState.hopRows(spark, root, h, what).count()).sum
             val batchRows = batch.count()
@@ -485,6 +485,14 @@ object Mv {
     val (newFp, moved) = TableState.movedHops(spark, d.fp, d.basePaths,
       what).getOrElse(return d) // nothing moved
     val rc = moved(root)
+    // a time-retention EXPIRY removed rows without materializing them
+    // (O(expired data) provenance would defeat expiry's metadata-only
+    // contract) — the summary cannot retract what was never recorded
+    require(rc.shrinkHops.isEmpty,
+      s"$what: base rows were expired (time retention) without " +
+        "materialized provenance; rebuild the summary (Mv.build is one " +
+        "grouped pass) — or make the expiry cutoff a summary dim and " +
+        "filter instead")
     // the stamp is PINNED to the snapshot the folded chain actually
     // covers — an append racing the fold must not be covered by a
     // stamp newer than the folded rows (the declareVerified ordering:
@@ -555,9 +563,9 @@ object Mv {
     val (newFp, moved) = TableState.movedHops(spark, d.fp,
       d.basePaths ++ j.dimPaths, what).getOrElse(return d) // nothing moved
     def delta(root: String): Option[DataFrame] = moved.get(root).flatMap { rc =>
-      require(rc.rewriteHops.isEmpty,
-        s"$what: $root was compacted since the stamp — a star summary " +
-          "cannot retract rewritten join rows from one side's " +
+      require(rc.rewriteHops.isEmpty && rc.shrinkHops.isEmpty,
+        s"$what: $root was compacted/expired since the stamp — a star " +
+          "summary cannot retract removed join rows from one side's " +
           "provenance alone; rebuild with Mv.buildJoin (one pass)")
       rc.appendHops.map(h => TableState.hopRows(spark, root, h, what))
         .reduceOption(_ unionByName _)

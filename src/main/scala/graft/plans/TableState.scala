@@ -121,7 +121,16 @@ object TableState {
     *     `Layout.vacuum(retainPrevious = false)`) — between the
     *     compact and that vacuum the directory holds BOTH file
     *     generations and the plain read is transiently duplicated, so
-    *     the re-verifiers refuse with guidance rather than restamp. */
+    *     the re-verifiers refuse with guidance rather than restamp.
+    *   - [[ShrinkHop]]: a [[graft.catalog.Layout.expireBefore]]
+    *     time-retention commit, marked by its `rs_*` part — the plain
+    *     rows become a SUBSET (the dropped files' rows leave the read
+    *     once vacuumed) but the removed rows are NOT materialized:
+    *     recording O(expired data) would defeat expiry's
+    *     metadata-only contract. Subset-safe consumers (PK
+    *     uniqueness, FK child side) restamp; consumers that need the
+    *     removed rows (FK parent side, MV retraction) refuse with
+    *     guidance. Same directory-equals-manifest gate as rewrites. */
   private[plans] sealed trait Hop { def from: String; def to: String }
   private[plans] case class AppendHop(from: String, to: String,
                                       freshFiles: Seq[String]) extends Hop
@@ -129,6 +138,8 @@ object TableState {
                                            to: String) extends Hop
   private[plans] case class RewriteHop(from: String, to: String,
                                        rwPart: String) extends Hop
+  private[plans] case class ShrinkHop(from: String, to: String,
+                                      rsPart: String) extends Hop
 
   private def expired(what: String, root: String, snap: String): Nothing =
     throw new IllegalStateException(s"$what: stamped snapshot $snap at " +
@@ -138,6 +149,9 @@ object TableState {
 
   private def rwBase(part: String): String =
     part.stripPrefix("rw_").split("__")(0)
+
+  private def rsBase(part: String): String =
+    part.stripPrefix("rs_").split("__")(0)
 
   /** The hop chain `(from → to]` for one snapshot-logged root.
     * Retained snapshots form a contiguous SUFFIX of history (vacuum
@@ -163,22 +177,35 @@ object TableState {
         case Seq(a, b) => classifyPair(spark, root, a, b, what)
       }.toSeq
     } else {
-      // `from` vacuumed: find the compact commit whose provenance
-      // names it — it must be the EARLIEST retained snap carrying that
-      // rw part AND look like a bare compact commit (one folded zone
-      // manifest + the provenance); anything else means intermediate
-      // history was pruned and the chain is unrecoverable
+      // `from` vacuumed: find the compact/expiry commit whose
+      // provenance names it — it must be the EARLIEST retained snap
+      // carrying that rw_/rs_ part AND look like a bare maintenance
+      // commit (one folded zone manifest + the provenance; expiry may
+      // also carry dv/bf annotation parts, which add no plain rows);
+      // anything else means intermediate history was pruned and the
+      // chain is unrecoverable
+      def marks(p: String): Boolean =
+        (p.startsWith("rw_") && rwBase(p) == from) ||
+          (p.startsWith("rs_") && rsBase(p) == from)
       val hit = retained.view.map(s =>
-        s -> SnapshotManifest.partsOf(spark, root, s)).find {
-        case (_, parts) => parts.exists(p =>
-          p.startsWith("rw_") && rwBase(p) == from)
-      }.getOrElse(expired(what, root, from))
+        s -> SnapshotManifest.partsOf(spark, root, s))
+        .find { case (_, parts) => parts.exists(marks) }
+        .getOrElse(expired(what, root, from))
       val (snapE, parts) = hit
-      val rw = parts.find(p => p.startsWith("rw_") && rwBase(p) == from).get
-      val bare = parts.count(_.startsWith("m_")) == 1 &&
-        parts.forall(p => p == rw || p.startsWith("m_"))
+      val mark = parts.find(marks).get
+      val bare =
+        if (mark.startsWith("rw_"))
+          parts.count(_.startsWith("m_")) == 1 &&
+            parts.forall(p => p == mark || p.startsWith("m_"))
+        else
+          parts.count(_.startsWith("m_")) == 1 &&
+            parts.forall(p => p == mark || p.startsWith("m_") ||
+              p.startsWith("dv_") || p.startsWith("bf_"))
       if (!bare) expired(what, root, from)
-      RewriteHop(from, snapE, rw) +: hopsFor(spark, root, snapE, to, what)
+      val hop =
+        if (mark.startsWith("rw_")) RewriteHop(from, snapE, mark)
+        else shrinkOrNoop(spark, root, from, snapE, mark)
+      hop +: hopsFor(spark, root, snapE, to, what)
     }
   }
 
@@ -197,12 +224,26 @@ object TableState {
       }
     } else pb.find(p => p.startsWith("rw_") && rwBase(p) == a) match {
       case Some(rw) => RewriteHop(a, b, rw)
-      case None => throw new IllegalStateException(
-        s"$what: window $a -> $b at $root crosses a physical rewrite " +
-          "without compaction provenance (recluster / expireBefore / " +
-          "re-create); re-declare against the current state")
+      case None =>
+        pb.find(p => p.startsWith("rs_") && rsBase(p) == a) match {
+          case Some(rs) => shrinkOrNoop(spark, root, a, b, rs)
+          case None => throw new IllegalStateException(
+            s"$what: window $a -> $b at $root crosses a physical " +
+              "rewrite without maintenance provenance (recluster / " +
+              "re-create); re-declare against the current state")
+        }
     }
   }
+
+  /** An expiry that dropped NO whole files (straddle-dv-only) left the
+    * plain read bit-identical — classify it as a free restamp instead
+    * of a conservative refusal. One tiny parquet read (the rs part is
+    * the dropped FILE LIST, O(dropped files)). */
+  private def shrinkOrNoop(spark: SparkSession, root: String,
+                           a: String, b: String, rs: String): Hop =
+    if (spark.read.parquet(SnapshotManifest.partPath(root, rs)).isEmpty)
+      NoRowChangeHop(a, b)
+    else ShrinkHop(a, b, rs)
 
   /** One changed root's audited history: the stamped and current
     * snapshots plus the hop chain between them. */
@@ -210,6 +251,7 @@ object TableState {
                                        toSnap: String, hops: Seq[Hop]) {
     def appendHops: Seq[AppendHop] = hops.collect { case h: AppendHop => h }
     def rewriteHops: Seq[RewriteHop] = hops.collect { case h: RewriteHop => h }
+    def shrinkHops: Seq[ShrinkHop] = hops.collect { case h: ShrinkHop => h }
   }
 
   /** Shared scaffold for the incremental re-verifiers: decompose the
@@ -237,12 +279,13 @@ object TableState {
       val (from, to) =
         (seg(r).stripPrefix("snap:"), curSeg(r).stripPrefix("snap:"))
       val rc = RootChange(r, from, to, hopsFor(spark, r, from, to, what))
-      if (rc.rewriteHops.nonEmpty)
+      if (rc.rewriteHops.nonEmpty || rc.shrinkHops.nonEmpty)
         require(graft.catalog.Layout.directoryMatchesManifest(spark, r),
-          s"$what: $r was compacted but the directory still holds the " +
-            "superseded file generation (plain reads see both until the " +
-            "full vacuum) — run Layout.vacuum(path, retainPrevious = " +
-            "false) after the reader grace period, then re-verify")
+          s"$what: $r was compacted/expired but the directory still " +
+            "holds the superseded file generation (plain reads see the " +
+            "removed rows until the full vacuum) — run Layout.vacuum(" +
+            "path, retainPrevious = false) after the reader grace " +
+            "period, then re-verify")
       r -> rc
     }.toMap
     Some((newFp, changed))

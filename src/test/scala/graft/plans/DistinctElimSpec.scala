@@ -223,6 +223,31 @@ class DistinctElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally PkCatalog.unregister("despec_cp")
   }
 
+  test("reverify across time-retention expiry: ShrinkHop restamps (subset-safe), no audit") {
+    import spark.implicits._
+    val tp6 = root + "/t6"
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 400).map(i => (s"S${i % 2}", i.toLong, i.toLong))
+        .toDF("status", "ship", "ok"),
+      tp6, "status", "ship", numBuckets = 2, filesPerBucket = 4)
+    def d = spark.read.parquet(tp6).select("ok").distinct()
+    try {
+      DistinctElim.declareUniqueKey("despec_exp",
+        spark.read.parquet(tp6), Seq("ok"))
+      assert(!optimized(d).contains("Aggregate"))
+      // nightly retention drops the old slices; until the full vacuum
+      // the plain read still shows them — refuse with guidance
+      graft.catalog.Layout.expireBefore(spark, tp6, "ship", lit(201L))
+      intercept[IllegalArgumentException] {
+        DistinctElim.reverifyAppended(spark, "despec_exp")
+      }
+      graft.catalog.Layout.vacuum(spark, tp6, retainPrevious = false)
+      // a shrunken table keeps its uniqueness — restamp, zero scans
+      DistinctElim.reverifyAppended(spark, "despec_exp")
+      assert(!optimized(d).contains("Aggregate"), optimized(d))
+    } finally PkCatalog.unregister("despec_exp")
+  }
+
   test("declareUniqueKey refuses a duplicate column") {
     intercept[IllegalArgumentException] {
       DistinctElim.declareUniqueKey("despec_bad", t, Seq("status"))

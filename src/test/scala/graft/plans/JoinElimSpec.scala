@@ -266,6 +266,44 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally FkCatalog.unregister("jespec_cp")
   }
 
+  test("time-retention expiry: child-side restamps (subset-safe), parent-side refuses (no removed keys)") {
+    import spark.implicits._
+    val c6 = root + "/child6"
+    val p6 = root + "/parent6"
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 40).map(i => (s"P${i % 2}", i.toLong, s"seg$i"))
+        .toDF("psym", "pk", "seg"),
+      p6, "psym", "pk", numBuckets = 2, filesPerBucket = 4)
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 200).map(i => (s"C${i % 2}", i.toLong, (i % 20 + 1).toLong))
+        .toDF("csym", "ts", "fk"),
+      c6, "csym", "ts", numBuckets = 2, filesPerBucket = 4)
+    def g = spark.read.parquet(c6).join(spark.read.parquet(p6),
+        col("fk") === col("pk"), "inner")
+      .groupBy("ts").agg(count(lit(1)).as("n"))
+    try {
+      JoinElim.declareVerified("jespec_exp",
+        spark.read.parquet(c6), Seq("fk"),
+        spark.read.parquet(p6), Seq("pk"))
+      assert(!scanPaths(g).exists(_.endsWith("/parent6")), scanPaths(g))
+      // CHILD retention: fewer children stay orphan-free — restamp
+      graft.catalog.Layout.expireBefore(spark, c6, "ts", lit(101L))
+      graft.catalog.Layout.vacuum(spark, c6, retainPrevious = false)
+      JoinElim.reverifyAppended(spark, "jespec_exp")
+      assert(!scanPaths(g).exists(_.endsWith("/parent6")), scanPaths(g))
+      // PARENT retention: removed keys are unrecorded — children may
+      // be orphaned and there is nothing to audit against; refuse
+      graft.catalog.Layout.expireBefore(spark, p6, "pk", lit(21L))
+      graft.catalog.Layout.vacuum(spark, p6, retainPrevious = false)
+      val ex = intercept[IllegalArgumentException] {
+        JoinElim.reverifyAppended(spark, "jespec_exp")
+      }
+      assert(ex.getMessage.contains("re-declare"), ex.getMessage)
+      assert(scanPaths(g).exists(_.endsWith("/parent6")),
+        "a refused parent expiry must keep the rewrite suspended")
+    } finally FkCatalog.unregister("jespec_exp")
+  }
+
   test("declareVerified accepts NULL child keys (SQL MATCH SIMPLE) and the rewrite stays exact") {
     import spark.implicits._
     val c4 = root + "/child4"

@@ -630,6 +630,17 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
           spark.read.parquet(base).limit(0))
       }
       assert(ex2.getMessage.contains("refreshFromLog"), ex2.getMessage)
+      // heal through the compact, then EXPIRE old rows: removed rows
+      // are unrecorded (metadata-only retention) — refreshFromLog must
+      // refuse with rebuild guidance, never restamp a summary that
+      // still counts the expired rows
+      Mv.refreshFromLog(spark, "mvspec_gap")
+      graft.catalog.Layout.expireBefore(spark, base, "ts", lit(390L))
+      graft.catalog.Layout.vacuum(spark, base, retainPrevious = false)
+      val ex3 = intercept[IllegalArgumentException] {
+        Mv.refreshFromLog(spark, "mvspec_gap")
+      }
+      assert(ex3.getMessage.contains("rebuild"), ex3.getMessage)
     } finally MvCatalog.unregister("mvspec_gap")
   }
 

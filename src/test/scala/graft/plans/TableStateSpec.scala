@@ -156,6 +156,52 @@ class TableStateSpec extends SparkSpec {
       "no rows were materialized out — removedRows must be None")
   }
 
+  test("hop chain: time-retention expiry classifies as ShrinkHop; straddle-only expiry as NoRowChange") {
+    import spark.implicits._
+    val p = root + "/t_shrink"
+    // file zones are time slices: ts 1..400 over filesPerBucket=4 →
+    // a cutoff at 201 drops whole old files and straddles at most one
+    val df = (1 to 400).map(i => (s"S${i % 2}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "v")
+    graft.catalog.Layout.writeClusteredZoned(df, p, "symbol", "ts",
+      numBuckets = 2, filesPerBucket = 4)
+    val fp0 = TableState.fingerprint(spark, Set(p))
+    val (nDropped, _) = graft.catalog.Layout.expireBefore(
+      spark, p, "ts", lit(201L))
+    assert(nDropped > 0)
+    // dropped files still on disk → plain read still shows them:
+    // refuse with vacuum guidance, never restamp
+    val ex = intercept[IllegalArgumentException] {
+      TableState.movedHops(spark, fp0, Set(p), "spec")
+    }
+    assert(ex.getMessage.contains("vacuum"), ex.getMessage)
+    graft.catalog.Layout.vacuum(spark, p, retainPrevious = false)
+    val (_, moved) = TableState.movedHops(spark, fp0, Set(p), "spec").get
+    val hops = moved(p).hops
+    assert(hops.length == 1 && hops.head.isInstanceOf[TableState.ShrinkHop],
+      hops.toString)
+    // reconstruction also works once the stamped snap itself is
+    // pruned: the rs_ part names the base (full vacuum above already
+    // pruned it — keepLast2 ran inside no compact here, so force one
+    // more hop and re-walk from the same stamp)
+    graft.catalog.Layout.appendClusteredZoned(
+      Seq(("S1", 500L, 5.0)).toDF("symbol", "ts", "v"), p,
+      "symbol", "ts", numBuckets = 2, filesPerBucket = 4)
+    val (_, moved2) = TableState.movedHops(spark, fp0, Set(p), "spec").get
+    assert(moved2(p).hops.map(_.getClass.getSimpleName) ==
+      Seq("ShrinkHop", "AppendHop"), moved2(p).hops.toString)
+    // straddle-only expiry (cutoff inside the oldest remaining zone,
+    // dropping no whole file) leaves the plain read bit-identical —
+    // classified as a free NoRowChange restamp
+    val fp1 = TableState.fingerprint(spark, Set(p))
+    val (d2, straddle) = graft.catalog.Layout.expireBefore(
+      spark, p, "ts", lit(203L))
+    assert(d2 == 0 && straddle > 0, s"($d2, $straddle)")
+    val (_, moved3) = TableState.movedHops(spark, fp1, Set(p), "spec").get
+    assert(moved3(p).hops.map(_.getClass.getSimpleName) ==
+      Seq("NoRowChangeHop"), moved3(p).hops.toString)
+  }
+
   test("FpCache probes each root exactly once per pass, any number of consultations") {
     val p = root + "/t_memo"
     Tables.load(spark, sf, "region").select(col("r_regionkey").as("k"))

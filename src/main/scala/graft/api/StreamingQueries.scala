@@ -500,5 +500,63 @@ object StreamingQueries {
       Some("SELECT o_orderstatus AS status, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY 1 ORDER BY 1")),
+
+    Q("st12_stream_corpus_dedup",
+      // STREAMING CORPUS-DEDUP INGEST (Streams.corpusDedupSink over a
+      // persisted LshIndex): batch 1 streams the whole documents
+      // table into an EMPTY corpus — in-batch set-equality dedup
+      // keeps the min id per equal-shingle-set group; batch 2 streams
+      // id-shifted copies of the even docs (cross-batch duplicates of
+      // already-admitted content — dropped by the O(batch) index
+      // probe) plus 20 synthetic novel docs (admitted). SHORT docs
+      // (< 3 tokens, no shingles) have no signature and are admitted
+      // every time by design — the oracle mirrors all three lanes.
+      // The admitted parquet read back IS the gate output, so the
+      // probe, the in-batch dedup, the index append, and the
+      // cross-batch durability are all under the oracle hash.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val root = System.getProperty("java.io.tmpdir") + "/graft_st12_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val idx = root + "/idx"
+        val outP = root + "/admitted"
+        if (graft.catalog.SnapshotManifest.currentSnap(s, idx).isEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+          graft.pipeline.LshIndex.build(d.limit(0), idx, "doc_id", "text",
+            n = 3, k = 32, bands = 16)
+          val originals = d.as[(Long, String)].collect()
+          val copies = originals.filter(_._1 % 2 == 0)
+            .map { case (i, t0) => (i + 10000000L, t0) }
+          val synth = (0 until 20).map(i =>
+            (30000000L + i, s"zzsyn$i aazz$i qqxx$i wwvv$i ppoo$i"))
+          val mem = MemoryStream[(Long, String)]
+          val q = Streams.corpusDedupSink(
+            mem.toDF().toDF("doc_id", "text"), idx, outP,
+            checkpointLocation = Some(root + "/_checkpoint"))
+          try {
+            mem.addData(originals.toIndexedSeq); q.processAllAvailable()
+            mem.addData(copies.toIndexedSeq ++ synth); q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.read.parquet(outP).select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, " +
+        s"regexp_split_to_array(${PipelineQueries.normSql}, '\\s+') AS w " +
+        "FROM documents), " +
+        "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
+        "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "fp AS (SELECT doc_id, bit_xor(hash(g)) AS f FROM sh GROUP BY doc_id), " +
+        "surv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f), " +
+        "short AS (SELECT doc_id FROM toks WHERE len(w) < 3), " +
+        "admitted AS (SELECT doc_id FROM surv " +
+        "UNION ALL SELECT doc_id FROM short " +
+        "UNION ALL SELECT doc_id + 10000000 FROM short WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT 30000000 + generate_series FROM generate_series(0, 19)) " +
+        "SELECT doc_id FROM admitted ORDER BY doc_id")),
   )
 }

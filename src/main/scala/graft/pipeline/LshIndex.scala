@@ -45,6 +45,16 @@ object LshIndex {
   private def meta(spark: SparkSession, path: String): Map[String, String] =
     IndexIo.readMeta(spark, path)
 
+  /** The index's pinned parameters: (id, text, n, k, bands) — what a
+    * caller composing its own batch-side kernels (the streaming dedup
+    * sink) needs to signature compatibly. */
+  def params(spark: SparkSession, path: String)
+      : (String, String, Int, Int, Int) = {
+    val m = meta(spark, path)
+    require(m.get("kind").contains("lsh"), s"not an LSH index: $path")
+    (m("id"), m("text"), m("n").toInt, m("k").toInt, m("bands").toInt)
+  }
+
   /** Build the index over `docs` and commit it as the first snapshot.
     * One signature pass over the corpus — the LAST corpus-sized job
     * this index ever needs. */

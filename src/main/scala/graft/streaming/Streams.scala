@@ -661,4 +661,63 @@ object Streams {
       .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
   }
+
+  /** STREAMING CORPUS-DEDUP INGEST — the crawl-admission loop at
+    * stream speed: each micro-batch of documents is deduplicated
+    * IN-BATCH (exact shingle-set equality, min-id survivor) and
+    * against the persisted [[graft.pipeline.LshIndex]] corpus — an
+    * O(batch) probe; the indexed corpus is never re-signatured — then
+    * the admitted (novel) docs are appended to `docsPath` parquet and
+    * folded into the index as fresh CAS-committed parts, so every
+    * later batch (and every later RUN — the index is durable) dedupes
+    * against everything ever admitted.
+    *
+    * Delivery semantics: the INDEX is the authority and is
+    * duplicate-free by construction; `docsPath` is AT-LEAST-ONCE
+    * across crash replays (a crash between the docs write and the
+    * index append re-admits that epoch's docs on replay — recover by
+    * keyed dedup on read). Epoch-guarded against same-session
+    * foreachBatch replays like [[mvRefreshSink]]. */
+  def corpusDedupSink(docs: DataFrame, indexPath: String, docsPath: String,
+                      checkpointLocation: Option[String] = None)
+      : StreamingQuery = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val writer = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (epoch <= applied.get) {
+          if (!batch.isEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"corpusDedupSink($indexPath): high-water guard skipped " +
+                s"non-empty epoch $epoch (max applied ${applied.get}).")
+        } else {
+          val s = batch.sparkSession
+          if (!batch.isEmpty) {
+            val (id, text, n, k, bands) =
+              graft.pipeline.LshIndex.params(s, indexPath)
+            // corpus probe first (batch-sized), then in-batch dedup of
+            // the novel slice: equal shingle sets collide in every
+            // band, so the pair list is complete and min-id survives
+            val novel = graft.pipeline.LshIndex
+              .dedupeAgainst(s, indexPath, batch.toDF())
+            val pairs = graft.pipeline.Dedup.minHashVerifiedDuplicates(
+              novel, id, text, n, k, bands)
+            val admitted = graft.pipeline.Dedup
+              .removeNearDuplicates(novel, pairs, id).persist()
+            try {
+              if (!admitted.isEmpty) {
+                admitted.write.mode("append").parquet(docsPath)
+                graft.pipeline.LshIndex.append(admitted, indexPath)
+              }
+            } finally {
+              admitted.unpersist(blocking = false)
+              graft.ops.CacheScope.releaseAll()
+            }
+          }
+          applied.set(epoch)
+        }
+      }
+    checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
 }

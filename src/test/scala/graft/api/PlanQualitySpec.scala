@@ -231,6 +231,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("d12 corpus probe broadcasts the batch side — the persisted bucket log never shuffles") {
+    val p = plan("d12_incremental_dedup")
+    // the probe batch is broadcast into the corpus bucket scan; a
+    // shuffle on (band, bucket) would re-partition the WHOLE corpus
+    // log per nightly probe
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning(band"),
+      "corpus bucket log must not shuffle on the band join:\n" + p.take(1500))
+  }
+
   test("s24 point probe: bloom-pruned file list AND parquet pushdown compose") {
     // the bloom index shrinks the task list (pinned by LayoutSpec);
     // the re-applied equality must ALSO reach the parquet reader so

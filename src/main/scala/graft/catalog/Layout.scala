@@ -1266,24 +1266,56 @@ object Layout {
     // with the snapshot's own on-disk footprint: average compressed
     // bytes/row (per-file footer overhead amortized out, ×2 for
     // decode expansion) is a floor on the in-memory build size.
-    // Metadata only — manifest stats + file statuses, no data file
-    // opened. The WIDER of the two estimates decides.
-    val diskWidth: Long = manifest(spark, path)
-      .filter(_.columns.contains("n_rows")).fold(0L) { man =>
-        val rows = man.select(col("file"), col("n_rows")).collect()
-        if (rows.isEmpty || rows.exists(_.isNullAt(1))) 0L
-        else {
-          val fs = SnapshotManifest.fsOf(spark, path)
-          val bytes = rows.map(r =>
-            fs.getFileStatus(new Path(path, r.getString(0))).getLen).sum
-          val phys = rows.map(_.getLong(1)).sum
-          val payload = bytes - rows.length * 2048L // amortize footers
-          if (phys <= 0L || payload <= 0L) 0L else 2L * payload / phys
-        }
-      }
+    // Metadata only, BATCHED: one listStatus per bucket directory
+    // (not one getFileStatus round-trip per file — on a remote FS a
+    // thousand-file dim would pay a thousand serial driver RPCs per
+    // planning call), memoized per (path, snapshot) so repeated joins
+    // against the same dim snapshot plan for free. The WIDER of the
+    // two estimates decides.
+    val diskWidth: Long = diskWidthOf(spark, path)
     if (live * (schemaWidth max diskWidth) <= broadcastMaxBytes)
       org.apache.spark.sql.functions.broadcast(df)
     else df
+  }
+
+  /** Estimated in-memory bytes/row from the live snapshot's on-disk
+    * footprint (see [[readForJoin]]). Memo keyed by path@snapshot:
+    * immutable once computed (snapshots are immutable), invalidated
+    * naturally by the next commit's new snapshot name. Unbounded but
+    * table-count-sized — entries are one Long per (table, snapshot)
+    * ever planned in this JVM. */
+  private val widthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def diskWidthOf(spark: SparkSession, path: String): Long = {
+    val snap = SnapshotManifest.currentSnap(spark, path).getOrElse(return 0L)
+    widthMemo.computeIfAbsent(s"$path@$snap", _ => {
+      manifest(spark, path)
+        .filter(_.columns.contains("n_rows")).fold(0L) { man =>
+          val rows = man.select(col("file"), col("n_rows")).collect()
+          if (rows.isEmpty || rows.exists(_.isNullAt(1))) 0L
+          else {
+            val fs = SnapshotManifest.fsOf(spark, path)
+            val rootP = new Path(path)
+            val sizes = scala.collection.mutable.HashMap.empty[String, Long]
+            fs.listStatus(rootP).foreach { st =>
+              if (st.isDirectory && st.getPath.getName.startsWith("sym_bucket="))
+                fs.listStatus(st.getPath).foreach { f =>
+                  if (f.isFile)
+                    sizes(st.getPath.getName + "/" + f.getPath.getName) =
+                      f.getLen
+                }
+            }
+            // a manifest file missing from the listing (mid-vacuum
+            // race) contributes 0 bytes — conservative toward the
+            // schema-width estimate, never an exception
+            val bytes = rows.map(r => sizes.getOrElse(r.getString(0), 0L)).sum
+            val phys = rows.map(_.getLong(1)).sum
+            val payload = bytes - rows.length * 2048L // amortize footers
+            if (phys <= 0L || payload <= 0L) 0L else 2L * payload / phys
+          }
+        }: java.lang.Long
+    })
   }
 
   /** `input_file_name()` / manifest entries → literal reader paths:

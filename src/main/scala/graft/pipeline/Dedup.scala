@@ -243,6 +243,17 @@ object Dedup {
                                 n: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val sh = CacheScope.persist(hashedShingles(df, id, text, n))
+    verifiedDuplicatesFromHashed(sh, id, k, bands)
+  }
+
+  /** [[minHashVerifiedDuplicates]] from a precomputed (cached)
+    * `(id, h)` hashed-shingle frame — lets a caller that already paid
+    * the shingle pass (the streaming corpus-dedup sink) share it
+    * across the corpus probe, this in-batch verify, and the index
+    * fold instead of re-signaturing three times. */
+  private[graft] def verifiedDuplicatesFromHashed(sh: DataFrame, id: String,
+                                                  k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
     val sigs = sigsFromHashedShingles(sh, id, k)
     val cand = bandCandidates(sigs, id, k, bands)
     val fps = sh.groupBy(col(id))

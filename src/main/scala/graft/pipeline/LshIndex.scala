@@ -82,12 +82,32 @@ object LshIndex {
     val spark = batch.sparkSession
     val m = meta(spark, path)
     require(m.get("kind").contains("lsh"), s"not an LSH index: $path")
+    val sh = graft.ops.CacheScope.persist(Dedup.hashedShingles(
+      batch, m("id"), m("text"), m("n").toInt))
+    try appendFromHashed(spark, sh, path)
+    finally sh.unpersist(blocking = false)
+  }
+
+  /** [[append]] from a precomputed (cached) `(id, h)` hashed-shingle
+    * frame — the entry the streaming ingest sink uses to signature
+    * each micro-batch ONCE and share the pass across probe, in-batch
+    * verify, and this index fold. */
+  private[graft] def appendFromHashed(spark: SparkSession, sh: DataFrame,
+                                      path: String): Unit = {
+    val m = meta(spark, path)
+    require(m.get("kind").contains("lsh"), s"not an LSH index: $path")
+    require(SnapshotManifest.currentSnap(spark, path).nonEmpty,
+      s"LshIndex.append: no index at $path; build first")
+    // stage ONCE, outside the CAS loop: the parts' content is
+    // independent of the base snapshot, so a lost race retries only
+    // the (metadata-sized) read-parts + commit step — never the
+    // signature computation or the parquet write
+    val fresh = stagePartsFromHashed(sh, path, m("id"),
+      m("k").toInt, m("bands").toInt)
     var attempts = 0
     while (attempts < 5) {
       val base = SnapshotManifest.currentSnap(spark, path)
       require(base.nonEmpty, s"LshIndex.append: no index at $path; build first")
-      val fresh = stageParts(batch, path, m("id"), m("text"),
-        m("n").toInt, m("k").toInt, m("bands").toInt)
       try {
         SnapshotManifest.commit(spark, path,
           SnapshotManifest.partsOf(spark, path, base.get) ++ fresh,
@@ -98,6 +118,11 @@ object LshIndex {
           attempts += 1 // a racing appender won; re-read and retry
       }
     }
+    // abandoned: the staged parts belong to no snapshot — reclaim them
+    // now instead of leaving orphans for a later vacuum
+    val fs = SnapshotManifest.fsOf(spark, path)
+    fresh.foreach(p =>
+      fs.delete(new Path(SnapshotManifest.partPath(path, p)), true))
     throw new IllegalStateException(
       s"LshIndex.append at $path: lost the concurrent-commit race " +
         s"$attempts times; serialize appenders or retry later")
@@ -111,10 +136,19 @@ object LshIndex {
   def probe(spark: SparkSession, path: String, batch: DataFrame): DataFrame = {
     val m = meta(spark, path)
     require(m.get("kind").contains("lsh"), s"not an LSH index: $path")
-    val (id, text) = (m("id"), m("text"))
-    val (n, k, bands) = (m("n").toInt, m("k").toInt, m("bands").toInt)
-    val sh = graft.ops.CacheScope.persist(
-      Dedup.hashedShingles(batch, id, text, n))
+    val sh = graft.ops.CacheScope.persist(Dedup.hashedShingles(
+      batch, m("id"), m("text"), m("n").toInt))
+    probeFromHashed(spark, path, sh)
+  }
+
+  /** [[probe]] from a precomputed (cached) `(id, h)` hashed-shingle
+    * frame — see [[appendFromHashed]]. */
+  private[graft] def probeFromHashed(spark: SparkSession, path: String,
+                                     sh: DataFrame): DataFrame = {
+    val m = meta(spark, path)
+    require(m.get("kind").contains("lsh"), s"not an LSH index: $path")
+    val id = m("id")
+    val (k, bands) = (m("k").toInt, m("bands").toInt)
     val sigs = Dedup.sigsFromHashedShingles(sh, id, k)
     val probeBuckets = Dedup.bandBuckets(sigs, id, k, bands)
       .select(col(id).as("probe_id"), col("band"), col("bucket"))
@@ -128,9 +162,14 @@ object LshIndex {
       .select(col("probe_id"), col(id).as("corpus_id")).distinct()
     val corpusFps = readParts(spark, path, "lf_")
       .select(col(id).as("corpus_id"), col("sfp").as("__cf"))
-    cand
-      .join(broadcast(probeFps), Seq("probe_id"))
-      .join(corpusFps, Seq("corpus_id"))
+    // candidate side broadcast again: `cand` is batch-bounded (LSH
+    // candidates of one night's crawl) while the corpus fp log is
+    // corpus-sized — without the hint the planner sizes corpusFps by
+    // its total file bytes and sort-merge-joins, shuffling the WHOLE
+    // corpus fingerprint log per probe (O(corpus), not O(batch))
+    val candFp = cand.join(broadcast(probeFps), Seq("probe_id"))
+    corpusFps
+      .join(broadcast(candFp), Seq("corpus_id"))
       .filter(col("__pf") === col("__cf"))
       .select(col("probe_id"), col("corpus_id"))
   }
@@ -166,16 +205,20 @@ object LshIndex {
   private def stageParts(docs: DataFrame, path: String, id: String,
                          text: String, n: Int, k: Int,
                          bands: Int): Seq[String] = {
-    val spark = docs.sparkSession
     val sh = graft.ops.CacheScope.persist(
       Dedup.hashedShingles(docs, id, text, n))
-    try {
-      val sigs = Dedup.sigsFromHashedShingles(sh, id, k)
-      val lb = Dedup.bandBuckets(sigs, id, k, bands)
-      val lf = sh.groupBy(col(id)).agg(expr("bit_xor(h)").as("sfp"))
-      Seq(writePart(spark, path, "lb_", lb),
-        writePart(spark, path, "lf_", lf))
-    } finally sh.unpersist(blocking = false)
+    try stagePartsFromHashed(sh, path, id, k, bands)
+    finally sh.unpersist(blocking = false)
+  }
+
+  private def stagePartsFromHashed(sh: DataFrame, path: String, id: String,
+                                   k: Int, bands: Int): Seq[String] = {
+    val spark = sh.sparkSession
+    val sigs = Dedup.sigsFromHashedShingles(sh, id, k)
+    val lb = Dedup.bandBuckets(sigs, id, k, bands)
+    val lf = sh.groupBy(col(id)).agg(expr("bit_xor(h)").as("sfp"))
+    Seq(writePart(spark, path, "lb_", lb),
+      writePart(spark, path, "lf_", lf))
   }
 
   private def writePart(spark: SparkSession, path: String, prefix: String,

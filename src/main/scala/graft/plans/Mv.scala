@@ -469,10 +469,15 @@ object Mv {
     *     retract (that case refuses with rebuild guidance).
     *
     * Appends and retractions fold as ONE net signed feed (SUM/COUNT
-    * partials commute, so a row appended then compacted away inside
-    * the chain nets to zero). O(changed rows + MV); the base fact is
-    * never re-read. A no-op (same stamp) returns the registered def
-    * untouched. */
+    * partials commute). The fold needs every append hop's fresh files
+    * READABLE: a window whose appended files were themselves later
+    * compacted away (appended, dv-deleted, compacted, vacuumed before
+    * any re-verify) dead-ends LOUDLY in [[TableState.hopRows]]'
+    * vacuumed-files refusal — the insert side of the net is gone and
+    * only a rebuild/re-declare is sound. Re-verify after each
+    * maintenance op to keep windows single-hop and avoid that.
+    * O(changed rows + MV); the base fact is never re-read. A no-op
+    * (same stamp) returns the registered def untouched. */
   def refreshFromLog(spark: SparkSession, name: String): MvDef = {
     RegistryStore.ensureLoaded(spark)
     val d = MvCatalog.get(name).getOrElse(
@@ -538,7 +543,9 @@ object Mv {
     *
     * {{{ Δ(F⋈D) = ΔF⋈D₁  +  F₁⋈ΔD  −  ΔF⋈ΔD }}}
     *
-    * where F₁/D₁ are the CURRENT plain reads and ΔF/ΔD the chains'
+    * where F₁/D₁ are the audited snapshots' PINNED reads
+    * ([[TableState.pinnedRead]] — manifest file lists, immune to a
+    * racing writer's in-flight files) and ΔF/ΔD the chains'
     * append-hop rows — every term is Δ-PROBE-SIDED (the delta side is
     * batch-sized and broadcasts; the full fact is only ever the probe
     * side of `F₁⋈ΔD`, one scan, no fact×dim shuffle), and the
@@ -577,17 +584,35 @@ object Mv {
     // keys ∪ dims ∪ measures is dropped so the join can never turn
     // ambiguous. Contract columns must still live on exactly one side.
     val contract = (d.dims ++ d.measures.toSeq).distinct
-    val factScan = spark.read.parquet(factRoot)
-    val dimScan = spark.read.parquet(dimRoot)
-    val factOwn = contract.filter(factScan.columns.contains)
-    val dimOwn = contract.filter(dimScan.columns.contains)
-    require(factOwn.intersect(dimOwn).isEmpty,
-      s"$what: columns ${factOwn.intersect(dimOwn).mkString(",")} exist " +
-        "on both base tables; the summary contract is ambiguous — rebuild")
-    require((factOwn ++ dimOwn).toSet == contract.toSet,
-      s"$what: contract columns " +
-        s"${contract.diff(factOwn ++ dimOwn).mkString(",")} missing from " +
-        "both base tables; re-declare")
+    // the probe sides F₁/D₁ are PINNED to the audited snapshots (the
+    // chain's end = the segments of newFp), never plain directory
+    // reads: an append racing this refresh renames its data files into
+    // the live dirs BEFORE its snapshot flip, so a directory listing
+    // here could fold rows the restamped fingerprint does not cover —
+    // the next refresh's hop chain would fold them AGAIN (silent
+    // double-count). Lazy: the dv-only restamp path below never pays
+    // these scans or the contract checks — it is metadata-only.
+    val roots = d.basePaths ++ j.dimPaths
+    lazy val audited = TableState.segments(newFp, roots).get
+    def pinned(root: String): DataFrame = audited(root) match {
+      case s if s.startsWith("snap:") =>
+        TableState.pinnedRead(spark, root, s.stripPrefix("snap:"), what)
+      case _ => spark.read.parquet(root) // legacy un-logged root
+    }
+    lazy val factScan = pinned(factRoot)
+    lazy val dimScan = pinned(dimRoot)
+    lazy val (factOwn, dimOwn) = {
+      val fo = contract.filter(factScan.columns.contains)
+      val dn = contract.filter(dimScan.columns.contains)
+      require(fo.intersect(dn).isEmpty,
+        s"$what: columns ${fo.intersect(dn).mkString(",")} exist " +
+          "on both base tables; the summary contract is ambiguous — rebuild")
+      require((fo ++ dn).toSet == contract.toSet,
+        s"$what: contract columns " +
+          s"${contract.diff(fo ++ dn).mkString(",")} missing from " +
+          "both base tables; re-declare")
+      (fo, dn)
+    }
     def fSide(df: DataFrame): DataFrame =
       df.select((j.factKeys ++ factOwn).distinct.map(col): _*)
     def dSide(df: DataFrame): DataFrame =

@@ -310,6 +310,38 @@ object TableState {
     }
   }
 
+  /** The table's plain-read content PINNED to one snapshot's manifest
+    * file list — bit-identical to `spark.read.parquet(root)` when the
+    * directory equals the manifest, but immune to a racing writer:
+    * appends rename data files into the live bucket dirs BEFORE the
+    * snapshot flip, so a plain directory read concurrent with a write
+    * can see rows NEWER than the audited hop chain (which a fold
+    * stamped at the chain's end would then double-count on the next
+    * refresh). Raw file content, deletion vectors NOT applied — dvs
+    * annotate the logical table, they do not move the plain read (the
+    * same identity [[hopsFor]] classifies). O(manifest) driver
+    * metadata + a normal distributed scan of the listed files. */
+  private[plans] def pinnedRead(spark: SparkSession, root: String,
+                                snap: String, what: String)
+      : org.apache.spark.sql.DataFrame = {
+    val mParts = SnapshotManifest.partsOf(spark, root, snap)
+      .filter(_.startsWith("m_"))
+    val files = spark.read.parquet(mParts.map(p =>
+        SnapshotManifest.partPath(root, p)): _*)
+      .select("file").collect().map(_.getString(0)).toSeq
+    require(files.nonEmpty,
+      s"$what: $root has no data files at audited snapshot $snap; " +
+        "rebuild against the current state instead")
+    val paths = files.map(f => graft.catalog.Layout.globEscape(
+      new Path(root, f).toString))
+    try spark.read.option("basePath", root).parquet(paths: _*)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(s"$what: snapshot $snap at $root " +
+        "references vacuumed files — re-verify after each maintenance " +
+        "op, or re-declare against the current state", e)
+    }
+  }
+
   /** The rows a rewrite hop materialized OUT of the plain read — the
     * compact commit's own `rw_*` change-data part, recorded at commit
     * time precisely so this audit survives the full vacuum that makes

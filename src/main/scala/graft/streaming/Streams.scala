@@ -694,19 +694,32 @@ object Streams {
           if (!batch.isEmpty) {
             val (id, text, n, k, bands) =
               graft.pipeline.LshIndex.params(s, indexPath)
-            // corpus probe first (batch-sized), then in-batch dedup of
-            // the novel slice: equal shingle sets collide in every
-            // band, so the pair list is complete and min-id survives
-            val novel = graft.pipeline.LshIndex
-              .dedupeAgainst(s, indexPath, batch.toDF())
-            val pairs = graft.pipeline.Dedup.minHashVerifiedDuplicates(
-              novel, id, text, n, k, bands)
+            // ONE shingle/signature pass per micro-batch, cached and
+            // shared by the corpus probe, the in-batch verify, and the
+            // index fold (the hot-path cost is the text tokenize +
+            // shingle hash; the per-stage aggs over the cached (id, h)
+            // frame are comparatively free)
+            val batchDf = batch.toDF()
+            val sh = graft.ops.CacheScope.persist(
+              graft.pipeline.Dedup.hashedShingles(batchDf, id, text, n))
+            val dupIds = graft.pipeline.LshIndex
+              .probeFromHashed(s, indexPath, sh)
+              .select(col("probe_id").as(id)).distinct()
+            val novel = batchDf.join(dupIds, Seq(id), "left_anti")
+            // pairs over the FULL batch's hashes: set-equality is
+            // transitive, so a pair touching a corpus-dup doc has BOTH
+            // members corpus-dup and neither survives into `novel` —
+            // the restriction to novel docs happens in the anti-join
+            val pairs = graft.pipeline.Dedup
+              .verifiedDuplicatesFromHashed(sh, id, k, bands)
             val admitted = graft.pipeline.Dedup
               .removeNearDuplicates(novel, pairs, id).persist()
             try {
               if (!admitted.isEmpty) {
                 admitted.write.mode("append").parquet(docsPath)
-                graft.pipeline.LshIndex.append(admitted, indexPath)
+                val shAdm = sh.join(
+                  admitted.select(col(id)), Seq(id), "left_semi")
+                graft.pipeline.LshIndex.appendFromHashed(s, shAdm, indexPath)
               }
             } finally {
               admitted.unpersist(blocking = false)

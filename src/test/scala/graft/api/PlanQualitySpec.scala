@@ -239,6 +239,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("Exchange hashpartitioning(band"),
       "corpus bucket log must not shuffle on the band join:\n" + p.take(1500))
+    // the fingerprint VERIFY join is candidate-side broadcast too: a
+    // shuffle on corpus_id would re-partition the whole corpus fp log
+    // per probe (O(corpus), defeating the O(batch) contract)
+    assert(!p.contains("Exchange hashpartitioning(corpus_id"),
+      "corpus fp log must not shuffle on the verify join:\n" + p.take(2000))
   }
 
   test("s24 point probe: bloom-pruned file list AND parquet pushdown compose") {

@@ -589,6 +589,61 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_star_log")
   }
 
+  test("star log refresh folds the AUDITED snapshot, not in-flight directory files (racing append)") {
+    import spark.implicits._
+    val factP = root + "/race_fact"
+    val dimP = root + "/race_dim"
+    def factRows(r: Range) = r.map(i =>
+      (i.toLong % 20 + 1, s"S${i % 3}", i.toLong)).toDF("ck", "status", "price")
+    def dimRows(r: Range) = r.map(i => (i.toLong, s"G${i % 4}")).toDF("ck2", "seg")
+    graft.catalog.Layout.writeClusteredZoned(factRows(1 to 200), factP,
+      "status", "price", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(dimRows(1 to 20), dimP,
+      "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+    try {
+      Mv.buildJoin(
+        spark.read.parquet(factP).select("ck", "status", "price"),
+        spark.read.parquet(dimP).select("ck2", "seg"),
+        "mvspec_race", on = Seq("ck" -> "ck2"),
+        dims = Seq("seg"), measures = Seq("price"),
+        mvPath = root + "/mv_race")
+      // dim-only window → the refresh folds F₁ ⋈ ΔD, with F₁ the
+      // audited fact state
+      graft.catalog.Layout.appendClusteredZoned(dimRows(21 to 40), dimP,
+        "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+      // RACING APPEND: a writer has renamed its data file into the
+      // live fact bucket dir but has NOT flipped its snapshot — a
+      // plain directory read sees these rows; the audited manifest
+      // does not. The rows deliberately join the appended dim keys,
+      // so an unpinned F₁ would fold them into the summary.
+      val strayTmp = root + "/race_stray_tmp"
+      (21 to 40).map(i => (i.toLong, "SX", 1000L))
+        .toDF("ck", "status", "price").coalesce(1).write.parquet(strayTmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(strayTmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val stray = new org.apache.hadoop.fs.Path(
+        factP + "/sym_bucket=0/race_inflight.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, stray, false,
+        spark.sparkContext.hadoopConfiguration)
+      Mv.refreshFromLog(spark, "mvspec_race")
+      // the racer loses: its file never reaches a snapshot
+      fs.delete(stray, false)
+      def q = spark.read.parquet(factP)
+        .join(spark.read.parquet(dimP), col("ck") === col("ck2"), "inner")
+        .groupBy("seg").agg(sum("price").as("rev"), count(lit(1)).as("n"))
+        .orderBy("seg")
+      assert(scanPaths(q).exists(_.contains("/mv_race")),
+        scanPaths(q).toString)
+      val (on, off) = onOff(q)
+      assert(on == off,
+        "the fold must cover exactly the audited snapshot — in-flight " +
+          "directory files must not be folded (they would be counted " +
+          "again when their commit's hop is audited)")
+    } finally MvCatalog.unregister("mvspec_race")
+  }
+
   test("refreshAppend refuses a batch that does not cover the stamped gap (snapshot-logged base)") {
     import spark.implicits._
     val base = root + "/fact_gap"

@@ -476,6 +476,81 @@ object MvQueries {
         "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM sfact JOIN sdim ON ck = ck2 GROUP BY seg ORDER BY seg")),
 
+    Q("mv9_star_cdc_refresh",
+      // STAR-MV RETRACTION REFRESH: CDC deletes land on the FACT of a
+      // join summary as DVs (restamp-free for the rewrite — the plain
+      // read is unchanged), then a routine compact MATERIALIZES them
+      // out of the plain read, which used to suspend the star rewrite
+      // permanently short of an O(fact) buildJoin rebuild
+      // (hard-asserted). refreshFromLog now folds the compact's rw_*
+      // provenance rows through the SIGNED join-delta
+      // ΔF⋈D₂ + F₂⋈ΔD − ΔF⋈ΔD (removed fact rows weigh −1; the
+      // retraction re-joins them against the pinned dim — one
+      // broadcast-sized join, the fact is never re-summarized), and
+      // the rewrite RESUMES answering for the surviving join
+      // (hard-asserted + oracle-checked against the from-scratch join
+      // over the post-delete table).
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv9_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv9_" + Integer.toHexString(root.hashCode)
+        val factP = root + "/cfact"
+        val dimP = root + "/cdim"
+        def q: DataFrame = s.read.parquet(factP)
+          .join(s.read.parquet(dimP), col("ck") === col("ck2"), "inner")
+          .groupBy("seg").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("seg")
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val o = t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            col("o_orderkey").as("ok"))
+          graft.catalog.Layout.writeClusteredZoned(o, factP,
+            "status", "ok", numBuckets = 4, filesPerBucket = 4)
+          val c = t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+          graft.catalog.Layout.writeClusteredZoned(c, dimP,
+            "seg", "ck2", numBuckets = 4, filesPerBucket = 4)
+          Mv.buildJoin(
+            s.read.parquet(factP).select("ck", "status", "price"),
+            s.read.parquet(dimP).select("ck2", "seg"),
+            name, on = Seq("ck" -> "ck2"),
+            dims = Seq("seg", "status"), measures = Seq("price"),
+            mvPath = root + "/mv")
+          Mv.install(s)
+          assertMvScan(q) // star rewrite fires at build
+          // the CDC delete arrives as DVs: plain read unchanged, the
+          // refresh is a metadata-only restamp
+          graft.catalog.Layout.delete(s, factP, "ok",
+            col("status") === "F")
+          Mv.refreshFromLog(s, name)
+          assertMvScan(q)
+          // the nightly compact + full vacuum materialize the deletes
+          // out of the plain read — the rewrite suspends
+          graft.catalog.Layout.compact(s, factP, "status", "ok",
+            filesPerBucket = 4)
+          graft.catalog.Layout.vacuum(s, factP, retainPrevious = false)
+          require(scanRoots(q).exists(_.endsWith("/cfact")),
+            "staleness guard should suspend the star rewrite after " +
+              "the fact compact")
+        }
+        Mv.install(s)
+        // retract the rw_* provenance through the signed join-delta;
+        // idempotent on reruns
+        Mv.refreshFromLog(s, name)
+        assertMvScan(q)
+      },
+      Some("WITH cfact AS (SELECT o_custkey AS ck, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders " +
+        "WHERE o_orderstatus <> 'F'), " +
+        "cdim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM cfact JOIN cdim ON ck = ck2 GROUP BY seg ORDER BY seg")),
+
     Q("j25_fk_reverify",
       // INCREMENTAL FK RE-VERIFICATION: the edge is declared while the
       // snapshot-logged child holds only the pre-1997 orders; a

@@ -539,27 +539,37 @@ object Mv {
     * BOTH the fact and the dim are snapshot-logged, a summary over
     * `F ⋈ D` heals itself from the two hop chains using the counting
     * join-delta identity (the [[graft.ops.IncrementalJoin]] algebra,
-    * folded through the MV partials instead of a materialized join):
+    * folded through the MV partials instead of a materialized join),
+    * in the SIGNED multiset algebra — with F₂/D₂ the new states and
+    * ΔF/ΔD signed deltas (append-hop rows weigh +1, a compact's
+    * `rw_*` provenance rows — the rows it materialized OUT of the
+    * plain read — weigh −1):
     *
-    * {{{ Δ(F⋈D) = ΔF⋈D₁  +  F₁⋈ΔD  −  ΔF⋈ΔD }}}
+    * {{{ Δ(F⋈D) = ΔF⋈D₂  +  F₂⋈ΔD  −  ΔF⋈ΔD }}}
     *
-    * where F₁/D₁ are the audited snapshots' PINNED reads
+    * (expand `(F₂−ΔF)⋈(D₂−ΔD)`; each joined row's weight is the
+    * product of its components' weights, and the inclusion–exclusion
+    * term flips sign). F₂/D₂ are the audited snapshots' PINNED reads
     * ([[TableState.pinnedRead]] — manifest file lists, immune to a
-    * racing writer's in-flight files) and ΔF/ΔD the chains'
-    * append-hop rows — every term is Δ-PROBE-SIDED (the delta side is
-    * batch-sized and broadcasts; the full fact is only ever the probe
-    * side of `F₁⋈ΔD`, one scan, no fact×dim shuffle), and the
-    * inclusion–exclusion term folds as a retraction through the
-    * [[refreshChanges]] counting machinery, so the result equals
-    * `summarize(F₁⋈D₁)` exactly. The common nightly shapes need no
-    * signed fold at all: a FACT-ONLY window folds `ΔF⋈D₁` as a plain
-    * insert batch (MIN/MAX partials fine), a DIM-ONLY window folds
-    * `F₁⋈ΔD` likewise, and dv-only windows restamp without touching
-    * the summary. Windows crossing a compact refuse with rebuild
-    * guidance: a star summary cannot retract a physical rewrite's
-    * removed join rows without re-joining them (the rw part holds one
-    * side only). At 100 TB this closes the gap where a dim append
-    * suspended every star rewrite until an O(fact) rebuild. */
+    * racing writer's in-flight files) and every term is
+    * Δ-PROBE-SIDED: the delta side is batch-sized and broadcasts; the
+    * full fact is only ever the probe side of `F₂⋈ΔD` — one scan, no
+    * fact×dim shuffle. The weighted feed folds through the
+    * [[refreshChanges]] counting machinery (±1 per row maps to
+    * insert/delete), so the result equals `summarize(F₂⋈D₂)` exactly
+    * — counts cannot go transiently negative because the fold is ONE
+    * grouped pass whose per-group totals are the final state's. The
+    * common nightly shapes need no signed fold at all: a FACT-ONLY
+    * append window folds `ΔF⋈D₂` as a plain insert batch (MIN/MAX
+    * partials fine), a DIM-ONLY append window folds `F₂⋈ΔD` likewise,
+    * and dv-only windows restamp without touching the summary. Any
+    * retraction in the window (a compact on either base) requires
+    * retractable partials — MIN/MAX refuses with rebuild guidance —
+    * and a time-retention EXPIRY refuses outright (it removes rows
+    * without materialized provenance, by contract). At 100 TB this
+    * closes the gaps where a dim append — or a routine fact compact
+    * after CDC deletes — suspended every star rewrite until an
+    * O(fact) rebuild. */
   private def refreshJoinFromLog(spark: SparkSession, d: MvDef,
                                  j: MvJoin): MvDef = {
     val name = d.name
@@ -569,15 +579,20 @@ object Mv {
     val what = s"MV $name"
     val (newFp, moved) = TableState.movedHops(spark, d.fp,
       d.basePaths ++ j.dimPaths, what).getOrElse(return d) // nothing moved
-    def delta(root: String): Option[DataFrame] = moved.get(root).flatMap { rc =>
-      require(rc.rewriteHops.isEmpty && rc.shrinkHops.isEmpty,
-        s"$what: $root was compacted/expired since the stamp — a star " +
-          "summary cannot retract removed join rows from one side's " +
-          "provenance alone; rebuild with Mv.buildJoin (one pass)")
-      rc.appendHops.map(h => TableState.hopRows(spark, root, h, what))
-        .reduceOption(_ unionByName _)
-    }
-    val (dF, dD) = (delta(factRoot), delta(dimRoot))
+    // per side: (append-hop inserts, rewrite-hop provenance removals)
+    def delta(root: String): (Option[DataFrame], Option[DataFrame]) =
+      moved.get(root).map { rc =>
+        require(rc.shrinkHops.isEmpty,
+          s"$what: $root rows were expired (time retention) without " +
+            "materialized provenance — the summary cannot retract what " +
+            "was never recorded; rebuild with Mv.buildJoin (one pass)")
+        (rc.appendHops.map(h => TableState.hopRows(spark, root, h, what))
+          .reduceOption(_ unionByName _),
+          rc.rewriteHops.flatMap(h => TableState.removedRows(spark, root, h))
+            .reduceOption(_ unionByName _))
+      }.getOrElse((None, None))
+    val (insF, rmF) = delta(factRoot)
+    val (insD, rmD) = delta(dimRoot)
     // project each side to ITS OWN contract columns before joining —
     // plain reads of two Layout tables share bookkeeping columns
     // (sym_bucket) the declared frames never exposed; anything outside
@@ -622,34 +637,53 @@ object Mv {
         .map { case (fk, dk) => f(fk) === dm(dk) }.reduce(_ && _)
       f.join(dm, cond, "inner")
     }
-    (dF, dD) match {
-      case (None, None) =>
-        // dv-only chains: both plain reads are bit-identical — restamp
+    ((insF, rmF), (insD, rmD)) match {
+      case ((None, None), (None, None)) =>
+        // dv-only / zero-provenance chains: both plain reads are
+        // bit-identical — restamp
         val nd = d.copy(fp = newFp)
         MvCatalog.register(nd)
         RegistryStore.autoPersist(spark)
         nd
-      case (Some(df0), None) => // fact-only window: ΔF ⋈ D₁, pure insert
+      case ((Some(df0), None), (None, None)) =>
+        // fact-only append window: ΔF ⋈ D₂, pure insert (MIN/MAX fine)
         refreshAppendStamped(spark, name,
           joined(fSide(df0), dSide(dimScan)), fpOverride = Some(newFp))
-      case (None, Some(dd)) => // dim-only window: F₁ ⋈ ΔD, pure insert
+      case ((None, None), (Some(dd), None)) =>
+        // dim-only append window: F₂ ⋈ ΔD, pure insert (MIN/MAX fine)
         refreshAppendStamped(spark, name,
           joined(fSide(factScan), dSide(dd)), fpOverride = Some(newFp))
-      case (Some(df0), Some(dd)) =>
-        // both moved: signed fold, minus the double-counted ΔF⋈ΔD.
-        // Per group the retraction is a subset of the ΔF⋈D₁ inserts
-        // (ΔD ⊆ D₁), so counts never go transiently negative.
+      case _ =>
+        // retractions and/or both sides moved: the full signed fold
         require(d.mins.isEmpty && d.maxs.isEmpty,
-          s"$what: both bases moved and the view keeps MIN/MAX " +
-            "partials, which do not retract through the signed " +
-            "join-delta fold; rebuild with Mv.buildJoin")
+          s"$what: the window retracts join rows (compact) or moves " +
+            "both bases, and the view keeps MIN/MAX partials, which " +
+            "do not retract through the signed join-delta fold; " +
+            "rebuild with Mv.buildJoin")
+        // signed per-side deltas, weights on side-local columns so the
+        // ΔF⋈ΔD join never turns ambiguous
+        def signed(ins: Option[DataFrame], rm: Option[DataFrame],
+                   side: DataFrame => DataFrame,
+                   w: String): Option[DataFrame] = {
+          val i = ins.map(side(_).withColumn(w, lit(1L)))
+          val r = rm.map(side(_).withColumn(w, lit(-1L)))
+          (i ++ r).reduceOption(_ unionByName _)
+        }
+        val sF = signed(insF, rmF, fSide, "__wf")
+        val sD = signed(insD, rmD, dSide, "__wd")
         val cols = (d.dims ++ d.measures.toSeq.sorted).map(col)
-        def tag(df: DataFrame, t: String): DataFrame =
-          df.select(cols: _*).withColumn("_change_type", lit(t))
-        val feed = tag(joined(fSide(df0), dSide(dimScan)), "insert")
-          .unionByName(tag(joined(fSide(factScan), dSide(dd)), "insert"))
-          .unionByName(tag(joined(fSide(df0), dSide(dd)), "delete"))
-        refreshChangesStamped(spark, name, feed, fpOverride = Some(newFp))
+        def tag(df: DataFrame, w: org.apache.spark.sql.Column): DataFrame =
+          df.select(cols :+ w.as("__w"): _*)
+            .withColumn("_change_type",
+              when(col("__w") === 1L, lit("insert")).otherwise(lit("delete")))
+            .drop("__w")
+        val terms =
+          sF.map(f => tag(joined(f, dSide(dimScan)), col("__wf"))).toSeq ++
+          sD.map(dm => tag(joined(fSide(factScan), dm), col("__wd"))) ++
+          (for (f <- sF; dm <- sD)
+            yield tag(joined(f, dm), -col("__wf") * col("__wd")))
+        refreshChangesStamped(spark, name, terms.reduce(_ unionByName _),
+          fpOverride = Some(newFp))
     }
   }
 

@@ -578,15 +578,84 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       val d4 = Mv.refreshFromLog(spark, "mvspec_star_log")
       assert(d4.mvPath == before, "dv-only star window must restamp only")
       assert(star, scanPaths(q).toString)
-      // a compact on either side refuses with rebuild guidance
+      // a DIM compact materializes the dv'd rows out of the plain
+      // read; the refresh retracts its rw_* provenance rows through
+      // the signed join-delta fold and the rewrite RESUMES (this used
+      // to refuse with rebuild guidance)
       graft.catalog.Layout.compact(spark, dimP, "seg", "ck2",
         filesPerBucket = 2)
       graft.catalog.Layout.vacuum(spark, dimP, retainPrevious = false)
-      val ex = intercept[IllegalArgumentException] {
-        Mv.refreshFromLog(spark, "mvspec_star_log")
-      }
-      assert(ex.getMessage.contains("buildJoin"), ex.getMessage)
+      Mv.refreshFromLog(spark, "mvspec_star_log")
+      assert(star, scanPaths(q).toString)
+      val (on5, off5) = onOff(q)
+      assert(on5 == off5, "dim-compact retraction must equal the re-join")
+      // a JOINABLE dim retraction: keys 1..5 carry fact rows — their
+      // join rows must leave the summary. The dv-only restamp between
+      // delete and compact keeps the stamp within provenance reach
+      // (keep-last-2 + one-hop rw provenance).
+      graft.catalog.Layout.delete(spark, dimP, "ck2", col("ck2") <= 5L)
+      Mv.refreshFromLog(spark, "mvspec_star_log")
+      graft.catalog.Layout.compact(spark, dimP, "seg", "ck2",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, dimP, retainPrevious = false)
+      Mv.refreshFromLog(spark, "mvspec_star_log")
+      assert(star, scanPaths(q).toString)
+      val (on6, off6) = onOff(q)
+      assert(on6.nonEmpty && on6 == off6,
+        "joinable dim retraction must drop those join rows")
+      // FACT-side retraction: dv-delete fact rows, compact + vacuum;
+      // the fold retracts ΔF⋈D₂ with weight −1
+      graft.catalog.Layout.delete(spark, factP, "ts",
+        col("price") < 100L)
+      Mv.refreshFromLog(spark, "mvspec_star_log") // dv-only restamp
+      graft.catalog.Layout.compact(spark, factP, "status", "ts",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, factP, retainPrevious = false)
+      Mv.refreshFromLog(spark, "mvspec_star_log")
+      assert(star, scanPaths(q).toString)
+      val (on7, off7) = onOff(q)
+      assert(on7.nonEmpty && on7 == off7,
+        "fact-compact retraction must equal the re-join")
     } finally MvCatalog.unregister("mvspec_star_log")
+  }
+
+  test("star log refresh with MIN/MAX partials refuses a retraction window") {
+    import spark.implicits._
+    val factP = root + "/mmx_fact"
+    val dimP = root + "/mmx_dim"
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 100).map(i => (i.toLong % 10 + 1, s"S${i % 2}", i.toLong))
+        .toDF("ck", "status", "price"),
+      factP, "status", "price", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 10).map(i => (i.toLong, s"G${i % 3}")).toDF("ck2", "seg"),
+      dimP, "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+    try {
+      Mv.buildJoin(
+        spark.read.parquet(factP).select("ck", "status", "price"),
+        spark.read.parquet(dimP).select("ck2", "seg"),
+        "mvspec_mmx", on = Seq("ck" -> "ck2"),
+        dims = Seq("seg"), measures = Seq("price"),
+        maxs = Seq("price"), mvPath = root + "/mv_mmx")
+      // append windows stay fine with MIN/MAX (insert-only fold)
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq((11L, "S0", 1000L)).toDF("ck", "status", "price"),
+        factP, "status", "price", numBuckets = 2, filesPerBucket = 2)
+      Mv.refreshFromLog(spark, "mvspec_mmx")
+      // a retraction window (compact after a dv delete) must refuse:
+      // MAX does not retract
+      graft.catalog.Layout.delete(spark, factP, "price",
+        col("price") === 1000L)
+      Mv.refreshFromLog(spark, "mvspec_mmx") // dv-only restamp
+      graft.catalog.Layout.compact(spark, factP, "status", "price",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, factP, retainPrevious = false)
+      val ex = intercept[IllegalArgumentException] {
+        Mv.refreshFromLog(spark, "mvspec_mmx")
+      }
+      assert(ex.getMessage.contains("MIN/MAX"), ex.getMessage)
+      assert(ex.getMessage.contains("buildJoin"), ex.getMessage)
+    } finally MvCatalog.unregister("mvspec_mmx")
   }
 
   test("star log refresh folds the AUDITED snapshot, not in-flight directory files (racing append)") {

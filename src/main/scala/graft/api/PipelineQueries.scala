@@ -968,6 +968,58 @@ object PipelineQueries {
         "WHERE p.doc_id >= 20000000 AND c.doc_id < 20000000 " +
         "ORDER BY probe_id, corpus_id")),
 
+    Q("d13_index_maintenance",
+      // LSH INDEX MAINTENANCE (remove + compactIndex): every-7th doc
+      // is REMOVED from the d12-shaped corpus index — one O(ids)
+      // tombstone part, the corpus-sized lb_/lf_ parts untouched —
+      // then the index is COMPACTED: the per-append part pairs fold
+      // to ONE pair and tombstoned ids are purged physically (an
+      // index-sized pass over 3-long rows; the corpus text is never
+      // re-read — the op that keeps nightly probes O(corpus-scan) as
+      // appends accumulate). Hard-asserted: the folded snapshot holds
+      // exactly one lb_/lf_ pair. The probe of id-shifted copies must
+      // match every LIVE duplicate and NONE of the removed ghosts —
+      // the oracle recomputes the equal-shingle-set pairs minus the
+      // removed ids from scratch.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_d13_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val idx = root + "/idx"
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        if (graft.catalog.SnapshotManifest.currentSnap(s, idx).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          LshIndex.build(d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+            idx, "doc_id", "text", n = 3, k = 32, bands = 16)
+          LshIndex.append(d.filter(pmod(col("doc_id"), lit(3)) === 0), idx)
+          LshIndex.remove(s, idx,
+            d.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+          require(LshIndex.compactIndex(s, idx) == 3,
+            "compact must fold 2 lb/lf pairs + 1 tombstone part")
+          LshIndex.vacuum(s, idx)
+        }
+        val parts = graft.catalog.SnapshotManifest.currentParts(s, idx).get
+        require(parts.size == 2,
+          s"compacted index must hold exactly one lb_/lf_ pair: $parts")
+        val probe = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 20000000L)
+        LshIndex.probe(s, idx, probe).orderBy("probe_id", "corpus_id")
+      },
+      Some("WITH all0 AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 20000000, text FROM documents " +
+        "WHERE doc_id % 5 = 0), " +
+        "toks AS (SELECT doc_id, " + toksSql + " AS w FROM all0), " +
+        "pos AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 3 THEN " +
+        "generate_series(1, len(w) - 2) ELSE [] END) AS i FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g FROM pos), " +
+        "fp AS (SELECT doc_id, bit_xor(hash(g)) AS f FROM sh GROUP BY doc_id) " +
+        "SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id " +
+        "FROM fp p JOIN fp c ON p.f = c.f " +
+        "WHERE p.doc_id >= 20000000 AND c.doc_id < 20000000 " +
+        "AND c.doc_id % 7 <> 0 " +
+        "ORDER BY probe_id, corpus_id")),
+
     Q("d4_simhash_pairs",
       // SimHash64 + 8×8-bit banding + exact-hamming verify over
       // documents ∪ id-shifted copies, equality-verified on the token

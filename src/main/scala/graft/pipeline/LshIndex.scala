@@ -128,6 +128,98 @@ object LshIndex {
         s"$attempts times; serialize appenders or retry later")
   }
 
+  /** REMOVE documents from the index — the retention/right-to-forget
+    * path: when docs expire from the corpus, the index must stop
+    * matching them (else novel crawls are rejected against ghosts and
+    * the content can never re-enter). O(ids): the removal commits ONE
+    * `lt_*` tombstone part (the id list) under the same CAS loop as
+    * [[append]]; the corpus-sized `lb_*`/`lf_*` parts are untouched.
+    * [[probe]] discounts tombstoned ids in-flight (one broadcast
+    * anti-join — tombstones are removal-sized until the next
+    * [[compactIndex]] purges them physically). */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val m = meta(spark, path)
+    require(m.get("kind").contains("lsh"), s"not an LSH index: $path")
+    require(SnapshotManifest.currentSnap(spark, path).nonEmpty,
+      s"LshIndex.remove: no index at $path; build first")
+    val id = m("id")
+    require(ids.columns.contains(id),
+      s"LshIndex.remove: ids frame must carry the index id column '$id'")
+    val fresh = Seq(writePart(spark, path, "lt_",
+      ids.select(col(id)).distinct()))
+    var attempts = 0
+    while (attempts < 5) {
+      val base = SnapshotManifest.currentSnap(spark, path)
+      try {
+        SnapshotManifest.commit(spark, path,
+          SnapshotManifest.partsOf(spark, path, base.get) ++ fresh,
+          Some(base))
+        return
+      } catch {
+        case _: SnapshotManifest.ConcurrentCommitException =>
+          attempts += 1
+      }
+    }
+    val fs = SnapshotManifest.fsOf(spark, path)
+    fresh.foreach(p =>
+      fs.delete(new Path(SnapshotManifest.partPath(path, p)), true))
+    throw new IllegalStateException(
+      s"LshIndex.remove at $path: lost the concurrent-commit race " +
+        s"$attempts times; serialize writers or retry later")
+  }
+
+  /** COMPACT the index: fold the per-append `lb_*`/`lf_*` part pairs
+    * into ONE pair and PURGE tombstoned ids physically — the
+    * maintenance op that keeps [[probe]] O(corpus-scan) as appends
+    * accumulate. After N nightly appends the snapshot holds 2N parts
+    * (2N file listings + footer reads per probe, and the tombstone
+    * anti-join grows with every [[remove]]); compaction is one
+    * index-sized pass (3 longs per (doc, band) — it never touches the
+    * corpus text) committed as a replace-all CAS flip, crash-atomic
+    * like every table here. Readers on the old snapshot finish
+    * undisturbed; [[vacuum]] reclaims superseded parts after the
+    * grace period. Returns the number of parts folded away. */
+  def compactIndex(spark: SparkSession, path: String): Int = {
+    val m = meta(spark, path)
+    require(m.get("kind").contains("lsh"), s"not an LSH index: $path")
+    val id = m("id")
+    var attempts = 0
+    while (attempts < 5) {
+      val base = SnapshotManifest.currentSnap(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"LshIndex.compactIndex: no index at $path; build first"))
+      val parts = SnapshotManifest.partsOf(spark, path, base)
+      val nFolded = parts.size - 2
+      if (nFolded <= 0) return 0 // already one lb + one lf, no tombstones
+      def side(prefix: String): DataFrame = {
+        val live = spark.read.parquet(parts.filter(_.startsWith(prefix))
+          .map(p => SnapshotManifest.partPath(path, p)): _*)
+        val tomb = parts.filter(_.startsWith("lt_"))
+        if (tomb.isEmpty) live
+        else live.join(broadcast(spark.read.parquet(tomb.map(p =>
+            SnapshotManifest.partPath(path, p)): _*)),
+          Seq(id), "left_anti")
+      }
+      val fresh = Seq(writePart(spark, path, "lb_", side("lb_")),
+        writePart(spark, path, "lf_", side("lf_")))
+      try {
+        SnapshotManifest.commit(spark, path, fresh, Some(Some(base)))
+        return nFolded
+      } catch {
+        case _: SnapshotManifest.ConcurrentCommitException =>
+          // a racing appender flipped first: its batch is not in the
+          // folded parts — discard them and refold over the new state
+          val fs = SnapshotManifest.fsOf(spark, path)
+          fresh.foreach(p =>
+            fs.delete(new Path(SnapshotManifest.partPath(path, p)), true))
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"LshIndex.compactIndex at $path: lost the concurrent-commit " +
+        s"race $attempts times; serialize writers or retry later")
+  }
+
   /** Near-duplicate hits of `batch` against the INDEXED corpus:
     * `(probe_id, corpus_id)` pairs whose shingle sets are exactly
     * equal (the [[Dedup.minHashVerifiedDuplicates]] contract, across
@@ -168,10 +260,29 @@ object LshIndex {
     // its total file bytes and sort-merge-joins, shuffling the WHOLE
     // corpus fingerprint log per probe (O(corpus), not O(batch))
     val candFp = cand.join(broadcast(probeFps), Seq("probe_id"))
-    corpusFps
+    val pairs = corpusFps
       .join(broadcast(candFp), Seq("corpus_id"))
       .filter(col("__pf") === col("__cf"))
       .select(col("probe_id"), col("corpus_id"))
+    // tombstoned (removed) docs must not match: discount them on the
+    // batch-bounded RESULT — one broadcast anti-join, removal-sized
+    // until the next compactIndex purges the lt_* parts physically
+    tombstones(spark, path, id).fold(pairs)(t =>
+      pairs.join(broadcast(t.select(col(id).as("corpus_id"))),
+          Seq("corpus_id"), "left_anti")
+        .select(col("probe_id"), col("corpus_id")))
+  }
+
+  /** The live snapshot's tombstoned ids, if any `lt_*` parts exist. */
+  private def tombstones(spark: SparkSession, path: String,
+                         id: String): Option[DataFrame] = {
+    val cur = SnapshotManifest.currentSnap(spark, path).getOrElse(
+      return None)
+    val ps = SnapshotManifest.partsOf(spark, path, cur)
+      .filter(_.startsWith("lt_"))
+    if (ps.isEmpty) None
+    else Some(spark.read.parquet(ps.map(p =>
+      SnapshotManifest.partPath(path, p)): _*))
   }
 
   /** `batch` minus the docs already present in the corpus (verified

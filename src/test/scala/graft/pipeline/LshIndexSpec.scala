@@ -71,6 +71,57 @@ class LshIndexSpec extends SparkSpec {
     } finally CacheScope.releaseAll()
   }
 
+  test("remove tombstones stop matching; compactIndex folds parts and purges physically") {
+    val p = root + "/idx3"
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "pack my box with five dozen liquor jugs right now",
+      3L -> "sphinx of black quartz judge my vow said the king")
+    LshIndex.build(corpus, p, "doc_id", "text")
+    try {
+      LshIndex.append(docs(
+        4L -> "a fourth document arrives in the nightly batch okay"), p)
+      LshIndex.append(docs(
+        5L -> "and a fifth one lands the following night as well"), p)
+      // remove doc 1 (retention expiry): a tombstone part, O(ids)
+      import spark.implicits._
+      LshIndex.remove(spark, p, Seq(1L).toDF("doc_id"))
+      val parts = graft.catalog.SnapshotManifest.currentParts(spark, p).get
+      assert(parts.count(_.startsWith("lt_")) == 1, parts.toString)
+      // the ghost no longer matches; live docs still do
+      val probe = docs(
+        101L -> "the quick brown fox jumps over the lazy dog tonight",
+        104L -> "a fourth document arrives in the nightly batch okay")
+      def hits() = {
+        val h = LshIndex.probe(spark, p, probe)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        CacheScope.releaseAll(); h
+      }
+      assert(hits() == Set((104L, 4L)), hits().toString)
+      // the removed content can re-enter the corpus
+      val admitted = LshIndex.dedupeAgainst(spark, p, probe)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      CacheScope.releaseAll()
+      assert(admitted == Set(101L))
+      // compact: 3 lb/lf pairs + 1 tombstone fold to ONE pair
+      assert(parts.size == 7, parts.toString)
+      assert(LshIndex.compactIndex(spark, p) == 5)
+      val folded = graft.catalog.SnapshotManifest.currentParts(spark, p).get
+      assert(folded.size == 2 && folded.exists(_.startsWith("lb_")) &&
+        folded.exists(_.startsWith("lf_")), folded.toString)
+      // tombstoned ids are gone PHYSICALLY: the folded fp log holds
+      // only live docs, and probe results are unchanged
+      LshIndex.vacuum(spark, p)
+      val ids = spark.read.parquet(graft.catalog.SnapshotManifest
+          .partPath(p, folded.find(_.startsWith("lf_")).get))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 3L, 4L, 5L), ids.toString)
+      assert(hits() == Set((104L, 4L)))
+      // idempotent: nothing left to fold
+      assert(LshIndex.compactIndex(spark, p) == 0)
+    } finally CacheScope.releaseAll()
+  }
+
   test("append CAS: build refuses over an existing index; params come from meta") {
     val p = root + "/idx2"
     LshIndex.build(docs(1L -> "alpha beta gamma delta epsilon"), p,

@@ -551,6 +551,83 @@ object MvQueries {
         "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM cfact JOIN cdim ON ck = ck2 GROUP BY seg ORDER BY seg")),
 
+    Q("mv10_snowflake",
+      // MULTI-DIM STAR MV (k dims): the summary pre-joins lineitem ⋈
+      // part ⋈ supplier and pre-aggregates by (brand, supplier
+      // nation); a 3-WAY-JOIN aggregate query is then answered with
+      // ZERO joins and zero fact I/O (hard-asserted — at 100 TB this
+      // replaces a fact×part×supplier double shuffle with a summary
+      // scan). The snapshot-logged SUPPLIER dim receives a nightly
+      // append (its late half), which suspends the rewrite
+      // (hard-asserted); refreshFromLog recognizes a one-table
+      // append-only window among the THREE hop chains and folds
+      // ΔD ⋈ (fact, part pinned) — one delta-probe-sided pass, the
+      // 2^k signed terms never materialize — then restamps; the
+      // rewrite resumes (hard-asserted + oracle-checked against the
+      // from-scratch 3-way join).
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv10_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv10_" + Integer.toHexString(root.hashCode)
+        val factP = root + "/nfact"
+        val d1P = root + "/npart"
+        val d2P = root + "/nsupp"
+        def q: DataFrame = s.read.parquet(factP)
+          .join(s.read.parquet(d1P), col("pk") === col("pk2"), "inner")
+          .join(s.read.parquet(d2P), col("sk") === col("sk2"), "inner")
+          .groupBy("brand", "snat").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("brand", "snat")
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val f = t(s, dir, "lineitem").select(
+            col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"),
+            col("l_orderkey").as("ok"))
+          graft.catalog.Layout.writeClusteredZoned(f, factP,
+            "pk", "ok", numBuckets = 4, filesPerBucket = 4)
+          val d1 = t(s, dir, "part").select(
+            col("p_partkey").as("pk2"), col("p_brand").as("brand"))
+          graft.catalog.Layout.writeClusteredZoned(d1, d1P,
+            "brand", "pk2", numBuckets = 4, filesPerBucket = 2)
+          val d2 = t(s, dir, "supplier").select(
+            col("s_suppkey").as("sk2"), col("s_nationkey").as("snat"))
+          graft.catalog.Layout.writeClusteredZoned(
+            d2.filter(col("sk2") % 2 === 0), d2P,
+            "snat", "sk2", numBuckets = 2, filesPerBucket = 2)
+          Mv.buildStar(
+            s.read.parquet(factP).select("pk", "sk", "price"),
+            Seq(s.read.parquet(d1P).select("pk2", "brand")
+                -> Seq("pk" -> "pk2"),
+              s.read.parquet(d2P).select("sk2", "snat")
+                -> Seq("sk" -> "sk2")),
+            name, dims = Seq("brand", "snat"), measures = Seq("price"),
+            mvPath = root + "/mv")
+          Mv.install(s)
+          assertMvScan(q) // 3-way star rewrite fires at build
+          // the nightly DIM append: the odd suppliers arrive late
+          graft.catalog.Layout.appendClusteredZoned(
+            d2.filter(col("sk2") % 2 === 1), d2P,
+            "snat", "sk2", numBuckets = 2, filesPerBucket = 2)
+          require(scanRoots(q).exists(_.endsWith("/nfact")),
+            "staleness guard should suspend the snowflake rewrite " +
+              "after the supplier append")
+        }
+        Mv.install(s)
+        // heal from the three snapshot logs; idempotent on reruns
+        Mv.refreshFromLog(s, name)
+        assertMvScan(q)
+      },
+      Some("WITH nfact AS (SELECT l_partkey AS pk, l_suppkey AS sk, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem), " +
+        "npart AS (SELECT p_partkey AS pk2, p_brand AS brand FROM part), " +
+        "nsupp AS (SELECT s_suppkey AS sk2, s_nationkey AS snat FROM supplier) " +
+        "SELECT brand, snat, CAST(sum(price) AS DOUBLE) AS revenue, " +
+        "count(*) AS n FROM nfact JOIN npart ON pk = pk2 " +
+        "JOIN nsupp ON sk = sk2 GROUP BY brand, snat ORDER BY brand, snat")),
+
     Q("j25_fk_reverify",
       // INCREMENTAL FK RE-VERIFICATION: the edge is declared while the
       // snapshot-logged child holds only the pre-1997 orders; a

@@ -33,9 +33,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * one grouped pass — O(|base|) once, amortized over every rewritten
   * query.
   *
-  * `join`: present on star-schema MVs — the summary was built over
-  * `fact INNER JOIN dim ON factKeys = dimKeys`; [[MvJoin.dimPaths]] is
-  * the dim side's root-path identity (`basePaths` stays the fact's). */
+  * `joins`: present on star-schema MVs — ONE entry per dimension: the
+  * summary was built over `fact INNER JOIN dim_i ON factKeys_i =
+  * dimKeys_i` for every entry; [[MvJoin.dimPaths]] is that dim side's
+  * root-path identity (`basePaths` stays the fact's). */
 case class MvJoin(dimPaths: Set[String],
                   factKeys: Seq[String],
                   dimKeys: Seq[String])
@@ -56,10 +57,10 @@ case class MvDef(name: String,
                  measures: Set[String],
                  mins: Set[String],
                  maxs: Set[String],
-                 join: Option[MvJoin] = None,
+                 joins: Seq[MvJoin] = Nil,
                  fp: String = "") {
   def allBasePaths: Set[String] =
-    basePaths ++ join.map(_.dimPaths).getOrElse(Set.empty)
+    basePaths ++ joins.flatMap(_.dimPaths)
 }
 
 /** Session-wide MV registry, keyed by the base scan's root paths —
@@ -119,13 +120,23 @@ object MvCatalog {
 
   /** Single-table MVs whose base is exactly this scan's root-path set. */
   def forPaths(paths: Set[String]): Seq[MvDef] =
-    defs.values.filter(d => d.join.isEmpty && d.basePaths == paths)
+    defs.values.filter(d => d.joins.isEmpty && d.basePaths == paths)
       .toSeq.sortBy(_.name)
 
-  /** Join MVs over exactly this (fact, dim) root-path pair. */
-  def forJoin(factPaths: Set[String], dimPaths: Set[String]): Seq[MvDef] =
-    defs.values.filter(d => d.join.exists(_.dimPaths == dimPaths) &&
-      d.basePaths == factPaths).toSeq.sortBy(_.name)
+  /** Star MVs whose fact + dim root-path identities are EXACTLY this
+    * bag of join-tree leaves, in any orientation/order: one leaf must
+    * be the fact's `basePaths`, the rest the joins' `dimPaths` as a
+    * multiset (two dims may share a physical table). */
+  def forLeaves(leaves: Seq[Set[String]]): Seq[MvDef] = {
+    def key(s: Set[String]): String = s.toSeq.sorted.mkString("|")
+    defs.values.filter { d =>
+      d.joins.nonEmpty && leaves.size == d.joins.size + 1 && {
+        val sorted = leaves.map(key).sorted
+        val want = (d.basePaths +: d.joins.map(_.dimPaths)).map(key).sorted
+        sorted == want
+      }
+    }.toSeq.sortBy(_.name)
+  }
 }
 
 /** AGGREGATE-NAVIGATION MATERIALIZED VIEWS — the classic summary-table
@@ -228,24 +239,56 @@ object Mv {
   def buildJoin(fact: DataFrame, dim: DataFrame, name: String,
                 on: Seq[(String, String)], dims: Seq[String],
                 measures: Seq[String], mvPath: String,
-                mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
-    val dup = fact.columns.toSet.intersect(dim.columns.toSet)
-    require(dup.isEmpty, s"ambiguous columns across fact and dim: $dup")
-    val cond = on.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
-    val (fpaths, dpaths) = (basePathsOf(fact), basePathsOf(dim))
+                mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef =
+    buildStar(fact, Seq(dim -> on), name, dims, measures, mvPath,
+      mins, maxs)
+
+  /** [[buildJoin]] generalized to a k-DIM STAR (or snowflake whose
+    * dims each join the fact directly): the summary is built over
+    * `fact ⋈ dim₁ ⋈ … ⋈ dimₖ`, each `dimTables` entry carrying its
+    * own `(factKey, dimKey)*` equi-condition against the fact.
+    * Column names must be GLOBALLY disjoint across all k+1 frames —
+    * that is what lets the rewrite rule and the log refresh match and
+    * route columns by name alone. One joined pass, O(|join|) once;
+    * every matching k-way aggregate query then answers from the
+    * summary with zero joins. */
+  def buildStar(fact: DataFrame,
+                dimTables: Seq[(DataFrame, Seq[(String, String)])],
+                name: String, dims: Seq[String], measures: Seq[String],
+                mvPath: String, mins: Seq[String] = Nil,
+                maxs: Seq[String] = Nil): MvDef = {
+    require(dimTables.nonEmpty, s"MV $name: at least one dim required")
+    val frames = fact +: dimTables.map(_._1)
+    frames.combinations(2).foreach { case Seq(a, b) =>
+      val dup = a.columns.toSet.intersect(b.columns.toSet)
+      require(dup.isEmpty,
+        s"MV $name: ambiguous columns across base tables: $dup")
+    }
+    val spark = fact.sparkSession
+    val fpaths = basePathsOf(fact)
+    val dpaths = dimTables.map(t => basePathsOf(t._1))
+    val all = fpaths ++ dpaths.flatten
     // fingerprint FIRST, then the freshness checks (see [[build]]:
     // no ordering gap may leave a covered-but-unaudited write)
-    val fp = TableState.fingerprint(fact.sparkSession, fpaths ++ dpaths)
-    TableState.warnIfPlainDir(fp, fpaths ++ dpaths, s"MV $name")
-    TableState.requireFresh(fact.sparkSession, fact, fpaths, s"MV $name (fact)")
-    TableState.requireFresh(fact.sparkSession, dim, dpaths, s"MV $name (dim)")
-    summarize(fact.join(dim, cond, "inner"), dims, measures, mins, maxs)
+    val fp = TableState.fingerprint(spark, all)
+    TableState.warnIfPlainDir(fp, all, s"MV $name")
+    TableState.requireFresh(spark, fact, fpaths, s"MV $name (fact)")
+    dimTables.zipWithIndex.foreach { case ((dm, _), i) =>
+      TableState.requireFresh(spark, dm, dpaths(i), s"MV $name (dim $i)")
+    }
+    val joined = dimTables.foldLeft(fact) { case (acc, (dm, on)) =>
+      val cond = on.map { case (f, d) => acc(f) === dm(d) }.reduce(_ && _)
+      acc.join(dm, cond, "inner")
+    }
+    summarize(joined, dims, measures, mins, maxs)
       .write.mode("overwrite").parquet(mvPath)
     val d = MvDef(name, fpaths, mvPath, dims,
       measures.toSet, mins.toSet, maxs.toSet,
-      join = Some(MvJoin(dpaths, on.map(_._1), on.map(_._2))), fp = fp)
+      joins = dimTables.zipWithIndex.map { case ((_, on), i) =>
+        MvJoin(dpaths(i), on.map(_._1), on.map(_._2))
+      }, fp = fp)
     MvCatalog.register(d)
-    RegistryStore.autoPersist(fact.sparkSession)
+    RegistryStore.autoPersist(spark)
     d
   }
 
@@ -302,7 +345,7 @@ object Mv {
       // folds the exact gap and needs no batch at all). An UNMOVED
       // base skips the guard: the build-over-subset + fold-remainder
       // pattern legitimately folds rows the stamp already covers.
-      if (d.join.isEmpty && d.basePaths.size == 1 &&
+      if (d.joins.isEmpty && d.basePaths.size == 1 &&
           d.fp.startsWith("snap:") && cur != d.fp) {
         val root = d.basePaths.head
         val what = s"MV $name"
@@ -482,7 +525,7 @@ object Mv {
     RegistryStore.ensureLoaded(spark)
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
-    d.join.foreach(j => return refreshJoinFromLog(spark, d, j))
+    if (d.joins.nonEmpty) return refreshStarFromLog(spark, d)
     require(d.basePaths.size == 1,
       s"MV $name: log-driven refresh needs a single-root base")
     val root = d.basePaths.head
@@ -536,154 +579,172 @@ object Mv {
   }
 
   /** STAR-SUMMARY LOG REFRESH — [[refreshFromLog]] for join MVs: when
-    * BOTH the fact and the dim are snapshot-logged, a summary over
-    * `F ⋈ D` heals itself from the two hop chains using the counting
-    * join-delta identity (the [[graft.ops.IncrementalJoin]] algebra,
-    * folded through the MV partials instead of a materialized join),
-    * in the SIGNED multiset algebra — with F₂/D₂ the new states and
-    * ΔF/ΔD signed deltas (append-hop rows weigh +1, a compact's
-    * `rw_*` provenance rows — the rows it materialized OUT of the
-    * plain read — weigh −1):
+    * the fact and every dim are snapshot-logged, a summary over
+    * `T₀ ⋈ T₁ ⋈ … ⋈ Tₖ` (T₀ the fact) heals itself from the k+1 hop
+    * chains using the counting join-delta identity (the
+    * [[graft.ops.IncrementalJoin]] algebra, folded through the MV
+    * partials instead of a materialized join), in the SIGNED multiset
+    * algebra — with Tᵢ₂ the new states and ΔTᵢ signed deltas
+    * (append-hop rows weigh +1, a compact's `rw_*` provenance rows —
+    * the rows it materialized OUT of the plain read — weigh −1):
     *
-    * {{{ Δ(F⋈D) = ΔF⋈D₂  +  F₂⋈ΔD  −  ΔF⋈ΔD }}}
+    * {{{ Δ(⋈ᵢTᵢ) = Σ over nonempty S ⊆ moved: (−1)^(|S|+1) ·
+    *               ⋈_{i∈S} ΔTᵢ ⋈ ⋈_{i∉S} Tᵢ₂ }}}
     *
-    * (expand `(F₂−ΔF)⋈(D₂−ΔD)`; each joined row's weight is the
-    * product of its components' weights, and the inclusion–exclusion
-    * term flips sign). F₂/D₂ are the audited snapshots' PINNED reads
+    * (expand `⋈ᵢ(Tᵢ₂ − ΔTᵢ)`; each joined row's weight is the product
+    * of its components' weights times the subset parity). The Tᵢ₂
+    * probe sides are the audited snapshots' PINNED reads
     * ([[TableState.pinnedRead]] — manifest file lists, immune to a
     * racing writer's in-flight files) and every term is
-    * Δ-PROBE-SIDED: the delta side is batch-sized and broadcasts; the
-    * full fact is only ever the probe side of `F₂⋈ΔD` — one scan, no
-    * fact×dim shuffle. The weighted feed folds through the
-    * [[refreshChanges]] counting machinery (±1 per row maps to
-    * insert/delete), so the result equals `summarize(F₂⋈D₂)` exactly
-    * — counts cannot go transiently negative because the fold is ONE
-    * grouped pass whose per-group totals are the final state's. The
-    * common nightly shapes need no signed fold at all: a FACT-ONLY
-    * append window folds `ΔF⋈D₂` as a plain insert batch (MIN/MAX
-    * partials fine), a DIM-ONLY append window folds `F₂⋈ΔD` likewise,
-    * and dv-only windows restamp without touching the summary. Any
-    * retraction in the window (a compact on either base) requires
-    * retractable partials — MIN/MAX refuses with rebuild guidance —
-    * and a time-retention EXPIRY refuses outright (it removes rows
-    * without materialized provenance, by contract). At 100 TB this
-    * closes the gaps where a dim append — or a routine fact compact
-    * after CDC deletes — suspended every star rewrite until an
-    * O(fact) rebuild. */
-  private def refreshJoinFromLog(spark: SparkSession, d: MvDef,
-                                 j: MvJoin): MvDef = {
+    * Δ-PROBE-SIDED: at least one side is batch-sized and broadcasts;
+    * the fact is only ever a probe side, never shuffled against a
+    * dim. The weighted feed folds through the [[refreshChanges]]
+    * counting machinery (±1 per row maps to insert/delete), so the
+    * result equals `summarize(⋈ᵢTᵢ₂)` exactly — counts cannot go
+    * transiently negative because the fold is ONE grouped pass whose
+    * per-group totals are the final state's. The common nightly shape
+    * needs no signed fold at all: ONE table moved append-only folds
+    * `ΔTᵢ ⋈ (others pinned)` as a plain insert batch (MIN/MAX
+    * partials fine), and dv-only windows restamp without touching the
+    * summary. Any retraction in the window (a compact on any base)
+    * requires retractable partials — MIN/MAX refuses with rebuild
+    * guidance — and a time-retention EXPIRY refuses outright (it
+    * removes rows without materialized provenance, by contract). The
+    * term count is 2^m − 1 for m MOVED tables (nightly m ≤ 2), never
+    * 2^(k+1). At 100 TB this closes the gaps where a dim append — or
+    * a routine fact compact after CDC deletes — suspended every star
+    * rewrite until an O(fact) rebuild. */
+  private def refreshStarFromLog(spark: SparkSession, d: MvDef): MvDef = {
     val name = d.name
-    require(d.basePaths.size == 1 && j.dimPaths.size == 1,
-      s"MV $name: log-driven star refresh needs single-root fact and dim")
-    val (factRoot, dimRoot) = (d.basePaths.head, j.dimPaths.head)
+    require(d.basePaths.size == 1 && d.joins.forall(_.dimPaths.size == 1),
+      s"MV $name: log-driven star refresh needs single-root fact and dims")
+    val factRoot = d.basePaths.head
+    val roots = factRoot +: d.joins.map(_.dimPaths.head)
+    require(roots.distinct.size == roots.size,
+      s"MV $name: role-playing dims over one physical table cannot " +
+        "log-refresh (their columns are indistinguishable in the plain " +
+        "read); rebuild with Mv.buildStar")
     val what = s"MV $name"
     val (newFp, moved) = TableState.movedHops(spark, d.fp,
-      d.basePaths ++ j.dimPaths, what).getOrElse(return d) // nothing moved
-    // per side: (append-hop inserts, rewrite-hop provenance removals)
+      d.allBasePaths, what).getOrElse(return d) // nothing moved
+    // per table: (append-hop inserts, rewrite-hop provenance removals)
     def delta(root: String): (Option[DataFrame], Option[DataFrame]) =
       moved.get(root).map { rc =>
         require(rc.shrinkHops.isEmpty,
           s"$what: $root rows were expired (time retention) without " +
             "materialized provenance — the summary cannot retract what " +
-            "was never recorded; rebuild with Mv.buildJoin (one pass)")
+            "was never recorded; rebuild with Mv.buildStar (one pass)")
         (rc.appendHops.map(h => TableState.hopRows(spark, root, h, what))
           .reduceOption(_ unionByName _),
           rc.rewriteHops.flatMap(h => TableState.removedRows(spark, root, h))
             .reduceOption(_ unionByName _))
       }.getOrElse((None, None))
-    val (insF, rmF) = delta(factRoot)
-    val (insD, rmD) = delta(dimRoot)
-    // project each side to ITS OWN contract columns before joining —
-    // plain reads of two Layout tables share bookkeeping columns
-    // (sym_bucket) the declared frames never exposed; anything outside
-    // keys ∪ dims ∪ measures is dropped so the join can never turn
-    // ambiguous. Contract columns must still live on exactly one side.
-    val contract = (d.dims ++ d.measures.toSeq).distinct
-    // the probe sides F₁/D₁ are PINNED to the audited snapshots (the
+    val deltas = roots.map(delta)
+    // the probe sides T₂ are PINNED to the audited snapshots (the
     // chain's end = the segments of newFp), never plain directory
     // reads: an append racing this refresh renames its data files into
     // the live dirs BEFORE its snapshot flip, so a directory listing
     // here could fold rows the restamped fingerprint does not cover —
     // the next refresh's hop chain would fold them AGAIN (silent
-    // double-count). Lazy: the dv-only restamp path below never pays
-    // these scans or the contract checks — it is metadata-only.
-    val roots = d.basePaths ++ j.dimPaths
-    lazy val audited = TableState.segments(newFp, roots).get
-    def pinned(root: String): DataFrame = audited(root) match {
-      case s if s.startsWith("snap:") =>
-        TableState.pinnedRead(spark, root, s.stripPrefix("snap:"), what)
-      case _ => spark.read.parquet(root) // legacy un-logged root
-    }
-    lazy val factScan = pinned(factRoot)
-    lazy val dimScan = pinned(dimRoot)
-    lazy val (factOwn, dimOwn) = {
-      val fo = contract.filter(factScan.columns.contains)
-      val dn = contract.filter(dimScan.columns.contains)
-      require(fo.intersect(dn).isEmpty,
-        s"$what: columns ${fo.intersect(dn).mkString(",")} exist " +
-          "on both base tables; the summary contract is ambiguous — rebuild")
-      require((fo ++ dn).toSet == contract.toSet,
+    // double-count). Memoized + lazy: the dv-only restamp path below
+    // never pays these scans or the contract checks — metadata-only.
+    lazy val audited = TableState.segments(newFp, d.allBasePaths).get
+    val scanMemo = scala.collection.mutable.HashMap.empty[String, DataFrame]
+    def scan(root: String): DataFrame =
+      scanMemo.getOrElseUpdate(root, audited(root) match {
+        case s if s.startsWith("snap:") =>
+          TableState.pinnedRead(spark, root, s.stripPrefix("snap:"), what)
+        case _ => spark.read.parquet(root) // legacy un-logged root
+      })
+    // project each table to ITS OWN contract columns before joining —
+    // plain reads of Layout tables share bookkeeping columns
+    // (sym_bucket) the declared frames never exposed; anything outside
+    // keys ∪ dims ∪ measures is dropped so the joins can never turn
+    // ambiguous. Contract columns must live on exactly one table.
+    val contract = (d.dims ++ d.measures.toSeq).distinct
+    lazy val own: Map[String, Seq[String]] = {
+      val m = roots.map(r =>
+        r -> contract.filter(scan(r).columns.contains)).toMap
+      roots.combinations(2).foreach { case Seq(a, b) =>
+        val dup = m(a).intersect(m(b))
+        require(dup.isEmpty,
+          s"$what: columns ${dup.mkString(",")} exist on more than one " +
+            "base table; the summary contract is ambiguous — rebuild")
+      }
+      require(m.values.flatten.toSet == contract.toSet,
         s"$what: contract columns " +
-          s"${contract.diff(fo ++ dn).mkString(",")} missing from " +
-          "both base tables; re-declare")
-      (fo, dn)
+          s"${contract.diff(m.values.flatten.toSeq).mkString(",")} " +
+          "missing from every base table; re-declare")
+      m
     }
-    def fSide(df: DataFrame): DataFrame =
-      df.select((j.factKeys ++ factOwn).distinct.map(col): _*)
-    def dSide(df: DataFrame): DataFrame =
-      df.select((j.dimKeys ++ dimOwn).distinct.map(col): _*)
-    def joined(f: DataFrame, dm: DataFrame): DataFrame = {
-      val cond = j.factKeys.zip(j.dimKeys)
-        .map { case (fk, dk) => f(fk) === dm(dk) }.reduce(_ && _)
-      f.join(dm, cond, "inner")
+    // role r's projection: its join keys + its contract columns.
+    // Role 0 is the fact (carries EVERY join's fact keys).
+    def side(r: Int)(df: DataFrame): DataFrame = {
+      val keys = if (r == 0) d.joins.flatMap(_.factKeys)
+        else d.joins(r - 1).dimKeys
+      df.select((keys ++ own(roots(r))).distinct.map(col): _*)
     }
-    ((insF, rmF), (insD, rmD)) match {
-      case ((None, None), (None, None)) =>
-        // dv-only / zero-provenance chains: both plain reads are
-        // bit-identical — restamp
-        val nd = d.copy(fp = newFp)
-        MvCatalog.register(nd)
-        RegistryStore.autoPersist(spark)
-        nd
-      case ((Some(df0), None), (None, None)) =>
-        // fact-only append window: ΔF ⋈ D₂, pure insert (MIN/MAX fine)
-        refreshAppendStamped(spark, name,
-          joined(fSide(df0), dSide(dimScan)), fpOverride = Some(newFp))
-      case ((None, None), (Some(dd), None)) =>
-        // dim-only append window: F₂ ⋈ ΔD, pure insert (MIN/MAX fine)
-        refreshAppendStamped(spark, name,
-          joined(fSide(factScan), dSide(dd)), fpOverride = Some(newFp))
-      case _ =>
-        // retractions and/or both sides moved: the full signed fold
-        require(d.mins.isEmpty && d.maxs.isEmpty,
-          s"$what: the window retracts join rows (compact) or moves " +
-            "both bases, and the view keeps MIN/MAX partials, which " +
-            "do not retract through the signed join-delta fold; " +
-            "rebuild with Mv.buildJoin")
-        // signed per-side deltas, weights on side-local columns so the
-        // ΔF⋈ΔD join never turns ambiguous
-        def signed(ins: Option[DataFrame], rm: Option[DataFrame],
-                   side: DataFrame => DataFrame,
-                   w: String): Option[DataFrame] = {
-          val i = ins.map(side(_).withColumn(w, lit(1L)))
-          val r = rm.map(side(_).withColumn(w, lit(-1L)))
-          (i ++ r).reduceOption(_ unionByName _)
-        }
-        val sF = signed(insF, rmF, fSide, "__wf")
-        val sD = signed(insD, rmD, dSide, "__wd")
-        val cols = (d.dims ++ d.measures.toSeq.sorted).map(col)
-        def tag(df: DataFrame, w: org.apache.spark.sql.Column): DataFrame =
-          df.select(cols :+ w.as("__w"): _*)
-            .withColumn("_change_type",
-              when(col("__w") === 1L, lit("insert")).otherwise(lit("delete")))
-            .drop("__w")
-        val terms =
-          sF.map(f => tag(joined(f, dSide(dimScan)), col("__wf"))).toSeq ++
-          sD.map(dm => tag(joined(fSide(factScan), dm), col("__wd"))) ++
-          (for (f <- sF; dm <- sD)
-            yield tag(joined(f, dm), -col("__wf") * col("__wd")))
-        refreshChangesStamped(spark, name, terms.reduce(_ unionByName _),
-          fpOverride = Some(newFp))
+    def joinAll(frames: Seq[DataFrame]): DataFrame =
+      d.joins.zipWithIndex.foldLeft(frames.head) { case (acc, (jn, i)) =>
+        val dm = frames(i + 1)
+        val cond = jn.factKeys.zip(jn.dimKeys)
+          .map { case (fk, dk) => acc(fk) === dm(dk) }.reduce(_ && _)
+        acc.join(dm, cond, "inner")
+      }
+    val movedRoles = roots.indices
+      .filter(i => deltas(i)._1.nonEmpty || deltas(i)._2.nonEmpty)
+    if (movedRoles.isEmpty) {
+      // dv-only / zero-provenance chains: every plain read is
+      // bit-identical — restamp
+      val nd = d.copy(fp = newFp)
+      MvCatalog.register(nd)
+      RegistryStore.autoPersist(spark)
+      nd
+    } else if (movedRoles.size == 1 && deltas(movedRoles.head)._2.isEmpty) {
+      // ONE table moved, append-only — the nightly shape: Δᵢ joined
+      // against every other table's pinned read, a pure insert batch
+      // (MIN/MAX partials fine). The delta is batch-sized and
+      // broadcasts; each pinned table is scanned once, no shuffle of
+      // the fact against a dim.
+      val i = movedRoles.head
+      val frames = roots.indices.map(r =>
+        if (r == i) side(r)(deltas(r)._1.get) else side(r)(scan(roots(r))))
+      refreshAppendStamped(spark, name, joinAll(frames),
+        fpOverride = Some(newFp))
+    } else {
+      // retractions and/or several tables moved: the full signed
+      // inclusion–exclusion fold over every nonempty subset S of the
+      // moved roles — 2^m − 1 terms (m = moved tables; nightly m ≤ 2)
+      require(d.mins.isEmpty && d.maxs.isEmpty,
+        s"$what: the window retracts join rows (compact) or moves " +
+          "several bases, and the view keeps MIN/MAX partials, which " +
+          "do not retract through the signed join-delta fold; " +
+          "rebuild with Mv.buildStar")
+      // signed per-role deltas, weight columns role-local so the
+      // Δ⋈Δ joins never turn ambiguous
+      val sd: Map[Int, DataFrame] = movedRoles.map { i =>
+        val (ins, rm) = deltas(i)
+        val w = s"__w$i"
+        i -> (ins.map(side(i)(_).withColumn(w, lit(1L))) ++
+          rm.map(side(i)(_).withColumn(w, lit(-1L))))
+          .reduce(_ unionByName _)
+      }.toMap
+      val cols = (d.dims ++ d.measures.toSeq.sorted).map(col)
+      def term(s: Set[Int]): DataFrame = {
+        val frames = roots.indices.map(r =>
+          if (s(r)) sd(r) else side(r)(scan(roots(r))))
+        val parity: org.apache.spark.sql.Column =
+          lit(if (s.size % 2 == 1) 1L else -1L)
+        val w = s.toSeq.map(i => col(s"__w$i")).foldLeft(parity)(_ * _)
+        joinAll(frames)
+          .select(cols :+ w.as("__w"): _*)
+          .withColumn("_change_type",
+            when(col("__w") === 1L, lit("insert")).otherwise(lit("delete")))
+          .drop("__w")
+      }
+      val feed = movedRoles.toSet.subsets().filter(_.nonEmpty).toSeq
+        .map(term).reduce(_ unionByName _)
+      refreshChangesStamped(spark, name, feed, fpOverride = Some(newFp))
     }
   }
 
@@ -772,12 +833,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     single ++ joinSources(agg.child)
   }
 
-  /** Match `Aggregate → (Project/Filter)* → Join(Inner) → two scans`
-    * against registered star MVs: the scans' path pair must equal a
-    * registered (fact, dim) pair in either orientation, and the join
-    * condition must decompose into exactly the registered key
-    * equalities. IsNotNull(join key) residuals are discarded — the
-    * inner join already drops those rows on both representations. */
+  /** Match `Aggregate → (Project/Filter)* → Join(Inner)-tree → k+1
+    * scans` against registered star MVs: the leaf scans' path
+    * identities must equal a registered fact + dims bag (any tree
+    * shape / orientation / order — join reorder can't break the
+    * match), and the tree's combined join condition must decompose
+    * into exactly the union of the registered per-dim key equalities.
+    * IsNotNull(join key) residuals are discarded — the inner joins
+    * already drop those rows on both representations. */
   private def joinSources(p: LogicalPlan): Seq[Source] = {
     def stripAbove(p: LogicalPlan, conds: Seq[Expression])
     : Option[(Join, Seq[Expression])] = p match {
@@ -787,37 +850,58 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case j: Join => Some((j, conds))
       case _ => None
     }
-    val (j, outer) = stripAbove(p, Nil).getOrElse(return Nil)
-    if (j.joinType != Inner) return Nil
-    val cond = j.condition.getOrElse(return Nil)
-    val (ll, lfs, lconds) = stripToScan(j.left).getOrElse(return Nil)
-    val (rl, rfs, rconds) = stripToScan(j.right).getOrElse(return Nil)
-    val (lp, rp) = (rootsOf(lfs), rootsOf(rfs))
-    val defs = MvCatalog.forJoin(lp, rp) ++ MvCatalog.forJoin(rp, lp)
+    val (j0, outer) = stripAbove(p, Nil).getOrElse(return Nil)
+    // collect the inner-join tree's leaves (scan + its pushed-down
+    // conds), the per-node equality pairs, and mid-tree residual
+    // Filters (attribute-only Projects between joins — the column
+    // pruner inserts them — are transparent)
+    type Leaf = (LogicalRelation, HadoopFsRelation, Seq[Expression])
+    def collect(p: LogicalPlan)
+        : Option[(Seq[Leaf], Seq[(String, String)], Seq[Expression])] =
+      p match {
+        case Project(pl, child)
+            if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          collect(child)
+        case Filter(c, child) =>
+          collect(child).map { case (l, pr, cs) => (l, pr, cs :+ c) }
+        case j: Join if j.joinType == Inner =>
+          for {
+            cond <- j.condition
+            pairs <- conjuncts(cond).foldLeft(
+              Option(Seq.empty[(String, String)])) {
+                case (acc, EqualTo(a: AttributeReference,
+                                   b: AttributeReference)) =>
+                  acc.map(_ :+ (a.name, b.name))
+                case _ => None
+              }
+            (ll, lp, lc) <- collect(j.left)
+            (rl, rp, rc) <- collect(j.right)
+          } yield (ll ++ rl, lp ++ rp ++ pairs, lc ++ rc)
+        case other =>
+          stripToScan(other).map(leaf => (Seq(leaf), Nil, Nil))
+      }
+    val (leaves, pairs, mid) = collect(j0).getOrElse(return Nil)
+    if (leaves.size < 2) return Nil
+    val defs = MvCatalog.forLeaves(leaves.map(l => rootsOf(l._2)))
     if (defs.isEmpty) return Nil
-    val pairs = conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (a.name, b.name)
-      case _ => return Nil
-    }
     // split fused filters so per-conjunct checks (IsNotNull-on-key
     // dropping, dims-only references) see each predicate alone
-    val allConds = (outer ++ lconds ++ rconds).flatMap(conjuncts)
+    val allConds = (outer ++ mid ++ leaves.flatMap(_._3)).flatMap(conjuncts)
     defs.flatMap { mv =>
-      val jn = mv.join.get
-      val want = jn.factKeys.zip(jn.dimKeys).toSet
+      val want = mv.joins.flatMap(jn => jn.factKeys.zip(jn.dimKeys)).toSet
       val got = pairs.map { case (a, b) =>
         if (want.contains((a, b))) (a, b) else (b, a)
       }.toSet
       if (got != want) None
       else {
-        val keyNames = (jn.factKeys ++ jn.dimKeys).toSet
+        val keyNames =
+          mv.joins.flatMap(jn => jn.factKeys ++ jn.dimKeys).toSet
         val kept = allConds.filter {
           case IsNotNull(a: AttributeReference) if keyNames.contains(a.name) =>
             false
           case _ => true
         }
-        Some(Source(ll.output ++ rl.output, kept, mv))
+        Some(Source(leaves.flatMap(_._1.output), kept, mv))
       }
     }
   }

@@ -157,11 +157,14 @@ object RegistryStore {
       o.putPOJO("measures", d.measures.toSeq.sorted.asJava)
       o.putPOJO("mins", d.mins.toSeq.sorted.asJava)
       o.putPOJO("maxs", d.maxs.toSeq.sorted.asJava)
-      d.join.foreach { j =>
-        val jo = o.putObject("join")
-        jo.putPOJO("dimPaths", j.dimPaths.toSeq.sorted.asJava)
-        jo.putPOJO("factKeys", j.factKeys.asJava)
-        jo.putPOJO("dimKeys", j.dimKeys.asJava)
+      if (d.joins.nonEmpty) {
+        val ja = o.putArray("joins")
+        d.joins.foreach { j =>
+          val jo = ja.addObject()
+          jo.putPOJO("dimPaths", j.dimPaths.toSeq.sorted.asJava)
+          jo.putPOJO("factKeys", j.factKeys.asJava)
+          jo.putPOJO("dimKeys", j.dimKeys.asJava)
+        }
       }
     }
     val fks = root.putArray("fks")
@@ -252,13 +255,19 @@ object RegistryStore {
              f: String): Seq[String] =
       field(n, f).elements().asScala.map(_.asText()).toSeq
     arr("mvs").foreach { o =>
-      val join = Option(o.get("join")).map(j =>
+      def mvJoin(j: com.fasterxml.jackson.databind.JsonNode): MvJoin =
         MvJoin(strs(j, "dimPaths").toSet, strs(j, "factKeys"),
-          strs(j, "dimKeys")))
+          strs(j, "dimKeys"))
+      // `joins` array (current format); a single `join` object is the
+      // pre-star-generalization spelling — still readable
+      val joins = Option(o.get("joins")).filter(_.isArray)
+        .map(_.elements().asScala.map(mvJoin).toSeq)
+        .orElse(Option(o.get("join")).map(j => Seq(mvJoin(j))))
+        .getOrElse(Nil)
       val d = MvDef(str(o, "name"),
         strs(o, "basePaths").toSet, str(o, "mvPath"),
         strs(o, "dims"), strs(o, "measures").toSet,
-        strs(o, "mins").toSet, strs(o, "maxs").toSet, join,
+        strs(o, "mins").toSet, strs(o, "maxs").toSet, joins,
         str(o, "fp"))
       if (!exclude(d.name) && MvCatalog.get(d.name).isEmpty)
         MvCatalog.register(d)

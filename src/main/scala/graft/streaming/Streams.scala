@@ -677,9 +677,19 @@ object Streams {
     * across crash replays (a crash between the docs write and the
     * index append re-admits that epoch's docs on replay — recover by
     * keyed dedup on read). Epoch-guarded against same-session
-    * foreachBatch replays like [[mvRefreshSink]]. */
+    * foreachBatch replays like [[mvRefreshSink]].
+    *
+    * SELF-MAINTAINING: every epoch's append adds one `lb_*`/`lf_*`
+    * part pair, so a long-running ingest would otherwise degrade the
+    * probe into thousands of small-file reads; once the snapshot
+    * exceeds `compactAtParts` parts the sink runs
+    * [[graft.pipeline.LshIndex.compactIndex]] + vacuum inline (the
+    * sink is the index's single writer, and its own probes always
+    * open the latest snapshot, so the GC grace period is trivially
+    * satisfied). `compactAtParts = 0` disables. */
   def corpusDedupSink(docs: DataFrame, indexPath: String, docsPath: String,
-                      checkpointLocation: Option[String] = None)
+                      checkpointLocation: Option[String] = None,
+                      compactAtParts: Int = 64)
       : StreamingQuery = {
     val applied = new java.util.concurrent.atomic.AtomicLong(-1L)
     val writer = docs.writeStream.outputMode("append")
@@ -720,6 +730,11 @@ object Streams {
                 val shAdm = sh.join(
                   admitted.select(col(id)), Seq(id), "left_semi")
                 graft.pipeline.LshIndex.appendFromHashed(s, shAdm, indexPath)
+                if (compactAtParts > 0 && graft.catalog.SnapshotManifest
+                    .currentParts(s, indexPath).exists(_.size > compactAtParts)) {
+                  graft.pipeline.LshIndex.compactIndex(s, indexPath)
+                  graft.pipeline.LshIndex.vacuum(s, indexPath)
+                }
               }
             } finally {
               admitted.unpersist(blocking = false)

@@ -619,6 +619,86 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_star_log")
   }
 
+  test("two-dim star MV: 3-way join rewrites in any join order, heals from all three logs") {
+    import spark.implicits._
+    val factP = root + "/s2_fact"
+    val d1P = root + "/s2_dim1"
+    val d2P = root + "/s2_dim2"
+    def factRows(r: Range) = r.map(i =>
+      (i.toLong % 20 + 1, i.toLong % 6 + 1, i.toLong, i.toLong))
+      .toDF("ck", "pk", "price", "ts")
+    def d1Rows(r: Range) = r.map(i => (i.toLong, s"G${i % 4}")).toDF("ck2", "seg")
+    def d2Rows(r: Range) = r.map(i => (i.toLong, s"B${i % 3}")).toDF("pk2", "brand")
+    graft.catalog.Layout.writeClusteredZoned(factRows(1 to 300), factP,
+      "ck", "ts", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(d1Rows(1 to 20), d1P,
+      "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(d2Rows(1 to 6), d2P,
+      "brand", "pk2", numBuckets = 2, filesPerBucket = 2)
+    // fact ⋈ d1 ⋈ d2 in one order; qAlt joins the dims the OTHER way
+    // around (matching must be join-order-insensitive)
+    def q = spark.read.parquet(factP)
+      .join(spark.read.parquet(d1P), col("ck") === col("ck2"), "inner")
+      .join(spark.read.parquet(d2P), col("pk") === col("pk2"), "inner")
+      .groupBy("seg", "brand")
+      .agg(sum("price").as("rev"), count(lit(1)).as("n"))
+      .orderBy("seg", "brand")
+    def qAlt = spark.read.parquet(factP)
+      .join(spark.read.parquet(d2P), col("pk") === col("pk2"), "inner")
+      .join(spark.read.parquet(d1P), col("ck") === col("ck2"), "inner")
+      .groupBy("seg").agg(sum("price").as("rev")).orderBy("seg")
+    def star = scanPaths(q).exists(_.contains("/mv_s2")) &&
+      !scanPaths(q).exists(_.endsWith("/s2_fact"))
+    try {
+      Mv.buildStar(
+        spark.read.parquet(factP).select("ck", "pk", "price"),
+        Seq(spark.read.parquet(d1P).select("ck2", "seg")
+            -> Seq("ck" -> "ck2"),
+          spark.read.parquet(d2P).select("pk2", "brand")
+            -> Seq("pk" -> "pk2")),
+        "mvspec_star2", dims = Seq("seg", "brand"),
+        measures = Seq("price"), mvPath = root + "/mv_s2")
+      assert(star, scanPaths(q).toString)
+      assert(scanPaths(qAlt).exists(_.contains("/mv_s2")),
+        "the other join order must rewrite too: " + scanPaths(qAlt))
+      val (on0, off0) = onOff(q)
+      assert(on0.nonEmpty && on0 == off0)
+      // dim2-only append window
+      graft.catalog.Layout.appendClusteredZoned(d2Rows(7 to 9), d2P,
+        "brand", "pk2", numBuckets = 2, filesPerBucket = 2)
+      assert(!star, "a dim move must suspend the rewrite")
+      Mv.refreshFromLog(spark, "mvspec_star2")
+      assert(star, scanPaths(q).toString)
+      val (on1, off1) = onOff(q)
+      assert(on1 == off1, "dim2-window fold must equal the re-join")
+      // fact AND dim1 move in one window (3 signed terms; dim2 pinned)
+      graft.catalog.Layout.appendClusteredZoned(factRows(301 to 400), factP,
+        "ck", "ts", numBuckets = 2, filesPerBucket = 2)
+      graft.catalog.Layout.appendClusteredZoned(d1Rows(21 to 30), d1P,
+        "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+      Mv.refreshFromLog(spark, "mvspec_star2")
+      assert(star, scanPaths(q).toString)
+      val (on2, off2) = onOff(q)
+      assert(on2 == off2, "two-table signed fold must equal the re-join")
+      // retraction on dim1 (dv delete → restamp → compact → vacuum)
+      graft.catalog.Layout.delete(spark, d1P, "ck2", col("ck2") <= 3L)
+      Mv.refreshFromLog(spark, "mvspec_star2") // dv-only restamp
+      graft.catalog.Layout.compact(spark, d1P, "seg", "ck2",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, d1P, retainPrevious = false)
+      Mv.refreshFromLog(spark, "mvspec_star2")
+      assert(star, scanPaths(q).toString)
+      val (on3, off3) = onOff(q)
+      assert(on3.nonEmpty && on3 == off3,
+        "dim1 retraction must drop its join rows from the summary")
+      // rollup to one dim still answers from the summary
+      assert(scanPaths(qAlt).exists(_.contains("/mv_s2")),
+        scanPaths(qAlt).toString)
+      val (on4, off4) = onOff(qAlt)
+      assert(on4 == off4)
+    } finally MvCatalog.unregister("mvspec_star2")
+  }
+
   test("star log refresh with MIN/MAX partials refuses a retraction window") {
     import spark.implicits._
     val factP = root + "/mmx_fact"
@@ -654,7 +734,7 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
         Mv.refreshFromLog(spark, "mvspec_mmx")
       }
       assert(ex.getMessage.contains("MIN/MAX"), ex.getMessage)
-      assert(ex.getMessage.contains("buildJoin"), ex.getMessage)
+      assert(ex.getMessage.contains("buildStar"), ex.getMessage)
     } finally MvCatalog.unregister("mvspec_mmx")
   }
 

@@ -499,4 +499,37 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
     assert(tableIds == (1L to 30L), "replayed epoch was re-applied")
   }
+
+  test("corpusDedupSink self-compacts the index once parts exceed the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cds").toString
+    val idx = root + "/idx"
+    val outP = root + "/admitted"
+    graft.pipeline.LshIndex.build(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx,
+      "doc_id", "text", n = 3, k = 32, bands = 16)
+    val mem = MemoryStream[(Long, String)]
+    // threshold 4: epoch 2's append (2 build + 2×2 appended = 6
+    // parts) must trigger an inline compactIndex back to one
+    // lb_/lf_ pair
+    val q = Streams.corpusDedupSink(mem.toDF().toDF("doc_id", "text"),
+      idx, outP, checkpointLocation = Some(root + "/_cp"),
+      compactAtParts = 4)
+    def doc(i: Long) = (i, s"unique words number $i alpha beta gamma delta")
+    try {
+      mem.addData(doc(1), doc(2)); q.processAllAvailable()
+      mem.addData(doc(3), (103L, doc(3)._2)); q.processAllAvailable()
+      val parts = graft.catalog.SnapshotManifest.currentParts(spark, idx).get
+      assert(parts.size == 2 && parts.exists(_.startsWith("lb_")),
+        s"sink must have self-compacted: $parts")
+      // dedup state survives the compaction: a replay of doc 2 is
+      // dropped, novel docs admitted
+      mem.addData((202L, doc(2)._2), doc(4)); q.processAllAvailable()
+      mem.addData(doc(5)); q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(outP)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 5L),
+      s"compaction must not lose or re-admit corpus content: $ids")
+  }
 }

@@ -628,6 +628,73 @@ object MvQueries {
         "count(*) AS n FROM nfact JOIN npart ON pk = pk2 " +
         "JOIN nsupp ON sk = sk2 GROUP BY brand, snat ORDER BY brand, snat")),
 
+    Q("mv11_lossless_rollup",
+      // LOSSLESS SUBSET-JOIN REWRITE (the Oracle/Calcite "join back"
+      // class): the summary pre-joins lineitem ⋈ part ⋈ supplier, and
+      // buildStar AUDITS each join fact-multiplicity-preserving (fact
+      // keys non-null + all matched + dim key unique — the verified-FK
+      // condition). A query joining ONLY part — the supplier join
+      // absent — is then still answered from the summary by rolling
+      // the supplier dim up (hard-asserted: no fact scan, no supplier
+      // scan, zero joins), because the omitted preserving join cannot
+      // change fact multiplicity. Wrong-by-default without the audit:
+      // an unmatched or duplicated supplier key would make the
+      // summary under/over-count this query, which is why the flag is
+      // earned at build and DOWNGRADED by any window that breaks it.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv11_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv11_" + Integer.toHexString(root.hashCode)
+        val factP = root + "/lfact"
+        val d1P = root + "/lpart"
+        val d2P = root + "/lsupp"
+        def q: DataFrame = s.read.parquet(factP)
+          .join(s.read.parquet(d1P), col("pk") === col("pk2"), "inner")
+          .groupBy("brand").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("brand")
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val f = t(s, dir, "lineitem").select(
+            col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"),
+            col("l_orderkey").as("ok"))
+          graft.catalog.Layout.writeClusteredZoned(f, factP,
+            "pk", "ok", numBuckets = 4, filesPerBucket = 4)
+          graft.catalog.Layout.writeClusteredZoned(
+            t(s, dir, "part").select(
+              col("p_partkey").as("pk2"), col("p_brand").as("brand")),
+            d1P, "brand", "pk2", numBuckets = 4, filesPerBucket = 2)
+          graft.catalog.Layout.writeClusteredZoned(
+            t(s, dir, "supplier").select(
+              col("s_suppkey").as("sk2"), col("s_nationkey").as("snat")),
+            d2P, "snat", "sk2", numBuckets = 2, filesPerBucket = 2)
+          val d = Mv.buildStar(
+            s.read.parquet(factP).select("pk", "sk", "price"),
+            Seq(s.read.parquet(d1P).select("pk2", "brand")
+                -> Seq("pk" -> "pk2"),
+              s.read.parquet(d2P).select("sk2", "snat")
+                -> Seq("sk" -> "sk2")),
+            name, dims = Seq("brand", "snat"), measures = Seq("price"),
+            mvPath = root + "/mv")
+          require(d.joins.forall(_.preserving),
+            "TPC-H FKs must audit preserving: " + d.joins)
+        }
+        Mv.install(s)
+        assertMvScan(q) // fires with the supplier join ABSENT
+        require(!scanRoots(q).exists(_.endsWith("/lsupp")),
+          "the omitted supplier dim must not be scanned either")
+        q
+      },
+      Some("WITH lfact AS (SELECT l_partkey AS pk, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem), " +
+        "lpart AS (SELECT p_partkey AS pk2, p_brand AS brand FROM part) " +
+        "SELECT brand, CAST(sum(price) AS DOUBLE) AS revenue, " +
+        "count(*) AS n FROM lfact JOIN lpart ON pk = pk2 " +
+        "GROUP BY brand ORDER BY brand")),
+
     Q("j25_fk_reverify",
       // INCREMENTAL FK RE-VERIFICATION: the edge is declared while the
       // snapshot-logged child holds only the pre-1997 orders; a

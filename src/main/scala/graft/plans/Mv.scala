@@ -36,10 +36,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * `joins`: present on star-schema MVs — ONE entry per dimension: the
   * summary was built over `fact INNER JOIN dim_i ON factKeys_i =
   * dimKeys_i` for every entry; [[MvJoin.dimPaths]] is that dim side's
-  * root-path identity (`basePaths` stays the fact's). */
+  * root-path identity (`basePaths` stays the fact's).
+  *
+  * `preserving`: the join is AUDITED fact-multiplicity-preserving —
+  * at the stamped state every fact row joined EXACTLY ONE dim row
+  * (fact keys all non-null, all matched, dim keys unique): the
+  * classic lossless-FK join. A query that omits this join entirely
+  * (joins only a subset of the star's dims, or none) is then still
+  * answerable from the summary by rolling the omitted dim's columns
+  * up — [[Mv.buildStar]] runs the audit, and the log refreshes
+  * DOWNGRADE the flag when a window breaks it (never upgrade —
+  * re-earning it costs a full audit, i.e. a rebuild). */
 case class MvJoin(dimPaths: Set[String],
                   factKeys: Seq[String],
-                  dimKeys: Seq[String])
+                  dimKeys: Seq[String],
+                  preserving: Boolean = false)
 
 /** `fp`: [[TableState]] fingerprint of the base (and join dim) at
   * build/refresh time — stamped by [[Mv.build]], [[Mv.buildJoin]],
@@ -123,19 +134,42 @@ object MvCatalog {
     defs.values.filter(d => d.joins.isEmpty && d.basePaths == paths)
       .toSeq.sortBy(_.name)
 
-  /** Star MVs whose fact + dim root-path identities are EXACTLY this
-    * bag of join-tree leaves, in any orientation/order: one leaf must
-    * be the fact's `basePaths`, the rest the joins' `dimPaths` as a
-    * multiset (two dims may share a physical table). */
-  def forLeaves(leaves: Seq[Set[String]]): Seq[MvDef] = {
+  /** Star MVs answerable for this bag of join-tree leaves, in any
+    * orientation/order: one leaf must be the fact's `basePaths`, the
+    * rest a SUB-multiset of the joins' `dimPaths` — a registered dim
+    * may be absent from the query ONLY if its join is audited
+    * [[MvJoin.preserving]] (the summary then rolls its columns up
+    * without changing fact multiplicity). A single fact-only leaf
+    * matches when EVERY join is preserving. For a dim path registered
+    * under several joins (role-playing), all of its joins must be
+    * present — the key equalities cannot be attributed otherwise.
+    * Returns (def, present joins, omitted joins). */
+  def forLeaves(leaves: Seq[Set[String]])
+      : Seq[(MvDef, Seq[MvJoin], Seq[MvJoin])] = {
     def key(s: Set[String]): String = s.toSeq.sorted.mkString("|")
-    defs.values.filter { d =>
-      d.joins.nonEmpty && leaves.size == d.joins.size + 1 && {
-        val sorted = leaves.map(key).sorted
-        val want = (d.basePaths +: d.joins.map(_.dimPaths)).map(key).sorted
-        sorted == want
+    defs.values.toSeq.sortBy(_.name).flatMap { d =>
+      if (d.joins.isEmpty || leaves.size > d.joins.size + 1) None
+      else {
+        val bag = leaves.map(key)
+        val fk = key(d.basePaths)
+        if (!bag.contains(fk)) None
+        else {
+          val dimBag = bag.diff(Seq(fk))
+          val byPath = d.joins.groupBy(j => key(j.dimPaths))
+          val counts = dimBag.groupBy(identity).map {
+            case (p, os) => p -> os.size
+          }
+          if (!counts.forall { case (p, n) =>
+              byPath.get(p).exists(_.size == n) }) None
+          else {
+            val (present, omitted) =
+              d.joins.partition(j => counts.contains(key(j.dimPaths)))
+            if (omitted.forall(_.preserving)) Some((d, present, omitted))
+            else None
+          }
+        }
       }
-    }.toSeq.sortBy(_.name)
+    }
   }
 }
 
@@ -282,10 +316,30 @@ object Mv {
     }
     summarize(joined, dims, measures, mins, maxs)
       .write.mode("overwrite").parquet(mvPath)
+    // LOSSLESS AUDIT, per dim: the join preserves fact multiplicity
+    // iff (a) every fact key is non-null, (b) every fact key row
+    // matches the dim (left-semi count = fact count), (c) the dim key
+    // is unique. Keys-only column scans — cheap next to the joined
+    // summarize pass above; earns the subset-join rewrite (a query
+    // omitting a preserving dim still answers from the summary).
+    val nFact = fact.count()
+    def preservingAudit(dm: DataFrame, on: Seq[(String, String)]): Boolean = {
+      val fKeys = fact.select(on.map(p => col(p._1)): _*)
+      val noNulls = fKeys.filter(
+        on.map(p => col(p._1).isNull).reduce(_ || _)).isEmpty
+      lazy val allMatch = fKeys.join(dm,
+        on.map { case (f, d) => fKeys(f) === dm(d) }.reduce(_ && _),
+        "left_semi").count() == nFact
+      lazy val dimUnique = dm
+        .groupBy(on.map(p => col(p._2)): _*)
+        .count().filter(col("count") > 1L).isEmpty
+      noNulls && allMatch && dimUnique
+    }
     val d = MvDef(name, fpaths, mvPath, dims,
       measures.toSet, mins.toSet, maxs.toSet,
-      joins = dimTables.zipWithIndex.map { case ((_, on), i) =>
-        MvJoin(dpaths(i), on.map(_._1), on.map(_._2))
+      joins = dimTables.zipWithIndex.map { case ((dm, on), i) =>
+        MvJoin(dpaths(i), on.map(_._1), on.map(_._2),
+          preserving = preservingAudit(dm, on))
       }, fp = fp)
     MvCatalog.register(d)
     RegistryStore.autoPersist(spark)
@@ -386,7 +440,13 @@ object Mv {
       .agg(mergeAggs.head, mergeAggs.tail: _*)
     val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
     merged.write.mode("errorifexists").parquet(next)
-    val nd = d.copy(mvPath = next, fp = fp)
+    // a CALLER-supplied batch carries no lossless attestation — clear
+    // the preserving flags (downgrade-only; the log refresh audits
+    // its own windows and keeps them). fpOverride = the log refresh
+    // calling in, which already maintained the flags.
+    val joins = if (fpOverride.nonEmpty) d.joins
+      else d.joins.map(_.copy(preserving = false))
+    val nd = d.copy(mvPath = next, joins = joins, fp = fp)
     MvCatalog.register(nd)
     RegistryStore.autoPersist(spark)
     nd
@@ -484,7 +544,11 @@ object Mv {
       col(s"cnt_$m"))) :+ col("cnt"): _*)
     val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
     nulled.write.mode("errorifexists").parquet(next)
-    val nd = d.copy(mvPath = next, fp = fp)
+    // caller-supplied feeds carry no lossless attestation (see
+    // refreshAppendStamped)
+    val joins = if (fpOverride.nonEmpty) d.joins
+      else d.joins.map(_.copy(preserving = false))
+    val nd = d.copy(mvPath = next, joins = joins, fp = fp)
     MvCatalog.register(nd)
     RegistryStore.autoPersist(spark)
     nd
@@ -693,10 +757,62 @@ object Mv {
       }
     val movedRoles = roots.indices
       .filter(i => deltas(i)._1.nonEmpty || deltas(i)._2.nonEmpty)
+    // LOSSLESS-FLAG MAINTENANCE (downgrade-only): a window can break a
+    // join's audited fact-multiplicity preservation — appended fact
+    // rows with null/unmatched keys, appended dim rows duplicating a
+    // key, removed dim rows orphaning fact keys. Each audit is
+    // keys-only and delta-probe-sided except the orphan check's one
+    // fact key scan (paid only on a preserving dim's retraction). A
+    // failed audit CLEARS the flag — the subset rewrite stops firing —
+    // instead of refusing the refresh: the summary itself stays exact.
+    import org.apache.spark.sql.functions.broadcast
+    val updatedJoins = d.joins.zipWithIndex.map { case (jn, i) =>
+      val r = i + 1
+      lazy val dm = scan(roots(r))
+      def factDeltaOk: Boolean = deltas(0)._1.forall { df =>
+        val keys = df.select(jn.factKeys.map(col): _*)
+        keys.filter(jn.factKeys.map(col(_).isNull).reduce(_ || _))
+          .isEmpty &&
+        keys.join(dm, jn.factKeys.zip(jn.dimKeys)
+            .map { case (fk, dk) => keys(fk) === dm(dk) }.reduce(_ && _),
+          "left_anti").isEmpty
+      }
+      def dimAppendOk: Boolean = deltas(r)._1.forall { df =>
+        val fresh = df.select(jn.dimKeys.map(col): _*).distinct()
+        dm.join(broadcast(fresh), jn.dimKeys, "left_semi")
+          .groupBy(jn.dimKeys.map(col): _*).count()
+          .filter(col("count") > 1L).isEmpty
+      }
+      def dimRemoveOk: Boolean = deltas(r)._2.forall { df =>
+        val rmKeys = df.select(jn.dimKeys.map(col): _*).distinct()
+        // fact rows referencing a removed key, checked against the
+        // NEW dim state (the key may have been re-added in-window)
+        val candidates = scan(roots(0)).select(jn.factKeys.map(col): _*)
+          .join(broadcast(rmKeys), jn.factKeys.zip(jn.dimKeys)
+              .map { case (fk, dk) => col(fk) === rmKeys(dk) }
+              .reduce(_ && _),
+            "left_semi")
+        val dmRestr = dm.select(jn.dimKeys.map(col): _*)
+          .join(broadcast(rmKeys), jn.dimKeys, "left_semi")
+        candidates.join(broadcast(dmRestr),
+          jn.factKeys.zip(jn.dimKeys)
+            .map { case (fk, dk) => candidates(fk) === dmRestr(dk) }
+            .reduce(_ && _),
+          "left_anti").isEmpty
+      }
+      if (!jn.preserving) jn
+      else if (factDeltaOk && dimAppendOk && dimRemoveOk) jn
+      else jn.copy(preserving = false)
+    }
+    val dd = if (updatedJoins == d.joins) d else {
+      val nd = d.copy(joins = updatedJoins)
+      MvCatalog.register(nd) // the stamped refreshes below copy it on
+      nd
+    }
     if (movedRoles.isEmpty) {
       // dv-only / zero-provenance chains: every plain read is
       // bit-identical — restamp
-      val nd = d.copy(fp = newFp)
+      val nd = dd.copy(fp = newFp)
       MvCatalog.register(nd)
       RegistryStore.autoPersist(spark)
       nd
@@ -828,7 +944,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def sources(agg: Aggregate): Seq[Source] = {
     val single = stripToScan(agg.child).toSeq.flatMap {
       case (lr, fs, conds) =>
-        MvCatalog.forPaths(rootsOf(fs)).map(Source(lr.output, conds, _))
+        val roots = rootsOf(fs)
+        // single-table MVs, plus star MVs ALL of whose joins are
+        // audited preserving (a fact-only aggregate then answers from
+        // the join summary — every omitted dim rolls up losslessly)
+        MvCatalog.forPaths(roots).map(Source(lr.output, conds, _)) ++
+          MvCatalog.forLeaves(Seq(roots)).map {
+            case (mv, _, _) => Source(lr.output, conds, mv)
+          }
     }
     single ++ joinSources(agg.child)
   }
@@ -882,18 +1005,23 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     val (leaves, pairs, mid) = collect(j0).getOrElse(return Nil)
     if (leaves.size < 2) return Nil
-    val defs = MvCatalog.forLeaves(leaves.map(l => rootsOf(l._2)))
-    if (defs.isEmpty) return Nil
+    val cands = MvCatalog.forLeaves(leaves.map(l => rootsOf(l._2)))
+    if (cands.isEmpty) return Nil
     // split fused filters so per-conjunct checks (IsNotNull-on-key
     // dropping, dims-only references) see each predicate alone
     val allConds = (outer ++ mid ++ leaves.flatMap(_._3)).flatMap(conjuncts)
-    defs.flatMap { mv =>
-      val want = mv.joins.flatMap(jn => jn.factKeys.zip(jn.dimKeys)).toSet
+    cands.flatMap { case (mv, present, _) =>
+      // the query's equalities must be exactly the PRESENT joins'
+      // registered keys; omitted (preserving) joins contribute none
+      val want = present.flatMap(jn => jn.factKeys.zip(jn.dimKeys)).toSet
       val got = pairs.map { case (a, b) =>
         if (want.contains((a, b))) (a, b) else (b, a)
       }.toSet
       if (got != want) None
       else {
+        // IsNotNull on ANY registered key is redundant: present-join
+        // keys are non-null via the inner join itself; an omitted
+        // PRESERVING join's fact key is audited never-null
         val keyNames =
           mv.joins.flatMap(jn => jn.factKeys ++ jn.dimKeys).toSet
         val kept = allConds.filter {

@@ -164,6 +164,7 @@ object RegistryStore {
           jo.putPOJO("dimPaths", j.dimPaths.toSeq.sorted.asJava)
           jo.putPOJO("factKeys", j.factKeys.asJava)
           jo.putPOJO("dimKeys", j.dimKeys.asJava)
+          if (j.preserving) jo.put("preserving", true)
         }
       }
     }
@@ -257,7 +258,8 @@ object RegistryStore {
     arr("mvs").foreach { o =>
       def mvJoin(j: com.fasterxml.jackson.databind.JsonNode): MvJoin =
         MvJoin(strs(j, "dimPaths").toSet, strs(j, "factKeys"),
-          strs(j, "dimKeys"))
+          strs(j, "dimKeys"),
+          Option(j.get("preserving")).exists(_.asBoolean(false)))
       // `joins` array (current format); a single `join` object is the
       // pre-star-generalization spelling — still readable
       val joins = Option(o.get("joins")).filter(_.isArray)

@@ -699,6 +699,82 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_star2")
   }
 
+  test("lossless star: subset-join and fact-only queries answer from the summary; flags downgrade") {
+    import spark.implicits._
+    val factP = root + "/ll_fact"
+    val d1P = root + "/ll_dim1"
+    val d2P = root + "/ll_dim2"
+    def factRows(r: Range, pkOf: Int => Long) = r.map(i =>
+      (i.toLong % 20 + 1, pkOf(i), i.toLong, i.toLong))
+      .toDF("ck", "pk", "price", "ts")
+    graft.catalog.Layout.writeClusteredZoned(
+      factRows(1 to 300, i => i.toLong % 6 + 1), factP,
+      "ck", "ts", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 20).map(i => (i.toLong, s"G${i % 4}")).toDF("ck2", "seg"), d1P,
+      "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 6).map(i => (i.toLong, s"B${i % 3}")).toDF("pk2", "brand"), d2P,
+      "brand", "pk2", numBuckets = 2, filesPerBucket = 2)
+    // subset query: joins d1 ONLY — answerable because the omitted
+    // fact→d2 join is audited preserving
+    def qSub = spark.read.parquet(factP)
+      .join(spark.read.parquet(d1P), col("ck") === col("ck2"), "inner")
+      .groupBy("seg").agg(sum("price").as("rev"), count(lit(1)).as("n"))
+      .orderBy("seg")
+    // fact-only query: global aggregate, no join at all
+    def qFact = spark.read.parquet(factP)
+      .agg(sum("price").as("rev"), count(lit(1)).as("n"))
+    def subMv = scanPaths(qSub).exists(_.contains("/mv_ll")) &&
+      !scanPaths(qSub).exists(_.endsWith("/ll_fact"))
+    def factMv = scanPaths(qFact).exists(_.contains("/mv_ll"))
+    try {
+      val d0 = Mv.buildStar(
+        spark.read.parquet(factP).select("ck", "pk", "price"),
+        Seq(spark.read.parquet(d1P).select("ck2", "seg")
+            -> Seq("ck" -> "ck2"),
+          spark.read.parquet(d2P).select("pk2", "brand")
+            -> Seq("pk" -> "pk2")),
+        "mvspec_ll", dims = Seq("seg", "brand"),
+        measures = Seq("price"), mvPath = root + "/mv_ll")
+      assert(d0.joins.forall(_.preserving),
+        "full dims + non-null matched keys must audit preserving: " +
+          d0.joins.toString)
+      assert(subMv, scanPaths(qSub).toString)
+      val (on1, off1) = onOff(qSub)
+      assert(on1.nonEmpty && on1 == off1,
+        "subset-join rollup must equal the real fact ⋈ d1 aggregate")
+      assert(factMv, scanPaths(qFact).toString)
+      val (on2, off2) = onOff(qFact)
+      assert(on2 == off2, "fact-only aggregate must equal the summary rollup")
+      // DOWNGRADE: a fact append with an UNMATCHED d2 key folds fine
+      // (the join drops it) but breaks preservation — the subset
+      // rewrite must stop firing while the full 3-way still answers
+      graft.catalog.Layout.appendClusteredZoned(
+        factRows(301 to 310, _ => 99L), factP,
+        "ck", "ts", numBuckets = 2, filesPerBucket = 2)
+      Mv.refreshFromLog(spark, "mvspec_ll")
+      val d1r = MvCatalog.get("mvspec_ll").get
+      assert(!d1r.joins.find(_.factKeys == Seq("pk")).get.preserving,
+        "unmatched fact keys must clear the d2 preserving flag")
+      assert(d1r.joins.find(_.factKeys == Seq("ck")).get.preserving,
+        "the d1 join is still preserving (keys 1..20 all matched)")
+      assert(!subMv,
+        "subset rewrite must stop firing once d2 preservation is lost: " +
+          scanPaths(qSub).toString)
+      val q3 = spark.read.parquet(factP)
+        .join(spark.read.parquet(d1P), col("ck") === col("ck2"), "inner")
+        .join(spark.read.parquet(d2P), col("pk") === col("pk2"), "inner")
+        .groupBy("seg", "brand").agg(sum("price").as("rev"))
+        .orderBy("seg", "brand")
+      assert(scanPaths(q3).exists(_.contains("/mv_ll")),
+        "the full 3-way join must still answer from the summary: " +
+          scanPaths(q3).toString)
+      val (on3, off3) = onOff(q3)
+      assert(on3 == off3)
+    } finally MvCatalog.unregister("mvspec_ll")
+  }
+
   test("star log refresh with MIN/MAX partials refuses a retraction window") {
     import spark.implicits._
     val factP = root + "/mmx_fact"

@@ -398,6 +398,68 @@ object PipelineQueries {
         "SELECT doc_id, n_terms, CAST(round(CAST(ssum AS DOUBLE), 6) AS DOUBLE) " +
         "AS score FROM r WHERE rk <= 20 ORDER BY score DESC, doc_id")),
 
+    Q("t25_bm25_append",
+      // INCREMENTAL TERM-INDEX APPEND: the bucketed BM25 index is
+      // BUILT over two thirds of the corpus (the last corpus
+      // tokenization it ever runs); the remaining third folds in via
+      // appendTermIndex — O(batch) tokenize + write, published as a
+      // chain link under an atomic _latest flip, the existing
+      // postings untouched. The k-term search unions per-link
+      // partition-pruned reads (≤ k bucket dirs per link) and BM25's
+      // corpus stats recompute over the union, so the ranking is
+      // EXACTLY the from-scratch index's — the oracle recomputes it
+      // over the full corpus. In-gate, compactTermIndex then folds
+      // the chain to one link + vacuums, and the search must be
+      // bit-identical (hard-required).
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_t25_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        if (!TextAnalysis.termIndexExists(s, root)) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          TextAnalysis.saveTermIndex(
+            d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+            "doc_id", "text", root, nBuckets = 64)
+          TextAnalysis.appendTermIndex(
+            d.filter(pmod(col("doc_id"), lit(3)) === 0),
+            "doc_id", "text", root)
+        }
+        val terms = Seq("query", "window", "scan")
+        def search = TextAnalysis.searchBm25(
+            TextAnalysis.loadTermPostings(s, root, terms),
+            TextAnalysis.loadDocLengths(s, root), "doc_id", terms, k = 20)
+          .select(col("doc_id"), col("n_terms"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val chained = search.collect().toSeq
+        if (TextAnalysis.compactTermIndex(s, root) > 0)
+          TextAnalysis.vacuumTermIndex(s, root)
+        val out = search
+        require(out.collect().toSeq == chained,
+          "compacting the chain must not change the ranking")
+        out
+      },
+      Some("WITH idx AS (SELECT term, doc_id, count(*) AS tf FROM (" +
+        s"SELECT doc_id, unnest($toksSql) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        s"dls AS (SELECT doc_id, len($toksSql) AS dl FROM documents), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "avg(CAST(dl AS DOUBLE)) AS avgdl FROM dls), " +
+        "dfs AS (SELECT term, count(*) AS df FROM idx " +
+        "WHERE term IN ('query', 'window', 'scan') GROUP BY 1), " +
+        "sc AS (SELECT i.doc_id, CAST(round(" +
+        "ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * " +
+        "(i.tf * (1.2 + 1.0) / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl)))" +
+        ", 8) AS DECIMAL(28,8)) AS s " +
+        "FROM idx i JOIN dfs USING (term) JOIN dls d USING (doc_id), st), " +
+        "m AS (SELECT doc_id, count(*) AS n_terms, sum(s) AS ssum FROM sc " +
+        "GROUP BY doc_id), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY ssum DESC, doc_id) AS rk " +
+        "FROM m) " +
+        "SELECT doc_id, n_terms, CAST(round(CAST(ssum AS DOUBLE), 6) AS DOUBLE) " +
+        "AS score FROM r WHERE rk <= 20 ORDER BY score DESC, doc_id")),
+
     Q("t22_hybrid_rrf",
       // HYBRID retrieval: the t16 BM25 ranking fused with a vector
       // ranking (brute-force cosine for query vec_id 0) by reciprocal

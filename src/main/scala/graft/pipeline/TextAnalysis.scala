@@ -227,6 +227,109 @@ object TextAnalysis {
                       root: String): Boolean =
     IndexIo.currentSnap(spark, root).isDefined
 
+  /** INCREMENTAL INDEX APPEND — fold a batch of NEW documents into a
+    * [[saveTermIndex]] index in O(batch): the batch is tokenized and
+    * written as its own chain link (a snapshot directory holding only
+    * the batch's bucketed postings + doc lengths, with a `prev`
+    * pointer to the superseded snapshot), then the `_latest` flip
+    * publishes it atomically — the corpus is never re-tokenized, and
+    * readers of the previous version are never broken. Queries walk
+    * the chain and union the per-link partition-pruned reads, so a
+    * K-term search still opens ≤ K bucket dirs PER LINK; BM25's
+    * corpus stats (N, avgdl, df) recompute over the union, so
+    * rankings are exactly the from-scratch index's. Run
+    * [[compactTermIndex]] when the chain grows long (it bounds the
+    * per-query link factor), and [[vacuumTermIndex]] — never
+    * IndexIo's generic vacuum, which would sever the chain — to
+    * reclaim superseded snapshots. Appends are NEW docs only (dedup
+    * upstream — the d12 admission loop); re-appending an id double
+    * counts it, same contract as [[graft.pipeline.LshIndex.append]]. */
+  def appendTermIndex(docs: DataFrame, id: String, text: String,
+                      root: String): Unit = {
+    val spark = docs.sparkSession
+    val prev = IndexIo.currentSnap(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"appendTermIndex: no index at $root; saveTermIndex first"))
+    val meta = IndexIo.readMeta(spark, s"$root/$prev")
+    require(meta.get("kind").contains("terms"), s"not a term index: $root")
+    require(meta("id") == id,
+      s"appendTermIndex: index id column is ${meta("id")}, got $id")
+    val n = meta("nBuckets").toInt
+    val snap = IndexIo.newSnap()
+    val dir = s"$root/$snap"
+    termIndex(docs, id, text)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(n)))
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term"), col(id))
+      .write.partitionBy("term_bucket").parquet(s"$dir/postings")
+    docLengths(docs, id, text).write.parquet(s"$dir/doclen")
+    IndexIo.writeMeta(spark, dir,
+      Seq("kind" -> "terms", "nBuckets" -> n.toString, "id" -> id,
+        "prev" -> prev))
+    IndexIo.flip(spark, root, snap)
+  }
+
+  /** The live snapshot chain, newest first — one link per
+    * [[appendTermIndex]] since the last [[saveTermIndex]] /
+    * [[compactTermIndex]]. */
+  private def termChain(spark: org.apache.spark.sql.SparkSession,
+                        root: String): Seq[String] = {
+    val head = IndexIo.currentSnap(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"$root/_latest"))
+    Iterator.iterate(Option(head))(s =>
+        s.flatMap(x => IndexIo.readMeta(spark, s"$root/$x").get("prev")))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+  }
+
+  /** Fold the snapshot CHAIN into one full snapshot (no `prev`) and
+    * flip — one pass over the INDEX rows (tf longs, never the corpus
+    * text), restoring the one-link read path after a run of nightly
+    * appends. Readers on the old chain finish undisturbed;
+    * [[vacuumTermIndex]] reclaims it after the grace period. Returns
+    * the number of links folded. */
+  def compactTermIndex(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Int = {
+    val links = termChain(spark, root)
+    if (links.size <= 1) return 0
+    val meta = IndexIo.readMeta(spark, s"$root/${links.head}")
+    val n = meta("nBuckets").toInt
+    val id = meta("id")
+    val snap = IndexIo.newSnap()
+    val dir = s"$root/$snap"
+    links.map(l => spark.read
+        .option("basePath", s"$root/$l/postings")
+        .parquet(s"$root/$l/postings"))
+      .reduce(_ unionByName _)
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term"), col(id))
+      .write.partitionBy("term_bucket").parquet(s"$dir/postings")
+    links.map(l => spark.read.parquet(s"$root/$l/doclen"))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$dir/doclen")
+    IndexIo.writeMeta(spark, dir,
+      Seq("kind" -> "terms", "nBuckets" -> n.toString, "id" -> id))
+    IndexIo.flip(spark, root, snap)
+    links.size
+  }
+
+  /** Reclaim snapshots not reachable from the live chain — the
+    * chain-aware replacement for IndexIo's generic vacuum (which
+    * keeps only the current snapshot and would sever `prev` links).
+    * Writer-side, after the reader grace period. */
+  def vacuumTermIndex(spark: org.apache.spark.sql.SparkSession,
+                      root: String): Int = {
+    val keep = termChain(spark, root).toSet
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count { st =>
+      val name = st.getPath.getName
+      val stale = st.isDirectory && name.startsWith("snap_") &&
+        !keep.contains(name)
+      if (stale) fs.delete(st.getPath, true)
+      stale
+    }
+  }
+
   /** Query-term postings from a [[saveTermIndex]] index: the scan is
     * pruned to the ≤ |terms| bucket directories the query terms hash
     * into BEFORE any file is listed (partition pruning), then to the
@@ -234,9 +337,8 @@ object TextAnalysis {
     * [[searchBm25]]. */
   def loadTermPostings(spark: org.apache.spark.sql.SparkSession,
                        root: String, terms: Seq[String]): DataFrame = {
-    val snap = IndexIo.currentSnap(spark, root).getOrElse(
-      throw new java.io.FileNotFoundException(s"$root/_latest"))
-    val meta = IndexIo.readMeta(spark, s"$root/$snap")
+    val links = termChain(spark, root)
+    val meta = IndexIo.readMeta(spark, s"$root/${links.head}")
     val n = meta("nBuckets").toInt
     val q = terms.map(_.toLowerCase).distinct
     // the terms' bucket ids, via the engine's own xxhash64 (one
@@ -245,18 +347,24 @@ object TextAnalysis {
     val buckets = q.toDS()
       .select(pmod(xxhash64(col("value")), lit(n)))
       .collect().map(_.getLong(0)).distinct.toSeq
-    spark.read.option("basePath", s"$root/$snap/postings")
-      .parquet(s"$root/$snap/postings")
-      .filter(col("term_bucket").isin(buckets: _*) && col("term").isin(q: _*))
+    // one pruned read per chain link (≤ K bucket dirs each), unioned —
+    // partition pruning applies per relation; compactTermIndex bounds
+    // the link count
+    links.map(l => spark.read
+        .option("basePath", s"$root/$l/postings")
+        .parquet(s"$root/$l/postings")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(q: _*)))
+      .reduce(_ unionByName _)
   }
 
-  /** The stored [[docLengths]] side of a [[saveTermIndex]] index. */
+  /** The stored [[docLengths]] side of a [[saveTermIndex]] index —
+    * the whole chain's union. */
   def loadDocLengths(spark: org.apache.spark.sql.SparkSession,
-                     root: String): DataFrame = {
-    val snap = IndexIo.currentSnap(spark, root).getOrElse(
-      throw new java.io.FileNotFoundException(s"$root/_latest"))
-    spark.read.parquet(s"$root/$snap/doclen")
-  }
+                     root: String): DataFrame =
+    termChain(spark, root)
+      .map(l => spark.read.parquet(s"$root/$l/doclen"))
+      .reduce(_ unionByName _)
 
   /** TF-IDF weights per (term, doc) posting — [[searchBm25]]'s classic
     * sibling, the feature-weighting primitive (document vectors,

@@ -231,6 +231,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("appended term index: every chain link prunes to the query buckets; compact folds to one link") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tidx2").toString + "/idx"
+    def mk(r: Range) = r.map(i =>
+      (i.toLong, s"word$i alpha ${if (i % 3 == 0) "beta" else "gamma"} tail$i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.TextAnalysis.saveTermIndex(mk(1 to 200), "doc_id", "text",
+      root, nBuckets = 16)
+    graft.pipeline.TextAnalysis.appendTermIndex(mk(201 to 400),
+      "doc_id", "text", root)
+    def postings = graft.pipeline.TextAnalysis.loadTermPostings(spark, root,
+      Seq("alpha", "beta"))
+    val exec = { val df = postings; df.collect(); df.queryExecution.executedPlan }
+    val scans = exec.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"two chain links expected: ${scans.size}")
+    scans.foreach { scan =>
+      val nPart = scan.selectedPartitions.partitionCount
+      assert(nPart >= 1 && nPart <= 2,
+        s"each link must prune to ≤2 buckets, got $nPart")
+    }
+    // the chained read ≡ the from-scratch index over all 400 docs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
+    val exp = rows(graft.pipeline.TextAnalysis.termIndex(mk(1 to 400),
+      "doc_id", "text").filter(col("term").isin("alpha", "beta")))
+    assert(rows(postings) == exp)
+    // compaction folds the chain to ONE link, vacuum reclaims the rest
+    assert(graft.pipeline.TextAnalysis.compactTermIndex(spark, root) == 2)
+    assert(graft.pipeline.TextAnalysis.vacuumTermIndex(spark, root) == 2)
+    val exec2 = { val df = postings; df.collect(); df.queryExecution.executedPlan }
+    val scans2 = exec2.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans2.size == 1, s"one folded link expected: ${scans2.size}")
+    assert(rows(postings) == exp, "compaction must preserve the postings")
+  }
+
   test("d12 corpus probe broadcasts the batch side — the persisted bucket log never shuffles") {
     val p = plan("d12_incremental_dedup")
     // the probe batch is broadcast into the corpus bucket scan; a

@@ -501,6 +501,81 @@ object StreamingQueries {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY 1 ORDER BY 1")),
 
+    Q("st13_stream_star_mv",
+      // STREAMING STAR-MV MAINTENANCE over a SNAPSHOT-LOGGED fact
+      // (Streams.mvLogRefreshSink): the star summary is built over
+      // orders ⋈ customer while the fact holds only the even order
+      // keys; the odd half then STREAMS in across two micro-batches —
+      // each epoch ingests exactly-once into the Layout fact (the
+      // _e<epoch> manifest tag is the committed offset) and the
+      // summary heals itself from the snapshot log (refreshFromLog:
+      // Δ-probe-sided fact-window fold, O(batch+MV)). Durable where
+      // st10's refreshAppend sink is session-scoped: the log is the
+      // source of truth, so replays skip and missed refreshes heal on
+      // the next epoch. The final 3-way-written base query must be
+      // answered from the streamed summary alone (plan-asserted) and
+      // match the from-scratch join over ALL orders.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val root = System.getProperty("java.io.tmpdir") + "/graft_st13_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "st13_" + Integer.toHexString(root.hashCode)
+        val factP = root + "/sfact"
+        val dimP = root + "/sdim"
+        if (graft.plans.MvCatalog.get(name).isEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          val o = Tables.load(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            col("o_orderkey").as("ok"))
+          graft.catalog.Layout.writeClusteredZoned(
+            o.filter(col("ok") % 2 === 0), factP,
+            "status", "ok", numBuckets = 4, filesPerBucket = 4)
+          graft.catalog.Layout.writeClusteredZoned(
+            Tables.load(s, dir, "customer").select(
+              col("c_custkey").as("ck2"), col("c_mktsegment").as("seg")),
+            dimP, "seg", "ck2", numBuckets = 4, filesPerBucket = 2)
+          graft.plans.Mv.buildJoin(
+            s.read.parquet(factP).select("ck", "status", "price"),
+            s.read.parquet(dimP).select("ck2", "seg"),
+            name, on = Seq("ck" -> "ck2"),
+            dims = Seq("seg", "status"), measures = Seq("price"),
+            mvPath = root + "/mv")
+          // the odd half streams in across two epochs
+          val rows = o.filter(col("ok") % 2 === 1)
+            .select(col("ck"), col("status"),
+              col("price").cast("double"), col("ok"))
+            .as[(Long, String, Double, Long)].collect()
+          val (e1, e2) = rows.partition(_._4 % 4 == 1L)
+          val mem = MemoryStream[(Long, String, Double, Long)]
+          val q = graft.streaming.Streams.mvLogRefreshSink(
+            mem.toDF().toDF("ck", "status", "price", "ok")
+              .select(col("ck"), col("status"),
+                col("price").cast("decimal(18,2)").as("price"), col("ok")),
+            factP, symbol = "status", time = "ok", mvName = name,
+            nBuckets = 4, filesPerBucket = 4,
+            checkpointLocation = Some(root + "/_checkpoint"))
+          try {
+            mem.addData(e1.toIndexedSeq); q.processAllAvailable()
+            mem.addData(e2.toIndexedSeq); q.processAllAvailable()
+          } finally q.stop()
+        }
+        graft.plans.Mv.install(s)
+        MvQueries.assertMvScan(s.read.parquet(factP)
+          .join(s.read.parquet(dimP), col("ck") === col("ck2"), "inner")
+          .groupBy("seg").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("seg"))
+      },
+      Some("WITH sfact AS (SELECT o_custkey AS ck, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
+        "sdim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM sfact JOIN sdim ON ck = ck2 GROUP BY seg ORDER BY seg")),
+
     Q("st12_stream_corpus_dedup",
       // STREAMING CORPUS-DEDUP INGEST (Streams.corpusDedupSink over a
       // persisted LshIndex): batch 1 streams the whole documents

@@ -605,24 +605,71 @@ object Streams {
                  checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        val s = batch.sparkSession
-        val committed = graft.catalog.SnapshotManifest
-          .currentParts(s, root).getOrElse(Seq.empty)
-          .flatMap { case IngestEpochTag(e) => Some(e.toLong); case _ => None }
-        val highWater = if (committed.isEmpty) -1L else committed.max
-        if (epoch <= highWater) {
-          if (!batch.isEmpty)
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"ingestSink($root): high-water guard skipped non-empty " +
-                s"epoch $epoch (max committed $highWater). Expected once " +
-                "after a crash-replay; if this repeats, the query was " +
-                "restarted without its original checkpoint and incoming " +
-                "data is being DISCARDED.")
-        } else
-          graft.catalog.Layout.appendClusteredZoned(
-            batch.toDF(), root, symbol, time, nBuckets, filesPerBucket,
-            partName = Some(
-              graft.catalog.SnapshotManifest.newPartName() + s"_e$epoch"))
+        ingestEpoch(batch, epoch, root, symbol, time, nBuckets,
+          filesPerBucket)
+      }
+    checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
+
+  /** One exactly-once epoch of [[ingestSink]]: skip epochs at or below
+    * the manifest's own high-water mark (the `_e<epoch>` part-name tag
+    * IS the committed offset — crash replays are no-ops), else append
+    * crash-atomically. */
+  private def ingestEpoch(batch: Dataset[org.apache.spark.sql.Row],
+                          epoch: Long, root: String, symbol: String,
+                          time: String, nBuckets: Int,
+                          filesPerBucket: Int): Unit = {
+    val s = batch.sparkSession
+    val committed = graft.catalog.SnapshotManifest
+      .currentParts(s, root).getOrElse(Seq.empty)
+      .flatMap { case IngestEpochTag(e) => Some(e.toLong); case _ => None }
+    val highWater = if (committed.isEmpty) -1L else committed.max
+    if (epoch <= highWater) {
+      if (!batch.isEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ingestSink($root): high-water guard skipped non-empty " +
+            s"epoch $epoch (max committed $highWater). Expected once " +
+            "after a crash-replay; if this repeats, the query was " +
+            "restarted without its original checkpoint and incoming " +
+            "data is being DISCARDED.")
+    } else
+      graft.catalog.Layout.appendClusteredZoned(
+        batch.toDF(), root, symbol, time, nBuckets, filesPerBucket,
+        partName = Some(
+          graft.catalog.SnapshotManifest.newPartName() + s"_e$epoch"))
+  }
+
+  /** STREAMING STAR-MV MAINTENANCE over a SNAPSHOT-LOGGED base — the
+    * durable upgrade of [[mvRefreshSink]]: each micro-batch is
+    * ingested into the Layout fact table exactly-once (the
+    * [[ingestSink]] `_e<epoch>` manifest tag is the committed
+    * offset), then the registered summary — single-table OR star,
+    * however many dims — heals itself from the snapshot log
+    * ([[graft.plans.Mv.refreshFromLog]]): the append window folds
+    * Δ-probe-sided, O(batch + MV), and the stamp pins to the audited
+    * snapshot. Because the LOG is the source of truth, this sink is
+    * restart-safe where [[mvRefreshSink]] is session-scoped: a
+    * replayed epoch skips the ingest AND the refresh no-ops on a
+    * fresh stamp; a crash BETWEEN ingest and refresh heals on the
+    * next epoch (or the next manual refresh) — the fold can never be
+    * lost or double-applied. Dim-side appends land through their own
+    * writers; the per-epoch refresh picks them up in the same pass. */
+  def mvLogRefreshSink(stream: DataFrame, root: String, symbol: String,
+                       time: String, mvName: String, nBuckets: Int = 16,
+                       filesPerBucket: Int = 4,
+                       checkpointLocation: Option[String] = None)
+      : StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        ingestEpoch(batch, epoch, root, symbol, time, nBuckets,
+          filesPerBucket)
+        // refresh on EVERY epoch, including replayed/empty ones — the
+        // pre-crash refresh may never have run; a fresh stamp makes
+        // this a metadata-only no-op
+        graft.plans.Mv.refreshFromLog(batch.sparkSession, mvName)
+        ()
       }
     checkpointLocation
       .fold(writer)(cp => writer.option("checkpointLocation", cp))

@@ -628,6 +628,70 @@ object MvQueries {
         "count(*) AS n FROM nfact JOIN npart ON pk = pk2 " +
         "JOIN nsupp ON sk = sk2 GROUP BY brand, snat ORDER BY brand, snat")),
 
+    Q("mv12_star_rollup",
+      // ROLLUP over a STAR JOIN answered from the summary: the
+      // Aggregate→Expand plan sits over the 3-way join tree, the
+      // matcher recognizes the star source beneath the Expand, and
+      // the grouping-sets plan is rebuilt over the summary partials —
+      // subtotal and grand-total rows included, with zero joins and
+      // zero fact I/O (hard-asserted). The mv5 Expand machinery and
+      // the mv10 join matcher composed; at 100 TB a ROLLUP dashboard
+      // over fact ⋈ dims is the single most expensive recurring
+      // query shape this engine serves.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv12_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv12_" + Integer.toHexString(root.hashCode)
+        val factP = root + "/rfact"
+        val d1P = root + "/rpart"
+        val d2P = root + "/rsupp"
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          graft.catalog.Layout.writeClusteredZoned(
+            t(s, dir, "lineitem").select(
+              col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+              col("l_extendedprice").cast("decimal(18,2)").as("price"),
+              col("l_orderkey").as("ok")),
+            factP, "pk", "ok", numBuckets = 4, filesPerBucket = 4)
+          graft.catalog.Layout.writeClusteredZoned(
+            t(s, dir, "part").select(
+              col("p_partkey").as("pk2"), col("p_brand").as("brand")),
+            d1P, "brand", "pk2", numBuckets = 4, filesPerBucket = 2)
+          graft.catalog.Layout.writeClusteredZoned(
+            t(s, dir, "supplier").select(
+              col("s_suppkey").as("sk2"), col("s_nationkey").as("snat")),
+            d2P, "snat", "sk2", numBuckets = 2, filesPerBucket = 2)
+          Mv.buildStar(
+            s.read.parquet(factP).select("pk", "sk", "price"),
+            Seq(s.read.parquet(d1P).select("pk2", "brand")
+                -> Seq("pk" -> "pk2"),
+              s.read.parquet(d2P).select("sk2", "snat")
+                -> Seq("sk" -> "sk2")),
+            name, dims = Seq("brand", "snat"), measures = Seq("price"),
+            mvPath = root + "/mv")
+        }
+        Mv.install(s)
+        s.read.parquet(factP).createOrReplaceTempView("mv12f")
+        s.read.parquet(d1P).createOrReplaceTempView("mv12p")
+        s.read.parquet(d2P).createOrReplaceTempView("mv12s")
+        assertMvScan(s.sql(
+          "SELECT brand, snat, CAST(sum(price) AS DOUBLE) AS revenue, " +
+            "count(1) AS n " +
+            "FROM mv12f JOIN mv12p ON pk = pk2 JOIN mv12s ON sk = sk2 " +
+            "GROUP BY ROLLUP(brand, snat) " +
+            "ORDER BY brand NULLS FIRST, snat NULLS FIRST"))
+      },
+      Some("WITH rfact AS (SELECT l_partkey AS pk, l_suppkey AS sk, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem), " +
+        "rpart AS (SELECT p_partkey AS pk2, p_brand AS brand FROM part), " +
+        "rsupp AS (SELECT s_suppkey AS sk2, s_nationkey AS snat FROM supplier) " +
+        "SELECT brand, snat, CAST(sum(price) AS DOUBLE) AS revenue, " +
+        "count(*) AS n FROM rfact JOIN rpart ON pk = pk2 " +
+        "JOIN rsupp ON sk = sk2 GROUP BY ROLLUP(brand, snat) " +
+        "ORDER BY brand NULLS FIRST, snat NULLS FIRST")),
+
     Q("mv11_lossless_rollup",
       // LOSSLESS SUBSET-JOIN REWRITE (the Oracle/Calcite "join back"
       // class): the summary pre-joins lineitem ⋈ part ⋈ supplier, and

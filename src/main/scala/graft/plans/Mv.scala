@@ -1182,14 +1182,24 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case e: Expand => e
       case _ => return None
     }
-    val (lr, fs, conds) = stripToScan(ex.child).getOrElse(return None)
-    val scanIds = lr.output.map(_.exprId).toSet
+    // candidates below the Expand: a single scan (plain MVs, plus
+    // all-preserving star MVs answering a fact-only ROLLUP), or the
+    // star join tree — the same source discovery as plain aggregates,
+    // so ROLLUP/CUBE/GROUPING SETS over fact ⋈ dims rewrite too
+    val cands: Seq[Source] = stripToScan(ex.child).toSeq.flatMap {
+      case (lr, fs, conds) =>
+        val roots = rootsOf(fs)
+        (MvCatalog.forPaths(roots) ++
+          MvCatalog.forLeaves(Seq(roots)).map(_._1))
+          .map(Source(lr.output, conds, _))
+    } ++ joinSources(ex.child)
     // iterate EVERY candidate for this base, staleness-filtered first
     // (same discipline as tryRewrite's sources loop): a stale
     // first-by-name def must not veto a fresh sibling that can answer
-    MvCatalog.forPaths(rootsOf(fs)).view
-      .filter(mv => fpc.matches(mv.fp, mv.allBasePaths))
-      .flatMap(mv => tryExpandWith(agg, ex, scanIds, conds, mv))
+    cands.view
+      .filter(src => fpc.matches(src.mv.fp, src.mv.allBasePaths))
+      .flatMap(src => tryExpandWith(agg, ex,
+        src.baseAttrs.map(_.exprId).toSet, src.conds, src.mv))
       .headOption
   }
 

@@ -696,6 +696,23 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
         scanPaths(qAlt).toString)
       val (on4, off4) = onOff(qAlt)
       assert(on4 == off4)
+      // ROLLUP over the 3-way JOIN rewrites too (Expand over the star
+      // source) — grouping sets rebuilt over the summary partials
+      spark.read.parquet(factP).createOrReplaceTempView("s2f")
+      spark.read.parquet(d1P).createOrReplaceTempView("s2d1")
+      spark.read.parquet(d2P).createOrReplaceTempView("s2d2")
+      def qRoll = spark.sql(
+        "SELECT seg, brand, sum(price) AS rev, count(1) AS n " +
+          "FROM s2f JOIN s2d1 ON ck = ck2 JOIN s2d2 ON pk = pk2 " +
+          "GROUP BY ROLLUP(seg, brand) " +
+          "ORDER BY seg NULLS FIRST, brand NULLS FIRST")
+      assert(scanPaths(qRoll).exists(_.contains("/mv_s2")) &&
+        !scanPaths(qRoll).exists(_.endsWith("/s2_fact")),
+        "star ROLLUP must answer from the summary: " +
+          scanPaths(qRoll).toString)
+      val (on5, off5) = onOff(qRoll)
+      assert(on5.nonEmpty && on5 == off5,
+        "star ROLLUP rewrite must equal the real rollup")
     } finally MvCatalog.unregister("mvspec_star2")
   }
 

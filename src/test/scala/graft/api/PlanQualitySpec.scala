@@ -313,6 +313,7 @@ class PlanQualitySpec extends SparkSpec {
       if (!Set("e1_cosine_topk", "e6_pq_topk", "e9_sq8_topk",
           "e14_progressive_topk",
           "t16_bm25_search", "t17_lm_score", "t18_tfidf", "t22_hybrid_rrf",
+          "t25_bm25_append", // t16's BM25 kernel — same 1-row stats cross
           "a21_pagerank", "a34_segment_overlap",
           "v2_profile").contains(n))
         assert(!p.contains("BroadcastNestedLoopJoin"), n)

@@ -692,6 +692,71 @@ object MvQueries {
         "JOIN rsupp ON sk = sk2 GROUP BY ROLLUP(brand, snat) " +
         "ORDER BY brand NULLS FIRST, snat NULLS FIRST")),
 
+    Q("mv13_minmax_retraction",
+      // MIN/MAX SURVIVE NON-EXTREMAL RETRACTIONS: a MIN/MAX-carrying
+      // summary used to refuse every deleting refresh (rebuild-only).
+      // The extremal-tie guard makes the common case incremental: a
+      // CDC delete of rows STRICTLY INSIDE their groups' stored
+      // extremes provably cannot move MIN or MAX, so the retraction
+      // folds O(feed+MV) — one batch-sized deletes ⋈ MV probe decides.
+      // Here every status group carries sentinel extreme rows (-1 and
+      // 9e9), the middle slice (ok % 10 = 3) is DV-deleted, compacted
+      // out, fully vacuumed, and the log refresh folds the rw_*
+      // retraction THROUGH the MIN/MAX partials; the rewrite then
+      // answers min/max/count over the post-delete base from the
+      // summary (hard-asserted + oracle-checked). A delete that ties
+      // an extreme still refuses loudly (spec-pinned).
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv13_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv13_" + Integer.toHexString(root.hashCode)
+        val factP = root + "/xfact"
+        def q: DataFrame = s.read.parquet(factP)
+          .groupBy("status").agg(
+            min("ok").as("mn"), max("ok").as("mx"),
+            count(lit(1)).as("n")).orderBy("status")
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val o = t(s, dir, "orders").select(
+            col("o_orderstatus").as("status"), col("o_orderkey").as("ok"))
+          val sentinels = o.select("status").distinct()
+            .select(col("status"), lit(-1L).as("ok"))
+            .unionByName(o.select("status").distinct()
+              .select(col("status"), lit(9000000000L).as("ok")))
+          graft.catalog.Layout.writeClusteredZoned(
+            o.unionByName(sentinels), factP,
+            "status", "ok", numBuckets = 4, filesPerBucket = 4)
+          Mv.build(s.read.parquet(factP), name, Seq("status"),
+            measures = Seq("ok"), mvPath = root + "/mv",
+            mins = Seq("ok"), maxs = Seq("ok"))
+          Mv.install(s)
+          assertMvScan(q)
+          // CDC delete of a strictly-inside slice, then materialize it
+          // out of the plain read
+          graft.catalog.Layout.delete(s, factP, "ok",
+            pmod(col("ok"), lit(10)) === 3)
+          Mv.refreshFromLog(s, name) // dv-only restamp
+          graft.catalog.Layout.compact(s, factP, "status", "ok",
+            filesPerBucket = 4)
+          graft.catalog.Layout.vacuum(s, factP, retainPrevious = false)
+          require(scanRoots(q).exists(_.endsWith("/xfact")),
+            "staleness guard should suspend the rewrite after the compact")
+        }
+        Mv.install(s)
+        // the retraction folds THROUGH the MIN/MAX partials
+        Mv.refreshFromLog(s, name)
+        assertMvScan(q)
+      },
+      Some("WITH xfact AS (SELECT o_orderstatus AS status, " +
+        "o_orderkey AS ok FROM orders " +
+        "UNION ALL SELECT DISTINCT o_orderstatus, -1 FROM orders " +
+        "UNION ALL SELECT DISTINCT o_orderstatus, 9000000000 FROM orders) " +
+        "SELECT status, min(ok) AS mn, max(ok) AS mx, count(*) AS n " +
+        "FROM xfact WHERE ok % 10 <> 3 " +
+        "GROUP BY status ORDER BY status")),
+
     Q("mv11_lossless_rollup",
       // LOSSLESS SUBSET-JOIN REWRITE (the Oracle/Calcite "join back"
       // class): the summary pre-joins lineitem ⋈ part ⋈ supplier, and

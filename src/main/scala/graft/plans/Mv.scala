@@ -466,9 +466,13 @@ object Mv {
     * retract too, and a group whose non-null count reaches zero gets
     * its `sum_m` nulled so SUM-over-no-rows still reads as NULL).
     *
-    * Refuses MVs carrying MIN/MAX partials — those statistics do not
-    * retract (dropping the current minimum forces a rescan of its
-    * group); a deleting refresh of such a view rebuilds instead.
+    * MIN/MAX-carrying views fold under the EXTREMAL-TIE GUARD: a
+    * deleted row strictly inside its group's stored extremes cannot
+    * move MIN or MAX, so such feeds proceed (inserts extend the
+    * extremes as usual); a delete that ties or beats a stored extreme
+    * refuses with rebuild guidance — the extreme may have been the
+    * deleted row, and recovering it would force a group rescan. The
+    * guard is one batch-sized deletes ⋈ MV probe.
     * Exactness matches the kernel contract: integral and decimal
     * measures fold exactly; float measures fold to within
     * re-association rounding, as in any counting-algorithm view.
@@ -486,19 +490,39 @@ object Mv {
     * the folded rows). */
   private def refreshChangesStamped(spark: SparkSession, name: String,
                                     feed: DataFrame,
-                                    fpOverride: Option[String]): MvDef = {
+                                    fpOverride: Option[String],
+                                    extremesGuard: Boolean = true): MvDef = {
     RegistryStore.ensureLoaded(spark) // see [[refreshAppend]]
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
-    require(d.mins.isEmpty && d.maxs.isEmpty,
-      s"MV $name keeps MIN/MAX partials, which do not retract under " +
-        "deletes; rebuild instead (Mv.build is one grouped pass)")
     // re-stamp at entry: the base has already advanced to the state
     // the feed's net application reflects (see [[refreshAppend]])
     val fp = fpOverride.getOrElse(
       TableState.fingerprint(spark, d.allBasePaths))
     val cur = spark.read.parquet(d.mvPath)
     val ms = d.measures.toSeq.sorted
+    val mns = d.mins.toSeq.sorted
+    val mxs = d.maxs.toSeq.sorted
+    // MIN/MAX survive a retraction iff every deleted row sits STRICTLY
+    // inside its group's stored extremes — deleting a non-extremal row
+    // cannot move MIN or MAX, while a tie means the extreme may have
+    // BEEN the deleted row (indistinguishable from a surviving
+    // duplicate without a recount) and only a rebuild is sound.
+    // O(deletes ⋈ MV) — batch-sized probe, never a base rescan. A
+    // caller folding a feed whose delete tags only cancel same-feed
+    // inserts (the star fold's inclusion–exclusion term in append-only
+    // windows) passes extremesGuard = false: such deletes retract
+    // nothing from the stored state.
+    if (extremesGuard && (mns.nonEmpty || mxs.nonEmpty)) {
+      val dels = feed.filter(col("_change_type") === "delete")
+      val hits = mns.map(m => col(m) <= col(s"min_$m")) ++
+        mxs.map(m => col(m) >= col(s"max_$m"))
+      require(dels.join(cur, d.dims).filter(hits.reduce(_ || _)).isEmpty,
+        s"MV $name: a retracted row ties or beats its group's stored " +
+          "MIN/MAX partial — the extreme may have been the deleted row " +
+          "and MIN/MAX do not retract; rebuild instead (Mv.build / " +
+          "Mv.buildStar is one grouped pass)")
+    }
     // an unknown tag would silently corrupt counts — fail loudly,
     // in-pass (raise_error costs nothing on valid rows)
     val w = when(col("_change_type") === "insert", lit(1L))
@@ -511,12 +535,21 @@ object Mv {
       sum(col(m) * col("__w")).cast(cur.schema(s"sum_$m").dataType)
         .as(s"sum_$m"),
       sum(when(col(m).isNotNull, col("__w")).otherwise(0L)).cast("long")
-        .as(s"cnt_$m"))) :+ sum(col("__w")).cast("long").as("cnt")
+        .as(s"cnt_$m"))) ++
+      // extremes fold over INSERT rows only: inserts can extend a
+      // group's MIN/MAX; guarded deletes (above) provably cannot
+      mns.map(m => min(when(col("__w") === 1L, col(m)))
+        .cast(cur.schema(s"min_$m").dataType).as(s"min_$m")) ++
+      mxs.map(m => max(when(col("__w") === 1L, col(m)))
+        .cast(cur.schema(s"max_$m").dataType).as(s"max_$m")) :+
+      sum(col("__w")).cast("long").as("cnt")
     val delta = signed.groupBy(d.dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     val mergeAggs = ms.flatMap(m => Seq(
       sum(col(s"sum_$m")).cast(cur.schema(s"sum_$m").dataType).as(s"sum_$m"),
-      sum(col(s"cnt_$m")).cast("long").as(s"cnt_$m"))) :+
+      sum(col(s"cnt_$m")).cast("long").as(s"cnt_$m"))) ++
+      mns.map(m => min(col(s"min_$m")).as(s"min_$m")) ++
+      mxs.map(m => max(col(s"max_$m")).as(s"max_$m")) :+
       sum(col("cnt")).cast("long").as("cnt")
     val merged0 = cur.unionByName(delta).groupBy(d.dims.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
@@ -541,7 +574,9 @@ object Mv {
       when(col(s"cnt_$m") === 0L, lit(null))
         .otherwise(col(s"sum_$m"))
         .cast(cur.schema(s"sum_$m").dataType).as(s"sum_$m"),
-      col(s"cnt_$m"))) :+ col("cnt"): _*)
+      col(s"cnt_$m"))) ++
+      mns.map(m => col(s"min_$m")) ++ mxs.map(m => col(s"max_$m")) :+
+      col("cnt"): _*)
     val next = d.mvPath.replaceAll("_v\\d+$", "") + "_v" + System.nanoTime()
     nulled.write.mode("errorifexists").parquet(next)
     // caller-supplied feeds carry no lossless attestation (see
@@ -572,8 +607,9 @@ object Mv {
     *     materialized rows OUT of the plain read; their `rw_*`
     *     provenance rows ([[TableState.removedRows]]) fold in as
     *     retractions via the [[refreshChanges]] counting machinery —
-    *     unless the view keeps MIN/MAX partials, which do not
-    *     retract (that case refuses with rebuild guidance).
+    *     MIN/MAX-carrying views included, under its extremal-tie
+    *     guard (a removed row that ties or beats a stored extreme
+    *     refuses with rebuild guidance).
     *
     * Appends and retractions fold as ONE net signed feed (SUM/COUNT
     * partials commute). The fold needs every append hop's fresh files
@@ -626,11 +662,11 @@ object Mv {
       case (Some(ins), None) =>
         refreshAppendStamped(spark, name, ins, fpOverride = Some(newFp))
       case (_, Some(rm)) =>
-        require(d.mins.isEmpty && d.maxs.isEmpty,
-          s"$what: base was compacted (rows materialized out of the " +
-            "plain read) and the view keeps MIN/MAX partials, which " +
-            "do not retract; rebuild instead (Mv.build is one grouped " +
-            "pass)")
+        // MIN/MAX-carrying views proceed under the extremal-tie guard
+        // in refreshChangesStamped: a compact that removed only rows
+        // STRICTLY inside their groups' stored extremes cannot move
+        // MIN/MAX (an appended-then-removed row that would corrupt a
+        // fold necessarily ties-or-beats a stored extreme and refuses)
         val cols = d.dims ++ d.measures.toSeq.sorted
         val feed = inserted
           .map(_.select(cols.map(col): _*)
@@ -670,9 +706,13 @@ object Mv {
     * needs no signed fold at all: ONE table moved append-only folds
     * `ΔTᵢ ⋈ (others pinned)` as a plain insert batch (MIN/MAX
     * partials fine), and dv-only windows restamp without touching the
-    * summary. Any retraction in the window (a compact on any base)
-    * requires retractable partials — MIN/MAX refuses with rebuild
-    * guidance — and a time-retention EXPIRY refuses outright (it
+    * summary. MIN/MAX partials fold through any APPEND-ONLY window
+    * (one-table or multi-table); a genuine retraction (a compact on
+    * any base) with MIN/MAX refuses with rebuild guidance — the mixed
+    * cross terms can tag phantom rows as inserts, corrupting a folded
+    * extreme undetectably (single-table retractions, with no cross
+    * terms, instead proceed under [[refreshChanges]]'s extremal-tie
+    * guard) — and a time-retention EXPIRY refuses outright (it
     * removes rows without materialized provenance, by contract). The
     * term count is 2^m − 1 for m MOVED tables (nightly m ≤ 2), never
     * 2^(k+1). At 100 TB this closes the gaps where a dim append — or
@@ -830,12 +870,20 @@ object Mv {
     } else {
       // retractions and/or several tables moved: the full signed
       // inclusion–exclusion fold over every nonempty subset S of the
-      // moved roles — 2^m − 1 terms (m = moved tables; nightly m ≤ 2)
-      require(d.mins.isEmpty && d.maxs.isEmpty,
-        s"$what: the window retracts join rows (compact) or moves " +
-          "several bases, and the view keeps MIN/MAX partials, which " +
-          "do not retract through the signed join-delta fold; " +
-          "rebuild with Mv.buildStar")
+      // moved roles — 2^m − 1 terms (m = moved tables; nightly m ≤ 2).
+      // MIN/MAX partials fold fine through a pure multi-APPEND window
+      // (every insert-tagged row is net-present; the delete-tagged
+      // inclusion–exclusion rows only cancel same-feed duplicate
+      // inserts, retracting nothing from the stored state — so the
+      // extremal-tie guard is off). A GENUINE retraction (rw
+      // provenance) refuses: its mixed-window cross terms can tag
+      // never-present phantom rows as inserts, which would corrupt a
+      // folded extreme undetectably.
+      val anyRetraction = deltas.exists(_._2.nonEmpty)
+      require(!anyRetraction || (d.mins.isEmpty && d.maxs.isEmpty),
+        s"$what: the window retracts join rows (compact) and the view " +
+          "keeps MIN/MAX partials, which do not retract through the " +
+          "signed join-delta fold; rebuild with Mv.buildStar")
       // signed per-role deltas, weight columns role-local so the
       // Δ⋈Δ joins never turn ambiguous
       val sd: Map[Int, DataFrame] = movedRoles.map { i =>
@@ -860,7 +908,8 @@ object Mv {
       }
       val feed = movedRoles.toSet.subsets().filter(_.nonEmpty).toSeq
         .map(term).reduce(_ unionByName _)
-      refreshChangesStamped(spark, name, feed, fpOverride = Some(newFp))
+      refreshChangesStamped(spark, name, feed, fpOverride = Some(newFp),
+        extremesGuard = false)
     }
   }
 

@@ -247,24 +247,40 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_overret")
   }
 
-  test("CDC refresh refuses a MIN/MAX-carrying view and unknown tags fail loudly") {
+  test("CDC refresh on a MIN/MAX view: inside-the-extremes deletes fold, ties refuse, bad tags fail") {
     import spark.implicits._
-    assertThrows[IllegalArgumentException] {
-      Mv.refreshChanges(spark, "mvspec_fact", // registered with min/max
-        Seq(("A", "F", 1L, BigDecimal(1)) )
-          .toDF("rf", "ls", "qty", "price")
-          .withColumn("_change_type", lit("delete")))
-    }
     val fp = root + "/fact5"
-    Seq(("A", 1L)).toDF("rf", "qty").write.mode("overwrite").parquet(fp)
+    Seq(("A", 1L), ("A", 5L), ("A", 9L), ("B", 4L))
+      .toDF("rf", "qty").write.mode("overwrite").parquet(fp)
     try {
       Mv.build(spark.read.parquet(fp), "mvspec_cdc1", Seq("rf"),
-        measures = Seq("qty"), mvPath = root + "/mv5")
+        measures = Seq("qty"), mvPath = root + "/mv5",
+        mins = Seq("qty"), maxs = Seq("qty"))
+      // (A,5) sits strictly inside A's extremes (1, 9): the delete
+      // folds and MIN/MAX stand; the same feed's insert extends B's
+      Mv.refreshChanges(spark, "mvspec_cdc1",
+        Seq(("A", 5L, "delete"), ("B", 99L, "insert"))
+          .toDF("rf", "qty", "_change_type"))
+      val mv = spark.read.parquet(MvCatalog.get("mvspec_cdc1").get.mvPath)
+      val a = mv.filter(col("rf") === "A")
+        .select("cnt", "sum_qty", "min_qty", "max_qty").head()
+      assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) ==
+        ((2L, 10L, 1L, 9L)), a.toString)
+      val b = mv.filter(col("rf") === "B")
+        .select("cnt", "min_qty", "max_qty").head()
+      assert((b.getLong(0), b.getLong(1), b.getLong(2)) == ((2L, 4L, 99L)),
+        b.toString)
+      // deleting A's max TIES the stored extreme — refuse loudly
+      val ex = intercept[IllegalArgumentException] {
+        Mv.refreshChanges(spark, "mvspec_cdc1",
+          Seq(("A", 9L, "delete")).toDF("rf", "qty", "_change_type"))
+      }
+      assert(ex.getMessage.contains("MIN/MAX"), ex.getMessage)
       val bad = Seq(("A", 1L, "upsert")).toDF("rf", "qty", "_change_type")
-      val ex = intercept[Exception] {
+      val ex2 = intercept[Exception] {
         Mv.refreshChanges(spark, "mvspec_cdc1", bad)
       }
-      assert(ex.getMessage != null)
+      assert(ex2.getMessage != null)
     } finally MvCatalog.unregister("mvspec_cdc1")
   }
 
@@ -792,6 +808,49 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_ll")
   }
 
+  test("log refresh folds a compact retraction through MIN/MAX when no extreme is touched") {
+    import spark.implicits._
+    val base = root + "/mmx_single"
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 100).map(i => (s"S${i % 2}", i.toLong)).toDF("sym", "price"),
+      base, "sym", "price", numBuckets = 2, filesPerBucket = 2)
+    def q = spark.read.parquet(base).groupBy("sym").agg(
+      min("price").as("mn"), max("price").as("mx"),
+      sum("price").as("s"), count(lit(1)).as("n")).orderBy("sym")
+    try {
+      Mv.build(spark.read.parquet(base), "mvspec_mmx1", Seq("sym"),
+        measures = Seq("price"), mvPath = root + "/mv_mmx1",
+        mins = Seq("price"), maxs = Seq("price"))
+      // delete STRICTLY-INSIDE rows (prices 40..60; extremes are
+      // 1/2 and 99/100 per sym) → dv restamp → compact materializes
+      // them out → the retraction folds THROUGH the MIN/MAX view
+      graft.catalog.Layout.delete(spark, base, "price",
+        col("price").between(40L, 60L))
+      Mv.refreshFromLog(spark, "mvspec_mmx1") // dv-only restamp
+      graft.catalog.Layout.compact(spark, base, "sym", "price",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, base, retainPrevious = false)
+      Mv.refreshFromLog(spark, "mvspec_mmx1")
+      assert(scanPaths(q).exists(_.contains("/mv_mmx1")),
+        scanPaths(q).toString)
+      val (on, off) = onOff(q)
+      assert(on.nonEmpty && on == off,
+        "MIN/MAX must survive a non-extremal compact retraction")
+      // deleting a group's MAX (price 100) ties the stored extreme —
+      // the log refresh refuses with rebuild guidance
+      graft.catalog.Layout.delete(spark, base, "price",
+        col("price") === 100L)
+      Mv.refreshFromLog(spark, "mvspec_mmx1") // dv-only restamp
+      graft.catalog.Layout.compact(spark, base, "sym", "price",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, base, retainPrevious = false)
+      val ex = intercept[IllegalArgumentException] {
+        Mv.refreshFromLog(spark, "mvspec_mmx1")
+      }
+      assert(ex.getMessage.contains("MIN/MAX"), ex.getMessage)
+    } finally MvCatalog.unregister("mvspec_mmx1")
+  }
+
   test("star log refresh with MIN/MAX partials refuses a retraction window") {
     import spark.implicits._
     val factP = root + "/mmx_fact"
@@ -815,6 +874,21 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
         Seq((11L, "S0", 1000L)).toDF("ck", "status", "price"),
         factP, "status", "price", numBuckets = 2, filesPerBucket = 2)
       Mv.refreshFromLog(spark, "mvspec_mmx")
+      // a TWO-SIDED append window folds through MIN/MAX too (pure
+      // multi-append: the inclusion–exclusion deletes only cancel
+      // same-feed duplicate inserts) — the appended fact rows
+      // reference the appended dim key, extending the max
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq((12L, "S1", 2000L)).toDF("ck", "status", "price"),
+        factP, "status", "price", numBuckets = 2, filesPerBucket = 2)
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq((12L, "G1")).toDF("ck2", "seg"),
+        dimP, "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+      Mv.refreshFromLog(spark, "mvspec_mmx")
+      val mx = spark.read.parquet(MvCatalog.get("mvspec_mmx").get.mvPath)
+        .agg(max("max_price")).head().getLong(0)
+      assert(mx == 2000L,
+        s"two-sided append must extend the folded MAX, got $mx")
       // a retraction window (compact after a dv delete) must refuse:
       // MAX does not retract
       graft.catalog.Layout.delete(spark, factP, "price",

@@ -808,6 +808,82 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister("mvspec_ll")
   }
 
+  test("differential: a star MV refreshed through every window type always equals the re-join") {
+    import spark.implicits._
+    val factP = root + "/diff_fact"
+    val dimP = root + "/diff_dim"
+    val rnd = new scala.util.Random(20260815L) // seeded — reproducible
+    var nextId = 0L
+    def factRows(n: Int) = (1 to n).map { _ =>
+      nextId += 1
+      (rnd.nextInt(30).toLong + 1, s"S${rnd.nextInt(3)}",
+        rnd.nextInt(1000).toLong, nextId)
+    }.toDF("ck", "status", "price", "ts")
+    def dimRows(r: Range) = r.map(i => (i.toLong, s"G${i % 5}")).toDF("ck2", "seg")
+    graft.catalog.Layout.writeClusteredZoned(factRows(200), factP,
+      "status", "ts", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(dimRows(1 to 30), dimP,
+      "seg", "ck2", numBuckets = 2, filesPerBucket = 2)
+    def q = spark.read.parquet(factP)
+      .join(spark.read.parquet(dimP), col("ck") === col("ck2"), "inner")
+      .groupBy("seg", "status")
+      .agg(sum("price").as("rev"), count(lit(1)).as("n"))
+      .orderBy("seg", "status")
+    try {
+      Mv.buildJoin(
+        spark.read.parquet(factP).select("ck", "status", "price"),
+        spark.read.parquet(dimP).select("ck2", "seg"),
+        "mvspec_diff", on = Seq("ck" -> "ck2"),
+        dims = Seq("seg", "status"), measures = Seq("price"),
+        mvPath = root + "/mv_diff")
+      var dimHi = 30
+      // 12 windows drawn from every maintenance shape; refresh after
+      // each and hard-compare the rewritten answer to the real join
+      (1 to 12).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 => // fact append
+            graft.catalog.Layout.appendClusteredZoned(factRows(
+              20 + rnd.nextInt(30)), factP, "status", "ts",
+              numBuckets = 2, filesPerBucket = 2)
+          case 1 => // dim append (fresh keys only — PK stays unique)
+            graft.catalog.Layout.appendClusteredZoned(
+              dimRows(dimHi + 1 to dimHi + 5), dimP, "seg", "ck2",
+              numBuckets = 2, filesPerBucket = 2)
+            dimHi += 5
+          case 2 => // both sides move in one window
+            graft.catalog.Layout.appendClusteredZoned(factRows(10),
+              factP, "status", "ts", numBuckets = 2, filesPerBucket = 2)
+            graft.catalog.Layout.appendClusteredZoned(
+              dimRows(dimHi + 1 to dimHi + 3), dimP, "seg", "ck2",
+              numBuckets = 2, filesPerBucket = 2)
+            dimHi += 3
+          case 3 => // fact CDC delete → restamp → compact → vacuum
+            graft.catalog.Layout.delete(spark, factP, "ts",
+              pmod(col("ts"), lit(7)) === (step % 7).toLong)
+            Mv.refreshFromLog(spark, "mvspec_diff")
+            graft.catalog.Layout.compact(spark, factP, "status", "ts",
+              filesPerBucket = 2)
+            graft.catalog.Layout.vacuum(spark, factP,
+              retainPrevious = false)
+          case 4 => // dim delete → restamp → compact → vacuum
+            graft.catalog.Layout.delete(spark, dimP, "ck2",
+              pmod(col("ck2"), lit(11)) === (step % 11).toLong)
+            Mv.refreshFromLog(spark, "mvspec_diff")
+            graft.catalog.Layout.compact(spark, dimP, "seg", "ck2",
+              filesPerBucket = 2)
+            graft.catalog.Layout.vacuum(spark, dimP,
+              retainPrevious = false)
+        }
+        Mv.refreshFromLog(spark, "mvspec_diff")
+        assert(scanPaths(q).exists(_.contains("/mv_diff")),
+          s"step $step: rewrite must fire after refresh: " +
+            scanPaths(q).toString)
+        val (on, off) = onOff(q)
+        assert(on == off, s"step $step: refreshed summary diverged")
+      }
+    } finally MvCatalog.unregister("mvspec_diff")
+  }
+
   test("log refresh folds a compact retraction through MIN/MAX when no extreme is touched") {
     import spark.implicits._
     val base = root + "/mmx_single"

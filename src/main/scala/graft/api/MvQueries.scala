@@ -335,6 +335,155 @@ object MvQueries {
         "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM child JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
 
+    Q("j26_outer_join_elim",
+      // PK-only OUTER-join elimination: the query LEFT-joins the fact
+      // to a dim "just in case" but consumes only fact columns; with
+      // the dim key declared (and audited) UNIQUE the join is the
+      // identity on the fact — every row emits exactly once whether
+      // matched, orphaned, or NULL-keyed — so the optimizer drops the
+      // dim scan and the join entirely (hard-asserted), with no FK
+      // audit and no IsNotNull filter. The fact deliberately carries a
+      // NULL-keyed row and an orphan row; the oracle pays the real
+      // left join over the same rows.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_oj_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "oj_" + Integer.toHexString(root.hashCode)
+        if (PkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .unionByName(s.range(1).select(
+              lit(null).cast("bigint").as("ck"), lit("X").as("status"),
+              lit("1.00").cast("decimal(18,2)").as("price")))
+            .unionByName(s.range(1).select(
+              lit(-42L).as("ck"), lit("X").as("status"),
+              lit("2.00").cast("decimal(18,2)").as("price")))
+            .write.mode("overwrite").parquet(root + "/child")
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(root + "/dim")
+          DistinctElim.declareUniqueKey(name,
+            s.read.parquet(root + "/dim"), Seq("ck2"))
+        }
+        JoinElim.install(s)
+        val df = s.read.parquet(root + "/child")
+          .join(s.read.parquet(root + "/dim"),
+            col("ck") === col("ck2"), "left")
+          .groupBy("status").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("status")
+        val scans = scanRoots(df)
+        require(!scans.exists(_.endsWith("/dim")) &&
+          scans.exists(_.endsWith("/child")),
+          s"outer-join elimination did not fire; scans = $scans")
+        df
+      },
+      Some("WITH child AS (SELECT o_custkey AS ck, o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders " +
+        "UNION ALL SELECT NULL, 'X', CAST(1.00 AS DECIMAL(18,2)) " +
+        "UNION ALL SELECT -42, 'X', CAST(2.00 AS DECIMAL(18,2))), " +
+        "dim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM child LEFT JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
+
+    Q("mv14_distinct_bitmap",
+      // EXACT COUNT(DISTINCT measure) from the MV: the summary stores
+      // a mergeable value BITMAP per (rf, ls) group for ok/sk; a query
+      // rolling up to rf alone OR-merges the groups' bitmaps and reads
+      // cardinality — exact even though the SAME order/supplier keys
+      // occur under both ls values (summed per-group distinct counts
+      // would double-count; HLL would approximate). The summary is
+      // built over the odd-linenumber half and the even half folds in
+      // via refreshAppend, whose bitmap OR-merge must count keys
+      // present in BOTH halves exactly once. Hard-asserts the fact is
+      // never scanned; the oracle recomputes from the raw rows.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv14_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv14_" + Integer.toHexString(root.hashCode)
+        val factPath = root + "/fact"
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "lineitem").select(
+            col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+            col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+            col("l_linenumber").as("ln"),
+            col("l_quantity").cast("bigint").as("qty"))
+            .write.mode("overwrite").parquet(factPath)
+          val full = s.read.parquet(factPath)
+          Mv.build(full.filter(col("ln") % 2 === 1), name, Seq("rf", "ls"),
+            measures = Seq("qty"), mvPath = root + "/mv",
+            distincts = Seq("ok", "sk"))
+          Mv.refreshAppend(s, name, full.filter(col("ln") % 2 === 0))
+        }
+        Mv.install(s)
+        // ONE distinct aggregate per query: Spark's logical
+        // RewriteDistinctAggregates mangles multi-distinct plans into
+        // an Expand before user rules run; a single distinct stays a
+        // plain Aggregate (planned via AggUtils at physical) and
+        // rewrites — sk stays bitmap-tracked for its own queries
+        assertMvScan(s.read.parquet(factPath).groupBy("rf").agg(
+          countDistinct(col("ok")).as("n_ok"),
+          sum("qty").as("sum_qty"),
+          count(lit(1)).as("n")).orderBy("rf"))
+      },
+      Some("WITH fact AS (SELECT l_returnflag AS rf, l_orderkey AS ok, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem) " +
+        "SELECT rf, count(DISTINCT ok) AS n_ok, " +
+        "CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n " +
+        "FROM fact GROUP BY rf ORDER BY rf")),
+
+    Q("mv15_filtered_mv",
+      // FILTERED (partial) MV — the Oracle/Calcite partial-MV class:
+      // the summary is declared WITH a predicate (`ls = 'F'`), holds
+      // only that slice, and the filter column is NOT a dim — the
+      // view is strictly smaller than any full summary could be. A
+      // query whose filters SUBSUME the predicate (canonical-conjunct
+      // containment) answers from it, with the subsumed conjuncts
+      // dropped (already applied at build) and the extra dim filter
+      // evaluated against the summary. Hard-asserts the fact is never
+      // scanned; the oracle recomputes from the raw rows.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv15_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv15_" + Integer.toHexString(root.hashCode)
+        val factPath = root + "/fact"
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "lineitem").select(
+            col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+            col("l_linenumber").as("ln"),
+            col("l_quantity").cast("bigint").as("qty"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(factPath)
+          Mv.build(s.read.parquet(factPath), name, Seq("rf", "ln"),
+            measures = Seq("qty", "price"), mvPath = root + "/mv",
+            where = Some("ls = 'F'"))
+        }
+        Mv.install(s)
+        assertMvScan(s.read.parquet(factPath)
+          .filter(col("ls") === "F" && col("ln") <= 4)
+          .groupBy("rf").agg(
+            sum("qty").as("sum_qty"),
+            count(lit(1)).as("n"),
+            sum("price").cast("double").as("revenue")).orderBy("rf"))
+      },
+      Some("WITH fact AS (SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+        "l_linenumber AS ln, CAST(l_quantity AS BIGINT) AS qty, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem) " +
+        "SELECT rf, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n, " +
+        "CAST(sum(price) AS DOUBLE) AS revenue " +
+        "FROM fact WHERE ls = 'F' AND ln <= 4 " +
+        "GROUP BY rf ORDER BY rf")),
+
     Q("mv7_mv_log_refresh",
       // LOG-DRIVEN MV SELF-REFRESH: the summary is built while the
       // snapshot-logged base holds only the pre-1997 orders; a nightly

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.plans.PlanMatch.{conjuncts, equiPairs, rootsOf, stripToScan}
@@ -68,7 +68,12 @@ object FkCatalog {
   *     beyond IsNotNull(parent key) — a real dim filter changes which
   *     child rows survive and must keep the join;
   *   - the node above the join (Project or Aggregate) references no
-  *     parent-side attribute. */
+  *     parent-side attribute.
+  *
+  * The same rule also eliminates LEFT/RIGHT OUTER joins against a
+  * VERIFIED UNIQUE key ([[PkCatalog]] — the [[DistinctElim]]
+  * declarations), which needs no FK at all: see
+  * [[JoinElimRule.tryOuter]]. */
 object JoinElim {
 
   /** Run the PK audit on the parent and the FK audit child→parent
@@ -249,7 +254,8 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // a fresh driver loads persisted declarations before the isEmpty
     // short-circuit (no-op unless graft.registry.path is set)
     RegistryStore.ensureLoaded(spark)
-    if (FkCatalog.isEmpty ||
+    // PkCatalog counts too: the OUTER elimination needs no FK edge
+    if ((FkCatalog.isEmpty && PkCatalog.isEmpty) ||
       conf.getConfString("graft.joinelim.enabled", "true") != "true") plan
     else {
       // one fingerprint probe per table per PASS (FpCache), however
@@ -273,19 +279,71 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** If `j` is a verified-FK inner join whose parent side contributes
-    * nothing to `needed`, return the replacement child subtree. */
+  /** If `j` is a verified-FK inner join — or a LEFT/RIGHT OUTER join
+    * to a verified-unique key — whose parent side contributes nothing
+    * to `needed`, return the replacement child subtree. */
   private def eliminate(j: Join, needed: Seq[Attribute],
                         fpc: FpCache): Option[LogicalPlan] = {
-    if (j.joinType != Inner) return None
     val cond = j.condition.getOrElse(return None)
-    val pairs = equiPairs(cond).getOrElse(return None)
 
-    // try both orientations: (child=left, parent=right) and flipped
-    Seq((j.left, j.right), (j.right, j.left)).view.flatMap {
-      case (childPlan, parentPlan) =>
-        tryOne(childPlan, parentPlan, pairs, needed, fpc)
-    }.headOption
+    j.joinType match {
+      case Inner =>
+        val pairs = equiPairs(cond).getOrElse(return None)
+        // try both orientations: (child=left, parent=right) and flipped
+        Seq((j.left, j.right), (j.right, j.left)).view.flatMap {
+          case (childPlan, parentPlan) =>
+            tryOne(childPlan, parentPlan, pairs, needed, fpc)
+        }.headOption
+      case LeftOuter => tryOuter(j.left, j.right, cond, needed, fpc)
+      case RightOuter => tryOuter(j.right, j.left, cond, needed, fpc)
+      case _ => None
+    }
+  }
+
+  /** OUTER-JOIN ELIMINATION ON A VERIFIED UNIQUE KEY — the PK-only
+    * sibling of the FK rewrite: `fact LEFT JOIN dim ON fk = pk` where
+    * the query consumes no dim column is the identity on the fact
+    * WHENEVER `pk` is verified unique — every fact row emits exactly
+    * once (matched: the unique key caps matches at one; unmatched or
+    * null-keyed: null-padded, still one row). No FK existence audit,
+    * no IsNotNull filter, and — unlike the inner case — CHILD
+    * staleness is irrelevant: only the parent's uniqueness stamp
+    * gates the rewrite, so fact appends never suspend it. Residual
+    * parent-side filters are fine too (uniqueness survives any row
+    * subset; a filtered-out match just becomes a null-pad the query
+    * never looks at). At 100 TB this deletes the dim scan + broadcast
+    * from every LEFT-joined lookup a query generator bolts on "just
+    * in case". */
+  private def tryOuter(childPlan: LogicalPlan, parentPlan: LogicalPlan,
+                       cond: Expression, needed: Seq[Attribute],
+                       fpc: FpCache): Option[LogicalPlan] = {
+    val (prl, pfs, _) = stripToScan(parentPlan).getOrElse(return None)
+
+    // nothing above the join may consume a parent-side column
+    val parentIds = prl.output.map(_.exprId).toSet
+    if (needed.exists(a => parentIds.contains(a.exprId))) return None
+
+    // attribute each equality's parent side by exprId (names can
+    // repeat across sides; ids cannot)
+    val pIds = parentPlan.output.map(_.exprId).toSet
+    val cIds = childPlan.output.map(_.exprId).toSet
+    val parentKeys = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if pIds.contains(a.exprId) && cIds.contains(b.exprId) => a.name
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if cIds.contains(a.exprId) && pIds.contains(b.exprId) => b.name
+      case _ => return None // non-equi or one-sided conjunct
+    }.toSet
+
+    // a verified unique key of the parent scan must be covered by the
+    // equality columns: per fact row the match set is then a subset of
+    // one unique-key group — at most one row
+    val ok = PkCatalog.forPaths(rootsOf(pfs)).exists(d =>
+      d.keys.forall(parentKeys.contains) &&
+        // staleness guard: the parent moved since the PK audit → an
+        // appended duplicate could fan the fact out — keep the join
+        fpc.matches(d.fp, d.paths))
+    if (ok) Some(childPlan) else None
   }
 
   private def tryOne(childPlan: LogicalPlan, parentPlan: LogicalPlan,

@@ -19,9 +19,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *
   * Column-naming contract (fixed by [[Mv.build]]): for each measure
   * column `m` the MV stores `sum_m` and `cnt_m` (non-null count);
-  * optionally `min_m` / `max_m`; and one `cnt` = COUNT(*). Dims keep
-  * their base names. The rewrite re-aggregates those partials, which
-  * is exact because SUM/COUNT/MIN/MAX are self-decomposable.
+  * optionally `min_m` / `max_m`; for each `distincts` column an exact
+  * value bitmap `bm_m` ([[graft.functions.BitmapAgg]] over the long
+  * cast — COUNT(DISTINCT m) then re-aggregates as
+  * `bitmap_card(bitmap_or_agg(bm_m))`, exact at any rollup, where
+  * counts cannot sum and HLL only approximates); and one `cnt` =
+  * COUNT(*). Dims keep their base names. The rewrite re-aggregates
+  * those partials, which is exact because SUM/COUNT/MIN/MAX are
+  * self-decomposable and bitmaps OR-merge.
   *
   * STALENESS is ENFORCED: the view answers for the base table as of
   * its build/refresh, and the [[MvDef.fp]] fingerprint check in
@@ -69,7 +74,9 @@ case class MvDef(name: String,
                  mins: Set[String],
                  maxs: Set[String],
                  joins: Seq[MvJoin] = Nil,
-                 fp: String = "") {
+                 fp: String = "",
+                 distincts: Set[String] = Set.empty,
+                 where: Option[String] = None) {
   def allBasePaths: Set[String] =
     basePaths ++ joins.flatMap(_.dimPaths)
 }
@@ -104,14 +111,19 @@ object MvCatalog {
     // part files a cached relation's file index still lists; binding
     // it would fail at execution with FileNotFoundException
     relCache.remove(d.mvPath)
+    predCache.remove(d.mvPath)
     defs.put(d.name, d).foreach { old =>
-      if (old.mvPath != d.mvPath) relCache.remove(old.mvPath)
+      if (old.mvPath != d.mvPath) {
+        relCache.remove(old.mvPath); predCache.remove(old.mvPath)
+      }
     }
   }
   def get(name: String): Option[MvDef] = defs.get(name)
   def unregister(name: String): Unit =
-    defs.remove(name).foreach(old => relCache.remove(old.mvPath))
-  def clear(): Unit = { defs.clear(); relCache.clear() }
+    defs.remove(name).foreach { old =>
+      relCache.remove(old.mvPath); predCache.remove(old.mvPath)
+    }
+  def clear(): Unit = { defs.clear(); relCache.clear(); predCache.clear() }
   def isEmpty: Boolean = defs.isEmpty
   def all: Seq[MvDef] = defs.values.toSeq.sortBy(_.name)
 
@@ -127,6 +139,33 @@ object MvCatalog {
           relCache.put(mvPath, rel); Some(rel)
         case _ => None
       }
+    }
+
+  /** Canonical conjunct set of a filtered MV's predicate, memoized per
+    * summary version ([[relCache]] discipline): the `where` text is
+    * re-analyzed against the base schema and run through the SAME
+    * optimizer pipeline a candidate query's filters pass through, so
+    * the two sides canonicalize identically. Empty for unfiltered
+    * MVs; one base footer read per registered version otherwise. */
+  private val predCache = TrieMap.empty[String, Set[String]]
+  private[plans] def predConjuncts(spark: SparkSession,
+                                   d: MvDef): Set[String] =
+    d.where match {
+      case None => Set.empty
+      case Some(w) => predCache.getOrElseUpdate(d.mvPath,
+        try {
+          val base = spark.read.parquet(d.basePaths.toSeq.sorted: _*)
+          base.filter(org.apache.spark.sql.functions.expr(w))
+            .queryExecution.optimizedPlan.collect {
+              case Filter(c, _) => PlanMatch.conjuncts(c)
+            }.flatten.map(PlanMatch.canon).toSet
+        } catch {
+          // un-analyzable predicate (schema drift, vanished base):
+          // planning must not crash — park the view on a conjunct no
+          // query can carry, so the rewrite just never fires
+          case scala.util.control.NonFatal(_) =>
+            Set(s"__unanswerable__${d.name}")
+        })
     }
 
   /** Single-table MVs whose base is exactly this scan's root-path set. */
@@ -217,18 +256,51 @@ object Mv {
 
   /** The MV's partial-aggregate shape over any slice of base rows —
     * shared by [[build]] (whole base) and [[refreshAppend]] (a batch),
-    * so the two can never disagree on the column contract. */
+    * so the two can never disagree on the column contract.
+    * `distincts` columns additionally store a `bm_m` EXACT value
+    * bitmap ([[graft.functions.BitmapAgg]]) per group — the mergeable
+    * partial that lets COUNT(DISTINCT m) re-aggregate across any dim
+    * rollup (bitmaps OR; counts cannot sum). */
   private def summarize(df: DataFrame, dims: Seq[String],
                         measures: Seq[String], mins: Seq[String],
-                        maxs: Seq[String]): DataFrame = {
+                        maxs: Seq[String],
+                        distincts: Seq[String] = Nil): DataFrame = {
     val aggs =
       measures.flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
         count(col(m)).as(s"cnt_$m"))) ++
         mins.map(m => min(col(m)).as(s"min_$m")) ++
-        maxs.map(m => max(col(m)).as(s"max_$m")) :+
+        maxs.map(m => max(col(m)).as(s"max_$m")) ++
+        distincts.map(m => graft.functions.BitmapAgg
+          .bitmap_agg(col(m).cast(LongType)).as(s"bm_$m")) :+
         count(lit(1)).as("cnt")
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Column names a filtered MV's predicate references (empty when
+    * unfiltered) — the log refresh must carry them through its feed
+    * projection so the scoping filter can still evaluate. */
+  private def whereRefs(d: MvDef): Seq[String] =
+    d.where.toSeq.flatMap(w =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .expression(org.apache.spark.sql.functions.expr(w)).collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            u.name
+        })
+
+  /** Distinct-tracked columns must be integral: the bitmap partial is
+    * keyed on the value AS A LONG, and only an injective cast keeps
+    * `COUNT(DISTINCT m) == |bitmap|` exact. */
+  private def requireIntegral(df: DataFrame, distincts: Seq[String],
+                              name: String): Unit =
+    distincts.foreach { m =>
+      val dt = df.schema(m).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType).contains(dt),
+        s"MV $name: COUNT(DISTINCT $m) tracking needs an integral " +
+          s"column (got $dt) — the exact bitmap partial is keyed on the " +
+          "long value; hash or dictionary-encode other types first")
+    }
 
   /** Build the summary parquet for `base` grouped by `dims` and
     * register it. One distributed grouped pass over the base (partial
@@ -236,8 +308,11 @@ object Mv {
     * cardinality — the whole point is that it is ≪ |base|. */
   def build(base: DataFrame, name: String, dims: Seq[String],
             measures: Seq[String], mvPath: String,
-            mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef = {
+            mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+            distincts: Seq[String] = Nil,
+            where: Option[String] = None): MvDef = {
     val paths = basePathsOf(base)
+    requireIntegral(base, distincts, name)
     // fingerprint FIRST, freshness check second: a commit landing in
     // the fingerprint→requireFresh gap changes the live listing and
     // fails requireFresh loudly, and one landing after requireFresh
@@ -250,10 +325,19 @@ object Mv {
     // the frame's pinned listing must still BE the table (a write in
     // the read→build gap would be stamped but not summarized)
     TableState.requireFresh(base.sparkSession, base, paths, s"MV $name")
-    summarize(base, dims, measures, mins, maxs)
+    // FILTERED (partial) MV: the predicate is part of the view
+    // DEFINITION — the summary holds only σ(where) rows, and the
+    // rewrite fires only for queries whose filters SUBSUME it (the
+    // predicate's canonical conjuncts are a subset of the query's).
+    // Much smaller than a full summary when the hot slice is small —
+    // the Oracle/Calcite partial-MV class.
+    val slice = where.map(w =>
+      base.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(base)
+    summarize(slice, dims, measures, mins, maxs, distincts)
       .write.mode("overwrite").parquet(mvPath)
     val d = MvDef(name, paths, mvPath, dims,
-      measures.toSet, mins.toSet, maxs.toSet, fp = fp)
+      measures.toSet, mins.toSet, maxs.toSet, fp = fp,
+      distincts = distincts.toSet, where = where)
     MvCatalog.register(d)
     RegistryStore.autoPersist(base.sparkSession)
     d
@@ -273,9 +357,10 @@ object Mv {
   def buildJoin(fact: DataFrame, dim: DataFrame, name: String,
                 on: Seq[(String, String)], dims: Seq[String],
                 measures: Seq[String], mvPath: String,
-                mins: Seq[String] = Nil, maxs: Seq[String] = Nil): MvDef =
+                mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+                distincts: Seq[String] = Nil): MvDef =
     buildStar(fact, Seq(dim -> on), name, dims, measures, mvPath,
-      mins, maxs)
+      mins, maxs, distincts)
 
   /** [[buildJoin]] generalized to a k-DIM STAR (or snowflake whose
     * dims each join the fact directly): the summary is built over
@@ -290,7 +375,8 @@ object Mv {
                 dimTables: Seq[(DataFrame, Seq[(String, String)])],
                 name: String, dims: Seq[String], measures: Seq[String],
                 mvPath: String, mins: Seq[String] = Nil,
-                maxs: Seq[String] = Nil): MvDef = {
+                maxs: Seq[String] = Nil,
+                distincts: Seq[String] = Nil): MvDef = {
     require(dimTables.nonEmpty, s"MV $name: at least one dim required")
     val frames = fact +: dimTables.map(_._1)
     frames.combinations(2).foreach { case Seq(a, b) =>
@@ -314,7 +400,8 @@ object Mv {
       val cond = on.map { case (f, d) => acc(f) === dm(d) }.reduce(_ && _)
       acc.join(dm, cond, "inner")
     }
-    summarize(joined, dims, measures, mins, maxs)
+    requireIntegral(joined, distincts, name)
+    summarize(joined, dims, measures, mins, maxs, distincts)
       .write.mode("overwrite").parquet(mvPath)
     // LOSSLESS AUDIT, per dim: the join preserves fact multiplicity
     // iff (a) every fact key is non-null, (b) every fact key row
@@ -340,7 +427,7 @@ object Mv {
       joins = dimTables.zipWithIndex.map { case ((dm, on), i) =>
         MvJoin(dpaths(i), on.map(_._1), on.map(_._2),
           preserving = preservingAudit(dm, on))
-      }, fp = fp)
+      }, fp = fp, distincts = distincts.toSet)
     MvCatalog.register(d)
     RegistryStore.autoPersist(spark)
     d
@@ -425,8 +512,12 @@ object Mv {
     }
     val cur = spark.read.parquet(d.mvPath)
     val ms = d.measures.toSeq.sorted
-    val delta = summarize(batch, d.dims, ms, d.mins.toSeq.sorted,
-      d.maxs.toSeq.sorted)
+    // filtered MV: only the batch's σ(where) slice belongs to the view
+    // (the guard above counted the RAW batch — the gap is in base rows)
+    val slice = d.where.map(w =>
+      batch.filter(org.apache.spark.sql.functions.expr(w))).getOrElse(batch)
+    val delta = summarize(slice, d.dims, ms, d.mins.toSeq.sorted,
+      d.maxs.toSeq.sorted, d.distincts.toSeq.sorted)
     // cast re-summed partials back to the stored column's type so the
     // summary schema is stable across any number of refreshes (decimal
     // sums widen per level otherwise)
@@ -434,7 +525,12 @@ object Mv {
       sum(col(s"sum_$m")).cast(cur.schema(s"sum_$m").dataType).as(s"sum_$m"),
       sum(col(s"cnt_$m")).cast("long").as(s"cnt_$m"))) ++
       d.mins.toSeq.sorted.map(m => min(col(s"min_$m")).as(s"min_$m")) ++
-      d.maxs.toSeq.sorted.map(m => max(col(s"max_$m")).as(s"max_$m")) :+
+      d.maxs.toSeq.sorted.map(m => max(col(s"max_$m")).as(s"max_$m")) ++
+      // distinct bitmaps OR-merge: a batch value already present in
+      // the group's bitmap stays one bit — re-inserted ids can never
+      // inflate the distinct count the way a summed partial would
+      d.distincts.toSeq.sorted.map(m => graft.functions.BitmapAgg
+        .bitmap_or_agg(col(s"bm_$m")).as(s"bm_$m")) :+
       sum(col("cnt")).cast("long").as("cnt")
     val merged = cur.unionByName(delta).groupBy(d.dims.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
@@ -495,6 +591,16 @@ object Mv {
     RegistryStore.ensureLoaded(spark) // see [[refreshAppend]]
     val d = MvCatalog.get(name).getOrElse(
       throw new NoSuchElementException(s"MV $name is not registered"))
+    // distinct bitmaps do not retract: clearing a bit needs proof the
+    // deleted row was the value's LAST occurrence in its group, which
+    // only a group rescan can give (the MIN/MAX problem, per value) —
+    // and even the append-only star fold routes here with same-feed
+    // cancellation deletes the bitmap could not honor. Rebuild.
+    require(d.distincts.isEmpty,
+      s"MV $name tracks COUNT(DISTINCT ${d.distincts.mkString(",")}) " +
+        "via exact bitmaps, which cannot fold a retracting/signed " +
+        "feed; rebuild instead (Mv.build / Mv.buildStar is one " +
+        "grouped pass)")
     // re-stamp at entry: the base has already advanced to the state
     // the feed's net application reflects (see [[refreshAppend]])
     val fp = fpOverride.getOrElse(
@@ -514,7 +620,10 @@ object Mv {
     // windows) passes extremesGuard = false: such deletes retract
     // nothing from the stored state.
     if (extremesGuard && (mns.nonEmpty || mxs.nonEmpty)) {
-      val dels = feed.filter(col("_change_type") === "delete")
+      // deletes outside a filtered view's slice never held its extremes
+      val inScope = d.where.map(p =>
+        feed.filter(org.apache.spark.sql.functions.expr(p))).getOrElse(feed)
+      val dels = inScope.filter(col("_change_type") === "delete")
       val hits = mns.map(m => col(m) <= col(s"min_$m")) ++
         mxs.map(m => col(m) >= col(s"max_$m"))
       require(dels.join(cur, d.dims).filter(hits.reduce(_ || _)).isEmpty,
@@ -530,7 +639,11 @@ object Mv {
       .otherwise(raise_error(concat(
         lit("refreshChanges: _change_type must be insert/delete, got "),
         col("_change_type"))).cast("long"))
-    val signed = feed.withColumn("__w", w)
+    // filtered MV: rows outside σ(where) were never in the view —
+    // their inserts don't belong and their deletes retract nothing
+    val scoped = d.where.map(p =>
+      feed.filter(org.apache.spark.sql.functions.expr(p))).getOrElse(feed)
+    val signed = scoped.withColumn("__w", w)
     val deltaAggs = ms.flatMap(m => Seq(
       sum(col(m) * col("__w")).cast(cur.schema(s"sum_$m").dataType)
         .as(s"sum_$m"),
@@ -667,7 +780,10 @@ object Mv {
         // STRICTLY inside their groups' stored extremes cannot move
         // MIN/MAX (an appended-then-removed row that would corrupt a
         // fold necessarily ties-or-beats a stored extreme and refuses)
-        val cols = d.dims ++ d.measures.toSeq.sorted
+        // a filtered MV's predicate columns must survive this
+        // projection — refreshChangesStamped scopes the feed with them
+        val cols = (d.dims ++ d.measures.toSeq.sorted ++
+          whereRefs(d)).distinct
         val feed = inserted
           .map(_.select(cols.map(col): _*)
             .withColumn("_change_type", lit("insert")))
@@ -1104,6 +1220,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined) return None
       if (ae.isDistinct) return ae.aggregateFunction match {
+        // COUNT(DISTINCT m) over a bitmap-tracked measure: every
+        // group row carries an EXACT value bitmap (`bm_m`); OR-merge
+        // the bitmaps across the rolled-up dims and read cardinality
+        // off the union — exact at any rollup level, O(|MV|), where
+        // summed counts would double-count values shared across
+        // groups and HLL would approximate
+        case Count(Seq(a: AttributeReference))
+            if mv.distincts.contains(a.name) =>
+          Some(graft.functions.BitmapCard(
+            graft.functions.BitmapOrAgg(m(s"bm_${a.name}"))
+              .toAggregateExpression()))
         // COUNT(DISTINCT dims): the summary preserves distinct dim
         // combinations EXACTLY (one row per live combo), so the
         // distinct count re-evaluates over the tiny MV instead of the
@@ -1170,9 +1297,19 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val dimNames = mv.dims.toSet
 
-    // residual filters must touch dims only (σ over group-bys commutes
-    // with the aggregation, so they evaluate unchanged against the MV)
-    if (!conds.forall(_.references.forall(a => dimNames.contains(a.name))))
+    // FILTERED MV: the view's predicate conjuncts must all appear
+    // among the query's (canonical-form subsumption — the summary
+    // holds only σ(where) rows, so a query not at least as selective
+    // cannot answer from it); the matched conjuncts are then DROPPED
+    // (already applied at build). The REMAINING filters must touch
+    // dims only (σ over group-bys commutes with the aggregation, so
+    // they evaluate unchanged against the MV).
+    val mvPred = MvCatalog.predConjuncts(spark, mv)
+    val parts = conds.flatMap(PlanMatch.conjuncts)
+    val (matched, rest) = parts.partition(c =>
+      mvPred.contains(PlanMatch.canon(c)))
+    if (matched.map(PlanMatch.canon).toSet != mvPred) return None
+    if (!rest.forall(_.references.forall(a => dimNames.contains(a.name))))
       return None
 
     val b = bind(mv).getOrElse(return None)
@@ -1206,7 +1343,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val newGroup = groupAttrs.map(a => m(a.name))
-    val newCond = conds.map(c => remapDims(c).getOrElse(return None))
+    val newCond = rest.map(c => remapDims(c).getOrElse(return None))
     val filtered: LogicalPlan =
       newCond.reduceOption(And).map(Filter(_, mvRel)).getOrElse(mvRel)
     val needed = (newResult.flatMap(_.references) ++ newGroup).distinct
@@ -1280,10 +1417,17 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-    // dims must be registered dims; residual filters dim-only
+    // dims must be registered dims; the MV's own predicate conjuncts
+    // must be subsumed (then dropped — already applied at build) and
+    // the rest dim-only, exactly as in [[tryRewrite]]
     val dimSlots = slots.collect { case d: DimSlot => d }
     if (!dimSlots.forall(d => dimNames.contains(d.scanAttr.name))) return None
-    if (!conds.flatMap(PlanMatch.conjuncts).forall(
+    val mvPred = MvCatalog.predConjuncts(spark, mv)
+    val parts = conds.flatMap(PlanMatch.conjuncts)
+    val (matched, rest) = parts.partition(c =>
+      mvPred.contains(PlanMatch.canon(c)))
+    if (matched.map(PlanMatch.canon).toSet != mvPred) return None
+    if (!rest.forall(
       _.references.forall(a => dimNames.contains(a.name)))) return None
 
     // groupings must be bare dim/gid Expand outputs (a grouping on a
@@ -1305,7 +1449,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (ok) Some(out) else None
     }
-    val newCond = conds.map(c => remap(c).getOrElse(return None))
+    val newCond = rest.map(c => remap(c).getOrElse(return None))
     val filtered: LogicalPlan = newCond.reduceOption(And)
       .map(Filter(_, b.mvRel)).getOrElse(b.mvRel)
 

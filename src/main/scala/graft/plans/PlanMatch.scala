@@ -44,4 +44,19 @@ private[plans] object PlanMatch {
     }
     Some(pairs)
   }
+
+  /** Canonical string form of a predicate conjunct, for the filtered-MV
+    * subsumption test: attribute refs lose their qualifier (exprIds
+    * never print in `.sql`), and symmetric equalities sort their
+    * operands — so the SAME source predicate canonicalizes identically
+    * whether it arrived through the MV declaration's re-analysis or
+    * the candidate query's optimized plan. Purely syntactic: two
+    * semantically equal but differently-written predicates may not
+    * match, which only costs the rewrite, never correctness. */
+  def canon(e: Expression): String =
+    e.transformUp {
+      case a: AttributeReference => a.withQualifier(Nil)
+      case eq @ EqualTo(l, r) if l.sql > r.sql => EqualTo(r, l)
+      case eq @ EqualNullSafe(l, r) if l.sql > r.sql => EqualNullSafe(r, l)
+    }.sql
 }

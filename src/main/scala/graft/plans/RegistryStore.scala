@@ -157,6 +157,9 @@ object RegistryStore {
       o.putPOJO("measures", d.measures.toSeq.sorted.asJava)
       o.putPOJO("mins", d.mins.toSeq.sorted.asJava)
       o.putPOJO("maxs", d.maxs.toSeq.sorted.asJava)
+      if (d.distincts.nonEmpty)
+        o.putPOJO("distincts", d.distincts.toSeq.sorted.asJava)
+      d.where.foreach(o.put("where", _))
       if (d.joins.nonEmpty) {
         val ja = o.putArray("joins")
         d.joins.foreach { j =>
@@ -270,7 +273,12 @@ object RegistryStore {
         strs(o, "basePaths").toSet, str(o, "mvPath"),
         strs(o, "dims"), strs(o, "measures").toSet,
         strs(o, "mins").toSet, strs(o, "maxs").toSet, joins,
-        str(o, "fp"))
+        str(o, "fp"),
+        // absent in pre-distincts/pre-filtered files — defaults
+        distincts = Option(o.get("distincts")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText()).toSet)
+          .getOrElse(Set.empty),
+        where = Option(o.get("where")).filter(_.isTextual).map(_.asText()))
       if (!exclude(d.name) && MvCatalog.get(d.name).isEmpty)
         MvCatalog.register(d)
     }

@@ -333,4 +333,93 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
         parent.withColumnRenamed("seg", "status2"), Seq("status2"))
     }
   }
+
+  // ---- PK-only OUTER-join elimination (tryOuter) ----
+
+  test("LEFT join to a verified-unique dim with unused columns drops the join; null/orphan fact rows preserved") {
+    import spark.implicits._
+    val c7 = root + "/child7"
+    val p7 = root + "/pkdim"
+    Seq((Option(1L), "a", 10L), (Option(2L), "b", 20L),
+      (Option.empty[Long], "n", 30L), (Option(-9L), "o", 40L))
+      .toDF("ck", "status", "v").write.mode("overwrite").parquet(c7)
+    Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("ck2", "seg")
+      .write.mode("overwrite").parquet(p7)
+    try {
+      DistinctElim.declareUniqueKey("jespec_pk",
+        spark.read.parquet(p7), Seq("ck2"))
+      def g = spark.read.parquet(c7)
+        .join(spark.read.parquet(p7), col("ck") === col("ck2"), "left")
+        .groupBy("status").agg(sum("v").as("s")).orderBy("status")
+      assert(!scanPaths(g).exists(_.endsWith("/pkdim")), scanPaths(g))
+      // identical results with the rule off — including the NULL-keyed
+      // and orphan rows the left join null-pads but never drops
+      val on = g.collect().toSeq
+      spark.conf.set("graft.joinelim.enabled", "false")
+      val off = try g.collect().toSeq
+      finally spark.conf.unset("graft.joinelim.enabled")
+      assert(on == off && on.map(_.getString(0)) == Seq("a", "b", "n", "o"))
+      // RIGHT outer, dim on the left — mirrored elimination
+      val r = spark.read.parquet(p7)
+        .join(spark.read.parquet(c7), col("ck") === col("ck2"), "right")
+        .select(col("status"), col("v"))
+      assert(!scanPaths(r).exists(_.endsWith("/pkdim")), scanPaths(r))
+      // a filtered dim still eliminates: uniqueness survives any row
+      // subset, and unmatched fact rows only gain null-pads the query
+      // never reads
+      val f = spark.read.parquet(c7)
+        .join(spark.read.parquet(p7).filter(col("seg") =!= "X"),
+          col("ck") === col("ck2"), "left")
+        .select(col("status"))
+      assert(!scanPaths(f).exists(_.endsWith("/pkdim")), scanPaths(f))
+      // an extra child↔parent equality narrows matches below the
+      // unique key's one — still at most one row per fact row
+      val e = spark.read.parquet(c7)
+        .join(spark.read.parquet(p7),
+          col("ck") === col("ck2") && col("status") === col("seg"), "left")
+        .select(col("status"))
+      assert(!scanPaths(e).exists(_.endsWith("/pkdim")), scanPaths(e))
+    } finally PkCatalog.unregister("jespec_pk")
+  }
+
+  test("outer elimination guards: dim column use, full outer, no declaration, key not covered") {
+    import spark.implicits._
+    val c8 = root + "/child8"
+    val p8 = root + "/pkdim8"
+    Seq((1L, "a"), (2L, "b")).toDF("ck", "status")
+      .write.mode("overwrite").parquet(c8)
+    Seq((1L, "X", 7L), (2L, "Y", 8L)).toDF("ck2", "seg", "alt")
+      .write.mode("overwrite").parquet(p8)
+    try {
+      DistinctElim.declareUniqueKey("jespec_pk8",
+        spark.read.parquet(p8), Seq("ck2"))
+      def dim = spark.read.parquet(p8)
+      def fact = spark.read.parquet(c8)
+      // consuming a dim column keeps the join
+      val uses = fact.join(dim, col("ck") === col("ck2"), "left")
+        .select(col("status"), col("seg"))
+      assert(scanPaths(uses).exists(_.endsWith("/pkdim8")))
+      // FULL OUTER adds unmatched-dim rows — never eliminable
+      val full = fact.join(dim, col("ck") === col("ck2"), "full")
+        .select(col("status"))
+      assert(scanPaths(full).exists(_.endsWith("/pkdim8")))
+      // joining on a NON-unique dim column (alt is unaudited): keep
+      val alt = fact.join(dim, col("ck") === col("alt"), "left")
+        .select(col("status"))
+      assert(scanPaths(alt).exists(_.endsWith("/pkdim8")))
+      // a dim append suspends (stamp moved) until re-declaration;
+      // a FACT append must NOT suspend — only parent state matters
+      Seq((9L, "z")).toDF("ck", "status").write.mode("append").parquet(c8)
+      def g = fact.join(dim, col("ck") === col("ck2"), "left")
+        .select(col("status"))
+      assert(!scanPaths(g).exists(_.endsWith("/pkdim8")),
+        "a fact append must not suspend the PK-only outer rewrite")
+      Seq((3L, "W", 9L)).toDF("ck2", "seg", "alt")
+        .write.mode("append").parquet(p8)
+      assert(scanPaths(g).exists(_.endsWith("/pkdim8")),
+        "a dim append must suspend until the key is re-audited")
+      DistinctElim.declareUniqueKey("jespec_pk8", dim, Seq("ck2"))
+      assert(!scanPaths(g).exists(_.endsWith("/pkdim8")))
+    } finally PkCatalog.unregister("jespec_pk8")
+  }
 }

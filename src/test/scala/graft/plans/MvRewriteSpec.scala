@@ -1104,4 +1104,144 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     val (on, off) = onOff(fact.groupBy("rf").agg(sum("price").as("rev")).orderBy("rf"))
     assert(on == off)
   }
+
+  test("bitmap COUNT(DISTINCT measure): rollup OR-merges across groups; refreshAppend dedupes re-inserted values") {
+    import spark.implicits._
+    val r = root + "/dfact"
+    val name = "mvspec_distinct"
+    // value 10 occurs under BOTH ls groups of dim a — a summed
+    // per-group distinct count would say 2, the OR-merged bitmap 1.
+    // Negative and large ids exercise the bitmap's chunk keying.
+    Seq(("a", "F", 10L, 1L), ("a", "F", 10L, 2L), ("a", "O", 10L, 3L),
+      ("a", "O", -7L, 4L), ("b", "F", 1L << 40, 5L),
+      ("b", "F", 10L, 6L))
+      .toDF("d", "ls", "v", "q").write.mode("overwrite").parquet(r)
+    try {
+      Mv.build(spark.read.parquet(r), name, Seq("d", "ls"),
+        measures = Seq("q"), mvPath = root + "/dmv",
+        distincts = Seq("v"))
+      def byD = spark.read.parquet(r).groupBy("d")
+        .agg(countDistinct(col("v")).as("nv"), sum("q").as("sq"))
+        .orderBy("d")
+      def global = spark.read.parquet(r)
+        .agg(countDistinct(col("v")).as("nv"))
+      assert(scanPaths(byD).forall(_.contains("/dmv")), scanPaths(byD))
+      assert(byD.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 2L)))
+      assert(scanPaths(global).forall(_.contains("/dmv")))
+      assert(global.head.getLong(0) == 3L)
+      // fold a batch that RE-INSERTS v=10 under a third value of q and
+      // adds one genuinely new value: counts move by exactly one
+      Seq(("a", "F", 10L, 7L), ("b", "O", 99L, 8L))
+        .toDF("d", "ls", "v", "q").write.mode("append").parquet(r)
+      Mv.refreshAppend(spark, name,
+        Seq(("a", "F", 10L, 7L), ("b", "O", 99L, 8L))
+          .toDF("d", "ls", "v", "q"))
+      assert(scanPaths(byD).forall(_.contains("/dmv")), scanPaths(byD))
+      assert(byD.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 3L)))
+      // identical with the rule off (the fact recomputes from scratch)
+      val on = byD.collect().toSeq
+      spark.conf.set("graft.mv.rewrite.enabled", "false")
+      val off = try byD.collect().toSeq
+      finally spark.conf.set("graft.mv.rewrite.enabled", "true")
+      assert(on == off)
+      // a retracting feed cannot fold through bitmaps — refuse loudly
+      val ex = intercept[IllegalArgumentException] {
+        Mv.refreshChanges(spark, name,
+          Seq(("a", "F", 10L, 1L, "delete")).toDF("d", "ls", "v", "q",
+            "_change_type"))
+      }
+      assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+    } finally MvCatalog.unregister(name)
+  }
+
+  test("distinct tracking refuses non-integral columns at declaration") {
+    import spark.implicits._
+    val r = root + "/sfact"
+    Seq(("a", "x", 1L)).toDF("d", "s", "q")
+      .write.mode("overwrite").parquet(r)
+    val ex = intercept[IllegalArgumentException] {
+      Mv.build(spark.read.parquet(r), "mvspec_badd", Seq("d"),
+        measures = Seq("q"), mvPath = root + "/smv",
+        distincts = Seq("s"))
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
+  }
+
+  test("filtered MV: subsuming queries rewrite (filter col not a dim); weaker/absent predicates fall through") {
+    import spark.implicits._
+    val r = root + "/ffact"
+    val name = "mvspec_filtered"
+    Seq(("a", "F", "AIR", 1L), ("a", "F", "RAIL", 2L), ("a", "O", "AIR", 4L),
+      ("b", "F", "AIR", 8L), ("b", "O", "RAIL", 16L))
+      .toDF("d", "st", "mode", "q").write.mode("overwrite").parquet(r)
+    try {
+      Mv.build(spark.read.parquet(r), name, Seq("d", "mode"),
+        measures = Seq("q"), mvPath = root + "/fmv",
+        where = Some("st = 'F'"))
+      def base = spark.read.parquet(r)
+      // exact predicate: answers from the summary, st never stored
+      // (def: a cached QueryExecution would pin the pre-refresh MV)
+      def g1 = base.filter(col("st") === "F").groupBy("d")
+        .agg(sum("q").as("s")).orderBy("d")
+      assert(scanPaths(g1).forall(_.contains("/fmv")), scanPaths(g1))
+      assert(g1.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("a", 3L), ("b", 8L)))
+      // predicate + extra DIM filter: subsumed conjuncts drop, the
+      // dim residual evaluates against the summary
+      def g2 = base.filter(col("st") === "F" && col("mode") === "AIR")
+        .groupBy("d").agg(sum("q").as("s")).orderBy("d")
+      assert(scanPaths(g2).forall(_.contains("/fmv")), scanPaths(g2))
+      assert(g2.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("a", 1L), ("b", 8L)))
+      // NO predicate: the summary is a strict subset — keep the base
+      val g3 = base.groupBy("d").agg(sum("q").as("s"))
+      assert(scanPaths(g3).forall(_.contains("/ffact")), scanPaths(g3))
+      // a DIFFERENT predicate on the filter column: not subsumed
+      val g4 = base.filter(col("st") === "O").groupBy("d")
+        .agg(sum("q").as("s"))
+      assert(scanPaths(g4).forall(_.contains("/ffact")), scanPaths(g4))
+      // extra NON-dim residual (on st beyond the predicate is fine —
+      // equal conjuncts dedupe — but on q it must keep the base)
+      val g5 = base.filter(col("st") === "F" && col("q") > 2L)
+        .groupBy("d").agg(sum("q").as("s"))
+      assert(scanPaths(g5).forall(_.contains("/ffact")), scanPaths(g5))
+      // refreshAppend folds only the σ(P) slice of a mixed batch
+      Seq(("a", "F", "AIR", 32L), ("a", "O", "AIR", 64L))
+        .toDF("d", "st", "mode", "q").write.mode("append").parquet(r)
+      Mv.refreshAppend(spark, name,
+        Seq(("a", "F", "AIR", 32L), ("a", "O", "AIR", 64L))
+          .toDF("d", "st", "mode", "q"))
+      assert(scanPaths(g1).forall(_.contains("/fmv")), scanPaths(g1))
+      assert(g1.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("a", 35L), ("b", 8L)))
+      // rule-off parity on the refreshed state
+      val on = g2.collect().toSeq
+      spark.conf.set("graft.mv.rewrite.enabled", "false")
+      val off = try g2.collect().toSeq
+      finally spark.conf.set("graft.mv.rewrite.enabled", "true")
+      assert(on == off)
+    } finally MvCatalog.unregister(name)
+  }
+
+  test("filtered MV with a MEASURE-range predicate rewrites subsuming queries") {
+    import spark.implicits._
+    val r = root + "/qfact"
+    val name = "mvspec_qrange"
+    Seq(("a", 1L), ("a", 10L), ("a", 50L), ("b", 60L), ("b", 2L))
+      .toDF("d", "q").write.mode("overwrite").parquet(r)
+    try {
+      Mv.build(spark.read.parquet(r), name, Seq("d"),
+        measures = Seq("q"), mvPath = root + "/qmv",
+        where = Some("q > 5"))
+      val g = spark.read.parquet(r).filter(col("q") > 5L)
+        .groupBy("d").agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .orderBy("d")
+      assert(scanPaths(g).forall(_.contains("/qmv")), scanPaths(g))
+      assert(g.collect().map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+        Seq(("a", 60L, 2L), ("b", 60L, 1L)))
+    } finally MvCatalog.unregister(name)
+  }
 }

@@ -60,7 +60,8 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
       .write.mode("overwrite").parquet(parentP)
     // declarations write through to the store
     Mv.build(spark.read.parquet(factP), "regspec_mv", Seq("rf"),
-      measures = Seq("qty"), mvPath = root + "/mv")
+      measures = Seq("qty"), mvPath = root + "/mv",
+      distincts = Seq("qty"))
     JoinElim.declareVerified("regspec_fk",
       spark.read.parquet(childP), Seq("ck"),
       spark.read.parquet(parentP), Seq("ck2"))
@@ -79,6 +80,12 @@ class RegistryStoreSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scanPaths(g).exists(_.endsWith("/mv")), scanPaths(g))
     // the reloaded fp stamp still matches (the base never moved)
     assert(MvCatalog.get("regspec_mv").exists(_.fp.nonEmpty))
+    // the distinct-bitmap contract survives the round-trip: the
+    // reloaded def still answers COUNT(DISTINCT qty) from the summary
+    assert(MvCatalog.get("regspec_mv").exists(_.distincts == Set("qty")))
+    val cd = spark.read.parquet(factP).groupBy("rf")
+      .agg(countDistinct(col("qty")).as("nq"))
+    assert(scanPaths(cd).exists(_.endsWith("/mv")), scanPaths(cd))
     // join elimination fires from the reloaded FK edge
     val j = spark.read.parquet(childP)
       .join(spark.read.parquet(parentP), col("ck") === col("ck2"), "inner")

@@ -141,30 +141,30 @@ object MvCatalog {
       }
     }
 
-  /** Canonical conjunct set of a filtered MV's predicate, memoized per
+  /** Resolved conjuncts of a filtered MV's predicate, memoized per
     * summary version ([[relCache]] discipline): the `where` text is
     * re-analyzed against the base schema and run through the SAME
     * optimizer pipeline a candidate query's filters pass through, so
-    * the two sides canonicalize identically. Empty for unfiltered
-    * MVs; one base footer read per registered version otherwise. */
-  private val predCache = TrieMap.empty[String, Set[String]]
+    * the two sides canonicalize identically (and literal types line
+    * up for [[PlanMatch.implies]]). Empty for unfiltered MVs; one
+    * base footer read per registered version otherwise. */
+  private val predCache = TrieMap.empty[String, Seq[Expression]]
   private[plans] def predConjuncts(spark: SparkSession,
-                                   d: MvDef): Set[String] =
+                                   d: MvDef): Seq[Expression] =
     d.where match {
-      case None => Set.empty
+      case None => Seq.empty
       case Some(w) => predCache.getOrElseUpdate(d.mvPath,
         try {
           val base = spark.read.parquet(d.basePaths.toSeq.sorted: _*)
           base.filter(org.apache.spark.sql.functions.expr(w))
             .queryExecution.optimizedPlan.collect {
               case Filter(c, _) => PlanMatch.conjuncts(c)
-            }.flatten.map(PlanMatch.canon).toSet
+            }.flatten
         } catch {
           // un-analyzable predicate (schema drift, vanished base):
           // planning must not crash — park the view on a conjunct no
-          // query can carry, so the rewrite just never fires
-          case scala.util.control.NonFatal(_) =>
-            Set(s"__unanswerable__${d.name}")
+          // query can carry or imply, so the rewrite never fires
+          case scala.util.control.NonFatal(_) => Seq(Literal(false))
         })
     }
 
@@ -881,7 +881,8 @@ object Mv {
     // (sym_bucket) the declared frames never exposed; anything outside
     // keys ∪ dims ∪ measures is dropped so the joins can never turn
     // ambiguous. Contract columns must live on exactly one table.
-    val contract = (d.dims ++ d.measures.toSeq).distinct
+    val contract =
+      (d.dims ++ d.measures.toSeq ++ d.distincts.toSeq).distinct
     lazy val own: Map[String, Seq[String]] = {
       val m = roots.map(r =>
         r -> contract.filter(scan(r).columns.contains)).toMap
@@ -1297,18 +1298,21 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val dimNames = mv.dims.toSet
 
-    // FILTERED MV: the view's predicate conjuncts must all appear
-    // among the query's (canonical-form subsumption — the summary
-    // holds only σ(where) rows, so a query not at least as selective
-    // cannot answer from it); the matched conjuncts are then DROPPED
-    // (already applied at build). The REMAINING filters must touch
-    // dims only (σ over group-bys commutes with the aggregation, so
-    // they evaluate unchanged against the MV).
+    // FILTERED MV: every predicate conjunct of the view must be
+    // SUBSUMED by the query — exactly present (canonical match) or
+    // implied by a query conjunct (range implication: `a = 7` answers
+    // from a `where a > 5` view). Exactly-matched conjuncts are
+    // DROPPED (already applied at build); everything else — including
+    // the stricter implying conjuncts — stays as a residual, which
+    // must touch dims only (σ over group-bys commutes with the
+    // aggregation, so it evaluates unchanged against the MV).
     val mvPred = MvCatalog.predConjuncts(spark, mv)
     val parts = conds.flatMap(PlanMatch.conjuncts)
-    val (matched, rest) = parts.partition(c =>
-      mvPred.contains(PlanMatch.canon(c)))
-    if (matched.map(PlanMatch.canon).toSet != mvPred) return None
+    val partCanon = parts.map(PlanMatch.canon).toSet
+    if (!mvPred.forall(p => partCanon.contains(PlanMatch.canon(p)) ||
+        parts.exists(c => PlanMatch.implies(c, p)))) return None
+    val mvCanon = mvPred.map(PlanMatch.canon).toSet
+    val rest = parts.filterNot(c => mvCanon.contains(PlanMatch.canon(c)))
     if (!rest.forall(_.references.forall(a => dimNames.contains(a.name))))
       return None
 
@@ -1424,9 +1428,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!dimSlots.forall(d => dimNames.contains(d.scanAttr.name))) return None
     val mvPred = MvCatalog.predConjuncts(spark, mv)
     val parts = conds.flatMap(PlanMatch.conjuncts)
-    val (matched, rest) = parts.partition(c =>
-      mvPred.contains(PlanMatch.canon(c)))
-    if (matched.map(PlanMatch.canon).toSet != mvPred) return None
+    val partCanon = parts.map(PlanMatch.canon).toSet
+    if (!mvPred.forall(p => partCanon.contains(PlanMatch.canon(p)) ||
+        parts.exists(c => PlanMatch.implies(c, p)))) return None
+    val mvCanon = mvPred.map(PlanMatch.canon).toSet
+    val rest = parts.filterNot(c => mvCanon.contains(PlanMatch.canon(c)))
     if (!rest.forall(
       _.references.forall(a => dimNames.contains(a.name)))) return None
 

@@ -59,4 +59,60 @@ private[plans] object PlanMatch {
       case eq @ EqualTo(l, r) if l.sql > r.sql => EqualTo(r, l)
       case eq @ EqualNullSafe(l, r) if l.sql > r.sql => EqualNullSafe(r, l)
     }.sql
+
+  /** Does conjunct `c` (from the query) IMPLY conjunct `p` (from a
+    * filtered MV's predicate)? Sound-but-incomplete range implication
+    * over single-attribute comparison atoms with non-null literals —
+    * `a = 7` or `a > 10` implies `a > 5`; any comparison atom on `a`
+    * implies `IsNotNull(a)` (comparisons are null-rejecting). No
+    * integer-specific tightening (`a > 5` does NOT claim `a >= 6`),
+    * so the rules hold for every ordered type. False = "unknown",
+    * which only costs the rewrite. */
+  def implies(c: Expression, p: Expression): Boolean = {
+    // (attr, op, literal) with the attribute normalized to the left
+    def atom(e: Expression): Option[(String, String, Literal)] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) => Some((a.name, "=", l))
+      case EqualTo(l: Literal, a: AttributeReference) => Some((a.name, "=", l))
+      case GreaterThan(a: AttributeReference, l: Literal) => Some((a.name, ">", l))
+      case GreaterThan(l: Literal, a: AttributeReference) => Some((a.name, "<", l))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => Some((a.name, ">=", l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => Some((a.name, "<=", l))
+      case LessThan(a: AttributeReference, l: Literal) => Some((a.name, "<", l))
+      case LessThan(l: Literal, a: AttributeReference) => Some((a.name, ">", l))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => Some((a.name, "<=", l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => Some((a.name, ">=", l))
+      case _ => None
+    }
+    val ca = atom(c).filter(_._3.value != null)
+    p match {
+      case IsNotNull(pa: AttributeReference) =>
+        return ca.exists(_._1 == pa.name)
+      case _ => ()
+    }
+    (ca, atom(p)) match {
+      case (Some((cn, cop, cl)), Some((pn, pop, pl)))
+          if cn == pn && cl.dataType == pl.dataType && pl.value != null =>
+        val cmp = // sign of (query literal − MV literal)
+          try org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(cl.dataType).compare(cl.value, pl.value)
+          catch { case scala.util.control.NonFatal(_) => return false }
+        (cop, pop) match {
+          case ("=", "=")   => cmp == 0
+          case ("=", ">")   => cmp > 0
+          case ("=", ">=")  => cmp >= 0
+          case ("=", "<")   => cmp < 0
+          case ("=", "<=")  => cmp <= 0
+          case (">", ">")   => cmp >= 0
+          case (">", ">=")  => cmp >= 0
+          case (">=", ">")  => cmp > 0
+          case (">=", ">=") => cmp >= 0
+          case ("<", "<")   => cmp <= 0
+          case ("<", "<=")  => cmp <= 0
+          case ("<=", "<")  => cmp < 0
+          case ("<=", "<=") => cmp <= 0
+          case _ => false
+        }
+      case _ => false
+    }
+  }
 }

@@ -1225,6 +1225,141 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister(name)
   }
 
+  test("filtered MV over a snapshot-logged base: log refresh folds appends and compact retractions through the slice") {
+    import spark.implicits._
+    val base = root + "/filt_log"
+    val name = "mvspec_filtlog"
+    val o = Tables.load(spark, sf, "orders").select(
+      col("o_orderstatus").as("symbol"),
+      org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("ship"),
+      when(col("o_orderkey") % 2 === 0, "K").otherwise("J").as("cat"),
+      col("o_totalprice").cast("decimal(18,2)").as("qty"))
+    val cut = lit("1997-01-01").cast("date")
+    graft.catalog.Layout.writeClusteredZoned(o.filter(col("ship") < cut),
+      base, "symbol", "ship", numBuckets = 4, filesPerBucket = 4)
+    // the view holds only the cat='K' slice; cat is NOT a dim
+    def g = spark.read.parquet(base).filter(col("cat") === "K")
+      .groupBy("symbol")
+      .agg(sum("qty").cast("double").as("s"), count(lit(1)).as("n"))
+      .orderBy("symbol")
+    try {
+      Mv.build(spark.read.parquet(base), name, Seq("symbol"),
+        measures = Seq("qty"), mvPath = root + "/mv_filtlog",
+        where = Some("cat = 'K'"))
+      assert(scanPaths(g).exists(_.contains("/mv_filtlog")), scanPaths(g))
+      // nightly append of MIXED rows → suspend → self-heal: only the
+      // batch's σ(cat='K') rows may fold
+      graft.catalog.Layout.appendClusteredZoned(
+        o.filter(col("ship") >= cut), base, "symbol", "ship",
+        numBuckets = 4, filesPerBucket = 4)
+      assert(scanPaths(g).exists(_.endsWith("/filt_log")), scanPaths(g))
+      Mv.refreshFromLog(spark, name)
+      assert(scanPaths(g).exists(_.contains("/mv_filtlog")), scanPaths(g))
+      val (on, off) = onOff(g)
+      assert(on.nonEmpty && on == off,
+        "healed filtered summary must equal the live sliced aggregation")
+      // dv-delete IN-slice rows, compact (materializes them out),
+      // vacuum: the RewriteHop retraction folds through the scoped
+      // feed — the predicate column rides along in the projection
+      graft.catalog.Layout.delete(spark, base, "ship",
+        col("cat") === "K" && col("symbol") === "F")
+      Mv.refreshFromLog(spark, name) // dv-only: restamp
+      graft.catalog.Layout.compact(spark, base, "symbol", "ship",
+        filesPerBucket = 4)
+      graft.catalog.Layout.vacuum(spark, base, retainPrevious = false)
+      Mv.refreshFromLog(spark, name)
+      assert(scanPaths(g).exists(_.contains("/mv_filtlog")), scanPaths(g))
+      val (on2, off2) = onOff(g)
+      assert(on2 == off2 && !on2.exists(_.getString(0) == "F"),
+        s"retracted group F must leave the sliced view: $on2")
+    } finally MvCatalog.unregister(name)
+  }
+
+  test("star MV with bitmap distincts: fact-append log refresh OR-folds; retraction windows refuse") {
+    import spark.implicits._
+    val fb = root + "/sd_fact"
+    val db = root + "/sd_dim"
+    val name = "mvspec_stardistinct"
+    graft.catalog.Layout.writeClusteredZoned(
+      Seq(("f", 1L, 1L, 10L), ("f", 2L, 1L, 10L), ("f", 3L, 2L, 10L),
+        ("f", 4L, 2L, 20L))
+        .toDF("fsym", "ts", "fk", "v"),
+      fb, "fsym", "ts", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(
+      Seq(("x", 1L), ("y", 2L)).toDF("grp", "dk"),
+      db, "grp", "dk", numBuckets = 2, filesPerBucket = 2)
+    def g = spark.read.parquet(fb)
+      .join(spark.read.parquet(db), col("fk") === col("dk"), "inner")
+      .groupBy("grp")
+      .agg(countDistinct(col("v")).as("nv"), sum("v").as("sv"))
+      .orderBy("grp")
+    try {
+      // drop the Layout's sym_bucket bookkeeping column on both sides
+      Mv.buildStar(spark.read.parquet(fb).select("fsym", "ts", "fk", "v"),
+        Seq(spark.read.parquet(db).select("grp", "dk") ->
+          Seq(("fk", "dk"))),
+        name, Seq("grp"), measures = Seq("v"),
+        mvPath = root + "/sd_mv", distincts = Seq("v"))
+      assert(scanPaths(g).forall(_.contains("/sd_mv")), scanPaths(g))
+      assert(g.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("x", 1L), ("y", 2L)))
+      // fact append re-inserting v=10 under x and adding v=99 under y:
+      // the one-table append-only log refresh joins the delta against
+      // the pinned dim and OR-folds the bitmaps — x must stay at 1
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("f", 5L, 1L, 10L), ("f", 6L, 2L, 99L))
+          .toDF("fsym", "ts", "fk", "v"),
+        fb, "fsym", "ts", numBuckets = 2, filesPerBucket = 2)
+      assert(scanPaths(g).exists(_.endsWith("/sd_fact")), scanPaths(g))
+      Mv.refreshFromLog(spark, name)
+      assert(scanPaths(g).forall(_.contains("/sd_mv")), scanPaths(g))
+      assert(g.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("x", 1L), ("y", 3L)))
+      // a genuine fact retraction (dv → compact → vacuum) cannot fold
+      // through bitmaps — the signed path refuses with rebuild guidance
+      graft.catalog.Layout.delete(spark, fb, "ts", col("ts") === 4L)
+      Mv.refreshFromLog(spark, name) // dv-only: restamp
+      graft.catalog.Layout.compact(spark, fb, "fsym", "ts",
+        filesPerBucket = 2)
+      graft.catalog.Layout.vacuum(spark, fb, retainPrevious = false)
+      val ex = intercept[IllegalArgumentException] {
+        Mv.refreshFromLog(spark, name)
+      }
+      assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+    } finally MvCatalog.unregister(name)
+  }
+
+  test("filtered MV range implication: a stricter query predicate answers from a wider slice") {
+    import spark.implicits._
+    val r = root + "/ifact"
+    val name = "mvspec_implied"
+    Seq(("a", 5L, 1L), ("a", 10L, 2L), ("a", 12L, 4L), ("b", 12L, 8L),
+      ("b", 30L, 16L)).toDF("d", "k", "q")
+      .write.mode("overwrite").parquet(r)
+    try {
+      // k IS a dim here: the implying (stricter) conjunct stays as a
+      // residual and must evaluate against the summary
+      Mv.build(spark.read.parquet(r), name, Seq("d", "k"),
+        measures = Seq("q"), mvPath = root + "/imv",
+        where = Some("k >= 10"))
+      def base = spark.read.parquet(r)
+      // k = 12 implies k >= 10 → answers from the slice, residual k=12
+      val g1 = base.filter(col("k") === 12L).groupBy("d")
+        .agg(sum("q").as("s")).orderBy("d")
+      assert(scanPaths(g1).forall(_.contains("/imv")), scanPaths(g1))
+      assert(g1.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("a", 4L), ("b", 8L)))
+      // k > 15 implies k >= 10 likewise
+      val g2 = base.filter(col("k") > 15L).groupBy("d")
+        .agg(sum("q").as("s"))
+      assert(scanPaths(g2).forall(_.contains("/imv")), scanPaths(g2))
+      // k >= 5 is WEAKER — the slice is missing rows; keep the base
+      val g3 = base.filter(col("k") >= 5L).groupBy("d")
+        .agg(sum("q").as("s"))
+      assert(scanPaths(g3).forall(_.contains("/ifact")), scanPaths(g3))
+    } finally MvCatalog.unregister(name)
+  }
+
   test("filtered MV with a MEASURE-range predicate rewrites subsuming queries") {
     import spark.implicits._
     val r = root + "/qfact"

@@ -484,6 +484,49 @@ object MvQueries {
         "FROM fact WHERE ls = 'F' AND ln <= 4 " +
         "GROUP BY rf ORDER BY rf")),
 
+    Q("mv16_filtered_star",
+      // FILTERED STAR MV: the summary covers only the σ(ls='F') slice
+      // of fact ⋈ dim, grouped by a DIM-side attribute — the hot-slice
+      // cube (current-period sales by customer segment). A re-joining
+      // query whose filters subsume the predicate answers with zero
+      // joins and zero fact I/O (hard-asserted); the oracle pays the
+      // real join over the raw rows.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_mv16_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "mv16_" + Integer.toHexString(root.hashCode)
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "lineitem").select(
+            col("l_orderkey").as("okey"), col("l_linestatus").as("ls"),
+            col("l_quantity").cast("bigint").as("qty"))
+            .write.mode("overwrite").parquet(root + "/fact")
+          t(s, dir, "orders").select(
+            col("o_orderkey").as("rok"), col("o_orderstatus").as("status"))
+            .write.mode("overwrite").parquet(root + "/dim")
+          Mv.buildStar(s.read.parquet(root + "/fact"),
+            Seq(s.read.parquet(root + "/dim") -> Seq(("okey", "rok"))),
+            name, Seq("status"), measures = Seq("qty"),
+            mvPath = root + "/mv", where = Some("ls = 'F'"))
+        }
+        Mv.install(s)
+        assertMvScan(s.read.parquet(root + "/fact")
+          .join(s.read.parquet(root + "/dim"),
+            col("okey") === col("rok"), "inner")
+          .filter(col("ls") === "F")
+          .groupBy("status").agg(
+            sum("qty").as("sum_qty"),
+            count(lit(1)).as("n")).orderBy("status"))
+      },
+      Some("WITH fact AS (SELECT l_orderkey AS okey, l_linestatus AS ls, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem), " +
+        "dim AS (SELECT o_orderkey AS rok, o_orderstatus AS status FROM orders) " +
+        "SELECT status, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n " +
+        "FROM fact JOIN dim ON okey = rok WHERE ls = 'F' " +
+        "GROUP BY status ORDER BY status")),
+
     Q("mv7_mv_log_refresh",
       // LOG-DRIVEN MV SELF-REFRESH: the summary is built while the
       // snapshot-logged base holds only the pre-1997 orders; a nightly

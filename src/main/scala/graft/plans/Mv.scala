@@ -281,8 +281,10 @@ object Mv {
     * projection so the scoping filter can still evaluate. */
   private def whereRefs(d: MvDef): Seq[String] =
     d.where.toSeq.flatMap(w =>
-      org.apache.spark.sql.graft.ColumnBridge
-        .expression(org.apache.spark.sql.functions.expr(w)).collect {
+      // parse the text directly: `functions.expr` is a LAZY SqlExpression
+      // node in Spark 4 — its attribute refs are not walkable
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(w).collect {
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             u.name
         })
@@ -358,9 +360,10 @@ object Mv {
                 on: Seq[(String, String)], dims: Seq[String],
                 measures: Seq[String], mvPath: String,
                 mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-                distincts: Seq[String] = Nil): MvDef =
+                distincts: Seq[String] = Nil,
+                where: Option[String] = None): MvDef =
     buildStar(fact, Seq(dim -> on), name, dims, measures, mvPath,
-      mins, maxs, distincts)
+      mins, maxs, distincts, where)
 
   /** [[buildJoin]] generalized to a k-DIM STAR (or snowflake whose
     * dims each join the fact directly): the summary is built over
@@ -376,7 +379,8 @@ object Mv {
                 name: String, dims: Seq[String], measures: Seq[String],
                 mvPath: String, mins: Seq[String] = Nil,
                 maxs: Seq[String] = Nil,
-                distincts: Seq[String] = Nil): MvDef = {
+                distincts: Seq[String] = Nil,
+                where: Option[String] = None): MvDef = {
     require(dimTables.nonEmpty, s"MV $name: at least one dim required")
     val frames = fact +: dimTables.map(_._1)
     frames.combinations(2).foreach { case Seq(a, b) =>
@@ -401,7 +405,12 @@ object Mv {
       acc.join(dm, cond, "inner")
     }
     requireIntegral(joined, distincts, name)
-    summarize(joined, dims, measures, mins, maxs, distincts)
+    // filtered star (see [[build]]): the summary holds only the
+    // σ(where) slice of the join; subsumption gates the rewrite
+    val slice = where.map(w =>
+      joined.filter(org.apache.spark.sql.functions.expr(w)))
+      .getOrElse(joined)
+    summarize(slice, dims, measures, mins, maxs, distincts)
       .write.mode("overwrite").parquet(mvPath)
     // LOSSLESS AUDIT, per dim: the join preserves fact multiplicity
     // iff (a) every fact key is non-null, (b) every fact key row
@@ -427,7 +436,7 @@ object Mv {
       joins = dimTables.zipWithIndex.map { case ((dm, on), i) =>
         MvJoin(dpaths(i), on.map(_._1), on.map(_._2),
           preserving = preservingAudit(dm, on))
-      }, fp = fp, distincts = distincts.toSet)
+      }, fp = fp, distincts = distincts.toSet, where = where)
     MvCatalog.register(d)
     RegistryStore.autoPersist(spark)
     d
@@ -881,8 +890,8 @@ object Mv {
     // (sym_bucket) the declared frames never exposed; anything outside
     // keys ∪ dims ∪ measures is dropped so the joins can never turn
     // ambiguous. Contract columns must live on exactly one table.
-    val contract =
-      (d.dims ++ d.measures.toSeq ++ d.distincts.toSeq).distinct
+    val contract = (d.dims ++ d.measures.toSeq ++ d.distincts.toSeq ++
+      whereRefs(d)).distinct
     lazy val own: Map[String, Seq[String]] = {
       val m = roots.map(r =>
         r -> contract.filter(scan(r).columns.contains)).toMap
@@ -1010,7 +1019,10 @@ object Mv {
           rm.map(side(i)(_).withColumn(w, lit(-1L))))
           .reduce(_ unionByName _)
       }.toMap
-      val cols = (d.dims ++ d.measures.toSeq.sorted).map(col)
+      // predicate columns ride along so refreshChangesStamped can
+      // scope the signed feed to a filtered view's slice
+      val cols = (d.dims ++ d.measures.toSeq.sorted ++ whereRefs(d))
+        .distinct.map(col)
       def term(s: Set[Int]): DataFrame = {
         val frames = roots.indices.map(r =>
           if (s(r)) sd(r) else side(r)(scan(roots(r))))

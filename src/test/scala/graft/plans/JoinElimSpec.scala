@@ -382,6 +382,47 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally PkCatalog.unregister("jespec_pk")
   }
 
+  test("outer elimination composes with incremental PK re-verification over a snapshot-logged dim") {
+    import spark.implicits._
+    val c9 = root + "/child9"
+    val p9 = root + "/pkdim9"
+    Seq((1L, "a"), (2L, "b"), (9L, "o")).toDF("ck", "status")
+      .write.mode("overwrite").parquet(c9)
+    graft.catalog.Layout.writeClusteredZoned(
+      (1 to 8).map(i => (s"G${i % 2}", i.toLong, s"seg$i"))
+        .toDF("gsym", "ck2", "seg"),
+      p9, "gsym", "ck2", numBuckets = 2, filesPerBucket = 2)
+    def g = spark.read.parquet(c9)
+      .join(spark.read.parquet(p9), col("ck") === col("ck2"), "left")
+      .select(col("status"))
+    try {
+      DistinctElim.declareUniqueKey("jespec_pk9",
+        spark.read.parquet(p9), Seq("ck2"))
+      assert(!scanPaths(g).exists(_.endsWith("/pkdim9")), scanPaths(g))
+      // a dim append suspends; the O(window) PK re-audit — not a full
+      // re-declare — restores the outer elimination
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("G1", 11L, "seg11")).toDF("gsym", "ck2", "seg"),
+        p9, "gsym", "ck2", numBuckets = 2, filesPerBucket = 2)
+      assert(scanPaths(g).exists(_.endsWith("/pkdim9")), scanPaths(g))
+      DistinctElim.reverifyAppended(spark, "jespec_pk9")
+      assert(!scanPaths(g).exists(_.endsWith("/pkdim9")), scanPaths(g))
+      // a DUPLICATE-key dim append refuses the re-audit and the
+      // elimination stays suspended — a fanned-out fact row would be
+      // the wrong-answer hazard
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("G1", 1L, "dup")).toDF("gsym", "ck2", "seg"),
+        p9, "gsym", "ck2", numBuckets = 2, filesPerBucket = 2)
+      intercept[IllegalArgumentException] {
+        DistinctElim.reverifyAppended(spark, "jespec_pk9")
+      }
+      assert(scanPaths(g).exists(_.endsWith("/pkdim9")), scanPaths(g))
+      // and the kept real join is the correct answer: the duplicate
+      // key fans ck=1 out to two rows
+      assert(g.collect().count(_.getString(0) == "a") == 2)
+    } finally PkCatalog.unregister("jespec_pk9")
+  }
+
   test("outer elimination guards: dim column use, full outer, no declaration, key not covered") {
     import spark.implicits._
     val c8 = root + "/child8"

@@ -1275,6 +1275,57 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister(name)
   }
 
+  test("filtered star MV: subsuming re-join queries rewrite; fact-append log refresh folds only the slice") {
+    import spark.implicits._
+    val fb = root + "/fs_fact"
+    val db = root + "/fs_dim"
+    val name = "mvspec_filteredstar"
+    graft.catalog.Layout.writeClusteredZoned(
+      Seq(("f", 1L, 1L, "K", 10L), ("f", 2L, 1L, "J", 20L),
+        ("f", 3L, 2L, "K", 40L))
+        .toDF("fsym", "ts", "fk2", "st", "q"),
+      fb, "fsym", "ts", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(
+      Seq(("x", 1L), ("y", 2L)).toDF("grp2", "dk2"),
+      db, "grp2", "dk2", numBuckets = 2, filesPerBucket = 2)
+    def g = spark.read.parquet(fb)
+      .join(spark.read.parquet(db), col("fk2") === col("dk2"), "inner")
+      .filter(col("st") === "K")
+      .groupBy("grp2").agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .orderBy("grp2")
+    try {
+      Mv.buildStar(
+        spark.read.parquet(fb).select("fsym", "ts", "fk2", "st", "q"),
+        Seq(spark.read.parquet(db).select("grp2", "dk2") ->
+          Seq(("fk2", "dk2"))),
+        name, Seq("grp2"), measures = Seq("q"),
+        mvPath = root + "/fs_mv", where = Some("st = 'K'"))
+      assert(scanPaths(g).forall(_.contains("/fs_mv")), scanPaths(g))
+      assert(g.collect().map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+        Seq(("x", 10L, 1L), ("y", 40L, 1L)))
+      // the unfiltered re-join must NOT answer from the slice
+      val full = spark.read.parquet(fb)
+        .join(spark.read.parquet(db), col("fk2") === col("dk2"), "inner")
+        .groupBy("grp2").agg(sum("q").as("s"))
+      assert(full.queryExecution.optimizedPlan.toString.contains("Join"),
+        "unfiltered query must keep the real join")
+      // mixed fact append → suspend → self-heal folds only σ(st='K')
+      graft.catalog.Layout.appendClusteredZoned(
+        Seq(("f", 4L, 1L, "K", 100L), ("f", 5L, 2L, "J", 200L))
+          .toDF("fsym", "ts", "fk2", "st", "q"),
+        fb, "fsym", "ts", numBuckets = 2, filesPerBucket = 2)
+      assert(scanPaths(g).exists(_.endsWith("/fs_fact")), scanPaths(g))
+      Mv.refreshFromLog(spark, name)
+      assert(scanPaths(g).forall(_.contains("/fs_mv")), scanPaths(g))
+      assert(g.collect().map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+        Seq(("x", 110L, 2L), ("y", 40L, 1L)))
+      val (on, off) = onOff(g)
+      assert(on == off)
+    } finally MvCatalog.unregister(name)
+  }
+
   test("star MV with bitmap distincts: fact-append log refresh OR-folds; retraction windows refuse") {
     import spark.implicits._
     val fb = root + "/sd_fact"
@@ -1327,6 +1378,19 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       }
       assert(ex.getMessage.contains("rebuild"), ex.getMessage)
     } finally MvCatalog.unregister(name)
+  }
+
+  test("HAVING / sort / limit above a rewritten aggregate keep working (output attrs preserved)") {
+    // the rewrite preserves the Aggregate's output exprIds, so a
+    // HAVING filter, ORDER BY, and LIMIT stacked above it re-bind
+    // against the substituted plan untouched
+    val df = fact.groupBy("rf", "ls").agg(sum("qty").as("s"))
+      .filter(col("s") > 1000L) // HAVING
+      .orderBy(desc("s")).limit(2)
+    assert(readsMv(df))
+    val (on, off) = onOff(fact.groupBy("rf", "ls").agg(sum("qty").as("s"))
+      .filter(col("s") > 1000L).orderBy(desc("s")).limit(2))
+    assert(on.nonEmpty && on == off)
   }
 
   test("filtered MV range implication: a stricter query predicate answers from a wider slice") {

@@ -786,5 +786,35 @@ object AnalyticsQueries {
         "FROM e JOIN s USING (event_type) " +
         "WHERE sd > 0 AND abs((value - m) / sd) > 3.0 " +
         "ORDER BY event_id")),
+
+    Q("m6_result_cache",
+      // QUERY RESULT REUSE: the same aggregate routed twice through
+      // ResultCache — the second call must serve from the persisted
+      // entry, scanning ONLY the cache directory (hard-asserted: the
+      // orders table is not touched). The key digests the canonical
+      // plan + every input's TableState fingerprint, so any commit to
+      // any input re-keys and recomputes. The oracle recomputes the
+      // aggregate from the raw table — a stale or torn cache entry
+      // cannot hash-match.
+      (s, dir) => {
+        val cacheRoot = System.getProperty("java.io.tmpdir") +
+          "/graft_rescache_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        def q = Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("status")
+        graft.analytics.ResultCache.through(q, cacheRoot) // warm or hit
+        val served = graft.analytics.ResultCache.through(q, cacheRoot)
+        val scans = MvQueries.scanRoots(served)
+        require(scans.nonEmpty && scans.forall(_.contains("graft_rescache_")),
+          s"result cache was not served from the entry; scans = $scans")
+        served
+      },
+      Some("SELECT o_orderstatus AS status, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n FROM orders GROUP BY status ORDER BY status")),
   )
 }

@@ -102,6 +102,46 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map(1L -> 70.0, 2L -> 7.0)) // batch-2 upsert replaced user 1
   }
 
+  test("mvRefreshSink maintains a FILTERED bitmap-distinct MV: epochs fold only the slice, re-inserted ids count once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmv").toString
+    val base = dir + "/base"
+    val name = "streamspec_fmv"
+    Seq(("a", "K", 10L), ("a", "J", 20L), ("b", "K", 30L))
+      .toDF("d", "st", "v").write.mode("overwrite").parquet(base)
+    graft.plans.Mv.build(spark.read.parquet(base), name, Seq("d"),
+      measures = Seq("v"), mvPath = dir + "/mv",
+      distincts = Seq("v"), where = Some("st = 'K'"))
+    graft.plans.Mv.install(spark)
+    try {
+      val mem = MemoryStream[(String, String, Long)]
+      val q = Streams.mvRefreshSink(mem.toDF().toDF("d", "st", "v"), name)
+      // epoch 1: one in-slice re-insert of v=10 (must not double-count)
+      // and one out-of-slice row (must not fold at all)
+      mem.addData(("a", "K", 10L), ("a", "J", 999L))
+      q.processAllAvailable()
+      // epoch 2: a genuinely new in-slice value
+      mem.addData(("b", "K", 40L))
+      q.processAllAvailable()
+      q.stop()
+      // mirror the stream into the base so the rewrite's answer can be
+      // checked against a from-scratch slice aggregation
+      Seq(("a", "K", 10L), ("a", "J", 999L), ("b", "K", 40L))
+        .toDF("d", "st", "v").write.mode("append").parquet(base)
+      // the MV was stamped per-epoch BEFORE this mirror append, so the
+      // fingerprint is stale by construction of the test — query the
+      // summary directly: the partials must reflect exactly the slice
+      val d = graft.plans.MvCatalog.get(name).get
+      val mv = spark.read.parquet(d.mvPath)
+      val got = mv.select(col("d"), col("cnt"),
+        graft.functions.BitmapAgg.bitmap_card(col("bm_v")).as("nv"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // a: rows {10, 10-reinsert} → cnt 2, distinct 1; b: {30, 40}
+      assert(got == Map("a" -> (2L, 1L), "b" -> (2L, 2L)), got.toString)
+    } finally graft.plans.MvCatalog.unregister(name)
+  }
+
   test("viewSink maintains a retractable view across epochs; deletes retract; GC keeps last 2") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_view").toString + "/v"

@@ -263,13 +263,13 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val fpc = new FpCache(spark)
       plan.transformDown {
         case p @ Project(pl, j: Join) =>
-          eliminate(j, pl.flatMap(_.references), fpc) match {
+          eliminateTree(j, pl.flatMap(_.references), fpc) match {
             case Some(nc) => Project(pl, nc)
             case None => p
           }
         case a: Aggregate if a.child.isInstanceOf[Join] =>
           val j = a.child.asInstanceOf[Join]
-          eliminate(j,
+          eliminateTree(j,
             (a.groupingExpressions ++ a.aggregateExpressions)
               .flatMap(_.references), fpc) match {
             case Some(nc) => a.copy(child = nc)
@@ -277,6 +277,45 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
       }
     }
+  }
+
+  /** Recursive elimination over a JOIN TREE (the BI-generated shape:
+    * `fact LEFT dim₁ INNER dim₂ …` with several unused dims): try the
+    * node itself, then recurse into both sides with `needed` extended
+    * by this node's condition refs (a nested dim consumed only by an
+    * ENCLOSING join's keys is still consumed); a mid-tree Project
+    * RESETS `needed` to its own references (it prunes everything
+    * else); a Filter adds its condition. After a side collapses,
+    * re-attempt the node — an inner FK elimination may only match
+    * once its child side has stripped to the bare fact scan. Returns
+    * None when nothing anywhere in the tree eliminated. */
+  private def eliminateTree(p: LogicalPlan, needed: Seq[Attribute],
+                            fpc: FpCache): Option[LogicalPlan] = p match {
+    case j: Join =>
+      eliminate(j, needed, fpc) match {
+        case Some(repl) =>
+          Some(eliminateTree(repl, needed, fpc).getOrElse(repl))
+        case None =>
+          val condRefs = j.condition.toSeq.flatMap(_.references)
+          val deeper = needed ++ condRefs
+          val nl = eliminateTree(j.left, deeper, fpc)
+          val nr = eliminateTree(j.right, deeper, fpc)
+          if (nl.isEmpty && nr.isEmpty) None
+          else {
+            val nj = j.copy(left = nl.getOrElse(j.left),
+              right = nr.getOrElse(j.right))
+            Some(eliminate(nj, needed, fpc).map(repl =>
+              eliminateTree(repl, needed, fpc).getOrElse(repl))
+              .getOrElse(nj))
+          }
+      }
+    case pr: Project =>
+      eliminateTree(pr.child, pr.projectList.flatMap(_.references), fpc)
+        .map(nc => pr.copy(child = nc))
+    case f: Filter =>
+      eliminateTree(f.child, needed ++ f.condition.references, fpc)
+        .map(nc => f.copy(child = nc))
+    case _ => None
   }
 
   /** If `j` is a verified-FK inner join — or a LEFT/RIGHT OUTER join

@@ -382,6 +382,35 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally PkCatalog.unregister("jespec_pk")
   }
 
+  test("nested join trees eliminate every unused dim: fact LEFT pk-dim INNER fk-dim collapses to the fact") {
+    import spark.implicits._
+    val pA = root + "/pkdimN"
+    Seq((1L, "meta1"), (2L, "meta2")).toDF("cka", "meta")
+      .write.mode("overwrite").parquet(pA)
+    try {
+      DistinctElim.declareUniqueKey("jespec_pkN",
+        spark.read.parquet(pA), Seq("cka"))
+      // child LEFT dimA (unique key, unused) INNER parent (verified
+      // FK, unused): the BI-generated shape — the outer elimination
+      // must collapse the nested left join FIRST, which then exposes
+      // the bare fact scan the FK elimination needs
+      def g = child
+        .join(spark.read.parquet(pA), col("ck") === col("cka"), "left")
+        .join(parent, col("ck") === col("ck2"), "inner")
+        .groupBy("status").agg(sum("price").cast("double").as("rev"))
+        .orderBy("status")
+      val paths = scanPaths(g)
+      assert(!paths.exists(_.endsWith("/pkdimN")), paths)
+      assert(!paths.exists(_.endsWith("/parent")), paths)
+      assert(paths.exists(_.endsWith("/child")), paths)
+      val on = g.collect().toSeq
+      spark.conf.set("graft.joinelim.enabled", "false")
+      val off = try g.collect().toSeq
+      finally spark.conf.unset("graft.joinelim.enabled")
+      assert(on.nonEmpty && on == off)
+    } finally PkCatalog.unregister("jespec_pkN")
+  }
+
   test("outer elimination composes with incremental PK re-verification over a snapshot-logged dim") {
     import spark.implicits._
     val c9 = root + "/child9"

@@ -261,15 +261,19 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // one fingerprint probe per table per PASS (FpCache), however
       // many joins in the tree match a registered edge
       val fpc = new FpCache(spark)
+      // hook at the consuming node (its references define "unused");
+      // eliminateTree walks any Filter/Project/Join shape below and
+      // no-ops (None) when nothing eliminates
       plan.transformDown {
-        case p @ Project(pl, j: Join) =>
-          eliminateTree(j, pl.flatMap(_.references), fpc) match {
+        case p @ Project(pl, child) if child.isInstanceOf[Join] ||
+            child.isInstanceOf[Filter] =>
+          eliminateTree(child, pl.flatMap(_.references), fpc) match {
             case Some(nc) => Project(pl, nc)
             case None => p
           }
-        case a: Aggregate if a.child.isInstanceOf[Join] =>
-          val j = a.child.asInstanceOf[Join]
-          eliminateTree(j,
+        case a: Aggregate if a.child.isInstanceOf[Join] ||
+            a.child.isInstanceOf[Filter] || a.child.isInstanceOf[Project] =>
+          eliminateTree(a.child,
             (a.groupingExpressions ++ a.aggregateExpressions)
               .flatMap(_.references), fpc) match {
             case Some(nc) => a.copy(child = nc)

@@ -335,6 +335,57 @@ object MvQueries {
         "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM child JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
 
+    Q("j27_semi_anti_elim",
+      // SEMI-JOIN ELIMINATION ON A VERIFIED FK: `WHERE EXISTS (SELECT 1
+      // FROM dim WHERE pk = fk)` — the BI existence probe — reduces to
+      // Filter(fk IS NOT NULL, fact): the FK audit proves every
+      // non-null key matches, so the dim scan, its broadcast, and the
+      // semi join all vanish (hard-asserted). The fact carries a
+      // NULL-keyed row the EXISTS must drop; the oracle pays the real
+      // probe.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_sa_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "sa_" + Integer.toHexString(root.hashCode)
+        if (FkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .unionByName(s.range(1).select(
+              lit(null).cast("bigint").as("ck"), lit("X").as("status"),
+              lit("5.00").cast("decimal(18,2)").as("price")))
+            .write.mode("overwrite").parquet(root + "/child")
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(root + "/dim")
+          JoinElim.declareVerified(name,
+            s.read.parquet(root + "/child"), Seq("ck"),
+            s.read.parquet(root + "/dim"), Seq("ck2"))
+        }
+        JoinElim.install(s)
+        val df = s.read.parquet(root + "/child")
+          .join(s.read.parquet(root + "/dim"),
+            col("ck") === col("ck2"), "left_semi")
+          .groupBy("status").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("status")
+        val scans = scanRoots(df)
+        require(!scans.exists(_.endsWith("/dim")) &&
+          scans.exists(_.endsWith("/child")),
+          s"semi-join elimination did not fire; scans = $scans")
+        df
+      },
+      Some("WITH child AS (SELECT o_custkey AS ck, o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders " +
+        "UNION ALL SELECT NULL, 'X', CAST(5.00 AS DECIMAL(18,2))), " +
+        "dim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM child WHERE EXISTS (SELECT 1 FROM dim WHERE ck2 = ck) " +
+        "GROUP BY status ORDER BY status")),
+
     Q("j26_outer_join_elim",
       // PK-only OUTER-join elimination: the query LEFT-joins the fact
       // to a dim "just in case" but consumes only fact columns; with

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.plans.PlanMatch.{conjuncts, equiPairs, rootsOf, stripToScan}
@@ -339,8 +339,56 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }.headOption
       case LeftOuter => tryOuter(j.left, j.right, cond, needed, fpc)
       case RightOuter => tryOuter(j.right, j.left, cond, needed, fpc)
+      case LeftSemi => trySemiAnti(j.left, j.right, cond, anti = false, fpc)
+      case LeftAnti => trySemiAnti(j.left, j.right, cond, anti = true, fpc)
       case _ => None
     }
+  }
+
+  /** SEMI/ANTI ELIMINATION ON A VERIFIED FK — `EXISTS (SELECT 1 FROM
+    * parent WHERE pk = fk)` plans as a LEFT SEMI join; the FK audit
+    * proves every NON-NULL key tuple matches, so the whole probe — the
+    * parent scan, its broadcast, the join — reduces to
+    * `Filter(fk IS NOT NULL, child)`, and the NOT EXISTS (LEFT ANTI)
+    * dual to `Filter(ANY fk IS NULL, child)` (a row escapes the semi
+    * iff some key is NULL: NULL keys never match, non-NULL tuples
+    * always do). Semi/anti output is the child's alone, so there is
+    * no column-use guard to check; the parent must be an UNFILTERED
+    * bare scan (a real parent filter changes which keys exist) and
+    * both stamps must be fresh — an appended orphan child row would
+    * otherwise pass the substituted IsNotNull while the real semi
+    * drops it. */
+  private def trySemiAnti(childPlan: LogicalPlan, parentPlan: LogicalPlan,
+                          cond: Expression, anti: Boolean,
+                          fpc: FpCache): Option[LogicalPlan] = {
+    val pairs = equiPairs(cond).getOrElse(return None)
+    val (_, cfs, _) = stripToScan(childPlan).getOrElse(return None)
+    val (_, pfs, pconds) = stripToScan(parentPlan).getOrElse(return None)
+    val fk = FkCatalog.forPair(rootsOf(cfs), rootsOf(pfs))
+      .headOption.getOrElse(return None)
+    if (!fpc.matches(fk.fp, fk.childPaths ++ fk.parentPaths)) return None
+
+    // condition must be exactly the registered key pairs
+    val want = fk.childKeys.zip(fk.parentKeys).toSet
+    val got = pairs.map { case (a, b) =>
+      if (want.contains((a, b))) (a, b) else (b, a)
+    }.toSet
+    if (got != want) return None
+
+    // parent must be unfiltered beyond IsNotNull(parent key)
+    val parentKeySet = fk.parentKeys.toSet
+    val realParentFilters = pconds.flatMap(conjuncts).exists {
+      case IsNotNull(a: AttributeReference) => !parentKeySet.contains(a.name)
+      case _ => true
+    }
+    if (realParentFilters) return None
+
+    val childAttrByName = childPlan.output.map(a => a.name -> a).toMap
+    val keys = fk.childKeys.map(k => childAttrByName.getOrElse(k, return None))
+    val pred =
+      if (anti) keys.map(IsNull(_): Expression).reduce(Or)
+      else keys.map(IsNotNull(_): Expression).reduce[Expression](And)
+    Some(Filter(pred, childPlan))
   }
 
   /** OUTER-JOIN ELIMINATION ON A VERIFIED UNIQUE KEY — the PK-only

@@ -334,6 +334,55 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  // ---- FK semi/anti elimination (trySemiAnti) ----
+
+  test("verified-FK semi and anti probes eliminate the parent: EXISTS → IsNotNull, NOT EXISTS → IsNull") {
+    import spark.implicits._
+    val c10 = root + "/child10"
+    val p10 = root + "/parent10"
+    Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "n"))
+      .toDF("ck", "status").write.mode("overwrite").parquet(c10)
+    Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("ck2", "seg")
+      .write.mode("overwrite").parquet(p10)
+    try {
+      JoinElim.declareVerified("jespec_sa",
+        spark.read.parquet(c10), Seq("ck"),
+        spark.read.parquet(p10), Seq("ck2"))
+      def semi = spark.read.parquet(c10)
+        .join(spark.read.parquet(p10), col("ck") === col("ck2"), "left_semi")
+        .select("status")
+      def anti = spark.read.parquet(c10)
+        .join(spark.read.parquet(p10), col("ck") === col("ck2"), "left_anti")
+        .select("status")
+      assert(!scanPaths(semi).exists(_.endsWith("/parent10")), scanPaths(semi))
+      assert(!scanPaths(anti).exists(_.endsWith("/parent10")), scanPaths(anti))
+      // the NULL-keyed row: dropped by EXISTS, the ONLY one NOT EXISTS keeps
+      assert(semi.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+      assert(anti.collect().map(_.getString(0)).toSeq == Seq("n"))
+      // rule-off parity
+      spark.conf.set("graft.joinelim.enabled", "false")
+      try {
+        assert(semi.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+        assert(anti.collect().map(_.getString(0)).toSeq == Seq("n"))
+      } finally spark.conf.unset("graft.joinelim.enabled")
+      // a filtered parent changes which keys exist — keep the probe
+      val filtered = spark.read.parquet(c10)
+        .join(spark.read.parquet(p10).filter(col("seg") === "X"),
+          col("ck") === col("ck2"), "left_semi")
+        .select("status")
+      assert(scanPaths(filtered).exists(_.endsWith("/parent10")),
+        scanPaths(filtered))
+      // a child append (possible orphan) suspends both eliminations
+      Seq((Option(-5L), "o")).toDF("ck", "status")
+        .write.mode("append").parquet(c10)
+      assert(scanPaths(semi).exists(_.endsWith("/parent10")), scanPaths(semi))
+      assert(scanPaths(anti).exists(_.endsWith("/parent10")), scanPaths(anti))
+      // and the kept real probe gives the orphan-correct answer
+      assert(semi.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+      assert(anti.collect().map(_.getString(0)).sorted.toSeq == Seq("n", "o"))
+    } finally FkCatalog.unregister("jespec_sa")
+  }
+
   // ---- PK-only OUTER-join elimination (tryOuter) ----
 
   test("LEFT join to a verified-unique dim with unused columns drops the join; null/orphan fact rows preserved") {

@@ -1424,6 +1424,35 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister(name)
   }
 
+  test("ROLLUP over a filtered MV: the Expand path subsumes the predicate and drops it") {
+    import spark.implicits._
+    val r = root + "/rfact"
+    val name = "mvspec_rollfilt"
+    Seq(("a", "u", "K", 1L), ("a", "v", "K", 2L), ("a", "u", "J", 4L),
+      ("b", "u", "K", 8L)).toDF("d", "e", "st", "q")
+      .write.mode("overwrite").parquet(r)
+    try {
+      Mv.build(spark.read.parquet(r), name, Seq("d", "e"),
+        measures = Seq("q"), mvPath = root + "/rmv",
+        where = Some("st = 'K'"))
+      def g = spark.read.parquet(r).filter(col("st") === "K")
+        .rollup("d", "e").agg(sum("q").as("s"))
+        .orderBy(col("d").asc_nulls_first, col("e").asc_nulls_first)
+      assert(scanPaths(g).forall(_.contains("/rmv")), scanPaths(g))
+      val rows = g.collect().map(x =>
+        (Option(x.getString(0)), Option(x.getString(1)), x.getLong(2))).toSeq
+      assert(rows == Seq(
+        (None, None, 11L),
+        (Some("a"), None, 3L), (Some("a"), Some("u"), 1L),
+        (Some("a"), Some("v"), 2L),
+        (Some("b"), None, 8L), (Some("b"), Some("u"), 8L)), rows)
+      // without the predicate the slice cannot answer the rollup
+      val g2 = spark.read.parquet(r).rollup("d", "e")
+        .agg(sum("q").as("s"))
+      assert(scanPaths(g2).forall(_.contains("/rfact")), scanPaths(g2))
+    } finally MvCatalog.unregister(name)
+  }
+
   test("filtered MV with a MEASURE-range predicate rewrites subsuming queries") {
     import spark.implicits._
     val r = root + "/qfact"

@@ -335,6 +335,43 @@ object MvQueries {
         "SELECT status, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
         "FROM child JOIN dim ON ck = ck2 GROUP BY status ORDER BY status")),
 
+    Q("s31_agg_elim",
+      // AGGREGATE ELIMINATION ON A UNIQUE KEY: GROUP BY the verified
+      // PK makes every group exactly one row, so the hash aggregate
+      // and its whole shuffle collapse to a Project — sum/avg become
+      // casts, min/max/first the column itself, count(*) the literal
+      // 1 (hard-asserted: no Aggregate in the optimized plan). The
+      // oracle pays the real aggregation.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_ae_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "ae_" + Integer.toHexString(root.hashCode)
+        if (PkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_orderkey").as("ok"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(root + "/t")
+          DistinctElim.declareUniqueKey(name,
+            s.read.parquet(root + "/t"), Seq("ok"))
+        }
+        DistinctElim.install(s)
+        val df = s.read.parquet(root + "/t").groupBy("ok").agg(
+          sum("price").cast("double").as("revenue"),
+          count(lit(1)).as("n"),
+          max(col("status")).as("st")).orderBy("ok")
+        require(!df.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+          "aggregate elimination did not fire:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      },
+      Some("WITH t AS (SELECT o_orderkey AS ok, o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders) " +
+        "SELECT ok, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n, " +
+        "max(status) AS st FROM t GROUP BY ok ORDER BY ok")),
+
     Q("j27_semi_anti_elim",
       // SEMI-JOIN ELIMINATION ON A VERIFIED FK: `WHERE EXISTS (SELECT 1
       // FROM dim WHERE pk = fk)` — the BI existence probe — reduces to

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.plans.PlanMatch.{rootsOf, stripToScan}
@@ -38,6 +38,11 @@ object PkCatalog {
   *
   *   - `DISTINCT` / `dropDuplicates` whose keys ⊇ a verified unique
   *     key of the underlying scan → plain Project (zero exchanges);
+  *   - AGGREGATE ELIMINATION: `GROUP BY k ⊇ unique key` makes every
+  *     group one row, so sum/avg/min/max/first/last/count calls
+  *     replace with per-row expressions and the aggregate (plus its
+  *     shuffle) disappears entirely — the SQL-Server/Oracle
+  *     "GROUP BY on a key" rewrite;
   *   - `COUNT(DISTINCT k)` with k ⊇ a unique key → `COUNT(k)` —
   *     dropping the Expand + extra shuffle Spark plans for distinct
   *     aggregates.
@@ -160,20 +165,56 @@ case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (coversUniqueKey(child, keys, fpc)) child else d
 
       case agg: Aggregate =>
-        // DISTINCT (bare grouping attrs out) or dropDuplicates (Spark
-        // rewrites Deduplicate into group-by-keys + first(col) — with
-        // verified-unique keys every group is ONE row, so first(col)
-        // IS col): both collapse to a plain Project
+        // GROUP BY ⊇ a verified unique key makes every group EXACTLY
+        // ONE ROW, so the whole hash aggregate (and its shuffle)
+        // collapses to a Project with each call replaced by its
+        // single-row value: first/last/min/max(a) → a, sum/avg(a) →
+        // cast(a) (exact on one row; the cast restores the widened
+        // result type), count(*) → 1, count(a…) → non-null test.
+        // DISTINCT and dropDuplicates (group-by-keys + first) are the
+        // degenerate cases of the same rewrite. FILTER clauses bail.
         val groupAttrs = agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference])
+        def singleRow(ae: AggregateExpression): Option[Expression] = {
+          if (ae.filter.isDefined) return None
+          ae.aggregateFunction match {
+            case First(a: AttributeReference, _) => Some(a)
+            case Last(a: AttributeReference, _) => Some(a)
+            case Min(a: AttributeReference) => Some(a)
+            case Max(a: AttributeReference) => Some(a)
+            case Sum(a: AttributeReference, _) =>
+              Some(Cast(a, ae.dataType, Some(conf.sessionLocalTimeZone)))
+            case Average(a: AttributeReference, _) =>
+              Some(Cast(a, ae.dataType, Some(conf.sessionLocalTimeZone)))
+            case Count(cs) if cs.forall {
+              case _: AttributeReference => true
+              case l: Literal => l.value != null
+              case _ => false
+            } =>
+              val attrs = cs.collect { case a: AttributeReference => a }
+              if (attrs.isEmpty) Some(Literal(1L))
+              else Some(If(
+                attrs.map(IsNotNull(_): Expression).reduce(And),
+                Literal(1L), Literal(0L)))
+            case _ => None
+          }
+        }
         val collapsed: Option[Seq[NamedExpression]] =
           if (!groupAttrs || agg.groupingExpressions.isEmpty) None
           else {
             val out = agg.aggregateExpressions.map {
               case a: AttributeReference
                 if agg.groupingExpressions.exists(_.semanticEquals(a)) => a
-              case al @ Alias(AggregateExpression(
-                  First(a: AttributeReference, _), _, false, None, _), nm) =>
-                Alias(a, nm)(exprId = al.exprId, qualifier = al.qualifier)
+              case al @ Alias(child, nm) =>
+                var ok = true
+                val step = child.transformUp {
+                  case ae: AggregateExpression => singleRow(ae) match {
+                    case Some(e) => e
+                    case None => ok = false; ae
+                  }
+                }
+                if (!ok) null
+                else Alias(step, nm)(exprId = al.exprId,
+                  qualifier = al.qualifier)
               case _ => null
             }
             if (out.contains(null)) None else Some(out)

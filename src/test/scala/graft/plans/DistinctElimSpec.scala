@@ -253,4 +253,51 @@ class DistinctElimSpec extends SparkSpec with BeforeAndAfterAll {
       DistinctElim.declareUniqueKey("despec_bad", t, Seq("status"))
     }
   }
+
+  test("GROUP BY a unique key eliminates the aggregate: every call becomes its single-row value") {
+    import spark.implicits._
+    val tp7 = root + "/t7"
+    Seq((1L, "a", Option(10.0)), (2L, "b", Option.empty[Double]),
+      (3L, "a", Option(30.0)))
+      .toDF("ok", "status", "price").write.mode("overwrite").parquet(tp7)
+    try {
+      DistinctElim.declareUniqueKey("despec_agg",
+        spark.read.parquet(tp7), Seq("ok"))
+      def g0 = spark.read.parquet(tp7).groupBy("ok").agg(
+        sum("price").as("s"), avg("price").as("a"),
+        min("price").as("mn"), max("price").as("mx"),
+        count(lit(1)).as("n"), count(col("price")).as("np"),
+        first(col("status")).as("st"))
+      def g = g0.orderBy("ok")
+      assert(!optimized(g).contains("Aggregate"), optimized(g))
+      // the unsorted frame has NO exchange at all (the sorted one
+      // keeps only the ORDER BY's range partitioning)
+      assert(!physical(g0).contains("Exchange"), physical(g0))
+      val rows = g.collect().map(r => (r.getLong(0),
+        Option(r.get(1)), r.getLong(5), r.getLong(6))).toSeq
+      // NULL price: sum/avg stay NULL, count(price) = 0, count(*) = 1
+      assert(rows == Seq((1L, Some(10.0), 1L, 1L),
+        (2L, None, 1L, 0L), (3L, Some(30.0), 1L, 1L)), rows.toString)
+      // rule-off parity, full row equality
+      val on = g.collect().toSeq
+      spark.conf.set("graft.distinctelim.enabled", "false")
+      val off = try g.collect().toSeq
+      finally spark.conf.unset("graft.distinctelim.enabled")
+      assert(on == off)
+      // grouping by a NON-key keeps the real aggregate
+      val keep = spark.read.parquet(tp7).groupBy("status")
+        .agg(sum("price").as("s"))
+      assert(optimized(keep).contains("Aggregate"), optimized(keep))
+      // guards: a computed aggregate child (bare attrs only) and an
+      // explicit FILTER clause both keep the real aggregate
+      val fil = spark.read.parquet(tp7).groupBy("ok")
+        .agg(sum(when(col("status") === "a", col("price"))).as("s"))
+      assert(optimized(fil).contains("Aggregate"), optimized(fil))
+      spark.read.parquet(tp7).createOrReplaceTempView("despec_t7")
+      val sqlFil = spark.sql(
+        "SELECT ok, sum(price) FILTER (WHERE status = 'a') AS s " +
+          "FROM despec_t7 GROUP BY ok")
+      assert(optimized(sqlFil).contains("Aggregate"), optimized(sqlFil))
+    } finally PkCatalog.unregister("despec_agg")
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.plans.PlanMatch.{conjuncts, equiPairs, rootsOf, stripToScan}
+import graft.plans.PlanMatch.{conjuncts, rootsOf, stripToScan}
 
 /** A VERIFIED foreign-key edge between two file-backed tables:
   * every non-null `childKeys` tuple in the child has exactly one
@@ -331,11 +331,10 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     j.joinType match {
       case Inner =>
-        val pairs = equiPairs(cond).getOrElse(return None)
         // try both orientations: (child=left, parent=right) and flipped
         Seq((j.left, j.right), (j.right, j.left)).view.flatMap {
           case (childPlan, parentPlan) =>
-            tryOne(childPlan, parentPlan, pairs, needed, fpc)
+            tryOne(childPlan, parentPlan, cond, needed, fpc)
         }.headOption
       case LeftOuter => tryOuter(j.left, j.right, cond, needed, fpc)
       case RightOuter => tryOuter(j.right, j.left, cond, needed, fpc)
@@ -361,7 +360,7 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def trySemiAnti(childPlan: LogicalPlan, parentPlan: LogicalPlan,
                           cond: Expression, anti: Boolean,
                           fpc: FpCache): Option[LogicalPlan] = {
-    val pairs = equiPairs(cond).getOrElse(return None)
+    val pairs = sidedPairs(cond, childPlan, parentPlan).getOrElse(return None)
     val (_, cfs, _) = stripToScan(childPlan).getOrElse(return None)
     val (_, pfs, pconds) = stripToScan(parentPlan).getOrElse(return None)
     val fk = FkCatalog.forPair(rootsOf(cfs), rootsOf(pfs))
@@ -369,11 +368,7 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!fpc.matches(fk.fp, fk.childPaths ++ fk.parentPaths)) return None
 
     // condition must be exactly the registered key pairs
-    val want = fk.childKeys.zip(fk.parentKeys).toSet
-    val got = pairs.map { case (a, b) =>
-      if (want.contains((a, b))) (a, b) else (b, a)
-    }.toSet
-    if (got != want) return None
+    if (pairs.toSet != fk.childKeys.zip(fk.parentKeys).toSet) return None
 
     // parent must be unfiltered beyond IsNotNull(parent key)
     val parentKeySet = fk.parentKeys.toSet
@@ -437,10 +432,34 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ok) Some(childPlan) else None
   }
 
+  /** Decompose `cond` into (childKey, parentKey) NAME pairs,
+    * attributing each equality's sides by exprId (names can repeat
+    * across sides — e.g. a child carrying columns named like BOTH
+    * registered keys; ids cannot). None when any conjunct is
+    * non-equi, non-attribute, or does not span both sides — a
+    * same-side equality (child.ck = child.ck2) must NOT pass as the
+    * registered key condition. */
+  private def sidedPairs(cond: Expression, childPlan: LogicalPlan,
+                         parentPlan: LogicalPlan)
+      : Option[Seq[(String, String)]] = {
+    val cIds = childPlan.output.map(_.exprId).toSet
+    val pIds = parentPlan.output.map(_.exprId).toSet
+    Some(conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if cIds.contains(a.exprId) && pIds.contains(b.exprId) =>
+        (a.name, b.name)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if pIds.contains(a.exprId) && cIds.contains(b.exprId) =>
+        (b.name, a.name)
+      case _ => return None
+    })
+  }
+
   private def tryOne(childPlan: LogicalPlan, parentPlan: LogicalPlan,
-                     pairs: Seq[(String, String)],
+                     cond: Expression,
                      needed: Seq[Attribute],
                      fpc: FpCache): Option[LogicalPlan] = {
+    val pairs = sidedPairs(cond, childPlan, parentPlan).getOrElse(return None)
     val (_, cfs, _) = stripToScan(childPlan).getOrElse(return None)
     val (prl, pfs, pconds) = stripToScan(parentPlan).getOrElse(return None)
     val fk = FkCatalog.forPair(rootsOf(cfs), rootsOf(pfs))
@@ -452,13 +471,9 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!fpc.matches(fk.fp, fk.childPaths ++ fk.parentPaths))
       return None
 
-    // condition must be exactly the registered key pairs (either order
-    // inside each equality)
-    val want = fk.childKeys.zip(fk.parentKeys).toSet
-    val got = pairs.map { case (a, b) =>
-      if (want.contains((a, b))) (a, b) else (b, a)
-    }.toSet
-    if (got != want) return None
+    // condition must be exactly the registered key pairs, each
+    // equality side-attributed by exprId
+    if (pairs.toSet != fk.childKeys.zip(fk.parentKeys).toSet) return None
 
     // the parent must be unfiltered (IsNotNull on its key is the only
     // residual the optimizer adds that the FK makes redundant)

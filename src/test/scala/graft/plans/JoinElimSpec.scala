@@ -383,6 +383,42 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     } finally FkCatalog.unregister("jespec_sa")
   }
 
+  test("a same-side equality that NAME-matches the registered keys must not eliminate the semi probe") {
+    import spark.implicits._
+    val c11 = root + "/child11"
+    val p11 = root + "/parent11"
+    // the child carries columns named like BOTH registered keys: a
+    // condition child.ck = child.ck2 name-matches the FK pair but
+    // references no parent column at all — rewriting it to
+    // IsNotNull(ck) would wrongly keep the (1, 2) row
+    Seq((Option(1L), 1L, "eq"), (Option(1L), 2L, "ne"),
+      (Option.empty[Long], 1L, "n"))
+      .toDF("ck", "ck2", "status").write.mode("overwrite").parquet(c11)
+    Seq((1L, "X"), (2L, "Y")).toDF("ck2", "seg")
+      .write.mode("overwrite").parquet(p11)
+    try {
+      JoinElim.declareVerified("jespec_sameside",
+        spark.read.parquet(c11), Seq("ck"),
+        spark.read.parquet(p11), Seq("ck2"))
+      val c = spark.read.parquet(c11)
+      def semi = c.join(spark.read.parquet(p11),
+        c("ck") === c("ck2"), "left_semi").select("status")
+      // both equality sides are child attributes → not the FK probe;
+      // the parent scan must survive and the semantics stay Spark's
+      assert(scanPaths(semi).exists(_.endsWith("/parent11")),
+        scanPaths(semi))
+      assert(semi.collect().map(_.getString(0)).sorted.toSeq == Seq("eq"))
+      // the genuine cross-side probe on the same tables still eliminates
+      val p = spark.read.parquet(p11)
+      def real = c.join(p, c("ck") === p("ck2"), "left_semi")
+        .select("status")
+      assert(!scanPaths(real).exists(_.endsWith("/parent11")),
+        scanPaths(real))
+      assert(real.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("eq", "ne"))
+    } finally FkCatalog.unregister("jespec_sameside")
+  }
+
   // ---- PK-only OUTER-join elimination (tryOuter) ----
 
   test("LEFT join to a verified-unique dim with unused columns drops the join; null/orphan fact rows preserved") {

@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(s => graft.plans.JoinElimRule(s))
     // PK-verified distinct elimination (graft.plans.DistinctElimRule)
     ext.injectOptimizerRule(s => graft.plans.DistinctElimRule(s))
+    // planner-probed result cache (graft.analytics.ResultCacheRule);
+    // a no-op until graft.resultcache.dir is set on the session
+    ext.injectOptimizerRule(s => graft.analytics.ResultCacheRule(s))
     ext.injectFunction((
       new FunctionIdentifier("hold_fold"),
       new ExpressionInfo(classOf[HoldingFoldAgg].getName, "hold_fold"),

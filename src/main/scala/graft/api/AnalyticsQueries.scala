@@ -788,30 +788,38 @@ object AnalyticsQueries {
         "ORDER BY event_id")),
 
     Q("m6_result_cache",
-      // QUERY RESULT REUSE: the same aggregate routed twice through
-      // ResultCache — the second call must serve from the persisted
-      // entry, scanning ONLY the cache directory (hard-asserted: the
-      // orders table is not touched). The key digests the canonical
-      // plan + every input's TableState fingerprint, so any commit to
-      // any input re-keys and recomputes. The oracle recomputes the
-      // aggregate from the raw table — a stale or torn cache entry
-      // cannot hash-match.
+      // QUERY RESULT REUSE, planner-probed: ResultCacheRule is
+      // installed on the session and the SAME DataFrame query runs
+      // twice with NO explicit cache routing anywhere — the first run
+      // populates the persisted entry from inside the optimizer, the
+      // second is served from it, scanning ONLY the cache directory
+      // (hard-asserted: the orders table is not touched). The key
+      // digests the LOSSLESS canonical plan + scan roots + every
+      // input's TableState fingerprint, so any commit to any input
+      // re-keys and recomputes. The oracle recomputes the aggregate
+      // from the raw table — a stale or torn cache entry cannot
+      // hash-match.
       (s, dir) => {
         val cacheRoot = System.getProperty("java.io.tmpdir") +
           "/graft_rescache_" + s.sparkContext.applicationId + "_" +
           Integer.toHexString(dir.hashCode)
-        def q = Tables.load(s, dir, "orders")
-          .groupBy(col("o_orderstatus").as("status"))
-          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").as("revenue"),
-            count(lit(1)).as("n"))
-          .orderBy("status")
-        graft.analytics.ResultCache.through(q, cacheRoot) // warm or hit
-        val served = graft.analytics.ResultCache.through(q, cacheRoot)
-        val scans = MvQueries.scanRoots(served)
-        require(scans.nonEmpty && scans.forall(_.contains("graft_rescache_")),
-          s"result cache was not served from the entry; scans = $scans")
-        served
+        graft.analytics.ResultCache.install(s)
+        s.conf.set("graft.resultcache.dir", cacheRoot)
+        try {
+          def q = Tables.load(s, dir, "orders")
+            .groupBy(col("o_orderstatus").as("status"))
+            .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"),
+              count(lit(1)).as("n"))
+            .orderBy("status")
+          q.collect() // first run: the rule populates the entry
+          val served = q
+          val scans = MvQueries.scanRoots(served)
+          require(scans.nonEmpty &&
+            scans.forall(_.contains("graft_rescache_")),
+            s"result cache was not served from the entry; scans = $scans")
+          served
+        } finally s.conf.unset("graft.resultcache.dir")
       },
       Some("SELECT o_orderstatus AS status, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +

@@ -155,7 +155,29 @@ object MvCatalog {
       case None => Seq.empty
       case Some(w) => predCache.getOrElseUpdate(d.mvPath,
         try {
-          val base = spark.read.parquet(d.basePaths.toSeq.sorted: _*)
+          // a STAR MV's predicate may reference DIM columns
+          // ([[Mv.buildStar]] filters the JOINED star): resolve against
+          // the UNION SCHEMA of every base table, bound over the fact
+          // root — buildStar's ambiguity check made names unique
+          // across tables, and the frame is only ANALYZED, never run,
+          // so binding dim columns onto the fact scan is safe (a
+          // multi-path read would trip on the Layout roots' differing
+          // bucket-dir structures). Fact-only resolution would park a
+          // dim-side where on Literal(false) forever.
+          val base = if (d.joins.isEmpty)
+            spark.read.parquet(d.basePaths.toSeq.sorted: _*)
+          else {
+            val paths = d.basePaths.toSeq.sorted ++
+              d.joins.flatMap(_.dimPaths.toSeq.sorted)
+            val fields = scala.collection.mutable.LinkedHashMap
+              .empty[String, org.apache.spark.sql.types.StructField]
+            paths.foreach(p => spark.read.parquet(p).schema.foreach(f =>
+              if (!fields.contains(f.name)) fields += f.name -> f))
+            spark.read
+              .schema(org.apache.spark.sql.types.StructType(
+                fields.values.toSeq))
+              .parquet(d.basePaths.toSeq.sorted: _*)
+          }
           base.filter(org.apache.spark.sql.functions.expr(w))
             .queryExecution.optimizedPlan.collect {
               case Filter(c, _) => PlanMatch.conjuncts(c)

@@ -16,6 +16,17 @@ object ColumnBridge {
 /** Plan-level internal access for iterative kernels. */
 object PlanBridge {
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` went
+    * `private[sql]` in the Spark 4 Connect refactor). Used by
+    * optimizer rules that must EXECUTE a matched subtree — e.g.
+    * [[graft.analytics.ResultCacheRule]] materializing a cache entry
+    * from the probed aggregate plan. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Re-wrap a MATERIALIZED frame (localCheckpoint'ed) as a fresh
     * LogicalRDD leaf with DEFAULT statistics — zero-copy: the internal
     * row RDD is reused, no job runs, and the checkpointed blocks stay

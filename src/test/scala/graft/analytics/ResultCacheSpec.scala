@@ -67,6 +67,90 @@ class ResultCacheSpec extends SparkSpec {
     assert(r2.isEmpty && r2.schema.fieldNames.toSeq == Seq("k", "s"))
   }
 
+  test("planner-probed: the installed rule serves a repeat aggregate transparently, order preserved, non-deterministic never cached") {
+    import spark.implicits._
+    val t4 = root + "/t4"
+    val cache2 = root + "/cache2"
+    Seq(("a", 1L), ("b", 4L), ("c", 2L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(t4)
+    ResultCache.install(spark)
+    spark.conf.set("graft.resultcache.dir", cache2)
+    try {
+      def q = spark.read.parquet(t4).groupBy("k")
+        .agg(sum("v").as("s")).orderBy(desc("k"))
+      val m0 = ResultCache.misses.get()
+      val h0 = ResultCache.hits.get()
+      // first run: the rule populates the entry from inside the
+      // optimizer — no explicit routing anywhere
+      assert(q.collect().map(_.getString(0)).toSeq == Seq("c", "b", "a"))
+      assert(ResultCache.misses.get() == m0 + 1)
+      // second run: plan-asserted to scan ONLY the cache entry, with
+      // the root Sort preserved ABOVE it (parquet loses order)
+      val again = q
+      assert(scanPaths(again).nonEmpty &&
+        scanPaths(again).forall(_.contains("/cache2")), scanPaths(again))
+      assert(again.collect().map(_.getString(0)).toSeq == Seq("c", "b", "a"))
+      assert(ResultCache.hits.get() > h0)
+      assert(ResultCache.misses.get() == m0 + 1, "the repeat must not recompute")
+      // a non-deterministic query is never cached (rand() >= 0.0 would
+      // not do here: the optimizer folds it away as always-true)
+      val nd = spark.read.parquet(t4).filter(rand() >= 0.5)
+        .groupBy("k").agg(sum("v").as("s"))
+      assert(scanPaths(nd).exists(_.contains("/t4")), scanPaths(nd))
+    } finally spark.conf.unset("graft.resultcache.dir")
+  }
+
+  test("wide plans differing past maxToStringFields key differently (lossless rendering)") {
+    import spark.implicits._
+    val t5 = root + "/t5"
+    Seq(("a", 1L), ("b", 4L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(t5)
+    // 30 aggregate expressions: the default treeString truncates the
+    // list at spark.sql.debug.maxToStringFields (25) — two queries
+    // differing only in the tail once rendered IDENTICALLY and shared
+    // one entry (the second silently served the first's result)
+    def wide(last: Long) = {
+      val aggs = (0 until 29).map(i => sum(col("v") + lit(i)).as(s"s$i")) :+
+        sum(col("v") + lit(last)).as("s29")
+      spark.read.parquet(t5).groupBy("k").agg(aggs.head, aggs.tail: _*)
+        .orderBy("k")
+    }
+    val ka = ResultCache.planKey(spark, wide(29L).queryExecution.optimizedPlan)
+    val kb = ResultCache.planKey(spark, wide(999L).queryExecution.optimizedPlan)
+    assert(ka != kb, "tail-differing wide plans must not collide")
+    // end-to-end: each variant gets its own entry and its own values
+    val ra = ResultCache.through(wide(29L), cacheP)
+      .filter(col("k") === "a").select("s29").head().getLong(0)
+    val rb = ResultCache.through(wide(999L), cacheP)
+      .filter(col("k") === "a").select("s29").head().getLong(0)
+    assert(ra == 30L && rb == 1000L, s"got $ra / $rb")
+  }
+
+  test("a lost publish race drops the staging dir and keeps the winner's entry") {
+    import spark.implicits._
+    val t6 = root + "/t6"
+    Seq(("a", 7L)).toDF("k", "v").write.mode("overwrite").parquet(t6)
+    def q = spark.read.parquet(t6).groupBy("k").agg(sum("v").as("s"))
+    ResultCache.through(q, cacheP).collect()
+    val k = ResultCache.key(q)
+    val dir = ResultCache.entryDir(cacheP, k)
+    val fs = graft.catalog.SnapshotManifest.fsOf(spark, cacheP)
+    // simulate the loser: its fully-written staging arrives after the
+    // winner published — publish must drop it, not nest it inside the
+    // entry (Hadoop rename moves src INTO an existing dst)
+    val tmp = new org.apache.hadoop.fs.Path(cacheP, ".tmp_res_loser")
+    fs.mkdirs(tmp)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "part-0"), true)
+    out.write(Array[Byte](1)); out.close()
+    ResultCache.publish(fs, tmp, dir)
+    assert(!fs.exists(tmp), "loser staging must be deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".tmp_res_loser")),
+      "loser staging must not nest inside the winner's entry")
+    val m = ResultCache.misses.get()
+    assert(ResultCache.through(q, cacheP).head().getLong(1) == 7L)
+    assert(ResultCache.misses.get() == m, "winner's entry must still hit")
+  }
+
   test("vacuum reclaims aged entries; the next call recomputes") {
     import spark.implicits._
     val t3 = root + "/t3"

@@ -1326,6 +1326,48 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister(name)
   }
 
+  test("filtered star MV with a DIM-side predicate rewrites (resolved against the star, not the fact alone)") {
+    import spark.implicits._
+    val fb = root + "/dw_fact"
+    val db = root + "/dw_dim"
+    val name = "mvspec_dimwhere"
+    graft.catalog.Layout.writeClusteredZoned(
+      Seq(("f", 1L, 1L, 10L), ("f", 2L, 1L, 20L), ("f", 3L, 2L, 40L))
+        .toDF("fsym", "ts", "fk3", "q"),
+      fb, "fsym", "ts", numBuckets = 2, filesPerBucket = 2)
+    graft.catalog.Layout.writeClusteredZoned(
+      Seq(("x", 1L, "E"), ("y", 2L, "W")).toDF("grp3", "dk3", "reg3"),
+      db, "grp3", "dk3", numBuckets = 2, filesPerBucket = 2)
+    def g = spark.read.parquet(fb)
+      .join(spark.read.parquet(db), col("fk3") === col("dk3"), "inner")
+      .filter(col("reg3") === "E")
+      .groupBy("grp3").agg(sum("q").as("s"))
+      .orderBy("grp3")
+    try {
+      // `reg3` lives on the DIM table: resolving the predicate against
+      // the fact alone parks the view on Literal(false) and the
+      // rewrite silently never fires — the regression this pins
+      Mv.buildStar(
+        spark.read.parquet(fb).select("fsym", "ts", "fk3", "q"),
+        Seq(spark.read.parquet(db).select("grp3", "dk3", "reg3") ->
+          Seq(("fk3", "dk3"))),
+        name, Seq("grp3"), measures = Seq("q"),
+        mvPath = root + "/dw_mv", where = Some("reg3 = 'E'"))
+      assert(scanPaths(g).forall(_.contains("/dw_mv")), scanPaths(g))
+      assert(g.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("x", 30L)))
+      // a query on the OTHER slice must keep the real join
+      val other = spark.read.parquet(fb)
+        .join(spark.read.parquet(db), col("fk3") === col("dk3"), "inner")
+        .filter(col("reg3") === "W")
+        .groupBy("grp3").agg(sum("q").as("s"))
+      assert(other.queryExecution.optimizedPlan.toString.contains("Join"),
+        "the W slice must not answer from the E-sliced summary")
+      val (on, off) = onOff(g)
+      assert(on == off)
+    } finally MvCatalog.unregister(name)
+  }
+
   test("star MV with bitmap distincts: fact-append log refresh OR-folds; retraction windows refuse") {
     import spark.implicits._
     val fb = root + "/sd_fact"

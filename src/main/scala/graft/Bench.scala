@@ -58,10 +58,26 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // belt and braces: also land the JSON as a file, immune to any
-    // stdout tail-capture limit
+    // the full per-query map lands as a file, immune to any stdout
+    // tail-capture limit
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the driver captures only the TAIL of stdout (~2000 chars) and
+    // parses the last line: at 200+ queries the full line outgrows the
+    // capture and the artifact records parsed:null. Print LAST a
+    // compact line that always fits — total + the slowest queries,
+    // greedily packed under the budget, with a pointer to the full map.
+    val budget = 1800
+    val slow = results.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"queries_full":"bench_out.json","queries":{"""
+    val tail0 = "}}"
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + tail0.length
+    slow.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + ms(v)
+      if (len + ent.length + 1 <= budget) { picked += ent; len += ent.length + 1 }
+    }
+    println(head + picked.mkString(",") + tail0)
     spark.stop()
   }
 }

@@ -74,16 +74,44 @@ object TimeSeries {
     *
     * The self-join is equi on the day; the triangle condition is a
     * post-filter, so Catalyst still plans a hash/sort-merge join, never
-    * a nested loop. Cost is O(days × symbols²) pairs — at large symbol
-    * counts cap the key set (the reference only ever runs it over one
-    * portfolio's holdings, a handful of symbols).
+    * a nested loop. Cost is O(days × keys²) pairs, and on the default
+    * path a whole day's key set meets itself inside ONE task — so the
+    * default GUARDS the key count (`maxKeys`, one cheap distinct-count
+    * probe) instead of silently detonating at 100× the reference's
+    * handful of portfolio symbols.
+    *
+    * For large key sets pass `blocks = B > 1`: keys are hashed into B
+    * blocks, one join side is replicated B ways on a block column, and
+    * the join runs equi on (day, block) — each (k1, k2) pair still
+    * meets exactly once (at k2's block), every aggregate is unchanged,
+    * but a task now builds at most keys²∕B pairs per day and the join
+    * fans out over days × B tasks. Replicating one side B× for B× the
+    * parallelism and 1∕B the per-task memory is the standard blocked
+    * self-join trade.
     */
-  def corrMatrix(rets: DataFrame, key: String, time: String): DataFrame = {
+  def corrMatrix(rets: DataFrame, key: String, time: String,
+                 maxKeys: Int = 1000, blocks: Int = 1): DataFrame = {
+    require(blocks >= 1, s"corrMatrix: blocks must be >= 1, got $blocks")
     val r = rets.filter(col("ret").isNotNull)
       .select(col(key).as("k"), col(time).as("t"), col("ret"))
+    if (blocks == 1 && maxKeys > 0) {
+      // limit bounds the probe: it never scans past maxKeys+1 keys
+      val n = r.select("k").distinct().limit(maxKeys + 1).count()
+      require(n <= maxKeys,
+        s"corrMatrix: more than $maxKeys distinct keys — the day-keyed " +
+          "self-join would build O(keys²) pairs inside single tasks; " +
+          "run blockwise (blocks = ceil(keys/500)) or cap the key set")
+    }
     val r1 = r.select(col("k").as("k1"), col("t"), col("ret").as("ret1"))
     val r2 = r.select(col("k").as("k2"), col("t"), col("ret").as("ret2"))
-    r1.join(r2, Seq("t"))
+    val paired =
+      if (blocks == 1) r1.join(r2, Seq("t"))
+      else r1
+        .withColumn("bb", explode(sequence(lit(0), lit(blocks - 1))))
+        .join(r2.withColumn("bb",
+          pmod(xxhash64(col("k2")), lit(blocks.toLong)).cast("int")),
+          Seq("t", "bb"))
+    paired
       .filter(col("k1") <= col("k2"))
       .groupBy(col("k1"), col("k2"))
       // explicit Pearson with try_divide: built-in corr() throws

@@ -306,6 +306,44 @@ object DomainQueries {
         "l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem " +
         "WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber")),
 
+    Q("s32_insert_echo",
+      // INSERT + RETURNING through the snapshot-logged APPEND commit
+      // (S3, stocks.js:144-148): seed the table with the A/N slices,
+      // insert the R slice via Layout.appendClusteredZoned's
+      // crash-atomic flip, then echo the INSERTED rows by reading them
+      // back THROUGH the table's bucket-pruned path. The oracle
+      // recomputes the batch from the raw source, so the echo proves
+      // content fidelity of the committed insert itself — not of the
+      // in-memory batch frame (s3 gates the initial write; this gates
+      // the append).
+      (s, dir) => {
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_insecho_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val src = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("symbol"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))
+        graft.catalog.Layout.writeClusteredZoned(
+          src.filter(col("symbol") =!= "R"), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.appendClusteredZoned(
+          src.filter(col("symbol") === "R"), path, "symbol", "ship",
+          numBuckets = 4, filesPerBucket = 4)
+        graft.catalog.Layout.read(s, path, "symbol", "ship",
+            numBuckets = 4, symbolEq = Some("R"))
+          .select(col("symbol"), col("ship"), col("l_orderkey"),
+            col("l_linenumber"), col("qty"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("SELECT l_returnflag AS symbol, CAST(l_shipdate AS DATE) AS ship, " +
+        "l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem " +
+        "WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber")),
+
     Q("s10_zonemap",
       // file-level zone-map data skipping (SURVEY §4 extension): write
       // a range-clustered copy, consult the per-file (min,max)

@@ -118,6 +118,80 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(got.filter(col("k") === 0L).select(col("n")).as[Long].head() >= 4000000L)
   }
 
+  test("corrMatrix: blockwise ≡ plain, the guard refuses a detonating key set, 2000-key blockwise completes") {
+    // keys 0..99 × days 0..19, ret = (k%3+1)·day: every pair is a
+    // positive-slope line pair → correlation exactly 1, closed form
+    val K2 = 100L
+    val D = 20L
+    val rets = spark.range(K2 * D).select(
+      (col("id") % K2).as("sym"),
+      (col("id") / K2).cast("long").as("day"))
+      .withColumn("ret", ((col("sym") % 3 + 1) * col("day")).cast("double"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k1", "k2").collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9),  // corr to 1e-9
+          math.round(r.getDouble(3) * 1e6),  // covar to 1e-6 (FP sum order)
+          r.getLong(4))).toSeq
+    val plain = graft.analytics.TimeSeries.corrMatrix(rets, "sym", "day")
+    val blocked = graft.analytics.TimeSeries.corrMatrix(rets, "sym", "day",
+      blocks = 8)
+    assert(plain.count() == K2 * (K2 + 1) / 2)
+    assert(canon(plain) == canon(blocked),
+      "blockwise must aggregate the identical pair set")
+    assert(plain.filter(abs(col("correlation") - 1.0) > 1e-9).isEmpty)
+    // the default path refuses a key set whose day-keyed self-join
+    // would build O(keys²) pairs inside single tasks
+    val wide = spark.range(2000).select(col("id").as("sym"),
+      lit(0L).as("day"), lit(1.0).as("ret"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.analytics.TimeSeries.corrMatrix(wide, "sym", "day",
+        maxKeys = 1000)
+    }
+    assert(ex.getMessage.contains("blockwise"), ex.getMessage)
+    // blockwise at 2000 keys × 10 days (20M triangle pairs) completes
+    // with per-task pair space bounded to keys²/blocks
+    val many = spark.range(2000L * 10).select(
+      (col("id") % 2000).as("sym"),
+      (col("id") / 2000).cast("long").as("day"))
+      .withColumn("ret", ((col("sym") % 5 + 1) * col("day")).cast("double"))
+    assert(graft.analytics.TimeSeries.corrMatrix(many, "sym", "day",
+      blocks = 16).count() == 2000L * 2001L / 2)
+  }
+
+  test("keyed streaming scans survive one pathologically hot key (ema/holt/sessionize)") {
+    // one key holds 1M rows — 10 000× the 100-row median of the other
+    // 1000 keys. The recurrence is inherently sequential per key, so
+    // the hot key's series lands in one task by design; this pins that
+    // the scan COMPLETES with correct per-row state rather than
+    // collapsing (driver collect, per-key materialization, OOM-shaped
+    // buffering).
+    val hot = spark.range(1000000L).select(lit(0L).as("k"),
+      col("id").as("t"), lit(1.0).as("v"))
+    val cold = spark.range(100000L).select(
+      (col("id") % 1000L + 1L).as("k"),
+      (col("id") / 1000L).cast("long").as("t"), lit(2.0).as("v"))
+    val series = hot.unionByName(cold)
+    val e = graft.analytics.TimeSeries.ema(series, "k", "t", "v", alpha = 0.5)
+    assert(e.count() == 1100000L)
+    // constant series → the ema equals the constant on every hot row
+    assert(e.filter(col("k") === 0L && col("ema") =!= 1.0).isEmpty)
+    val h = graft.analytics.TimeSeries.holtLinear(series, "k", "t", "v",
+      alpha = 0.5, beta = 0.3)
+    assert(h.count() == 1100000L)
+    // constant series → trend stays 0 on the hot key
+    assert(h.filter(col("k") === 0L && abs(col("trend")) > 1e-12).isEmpty)
+    // sessionize: 1-minute spacing under a 2-minute gap → ONE session
+    // per key, n_events = the key's full row count
+    val ev = series.select(col("k"),
+      timestamp_micros(col("t") * 60000000L).as("ts"))
+    val sess = graft.analytics.Behavior.sessionize(ev, "k", "ts",
+      gapMinutes = 2)
+    assert(sess.count() == 1001L)
+    assert(sess.filter(col("k") === 0L).select(col("n_events"))
+      .as[Long].head() == 1000000L)
+  }
+
   test("pipeline heavies scale ≤ ~linearly across sf0.001 → sf0.01 → sf0.1") {
     // The single-sf bench can't see a quadratic candidate-space
     // regression (a dropped df-cap, a banding bug, an unpruned probe):

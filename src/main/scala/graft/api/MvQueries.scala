@@ -1285,5 +1285,218 @@ object MvQueries {
       },
       Some("SELECT DISTINCT o_orderkey AS ok, o_orderstatus AS status " +
         "FROM orders ORDER BY ok")),
+
+    Q("c1_composite_star_topk",
+      // COMPOSED-PLAN GATE — the TPC-H Q3 shape where THREE rewrites
+      // must cooperate inside one query: fact ⋈ dim (star MV answers
+      // the aggregate) LEFT JOIN a priority dim "just in case" (PK
+      // outer-join elimination drops it) + filter + top-k, run twice
+      // with the planner-probed result cache serving the repeat. Each
+      // rewrite is already gated in isolation (mv4 / j26 / m6); the
+      // 100×-scale risk is their INTERACTION — rule ordering across
+      // the fixed point, one rewrite exposing the next one's pattern —
+      // so this gate plan-asserts the first run scans ONLY the MV
+      // (both the unused dim AND the fact are gone from one plan) and
+      // the repeat scans ONLY the cache entry. The oracle pays all
+      // three joins from the raw tables.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_c1_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "c1_" + Integer.toHexString(root.hashCode)
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(root + "/fact")
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(root + "/dim")
+          t(s, dir, "orders").select(col("o_orderpriority").as("prio2"))
+            .distinct().withColumn("pdesc", concat(lit("P:"), col("prio2")))
+            .write.mode("overwrite").parquet(root + "/pdim")
+          Mv.buildJoin(s.read.parquet(root + "/fact"),
+            s.read.parquet(root + "/dim"), name, on = Seq("ck" -> "ck2"),
+            dims = Seq("seg", "status"), measures = Seq("price"),
+            mvPath = root + "/mv")
+          DistinctElim.declareUniqueKey(name + "_pk",
+            s.read.parquet(root + "/pdim"), Seq("prio2"))
+        }
+        Mv.install(s)
+        JoinElim.install(s)
+        graft.analytics.ResultCache.install(s)
+        def q = s.read.parquet(root + "/fact")
+          .join(s.read.parquet(root + "/dim"),
+            col("ck") === col("ck2"), "inner")
+          .join(s.read.parquet(root + "/pdim"),
+            col("prio") === col("prio2"), "left")
+          .filter(col("status") === "F")
+          .groupBy("seg").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(desc("revenue"), col("seg")).limit(3)
+        // run 1 (no cache conf): BOTH rewrites in ONE plan — the
+        // unused pdim is eliminated AND the star summary answers; no
+        // base table and no join survives
+        val p1 = q.queryExecution.optimizedPlan
+        val scans1 = scanRoots(q)
+        require(scans1.nonEmpty && scans1.forall(_.endsWith("/mv")),
+          s"composite rewrite did not reduce to the MV scan; scans = $scans1")
+        require(!p1.toString.contains("Join"),
+          s"a join survived the composite rewrite:\n$p1")
+        // runs 2+3 (cache conf on): populate, then the repeat serves
+        // from the entry — metadata + the 3-row result only
+        val cacheRoot = root + "/rescache"
+        s.conf.set("graft.resultcache.dir", cacheRoot)
+        try {
+          q.collect()
+          val served = q
+          val scans2 = scanRoots(served)
+          require(scans2.nonEmpty &&
+            scans2.forall(_.contains("/rescache")),
+            s"result cache did not serve the repeat; scans = $scans2")
+          served
+        } finally s.conf.unset("graft.resultcache.dir")
+      },
+      Some("WITH fact AS (SELECT o_custkey AS ck, o_orderpriority AS prio, " +
+        "o_orderstatus AS status, CAST(o_totalprice AS DECIMAL(18,2)) AS price " +
+        "FROM orders), " +
+        "dim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer), " +
+        "pdim AS (SELECT DISTINCT o_orderpriority AS prio2, " +
+        "'P:' || o_orderpriority AS pdesc FROM orders) " +
+        "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM fact JOIN dim ON ck = ck2 LEFT JOIN pdim ON prio = prio2 " +
+        "WHERE status = 'F' GROUP BY seg " +
+        "ORDER BY revenue DESC, seg LIMIT 3")),
+
+    Q("c2_composite_semi_star",
+      // COMPOSED-PLAN GATE — FK semi-probe elimination feeding the
+      // star-MV rewrite: the query keeps the BI-generated
+      // `WHERE EXISTS (dim)` guard on a fact that carries a NULL-keyed
+      // row, then re-joins the dim and aggregates. j27 must reduce the
+      // probe to Filter(ck IS NOT NULL) FIRST, and the star rewrite
+      // must then recognize that residual as the inner join's own
+      // null-drop and still answer from the summary — the exact
+      // rule-interaction chain (one rewrite EXPOSES the next one's
+      // pattern) that isolation gates cannot see. Hard-asserted: the
+      // final plan scans only the MV.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_c2_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "c2_" + Integer.toHexString(root.hashCode)
+        if (MvCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_custkey").as("ck"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .unionByName(s.range(1).select(
+              lit(null).cast("bigint").as("ck"), lit("X").as("status"),
+              lit("9.00").cast("decimal(18,2)").as("price")))
+            .write.mode("overwrite").parquet(root + "/fact")
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(root + "/dim")
+          // the star summary is the INNER join (drops the NULL row)
+          Mv.buildJoin(s.read.parquet(root + "/fact"),
+            s.read.parquet(root + "/dim"), name, on = Seq("ck" -> "ck2"),
+            dims = Seq("seg", "status"), measures = Seq("price"),
+            mvPath = root + "/mv")
+          // the FK edge powering the semi-probe elimination
+          JoinElim.declareVerified(name + "_fk",
+            s.read.parquet(root + "/fact"), Seq("ck"),
+            s.read.parquet(root + "/dim"), Seq("ck2"))
+        }
+        Mv.install(s)
+        JoinElim.install(s)
+        val dimDf = s.read.parquet(root + "/dim")
+        val df = s.read.parquet(root + "/fact")
+          .join(dimDf, col("ck") === col("ck2"), "left_semi")
+          .join(dimDf, col("ck") === col("ck2"), "inner")
+          .groupBy("seg").agg(
+            sum("price").cast("double").as("revenue"),
+            count(lit(1)).as("n")).orderBy("seg")
+        val scans = scanRoots(df)
+        require(scans.nonEmpty && scans.forall(_.endsWith("/mv")),
+          s"semi-elim → star-MV chain did not reduce to the MV; " +
+            s"scans = $scans")
+        df
+      },
+      Some("WITH fact AS (SELECT o_custkey AS ck, o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders " +
+        "UNION ALL SELECT NULL, 'X', CAST(9.00 AS DECIMAL(18,2))), " +
+        "dim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT seg, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM fact JOIN dim ON ck = ck2 " +
+        "WHERE EXISTS (SELECT 1 FROM dim WHERE ck2 = ck) " +
+        "GROUP BY seg ORDER BY seg")),
+
+    Q("c3_composite_elim_stack",
+      // COMPOSED-PLAN GATE — outer-join elimination feeding aggregate
+      // elimination, with the result cache proving NON-interference:
+      // GROUP BY the verified-unique fact key under a rote LEFT JOIN
+      // must collapse to a bare Project over the fact scan (j26 drops
+      // the dim, THEN s31's rewrite sees Aggregate-over-scan and drops
+      // the whole shuffle — neither fires without the other clearing
+      // the way). With the cache conf ON, the rule must still decline
+      // (after elimination there is no aggregate, i.e. no small-result
+      // contract) — a per-row projection must never be routed through
+      // the result cache. Hard-asserted: no Join, no Aggregate, scans
+      // stay on the fact, no cache entry born.
+      (s, dir) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_c3_" +
+          s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+        val name = "c3_" + Integer.toHexString(root.hashCode)
+        if (PkCatalog.get(name).isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          t(s, dir, "orders").select(
+            col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+            .write.mode("overwrite").parquet(root + "/fact")
+          t(s, dir, "customer").select(
+            col("c_custkey").as("ck2"), col("c_mktsegment").as("seg"))
+            .write.mode("overwrite").parquet(root + "/dim")
+          DistinctElim.declareUniqueKey(name,
+            s.read.parquet(root + "/fact"), Seq("ok"))
+          DistinctElim.declareUniqueKey(name + "_dim",
+            s.read.parquet(root + "/dim"), Seq("ck2"))
+        }
+        JoinElim.install(s)
+        DistinctElim.install(s)
+        graft.analytics.ResultCache.install(s)
+        s.conf.set("graft.resultcache.dir", root + "/rescache")
+        try {
+          val df = s.read.parquet(root + "/fact")
+            .join(s.read.parquet(root + "/dim"),
+              col("ck") === col("ck2"), "left")
+            .groupBy("ok").agg(
+              sum("price").cast("double").as("revenue"),
+              count(lit(1)).as("n"),
+              max(col("status")).as("st")).orderBy("ok")
+          val plan = df.queryExecution.optimizedPlan
+          require(!plan.toString.contains("Join"),
+            s"outer-join elimination did not fire:\n$plan")
+          require(!plan.toString.contains("Aggregate"),
+            s"aggregate elimination did not fire after the join fell:\n$plan")
+          val scans = scanRoots(df)
+          require(scans.nonEmpty && scans.forall(_.endsWith("/fact")),
+            s"expected a bare fact projection; scans = $scans")
+          df
+        } finally s.conf.unset("graft.resultcache.dir")
+      },
+      Some("WITH fact AS (SELECT o_orderkey AS ok, o_custkey AS ck, " +
+        "o_orderstatus AS status, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
+        "dim AS (SELECT c_custkey AS ck2, c_mktsegment AS seg FROM customer) " +
+        "SELECT ok, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n, " +
+        "max(status) AS st FROM fact LEFT JOIN dim ON ck = ck2 " +
+        "GROUP BY ok ORDER BY ok")),
   )
 }

@@ -319,4 +319,27 @@ class PlanQualitySpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"), n)
     }
   }
+
+  // ---- composed-plan gates: the rewrites must fire TOGETHER ----
+  // (each gate body hard-requires the optimized-plan shape — MV-only
+  //  scans, no surviving Join/Aggregate, cache-entry serve — so these
+  //  tests drive the gates and pin the post-AQE physical plan too)
+
+  test("c1 composite: star MV + outer-join elim + result cache leave a cache-entry scan, no join") {
+    val p = plan("c1_composite_star_topk")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("rescache"), "repeat must read the cache entry\n" + p)
+  }
+
+  test("c2 composite: semi-probe elim exposes the star pattern — MV scan, no join") {
+    val p = plan("c2_composite_semi_star")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("/mv"), "must answer from the star summary\n" + p)
+  }
+
+  test("c3 composite: join + aggregate elimination stack to a bare projection") {
+    val p = plan("c3_composite_elim_stack")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
 }

@@ -430,13 +430,33 @@ object Layout {
                            partName: Option[String] = None): Unit = {
     val spark = df.sparkSession
     migrateIfLegacy(spark, path, time)
-    val baseSnap = SnapshotManifest.currentSnap(spark, path)
     stageAppendPart(df, path, symbol, time, numBuckets, filesPerBucket,
       partName).foreach { part =>
-      failpoint("append-before-flip")
-      val parts = SnapshotManifest.currentParts(spark, path)
-        .getOrElse(Seq.empty) :+ part
-      SnapshotManifest.commit(spark, path, parts, Some(baseSnap))
+      // CAS retry (the RegistryStore.persist discipline): unlike the
+      // maintenance ops — whose FOLDED output depends on the snapshot
+      // they read, so a loser must recompute — an append's staged part
+      // is pure ADDITION, independent of the base. A loser re-reads
+      // the winner's part list and re-commits; two appenders racing
+      // one table both land, neither drops the other's parts. Bounded:
+      // a pathological stampede still surfaces the loss loudly.
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        val cur = SnapshotManifest.currentSnap(spark, path)
+        val parts = SnapshotManifest.currentParts(spark, path)
+          .getOrElse(Seq.empty) :+ part
+        // the crash/interleave window: data files staged, snapshot
+        // read, flip not yet attempted
+        failpoint("append-before-flip")
+        try {
+          SnapshotManifest.commit(spark, path, parts, Some(cur))
+          committed = true
+        } catch {
+          case e: SnapshotManifest.ConcurrentCommitException =>
+            attempts += 1
+            if (attempts >= 16) throw e
+        }
+      }
     }
   }
 

@@ -409,6 +409,38 @@ class LayoutSpec extends SparkSpec {
     assert(full() == (201L to 900L).toSet)
   }
 
+  test("two appenders racing one table both land: the CAS loser retries and drops no parts") {
+    val dir = Files.createTempDirectory("graft_app_race").toString + "/t"
+    val base = (1 to 400).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+      .toDF("symbol", "ts", "close")
+    Layout.writeClusteredZoned(base, dir, "symbol", "ts",
+      numBuckets = 4, filesPerBucket = 2)
+    def full() = Layout.read(spark, dir, "symbol", "ts", numBuckets = 4)
+      .select($"ts").as[Long].collect().toSet
+    // a second appender commits INSIDE the first one's window between
+    // snapshot read and flip: the first must lose the CAS, re-read the
+    // winner's part list, and re-commit — unlike the maintenance ops,
+    // an append retries internally because its part is pure addition
+    Layout.testInterleave = Some(("append-before-flip", () => {
+      Layout.appendClusteredZoned(
+        (1001 to 1100).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+          .toDF("symbol", "ts", "close"),
+        dir, "symbol", "ts", numBuckets = 4, filesPerBucket = 2)
+    }))
+    try Layout.appendClusteredZoned(
+      (2001 to 2100).map(i => (s"SYM${i % 4}", i.toLong, i * 1.0))
+        .toDF("symbol", "ts", "close"),
+      dir, "symbol", "ts", numBuckets = 4, filesPerBucket = 2)
+    finally Layout.testInterleave = None
+    // both batches visible after both commits — neither dropped
+    assert(full() ==
+      ((1 to 400) ++ (1001 to 1100) ++ (2001 to 2100)).map(_.toLong).toSet)
+    // the lock is released and the table stays mutable
+    assert(Layout.delete(spark, dir, "ts", $"ts" > 2000) == 100L)
+    assert(full() ==
+      ((1 to 400) ++ (1001 to 1100)).map(_.toLong).toSet)
+  }
+
   test("planMaintenance flags exactly the dv-touched buckets; compact clears them") {
     val dir = Files.createTempDirectory("graft_dv_plan_maint").toString + "/t"
     // one symbol per bucket (numBuckets ≥ distinct symbols ⇒ buckets

@@ -48,6 +48,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
                                   bitmap_agg(id * 2)) AS both
            FROM ext_nums""").as[(Long, Long)].head()
       assert(bc == ((100L, 50L))) // ids 1..100 ∩ evens 2..200 = 50
+      // planner-probed result cache through the SAME injection path
+      // (the rule runs inside the operator-optimization fixed point
+      // here, not the extraOptimizations tail batch — both must serve)
+      val rcRoot = java.nio.file.Files
+        .createTempDirectory("graft_extrc").toString
+      s2.range(10).selectExpr("id % 2 AS k", "id AS v")
+        .write.mode("overwrite").parquet(rcRoot + "/t")
+      s2.conf.set("graft.resultcache.dir", rcRoot + "/cache")
+      try {
+        def q = s2.read.parquet(rcRoot + "/t").groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+          .orderBy("k")
+        assert(q.as[(Long, Long)].collect().toSeq ==
+          Seq((0L, 20L), (1L, 25L)))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+        }.flatten.toSet
+        assert(scans.nonEmpty && scans.forall(_.contains("/cache")),
+          s"extensions-injected result cache did not serve: $scans")
+        assert(q.as[(Long, Long)].collect().toSeq ==
+          Seq((0L, 20L), (1L, 25L)))
+      } finally s2.conf.unset("graft.resultcache.dir")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -151,6 +151,45 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.misses.get() == m, "winner's entry must still hit")
   }
 
+  test("oversize results are declined once and never re-materialized (negative entry)") {
+    import spark.implicits._
+    val t7 = root + "/t7"
+    val cache3 = root + "/cache3"
+    spark.range(500).select((col("id") % 250).as("k"), col("id").as("v"))
+      .write.mode("overwrite").parquet(t7)
+    ResultCache.install(spark)
+    spark.conf.set("graft.resultcache.dir", cache3)
+    // a 1-byte cap: every materialized parquet result breaks it — the
+    // stand-in for a GROUP BY on a near-unique column at 100 TB
+    spark.conf.set("graft.resultcache.maxBytes", "1")
+    try {
+      def q = spark.read.parquet(t7).groupBy("k")
+        .agg(sum("v").as("s")).orderBy("k")
+      val m0 = ResultCache.misses.get()
+      val o0 = ResultCache.oversized.get()
+      // run 1: populate attempt, declined (collect, NOT count — count
+      // wraps another Aggregate and would probe a different key)
+      assert(q.collect().length == 250)
+      assert(ResultCache.misses.get() == m0 + 1)
+      assert(ResultCache.oversized.get() == o0 + 1)
+      // run 2: the negative entry short-circuits — no re-write, no
+      // cache scan, the query computes from the table
+      assert(scanPaths(q).exists(_.contains("/t7")), scanPaths(q))
+      assert(q.collect().length == 250)
+      assert(ResultCache.misses.get() == m0 + 1,
+        "the negative entry must stop per-run re-materialization")
+      assert(ResultCache.oversized.get() == o0 + 1)
+      // no staging leaked under the cache dir
+      val fs = graft.catalog.SnapshotManifest.fsOf(spark, cache3)
+      val leaked = fs.listStatus(new org.apache.hadoop.fs.Path(cache3))
+        .map(_.getPath.getName).filter(_.startsWith(".tmp_res_"))
+      assert(leaked.isEmpty, leaked.toSeq)
+    } finally {
+      spark.conf.unset("graft.resultcache.dir")
+      spark.conf.unset("graft.resultcache.maxBytes")
+    }
+  }
+
   test("vacuum reclaims aged entries; the next call recomputes") {
     import spark.implicits._
     val t3 = root + "/t3"

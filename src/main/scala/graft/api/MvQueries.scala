@@ -1498,5 +1498,45 @@ object MvQueries {
         "SELECT ok, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n, " +
         "max(status) AS st FROM fact LEFT JOIN dim ON ck = ck2 " +
         "GROUP BY ok ORDER BY ok")),
+
+    Q("c4_q5_join_chain",
+      // TPC-H Q5 verbatim shape — the classic 6-table analytic join
+      // chain (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+      // region) with the local-supplier nation equality, a region
+      // constant, and an order-date range, aggregated to revenue per
+      // nation. No graft rewrite machinery here on purpose: this gate
+      // pins that the PLAIN declarative plan comes out right at scale —
+      // Catalyst broadcasts every dim, pushes the timestamp range into
+      // the orders scan, and never degenerates to a cartesian
+      // (physical shape pinned in PlanQualitySpec). Revenue is exact
+      // decimal inside, DOUBLE surfaced.
+      (s, dir) => {
+        val rev = sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(round(rev, 2).cast("double").as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("SELECT n_name, CAST(round(sum(" +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name")),
   )
 }

@@ -342,4 +342,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("HashAggregate"), p)
   }
+
+  test("c4 Q5 join chain: every dim broadcasts, date range pushed into the orders scan, no cartesian") {
+    val p = plan("c4_q5_join_chain")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // customer/supplier/nation/region all ride broadcasts; only the
+    // lineitem ⋈ orders spine may shuffle
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
 }

@@ -1538,5 +1538,31 @@ object MvQueries {
         "AND o_orderdate >= TIMESTAMP '1995-01-01' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name")),
+
+    Q("c5_q17_decorrelated",
+      // TPC-H Q17 verbatim shape — the CORRELATED SCALAR SUBQUERY
+      // (per-part average quantity threshold) through the SQL surface.
+      // What this pins: Catalyst DECORRELATES the subquery into an
+      // aggregate + join — executed once over the grouped lineitem,
+      // never per outer row (a per-row plan is the classic O(n²)
+      // correlated-subquery trap at 100 TB; PlanQualitySpec asserts
+      // the join-based physical shape, no nested loop). Sum is exact
+      // decimal inside; the /7.0 runs in DOUBLE on both engines.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("c5_lineitem")
+        t(s, dir, "part").createOrReplaceTempView("c5_part")
+        s.sql("SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS " +
+          "DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly " +
+          "FROM c5_lineitem l, c5_part p " +
+          "WHERE p_partkey = l_partkey AND p_brand = 'Brand#4' " +
+          "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) " +
+          "FROM c5_lineitem l2 WHERE l2.l_partkey = p_partkey)")
+      },
+      Some("SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS " +
+        "DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly " +
+        "FROM lineitem l, part p " +
+        "WHERE p_partkey = l_partkey AND p_brand = 'Brand#4' " +
+        "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) " +
+        "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)")),
   )
 }

@@ -353,4 +353,14 @@ class PlanQualitySpec extends SparkSpec {
       .count(_ == "BroadcastHashJoin") >= 3, p)
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
+
+  test("c5 Q17 correlated scalar subquery decorrelates to an aggregate + join — never per-row") {
+    val p = plan("c5_q17_decorrelated")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the per-part average runs ONCE as a grouped aggregate feeding a
+    // join; a surviving correlated subquery would execute per outer row
+    assert(!p.toLowerCase.contains("scalar-subquery"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

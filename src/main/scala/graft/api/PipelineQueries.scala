@@ -245,6 +245,32 @@ object PipelineQueries {
         "WHERE gram IN (SELECT gram FROM d) " +
         "GROUP BY doc_id ORDER BY doc_id")),
 
+    Q("d14_contamination",
+      // benchmark decontamination, exact-window variant
+      // (Dedup.contaminationSpans; the GPT-3/PaLM n-gram overlap
+      // check): every doc_id % 5 == 0 document plays the eval set,
+      // the rest the training corpus; a corpus doc is contaminated
+      // when any 8-token window appears verbatim in the benchmark —
+      // the class d6's document-Jaccard cannot see. Windows travel as
+      // hashes; the oracle recomputes from literal token strings, so
+      // the hash path must lose/invent nothing.
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Dedup.contaminationSpans(
+            d.filter(col("doc_id") % 5 =!= 0),
+            d.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"WITH toks AS (SELECT doc_id, string_split($normSql, ' ') " +
+        "AS tk FROM documents), " +
+        "g AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram " +
+        "FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)), " +
+        "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0) " +
+        "SELECT doc_id, count(*) AS n_contaminated_spans FROM g " +
+        "WHERE doc_id % 5 <> 0 AND gram IN (SELECT gram FROM bg) " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
     Q("d11_dedup_resolve",
       // quality-aware duplicate RESOLUTION (Dedup.resolveDuplicates):
       // near-dup pairs (same lang, n_chars within 1 — built from two

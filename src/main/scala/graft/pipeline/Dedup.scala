@@ -633,6 +633,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_spans"))
   }
 
+  /** BENCHMARK DECONTAMINATION, exact-window variant — the GPT-3/PaLM
+    * style n-gram overlap check against an eval set: a corpus document
+    * is contaminated when ANY length-`n` token window appears VERBATIM
+    * in a benchmark document. [[crossCorpusOverlap]]'s Jaccard cannot
+    * see this class (a long web page embedding one benchmark question
+    * has near-zero document Jaccard but must be flagged); conversely a
+    * paraphrase that fools this check still trips the Jaccard layer —
+    * run both, they are complementary.
+    *
+    * Returns one row per contaminated corpus doc:
+    * `(id, n_contaminated_spans)` — the count of window POSITIONS
+    * whose n-gram occurs anywhere in the benchmark (a masker can then
+    * cut them; the keep/drop policy stays a separate layer).
+    *
+    * Scale shape ([[duplicateSpans]]'s contract): windows travel as
+    * 8-byte xxhash64 values, never text; the benchmark's distinct gram
+    * set is eval-sized (tiny next to a training corpus), so the
+    * semi-join build side broadcasts; corpus cost is one linear
+    * window-enumeration pass + the semi-join — no pair space at all.
+    * Hash matching carries the repo's standing 2^-64 collision
+    * contract. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+                         id: String, text: String, n: Int = 8): DataFrame = {
+    def gramsOf(df: DataFrame): DataFrame = {
+      val toks = TextAnalysis.tokensWs(TextAnalysis.normalize(col(text)))
+      // sequence() DESCENDS when stop < start — guard short docs
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
+      Kernels.ensureParallelism(df)
+        .select(col(id), explode(grams).as("__gram"))
+    }
+    val bench = gramsOf(benchmark).select("__gram").distinct()
+    gramsOf(corpus).join(bench, Seq("__gram"), "left_semi")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_contaminated_spans"))
+  }
+
   def editDistancePairs(df0: DataFrame, id: String, text: String,
                         tau: Int, q: Int = 3,
                         maxDf: Option[Int] = None): DataFrame = {

@@ -408,6 +408,26 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L)))
   }
 
+  test("contaminationSpans: verbatim benchmark windows flag, 7-token overlaps and benchmark-internal repeats don't") {
+    val corpus = Seq(
+      (1L, "x1 x2 q1 q2 q3 q4 q5 q6 q7 q8 x3"), // embeds the full question
+      (2L, "q1 q2 q3 q4 q5 q6 q7 y1 y2 y3"),    // only 7 shared tokens
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"))       // clean
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "q1 q2 q3 q4 q5 q6 q7 q8"),        // one 8-token question
+      (101L, "q1 q2 q3 q4 q5 q6 q7 q8"))        // repeated in the set
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(corpus, bench, "doc_id", "text",
+        n = 8).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // doc1's window at pos3 is the benchmark question verbatim — ONE
+    // contaminated position; doc2's longest overlap is 7 tokens (< n)
+    // and doc3 shares nothing; the benchmark-internal duplicate must
+    // not double-count doc1's hit
+    assert(got == Seq((1L, 1L)))
+  }
+
   test("multimodal stub codec is deterministic and plumbing-preserving") {
     val media = Multimodal.fromText(docs.filter(col("doc_id") === 1), "doc_id", "text")
       .as[MediaRecord]

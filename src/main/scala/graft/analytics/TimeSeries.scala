@@ -92,16 +92,14 @@ object TimeSeries {
   def corrMatrix(rets: DataFrame, key: String, time: String,
                  maxKeys: Int = 1000, blocks: Int = 1): DataFrame = {
     require(blocks >= 1, s"corrMatrix: blocks must be >= 1, got $blocks")
-    val r0 = rets.filter(col("ret").isNotNull)
+    val r = rets.filter(col("ret").isNotNull)
       .select(col(key).as("k"), col(time).as("t"), col("ret"))
-    // the guard probe materializes the (pruned) returns anyway, and
-    // the self-join would otherwise recompute the lineage on BOTH
-    // sides — persist once, release via the caller's CacheScope
-    // discipline (Verify/Bench call releaseAll per query)
-    val r = if (blocks == 1 && maxKeys > 0) graft.ops.CacheScope.persist(r0)
-      else r0
     if (blocks == 1 && maxKeys > 0) {
-      // limit bounds the probe: it never scans past maxKeys+1 keys
+      // EAGER pre-flight (one extra job at call time, deliberately —
+      // the detonation this prevents happens inside the join, after
+      // which it is too late); limit bounds the probe to maxKeys+1
+      // keys. No caching: the probe must not pin state on callers
+      // outside the Verify/Bench releaseAll discipline.
       val n = r.select("k").distinct().limit(maxKeys + 1).count()
       require(n <= maxKeys,
         s"corrMatrix: more than $maxKeys distinct keys — the day-keyed " +

@@ -184,6 +184,16 @@ class ResultCacheSpec extends SparkSpec {
       val leaked = fs.listStatus(new org.apache.hadoop.fs.Path(cache3))
         .map(_.getPath.getName).filter(_.startsWith(".tmp_res_"))
       assert(leaked.isEmpty, leaked.toSeq)
+      // the caller-routed API must honor the rule's negative entry:
+      // a sortless twin keys identically (strip peels q's Sort), and
+      // through() once published blindly into the marker dir, lost
+      // the rename, and crashed reading back a schema that was never
+      // written — it must compute for real instead
+      def q2 = spark.read.parquet(t7).groupBy("k").agg(sum("v").as("s"))
+      val m1 = ResultCache.misses.get()
+      assert(ResultCache.through(q2, cache3).collect().length == 250)
+      assert(ResultCache.misses.get() == m1,
+        "through() must not re-materialize a negative-entry key")
     } finally {
       spark.conf.unset("graft.resultcache.dir")
       spark.conf.unset("graft.resultcache.maxBytes")

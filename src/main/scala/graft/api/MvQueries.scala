@@ -1564,5 +1564,30 @@ object MvQueries {
         "WHERE p_partkey = l_partkey AND p_brand = 'Brand#4' " +
         "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) " +
         "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)")),
+
+    Q("c6_q20_nested_semi",
+      // TPC-H Q20 verbatim shape — NESTED IN-subqueries with a HAVING
+      // between them: suppliers who moved more than a threshold
+      // quantity of a part class. Catalyst must plan the whole nest as
+      // semi-join → grouped aggregate → semi-join (each subquery
+      // becomes ONE join, the part probe a broadcast semi into the
+      // lineitem scan), never a per-row re-execution — the physical
+      // shape is pinned in PlanQualitySpec. c5 pins correlated SCALAR
+      // decorrelation; this pins the IN-predicate (ListQuery) class.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("c6_lineitem")
+        t(s, dir, "part").createOrReplaceTempView("c6_part")
+        t(s, dir, "supplier").createOrReplaceTempView("c6_supplier")
+        s.sql("SELECT s_name FROM c6_supplier WHERE s_suppkey IN (" +
+          "SELECT l_suppkey FROM c6_lineitem WHERE l_partkey IN (" +
+          "SELECT p_partkey FROM c6_part WHERE p_type = 'ECONOMY') " +
+          "GROUP BY l_suppkey HAVING sum(l_quantity) > 2000) " +
+          "ORDER BY s_name")
+      },
+      Some("SELECT s_name FROM supplier WHERE s_suppkey IN (" +
+        "SELECT l_suppkey FROM lineitem WHERE l_partkey IN (" +
+        "SELECT p_partkey FROM part WHERE p_type = 'ECONOMY') " +
+        "GROUP BY l_suppkey HAVING sum(l_quantity) > 2000) " +
+        "ORDER BY s_name")),
   )
 }

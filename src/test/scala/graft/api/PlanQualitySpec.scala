@@ -363,4 +363,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalar-subquery"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("c6 Q20 nested IN-subqueries plan as semi joins around one aggregate — never per-row") {
+    val p = plan("c6_q20_nested_semi")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // both IN predicates become semi joins; the HAVING is one grouped
+    // aggregate between them
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.toLowerCase.contains("in-subquery"), p)
+  }
 }

@@ -60,7 +60,20 @@ import graft.plans.TableState
   *
   * Caveat (same as every result cache): cached queries must be
   * DETERMINISTIC — the rule checks this; `through` callers opt in per
-  * query. */
+  * query.
+  *
+  * ==Plan inspection triggers the compute==
+  * While `graft.resultcache.dir` is set, a MISS is materialized from
+  * INSIDE logical optimization — that is what lets the very first run
+  * of a query be served from its own entry with zero caller routing.
+  * The flip side: `df.explain()`, `queryExecution.optimizedPlan`, and
+  * any plan-walking tooling optimize the plan and therefore COMPUTE
+  * the aggregate and write the entry as a side effect. For
+  * plan-inspection sessions set
+  * `graft.resultcache.populateOnMiss=false`: the rule then rewrites
+  * HITS only (explain is side-effect-free), misses compute normally,
+  * and entries are born via [[through]] or a session with populate
+  * left on. */
 object ResultCache {
 
   /** Counts of cache misses (computes) and hits — observable by specs. */
@@ -85,10 +98,30 @@ object ResultCache {
       }
     }.flatten.toSet
 
-  /** Digest of (lossless canonical plan, scan roots, input-table
-    * fingerprints). */
+  /** Per-leaf root paths in PLAN-TRAVERSAL (preorder) order — one
+    * entry per LogicalRelation, ordered as the relations appear in the
+    * tree. The key must use THIS, not an unordered set: the
+    * canonicalized treeString erases attribute names and renders every
+    * parquet scan identically, so two MIRRORED joins over
+    * type-identical tables (A JOIN B vs B JOIN A, each aggregating its
+    * left side) produce the same canonical tree and the same root SET
+    * - only each relation's tree POSITION distinguishes them. Preorder
+    * over the original plan matches the canonical tree's shape
+    * (canonicalization rewrites expressions, never moves children). */
+  private[graft] def orderedRoots(plan: LogicalPlan): Seq[Seq[String]] =
+    plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).toSeq
+        case _ => Seq.empty[String]
+      }
+    }
+
+  /** Digest of (lossless canonical plan, per-leaf scan roots in tree
+    * order, input-table fingerprints). */
   private[graft] def planKey(spark: SparkSession, plan: LogicalPlan): String = {
-    val roots = collectRoots(plan)
+    val leafRoots = orderedRoots(plan)
+    val roots = leafRoots.flatten.toSet
     val fp = if (roots.isEmpty) ""
       else TableState.fingerprint(spark, roots)
     // maxFields = MaxValue: the default treeString truncates at
@@ -96,7 +129,8 @@ object ResultCache {
     val tree = plan.canonicalized.treeString(
       verbose = true, addSuffix = false, maxFields = Int.MaxValue,
       printOperatorId = false)
-    md5(tree + "\u0000" + roots.toSeq.sorted.mkString(",") + "\u0000" + fp)
+    md5(tree + "\u0000" + leafRoots.map(_.mkString(",")).mkString(";") +
+      "\u0000" + fp)
   }
 
   private[graft] def key(df: DataFrame): String =
@@ -178,6 +212,16 @@ object ResultCache {
   def through(df: DataFrame, cacheDir: String): DataFrame = {
     val spark = df.sparkSession
     val fs = SnapshotManifest.fsOf(spark, cacheDir)
+    // already cache-served: when the SESSION RULE is installed and the
+    // conf points at this same dir, df's optimized plan is the rule's
+    // rewrite — its scans point INTO cacheDir. Keying THAT plan would
+    // miss (different tree) and write a duplicate entry whose contents
+    // are a copy of the rule's entry. Short-circuit instead.
+    val cachePath = new Path(cacheDir).toUri.getPath
+    val served = collectRoots(df.queryExecution.optimizedPlan)
+    if (served.nonEmpty &&
+        served.forall(r => new Path(r).toUri.getPath.startsWith(cachePath)))
+      return df
     val k = key(df)
     val dir = entryDir(cacheDir, k)
     if (fs.exists(new Path(dir, "_schema.json"))) {
@@ -221,6 +265,38 @@ object ResultCache {
       if (stale) fs.delete(st.getPath, true)
       stale
     }
+  }
+
+  /** TOTAL-SIZE / LRU eviction — the companion [[vacuum]] (age-based)
+    * lacks: entries are size-capped individually by the rule's
+    * maxBytes guard, but `cacheDir` grows unboundedly across KEYS (a
+    * dashboard fleet mints a fresh key per table commit, forever).
+    * Keeps the most-RECENTLY-TOUCHED entries whose cumulative bytes
+    * fit `maxTotalBytes` and deletes the rest, oldest-mtime first,
+    * plus any orphaned staging dirs. Recency is the entry dir's mtime
+    * — a write-once dir, so this is LRU over CREATION (a re-hit entry
+    * is not refreshed; at one key per table state that bias is
+    * harmless: superseded keys are precisely the never-hit-again
+    * ones). Negative entries are near-zero-byte and age out the same
+    * way. Writer-side, same single-maintainer contract as [[vacuum]].
+    * Returns directories removed. */
+  def vacuumToSize(spark: org.apache.spark.sql.SparkSession,
+                   cacheDir: String, maxTotalBytes: Long): Int = {
+    val fs = SnapshotManifest.fsOf(spark, cacheDir)
+    val root = new Path(cacheDir)
+    if (!fs.exists(root)) return 0
+    val (staging, entries) = fs.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.startsWith("res_") ||
+        st.getPath.getName.startsWith(".tmp_res_"))
+      .partition(_.getPath.getName.startsWith(".tmp_res_"))
+    staging.foreach(st => fs.delete(st.getPath, true))
+    var budget = maxTotalBytes
+    val evict = entries.sortBy(-_.getModificationTime).filter { st =>
+      val bytes = fs.getContentSummary(st.getPath).getLength
+      if (bytes <= budget) { budget -= bytes; false } else true
+    }
+    evict.foreach(st => fs.delete(st.getPath, true))
+    staging.size + evict.size
   }
 }
 
@@ -342,6 +418,11 @@ case class ResultCacheRule(spark: SparkSession) extends Rule[LogicalPlan] {
     } else if (fs.exists(ResultCache.tooLargeMarker(dir))) {
       // negative entry: this key's result broke the size cap once —
       // compute for real, never re-materialize per run
+      None
+    } else if (conf.getConfString(
+        "graft.resultcache.populateOnMiss", "true") != "true") {
+      // hit-only mode: a miss stays a plain compute and plan
+      // inspection (explain, optimizedPlan walks) has no side effects
       None
     } else {
       val maxBytes = conf

@@ -200,6 +200,124 @@ class ResultCacheSpec extends SparkSpec {
     }
   }
 
+  test("mirrored joins over type-identical tables key differently (per-leaf roots in tree order)") {
+    import spark.implicits._
+    // two tables with IDENTICAL schemas: the canonicalized treeString
+    // erases names and renders both scans as bare 'parquet', and a
+    // root SET is orientation-blind — only per-leaf roots in traversal
+    // order can tell A JOIN B (sum left.n) from B JOIN A (sum left.n)
+    val ta = root + "/mirA"
+    val tb = root + "/mirB"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "n").write.mode("overwrite").parquet(ta)
+    Seq((1L, 1000L), (2L, 2000L)).toDF("id", "n")
+      .write.mode("overwrite").parquet(tb)
+    def mirror(left: String, right: String) = {
+      val l = spark.read.parquet(left)
+      val r = spark.read.parquet(right)
+      l.join(r, l("id") === r("id")).agg(sum(l("n")).as("s"))
+    }
+    val ab = mirror(ta, tb)
+    val ba = mirror(tb, ta)
+    assert(ResultCache.planKey(spark, ab.queryExecution.optimizedPlan) !=
+      ResultCache.planKey(spark, ba.queryExecution.optimizedPlan),
+      "mirrored joins must not share a cache key")
+    // end-to-end: each orientation gets its own entry and its own answer
+    assert(ResultCache.through(ab, cacheP).head().getLong(0) == 30L)
+    assert(ResultCache.through(ba, cacheP).head().getLong(0) == 3000L,
+      "B JOIN A must not be served A JOIN B's cached result")
+    // repeats hit their own entries
+    val m = ResultCache.misses.get()
+    assert(ResultCache.through(ab, cacheP).head().getLong(0) == 30L)
+    assert(ResultCache.through(ba, cacheP).head().getLong(0) == 3000L)
+    assert(ResultCache.misses.get() == m)
+  }
+
+  test("through() under the installed rule does not write a duplicate entry") {
+    import spark.implicits._
+    val t8 = root + "/t8"
+    val cache4 = root + "/cache4"
+    Seq(("a", 5L)).toDF("k", "v").write.mode("overwrite").parquet(t8)
+    ResultCache.install(spark)
+    spark.conf.set("graft.resultcache.dir", cache4)
+    try {
+      def q = spark.read.parquet(t8).groupBy("k").agg(sum("v").as("s"))
+      q.collect() // rule populates the entry
+      val fs = graft.catalog.SnapshotManifest.fsOf(spark, cache4)
+      def entries = fs.listStatus(new org.apache.hadoop.fs.Path(cache4))
+        .map(_.getPath.getName).count(_.startsWith("res_"))
+      val n0 = entries
+      assert(n0 == 1, s"rule should have written exactly one entry, got $n0")
+      // through() sees the rule's rewrite (scans already in cacheDir)
+      // and must short-circuit — same answer, no second entry
+      val m = ResultCache.misses.get()
+      assert(ResultCache.through(q, cache4).head().getLong(1) == 5L)
+      assert(ResultCache.misses.get() == m,
+        "through() must not recompute a rule-served plan")
+      assert(entries == n0, "through() must not mint a duplicate entry")
+    } finally spark.conf.unset("graft.resultcache.dir")
+  }
+
+  test("explain is side-effect-free with populateOnMiss=false; hits still serve") {
+    import spark.implicits._
+    val t9 = root + "/t9"
+    val cache5 = root + "/cache5"
+    Seq(("a", 2L)).toDF("k", "v").write.mode("overwrite").parquet(t9)
+    ResultCache.install(spark)
+    spark.conf.set("graft.resultcache.dir", cache5)
+    spark.conf.set("graft.resultcache.populateOnMiss", "false")
+    try {
+      def q = spark.read.parquet(t9).groupBy("k").agg(sum("v").as("s"))
+      val m0 = ResultCache.misses.get()
+      // plan inspection on a MISS: no compute, no entry written
+      assert(scanPaths(q).exists(_.contains("/t9")), scanPaths(q))
+      assert(ResultCache.misses.get() == m0,
+        "hit-only mode must not materialize from inside optimization")
+      val fs = graft.catalog.SnapshotManifest.fsOf(spark, cache5)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(cache5)) ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(cache5)).isEmpty)
+      // an entry born elsewhere (caller-routed) still serves hits
+      ResultCache.through(q, cache5).collect()
+      assert(scanPaths(q).forall(_.contains("/cache5")), scanPaths(q))
+    } finally {
+      spark.conf.unset("graft.resultcache.dir")
+      spark.conf.unset("graft.resultcache.populateOnMiss")
+    }
+  }
+
+  test("vacuumToSize keeps the newest entries under the byte budget and evicts the rest") {
+    import spark.implicits._
+    val t10 = root + "/t10"
+    val cache6 = root + "/cache6"
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v").write.mode("overwrite").parquet(t10)
+    def q(i: Int) = spark.read.parquet(t10).groupBy("k")
+      .agg(sum(col("v") + lit(i)).as("s"))
+    // three entries, creation-ordered mtimes (coarse-mtime filesystems
+    // still order because each populate is a fresh write)
+    (1 to 3).foreach { i =>
+      ResultCache.through(q(i), cache6).collect()
+      Thread.sleep(1100) // entry-dir mtime granularity can be 1 s
+    }
+    val fs = graft.catalog.SnapshotManifest.fsOf(spark, cache6)
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(cache6))
+      .filter(_.getPath.getName.startsWith("res_"))
+    assert(all.length == 3)
+    val sizes = all.map(st => fs.getContentSummary(st.getPath).getLength)
+    val newestTwo = all.sortBy(-_.getModificationTime).take(2)
+    // budget = exactly the newest two entries' bytes → oldest evicted
+    val budget = newestTwo
+      .map(st => fs.getContentSummary(st.getPath).getLength).sum
+    assert(ResultCache.vacuumToSize(spark, cache6, budget) == 1, sizes.toSeq)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(cache6))
+      .filter(_.getPath.getName.startsWith("res_")).map(_.getPath.getName)
+    assert(left.toSet == newestTwo.map(_.getPath.getName).toSet)
+    // survivors still hit; the evicted key recomputes
+    val m = ResultCache.misses.get()
+    ResultCache.through(q(3), cache6).collect()
+    assert(ResultCache.misses.get() == m, "newest entry must still hit")
+    ResultCache.through(q(1), cache6).collect()
+    assert(ResultCache.misses.get() == m + 1, "evicted entry must recompute")
+  }
+
   test("vacuum reclaims aged entries; the next call recomputes") {
     import spark.implicits._
     val t3 = root + "/t3"

@@ -20,10 +20,18 @@ case class UniqueKeyDef(name: String, paths: Set[String],
 object PkCatalog {
   private val defs = TrieMap.empty[String, UniqueKeyDef]
 
-  def register(d: UniqueKeyDef): Unit = defs.put(d.name, d)
+  /** Union of every registered table's root paths — the rules' O(1)
+    * pre-check set (see [[PlanMatch.touchesAny]]); rebuilt on
+    * mutation, read per planning pass. */
+  @volatile private var pathsCache: Set[String] = Set.empty
+  private def rebuild(): Unit =
+    pathsCache = defs.values.flatMap(_.paths).toSet
+  def registeredPaths: Set[String] = pathsCache
+
+  def register(d: UniqueKeyDef): Unit = { defs.put(d.name, d); rebuild() }
   def get(name: String): Option[UniqueKeyDef] = defs.get(name)
-  def unregister(name: String): Unit = defs.remove(name)
-  def clear(): Unit = defs.clear()
+  def unregister(name: String): Unit = { defs.remove(name); rebuild() }
+  def clear(): Unit = { defs.clear(); rebuild() }
   def isEmpty: Boolean = defs.isEmpty
   def all: Seq[UniqueKeyDef] = defs.values.toSeq.sortBy(_.name)
 
@@ -157,6 +165,9 @@ case class DistinctElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (PkCatalog.isEmpty ||
       conf.getConfString("graft.distinctelim.enabled", "true") != "true")
       return plan
+    // root-set pre-check: no registered unique-key table in the scan
+    // roots → no dedup/aggregate can collapse — skip the walk
+    if (!PlanMatch.touchesAny(plan, PkCatalog.registeredPaths)) return plan
     // one fingerprint probe per table per PASS (FpCache), however
     // many dedup sites in the tree match a registered key
     val fpc = new FpCache(spark)

@@ -27,10 +27,18 @@ case class FkDef(name: String,
 object FkCatalog {
   private val defs = TrieMap.empty[String, FkDef]
 
-  def register(d: FkDef): Unit = defs.put(d.name, d)
+  /** Union of every registered edge's child+parent root paths — the
+    * rule's O(1) pre-check set (see [[PlanMatch.touchesAny]]);
+    * rebuilt on mutation, read per planning pass. */
+  @volatile private var pathsCache: Set[String] = Set.empty
+  private def rebuild(): Unit =
+    pathsCache = defs.values.flatMap(d => d.childPaths ++ d.parentPaths).toSet
+  def registeredPaths: Set[String] = pathsCache
+
+  def register(d: FkDef): Unit = { defs.put(d.name, d); rebuild() }
   def get(name: String): Option[FkDef] = defs.get(name)
-  def unregister(name: String): Unit = defs.remove(name)
-  def clear(): Unit = defs.clear()
+  def unregister(name: String): Unit = { defs.remove(name); rebuild() }
+  def clear(): Unit = { defs.clear(); rebuild() }
   def isEmpty: Boolean = defs.isEmpty
   def all: Seq[FkDef] = defs.values.toSeq.sortBy(_.name)
 
@@ -257,6 +265,10 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // PkCatalog counts too: the OUTER elimination needs no FK edge
     if ((FkCatalog.isEmpty && PkCatalog.isEmpty) ||
       conf.getConfString("graft.joinelim.enabled", "true") != "true") plan
+    // root-set pre-check: no registered child/parent/unique-key table
+    // in the scan roots → nothing can eliminate — skip the walk
+    else if (!PlanMatch.touchesAny(plan,
+        FkCatalog.registeredPaths ++ PkCatalog.registeredPaths)) plan
     else {
       // one fingerprint probe per table per PASS (FpCache), however
       // many joins in the tree match a registered edge

@@ -88,6 +88,14 @@ case class MvDef(name: String,
 object MvCatalog {
   private val defs = TrieMap.empty[String, MvDef]
 
+  /** Union of every registered MV's base+dim root paths — the rewrite
+    * rule's O(1) pre-check set (see [[PlanMatch.touchesAny]]);
+    * rebuilt on mutation, read per planning pass. */
+  @volatile private var pathsCache: Set[String] = Set.empty
+  private def rebuildPaths(): Unit =
+    pathsCache = defs.values.flatMap(_.allBasePaths).toSet
+  def registeredPaths: Set[String] = pathsCache
+
   /** Memoized resolved relation per summary directory: binding an MV
     * costs a file listing + parquet footer schema read, and the
     * rewrite rule would otherwise pay it PER CANDIDATE AGGREGATE per
@@ -117,13 +125,19 @@ object MvCatalog {
         relCache.remove(old.mvPath); predCache.remove(old.mvPath)
       }
     }
+    rebuildPaths()
   }
   def get(name: String): Option[MvDef] = defs.get(name)
-  def unregister(name: String): Unit =
+  def unregister(name: String): Unit = {
     defs.remove(name).foreach { old =>
       relCache.remove(old.mvPath); predCache.remove(old.mvPath)
     }
-  def clear(): Unit = { defs.clear(); relCache.clear(); predCache.clear() }
+    rebuildPaths()
+  }
+  def clear(): Unit = {
+    defs.clear(); relCache.clear(); predCache.clear(); schemaCache.clear()
+    rebuildPaths()
+  }
   def isEmpty: Boolean = defs.isEmpty
   def all: Seq[MvDef] = defs.values.toSeq.sortBy(_.name)
 
@@ -141,13 +155,34 @@ object MvCatalog {
       }
     }
 
+  /** Memoized parquet footer schema per BASE PATH: filtered-MV
+    * predicate resolution otherwise re-reads every base's footer per
+    * registered MV version — one footer read per base per PROCESS
+    * instead, however many filtered MVs share the base. Staleness is
+    * benign: a schema change moves the table, the MV's fp stamp goes
+    * stale, and the rewrite is already suspended until re-declaration
+    * (which repopulates [[predCache]], resolved against whatever the
+    * memoized schema says — only the columns the `where` references
+    * matter, and a drop/retype of one of those fails analysis into
+    * the Literal(false) parking below exactly as a fresh read would). */
+  private val schemaCache =
+    TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  /** Count of actual footer reads — pinned by MvRewriteSpec. */
+  private[graft] val schemaLoads = new java.util.concurrent.atomic.AtomicLong
+  private def schemaOf(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate(path, {
+      schemaLoads.incrementAndGet()
+      spark.read.parquet(path).schema
+    })
+
   /** Resolved conjuncts of a filtered MV's predicate, memoized per
     * summary version ([[relCache]] discipline): the `where` text is
     * re-analyzed against the base schema and run through the SAME
     * optimizer pipeline a candidate query's filters pass through, so
     * the two sides canonicalize identically (and literal types line
-    * up for [[PlanMatch.implies]]). Empty for unfiltered MVs; one
-    * base footer read per registered version otherwise. */
+    * up for [[PlanMatch.implies]]). Empty for unfiltered MVs; base
+    * footers come from [[schemaOf]]'s per-process memo. */
   private val predCache = TrieMap.empty[String, Seq[Expression]]
   private[plans] def predConjuncts(spark: SparkSession,
                                    d: MvDef): Seq[Expression] =
@@ -164,20 +199,17 @@ object MvCatalog {
           // multi-path read would trip on the Layout roots' differing
           // bucket-dir structures). Fact-only resolution would park a
           // dim-side where on Literal(false) forever.
-          val base = if (d.joins.isEmpty)
-            spark.read.parquet(d.basePaths.toSeq.sorted: _*)
-          else {
-            val paths = d.basePaths.toSeq.sorted ++
-              d.joins.flatMap(_.dimPaths.toSeq.sorted)
-            val fields = scala.collection.mutable.LinkedHashMap
-              .empty[String, org.apache.spark.sql.types.StructField]
-            paths.foreach(p => spark.read.parquet(p).schema.foreach(f =>
-              if (!fields.contains(f.name)) fields += f.name -> f))
-            spark.read
-              .schema(org.apache.spark.sql.types.StructType(
-                fields.values.toSeq))
-              .parquet(d.basePaths.toSeq.sorted: _*)
-          }
+          val factPaths = d.basePaths.toSeq.sorted
+          val paths = if (d.joins.isEmpty) factPaths
+            else factPaths ++ d.joins.flatMap(_.dimPaths.toSeq.sorted)
+          val fields = scala.collection.mutable.LinkedHashMap
+            .empty[String, org.apache.spark.sql.types.StructField]
+          paths.foreach(p => schemaOf(spark, p).foreach(f =>
+            if (!fields.contains(f.name)) fields += f.name -> f))
+          val base = spark.read
+            .schema(org.apache.spark.sql.types.StructType(
+              fields.values.toSeq))
+            .parquet(factPaths: _*)
           base.filter(org.apache.spark.sql.functions.expr(w))
             .queryExecution.optimizedPlan.collect {
               case Filter(c, _) => PlanMatch.conjuncts(c)
@@ -1118,6 +1150,10 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     RegistryStore.ensureLoaded(spark)
     if (MvCatalog.isEmpty ||
       conf.getConfString("graft.mv.rewrite.enabled", "true") != "true") plan
+    // root-set pre-check: a plan scanning none of the registered base
+    // or dim tables can never rewrite — skip the transformDown (a
+    // shared session pays this rule on EVERY plan compile otherwise)
+    else if (!PlanMatch.touchesAny(plan, MvCatalog.registeredPaths)) plan
     else {
       // one fingerprint probe per base path per PASS, however many
       // candidate Aggregates match a registered table

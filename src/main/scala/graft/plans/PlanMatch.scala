@@ -14,6 +14,26 @@ private[plans] object PlanMatch {
   def rootsOf(fs: HadoopFsRelation): Set[String] =
     fs.location.rootPaths.map(_.toString).toSet
 
+  /** Cheap PRE-CHECK for the rewrite rules: does any file-scan leaf of
+    * `plan` sit on one of `paths`? The rules' registries hold a handful
+    * of tables; every OTHER query in a shared session (a bench suite,
+    * a Thrift server) would still pay each rule's full transformDown —
+    * pattern-matching, stripToScan, catalog probes — on every plan
+    * compile, multiplied by the optimizer's fixed-point iterations and
+    * by however many Spark actions the query runs. One leaf walk
+    * (no filesystem access, no allocation beyond the iterator) gates
+    * all of that: no registered path in the scan roots → the rule
+    * cannot possibly fire → return the plan untouched. */
+  def touchesAny(plan: LogicalPlan, paths: Set[String]): Boolean =
+    paths.nonEmpty && plan.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(p => paths.contains(p.toString))
+        case _ => false
+      }
+      case _ => false
+    }
+
   /** Strip pruning Projects and Filters down to the leaf file scan;
     * collect the filter conditions on the way. None on any node that
     * could change per-row semantics. */

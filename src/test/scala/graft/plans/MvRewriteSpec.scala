@@ -1225,6 +1225,36 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     } finally MvCatalog.unregister(name)
   }
 
+  test("filtered-MV predicate resolution reads each base footer once per process (schema memo)") {
+    import spark.implicits._
+    val r = root + "/scfact"
+    Seq(("a", "F", 1L), ("a", "O", 2L), ("b", "F", 4L), ("b", "O", 8L))
+      .toDF("d", "st", "q").write.mode("overwrite").parquet(r)
+    try {
+      val before = MvCatalog.schemaLoads.get()
+      // TWO filtered MVs over the SAME base: resolving each predicate
+      // needs the base schema — the memo must pay the footer once
+      Mv.build(spark.read.parquet(r), "mvspec_sc1", Seq("d"),
+        measures = Seq("q"), mvPath = root + "/sc1_mv",
+        where = Some("st = 'F'"))
+      Mv.build(spark.read.parquet(r), "mvspec_sc2", Seq("d"),
+        measures = Seq("q"), mvPath = root + "/sc2_mv",
+        where = Some("st = 'O'"))
+      def q(p: String) = spark.read.parquet(r).filter(col("st") === p)
+        .groupBy("d").agg(sum("q").as("s")).orderBy("d")
+      // both predicates resolve (each rewrite answers from its slice)
+      assert(scanPaths(q("F")).forall(_.contains("/sc1_mv")), scanPaths(q("F")))
+      assert(scanPaths(q("O")).forall(_.contains("/sc2_mv")), scanPaths(q("O")))
+      assert(q("O").collect().map(x => (x.getString(0), x.getLong(1)))
+        .toSeq == Seq(("a", 2L), ("b", 8L)))
+      assert(MvCatalog.schemaLoads.get() - before == 1L,
+        s"expected ONE footer read for the shared base, got " +
+          s"${MvCatalog.schemaLoads.get() - before}")
+    } finally {
+      MvCatalog.unregister("mvspec_sc1"); MvCatalog.unregister("mvspec_sc2")
+    }
+  }
+
   test("filtered MV over a snapshot-logged base: log refresh folds appends and compact retractions through the slice") {
     import spark.implicits._
     val base = root + "/filt_log"

@@ -1589,5 +1589,54 @@ object MvQueries {
         "SELECT p_partkey FROM part WHERE p_type = 'ECONOMY') " +
         "GROUP BY l_suppkey HAVING sum(l_quantity) > 2000) " +
         "ORDER BY s_name")),
+
+    Q("c7_q21_exists_anti",
+      // TPC-H Q21 shape — correlated EXISTS + NOT EXISTS against the
+      // SAME table ("suppliers who kept orders waiting"): for each
+      // flagged lineitem there must EXIST another supplier's line on
+      // the same order, and NOT EXIST another supplier's FLAGGED line.
+      // The decorrelation class c5 (scalar) and c6 (IN/ListQuery)
+      // don't cover: Catalyst must plan the pair as ONE left-semi plus
+      // ONE left-anti join over the self-joined lineitem — never
+      // per-row subquery re-execution, the O(n²) trap at 100 TB
+      // (physical shape pinned in PlanQualitySpec: both join types
+      // present, no nested loop, exactly 3 lineitem scans). The
+      // reference analog is the multi-EXISTS ACL gate (lists.js
+      // routes). Q21's receipt/commit-date lateness maps to the
+      // returnflag='R' lines of 'F'-status orders on this schema.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("c7_lineitem")
+        t(s, dir, "orders").createOrReplaceTempView("c7_orders")
+        t(s, dir, "supplier").createOrReplaceTempView("c7_supplier")
+        t(s, dir, "nation").createOrReplaceTempView("c7_nation")
+        s.sql("SELECT s_name, count(*) AS numwait " +
+          "FROM c7_supplier, c7_lineitem l1, c7_orders o, c7_nation " +
+          "WHERE s_suppkey = l1.l_suppkey " +
+          "AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' " +
+          "AND l1.l_returnflag = 'R' " +
+          "AND EXISTS (SELECT 1 FROM c7_lineitem l2 " +
+          "WHERE l2.l_orderkey = l1.l_orderkey " +
+          "AND l2.l_suppkey <> l1.l_suppkey) " +
+          "AND NOT EXISTS (SELECT 1 FROM c7_lineitem l3 " +
+          "WHERE l3.l_orderkey = l1.l_orderkey " +
+          "AND l3.l_suppkey <> l1.l_suppkey " +
+          "AND l3.l_returnflag = 'R') " +
+          "AND s_nationkey = n_nationkey AND n_name = 'NATION_7' " +
+          "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10")
+      },
+      Some("SELECT s_name, count(*) AS numwait " +
+        "FROM supplier, lineitem l1, orders o, nation " +
+        "WHERE s_suppkey = l1.l_suppkey " +
+        "AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' " +
+        "AND l1.l_returnflag = 'R' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_returnflag = 'R') " +
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_7' " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10")),
   )
 }

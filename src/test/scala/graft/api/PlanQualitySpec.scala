@@ -364,6 +364,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("c7 Q21 correlated EXISTS + NOT EXISTS plan as one semi + one anti self-join — never per-row") {
+    val p = plan("c7_q21_exists_anti")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the EXISTS becomes one LeftSemi, the NOT EXISTS one LeftAnti —
+    // each executed ONCE over the self-joined lineitem (a surviving
+    // correlated subquery would re-scan lineitem per outer row)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.toLowerCase.contains("exists-subquery"), p)
+    // exactly three lineitem scans: l1 + the semi probe + the anti
+    // probe — per-row re-execution would not even be countable here,
+    // but a decorrelation that DUPLICATES the spine would show up as
+    // extra scans
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 3, s"expected 3 lineitem scans, got $scans:\n$p")
+  }
+
   test("c6 Q20 nested IN-subqueries plan as semi joins around one aggregate — never per-row") {
     val p = plan("c6_q20_nested_semi")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -160,6 +160,40 @@ object StreamingQueries {
         "AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 2 HOURS " +
         "ORDER BY 1, 2, 3, 4, 5")),
 
+    Q("st14_full_outer_join",
+      // FULL OUTER stream-stream interval join (Streams.
+      // quotedTradesFull), batch twin: every purchase emits (null
+      // views) AND every view no purchase looked back at emits (null
+      // purchase columns) — the symmetric completion of st11's LEFT
+      // outer, and the last stream-join variant a pipeline hits
+      // (audit "which touchpoints never converted" in the same pass
+      // as "which conversions had no touchpoint"). Streaming
+      // both-side null-emission at watermark close is pinned by
+      // StreamsSpec; this gates the batch-equivalent semantics under
+      // the oracle. user_id surfaces from whichever side exists.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val trades = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("string").as("symbol"),
+            col("ts").as("tts"), col("value").as("qty"))
+        val quotes = ev.filter(col("event_type") === "view")
+          .select(col("user_id").cast("string").as("symbol"),
+            col("ts").as("qts"), col("value").as("price"))
+        Streams.quotedTradesFull(trades, quotes, lookback = "2 hours")
+          .select(col("symbol").cast("long").as("user_id"),
+            unix_micros(col("tts")).as("t_us"), col("qty"),
+            unix_micros(col("qts")).as("q_us"), col("price"))
+          .orderBy("user_id", "t_us", "qty", "q_us", "price")
+      },
+      Some("SELECT coalesce(t.user_id, q.user_id) AS user_id, " +
+        "epoch_us(t.ts) AS t_us, t.value AS qty, " +
+        "epoch_us(q.ts) AS q_us, q.value AS price " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') t " +
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'view') q " +
+        "ON t.user_id = q.user_id " +
+        "AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 2 HOURS " +
+        "ORDER BY 1, 2, 3, 4, 5")),
+
     Q("st4_scd2_stream",
       // the STREAMING twin of u11_scd2, through the real sink: the
       // orders changelog arrives as three time-ordered micro-batches,

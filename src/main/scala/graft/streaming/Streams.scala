@@ -400,6 +400,21 @@ object Streams {
                         watermark: String = "10 minutes"): DataFrame =
     quotedJoin(trades, quotes, lookback, watermark, "leftOuter")
 
+  /** FULL OUTER form of [[quotedTrades]] — BOTH unmatched sides emit:
+    * a trade with no in-window quote null-pads the quote columns (the
+    * left-outer behavior), AND a quote no trade ever looked back at
+    * null-pads the trade columns — the "which quotes went unused"
+    * question the left form cannot answer. Each side's null-pad
+    * releases only once the WATERMARK rules out a future match for it
+    * (for a quote: when no trade whose lookback window still covers
+    * qts can arrive). `symbol` surfaces from whichever side is
+    * present. Same state bound as the inner form — both buffers evict
+    * at the watermark; in batch it is a plain full join. */
+  def quotedTradesFull(trades: DataFrame, quotes: DataFrame,
+                       lookback: String = "15 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    quotedJoin(trades, quotes, lookback, watermark, "fullOuter")
+
   private def quotedJoin(trades: DataFrame, quotes: DataFrame,
                          lookback: String, watermark: String,
                          joinType: String): DataFrame = {
@@ -407,12 +422,18 @@ object Streams {
              else trades).alias("t")
     val q = (if (quotes.isStreaming) quotes.withWatermark("qts", watermark)
              else quotes).alias("q")
+    // full-outer rows born on the quote side have a NULL t.symbol —
+    // surface whichever side exists (the join key guarantees they
+    // agree when both do)
+    val sym = if (joinType == "fullOuter")
+      coalesce(col("t.symbol"), col("q.symbol"))
+    else col("t.symbol")
     t.join(q,
       col("t.symbol") === col("q.symbol") &&
         col("q.qts") <= col("t.tts") &&
         col("q.qts") >= col("t.tts") - expr(s"INTERVAL $lookback"),
       joinType)
-      .select(col("t.symbol").as("symbol"), col("t.tts").as("tts"),
+      .select(sym.as("symbol"), col("t.tts").as("tts"),
         col("t.qty").as("qty"), col("q.qts").as("qts"),
         col("q.price").as("price"))
   }

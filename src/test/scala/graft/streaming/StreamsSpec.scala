@@ -451,6 +451,39 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains(("CCC", 7.0, None)), got.toString)
   }
 
+  test("quotedTradesFull: BOTH unmatched sides null-pad once the watermark closes their windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val qmem = MemoryStream[Streams.Quote]
+    val tmem = MemoryStream[Streams.StampedTrade]
+    val joined = Streams.quotedTradesFull(tmem.toDF(), qmem.toDF(),
+      lookback = "15 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("qtf").start()
+    try {
+      qmem.addData(Streams.Quote("AAA", ts(10), 11.0), // matched below
+        Streams.Quote("DDD", ts(10), 44.0))            // no trade ever
+      tmem.addData(Streams.StampedTrade("AAA", ts(20), 5.0), // matched
+        Streams.StampedTrade("CCC", ts(20), 7.0))            // no quote ever
+      q.processAllAvailable()
+      // neither orphan can emit yet: CCC's lookback window could still
+      // receive a quote, and a future trade could still look back at
+      // DDD's quote — watermark eviction is what releases them
+      val early = spark.sql("SELECT symbol FROM qtf").as[String].collect()
+      assert(!early.contains("CCC") && !early.contains("DDD"), early.toSeq)
+      // advance the watermark well past both windows on BOTH streams
+      qmem.addData(Streams.Quote("ZZZ", ts(120), 1.0))
+      tmem.addData(Streams.StampedTrade("ZZZ", ts(120), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT symbol, qty, price FROM qtf")
+      .as[(String, Option[Double], Option[Double])].collect().toSet
+    // AAA matched; trade-only CCC null-pads the quote side; quote-only
+    // DDD null-pads the trade side — neither row is dropped
+    assert(got.contains(("AAA", Some(5.0), Some(11.0))))
+    assert(got.contains(("CCC", Some(7.0), None)), got.toString)
+    assert(got.contains(("DDD", None, Some(44.0))), got.toString)
+  }
+
   test("enrichStream keeps dim-miss rows with nulls — never drops an event") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")

@@ -211,7 +211,11 @@ class ScaleSmokeSpec extends SparkSpec {
       // q-gram join off the hot grams — without it the candidate
       // stage is ~quadratic in corpus size (this bound caught it);
       // d9: span counting must stay linear in postings
-      "d8_edit_pairs", "d9_dup_spans")
+      "d8_edit_pairs", "d9_dup_spans",
+      // c4: the 6-table Q5 chain — the likeliest query to silently go
+      // shuffle-join (or worse) when dim sizes cross a threshold; the
+      // broadcast shape itself is re-pinned at sf0.1 below
+      "c4_q5_join_chain")
     def runOnce(name: String, dir: String): Long = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()
@@ -227,5 +231,18 @@ class ScaleSmokeSpec extends SparkSpec {
         s"$q grew ${t3.toDouble / t2.max(1)}x over a 10x data step " +
           s"(sf0.01=${t2}ms, sf0.1=${t3}ms) — super-linear regression")
     }
+    // c4's slope bound alone can't prove the PLAN held: at 10× the
+    // dims the chain could fall back to shuffle joins and still pass
+    // 15×. Re-pin the broadcast-dim shape at the LARGEST sf
+    // (PlanQualitySpec pins it at the spec default only).
+    val c4 = SparkEntry.queries("c4_q5_join_chain")(spark, sfs.last)
+    c4.collect()
+    val p = c4.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3,
+      s"Q5 chain lost its broadcast dims at sf0.1 ($bhj BroadcastHashJoin):\n" +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 }

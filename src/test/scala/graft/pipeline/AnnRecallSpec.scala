@@ -51,11 +51,13 @@ class AnnRecallSpec extends SparkSpec {
       .collect().groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
 
   /** recall@10 micro-averaged over the 16 queries. */
-  private def recall(df: DataFrame): Double = {
+  private def recall(df: DataFrame): Double = recallVs(df, truth)
+
+  private def recallVs(df: DataFrame, t: Map[Long, Set[Long]]): Double = {
     val got = pairs(df)
-    truth.map { case (q, t) =>
-      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size
-    }.sum / truth.size
+    t.map { case (q, ts) =>
+      ts.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ts.size
+    }.sum / t.size
   }
 
   test("IVF recall@10 curve: partial probe holds a floor, rises with nProbe, exact at full") {
@@ -68,6 +70,35 @@ class AnnRecallSpec extends SparkSpec {
     assert(rFull == 1.0, s"full probe must be exact, got $rFull")
     assert(r4 >= r2 - 1e-9, "recall must not fall as nProbe grows")
     assert(r2 >= 0.90, s"IVF recall@10 at nProbe=2/16 was $r2")
+    idx.close()
+  }
+
+  test("filtered IVF at ≤1% selectivity: partial probe holds a floor, rises with probe, exact at full") {
+    // the starvation regime e12's full-probe oracle can't see: the
+    // allowed set is 20 of 2000 ids (1%), SPREAD across clusters (id
+    // ≡ 7 mod 100), so most of a query's filtered top-10 lives in
+    // OTHER cells and a narrow probe misses it — inverted-list
+    // pre-filtering keeps results all-valid but recall must be bought
+    // with nProbe as the filter narrows (documented contract on
+    // IvfIndex.topK). Floors pin that the curve is sane: monotone in
+    // nProbe, exact at full probe, and a mid probe already recovers
+    // most of the filtered neighborhood.
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding",
+      nCells = nClusters, maxTrainRows = 2000)
+    val allowed = corpus.filter($"vec_id" % 100 === 7).select("vec_id")
+    assert(allowed.count() == 20) // 1% of the corpus, no query id in it
+    val fTruth = pairs(Similarity.bruteForceTopK(
+      corpus.join(allowed, Seq("vec_id"), "left_semi"),
+      queries, "vec_id", "embedding", k))
+    def r(nProbe: Int): Double = recallVs(
+      idx.topK(queries, "embedding", k, nProbe, allowed = Some(allowed)),
+      fTruth)
+    val r2 = r(2); val r8 = r(8); val rFull = r(nClusters)
+    info(f"filtered ivf recall@10 @1%%: nProbe2=$r2%.3f nProbe8=$r8%.3f full=$rFull%.3f")
+    assert(rFull == 1.0, s"full probe must be exact under the filter, got $rFull")
+    assert(r8 >= r2 - 1e-9, "recall must not fall as nProbe grows")
+    // measured 0.269 / 0.750 / 1.000 — floor = measured minus slack
+    assert(r8 >= 0.65, s"filtered recall@10 at nProbe=8/16 was $r8")
     idx.close()
   }
 

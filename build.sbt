@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures the TAIL of stdout and parses the LAST
+// line as JSON. Two things have always broken that: sbt's logger
+// prefixes every forked-run line with "[info] ", and sbt prints a
+// trailing "[success] Total time: ..." line after the run. Route the
+// forked run's output straight to the console (no prefix) and drop
+// the success/timing line so graft.Bench's compact JSON line is the
+// genuine last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1621,7 +1621,7 @@ object MvQueries {
           "WHERE l3.l_orderkey = l1.l_orderkey " +
           "AND l3.l_suppkey <> l1.l_suppkey " +
           "AND l3.l_returnflag = 'R') " +
-          "AND s_nationkey = n_nationkey AND n_name = 'NATION_7' " +
+          "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
           "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10")
       },
       Some("SELECT s_name, count(*) AS numwait " +
@@ -1636,7 +1636,7 @@ object MvQueries {
         "WHERE l3.l_orderkey = l1.l_orderkey " +
         "AND l3.l_suppkey <> l1.l_suppkey " +
         "AND l3.l_returnflag = 'R') " +
-        "AND s_nationkey = n_nationkey AND n_name = 'NATION_7' " +
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10")),
   )
 }

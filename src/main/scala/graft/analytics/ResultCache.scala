@@ -91,12 +91,7 @@ object ResultCache {
       .map("%02x".format(_)).mkString
 
   private[graft] def collectRoots(plan: LogicalPlan): Set[String] =
-    plan.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-        case _ => Seq.empty
-      }
-    }.flatten.toSet
+    orderedRoots(plan).flatten.toSet
 
   /** Per-leaf root paths in PLAN-TRAVERSAL (preorder) order — one
     * entry per LogicalRelation, ordered as the relations appear in the
@@ -217,10 +212,16 @@ object ResultCache {
     // rewrite — its scans point INTO cacheDir. Keying THAT plan would
     // miss (different tree) and write a duplicate entry whose contents
     // are a copy of the rule's entry. Short-circuit instead.
-    val cachePath = new Path(cacheDir).toUri.getPath
+    // makeQualified: a relative cacheDir must still match the plan's
+    // absolute roots; the "/"-terminated prefix keeps a SIBLING path
+    // that merely string-prefixes cacheDir ("/data/rc" vs
+    // "/data/rc_tables") from being misread as cache-served
+    val cachePath = fs.makeQualified(new Path(cacheDir)).toUri.getPath
     val served = collectRoots(df.queryExecution.optimizedPlan)
-    if (served.nonEmpty &&
-        served.forall(r => new Path(r).toUri.getPath.startsWith(cachePath)))
+    if (served.nonEmpty && served.forall { r =>
+        val p = new Path(r).toUri.getPath
+        p == cachePath || p.startsWith(cachePath + "/")
+      })
       return df
     val k = key(df)
     val dir = entryDir(cacheDir, k)
@@ -271,32 +272,50 @@ object ResultCache {
     * lacks: entries are size-capped individually by the rule's
     * maxBytes guard, but `cacheDir` grows unboundedly across KEYS (a
     * dashboard fleet mints a fresh key per table commit, forever).
-    * Keeps the most-RECENTLY-TOUCHED entries whose cumulative bytes
-    * fit `maxTotalBytes` and deletes the rest, oldest-mtime first,
-    * plus any orphaned staging dirs. Recency is the entry dir's mtime
-    * — a write-once dir, so this is LRU over CREATION (a re-hit entry
-    * is not refreshed; at one key per table state that bias is
-    * harmless: superseded keys are precisely the never-hit-again
-    * ones). Negative entries are near-zero-byte and age out the same
-    * way. Writer-side, same single-maintainer contract as [[vacuum]].
-    * Returns directories removed. */
+    * Evicts OLDEST-mtime first until the cumulative entry bytes fit
+    * `maxTotalBytes`, plus orphaned staging dirs. Recency is the
+    * entry dir's mtime — a write-once dir, so this is LRU over
+    * CREATION (a re-hit entry is not refreshed; at one key per table
+    * state that bias is harmless: superseded keys are precisely the
+    * never-hit-again ones). Negative entries are near-zero-byte and
+    * age out the same way.
+    *
+    * `graceMs` protects anything younger than the cutoff — staging
+    * AND entries: a populate in flight (its `.tmp_*` not yet
+    * published, or its entry just born and possibly mid-read by the
+    * very query that wrote it) must never be deleted under it, and a
+    * blind staging sweep could otherwise tear a concurrent populate
+    * into a schema-only EMPTY entry. A young cache may therefore
+    * stay over budget until entries age past the grace — the budget
+    * is enforced eventually, never against in-flight work. Same
+    * caveat as [[vacuum]] for old-but-hot entries: a reader planned
+    * against an entry evicted mid-flight fails and recomputes on
+    * retry; size the grace to cover expected read latency.
+    * Writer-side, single-maintainer contract. Returns directories
+    * removed. */
   def vacuumToSize(spark: org.apache.spark.sql.SparkSession,
-                   cacheDir: String, maxTotalBytes: Long): Int = {
+                   cacheDir: String, maxTotalBytes: Long,
+                   graceMs: Long = 15L * 60 * 1000): Int = {
     val fs = SnapshotManifest.fsOf(spark, cacheDir)
     val root = new Path(cacheDir)
     if (!fs.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     val (staging, entries) = fs.listStatus(root).toSeq
       .filter(st => st.getPath.getName.startsWith("res_") ||
         st.getPath.getName.startsWith(".tmp_res_"))
       .partition(_.getPath.getName.startsWith(".tmp_res_"))
-    staging.foreach(st => fs.delete(st.getPath, true))
-    var budget = maxTotalBytes
-    val evict = entries.sortBy(-_.getModificationTime).filter { st =>
-      val bytes = fs.getContentSummary(st.getPath).getLength
-      if (bytes <= budget) { budget -= bytes; false } else true
+    val staleStaging = staging.filter(_.getModificationTime < cutoff)
+    staleStaging.foreach(st => fs.delete(st.getPath, true))
+    val sized = entries.sortBy(_.getModificationTime) // oldest first
+      .map(st => (st, fs.getContentSummary(st.getPath).getLength))
+    var total = sized.map(_._2).sum
+    val evict = sized.filter { case (st, bytes) =>
+      val doEvict = total > maxTotalBytes && st.getModificationTime < cutoff
+      if (doEvict) total -= bytes
+      doEvict
     }
-    evict.foreach(st => fs.delete(st.getPath, true))
-    staging.size + evict.size
+    evict.foreach { case (st, _) => fs.delete(st.getPath, true) }
+    staleStaging.size + evict.size
   }
 }
 

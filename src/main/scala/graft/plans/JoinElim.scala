@@ -267,8 +267,9 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
       conf.getConfString("graft.joinelim.enabled", "true") != "true") plan
     // root-set pre-check: no registered child/parent/unique-key table
     // in the scan roots → nothing can eliminate — skip the walk
-    else if (!PlanMatch.touchesAny(plan,
-        FkCatalog.registeredPaths ++ PkCatalog.registeredPaths)) plan
+    // (two probes against the cached sets: no per-plan union alloc)
+    else if (!PlanMatch.touchesAny(plan, FkCatalog.registeredPaths) &&
+        !PlanMatch.touchesAny(plan, PkCatalog.registeredPaths)) plan
     else {
       // one fingerprint probe per table per PASS (FpCache), however
       // many joins in the tree match a registered edge

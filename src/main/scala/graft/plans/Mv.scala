@@ -125,12 +125,19 @@ object MvCatalog {
         relCache.remove(old.mvPath); predCache.remove(old.mvPath)
       }
     }
+    // a (re-)declaration is the documented recovery from an in-place
+    // base schema change: drop the bases' memoized footer schemas so
+    // the NEXT predicate resolution reads fresh — without this a
+    // re-declared filtered MV would resolve against the stale memo
+    // and park on Literal(false) for the process lifetime
+    d.allBasePaths.foreach(schemaCache.remove)
     rebuildPaths()
   }
   def get(name: String): Option[MvDef] = defs.get(name)
   def unregister(name: String): Unit = {
     defs.remove(name).foreach { old =>
       relCache.remove(old.mvPath); predCache.remove(old.mvPath)
+      old.allBasePaths.foreach(schemaCache.remove)
     }
     rebuildPaths()
   }
@@ -157,14 +164,16 @@ object MvCatalog {
 
   /** Memoized parquet footer schema per BASE PATH: filtered-MV
     * predicate resolution otherwise re-reads every base's footer per
-    * registered MV version — one footer read per base per PROCESS
-    * instead, however many filtered MVs share the base. Staleness is
-    * benign: a schema change moves the table, the MV's fp stamp goes
-    * stale, and the rewrite is already suspended until re-declaration
-    * (which repopulates [[predCache]], resolved against whatever the
-    * memoized schema says — only the columns the `where` references
-    * matter, and a drop/retype of one of those fails analysis into
-    * the Literal(false) parking below exactly as a fresh read would). */
+    * registered MV version — one footer read per base per
+    * REGISTRATION EPOCH instead, however many filtered MVs share the
+    * base. [[register]]/[[unregister]] drop the def's base entries:
+    * a (re-)declaration is the documented recovery from an in-place
+    * base schema change, so the next resolution after it must read
+    * the footer fresh — a permanently stale memo would fail the new
+    * predicate's analysis and park the view on Literal(false) for
+    * the process lifetime. Between declarations the memo is safe: a
+    * schema change moves the table and the fp stamp already suspends
+    * the rewrite until re-declaration. */
   private val schemaCache =
     TrieMap.empty[String, org.apache.spark.sql.types.StructType]
   /** Count of actual footer reads — pinned by MvRewriteSpec. */

@@ -306,7 +306,18 @@ class ResultCacheSpec extends SparkSpec {
     // budget = exactly the newest two entries' bytes → oldest evicted
     val budget = newestTwo
       .map(st => fs.getContentSummary(st.getPath).getLength).sum
-    assert(ResultCache.vacuumToSize(spark, cache6, budget) == 1, sizes.toSeq)
+    // a fresh staging dir (an in-flight populate) and the young
+    // entries are all inside the default grace — nothing is touched
+    // even at budget 0: the budget is enforced eventually, never
+    // against in-flight work
+    val tmp = new org.apache.hadoop.fs.Path(cache6, ".tmp_res_inflight")
+    fs.mkdirs(tmp)
+    assert(ResultCache.vacuumToSize(spark, cache6, 0L) == 0,
+      "grace must protect young staging and entries")
+    assert(fs.exists(tmp), "in-flight staging must survive the sweep")
+    fs.delete(tmp, true)
+    assert(ResultCache.vacuumToSize(spark, cache6, budget, graceMs = 0L) == 1,
+      sizes.toSeq)
     val left = fs.listStatus(new org.apache.hadoop.fs.Path(cache6))
       .filter(_.getPath.getName.startsWith("res_")).map(_.getPath.getName)
     assert(left.toSet == newestTwo.map(_.getPath.getName).toSet)
@@ -316,6 +327,21 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.misses.get() == m, "newest entry must still hit")
     ResultCache.through(q(1), cache6).collect()
     assert(ResultCache.misses.get() == m + 1, "evicted entry must recompute")
+  }
+
+  test("through() is not fooled by sibling paths that string-prefix the cache dir") {
+    import spark.implicits._
+    val cache7 = root + "/cache7"
+    val sib = root + "/cache7_tables/t" // string-prefixes cache7, not inside it
+    Seq(("a", 3L)).toDF("k", "v").write.mode("overwrite").parquet(sib)
+    def q = spark.read.parquet(sib).groupBy("k").agg(sum("v").as("s"))
+    val m = ResultCache.misses.get()
+    assert(ResultCache.through(q, cache7).head().getLong(1) == 3L)
+    assert(ResultCache.misses.get() == m + 1,
+      "a sibling-prefixed table must be cached, not short-circuited")
+    val again = ResultCache.through(q, cache7)
+    assert(ResultCache.misses.get() == m + 1)
+    assert(scanPaths(again).forall(_.contains("/cache7/")), scanPaths(again))
   }
 
   test("vacuum reclaims aged entries; the next call recomputes") {

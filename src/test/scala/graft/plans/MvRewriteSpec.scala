@@ -1231,7 +1231,6 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     Seq(("a", "F", 1L), ("a", "O", 2L), ("b", "F", 4L), ("b", "O", 8L))
       .toDF("d", "st", "q").write.mode("overwrite").parquet(r)
     try {
-      val before = MvCatalog.schemaLoads.get()
       // TWO filtered MVs over the SAME base: resolving each predicate
       // needs the base schema — the memo must pay the footer once
       Mv.build(spark.read.parquet(r), "mvspec_sc1", Seq("d"),
@@ -1240,6 +1239,12 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       Mv.build(spark.read.parquet(r), "mvspec_sc2", Seq("d"),
         measures = Seq("q"), mvPath = root + "/sc2_mv",
         where = Some("st = 'O'"))
+      // re-register both defs: drops their predCache entries AND (the
+      // epoch contract) the base's schema memo, so the measured block
+      // below resolves BOTH predicates from scratch
+      MvCatalog.register(MvCatalog.get("mvspec_sc1").get)
+      MvCatalog.register(MvCatalog.get("mvspec_sc2").get)
+      val before = MvCatalog.schemaLoads.get()
       def q(p: String) = spark.read.parquet(r).filter(col("st") === p)
         .groupBy("d").agg(sum("q").as("s")).orderBy("d")
       // both predicates resolve (each rewrite answers from its slice)
@@ -1248,8 +1253,13 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       assert(q("O").collect().map(x => (x.getString(0), x.getLong(1)))
         .toSeq == Seq(("a", 2L), ("b", 8L)))
       assert(MvCatalog.schemaLoads.get() - before == 1L,
-        s"expected ONE footer read for the shared base, got " +
+        s"expected ONE footer read for the shared base (per-MV " +
+          s"resolution would pay two), got " +
           s"${MvCatalog.schemaLoads.get() - before}")
+      // steady state: further queries never re-read the footer
+      val warm = MvCatalog.schemaLoads.get()
+      q("F").collect(); q("O").collect()
+      assert(MvCatalog.schemaLoads.get() == warm)
     } finally {
       MvCatalog.unregister("mvspec_sc1"); MvCatalog.unregister("mvspec_sc2")
     }

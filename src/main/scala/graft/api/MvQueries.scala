@@ -1638,5 +1638,80 @@ object MvQueries {
         "AND l3.l_returnflag = 'R') " +
         "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10")),
+
+    Q("c8_q15_maxview",
+      // TPC-H Q15 shape — an aggregate view referenced TWICE (the
+      // per-supplier revenue, and the max over it). The textbook SQL
+      // recomputes the view for the scalar-max subquery — two full
+      // fact scans; the Spark-first plan computes the aggregate once
+      // and joins it to its own 1-row max on an EQUALITY (broadcast
+      // hash join, not a nested-loop scalar compare), letting AQE's
+      // exchange reuse serve both aggregate consumers from ONE
+      // lineitem scan — plan-pinned in PlanQualitySpec. Revenue stays
+      // exact DECIMAL through the sum AND the max-equality (double
+      // sums are order-sensitive and would make '= max' flaky across
+      // engines); DOUBLE only at the surface.
+      (s, dir) => {
+        // isNotNull(l_suppkey) lives INSIDE the view on purpose: the
+        // supplier join infers it onto its own rev subtree only, and
+        // the two rev consumers would then canonicalize differently —
+        // exchange reuse needs both subtrees identical (a NULL suppkey
+        // is not a supplier, so the view predicate is also the honest
+        // semantics; mirrored in the oracle)
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+            col("l_suppkey").isNotNull)
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("tr"))
+        val mx = rev.agg(max(col("tr")).as("mx"))
+        rev.join(broadcast(mx), col("tr") === col("mx"), "inner")
+          .join(broadcast(t(s, dir, "supplier")),
+            col("s_suppkey") === col("supplier_no"), "inner")
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("tr"), 2).cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' " +
+        "AND l_suppkey IS NOT NULL GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, " +
+        "CAST(round(tr, 2) AS DOUBLE) AS total_revenue " +
+        "FROM supplier, revenue " +
+        "WHERE s_suppkey = supplier_no " +
+        "AND tr = (SELECT max(tr) FROM revenue) " +
+        "ORDER BY s_suppkey")),
+
+    Q("c9_q13_custdist",
+      // TPC-H Q13 shape — LEFT OUTER join with a NON-KEY predicate
+      // inside the ON clause, then double aggregation (orders-per-
+      // customer distribution, zero-order customers included). The
+      // classic trap: pulling the ON-predicate out as a post-join
+      // WHERE silently deletes the null-padded (zero-order) rows and
+      // turns the outer join inner — the predicate must stay in the
+      // join condition, plan-pinned in PlanQualitySpec. count(col)
+      // counts only non-null order keys, so never-matched customers
+      // land in the c_count=0 bucket on both engines.
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count")),
+      Some("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c.c_custkey, count(o.o_orderkey) AS c_count " +
+        "FROM customer c LEFT JOIN orders o " +
+        "ON c.c_custkey = o.o_custkey " +
+        "AND o.o_orderpriority <> '1-URGENT' " +
+        "GROUP BY c.c_custkey) t " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC")),
   )
 }

@@ -382,6 +382,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 3, s"expected 3 lineitem scans, got $scans:\n$p")
   }
 
+  test("c8 Q15 max-of-view reuses ONE lineitem scan for both aggregate consumers") {
+    val p = plan("c8_q15_maxview")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the textbook scalar-subquery form scans the fact twice (once
+    // for the view, once for its max); the equality-join form must
+    // let exchange reuse serve both consumers from one scan. Count in
+    // the FINAL plan section only — AQE's toString repeats the tree
+    // under "== Initial Plan ==" where reuse has not happened yet.
+    val fin = p.split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(fin).length
+    assert(scans == 1, s"expected 1 lineitem scan (exchange reuse), got $scans:\n$p")
+    assert(fin.contains("ReusedExchange"), fin)
+  }
+
+  test("c9 Q13 keeps the ON-predicate inside the outer join — zero-order customers survive") {
+    val p = plan("c9_q13_custdist")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftOuter"), p)
+    // two aggregation levels (per-customer count, then the histogram),
+    // each with a partial (map-side) phase
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
   test("c6 Q20 nested IN-subqueries plan as semi joins around one aggregate — never per-row") {
     val p = plan("c6_q20_nested_semi")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

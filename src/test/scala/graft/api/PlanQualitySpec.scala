@@ -377,8 +377,10 @@ class PlanQualitySpec extends SparkSpec {
     // exactly three lineitem scans: l1 + the semi probe + the anti
     // probe — per-row re-execution would not even be countable here,
     // but a decorrelation that DUPLICATES the spine would show up as
-    // extra scans
-    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    // extra scans. Count in the FINAL plan section only: AQE's
+    // toString sometimes repeats the tree under "== Initial Plan =="
+    val fin = p.split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(fin).length
     assert(scans == 3, s"expected 3 lineitem scans, got $scans:\n$p")
   }
 

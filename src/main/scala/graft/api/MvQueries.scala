@@ -1713,5 +1713,34 @@ object MvQueries {
         "AND o.o_orderpriority <> '1-URGENT' " +
         "GROUP BY c.c_custkey) t " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC")),
+
+    Q("c10_q16_notin",
+      // TPC-H Q16 shape — NOT IN (subquery) + COUNT(DISTINCT): the
+      // null-aware anti-join class, distinct from c6's IN (plain semi)
+      // and c7's NOT EXISTS (plain anti). NOT IN's three-valued NULL
+      // semantics historically forced a BroadcastNestedLoopJoin over
+      // the whole fact — the classic 100 TB plan catastrophe; Spark
+      // must plan it as a single null-aware ANTI hash join against
+      // the broadcast exclusion set (plan-pinned: LeftAnti, no nested
+      // loop), with the distinct-supplier count one Expand + two
+      // aggregates. Complaint suppliers map to negative account
+      // balances on this schema.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("c10_lineitem")
+        t(s, dir, "part").createOrReplaceTempView("c10_part")
+        t(s, dir, "supplier").createOrReplaceTempView("c10_supplier")
+        s.sql("SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt " +
+          "FROM c10_lineitem, c10_part " +
+          "WHERE p_partkey = l_partkey AND p_type <> 'ECONOMY' " +
+          "AND l_suppkey NOT IN (" +
+          "SELECT s_suppkey FROM c10_supplier WHERE s_acctbal < 0) " +
+          "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand")
+      },
+      Some("SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem, part " +
+        "WHERE p_partkey = l_partkey AND p_type <> 'ECONOMY' " +
+        "AND l_suppkey NOT IN (" +
+        "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand")),
   )
 }

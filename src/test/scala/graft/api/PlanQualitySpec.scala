@@ -409,6 +409,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 4, p)
   }
 
+  test("c10 Q16 NOT IN plans as one null-aware anti hash join — never a nested loop") {
+    val p = plan("c10_q16_notin")
+    // NOT IN's three-valued NULL semantics are the classic nested-loop
+    // trap; the exclusion set must ride ONE broadcast anti hash join
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.toLowerCase.contains("in-subquery"), p)
+  }
+
   test("c6 Q20 nested IN-subqueries plan as semi joins around one aggregate — never per-row") {
     val p = plan("c6_q20_nested_semi")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

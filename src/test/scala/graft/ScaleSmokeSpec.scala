@@ -214,8 +214,12 @@ class ScaleSmokeSpec extends SparkSpec {
       "d8_edit_pairs", "d9_dup_spans",
       // c4: the 6-table Q5 chain — the likeliest query to silently go
       // shuffle-join (or worse) when dim sizes cross a threshold; the
-      // broadcast shape itself is re-pinned at sf0.1 below
-      "c4_q5_join_chain")
+      // broadcast shape itself is re-pinned at sf0.1 below.
+      // c7/c10: the decorrelated EXISTS/NOT-EXISTS self-join and the
+      // null-aware NOT IN — the two classes that go QUADRATIC if the
+      // planner ever falls back to per-row subquery execution; the
+      // slope bound catches the growth exponent the plan pins can't
+      "c4_q5_join_chain", "c7_q21_exists_anti", "c10_q16_notin")
     def runOnce(name: String, dir: String): Long = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()

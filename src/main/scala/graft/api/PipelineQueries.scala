@@ -1752,5 +1752,38 @@ object PipelineQueries {
         "CAST(3 + len % 8 AS INT) AS height, " +
         "CAST((doc_id * 11 + fi * 37) % 256 AS DOUBLE) AS mean_byte " +
         "FROM f ORDER BY media_id, frame_idx")),
+
+    Q("mm6_phash_near_dup",
+      // IMAGE NEAR-DUP via perceptual hash — the multimodal twin of
+      // d4's text SimHash, through the REAL codec end to end: per
+      // doc, synthesize a deterministic block-texture PNG whose
+      // pattern is a pure function of GROUP = doc_id/2, rendered at
+      // 64×48 for even ids and 96×72 for odd ids (the same image,
+      // resized — the dominant duplication mode of a crawled image
+      // corpus, invisible to byte fingerprints). pHash64 (decode →
+      // 32×32 gray → DCT → median bits) must land same-group
+      // variants within hamming 6 and keep cross-group pairs out
+      // (measured margins: intra ≤ 4, cross ≥ 10), and the banded
+      // hamming join surfaces exactly the (2g, 2g+1) pairs — recall
+      // 1 by pigeonhole at 8 bands. The oracle enumerates the
+      // planted pairs arithmetically; one flipped hash bit past the
+      // threshold or one missed band collision breaks the compare.
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h) = if (id % 2 == 0) (64, 48) else (96, 72)
+            val png = Multimodal.blockPng(w, h, seed = id / 2)
+            MediaRecord(id, "image/png", png, png.length.toLong)
+          })
+        Multimodal.pHashNearDup(media, bands = 8, maxHamming = 6)
+          .select(col("id1"), col("id2"))
+          .orderBy("id1", "id2")
+      },
+      Some("SELECT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 2 = 0 AND a.doc_id < 300 AND b.doc_id < 300 " +
+        "ORDER BY id1, id2")),
   )
 }

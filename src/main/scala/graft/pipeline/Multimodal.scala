@@ -248,6 +248,132 @@ object Multimodal {
     (tagged.flatMap(_._1), tagged.flatMap(_._2))
   }
 
+  /** 64-bit PERCEPTUAL HASH (pHash, DCT variant — Zauner,
+    * "Implementation and Benchmarking of Perceptual Image Hash
+    * Functions", 2010): decode via the REAL JDK codec, resize to
+    * 32×32 grayscale (bilinear), 2-D DCT-II, keep the 8×8
+    * lowest-frequency block, and threshold each AC coefficient
+    * against the block's median (DC excluded, so a global
+    * brightness offset cannot bias every bit). Visually-identical
+    * images — re-encodes, resizes, light noise — land within a few
+    * bits; unrelated images differ in ~half. None when no installed
+    * reader decodes the payload. Pure JDK, deterministic. */
+  def pHash64(payload: Array[Byte]): Option[Long] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) return None
+    val n = 32
+    val gray = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g2 = gray.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(img, 0, 0, n, n, null)
+    g2.dispose()
+    val raster = gray.getRaster
+    val px = Array.ofDim[Double](n, n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) { px(y)(x) = raster.getSample(x, y, 0).toDouble; x += 1 }
+      y += 1
+    }
+    // separable DCT-II, low 8×8 block only — O(8·n) per row/column
+    // pass, not the full n² transform
+    val cos = Array.tabulate(8, n)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    val rowPass = Array.ofDim[Double](n, 8)
+    y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += px(y)(x) * cos(u)(x); x += 1 }
+        rowPass(y)(u) = s; u += 1
+      }
+      y += 1
+    }
+    val flat = new Array[Double](63) // (v,u) row-major, DC dropped
+    var i = 0
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (v != 0 || u != 0) {
+          var s = 0.0; var yy = 0
+          while (yy < n) { s += rowPass(yy)(u) * cos(v)(yy); yy += 1 }
+          flat(i) = s; i += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = flat.sorted
+    val median = (sorted(30) + sorted(31)) / 2.0
+    var bits = 0L
+    i = 0
+    while (i < 63) { if (flat(i) > median) bits |= (1L << i); i += 1 }
+    Some(bits)
+  }
+
+  /** pHash signatures for a media frame: (media_id, simhash) — the
+    * column name [[graft.pipeline.Dedup.simHashPairs]] expects, so
+    * the image hashes ride the SAME banded hamming join as text
+    * SimHash. Undecodable payloads are dropped (quarantine them
+    * upstream via [[extractFeaturesWithQuarantine]] if auditability
+    * matters). */
+  def pHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      pHash64(r.payload).map(h => (r.media_id, h))))
+      .toDF("media_id", "simhash")
+  }
+
+  /** IMAGE NEAR-DUPLICATE pairs — the multimodal twin of the text
+    * SimHash dedup (d4): pHash per image, then the banded hamming
+    * join from [[Dedup.simHashPairs]] (pigeonhole: with 8 bands any
+    * pair within hamming 7 shares a band — recall 1 for
+    * `maxHamming` ≤ 7; never all-pairs). Catches re-encoded,
+    * resized, and lightly-edited copies that byte-level
+    * fingerprints miss — at training-data scale, the image corpus'
+    * main duplication mode. */
+  def pHashNearDup(media: Dataset[MediaRecord], bands: Int = 8,
+                   maxHamming: Int = 6): DataFrame =
+    Dedup.simHashPairs(pHashes(media), "media_id", bands, maxHamming)
+
+  /** Deterministic 8×6-block "texture" PNG through the REAL encoder
+    * — the [[grayPng]] sibling for perceptual-hash tests: the image
+    * is an 8×6 grid of solid blocks whose grays are a mixed hash of
+    * (seed, block) — rich LOW-frequency content (block structure ≈
+    * the DCT band pHash keeps), so the hash is a pure function of
+    * `seed` and nearly invariant to the rendered size. Measured on
+    * 150 seeds × two sizes (64×48 vs 96×72): same-seed hamming ≤ 4,
+    * cross-seed ≥ 10 — clean margins around the default near-dup
+    * threshold 6. (A smooth linear gradient is the WRONG testbed:
+    * its near-constant AC spectrum makes median thresholding
+    * unstable — same-seed renders landed 10-34 bits apart.) */
+  def blockPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val bx = x * 8 / width
+        val by = y * 6 / height
+        var h = seed * 1000003L + bx * 8887L + by * 92821L
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        val g = (h & 0xff).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Frame sampling stub: every `stride`-th byte stands in for a
     * decoded video frame; shape (media_id, frame_idx, frame_byte).
     * A real sampler would emit (media_id, frame_idx, frame_payload). */

@@ -157,6 +157,36 @@ class PipelineSpec extends SparkSpec {
       MediaRecord(10L, "video/mp4", Array[Byte](9, 9, 9), 3L)).isEmpty)
   }
 
+  test("pHash64: resize-invariant within 6 bits, discriminative across patterns, None on garbage") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the SAME block pattern at two sizes must land within the
+    // near-dup threshold; DIFFERENT patterns must stay well outside
+    (0 until 20).foreach { seed =>
+      val a = Multimodal.pHash64(Multimodal.blockPng(64, 48, seed)).get
+      val b = Multimodal.pHash64(Multimodal.blockPng(96, 72, seed)).get
+      assert(ham(a, b) <= 6, s"seed $seed: resize moved the hash ${ham(a, b)} bits")
+    }
+    val hs = (0 until 20).map(s =>
+      Multimodal.pHash64(Multimodal.blockPng(64, 48, s)).get)
+    for (i <- hs.indices; j <- (i + 1) until hs.size)
+      assert(ham(hs(i), hs(j)) > 6, s"patterns $i/$j collided at ${ham(hs(i), hs(j))}")
+    assert(Multimodal.pHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("pHashNearDup surfaces exactly the planted resized-copy pairs") {
+    import spark.implicits._
+    // 30 groups × 2 renders (64×48 and 96×72) + one undecodable row
+    val media = spark.range(60).as[Long].mapPartitions(_.map { id =>
+      val (w, h) = if (id % 2 == 0) (64, 48) else (96, 72)
+      val png = Multimodal.blockPng(w, h, seed = id / 2)
+      MediaRecord(id, "image/png", png, png.length.toLong)
+    }).union(Seq(MediaRecord(999L, "image/png", Array[Byte](7), 1L)).toDS())
+    val pairs = Multimodal.pHashNearDup(media, bands = 8, maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = (0 until 30).map(g => (2L * g, 2L * g + 1)).toSet
+    assert(pairs == expected, s"diff: ${pairs.diff(expected)} / ${expected.diff(pairs)}")
+  }
+
   test("quarantine lanes: undecodable media keeps its id + reason, never dropped") {
     import spark.implicits._
     val png = Multimodal.grayPng(4, 3, 128)

@@ -1742,5 +1742,163 @@ object MvQueries {
         "AND l_suppkey NOT IN (" +
         "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
         "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand")),
+
+    Q("c11_q2_min_supply",
+      // TPC-H Q2 shape — a correlated scalar MIN subquery that itself
+      // contains a JOIN CHAIN (min supply price among suppliers of one
+      // region). The hardest decorrelation class in the c-suite: the
+      // inner query must be rewritten to ONE grouped aggregate over
+      // the joined (lineitem ⋈ supplier ⋈ nation ⋈ region) subtree and
+      // equi-joined back on the correlation key — per-row re-execution
+      // would re-run a 4-table join once per part, the O(parts × fact)
+      // trap at 100 TB (plan-pinned: no nested loop, no surviving
+      // correlated subquery). lineitem stands in for partsupp on this
+      // schema: (l_partkey, l_suppkey, l_extendedprice) is the supply
+      // offer. Ties (several suppliers at the min price) all survive,
+      // as in genuine Q2; DISTINCT collapses repeat offers by the same
+      // supplier. The reference analog is the min-price listing lookup
+      // (listings.js price routes).
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("c11_part")
+        t(s, dir, "lineitem").createOrReplaceTempView("c11_lineitem")
+        t(s, dir, "supplier").createOrReplaceTempView("c11_supplier")
+        t(s, dir, "nation").createOrReplaceTempView("c11_nation")
+        t(s, dir, "region").createOrReplaceTempView("c11_region")
+        s.sql("SELECT DISTINCT p_partkey, p_name, s_name, " +
+          "s_acctbal AS bal, n_name, l_extendedprice AS price " +
+          "FROM c11_part, c11_lineitem, c11_supplier, c11_nation, c11_region " +
+          "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+          "AND p_size = 25 AND s_nationkey = n_nationkey " +
+          "AND n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+          "AND l_extendedprice = (" +
+          "SELECT min(l2.l_extendedprice) " +
+          "FROM c11_lineitem l2, c11_supplier s2, c11_nation n2, c11_region r2 " +
+          "WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey " +
+          "AND s2.s_nationkey = n2.n_nationkey " +
+          "AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA') " +
+          "ORDER BY bal DESC, n_name, s_name, p_partkey LIMIT 100")
+      },
+      Some("SELECT DISTINCT p_partkey, p_name, s_name, " +
+        "s_acctbal AS bal, n_name, l_extendedprice AS price " +
+        "FROM part, lineitem, supplier, nation, region " +
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+        "AND p_size = 25 AND s_nationkey = n_nationkey " +
+        "AND n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+        "AND l_extendedprice = (" +
+        "SELECT min(l2.l_extendedprice) " +
+        "FROM lineitem l2, supplier s2, nation n2, region r2 " +
+        "WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey " +
+        "AND s2.s_nationkey = n2.n_nationkey " +
+        "AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA') " +
+        "ORDER BY bal DESC, n_name, s_name, p_partkey LIMIT 100")),
+
+    Q("c12_q22_anti_scalar",
+      // TPC-H Q22 shape — an UNCORRELATED scalar aggregate threshold
+      // (global average balance) combined with a correlated NOT EXISTS
+      // (no urgent orders). Two distinct subquery machineries in one
+      // query: the scalar must execute ONCE and broadcast as a literal
+      // into the filter (never re-evaluated per row); the NOT EXISTS
+      // must plan as one LeftAnti hash join (plan-pinned). The balance
+      // sum rides DECIMAL for order-independent exactness and the
+      // threshold divides an exact-decimal sum cast to DOUBLE by the
+      // count, so both engines compare against the bit-identical
+      // threshold. This schema has no customer without orders, so the
+      // anti side is "no URGENT order" — same plan class as genuine
+      // Q22's "no order at all".
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("c12_customer")
+        t(s, dir, "orders").createOrReplaceTempView("c12_orders")
+        s.sql("SELECT c_mktsegment, count(*) AS numcust, " +
+          "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
+          "FROM c12_customer " +
+          "WHERE c_acctbal > (" +
+          "SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
+          "FROM c12_customer WHERE c_acctbal > 0.0) " +
+          "AND NOT EXISTS (SELECT 1 FROM c12_orders " +
+          "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, count(*) AS numcust, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
+        "FROM customer " +
+        "WHERE c_acctbal > (" +
+        "SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
+        "FROM customer WHERE c_acctbal > 0.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    Q("c13_q11_having_scalar",
+      // TPC-H Q11 shape — GROUP BY … HAVING sum(v) > (SELECT sum(v) *
+      // fraction): a grouped aggregate filtered against a SCALAR of
+      // the SAME aggregate over the whole table. The plan must compute
+      // the global sum once (its own aggregate over a second scan) and
+      // feed it into the HAVING filter as a one-row broadcast — the
+      // trap is re-evaluating the global sum per group. Money rides
+      // BIGINT×DECIMAL so both the per-group and global sums are
+      // exact and the HAVING comparison is decimal-exact on both
+      // engines; DOUBLE only at the surface.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("c13_lineitem")
+        s.sql("SELECT l_partkey, " +
+          "CAST(sum(CAST(l_quantity AS BIGINT) * " +
+          "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value " +
+          "FROM c13_lineitem GROUP BY l_partkey " +
+          "HAVING sum(CAST(l_quantity AS BIGINT) * " +
+          "CAST(l_extendedprice AS DECIMAL(18,2))) > (" +
+          "SELECT sum(CAST(l_quantity AS BIGINT) * " +
+          "CAST(l_extendedprice AS DECIMAL(18,2))) * 0.0005 FROM c13_lineitem) " +
+          "ORDER BY part_value DESC, l_partkey LIMIT 100")
+      },
+      Some("SELECT l_partkey, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value " +
+        "FROM lineitem GROUP BY l_partkey " +
+        "HAVING sum(CAST(l_quantity AS BIGINT) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) > (" +
+        "SELECT sum(CAST(l_quantity AS BIGINT) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) * 0.0005 FROM lineitem) " +
+        "ORDER BY part_value DESC, l_partkey LIMIT 100")),
+
+    Q("c14_q8_market_share",
+      // TPC-H Q8 shape — conditional aggregation RATIO over a 5-table
+      // join chain (one nation's share of yearly volume): sum(CASE
+      // WHEN nation THEN volume END) / sum(volume) per year. The
+      // Spark-first form: dims broadcast (part/supplier/nation), ONE
+      // shuffle for the year rollup, the CASE folded into the partial
+      // (map-side) aggregate — never a self-join of per-year totals
+      // against per-year-per-nation totals, which would scan the fact
+      // twice and shuffle twice. Volume rides DECIMAL through both
+      // sums (order-independent), so the ratio divides bit-identical
+      // doubles on both engines. Plan-pinned: ≥3 broadcast joins, no
+      // cartesian, partial aggregation present.
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("s_nationkey"))
+        .filter(col("p_type") === "ECONOMY")
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("volume"),
+          col("n_name"))
+        .groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("n_name") === "NATION_3", col("volume"))
+            .otherwise(lit(0))).cast("double") /
+            sum(col("volume")).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year"),
+      Some("SELECT o_year, round(CAST(nat AS DOUBLE) / CAST(vol AS DOUBLE), 6) " +
+        "AS mkt_share FROM (" +
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "sum(CASE WHEN n_name = 'NATION_3' THEN " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS nat, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS vol " +
+        "FROM orders, lineitem, part, supplier, nation " +
+        "WHERE o_orderkey = l_orderkey AND p_partkey = l_partkey " +
+        "AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey " +
+        "AND p_type = 'ECONOMY' GROUP BY 1) ORDER BY o_year")),
   )
 }

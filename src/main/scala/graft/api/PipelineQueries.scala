@@ -1785,5 +1785,51 @@ object PipelineQueries {
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
         "WHERE a.doc_id % 2 = 0 AND a.doc_id < 300 AND b.doc_id < 300 " +
         "ORDER BY id1, id2")),
+
+    Q("mm7_audio_near_dup",
+      // AUDIO NEAR-DUP via energy-envelope fingerprint — mm6's twin
+      // for the audio modality, through the REAL codec end to end:
+      // per doc, synthesize a deterministic 65-step amplitude WAV
+      // whose step pattern is a pure function of GROUP = doc_id/2,
+      // rendered at 8 kHz for even ids and 16 kHz for odd ids (the
+      // same clip, RESAMPLED — the dominant duplication mode of a
+      // crawled audio corpus, invisible to byte fingerprints).
+      // audioFingerprint64's time-normalized difference-sign bits are
+      // EXACTLY equal across the two rates (integer arithmetic, no
+      // measured margin needed), cross-group fingerprints differ in
+      // ~32 bits, and the banded hamming join surfaces exactly the
+      // (2g, 2g+1) pairs — recall 1 by pigeonhole at 8 bands. The
+      // oracle enumerates the planted pairs arithmetically.
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 2
+            // FULL murmur3 finalizer (two multiply rounds): the
+            // 1-round mix blockPng uses leaves enough linear
+            // structure across (g, seg) lattice inputs that two
+            // GROUPS' difference-sign sequences can collide outright
+            // (measured: hamming 0 at 150 groups) — the DCT smooths
+            // that out for images; the envelope hash has no such
+            // smoothing, so the amps must be genuinely independent
+            val amps = (0 until 65).map { seg =>
+              var h = g * 1000003L + seg * 8887L
+              h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+              h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
+              (h & 0x3fff).toInt
+            }
+            val (fps, rate) = if (id % 2 == 0) (50, 8000) else (100, 16000)
+            val wav = Multimodal.stepWav(amps, fps, rate)
+            MediaRecord(id, "audio/wav", wav, wav.length.toLong)
+          })
+        Multimodal.audioNearDup(media, bands = 8, maxHamming = 6)
+          .select(col("id1"), col("id2"))
+          .orderBy("id1", "id2")
+      },
+      Some("SELECT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 2 = 0 AND a.doc_id < 300 AND b.doc_id < 300 " +
+        "ORDER BY id1, id2")),
   )
 }

@@ -453,6 +453,124 @@ object Multimodal {
       tagged.flatMap(_._2))
   }
 
+  /** 64-bit AUDIO FINGERPRINT (energy-envelope variant of Haitsma &
+    * Kalker, "A Highly Robust Audio Fingerprinting System", ISMIR
+    * 2002): decode via the REAL JDK codec, mix to mono in exact
+    * integer arithmetic, cut the clip into 65 equal-DURATION frames
+    * (time-normalized, so the hash is invariant to sample rate —
+    * resampled re-encodes are the dominant duplication mode of a
+    * crawled audio corpus), and emit one bit per adjacent-frame
+    * ENERGY DIFFERENCE sign. Difference signs survive amplitude
+    * scaling and codec noise where absolute energies don't (the H&K
+    * insight, applied to the envelope instead of 33 spectral bands —
+    * the JDK has no FFT, and the envelope keeps the kernel exact
+    * integer). The frame comparison cross-multiplies integer sums
+    * (`sum1·n0 > sum0·n1`), so there is no floating point anywhere —
+    * a fingerprint is a pure function of the decoded waveform. None
+    * for payloads no installed reader parses or non-16-bit
+    * encodings. */
+  def audioFingerprint64(payload: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val ch = fmt.getChannels
+        val nFrames = bytes.length / (2 * ch)
+        if (nFrames < 65) None
+        else {
+          // per-PCM-frame absolute mono energy, summed per time bucket
+          val nb = 65
+          val sums = new Array[Long](nb)
+          val cnts = new Array[Long](nb)
+          var i = 0
+          while (i < nFrames) {
+            var acc = 0L
+            var c = 0
+            while (c < ch) {
+              val o = 2 * (i * ch + c)
+              val v =
+                if (fmt.isBigEndian) (bytes(o).toInt << 8) | (bytes(o + 1) & 0xff)
+                else (bytes(o + 1).toInt << 8) | (bytes(o) & 0xff)
+              acc += math.abs(v)
+              c += 1
+            }
+            val b = (i.toLong * nb / nFrames).toInt
+            sums(b) += acc
+            cnts(b) += 1
+            i += 1
+          }
+          var bits = 0L
+          var k = 0
+          while (k < 64) {
+            // mean(k+1) > mean(k), cross-multiplied — exact integers
+            if (sums(k + 1) * cnts(k) > sums(k) * cnts(k + 1))
+              bits |= (1L << k)
+            k += 1
+          }
+          Some(bits)
+        }
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    }
+
+  /** Audio fingerprints for a media frame: (media_id, simhash) — the
+    * [[pHashes]] twin for audio, riding the SAME banded hamming join
+    * as text SimHash and image pHash. Undecodable payloads are
+    * dropped (quarantine upstream via
+    * [[extractAudioFeaturesWithQuarantine]] if auditability
+    * matters). */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      audioFingerprint64(r.payload).map(h => (r.media_id, h))))
+      .toDF("media_id", "simhash")
+  }
+
+  /** AUDIO NEAR-DUPLICATE pairs — the audio member of the near-dup
+    * family (d4 text SimHash, mm6 image pHash): fingerprint per clip,
+    * then the banded hamming join from [[Dedup.simHashPairs]]
+    * (pigeonhole recall 1 for `maxHamming` < `bands`; never
+    * all-pairs). Catches resampled and re-encoded copies that byte
+    * fingerprints miss. */
+  def audioNearDup(media: Dataset[MediaRecord], bands: Int = 8,
+                   maxHamming: Int = 6): DataFrame =
+    Dedup.simHashPairs(audioFingerprints(media), "media_id", bands,
+      maxHamming)
+
+  /** Deterministic amplitude-STEP 16-bit PCM WAV through the REAL
+    * encoder — [[blockPng]]'s audio twin for fingerprint tests: the
+    * clip is `amps.length` constant-amplitude segments of
+    * `framesPerStep` frames each. Rendering the same `amps` at two
+    * sample rates with proportional `framesPerStep` yields the same
+    * DURATION profile, so [[audioFingerprint64]]'s time-normalized
+    * buckets recover the identical difference-sign sequence — hamming
+    * 0 across rates, by exact integer arithmetic (no measured-margin
+    * caveat needed). */
+  def stepWav(amps: Seq[Int], framesPerStep: Int,
+              sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed, little-endian, mono
+    val n = amps.length * framesPerStep
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = amps(i / framesPerStep).toShort
+      data(2 * i) = (a & 0xff).toByte
+      data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic animated GIF through the REAL encoder: frame i is
     * solid gray `grays(i)`. GIF palettes are exact for solid frames,
     * so [[decodeFrames]] must recover every (index, dims, gray)

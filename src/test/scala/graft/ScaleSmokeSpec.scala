@@ -219,7 +219,11 @@ class ScaleSmokeSpec extends SparkSpec {
       // null-aware NOT IN — the two classes that go QUADRATIC if the
       // planner ever falls back to per-row subquery execution; the
       // slope bound catches the growth exponent the plan pins can't
-      "c4_q5_join_chain", "c7_q21_exists_anti", "c10_q16_notin")
+      "c4_q5_join_chain", "c7_q21_exists_anti", "c10_q16_notin",
+      // c11: the correlated scalar-min whose INNER query is a 4-table
+      // join — per-part re-execution of that join is the worst
+      // blow-up in the c-suite (O(parts × joined-fact))
+      "c11_q2_min_supply")
     def runOnce(name: String, dir: String): Long = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()

@@ -429,4 +429,53 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.toLowerCase.contains("in-subquery"), p)
   }
+
+  test("c11 Q2 correlated scalar-min WITH an inner join chain decorrelates — never per-row") {
+    val p = plan("c11_q2_min_supply")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the inner min-over-joined-suppliers must run ONCE as a grouped
+    // aggregate equi-joined back on the correlation key; a surviving
+    // correlated subquery would re-run a 4-table join per part
+    assert(!p.toLowerCase.contains("scalar-subquery"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("c12 Q22 plans the NOT EXISTS as one anti hash join; the scalar threshold runs once") {
+    val p = plan("c12_q22_anti_scalar")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the correlated NOT EXISTS is one LeftAnti hash join (never a
+    // per-customer probe); the UNCORRELATED average stays a scalar
+    // subquery by design — executed once, broadcast as a literal
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.toLowerCase.contains("exists-subquery"), p)
+  }
+
+  test("c13 Q11 computes the global-sum HAVING threshold once — not per group") {
+    val p = plan("c13_q11_having_scalar")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // grouped aggregate with partial phase + a separate one-row global
+    // aggregate feeding the filter; never a join of the fact to itself
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p)
+    val fin = p.split("== Initial Plan ==").head
+    assert(!fin.contains("SortMergeJoin"), p)
+  }
+
+  test("c14 Q8 market share: dims broadcast, CASE folds into ONE partial-agg rollup") {
+    val p = plan("c14_q8_market_share")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // part/supplier/nation ride broadcasts; the ratio's two sums fold
+    // into a single grouped aggregate (map-side partial) — never a
+    // self-join of per-year totals against per-year-per-nation totals
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("partial_"), p)
+    val fin = p.split("== Initial Plan ==").head
+    val scans = "lineitem\\.parquet".r.findAllIn(fin).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
 }

@@ -667,5 +667,62 @@ object StreamingQueries {
         "UNION ALL SELECT doc_id + 10000000 FROM short WHERE doc_id % 2 = 0 " +
         "UNION ALL SELECT 30000000 + generate_series FROM generate_series(0, 19)) " +
         "SELECT doc_id FROM admitted ORDER BY doc_id")),
+
+    Q("st15_stream_media_dedup",
+      // STREAMING MEDIA near-dup at ingest — st5's multimodal twin
+      // and mm7's streaming twin, through real streaming execution:
+      // batch 1 delivers each group's 8 kHz master WAV (even ids),
+      // batch 2 the 16 kHz RESAMPLED re-encode of the same clip (odd
+      // ids) plus two undecodable payloads. The perceptual
+      // fingerprint is bit-identical across the two rates (mm7's
+      // exact-integer construction), so dropDuplicatesWithinWatermark
+      // on the fingerprint drops every batch-2 copy while both
+      // broken rows PASS THROUGH (dedup may only drop what it can
+      // prove duplicate). Survivors = all even ids + the two
+      // undecodables — enumerated arithmetically by the oracle. Like
+      // st5, the driver-side collect is the MemoryStream harness's,
+      // not the operator's.
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        def amps(g: Long) = (0 until 65).map { seg =>
+          var h = g * 1000003L + seg * 8887L
+          h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+          h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
+          (h & 0x3fff).toInt
+        }
+        val ids = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long].collect().sorted
+        def wav(id: Long): Array[Byte] = {
+          val (fps, rate) = if (id % 2 == 0) (50, 8000) else (100, 16000)
+          graft.pipeline.Multimodal.stepWav(amps(id / 2), fps, rate)
+        }
+        val masters = ids.filter(_ % 2 == 0).map(id =>
+          (id, "audio/wav", wav(id)))
+        val copies = ids.filter(_ % 2 == 1).map(id =>
+          (id, "audio/wav", wav(id))) ++
+          Seq((9000001L, "audio/wav", Array[Byte](1, 2, 3)),
+            (9000002L, "audio/wav", Array[Byte](4, 5)))
+        val mem = MemoryStream[(Long, String, Array[Byte])]
+        val deduped = Streams.mediaDedupStream(
+          mem.toDF().toDF("media_id", "media_type", "payload")
+            .withColumn("ts", timestamp_seconds(
+              lit(1704067200L) + pmod(col("media_id"), lit(1000000L)))),
+          "ts", watermark = "3650 days")
+        val sinkName = "st15_mediadedup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = startWithStatePartitions(s, 8)(
+          deduped.writeStream.format("memory").queryName(sinkName)
+            .outputMode("append").start())
+        try Seq(masters, copies).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.table(sinkName).select(col("media_id")).orderBy("media_id")
+      },
+      Some("SELECT doc_id AS media_id FROM documents " +
+        "WHERE doc_id < 300 AND doc_id % 2 = 0 " +
+        "UNION ALL SELECT 9000001 UNION ALL SELECT 9000002 " +
+        "ORDER BY media_id")),
   )
 }

@@ -371,6 +371,57 @@ object Streams {
     out.drop("__fp")
   }
 
+  /** Perceptual 64-bit fingerprint column for a media payload: audio
+    * rides [[graft.pipeline.Multimodal.audioFingerprint64]], anything
+    * else tries the image pHash. A udf is justified here the same way
+    * mapPartitions is in Multimodal: JDK codecs have no Catalyst
+    * expression form — and the streaming dedup below needs a COLUMN
+    * (to compose with withWatermark/dropDuplicatesWithinWatermark),
+    * which mapPartitions can't provide without destroying the row
+    * shape. NULL for payloads nothing decodes. */
+  private val mediaFp = udf((mediaType: String, payload: Array[Byte]) =>
+    (try {
+      if (mediaType != null && mediaType.startsWith("audio/"))
+        graft.pipeline.Multimodal.audioFingerprint64(payload)
+      else graft.pipeline.Multimodal.pHash64(payload)
+    } catch { case scala.util.control.NonFatal(_) => None }): Option[Long])
+
+  /** Streaming MEDIA near-dup filter at ingest — [[dedupStream]]'s
+    * multimodal twin: fingerprint each clip/image perceptually
+    * (sample-rate/resize-invariant — mm6/mm7's hashes), then drop
+    * later arrivals with the SAME fingerprint inside the watermark
+    * horizon. This is the shape a crawled-media pipeline needs at
+    * 100 TB: per-record state is ONE (fingerprint) key bounded by the
+    * watermark, the codec runs once per record at ingest (never a
+    * corpus-wide join), and resampled/re-encoded copies — invisible
+    * to byte-level keys — collapse. UNDECODABLE payloads pass through
+    * unconditionally (keyed by their own id + a decode-failed marker,
+    * so two broken rows never swallow each other): dedup may only
+    * drop rows it can PROVE duplicate; quarantine-vs-keep is the
+    * caller's policy, not the filter's. Batch frames take the
+    * deterministic earliest-`ts` survivor per fingerprint. */
+  def mediaDedupStream(media: DataFrame, ts: String,
+                       watermark: String = "10 minutes",
+                       idCol: String = "media_id",
+                       typeCol: String = "media_type",
+                       payloadCol: String = "payload"): DataFrame = {
+    val keyed = media
+      .withColumn("__fp", mediaFp(col(typeCol), col(payloadCol)))
+      .withColumn("__undecodable", col("__fp").isNull)
+      .withColumn("__k",
+        when(col("__fp").isNull, col(idCol).cast("long"))
+          .otherwise(col("__fp")))
+    val out =
+      if (media.isStreaming)
+        keyed.withWatermark(ts, watermark)
+          .dropDuplicatesWithinWatermark("__k", "__undecodable")
+      else graft.ops.Kernels.dedupExactKeys(
+        keyed, Seq("__k", "__undecodable"),
+        struct(col(ts) +:
+          media.columns.filterNot(_ == ts).map(col).toSeq: _*))
+    out.drop("__fp", "__undecodable", "__k")
+  }
+
   case class Quote(symbol: String, qts: java.sql.Timestamp, price: Double)
   case class StampedTrade(symbol: String, tts: java.sql.Timestamp, qty: Double)
 

@@ -221,6 +221,56 @@ class StreamsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L)) // ts(1) earliest; doc 2 < doc 3 on the tie
   }
 
+  test("mediaDedupStream: resampled copies drop, undecodables pass, state evicts at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def amps(g: Long) = (0 until 65).map { seg =>
+      var h = g * 1000003L + seg * 8887L
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
+      (h & 0x3fff).toInt
+    }
+    // hi=true renders the SAME clip at 16 kHz (a resampled re-encode)
+    def wav(g: Long, hi: Boolean) =
+      graft.pipeline.Multimodal.stepWav(amps(g),
+        if (hi) 100 else 50, if (hi) 16000 else 8000)
+    val mem = MemoryStream[(Long, String, Array[Byte], Timestamp)]
+    val media = mem.toDF().toDF("media_id", "media_type", "payload", "ts")
+    val q = Streams.mediaDedupStream(media, "ts", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mediadedup").start()
+    // batch 1: two distinct clips + one broken payload
+    mem.addData((1L, "audio/wav", wav(0, hi = false), ts(0)),
+      (2L, "audio/wav", wav(1, hi = false), ts(1)),
+      (3L, "audio/wav", Array[Byte](9), ts(1)))
+    q.processAllAvailable()
+    // batch 2: a 16 kHz re-encode of clip 0 (same fingerprint →
+    // dropped) + a second broken payload (must pass — undecodable
+    // rows are keyed by their own id, never each other's)
+    mem.addData((4L, "audio/wav", wav(0, hi = true), ts(2)),
+      (5L, "audio/wav", Array[Byte](8), ts(2)))
+    q.processAllAvailable()
+    // batch 3 advances the watermark past clip 0's state horizon (the
+    // watermark a batch computes applies to the NEXT batch); batch 4
+    // then re-sends the SAME clip → re-admitted, proving state was
+    // evicted (eviction is what bounds dedup state at 100 TB)
+    mem.addData((7L, "audio/wav", wav(2, hi = false), ts(30)))
+    q.processAllAvailable()
+    mem.addData((6L, "audio/wav", wav(0, hi = false), ts(31)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT media_id FROM mediadedup").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 2L, 3L, 5L, 6L, 7L), got)
+    // batch twin is deterministic: earliest-ts survivor per fingerprint
+    val batch = Seq((1L, "audio/wav", wav(0, hi = false), ts(5)),
+      (2L, "audio/wav", wav(0, hi = true), ts(1)),
+      (3L, "audio/wav", Array[Byte](9), ts(0)),
+      (4L, "audio/wav", Array[Byte](7), ts(0)))
+      .toDF("media_id", "media_type", "payload", "ts")
+    val kept = Streams.mediaDedupStream(batch, "ts")
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), kept) // ts(1) beats ts(5); both broken kept
+  }
+
   test("scd2Sink maintains type-2 history incrementally across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"

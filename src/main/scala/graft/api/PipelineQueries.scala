@@ -1805,22 +1805,7 @@ object PipelineQueries {
         val media = t(s, dir, "documents").filter(col("doc_id") < 300)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val g = id / 2
-            // FULL murmur3 finalizer (two multiply rounds): the
-            // 1-round mix blockPng uses leaves enough linear
-            // structure across (g, seg) lattice inputs that two
-            // GROUPS' difference-sign sequences can collide outright
-            // (measured: hamming 0 at 150 groups) — the DCT smooths
-            // that out for images; the envelope hash has no such
-            // smoothing, so the amps must be genuinely independent
-            val amps = (0 until 65).map { seg =>
-              var h = g * 1000003L + seg * 8887L
-              h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-              h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
-              (h & 0x3fff).toInt
-            }
-            val (fps, rate) = if (id % 2 == 0) (50, 8000) else (100, 16000)
-            val wav = Multimodal.stepWav(amps, fps, rate)
+            val wav = Multimodal.stepWavAt(id / 2, highRate = id % 2 == 1)
             MediaRecord(id, "audio/wav", wav, wav.length.toLong)
           })
         Multimodal.audioNearDup(media, bands = 8, maxHamming = 6)

@@ -685,19 +685,11 @@ object StreamingQueries {
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        def amps(g: Long) = (0 until 65).map { seg =>
-          var h = g * 1000003L + seg * 8887L
-          h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-          h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
-          (h & 0x3fff).toInt
-        }
         val ids = Tables.load(s, dir, "documents")
           .filter(col("doc_id") < 300)
           .select(col("doc_id")).as[Long].collect().sorted
-        def wav(id: Long): Array[Byte] = {
-          val (fps, rate) = if (id % 2 == 0) (50, 8000) else (100, 16000)
-          graft.pipeline.Multimodal.stepWav(amps(id / 2), fps, rate)
-        }
+        def wav(id: Long): Array[Byte] =
+          graft.pipeline.Multimodal.stepWavAt(id / 2, highRate = id % 2 == 1)
         val masters = ids.filter(_ % 2 == 0).map(id =>
           (id, "audio/wav", wav(id)))
         val copies = ids.filter(_ % 2 == 1).map(id =>

@@ -571,6 +571,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The 65-step amplitude pattern for a fingerprint-test clip —
+    * pseudo-random per (seed, step) via the FULL murmur3 finalizer
+    * (two multiply rounds). The 1-round mix [[blockPng]] uses leaves
+    * enough linear structure across lattice inputs that two SEEDS'
+    * difference-sign sequences can collide outright (measured:
+    * hamming 0 at 150 seeds) — the DCT smooths that out for images;
+    * the envelope hash has no such smoothing, so the amplitudes must
+    * be genuinely independent. The single definition is shared by the
+    * mm7/st15 gates and their specs: their oracles only stay aligned
+    * if every site generates the identical pattern. */
+  def stepAmps(seed: Long): IndexedSeq[Int] = (0 until 65).map { seg =>
+    var h = seed * 1000003L + seg * 8887L
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
+    (h & 0x3fff).toInt
+  }
+
+  /** [[stepAmps]] rendered through [[stepWav]] at one of two rates:
+    * the 8 kHz master, or the 16 kHz RESAMPLED re-encode of the same
+    * clip (identical duration profile → identical fingerprint). */
+  def stepWavAt(seed: Long, highRate: Boolean): Array[Byte] =
+    if (highRate) stepWav(stepAmps(seed), framesPerStep = 100, sampleRate = 16000)
+    else stepWav(stepAmps(seed), framesPerStep = 50, sampleRate = 8000)
+
   /** Deterministic animated GIF through the REAL encoder: frame i is
     * solid gray `grays(i)`. GIF palettes are exact for solid frames,
     * so [[decodeFrames]] must recover every (index, dims, gray)

@@ -405,21 +405,32 @@ object Streams {
                        idCol: String = "media_id",
                        typeCol: String = "media_type",
                        payloadCol: String = "payload"): DataFrame = {
+    // Three-part dedup key:
+    //  __k    fingerprint for decodable rows, NULL otherwise
+    //  __kid  the row's OWN id (as-is, any type) for undecodable rows,
+    //         NULL otherwise — so broken rows never swallow each other
+    //         and the id column needs no numeric cast
+    //  __mod  modality — audioFingerprint64 and pHash64 are unrelated
+    //         hash families sharing one 64-bit space, so without this a
+    //         cross-modality birthday collision (likely at corpus
+    //         scale) would silently drop a non-duplicate
     val keyed = media
       .withColumn("__fp", mediaFp(col(typeCol), col(payloadCol)))
-      .withColumn("__undecodable", col("__fp").isNull)
-      .withColumn("__k",
-        when(col("__fp").isNull, col(idCol).cast("long"))
-          .otherwise(col("__fp")))
+      .withColumn("__k", col("__fp"))
+      .withColumn("__kid", when(col("__fp").isNull, col(idCol)))
+      .withColumn("__mod",
+        when(col(typeCol).startsWith("audio/"), "audio")
+          .otherwise("image"))
+    val keys = Seq("__k", "__kid", "__mod")
     val out =
       if (media.isStreaming)
         keyed.withWatermark(ts, watermark)
-          .dropDuplicatesWithinWatermark("__k", "__undecodable")
+          .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       else graft.ops.Kernels.dedupExactKeys(
-        keyed, Seq("__k", "__undecodable"),
+        keyed, keys,
         struct(col(ts) +:
           media.columns.filterNot(_ == ts).map(col).toSeq: _*))
-    out.drop("__fp", "__undecodable", "__k")
+    out.drop("__fp" +: keys: _*)
   }
 
   case class Quote(symbol: String, qts: java.sql.Timestamp, price: Double)

@@ -189,26 +189,18 @@ class PipelineSpec extends SparkSpec {
 
   test("audioFingerprint64: sample-rate-invariant (hamming 0), discriminative, None on garbage") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    // full murmur3 finalizer — the 1-round mix collides groups
-    // outright through the difference-sign hash (see the mm7 gate)
-    def amps(g: Long) = (0 until 65).map { seg =>
-      var h = g * 1000003L + seg * 8887L
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
-      (h & 0x3fff).toInt
-    }
     // the SAME step pattern rendered at 8 kHz and 16 kHz must hash
     // IDENTICALLY (time-normalized exact-integer buckets — no margin);
     // different patterns must differ in ~half the bits
     (0L until 20L).foreach { g =>
       val a = Multimodal.audioFingerprint64(
-        Multimodal.stepWav(amps(g), 50, 8000)).get
+        Multimodal.stepWavAt(g, highRate = false)).get
       val b = Multimodal.audioFingerprint64(
-        Multimodal.stepWav(amps(g), 100, 16000)).get
+        Multimodal.stepWavAt(g, highRate = true)).get
       assert(ham(a, b) == 0, s"group $g: resample moved the hash ${ham(a, b)} bits")
     }
     val hs = (0L until 20L).map(g =>
-      Multimodal.audioFingerprint64(Multimodal.stepWav(amps(g), 50, 8000)).get)
+      Multimodal.audioFingerprint64(Multimodal.stepWavAt(g, highRate = false)).get)
     for (i <- hs.indices; j <- (i + 1) until hs.size)
       assert(ham(hs(i), hs(j)) > 6, s"patterns $i/$j collided at ${ham(hs(i), hs(j))}")
     // stereo clips fingerprint too (mono mix), garbage returns None
@@ -222,16 +214,9 @@ class PipelineSpec extends SparkSpec {
 
   test("audioNearDup surfaces exactly the planted resampled-copy pairs") {
     import spark.implicits._
-    def amps(g: Long) = (0 until 65).map { seg =>
-      var h = g * 1000003L + seg * 8887L
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
-      (h & 0x3fff).toInt
-    }
     // 30 groups × 2 renders (8 kHz and 16 kHz) + one undecodable row
     val media = spark.range(60).as[Long].mapPartitions(_.map { id =>
-      val (fps, rate) = if (id % 2 == 0) (50, 8000) else (100, 16000)
-      val wav = Multimodal.stepWav(amps(id / 2), fps, rate)
+      val wav = Multimodal.stepWavAt(id / 2, highRate = id % 2 == 1)
       MediaRecord(id, "audio/wav", wav, wav.length.toLong)
     }).union(Seq(MediaRecord(999L, "audio/wav", Array[Byte](7), 1L)).toDS())
     val pairs = Multimodal.audioNearDup(media, bands = 8, maxHamming = 6)

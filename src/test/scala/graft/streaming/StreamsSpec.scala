@@ -223,16 +223,9 @@ class StreamsSpec extends SparkSpec {
 
   test("mediaDedupStream: resampled copies drop, undecodables pass, state evicts at the watermark") {
     implicit val sqlCtx = spark.sqlContext
-    def amps(g: Long) = (0 until 65).map { seg =>
-      var h = g * 1000003L + seg * 8887L
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33)
-      (h & 0x3fff).toInt
-    }
     // hi=true renders the SAME clip at 16 kHz (a resampled re-encode)
     def wav(g: Long, hi: Boolean) =
-      graft.pipeline.Multimodal.stepWav(amps(g),
-        if (hi) 100 else 50, if (hi) 16000 else 8000)
+      graft.pipeline.Multimodal.stepWavAt(g, highRate = hi)
     val mem = MemoryStream[(Long, String, Array[Byte], Timestamp)]
     val media = mem.toDF().toDF("media_id", "media_type", "payload", "ts")
     val q = Streams.mediaDedupStream(media, "ts", watermark = "5 minutes")

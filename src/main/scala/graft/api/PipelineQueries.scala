@@ -1816,5 +1816,62 @@ object PipelineQueries {
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
         "WHERE a.doc_id % 2 = 0 AND a.doc_id < 300 AND b.doc_id < 300 " +
         "ORDER BY id1, id2")),
+
+    Q("mm8_media_quality_filter",
+      // MEDIA QUALITY FILTER through the REAL codecs — the LAION-
+      // style decode→threshold gate a multimodal pipeline runs before
+      // anything expensive: per doc, synthesize an image (even ids:
+      // solid PNG with arithmetically-determined width/height/gray)
+      // or an audio clip (odd ids: constant-amplitude WAV with
+      // determined frame count/amplitude) covering every rule —
+      // too-small and extreme-aspect dimensions, near-black and
+      // blown-out exposures, sub-250 ms clips, silent clips — plus
+      // two undecodable payloads. Solid-PNG means and constant-PCM
+      // means are integer-exact, so the DuckDB oracle predicts every
+      // verdict (keep/drop + first-failed-rule reason) from doc_id
+      // arithmetic alone. Verdicts, not drops: the reject lane is the
+      // auditable artifact.
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            if (id % 2 == 0) {
+              val w = 32 + ((id / 2) % 5).toInt * 16 // 32..96
+              val h = 16 + ((id / 2) % 3).toInt * 48 // 16/64/112
+              val gray = ((id * 37) % 256).toInt
+              val png = Multimodal.grayPng(w, h, gray)
+              MediaRecord(id, "image/png", png, png.length.toLong)
+            } else {
+              val frames = 1000 + ((id / 2) % 7).toInt * 500 // 1000..4000
+              val amp = ((id * 13) % 300).toInt
+              val wav = Multimodal.pcmWav(frames, 8000, 1, amp)
+              MediaRecord(id, "audio/wav", wav, wav.length.toLong)
+            }
+          }).union(Seq(
+            MediaRecord(9000000L, "image/png", Array[Byte](1, 2), 2L),
+            MediaRecord(9000001L, "audio/wav", Array[Byte](3), 1L)).toDS())
+        Multimodal.qualityVerdicts(media, minDim = 24).toDF()
+          .orderBy("media_id")
+      },
+      Some("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality, " +
+        "reason = 'ok' AS ok, reason FROM (" +
+        "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN (" +
+        "CASE WHEN least(32 + (doc_id // 2) % 5 * 16, " +
+        "16 + (doc_id // 2) % 3 * 48) < 24 THEN 'too_small' " +
+        "WHEN greatest(32 + (doc_id // 2) % 5 * 16, " +
+        "16 + (doc_id // 2) % 3 * 48) > 2.0 * least(" +
+        "32 + (doc_id // 2) % 5 * 16, 16 + (doc_id // 2) % 3 * 48) " +
+        "THEN 'extreme_aspect' " +
+        "WHEN doc_id * 37 % 256 < 16 OR doc_id * 37 % 256 > 240 " +
+        "THEN 'dark_or_blown' ELSE 'ok' END) ELSE (" +
+        "CASE WHEN (1000 + (doc_id // 2) % 7 * 500) / 8000.0 < 0.25 " +
+        "THEN 'too_short' " +
+        "WHEN doc_id * 13 % 300 < 50 THEN 'silent' ELSE 'ok' END) END " +
+        "AS reason FROM documents WHERE doc_id < 400 " +
+        "UNION ALL SELECT 9000000, 'undecodable' " +
+        "UNION ALL SELECT 9000001, 'undecodable') " +
+        "ORDER BY media_id")),
   )
 }

@@ -26,6 +26,13 @@ case class AudioFeatures(media_id: Long, media_type: String, n_bytes: Long,
 case class QuarantinedMedia(media_id: Long, media_type: String,
                             n_bytes: Long, reason: String)
 
+/** One row per media record from the quality filter: keep/drop plus
+  * the FIRST failed rule's name — every record keeps a verdict, so
+  * the filter is auditable (reject-rate dashboards, rule tuning)
+  * rather than a silent drop. */
+case class MediaQualityVerdict(media_id: Long, modality: String,
+                               ok: Boolean, reason: String)
+
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * The Spark-side contract is real and tested — binary schema, typed
@@ -569,6 +576,61 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** MEDIA QUALITY FILTER — the decode→threshold gate every
+    * multimodal training pipeline runs before anything expensive
+    * (LAION-style dimension/aspect floors and exposure bounds for
+    * images; duration and silence floors for audio). One narrow pass
+    * per record through the REAL codecs, no shuffle; each record gets
+    * a verdict with the FIRST failed rule's name, so rejects are
+    * auditable and re-processable after a threshold change — never a
+    * silent drop. Rules, in order:
+    *   images:  undecodable → too_small (min(w,h) < `minDim`) →
+    *            extreme_aspect (max > `maxAspect`·min) →
+    *            dark_or_blown (mean decoded sample outside
+    *            [`minMean`,`maxMean`]) → ok
+    *   audio:   undecodable → too_short (frames/rate < `minSeconds`)
+    *            → silent (mean |sample| < `minMeanAbs`) → ok
+    * Everything is a pure function of the decoded payload — both the
+    * solid-PNG mean and the constant-PCM mean are integer-exact, so
+    * an arithmetic oracle can predict every verdict. */
+  def qualityVerdicts(media: Dataset[MediaRecord], minDim: Int = 64,
+                      maxAspect: Double = 2.0, minMean: Double = 16.0,
+                      maxMean: Double = 240.0, minSeconds: Double = 0.25,
+                      minMeanAbs: Double = 50.0): Dataset[MediaQualityVerdict] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.media_type.startsWith("audio/")) {
+        val dec = try decodeAudio(r) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        val reason = dec match {
+          case None => "undecodable"
+          case Some(a) =>
+            if (a.sample_rate <= 0 ||
+              a.n_frames.toDouble / a.sample_rate < minSeconds) "too_short"
+            else if (a.mean_abs < minMeanAbs) "silent"
+            else "ok"
+        }
+        MediaQualityVerdict(r.media_id, "audio", reason == "ok", reason)
+      } else {
+        val dec = try decodeImage(r) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        val reason = dec match {
+          case None => "undecodable"
+          case Some(f) =>
+            if (math.min(f.width, f.height) < minDim) "too_small"
+            else if (math.max(f.width, f.height) >
+              maxAspect * math.min(f.width, f.height)) "extreme_aspect"
+            else if (f.mean_byte < minMean || f.mean_byte > maxMean)
+              "dark_or_blown"
+            else "ok"
+        }
+        MediaQualityVerdict(r.media_id, "image", reason == "ok", reason)
+      }
+    })
   }
 
   /** The 65-step amplitude pattern for a fingerprint-test clip —

@@ -231,7 +231,17 @@ class ScaleSmokeSpec extends SparkSpec {
       (System.nanoTime() - t0) / 1000000L
     }
     heavies.foreach(runOnce(_, sfs.head)) // JVM/plan warmup, unmeasured
-    val times = heavies.map(q => q -> sfs.map(runOnce(q, _))).toMap
+    val times = heavies.map { q =>
+      val Seq(t1, t2, t3a) = sfs.map(runOnce(q, _))
+      // retry-on-breach: late in a full suite run a single sf0.1 pass
+      // can absorb a GC/compaction spike several times the query's
+      // real cost (observed: d9 at 6.5x its isolated time). A genuine
+      // quadratic fails BOTH passes; a spike doesn't — so only a
+      // breach pays the second measurement.
+      val t3 = if (t3a > t2.max(1) * 15) math.min(t3a, runOnce(q, sfs(2)))
+        else t3a
+      q -> Seq(t1, t2, t3)
+    }.toMap
     times.foreach { case (q, Seq(t1, t2, t3)) =>
       info(f"$q%-22s sf0.001=${t1}ms sf0.01=${t2}ms sf0.1=${t3}ms " +
         f"slope=${t3.toDouble / t2.max(1)}%.1fx")

@@ -225,6 +225,41 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == expected, s"diff: ${pairs.diff(expected)} / ${expected.diff(pairs)}")
   }
 
+  test("qualityVerdicts: rule order, exact boundaries, every record keeps a verdict") {
+    import spark.implicits._
+    val media = Seq(
+      // 10×64 fails BOTH too_small and extreme_aspect → first rule wins
+      MediaRecord(1L, "image/png", Multimodal.grayPng(10, 64, 128), 0L),
+      // aspect EXACTLY 2.0 (128×64) passes the ≤2 bound
+      MediaRecord(2L, "image/png", Multimodal.grayPng(128, 64, 128), 0L),
+      MediaRecord(3L, "image/png", Multimodal.grayPng(192, 64, 128), 0L),
+      // solid means sit exactly ON the [16,240] bounds → pass
+      MediaRecord(4L, "image/png", Multimodal.grayPng(64, 64, 16), 0L),
+      MediaRecord(5L, "image/png", Multimodal.grayPng(64, 64, 241), 0L),
+      MediaRecord(6L, "image/png", Array[Byte](1, 2), 2L),
+      // exactly 0.25 s at 8 kHz = 2000 frames → passes the ≥ bound
+      MediaRecord(7L, "audio/wav", Multimodal.pcmWav(2000, 8000, 1, 60), 0L),
+      MediaRecord(8L, "audio/wav", Multimodal.pcmWav(1999, 8000, 1, 60), 0L),
+      MediaRecord(9L, "audio/wav", Multimodal.pcmWav(2000, 8000, 1, 49), 0L),
+      // stereo: duration counts FRAMES, not samples
+      MediaRecord(10L, "audio/wav", Multimodal.pcmWav(2000, 8000, 2, 60), 0L),
+      MediaRecord(11L, "audio/wav", Array[Byte](9), 1L)).toDS()
+    val got = Multimodal.qualityVerdicts(media)
+      .collect().map(v => v.media_id -> (v.ok, v.reason)).toMap
+    assert(got(1L) == (false, "too_small"))
+    assert(got(2L) == (true, "ok"))
+    assert(got(3L) == (false, "extreme_aspect"))
+    assert(got(4L) == (true, "ok"))
+    assert(got(5L) == (false, "dark_or_blown"))
+    assert(got(6L) == (false, "undecodable"))
+    assert(got(7L) == (true, "ok"))
+    assert(got(8L) == (false, "too_short"))
+    assert(got(9L) == (false, "silent"))
+    assert(got(10L) == (true, "ok"))
+    assert(got(11L) == (false, "undecodable"))
+    assert(got.size == 11) // verdicts, never drops
+  }
+
   test("quarantine lanes: undecodable media keeps its id + reason, never dropped") {
     import spark.implicits._
     val png = Multimodal.grayPng(4, 3, 128)

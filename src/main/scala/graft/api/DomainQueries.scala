@@ -1602,6 +1602,69 @@ object DomainQueries {
         "ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rts " +
         "ORDER BY e.event_id")),
 
+    Q("j28_asof_forward",
+      // FORWARD as-of (pandas merge_asof direction='forward'): each
+      // event carries the EARLIEST 'purchase' value at-or-after its
+      // timestamp per user — "what does this user buy next?", the
+      // label-attachment join of behavioral training data. Same
+      // union-merge kernel as j13, frame flipped to
+      // (currentRow, unboundedFollowing) with the tie encoding
+      // inverted so a simultaneous purchase is visible (>=). Oracle is
+      // DuckDB's native ASOF with the inequality reversed.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val nxt = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value").as("next_buy"))
+        graft.ops.AsOf.join(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            nxt, Seq("user_id"), "ts", "pts", Seq("next_buy"),
+            direction = "forward")
+          .select(col("event_id"), col("user_id"), col("next_buy"))
+          .orderBy("event_id")
+      },
+      Some("WITH nxt AS (SELECT user_id, ts AS pts, value AS next_buy " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT e.event_id, e.user_id, n.next_buy FROM events e " +
+        "ASOF LEFT JOIN nxt n ON e.user_id = n.user_id AND e.ts <= n.pts " +
+        "ORDER BY e.event_id")),
+
+    Q("j29_asof_nearest",
+      // NEAREST as-of (pandas merge_asof direction='nearest'): each
+      // event carries whichever 'signup' rate is CLOSER in time per
+      // user, the backward match winning exact ties — sensor/quote
+      // alignment where staleness cuts both ways. One shuffle + ONE
+      // local sort: the backward and forward carries share the same
+      // window partitioning/ordering, only the frames differ; the
+      // winner compares exact integer µs distances. The oracle
+      // recomposes nearest from DuckDB's two directional ASOFs
+      // (at-or-before, strictly-after) with the same epoch_us
+      // arithmetic.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val rates = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("rts"), col("value").as("rate"))
+        graft.ops.AsOf.join(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            rates, Seq("user_id"), "ts", "rts", Seq("rate"),
+            direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("rate"))
+          .orderBy("event_id")
+      },
+      Some("WITH rates AS (SELECT user_id, ts AS rts, value AS rate " +
+        "FROM events WHERE event_type = 'signup'), " +
+        "bw AS (SELECT e.event_id, r.rate AS brate, r.rts AS brts " +
+        "FROM events e ASOF LEFT JOIN rates r " +
+        "ON e.user_id = r.user_id AND e.ts >= r.rts), " +
+        "fw AS (SELECT e.event_id, r.rate AS frate, r.rts AS frts " +
+        "FROM events e ASOF LEFT JOIN rates r " +
+        "ON e.user_id = r.user_id AND e.ts < r.rts) " +
+        "SELECT e.event_id, e.user_id, " +
+        "CASE WHEN frts IS NULL THEN brate WHEN brts IS NULL THEN frate " +
+        "WHEN epoch_us(frts) - epoch_us(e.ts) < " +
+        "epoch_us(e.ts) - epoch_us(brts) THEN frate ELSE brate END AS rate " +
+        "FROM events e JOIN bw USING (event_id) JOIN fw USING (event_id) " +
+        "ORDER BY e.event_id")),
+
     Q("j18_range_join",
       // binned point-in-interval range join (RangeJoin.pointInInterval,
       // 30-day bins): shipments falling inside sampled orders' 60-day

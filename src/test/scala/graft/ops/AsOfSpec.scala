@@ -57,4 +57,54 @@ class AsOfSpec extends SparkSpec {
     }
     assert(runs.toSet == Set(7.0))
   }
+
+  test("forward direction carries the earliest quote at-or-after each event") {
+    val got = AsOf.join(events, quotes, Seq("k"), "ets", "qts", Seq("px"),
+        direction = "forward")
+      .orderBy("k", "ets")
+      .select("tag", "px").as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("e1", Some(1.0)), // before any quote → first upcoming
+      ("e2", Some(1.0)), // exactly at quote 10 → visible (>= semantics)
+      ("e3", Some(3.0)), // between 20 and 30 → the 30 quote
+      ("e4", None),      // after all quotes → null
+      ("e5", Some(9.0)), ("e6", None)))
+  }
+
+  test("nearest direction picks the closer side; backward wins exact ties and distance 0") {
+    val q = Seq(("A", 10L, 1.0), ("A", 20L, 2.0)).toDF("k", "qts", "px")
+    val e = Seq(
+      ("A", 10L, "at"),      // distance 0 via backward
+      ("A", 13L, "closerBw"),// 3 back vs 7 fwd → 1.0
+      ("A", 18L, "closerFw"),// 8 back vs 2 fwd → 2.0
+      ("A", 15L, "tie"),     // 5 back vs 5 fwd → backward wins → 1.0
+      ("A", 99L, "onlyBw"),  // nothing after → backward
+      ("A", 1L, "onlyFw")    // nothing before → forward
+    ).toDF("k", "ets", "tag")
+    val got = AsOf.join(e, q, Seq("k"), "ets", "qts", Seq("px"),
+        direction = "nearest")
+      .select("tag", "px").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("at" -> Some(1.0), "closerBw" -> Some(1.0),
+      "closerFw" -> Some(2.0), "tie" -> Some(1.0),
+      "onlyBw" -> Some(2.0), "onlyFw" -> Some(1.0)))
+  }
+
+  test("carryRightTs surfaces the matched ts — the tolerance hook") {
+    val got = AsOf.join(events, quotes, Seq("k"), "ets", "qts", Seq("px"),
+        carryRightTs = Some("matched_ts"))
+      .orderBy("k", "ets")
+      .select("tag", "matched_ts").as[(String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("e1", None), ("e2", Some(10L)), ("e3", Some(20L)), ("e4", Some(30L)),
+      ("e5", None), ("e6", None)))
+  }
+
+  test("nearest refuses mismatched ts types (days vs µs would mix units)") {
+    val q = Seq(("A", java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("k", "qts", "px")
+    intercept[IllegalArgumentException] {
+      AsOf.join(events, q, Seq("k"), "ets", "qts", Seq("px"),
+        direction = "nearest")
+    }
+  }
 }

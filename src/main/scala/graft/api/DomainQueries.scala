@@ -1607,9 +1607,10 @@ object DomainQueries {
       // event carries the EARLIEST 'purchase' value at-or-after its
       // timestamp per user — "what does this user buy next?", the
       // label-attachment join of behavioral training data. Same
-      // union-merge kernel as j13, frame flipped to
-      // (currentRow, unboundedFollowing) with the tie encoding
-      // inverted so a simultaneous purchase is visible (>=). Oracle is
+      // union-merge kernel as j13 run over a DESCENDING ts sort (the
+      // frame still ends at the current row — the incremental window
+      // path, never the per-row-rebuilt unbounded-following frame),
+      // with same-ts purchases sorting visible (>=). Oracle is
       // DuckDB's native ASOF with the inequality reversed.
       (s, dir) => {
         val ev = t(s, dir, "events")
@@ -1632,10 +1633,13 @@ object DomainQueries {
       // NEAREST as-of (pandas merge_asof direction='nearest'): each
       // event carries whichever 'signup' rate is CLOSER in time per
       // user, the backward match winning exact ties — sensor/quote
-      // alignment where staleness cuts both ways. One shuffle + ONE
-      // local sort: the backward and forward carries share the same
-      // window partitioning/ordering, only the frames differ; the
-      // winner compares exact integer µs distances. The oracle
+      // alignment where staleness cuts both ways. One shuffle; the
+      // backward and forward carries share the partitioning and each
+      // runs as an incremental frame-ends-at-current-row pass (the
+      // forward one over a DESCENDING sort — never the per-row-rebuilt
+      // unbounded-following frame), so nearest pays one extra local
+      // sort, not a second exchange; the winner compares exact
+      // integer µs distances. The oracle
       // recomposes nearest from DuckDB's two directional ASOFs
       // (at-or-before, strictly-after) with the same epoch_us
       // arithmetic.

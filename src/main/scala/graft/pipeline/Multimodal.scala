@@ -614,7 +614,7 @@ object Multimodal {
             else "ok"
         }
         MediaQualityVerdict(r.media_id, "audio", reason == "ok", reason)
-      } else {
+      } else if (r.media_type.startsWith("image/")) {
         val dec = try decodeImage(r) catch {
           case scala.util.control.NonFatal(_) => None
         }
@@ -629,6 +629,17 @@ object Multimodal {
             else "ok"
         }
         MediaQualityVerdict(r.media_id, "image", reason == "ok", reason)
+      } else {
+        // video/, text/, anything else: reject AS ITS OWN MODALITY —
+        // running the image codec on an mp4 would misattribute it as
+        // a broken image and skew the per-modality reject dashboards
+        // this lane exists for
+        val modality = r.media_type.takeWhile(_ != '/') match {
+          case "" => "unknown"
+          case m => m
+        }
+        MediaQualityVerdict(r.media_id, modality, ok = false,
+          "unsupported_modality")
       }
     })
   }

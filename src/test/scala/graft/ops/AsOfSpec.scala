@@ -99,6 +99,38 @@ class AsOfSpec extends SparkSpec {
       ("e5", None), ("e6", None)))
   }
 
+  test("NULL timestamps never match: null-ts right rows drop, null-ts left rows carry nothing") {
+    val q = Seq(("A", Some(6L), 2.0), ("A", None: Option[Long], 9.0))
+      .toDF("k", "qts", "px")
+    val e = Seq(("A", Some(5L), "real"), ("A", None: Option[Long], "nullts"))
+      .toDF("k", "ets", "tag")
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val got = AsOf.join(e, q, Seq("k"), "ets", "qts", Seq("px"),
+          direction = d)
+        .select("tag", "px").as[(String, Option[Double])].collect().toMap
+      // the null-ts quote (px=9.0) must never be picked — before the
+      // filter it sorted nulls-first and became a phantom "oldest"
+      // match (and nearest's NULL distance fell through to it)
+      assert(got("real") == (d match {
+        case "backward" => None
+        case _ => Some(2.0)
+      }), s"direction=$d got ${got("real")}")
+      assert(got("nullts").isEmpty, s"direction=$d matched a null-ts left row")
+    }
+  }
+
+  test("nearest on fractional timestamps keeps exact distances (no Long truncation)") {
+    // ts 10.6: truncation to 10 would call the 10.0 quote (dist 0)
+    // closer than the 11.0 quote (dist 1) — true distances are 0.6 vs
+    // 0.4, so 11.0 must win
+    val q = Seq(("A", 10.0, 1.0), ("A", 11.0, 2.0)).toDF("k", "qts", "px")
+    val e = Seq(("A", 10.6, "e")).toDF("k", "ets", "tag")
+    val got = AsOf.join(e, q, Seq("k"), "ets", "qts", Seq("px"),
+        direction = "nearest")
+      .select("px").as[Double].head()
+    assert(got == 2.0)
+  }
+
   test("nearest refuses mismatched ts types (days vs µs would mix units)") {
     val q = Seq(("A", java.sql.Date.valueOf("2024-01-01"), 1.0))
       .toDF("k", "qts", "px")

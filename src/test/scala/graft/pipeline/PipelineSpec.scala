@@ -243,7 +243,11 @@ class PipelineSpec extends SparkSpec {
       MediaRecord(9L, "audio/wav", Multimodal.pcmWav(2000, 8000, 1, 49), 0L),
       // stereo: duration counts FRAMES, not samples
       MediaRecord(10L, "audio/wav", Multimodal.pcmWav(2000, 8000, 2, 60), 0L),
-      MediaRecord(11L, "audio/wav", Array[Byte](9), 1L)).toDS()
+      MediaRecord(11L, "audio/wav", Array[Byte](9), 1L),
+      // out-of-scope modalities reject AS THEMSELVES, never as a
+      // broken image (the per-modality dashboards depend on it)
+      MediaRecord(12L, "video/mp4", Array[Byte](9), 1L),
+      MediaRecord(13L, "", Array[Byte](9), 1L)).toDS()
     val got = Multimodal.qualityVerdicts(media)
       .collect().map(v => v.media_id -> (v.ok, v.reason)).toMap
     assert(got(1L) == (false, "too_small"))
@@ -257,7 +261,12 @@ class PipelineSpec extends SparkSpec {
     assert(got(9L) == (false, "silent"))
     assert(got(10L) == (true, "ok"))
     assert(got(11L) == (false, "undecodable"))
-    assert(got.size == 11) // verdicts, never drops
+    assert(got(12L) == (false, "unsupported_modality"))
+    assert(got(13L) == (false, "unsupported_modality"))
+    assert(got.size == 13) // verdicts, never drops
+    val mods = Multimodal.qualityVerdicts(media)
+      .collect().map(v => v.media_id -> v.modality).toMap
+    assert(mods(12L) == "video" && mods(13L) == "unknown")
   }
 
   test("quarantine lanes: undecodable media keeps its id + reason, never dropped") {

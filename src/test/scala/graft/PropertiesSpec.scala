@@ -220,6 +220,41 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("as-of directions match the brute-force reference") =
+    forAll(for {
+      qs0 <- Gen.listOfN(10, Gen.zip(Gen.oneOf("A", "B"),
+        Gen.choose(1L, 30L), Gen.choose(1, 99).map(_.toDouble)))
+      es <- Gen.listOfN(6, Gen.zip(Gen.oneOf("A", "B", "C"),
+        Gen.choose(1L, 30L)))
+    } yield (qs0, es)) { case (qs0, es0) =>
+      // unique (k, qts) on the right so the reference needs no tie rule
+      val qs = qs0.groupBy(q => (q._1, q._2)).map(_._2.maxBy(_._3)).toList
+      val es = es0.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val qDf = qs.toDF("k", "qts", "px")
+      val eDf = es.toDF("k", "ets", "idx")
+      def expect(k: String, ets: Long, dir: String): Option[Double] = {
+        val mine = qs.filter(_._1 == k)
+        val bw = mine.filter(_._2 <= ets).sortBy(_._2).lastOption
+        val fw = mine.filter(_._2 >= ets).sortBy(_._2).headOption
+        dir match {
+          case "backward" => bw.map(_._3)
+          case "forward" => fw.map(_._3)
+          case "nearest" => (bw, fw) match {
+            case (Some(b), Some(f)) =>
+              Some(if (f._2 - ets < ets - b._2) f._3 else b._3)
+            case _ => bw.orElse(fw).map(_._3)
+          }
+        }
+      }
+      Seq("backward", "forward", "nearest").forall { dir =>
+        val got = graft.ops.AsOf.join(eDf, qDf, Seq("k"), "ets", "qts",
+            Seq("px"), direction = dir)
+          .select($"idx", $"px").as[(Long, Option[Double])]
+          .collect().toMap
+        es.forall { case (k, ets, i) => got(i) == expect(k, ets, dir) }
+      }
+    }
+
   property("pageRank: mass conserved and strictly positive at any iteration count") =
     forAll(for {
       n <- Gen.choose(2, 6)

@@ -223,7 +223,11 @@ class ScaleSmokeSpec extends SparkSpec {
       // c11: the correlated scalar-min whose INNER query is a 4-table
       // join — per-part re-execution of that join is the worst
       // blow-up in the c-suite (O(parts × joined-fact))
-      "c11_q2_min_supply")
+      "c11_q2_min_supply",
+      // j29: nearest as-of runs BOTH carries; an unbounded-following
+      // frame regression (Spark rebuilds that aggregate per row) is
+      // O(rows²) per key — exactly what this bound exists to catch
+      "j29_asof_nearest")
     def runOnce(name: String, dir: String): Long = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()

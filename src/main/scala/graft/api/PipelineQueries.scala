@@ -1773,8 +1773,7 @@ object PipelineQueries {
         val media = t(s, dir, "documents").filter(col("doc_id") < 300)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val (w, h) = if (id % 2 == 0) (64, 48) else (96, 72)
-            val png = Multimodal.blockPng(w, h, seed = id / 2)
+            val png = Multimodal.blockPngAt(id / 2, alt = id % 2 == 1)
             MediaRecord(id, "image/png", png, png.length.toLong)
           })
         Multimodal.pHashNearDup(media, bands = 8, maxHamming = 6)

@@ -265,7 +265,13 @@ object Multimodal {
     * images — re-encodes, resizes, light noise — land within a few
     * bits; unrelated images differ in ~half. None when no installed
     * reader decodes the payload. Pure JDK, deterministic. */
-  def pHash64(payload: Array[Byte]): Option[Long] = {
+  /** DCT-II cosine table for [[pHash64]]'s fixed 32×32 input and 8×8
+    * band — constants, computed once per JVM/executor instead of 256
+    * math.cos calls per hashed image in the corpus-scale hot path. */
+  private val dctCos: Array[Array[Double]] = Array.tabulate(8, 32)((u, x) =>
+    math.cos((2 * x + 1) * u * math.Pi / 64.0))
+
+  def pHash64(payload: Array[Byte]): Option[Long] = try {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     if (img == null) return None
@@ -287,8 +293,7 @@ object Multimodal {
     }
     // separable DCT-II, low 8×8 block only — O(8·n) per row/column
     // pass, not the full n² transform
-    val cos = Array.tabulate(8, n)((u, x) =>
-      math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    val cos = dctCos
     val rowPass = Array.ofDim[Double](n, 8)
     y = 0
     while (y < n) {
@@ -321,6 +326,11 @@ object Multimodal {
     i = 0
     while (i < 63) { if (flat(i) > median) bits |= (1L << i); i += 1 }
     Some(bits)
+  } catch {
+    // recognized-but-corrupt payloads (valid magic, truncated body)
+    // make ImageIO.read THROW rather than return null — one bad image
+    // must drop its row, not fail the whole near-dup job
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** pHash signatures for a media frame: (media_id, simhash) — the
@@ -643,6 +653,14 @@ object Multimodal {
       }
     })
   }
+
+  /** [[blockPng]] at one of the two fixed test renders: the 64×48
+    * master, or the 96×72 RESIZE of the same block pattern. The
+    * single definition is shared by the mm6 gate and its spec — like
+    * [[stepWavAt]] for audio, their oracles only stay aligned if
+    * every site renders the identical pair. */
+  def blockPngAt(seed: Long, alt: Boolean): Array[Byte] =
+    if (alt) blockPng(96, 72, seed) else blockPng(64, 48, seed)
 
   /** The 65-step amplitude pattern for a fingerprint-test clip —
     * pseudo-random per (seed, step) via the FULL murmur3 finalizer

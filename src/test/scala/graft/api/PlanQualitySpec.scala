@@ -359,8 +359,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
     // the per-part average runs ONCE as a grouped aggregate feeding a
-    // join; a surviving correlated subquery would execute per outer row
-    assert(!p.toLowerCase.contains("scalar-subquery"), p)
+    // join; a SURVIVING subquery would print as "Subquery subquery#N"
+    // in the executed plan (the fully-decorrelated plan has none —
+    // earlier revisions grepped "scalar-subquery", a string Spark's
+    // PHYSICAL plans never print, so the guard was vacuous)
+    assert(!p.toLowerCase.contains("subquery"), p)
     assert(p.contains("HashAggregate"), p)
   }
 
@@ -373,7 +376,7 @@ class PlanQualitySpec extends SparkSpec {
     // correlated subquery would re-scan lineitem per outer row)
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("LeftAnti"), p)
-    assert(!p.toLowerCase.contains("exists-subquery"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
     // exactly three lineitem scans: l1 + the semi probe + the anti
     // probe — per-row re-execution would not even be countable here,
     // but a decorrelation that DUPLICATES the spine would show up as
@@ -405,8 +408,11 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
     assert(p.contains("LeftOuter"), p)
     // two aggregation levels (per-customer count, then the histogram),
-    // each with a partial (map-side) phase
-    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    // each with a partial (map-side) phase. Count in the FINAL plan
+    // section only — AQE's toString repeats the tree under
+    // "== Initial Plan ==", which would mask a collapsed level
+    val fin = p.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(fin).length >= 4, p)
   }
 
   test("c10 Q16 NOT IN plans as one null-aware anti hash join — never a nested loop") {
@@ -416,7 +422,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
     assert(p.contains("LeftAnti"), p)
-    assert(!p.toLowerCase.contains("in-subquery"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
   }
 
   test("c6 Q20 nested IN-subqueries plan as semi joins around one aggregate — never per-row") {
@@ -427,7 +433,7 @@ class PlanQualitySpec extends SparkSpec {
     // aggregate between them
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("HashAggregate"), p)
-    assert(!p.toLowerCase.contains("in-subquery"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
   }
 
   test("c11 Q2 correlated scalar-min WITH an inner join chain decorrelates — never per-row") {
@@ -436,8 +442,9 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
     // the inner min-over-joined-suppliers must run ONCE as a grouped
     // aggregate equi-joined back on the correlation key; a surviving
-    // correlated subquery would re-run a 4-table join per part
-    assert(!p.toLowerCase.contains("scalar-subquery"), p)
+    // subquery ("Subquery subquery#N" in the executed plan) would
+    // re-run a 4-table join per part
+    assert(!p.toLowerCase.contains("subquery"), p)
     assert(p.contains("HashAggregate"), p)
   }
 
@@ -447,9 +454,10 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
     // the correlated NOT EXISTS is one LeftAnti hash join (never a
     // per-customer probe); the UNCORRELATED average stays a scalar
-    // subquery by design — executed once, broadcast as a literal
+    // subquery by design — executed once ("Subquery subquery#N" in
+    // the plan), its repeats served by ReusedSubquery
     assert(p.contains("LeftAnti"), p)
-    assert(!p.toLowerCase.contains("exists-subquery"), p)
+    assert(p.contains("Subquery"), p)
   }
 
   test("c13 Q11 computes the global-sum HAVING threshold once — not per group") {
@@ -462,6 +470,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), p)
     val fin = p.split("== Initial Plan ==").head
     assert(!fin.contains("SortMergeJoin"), p)
+    // the global sum survives as the once-executed scalar
+    assert(p.contains("Subquery"), p)
   }
 
   test("c14 Q8 market share: dims broadcast, CASE folds into ONE partial-agg rollup") {

@@ -162,23 +162,26 @@ class PipelineSpec extends SparkSpec {
     // the SAME block pattern at two sizes must land within the
     // near-dup threshold; DIFFERENT patterns must stay well outside
     (0 until 20).foreach { seed =>
-      val a = Multimodal.pHash64(Multimodal.blockPng(64, 48, seed)).get
-      val b = Multimodal.pHash64(Multimodal.blockPng(96, 72, seed)).get
+      val a = Multimodal.pHash64(Multimodal.blockPngAt(seed, alt = false)).get
+      val b = Multimodal.pHash64(Multimodal.blockPngAt(seed, alt = true)).get
       assert(ham(a, b) <= 6, s"seed $seed: resize moved the hash ${ham(a, b)} bits")
     }
     val hs = (0 until 20).map(s =>
-      Multimodal.pHash64(Multimodal.blockPng(64, 48, s)).get)
+      Multimodal.pHash64(Multimodal.blockPngAt(s.toLong, alt = false)).get)
     for (i <- hs.indices; j <- (i + 1) until hs.size)
       assert(ham(hs(i), hs(j)) > 6, s"patterns $i/$j collided at ${ham(hs(i), hs(j))}")
     assert(Multimodal.pHash64(Array[Byte](1, 2, 3)).isEmpty)
+    // recognized-but-corrupt: valid PNG magic, truncated body — the
+    // decoder THROWS (rather than returning null); must yield None,
+    // not fail the task
+    assert(Multimodal.pHash64(Multimodal.blockPngAt(0L, alt = false).take(24)).isEmpty)
   }
 
   test("pHashNearDup surfaces exactly the planted resized-copy pairs") {
     import spark.implicits._
     // 30 groups × 2 renders (64×48 and 96×72) + one undecodable row
     val media = spark.range(60).as[Long].mapPartitions(_.map { id =>
-      val (w, h) = if (id % 2 == 0) (64, 48) else (96, 72)
-      val png = Multimodal.blockPng(w, h, seed = id / 2)
+      val png = Multimodal.blockPngAt(id / 2, alt = id % 2 == 1)
       MediaRecord(id, "image/png", png, png.length.toLong)
     }).union(Seq(MediaRecord(999L, "image/png", Array[Byte](7), 1L)).toDS())
     val pairs = Multimodal.pHashNearDup(media, bands = 8, maxHamming = 6)

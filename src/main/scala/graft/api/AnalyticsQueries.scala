@@ -81,6 +81,31 @@ object AnalyticsQueries {
         "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY rf, ls")),
 
+    Q("a41_cube",
+      // CUBE totals over (returnflag, linestatus) with grouping_id —
+      // the full 2^k subset lattice where a10's ROLLUP covers only
+      // hierarchy prefixes. Planned as ONE Expand + partial aggregate
+      // over a single scan (never 2^k unioned re-scans, the 100 TB
+      // trap of hand-written subtotal queries); grouping_id
+      // disambiguates a REAL null key from a grouping null, which
+      // coalesce alone cannot (both engines follow the SQL-standard
+      // bitmask: first listed column = most significant bit).
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity").cast("bigint")).as("qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("qty"), col("n"))
+        .orderBy("gid", "rf", "ls"),
+      Some("SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+        "coalesce(l_linestatus, 'ALL') AS ls, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "count(*) AS n FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls")),
+
     Q("a17_funnel",
       // ordered 3-step funnel (Behavior.funnelSteps): signup → first
       // view strictly after it → first purchase strictly after that.

@@ -572,6 +572,37 @@ object QueryCatalog {
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
         "ORDER BY l_returnflag, day")),
 
+    Q("w14_session_window",
+      // the NATIVE session_window aggregation (batch form) — gap-based
+      // sessions as ONE groupBy over Spark's built-in merging session
+      // windows, the third sessionization execution path next to
+      // st2's flatMapGroupsWithState (streaming state machine) and
+      // its window-SQL oracle twin. Boundary semantics: a session's
+      // window is [start, last_event + gap), so an event arriving
+      // EXACTLY gap after the previous one starts a NEW session —
+      // mirrored by the oracle's `>= INTERVAL` islands break. µs-exact
+      // timestamps on both engines, so the boundary comparisons agree.
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n"), col("session_value"))
+        .orderBy("user_id", "session_start"),
+      Some("WITH o AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT user_id, ts, value, sum(brk) OVER (" +
+        "PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o) " +
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
+        "FROM g GROUP BY user_id, sid " +
+        "ORDER BY user_id, session_start")),
+
     Q("w13_interpolate",
       // calendar gap-fill with LINEAR INTERPOLATION — the resample
       // mode w8's carry-forward doesn't cover (LOCF steps, interp

@@ -436,6 +436,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("subquery"), p)
   }
 
+  test("a41 CUBE is one Expand + partial agg over a single scan — never 2^k re-scans") {
+    val p = plan("a41_cube")
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    val scans = "lineitem\\.parquet".r.findAllIn(fin).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
+
+  test("w14 session_window shuffles once on the user key") {
+    val p = plan("w14_session_window")
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("c11 Q2 correlated scalar-min WITH an inner join chain decorrelates — never per-row") {
     val p = plan("c11_q2_min_supply")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

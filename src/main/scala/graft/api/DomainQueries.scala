@@ -1596,8 +1596,12 @@ object DomainQueries {
           .select(col("event_id"), col("user_id"), col("rate"))
           .orderBy("event_id")
       },
-      Some("WITH rates AS (SELECT user_id, ts AS rts, value AS rate " +
-        "FROM events WHERE event_type = 'signup') " +
+      // tie-proof oracle: AsOf.join resolves same-(key, ts) right ties
+      // to the GREATEST value tuple, while DuckDB ASOF's pick among
+      // tied rows is unspecified — pre-aggregate to max(value) per
+      // (user_id, ts) so both sides agree whatever the data
+      Some("WITH rates AS (SELECT user_id, ts AS rts, max(value) AS rate " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) " +
         "SELECT e.event_id, e.user_id, r.rate FROM events e " +
         "ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rts " +
         "ORDER BY e.event_id")),
@@ -1623,8 +1627,11 @@ object DomainQueries {
           .select(col("event_id"), col("user_id"), col("next_buy"))
           .orderBy("event_id")
       },
-      Some("WITH nxt AS (SELECT user_id, ts AS pts, value AS next_buy " +
-        "FROM events WHERE event_type = 'purchase') " +
+      // tie-proofed like j13: max(value) per (user_id, ts) matches
+      // AsOf's greatest-tuple tie rule; DuckDB's tied pick is
+      // unspecified
+      Some("WITH nxt AS (SELECT user_id, ts AS pts, max(value) AS next_buy " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) " +
         "SELECT e.event_id, e.user_id, n.next_buy FROM events e " +
         "ASOF LEFT JOIN nxt n ON e.user_id = n.user_id AND e.ts <= n.pts " +
         "ORDER BY e.event_id")),
@@ -1654,8 +1661,9 @@ object DomainQueries {
           .select(col("event_id"), col("user_id"), col("rate"))
           .orderBy("event_id")
       },
-      Some("WITH rates AS (SELECT user_id, ts AS rts, value AS rate " +
-        "FROM events WHERE event_type = 'signup'), " +
+      // tie-proofed like j13 (max per (user_id, ts) on the right CTE)
+      Some("WITH rates AS (SELECT user_id, ts AS rts, max(value) AS rate " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id, ts), " +
         "bw AS (SELECT e.event_id, r.rate AS brate, r.rts AS brts " +
         "FROM events e ASOF LEFT JOIN rates r " +
         "ON e.user_id = r.user_id AND e.ts >= r.rts), " +

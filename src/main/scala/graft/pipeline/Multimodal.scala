@@ -162,7 +162,9 @@ object Multimodal {
           if (n == 0) 0.0 else sum.toDouble / n))
       }
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      // NonFatal: valid-header/corrupt-body payloads can throw
+      // IOException from the codec — quarantine, don't fail the job
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Deterministic constant-amplitude 16-bit PCM WAV through the REAL
@@ -491,7 +493,9 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16) None
+      // ch <= 0 would divide by zero below — a recognized-but-corrupt
+      // fmt chunk can report 0 channels
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0) None
       else {
         val bytes = ais.readAllBytes()
         val ch = fmt.getChannels
@@ -531,7 +535,12 @@ object Multimodal {
         }
       }
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      // NonFatal, not just UnsupportedAudioFileException: a payload
+      // with a valid RIFF header but corrupt body can surface an
+      // IOException from the codec mid-decode — one bad clip must
+      // quarantine itself, never fail the whole near-dup job (the
+      // batch mapPartitions path has no outer guard)
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Audio fingerprints for a media frame: (media_id, simhash) — the

@@ -18,6 +18,20 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   })
 
+  /** The FINAL plan section: AQE's toString repeats the tree under
+    * "== Initial Plan ==", which double-counts nodes and shows
+    * pre-reuse shapes. */
+  private def finalSection(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  /** Count of SURVIVING (executed, non-reused) subqueries. Spark
+    * prints one as "Subquery subquery#N"; a ReusedSubquery reference
+    * prints "ReusedSubquery Subquery subquery#N" and must NOT count —
+    * nor should dynamic-pruning references ("dynamicpruning#N"), which
+    * are the DESIRED shape for partition-pruned scans. */
+  private def survivingSubqueries(p: String): Int =
+    "(?<!ReusedSubquery )Subquery subquery#".r.findAllIn(p).length
+
   test("j1_dim_join broadcasts the dimension side") {
     assert(plan("j1_dim_join").contains("BroadcastHashJoin"))
   }
@@ -348,8 +362,9 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
     // customer/supplier/nation/region all ride broadcasts; only the
-    // lineitem ⋈ orders spine may shuffle
-    assert(p.sliding("BroadcastHashJoin".length)
+    // lineitem ⋈ orders spine may shuffle. Count in the final AQE
+    // section only — the Initial Plan repeat would double-count.
+    assert(finalSection(p).sliding("BroadcastHashJoin".length)
       .count(_ == "BroadcastHashJoin") >= 3, p)
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
@@ -363,7 +378,7 @@ class PlanQualitySpec extends SparkSpec {
     // in the executed plan (the fully-decorrelated plan has none —
     // earlier revisions grepped "scalar-subquery", a string Spark's
     // PHYSICAL plans never print, so the guard was vacuous)
-    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(survivingSubqueries(p) == 0, p)
     assert(p.contains("HashAggregate"), p)
   }
 
@@ -376,7 +391,7 @@ class PlanQualitySpec extends SparkSpec {
     // correlated subquery would re-scan lineitem per outer row)
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("LeftAnti"), p)
-    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(survivingSubqueries(p) == 0, p)
     // exactly three lineitem scans: l1 + the semi probe + the anti
     // probe — per-row re-execution would not even be countable here,
     // but a decorrelation that DUPLICATES the spine would show up as
@@ -422,7 +437,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
     assert(p.contains("LeftAnti"), p)
-    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(survivingSubqueries(p) == 0, p)
   }
 
   test("c6 Q20 nested IN-subqueries plan as semi joins around one aggregate — never per-row") {
@@ -433,7 +448,7 @@ class PlanQualitySpec extends SparkSpec {
     // aggregate between them
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("HashAggregate"), p)
-    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(survivingSubqueries(p) == 0, p)
   }
 
   test("a41 CUBE is one Expand + partial agg over a single scan — never 2^k re-scans") {
@@ -461,7 +476,7 @@ class PlanQualitySpec extends SparkSpec {
     // aggregate equi-joined back on the correlation key; a surviving
     // subquery ("Subquery subquery#N" in the executed plan) would
     // re-run a 4-table join per part
-    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(survivingSubqueries(p) == 0, p)
     assert(p.contains("HashAggregate"), p)
   }
 
@@ -498,10 +513,13 @@ class PlanQualitySpec extends SparkSpec {
     // part/supplier/nation ride broadcasts; the ratio's two sums fold
     // into a single grouped aggregate (map-side partial) — never a
     // self-join of per-year totals against per-year-per-nation totals
-    assert(p.sliding("BroadcastHashJoin".length)
+    // count in the FINAL section only: AQE's toString repeats the tree
+    // under "== Initial Plan ==", so 2 real broadcasts printed twice
+    // would satisfy >= 3 and mask a dropped broadcast
+    val fin = finalSection(p)
+    assert(fin.sliding("BroadcastHashJoin".length)
       .count(_ == "BroadcastHashJoin") >= 3, p)
     assert(p.contains("partial_"), p)
-    val fin = p.split("== Initial Plan ==").head
     val scans = "lineitem\\.parquet".r.findAllIn(fin).length
     assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
   }

@@ -361,8 +361,14 @@ object Dedup {
     * within a component forces the single value min(component) — the
     * fixpoint is exact, not approximate. `maxIters` is a guard rail
     * (2^50-diameter graphs don't exist); exceeding it throws rather
-    * than returning a silently-partial closure. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * than returning a silently-partial closure. `jumps` is the number
+    * of pointer jumps composed per round — A/B'd at sf0.1 (BENCH_NOTES
+    * r18): 0 jumps stalls hash-to-min on chain graphs (>20 rounds),
+    * 2 jumps leaves the round count unchanged (merge dynamics, not
+    * pointer depth, bound it) while the extra self-join doubles the
+    * per-round cost — 1 is the measured optimum. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+                  jumps: Int = 1): DataFrame = {
     val e0 = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     // cache PARTITIONED ON THE JOIN KEY: the per-round join then
     // reuses the cached distribution (InMemoryRelation preserves hash
@@ -414,15 +420,28 @@ object Dedup {
       val stepped = labels.withColumn("__old", col("label"))
         .unionByName(viaEdges).unionByName(msgs)
         .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
-      // pointer jump: label := label(label) (always ≤ — a node's own
-      // label row is the min over a set containing itself)
-      val next = stepped
-        .join(stepped.select(col("id").as("label"), col("label").as("__pl")),
-          Seq("label"), "left")
-        .select(col("id"),
-          coalesce(col("__pl"), col("label")).as("label"), col("__old"),
-          (coalesce(col("__pl"), col("label")) =!= col("__old"))
-            .as("__changed"))
+      // ITERATED pointer jump: label := label(label), `jumps` times per
+      // round (always ≤ — a node's own label row is the min over a set
+      // containing itself, and the composed lookup preserves that).
+      // One jump halves the pointer depth (rounds ≈ log₂ diameter);
+      // each EXTRA jump per round is one more self-join — far cheaper
+      // than a full round (edge join + re-aggregation + checkpoint +
+      // convergence probe + AQE re-plan), so depth /2^jumps per round
+      // shrinks the round count on chain-heavy graphs (d11's
+      // lang × n_chars interval chains: 9 rounds → 5 at jumps=2) at a
+      // fraction of the per-round cost.
+      var jumped = stepped
+      var j = 0
+      while (j < jumps) {
+        jumped = jumped
+          .join(jumped.select(col("id").as("label"), col("label").as("__pl")),
+            Seq("label"), "left")
+          .select(col("id"),
+            coalesce(col("__pl"), col("label")).as("label"), col("__old"))
+        j += 1
+      }
+      val next = jumped
+        .withColumn("__changed", col("label") =!= col("__old"))
         .localCheckpoint(eager = true)
       // fixpoint probe over the already-materialized checkpoint blocks
       // (no joins — limit(1) exits at the first changed label)

@@ -1900,5 +1900,110 @@ object MvQueries {
         "WHERE o_orderkey = l_orderkey AND p_partkey = l_partkey " +
         "AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey " +
         "AND p_type = 'ECONOMY' GROUP BY 1) ORDER BY o_year")),
+
+    Q("c15_dpp",
+      // DYNAMIC PARTITION PRUNING — the one scan-pruning class the
+      // static pins (p3 pushdown, s-gates' PartitionFilters) don't
+      // cover: a month-partitioned fact joined to a dim whose filter
+      // is only known at runtime must prune fact PARTITIONS at plan
+      // execution (Spark's PartitionPruning rule injects a
+      // `dynamicpruning#` subquery into the scan, fed by the dim's
+      // reused broadcast). Reference analog: every ownership-scoped
+      // fact read (portfolio.js:58-61, P6) — at warehouse scale the
+      // fact is date-partitioned and the scoping dim filter must cut
+      // the scan to the owned slice, not read 100 TB and filter. The
+      // fact copy is written partitioned by ship_month once per
+      // (session, sf-dir) — same skip-if-exists tmp-dir convention as
+      // factWithMv. The dim (distinct months + their year, built from
+      // the SOURCE parquet so the pin can count fact-copy scans) is
+      // functionally keyed by ship_month, so the join is exactly the
+      // oracle's year filter. Plan-pinned in PlanQualitySpec:
+      // `dynamicpruning#` present in the scan, 12 of 83 partitions
+      // actually read.
+      (s, dir) => {
+        val factPath = System.getProperty("java.io.tmpdir") +
+          "/graft_dpp_" + s.sparkContext.applicationId + "_" +
+          Integer.toHexString(dir.hashCode) + "/lineitem_by_month"
+        val fp = new org.apache.hadoop.fs.Path(factPath)
+        val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(factPath, "_SUCCESS")))
+          t(s, dir, "lineitem")
+            .withColumn("ship_month",
+              date_format(col("l_shipdate"), "yyyy-MM"))
+            .write.mode("overwrite").partitionBy("ship_month")
+            .parquet(factPath)
+        val fact = s.read.parquet(factPath)
+        val months = t(s, dir, "lineitem")
+          .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+            year(col("l_shipdate")).as("y"))
+          .distinct()
+        fact.join(broadcast(months.filter(col("y") === 1996)),
+            Seq("ship_month"))
+          .groupBy(col("ship_month"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy("ship_month")
+      },
+      Some("SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE year(l_shipdate) = 1996 " +
+        "GROUP BY 1 ORDER BY ship_month")),
+
+    Q("c16_runtime_filter",
+      // PLANNER-INJECTED RUNTIME BLOOM FILTER (InjectRuntimeFilter) —
+      // the complement of j15's MANUAL bloom semi-join: when a
+      // selective dim filter sits across a SHUFFLE join, Spark can
+      // build a bloom filter over the dim's join keys
+      // (bloom_filter_agg, executed once as a subquery) and push
+      // `might_contain` into the fact leg, cutting the fact's shuffle
+      // write before the join — the free 100 TB shuffle-reducer users
+      // get only if the plan shape allows injection. The thresholds
+      // exist for 100 TB (application side ≥ 10 GB), so at test SF
+      // they are scoped DOWN around PLANNING ONLY (forced inside the
+      // conf scope; the try/finally restores the session — the same
+      // scoping discipline as Bucketing.colocatedJoin) with broadcast
+      // disabled so the join actually shuffles. Results are
+      // plan-independent (plain join + agg); the bloom's presence is
+      // pinned in PlanQualitySpec.
+      (s, dir) => {
+        val scoped = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        // Option(...) also: conf.get can return NULL (not throw) for
+        // optional keys with no default, e.g. the adaptive threshold
+        val prev = scoped.map { case (k, _) =>
+          k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_)) }
+        scoped.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val df = t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderstatus") === "F")
+            .join(t(s, dir, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").as("sum_qty"))
+            .orderBy("l_returnflag")
+          // force analysis + optimization + physical planning while
+          // the scoped thresholds are active — the memoized
+          // QueryExecution is what executes later
+          df.queryExecution.executedPlan
+          df
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM orders, lineitem " +
+        "WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT' " +
+        "AND o_orderstatus = 'F' " +
+        "GROUP BY 1 ORDER BY l_returnflag")),
   )
 }

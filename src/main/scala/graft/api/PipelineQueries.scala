@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
-import graft.pipeline.{Cluster, Dedup, LshIndex, Multimodal, Similarity, Sq, TextAnalysis, MediaRecord}
+import graft.pipeline.{Bpe, Cluster, Dedup, LshIndex, Multimodal, Similarity, Sq, TextAnalysis, MediaRecord}
 
 /** Batch 3: the training-data pipeline operators — text analysis,
   * deduplication, similarity search, multimodal plumbing — over the
@@ -1872,5 +1872,51 @@ object PipelineQueries {
         "UNION ALL SELECT 9000000, 'undecodable' " +
         "UNION ALL SELECT 9000001, 'undecodable') " +
         "ORDER BY media_id")),
+
+    Q("t26_bpe_tokenize",
+      // REAL subword tokenization (BPE, Sennrich 2016): t1-t6 count
+      // whitespace tokens, but pipeline packing/budgeting is defined
+      // in subword tokens. The merge table is the PINNED fixture
+      // (trained by Bpe.train on the sf0.001 corpus; BpeSpec asserts
+      // trainer == fixture, so it cannot drift) applied distributed:
+      // broadcast ranks + one mapPartitions pass, zero shuffles. The
+      // oracle replays the SAME merge table in pure SQL over the
+      // boundary-marked character sequence -- each merge is one
+      // string replace whose left-to-right non-overlapping semantics
+      // equal Bpe.encodeWord's sweep exactly, so the gate is a full
+      // hash compare, not a rows-only check.
+      (s, dir) => Bpe.tokenCounts(t(s, dir, "documents"), "doc_id",
+          "text", Bpe.fixtureMerges)
+        .orderBy("doc_id"),
+      Some("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"CAST(length($normSql) AS BIGINT) AS n_chars_norm, " +
+        Bpe.oracleTokenCountSql(normSql, Bpe.fixtureMerges) +
+        " AS n_bpe FROM documents ORDER BY doc_id")),
+
+    Q("t27_bpe_pack",
+      // t6's sequence packing RE-GATED on BPE token counts -- the
+      // budget a real training pipeline packs against is subword
+      // tokens, not whitespace words. Same two-level distributed
+      // prefix scan (per-shard window + broadcast shard bases); only
+      // the summand changes. Budget 256 at ~door of the corpus's
+      // per-doc subword counts so packs straddle docs.
+      (s, dir) => {
+        val toks = Bpe.tokenCounts(t(s, dir, "documents"), "doc_id",
+            "text", Bpe.fixtureMerges)
+          .select(col("doc_id"), col("n_bpe").as("n_tok"))
+        TextAnalysis.packSequences(toks, "doc_id", "n_tok",
+            budget = 256, shardSpan = 100)
+          .select(col("doc_id"), col("n_tok"),
+            col("offset").as("tok_offset"), col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        Bpe.oracleTokenCountSql(normSql, Bpe.fixtureMerges) +
+        " AS n_tok FROM documents), " +
+        "o AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS tok_offset FROM t) " +
+        "SELECT doc_id, n_tok, tok_offset, tok_offset // 256 AS pack_id " +
+        "FROM o ORDER BY doc_id")),
   )
 }

@@ -36,6 +36,22 @@ class IvfIndex private (val cells: DataFrame,
     IvfIndex.nearestCells(
       graft.functions.VectorExprs.l2_normalize(qv), centroidLit, nProbe)
 
+  /** [[probeCells]] restricted to a LIVE cell set — the filter-aware
+    * probe (FAISS-style inverted-list pruning): rank ALL centroids,
+    * keep the `nProbe` nearest cells that still hold candidates. With
+    * a geometry-CORRELATED filter (all survivors in a few cells) the
+    * plain probe spends its whole budget on cells the filter emptied
+    * and recall collapses; spending it on live cells only makes the
+    * budget count. Ranking all nCells costs O(nCells log nCells) per
+    * query row — queries are broadcast-contract small, and at index
+    * scale nCells ≪ corpus. */
+  private[pipeline] def probeCellsAmong(qv: Column, nProbe: Int,
+                                        live: Seq[Int]): Column =
+    slice(filter(
+      IvfIndex.nearestCells(graft.functions.VectorExprs.l2_normalize(qv),
+        centroidLit, centroids.length),
+      c => array_contains(typedlit(live), c)), 1, nProbe)
+
   /** Cosine top-k for each query vector, probing `nProbe` cells.
     *
     * FILTERED SEARCH: `allowed` restricts candidates to an id set (a
@@ -52,14 +68,24 @@ class IvfIndex private (val cells: DataFrame,
            allowed: Option[DataFrame] = None): DataFrame = {
     val q = Kernels.ensureParallelism(
       queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
-    // rank centroids per query, keep nProbe nearest (assignment metric,
-    // normalized space — matches the final cosine ranking)
-    val probed = q.withColumn("cell",
-        explode(probeCells(col("qv"), nProbe)))
     val c0 = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
     val c = allowed.fold(c0)(a =>
       c0.join(a.select(col(id).as("neighbor_id")), Seq("neighbor_id"),
         "left_semi"))
+    // rank centroids per query, keep nProbe nearest (assignment metric,
+    // normalized space — matches the final cosine ranking). Under a
+    // filter, rank LIVE cells only ([[probeCellsAmong]]): the distinct
+    // live-cell probe is one O(allowed) aggregate whose result is
+    // bounded by nCells — the same bounded-collect contract as the
+    // centroids themselves.
+    val probe = allowed match {
+      case Some(_) =>
+        val live = c.select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+        probeCellsAmong(col("qv"), nProbe, live)
+      case None => probeCells(col("qv"), nProbe)
+    }
+    val probed = q.withColumn("cell", explode(probe))
     val cand = broadcast(probed).join(c, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -118,6 +118,62 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(got.filter(col("k") === 0L).select(col("n")).as[Long].head() >= 4000000L)
   }
 
+  test("AQE skew-join rescue fires on an UNSALTED skewed join (skew split in the final adaptive plan)") {
+    // the salting test above proves the MANUAL rescue; this pins
+    // Spark's own runtime one — a join left unsalted with one hot key
+    // must come back from AQE with the skewed partition SPLIT
+    // (isSkewJoin on the join node), not one straggler task owning
+    // 90% of the rows. Thresholds are scoped down to test scale (the
+    // defaults are sized for 100 TB: 256 MB partitions); broadcast is
+    // disabled so the join actually shuffles — at production SF both
+    // sides exceed any broadcast threshold.
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = scoped.map { case (k, _) => // Option(): get can return null
+      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 64
+      // 90% of rows on key 0, the rest spread over 96 keys
+      val left = spark.range(0L, 200000L).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 97).as("k"),
+        concat(lit(pad), col("id").cast("string")).as("payload"))
+      val right = spark.range(0L, 97L)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      // the payload must SURVIVE column pruning (aggregated below) so
+      // the hot partition's shuffle bytes reflect real fact-row width
+      val joined = left.join(right, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("sv"))
+      // execute THIS dataset (a derived select would leave joined's
+      // own adaptive plan unexecuted); every left row matches (k < 97)
+      assert(joined.collect().head.getLong(0) == 200000L)
+      val nodes = allNodes(joined.queryExecution.executedPlan)
+      val skewJoins = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.isSkewJoin => j
+      }
+      assert(skewJoins.nonEmpty,
+        s"AQE did not mark the join as skew-split:\n${joined.queryExecution.executedPlan}")
+      // the skewed shuffle read must actually SPLIT the hot partition
+      val reads = nodes.collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+          if r.partitionSpecs.size > spark.conf
+            .get("spark.sql.shuffle.partitions").toInt => r
+      }
+      assert(reads.nonEmpty,
+        s"no AQEShuffleRead with split partitions in:\n${joined.queryExecution.executedPlan}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("corrMatrix: blockwise ≡ plain, the guard refuses a detonating key set, 2000-key blockwise completes") {
     // keys 0..99 × days 0..19, ret = (k%3+1)·day: every pair is a
     // positive-slope line pair → correlation exactly 1, closed form

@@ -451,6 +451,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(survivingSubqueries(p) == 0, p)
   }
 
+  test("c15 DPP: the fact scan carries a dynamicpruning filter and reads 12 of ~83 partitions") {
+    val df = QueryCatalog.queries("c15_dpp")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    // the PartitionPruning rule must inject the runtime subquery into
+    // the month-partitioned fact scan's partition filters
+    assert(p.contains("dynamicpruning"), p)
+    val scan = allNodes(exec).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains("graft_dpp") => f
+    }.getOrElse(fail(s"no partitioned fact scan in:\n$exec"))
+    // runtime-pruned partition count, from the scan's own metric: the
+    // dim filter (year 1996) selects 12 months of the ~83 on disk —
+    // a scan that read them all would still be CORRECT, which is why
+    // this pin exists
+    val read = scan.metrics("numPartitions").value
+    assert(read == 12, s"expected 12 partitions read, got $read")
+  }
+
+  test("c16 planner-injected runtime bloom filter reaches the fact leg of the shuffle join") {
+    val df = QueryCatalog.queries("c16_runtime_filter")(spark, sf)
+    // the gate forces planning inside its scoped thresholds, so the
+    // memoized plan is inspectable here: bloom_filter_agg built once
+    // over the filtered dim keys, might_contain pushed onto the fact
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_filter_agg"), opt)
+    assert(opt.contains("might_contain"), opt)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p)
+    // injection only applies across a shuffle join — broadcast would
+    // make the bloom pointless (and the gate disables it in-scope)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("a41 CUBE is one Expand + partial agg over a single scan — never 2^k re-scans") {
     val p = plan("a41_cube")
     val fin = p.split("== Initial Plan ==").head

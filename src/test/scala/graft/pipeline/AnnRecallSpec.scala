@@ -102,6 +102,40 @@ class AnnRecallSpec extends SparkSpec {
     idx.close()
   }
 
+  test("geometry-CORRELATED filter: survivors live in 2 cells — the probe budget goes to live cells only") {
+    // the adversarial case the hash-random (id mod) filter above can't
+    // exercise: ALL survivors sit in clusters 3 and 11, so for 14 of
+    // 16 queries every nearby cell is EMPTY after the filter. A
+    // geometry-blind probe spends its whole budget on emptied cells
+    // (recall ~0 at low probe); the filter-aware probe
+    // (IvfIndex.probeCellsAmong) ranks live cells only, so a 2-cell
+    // budget already covers the entire filtered corpus.
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding",
+      nCells = nClusters, maxTrainRows = 2000)
+    val allowed = corpus.filter(
+      ($"vec_id" >= 3L * perCluster && $"vec_id" < 4L * perCluster) ||
+      ($"vec_id" >= 11L * perCluster && $"vec_id" < 12L * perCluster))
+      .select("vec_id")
+    assert(allowed.count() == 2L * perCluster)
+    val fTruth = pairs(Similarity.bruteForceTopK(
+      corpus.join(allowed, Seq("vec_id"), "left_semi"),
+      queries, "vec_id", "embedding", k))
+    def r(nProbe: Int): Double = recallVs(
+      idx.topK(queries, "embedding", k, nProbe, allowed = Some(allowed)),
+      fTruth)
+    val r1 = r(1); val r2 = r(2); val rFull = r(nClusters)
+    info(f"correlated-filter ivf recall@10: nProbe1=$r1%.3f nProbe2=$r2%.3f full=$rFull%.3f")
+    assert(rFull == 1.0, s"full probe must be exact under the filter, got $rFull")
+    assert(r2 >= r1 - 1e-9, "recall must not fall as nProbe grows")
+    // with list pruning, 2 probed LIVE cells cover both surviving
+    // clusters — exact at nProbe=2 even though 14/16 queries sit in
+    // other clusters. A geometry-blind probe would leave those 14
+    // queries with ZERO candidates at nProbe=2 (both probed cells
+    // emptied by the filter), capping recall at 2/16
+    assert(r2 == 1.0, s"correlated-filter recall@10 at nProbe=2 was $r2")
+    idx.close()
+  }
+
   test("IVF-PQ recall@10 at reduced probe and candidates") {
     val coarse = IvfIndex.build(corpus, "vec_id", "embedding",
       nCells = nClusters, maxTrainRows = 2000)

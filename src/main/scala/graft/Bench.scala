@@ -39,11 +39,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // host-calibration probe: pinned size, no IO, CPU + scheduler
-    // only — 64 tasks of integer arithmetic over range(). Identical
-    // every round by construction, so its wall time is a pure host
-    // thermometer. The expected sum pins the JIT from folding the
-    // loop away.
+    // host-calibration probes: pinned-size tasks, identical every
+    // round by construction, so their wall times are pure host
+    // thermometers. THREE dimensions, because they fail differently
+    // (r18 finding, BENCH_NOTES): a ~4-core external load barely
+    // moves the CPU probe (64 fat tasks over 32 cores ⇒ ~12%) while
+    // inflating many-tiny-job gates 2-7× through scheduler
+    // interference — so the artifact also carries a SCHEDULER probe
+    // (512 near-empty tasks: wall time ≈ pure task-launch latency)
+    // and the kernel's own 1-min load average.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       val s = spark.range(0L, 64000000L, 1L, 64)
@@ -51,6 +55,31 @@ object Bench {
       require(s == 64000000L * 64000000L, s"calibration sum drifted: $s")
       (System.nanoTime() - t0) / 1e9
     }
+    def calibrateSched(): Double = {
+      val t0 = System.nanoTime()
+      require(spark.range(0L, 512L, 1L, 512).count() == 512L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // (host busy cpu-seconds across all cores, own busy cpu-seconds):
+    // the END−START deltas give EXTERNAL cpu-seconds burned during the
+    // run — the one load signal the bench's own activity cannot
+    // pollute (loadavg and the probes both include self)
+    def cpuTotals(): (Double, Double) =
+      try {
+        val hz = 100.0 // USER_HZ
+        val v = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toDouble)
+        // user+nice+system+irq+softirq+steal (skip idle/iowait at 3,4)
+        val busy = (v.take(3).sum + v.slice(5, 8).sum) / hz
+        val sf0 = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat")).split(" ")
+        (busy, (sf0(13).toDouble + sf0(14).toDouble) / hz)
+      } catch { case _: Throwable => (-1.0, -1.0) }
 
     // JVM/Spark warmup outside the timed region (JIT, codegen cache,
     // parquet footer reads)
@@ -58,7 +87,7 @@ object Bench {
       try graft.catalog.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    calibrate() // warm the probe's codegen path too
+    calibrate(); calibrateSched() // warm the probes' codegen paths too
     // optional args = subset of query names (local profiling); the
     // driver passes none → full suite
     val names0 = SparkEntry.queries.keys.toSeq.sorted
@@ -80,12 +109,19 @@ object Bench {
       }
       name -> times.min
     }
-    val calibStart = calibrate()
+    def probes(): (Double, Double, Double) =
+      (calibrate(), calibrateSched(), loadAvg())
+    val cpu0 = cpuTotals()
+    val pStart = probes()
     val (firstHalf, secondHalf) = names.splitAt(names.length / 2)
     val results0 = firstHalf.map(run)
-    val calibMid = calibrate()
+    val pMid = probes()
     val results = results0 ++ secondHalf.map(run)
-    val calibEnd = calibrate()
+    val pEnd = probes()
+    val cpu1 = cpuTotals()
+    val (extCpu, selfCpu) =
+      if (cpu0._1 < 0 || cpu1._1 < 0) (-1.0, -1.0)
+      else ((cpu1._1 - cpu0._1) - (cpu1._2 - cpu0._2), cpu1._2 - cpu0._2)
     // ms precision: full-precision doubles once made the one-line JSON
     // outgrow the driver's tail capture, truncating the front before it
     // could parse (r9/r10 artifacts had parsed:null). Locale.ROOT:
@@ -94,7 +130,10 @@ object Bench {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val calib =
-      s""""calib":[${ms(calibStart)},${ms(calibMid)},${ms(calibEnd)}]"""
+      s""""calib":[${ms(pStart._1)},${ms(pMid._1)},${ms(pEnd._1)}],""" +
+        s""""calib_sched":[${ms(pStart._2)},${ms(pMid._2)},${ms(pEnd._2)}],""" +
+        s""""loadavg":[${ms(pStart._3)},${ms(pMid._3)},${ms(pEnd._3)}],""" +
+        s""""ext_cpu_sec":${ms(extCpu)},"self_cpu_sec":${ms(selfCpu)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

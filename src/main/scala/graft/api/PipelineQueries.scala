@@ -1873,6 +1873,47 @@ object PipelineQueries {
         "UNION ALL SELECT 9000001, 'undecodable') " +
         "ORDER BY media_id")),
 
+    Q("e15_filtered_ann_join",
+      // FILTERED cross-corpus ANN JOIN (e10 x e12): top-3 label-3
+      // reference neighbors for EVERY left row -- the "nearest
+      // reference doc WITH this license/language/split" enrichment
+      // shape. The filter is geometry-arbitrary, so the probe uses
+      // live-cell list pruning (IvfIndex.probeCellsAmong) and the
+      // candidate lists are semi-joined BEFORE distance math; the
+      // probe stays a pure expression, preserving annJoin's big-left
+      // contract (nothing broadcasts, shuffle on cell only). FULL
+      // probe => exact over the filtered corpus, so brute-force SQL
+      // is a true oracle; correlated-filter partial-probe recall:
+      // AnnRecallSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") % 5 === 0)
+          .select("vec_id", "embedding")
+        val left = emb.filter(col("vec_id") % 5 =!= 0)
+          .select("vec_id", "embedding")
+        val allowed = emb.filter(col("vec_id") % 5 === 0 &&
+          col("label") === 3).select("vec_id")
+        val idx = graft.pipeline.IvfIndex.build(
+          corpus, "vec_id", "embedding", nCells = 8)
+        idx.annJoin(left, "vec_id", "embedding", k = 3, nProbe = 8,
+            allowed = Some(allowed))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS query_id, " +
+        "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings " +
+        "WHERE vec_id % 5 <> 0), " +
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv " +
+        "FROM embeddings WHERE vec_id % 5 = 0 AND label = 3), " +
+        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cos FROM q, c), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
+        "WHERE rank <= 3 ORDER BY query_id, rank")),
+
     Q("t26_bpe_tokenize",
       // REAL subword tokenization (BPE, Sennrich 2016): t1-t6 count
       // whitespace tokens, but pipeline packing/budgeting is defined

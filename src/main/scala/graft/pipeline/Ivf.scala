@@ -52,6 +52,16 @@ class IvfIndex private (val cells: DataFrame,
         centroidLit, centroids.length),
       c => array_contains(typedlit(live), c)), 1, nProbe)
 
+  /** Cells still holding candidates under a filter — one O(allowed)
+    * aggregate whose result is bounded by nCells (the same
+    * bounded-collect contract as the centroids themselves); feeds
+    * [[probeCellsAmong]] from [[topK]], [[annJoin]], and
+    * [[PqIndex.topKProbed]]. */
+  private[pipeline] def liveCells(allowed: DataFrame): Seq[Int] =
+    cells.join(allowed.select(col(id)), Seq(id), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+
   /** Cosine top-k for each query vector, probing `nProbe` cells.
     *
     * FILTERED SEARCH: `allowed` restricts candidates to an id set (a
@@ -79,10 +89,7 @@ class IvfIndex private (val cells: DataFrame,
     // bounded by nCells — the same bounded-collect contract as the
     // centroids themselves.
     val probe = allowed match {
-      case Some(_) =>
-        val live = c.select("cell").distinct()
-          .collect().map(_.getInt(0)).sorted.toSeq
-        probeCellsAmong(col("qv"), nProbe, live)
+      case Some(a) => probeCellsAmong(col("qv"), nProbe, liveCells(a))
       case None => probeCells(col("qv"), nProbe)
     }
     val probed = q.withColumn("cell", explode(probe))
@@ -110,12 +117,22 @@ class IvfIndex private (val cells: DataFrame,
     * `excludeSelf` only matters when left IS the corpus (self-join
     * enrichment); cross-corpus id collisions are not identity. */
   def annJoin(left: DataFrame, leftId: String, vec: String, k: Int,
-              nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
+              nProbe: Int, excludeSelf: Boolean = false,
+              allowed: Option[DataFrame] = None): DataFrame = {
     val q = Kernels.ensureParallelism(
       left.select(col(leftId).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
-    val probed = q.withColumn("cell",
-      explode(probeCells(col("qv"), nProbe)))
-    val c = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
+    // FILTERED join: same live-cell list pruning as [[topK]] — the
+    // probe stays a pure expression (no join), so the big-left
+    // contract (nothing broadcasts, shuffle on cell only) holds
+    val probe = allowed match {
+      case Some(a) => probeCellsAmong(col("qv"), nProbe, liveCells(a))
+      case None => probeCells(col("qv"), nProbe)
+    }
+    val probed = q.withColumn("cell", explode(probe))
+    val c0 = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
+    val c = allowed.fold(c0)(a =>
+      c0.join(a.select(col(id).as("neighbor_id")), Seq("neighbor_id"),
+        "left_semi"))
     val joined = probed.join(c, Seq("cell"))
     val filtered =
       if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))

@@ -67,27 +67,38 @@ class PqIndex private (val codes: DataFrame,
     * projection; `coarse` must be the index the residuals were encoded
     * against. */
   def topKProbed(queries: DataFrame, vec: String, coarse: IvfIndex,
-                 nProbe: Int, k: Int, nCandidates: Int = 256): DataFrame = {
+                 nProbe: Int, k: Int, nCandidates: Int = 256,
+                 allowed: Option[DataFrame] = None): DataFrame = {
     require(residualOf.forall(_ eq coarse),
       "a residual PQ index must be probed with its build-time coarse index")
     val q0 = Kernels.ensureParallelism(
       queries.select(col(id).as("query_id"), Similarity.vecD(col(vec)).as("qv")))
+    // FILTERED search: the same live-cell list pruning as
+    // IvfIndex.topK — under a geometry-correlated filter the probe
+    // budget must go to cells that still hold candidates
+    def probeEx: Column = allowed match {
+      case Some(a) => coarse.probeCellsAmong(col("qv"), nProbe,
+        coarse.liveCells(a))
+      case None => coarse.probeCells(col("qv"), nProbe)
+    }
     val q = residualOf match {
       case None =>
         // one ADC table per query, shared by all its probed cells
         q0.withColumn("dt", PqExprs.pq_dist_table(col("qv"), codebooks))
-          .withColumn("cell", explode(coarse.probeCells(col("qv"), nProbe)))
+          .withColumn("cell", explode(probeEx))
       case Some(c) =>
         // per-(query, cell) ADC table over the residual in that cell —
         // the same normalized space the residuals were encoded in
-        q0.withColumn("cell", explode(c.probeCells(col("qv"), nProbe)))
+        q0.withColumn("cell", explode(probeEx))
           .withColumn("dt", PqExprs.pq_dist_table(
             graft.functions.VectorExprs.vec_sub(
               graft.functions.VectorExprs.l2_normalize(col("qv")),
               element_at(c.centroidLit, col("cell") + 1)), codebooks))
     }
-    val coded = codes.join(
+    val coded0 = codes.join(
       coarse.cells.select(col(id), col("cell")), Seq(id))
+    val coded = allowed.fold(coded0)(a =>
+      coded0.join(a.select(col(id)), Seq(id), "left_semi"))
     val scored = coded.join(broadcast(
         q.select(col("query_id"), col("cell"), col("dt"))), Seq("cell"))
       .filter(col(id) =!= col("query_id"))

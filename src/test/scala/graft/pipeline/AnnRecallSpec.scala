@@ -136,6 +136,33 @@ class AnnRecallSpec extends SparkSpec {
     idx.close()
   }
 
+  test("correlated filter across the other families: annJoin and IVF-PQ prune to live cells too") {
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding",
+      nCells = nClusters, maxTrainRows = 2000)
+    val allowed = corpus.filter(
+      ($"vec_id" >= 3L * perCluster && $"vec_id" < 4L * perCluster) ||
+      ($"vec_id" >= 11L * perCluster && $"vec_id" < 12L * perCluster))
+      .select("vec_id")
+    val fTruth = pairs(Similarity.bruteForceTopK(
+      corpus.join(allowed, Seq("vec_id"), "left_semi"),
+      queries, "vec_id", "embedding", k))
+    // ANN JOIN (big-left shape): 2 live-cell probe covers the whole
+    // filtered corpus — exact (excludeSelf matches bruteForceTopK's
+    // self-exclusion)
+    val aj = recallVs(idx.annJoin(queries, "vec_id", "embedding", k,
+      nProbe = 2, excludeSelf = true, allowed = Some(allowed)), fTruth)
+    assert(aj == 1.0, s"filtered annJoin recall@10 at nProbe=2 was $aj")
+    // IVF-PQ: 250 allowed candidates all fit the 256-candidate ADC
+    // cut, so the exact re-rank recovers the filtered truth entirely
+    val pq = PqIndex.build(corpus, "vec_id", "embedding",
+      m = 4, nWords = 32, maxTrainRows = 2000)
+    val pqr = recallVs(pq.topKProbed(queries, "embedding", idx,
+      nProbe = 2, k = k, nCandidates = 256, allowed = Some(allowed)),
+      fTruth)
+    assert(pqr == 1.0, s"filtered IVF-PQ recall@10 at nProbe=2 was $pqr")
+    idx.close()
+  }
+
   test("IVF-PQ recall@10 at reduced probe and candidates") {
     val coarse = IvfIndex.build(corpus, "vec_id", "embedding",
       nCells = nClusters, maxTrainRows = 2000)

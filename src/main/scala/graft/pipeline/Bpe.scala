@@ -112,10 +112,16 @@ object Bpe {
     merges.result()
   }
 
-  /** Apply a merge table to one word (rank-order sweeps). */
+  /** Apply a merge table to one word (rank-order sweeps). Base tokens
+    * are CODE POINTS, not UTF-16 chars — Java's empty-regex split
+    * (the trainer's `split(w, "")`) and DuckDB's
+    * `regexp_split_to_array(s, '')` both split at code-point
+    * boundaries, so a per-char split would break surrogate pairs and
+    * diverge on non-BMP text. */
   def encodeWord(word: String,
                  merges: Seq[(String, String)]): Array[String] = {
-    var toks: Array[String] = word.map(_.toString).toArray
+    var toks: Array[String] = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     merges.foreach { case (a, b) =>
       if (toks.length >= 2) {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -166,7 +172,10 @@ object Bpe {
     * a token suffix/prefix), and (2) adjacent matches share no
     * characters, so ONE `replace` pass merges all non-overlapping
     * occurrences left-to-right — exactly [[encodeWord]]'s sweep. The
-    * final token count is the number of `\x01` markers. */
+    * final token count is the number of `\x01` markers. Precondition:
+    * the corpus text must not contain the marker bytes \x01/\x02
+    * themselves (the harness corpus is printable ASCII; the Spark
+    * side is marker-free, so only the ORACLE needs this). */
   def oracleTokenCountSql(normExpr: String,
                           merges: Seq[(String, String)]): String = {
     def tok(t: String) = s"chr(1)||'$t'||chr(2)"

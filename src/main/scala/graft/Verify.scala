@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // optional trailing names = local-iteration subset; the driver
-    // passes exactly two args and gets the full dump
+    // passes exactly two args and gets the full dump. A typo'd name
+    // must fail loudly, not silently verify nothing (Bench has the
+    // same guard — an e8 subset run once no-op'd on a wrong name).
     val only = rest.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -165,6 +165,37 @@ object Bpe {
       .toDF(id, "n_chars_norm", "n_bpe")
   }
 
+  /** Persist a merge table so later sessions tokenize WITHOUT
+    * retraining — training reads the corpus once, ever; the artifact
+    * is a tiny `(rank, a, b)` parquet under a fresh `snap_*` with an
+    * atomic `_latest` flip ([[IndexIo]] — the same single-writer /
+    * many-readers copy-on-write contract as the ANN indexes, so a
+    * re-train never breaks in-flight tokenizer readers). */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    val snap = IndexIo.newSnap()
+    val dir = s"$path/$snap"
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    IndexIo.writeMeta(spark, dir, Seq(
+      "kind" -> "bpe", "n_merges" -> merges.size.toString))
+    IndexIo.flip(spark, path, snap)
+  }
+
+  /** Load the current merge table (rank order). The collect is
+    * bounded by the merge-table size — a few 10k rows in real
+    * vocabularies, broadcast to executors by [[tokenCounts]] anyway. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Vector[(String, String)] = {
+    val snap = IndexIo.currentSnap(spark, path).getOrElse(
+      throw new IllegalStateException(s"no _latest pointer under $path"))
+    spark.read.parquet(s"$path/$snap/merges")
+      .orderBy("rank").select("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toVector
+  }
+
   /** The DuckDB replay of [[tokenCounts]] for a FIXED merge table —
     * the oracle side of gate t26. Representation: every token is
     * boundary-marked `\x01 token \x02`, so (1) a merge pattern

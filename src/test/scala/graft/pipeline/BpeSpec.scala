@@ -42,6 +42,22 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("", Bpe.fixtureMerges).isEmpty)
   }
 
+  test("save/load round-trip: a later session tokenizes identically without retraining") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/tok"
+    Bpe.save(spark, Bpe.fixtureMerges, root)
+    assert(Bpe.load(spark, root) == Bpe.fixtureMerges)
+    // re-save (re-train) flips atomically; readers see the new table
+    val v2 = Bpe.fixtureMerges.take(5)
+    Bpe.save(spark, v2, root)
+    assert(Bpe.load(spark, root) == v2)
+    // the loaded table drives tokenCounts exactly like the original
+    val docs = Seq((1L, "the window sort")).toDF("doc_id", "text")
+    def counts(m: Vector[(String, String)]) =
+      Bpe.tokenCounts(docs, "doc_id", "text", m)
+        .as[(Long, Long, Long)].collect().toSeq
+    assert(counts(Bpe.load(spark, root)) == counts(v2))
+  }
+
   test("tokenCounts: n_bpe = per-word subwords + inter-word spaces; compresses vs chars") {
     val docs = Seq(
       (1L, "the window sort"),   // window+sort are single fixture tokens

@@ -1961,43 +1961,37 @@ object MvQueries {
       // write before the join — the free 100 TB shuffle-reducer users
       // get only if the plan shape allows injection. The thresholds
       // exist for 100 TB (application side ≥ 10 GB), so at test SF
-      // they are scoped DOWN around PLANNING ONLY (forced inside the
-      // conf scope; the try/finally restores the session — the same
-      // scoping discipline as Bucketing.colocatedJoin) with broadcast
-      // disabled so the join actually shuffles. Results are
-      // plan-independent (plain join + agg); the bloom's presence is
-      // pinned in PlanQualitySpec.
-      (s, dir) => {
-        val scoped = Seq(
+      // they are scoped DOWN around PLANNING ONLY (ConfScope forces
+      // planning inside the scope and restores the session). The join
+      // stays a SHUFFLE join at EXECUTION too via an explicit merge
+      // HINT — a restored broadcast threshold would otherwise let
+      // AQE's DynamicJoinSelection demote the exchange to broadcast
+      // at runtime and the bloom would never cut a real shuffle
+      // write (hints ride the logical plan, so AQE respects them
+      // where restored conf cannot). Results are plan-independent;
+      // bloom + join shape are pinned on the FINAL plan section in
+      // PlanQualitySpec.
+      (s, dir) => graft.ops.ConfScope.withScopedConf(s, Seq(
           "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
           "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
           "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-        // Option(...) also: conf.get can return NULL (not throw) for
-        // optional keys with no default, e.g. the adaptive threshold
-        val prev = scoped.map { case (k, _) =>
-          k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_)) }
-        scoped.foreach { case (k, v) => s.conf.set(k, v) }
-        try {
-          val df = t(s, dir, "orders")
-            .filter(col("o_orderpriority") === "1-URGENT" &&
-              col("o_orderstatus") === "F")
-            .join(t(s, dir, "lineitem"),
-              col("o_orderkey") === col("l_orderkey"))
-            .groupBy(col("l_returnflag"))
-            .agg(count(lit(1)).as("n"),
-              sum(col("l_quantity").cast("decimal(18,2)"))
-                .cast("double").as("sum_qty"))
-            .orderBy("l_returnflag")
-          // force analysis + optimization + physical planning while
-          // the scoped thresholds are active — the memoized
-          // QueryExecution is what executes later
-          df.queryExecution.executedPlan
-          df
-        } finally prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
-        }
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+        val df = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "F")
+          .hint("merge")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+        // force analysis + optimization + physical planning while the
+        // scoped thresholds are active — the memoized QueryExecution
+        // is what executes later
+        df.queryExecution.executedPlan
+        df
       },
       Some("SELECT l_returnflag, count(*) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +

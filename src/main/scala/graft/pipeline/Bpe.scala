@@ -209,12 +209,22 @@ object Bpe {
     * side is marker-free, so only the ORACLE needs this). */
   def oracleTokenCountSql(normExpr: String,
                           merges: Seq[(String, String)]): String = {
-    def tok(t: String) = s"chr(1)||'$t'||chr(2)"
+    // merge tokens are interpolated into SQL literals: escape quotes,
+    // and refuse marker bytes outright (a merge containing \x01/\x02
+    // would break the boundary-marked representation itself)
+    require(merges.forall { case (a, b) =>
+      !s"$a$b".exists(c => c == '\u0001' || c == '\u0002') },
+      "merge tokens must not contain the \\x01/\\x02 boundary markers")
+    def tok(t: String) = s"chr(1)||'${t.replace("'", "''")}'||chr(2)"
     val seq0 = "array_to_string(list_transform(" +
       s"regexp_split_to_array($normExpr, ''), x -> chr(1)||x||chr(2)), '')"
     val replayed = merges.foldLeft(seq0) { case (acc, (a, b)) =>
       s"replace($acc, ${tok(a)}||${tok(b)}, ${tok(a + b)})"
     }
-    s"CAST(length($replayed) - length(replace($replayed, chr(1), '')) AS BIGINT)"
+    // empty-norm guard: regexp_split_to_array('', '') returns ['']
+    // (one spurious empty token) where tokenCounts counts 0
+    s"CAST(CASE WHEN $normExpr = '' THEN 0 ELSE " +
+      s"length($replayed) - length(replace($replayed, chr(1), '')) " +
+      "END AS BIGINT)"
   }
 }

@@ -54,13 +54,22 @@ class IvfIndex private (val cells: DataFrame,
 
   /** Cells still holding candidates under a filter — one O(allowed)
     * aggregate whose result is bounded by nCells (the same
-    * bounded-collect contract as the centroids themselves); feeds
-    * [[probeCellsAmong]] from [[topK]], [[annJoin]], and
-    * [[PqIndex.topKProbed]]. */
+    * bounded-collect contract as the centroids themselves). */
   private[pipeline] def liveCells(allowed: DataFrame): Seq[Int] =
     cells.join(allowed.select(col(id)), Seq(id), "left_semi")
       .select("cell").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
+
+  /** THE probe-selection policy, shared by [[topK]], [[annJoin]], and
+    * [[PqIndex.topKProbed]]: plain nearest-cells ranking, or
+    * live-cell list pruning under a filter. One place to change (e.g.
+    * an explicit empty-live-set short-circuit) — not three. */
+  private[pipeline] def probeExpr(qv: Column, nProbe: Int,
+                                  allowed: Option[DataFrame]): Column =
+    allowed match {
+      case Some(a) => probeCellsAmong(qv, nProbe, liveCells(a))
+      case None => probeCells(qv, nProbe)
+    }
 
   /** Cosine top-k for each query vector, probing `nProbe` cells.
     *
@@ -83,16 +92,10 @@ class IvfIndex private (val cells: DataFrame,
       c0.join(a.select(col(id).as("neighbor_id")), Seq("neighbor_id"),
         "left_semi"))
     // rank centroids per query, keep nProbe nearest (assignment metric,
-    // normalized space — matches the final cosine ranking). Under a
-    // filter, rank LIVE cells only ([[probeCellsAmong]]): the distinct
-    // live-cell probe is one O(allowed) aggregate whose result is
-    // bounded by nCells — the same bounded-collect contract as the
-    // centroids themselves.
-    val probe = allowed match {
-      case Some(a) => probeCellsAmong(col("qv"), nProbe, liveCells(a))
-      case None => probeCells(col("qv"), nProbe)
-    }
-    val probed = q.withColumn("cell", explode(probe))
+    // normalized space — matches the final cosine ranking); under a
+    // filter, probeExpr ranks LIVE cells only
+    val probed = q.withColumn("cell",
+      explode(probeExpr(col("qv"), nProbe, allowed)))
     val cand = broadcast(probed).join(c, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -124,11 +127,8 @@ class IvfIndex private (val cells: DataFrame,
     // FILTERED join: same live-cell list pruning as [[topK]] — the
     // probe stays a pure expression (no join), so the big-left
     // contract (nothing broadcasts, shuffle on cell only) holds
-    val probe = allowed match {
-      case Some(a) => probeCellsAmong(col("qv"), nProbe, liveCells(a))
-      case None => probeCells(col("qv"), nProbe)
-    }
-    val probed = q.withColumn("cell", explode(probe))
+    val probed = q.withColumn("cell",
+      explode(probeExpr(col("qv"), nProbe, allowed)))
     val c0 = cells.select(col(id).as("neighbor_id"), col("cell"), col("cv"))
     val c = allowed.fold(c0)(a =>
       c0.join(a.select(col(id).as("neighbor_id")), Seq("neighbor_id"),

@@ -76,11 +76,7 @@ class PqIndex private (val codes: DataFrame,
     // FILTERED search: the same live-cell list pruning as
     // IvfIndex.topK — under a geometry-correlated filter the probe
     // budget must go to cells that still hold candidates
-    def probeEx: Column = allowed match {
-      case Some(a) => coarse.probeCellsAmong(col("qv"), nProbe,
-        coarse.liveCells(a))
-      case None => coarse.probeCells(col("qv"), nProbe)
-    }
+    def probeEx: Column = coarse.probeExpr(col("qv"), nProbe, allowed)
     val q = residualOf match {
       case None =>
         // one ADC table per query, shared by all its probed cells

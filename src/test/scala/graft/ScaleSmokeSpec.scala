@@ -127,16 +127,12 @@ class ScaleSmokeSpec extends SparkSpec {
     // defaults are sized for 100 TB: 256 MB partitions); broadcast is
     // disabled so the join actually shuffles — at production SF both
     // sides exceed any broadcast threshold.
-    val scoped = Seq(
+    graft.ops.ConfScope.withScopedConf(spark, Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
-    val prev = scoped.map { case (k, _) => // Option(): get can return null
-      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)) }
-    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")) {
       val pad = "x" * 64
       // 90% of rows on key 0, the rest spread over 96 keys
       val left = spark.range(0L, 200000L).select(
@@ -168,9 +164,6 @@ class ScaleSmokeSpec extends SparkSpec {
       }
       assert(reads.nonEmpty,
         s"no AQEShuffleRead with split partitions in:\n${joined.queryExecution.executedPlan}")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -480,11 +480,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(opt.contains("bloom_filter_agg"), opt)
     assert(opt.contains("might_contain"), opt)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("might_contain"), p)
-    // injection only applies across a shuffle join — broadcast would
-    // make the bloom pointless (and the gate disables it in-scope)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    // pin the FINAL adaptive section: AQE's DynamicJoinSelection can
+    // demote a shuffle join to broadcast at runtime (the scoped conf
+    // is restored before execution — only the merge HINT holds the
+    // shape), and the Initial Plan repeat would mask exactly that
+    val fin = finalSection(df.queryExecution.executedPlan.toString)
+    assert(fin.contains("might_contain"), fin)
+    assert(fin.contains("SortMergeJoin") || fin.contains("ShuffledHashJoin"),
+      fin)
+    assert(!fin.contains("BroadcastHashJoin"), fin)
   }
 
   test("a41 CUBE is one Expand + partial agg over a single scan — never 2^k re-scans") {

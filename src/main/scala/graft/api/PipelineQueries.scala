@@ -1914,6 +1914,32 @@ object PipelineQueries {
         "SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM r " +
         "WHERE rank <= 3 ORDER BY query_id, rank")),
 
+    Q("t28_bpe_vocab",
+      // the VOCABULARY the fixture merge table induces over this
+      // corpus -- the (token, id) table a training pipeline feeds its
+      // embedding layer: base symbols = distinct code points of the
+      // normalized words (ids in code-point order), merge outputs
+      // follow at base_count + rank. Both sides derive it
+      // independently from (corpus, fixture), so the gate pins the id
+      // assignment rule itself, not a stored artifact. The base
+      // global sort is alphabet-bounded by construction.
+      (s, dir) => Bpe.vocab(t(s, dir, "documents"), "text",
+          Bpe.fixtureMerges)
+        .orderBy("id"),
+      Some({
+        val mergeVals = Bpe.fixtureMerges.zipWithIndex
+          .map { case ((a, b), r) => s"('${a + b}', $r)" }.mkString(", ")
+        "WITH chars AS (SELECT DISTINCT c AS token FROM (" +
+          s"SELECT unnest(regexp_split_to_array($normSql, '')) AS c " +
+          "FROM documents) WHERE c <> ' ' AND c <> ''), " +
+          "base AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 " +
+          "AS BIGINT) AS id FROM chars), " +
+          s"m(token, r) AS (VALUES $mergeVals) " +
+          "SELECT token, id FROM base UNION ALL " +
+          "SELECT token, CAST((SELECT count(*) FROM base) + r AS BIGINT) " +
+          "FROM m ORDER BY id"
+      })),
+
     Q("t26_bpe_tokenize",
       // REAL subword tokenization (BPE, Sennrich 2016): t1-t6 count
       // whitespace tokens, but pipeline packing/budgeting is defined

@@ -165,6 +165,47 @@ object Bpe {
       .toDF(id, "n_chars_norm", "n_bpe")
   }
 
+  /** VOCABULARY induced by a merge table over a corpus — the
+    * `(token, id)` table a training pipeline feeds its embedding
+    * layer: base symbols are the distinct CODE POINTS of the
+    * normalized corpus words (space excluded — it is the inert
+    * pretoken separator, never a symbol), ids assigned in code-point
+    * sort order; each merge's output symbol follows at
+    * `base_count + rank`. Fully deterministic given (corpus, merges),
+    * on any partitioning. The global sort is ALPHABET-bounded (code
+    * points, not words — thousands at the most even for a 100 TB
+    * multilingual corpus), so the single-partition window is safe by
+    * construction; ids are symbol ids, positional per merge rank (two
+    * merges may alias textually in a hand-built table; a TRAINED
+    * table's outputs are distinct). */
+  def vocab(docs: DataFrame, text: String,
+            merges: Seq[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select(explode(TextAnalysis.tokensWs(
+        TextAnalysis.normalize(col(text)))).as("w"))
+      .select(explode(filter(split(col("w"), ""), x => x =!= ""))
+        .as("token"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
+    val baseIds = base
+      .withColumn("id", row_number().over(w).cast("long") - 1)
+    val nBase = base.count() // alphabet-bounded
+    val mergeIds = merges.zipWithIndex
+      .map { case ((a, b), r) => (a + b, nBase + r) }.toDF("token", "id")
+    baseIds.unionByName(mergeIds)
+  }
+
+  /** Encode one word to vocabulary ids: [[encodeWord]] then the
+    * broadcastable token→id map from [[vocab]]. Unknown symbols
+    * (a token outside the training alphabet) map to -1 — surface
+    * them rather than silently dropping, so the caller chooses its
+    * own OOV policy (byte fallback, UNK id, filter). */
+  def encodeIds(word: String, merges: Seq[(String, String)],
+                vocabIds: Map[String, Long]): Array[Long] =
+    encodeWord(word, merges).map(t => vocabIds.getOrElse(t, -1L))
+
   /** Persist a merge table so later sessions tokenize WITHOUT
     * retraining — training reads the corpus once, ever; the artifact
     * is a tiny `(rank, a, b)` parquet under a fresh `snap_*` with an

@@ -42,6 +42,19 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("", Bpe.fixtureMerges).isEmpty)
   }
 
+  test("vocab + encodeIds: code-point-ordered base ids, merge outputs at base_count + rank, OOV = -1") {
+    val docs = Seq((1L, "cab bad")).toDF("doc_id", "text")
+    val m = Vector(("a", "b"))
+    val v = Bpe.vocab(docs, "text", m)
+      .as[(String, Long)].collect().toMap
+    // alphabet {a,b,c,d} sorted → 0..3; merge output "ab" at 4
+    assert(v == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "ab" -> 4L))
+    assert(Bpe.encodeIds("cab", m, v).toSeq == Seq(2L, 4L))
+    assert(Bpe.encodeIds("bad", m, v).toSeq == Seq(1L, 0L, 3L))
+    // out-of-alphabet symbol surfaces as -1, never silently dropped
+    assert(Bpe.encodeIds("ax", m, v).toSeq == Seq(0L, -1L))
+  }
+
   test("save/load round-trip: a later session tokenizes identically without retraining") {
     val root = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/tok"
     Bpe.save(spark, Bpe.fixtureMerges, root)

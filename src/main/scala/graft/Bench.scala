@@ -76,9 +76,14 @@ object Bench {
           .linesIterator.next().trim.split("\\s+").drop(1).map(_.toDouble)
         // user+nice+system+irq+softirq+steal (skip idle/iowait at 3,4)
         val busy = (v.take(3).sum + v.slice(5, 8).sum) / hz
-        val sf0 = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/self/stat")).split(" ")
-        (busy, (sf0(13).toDouble + sf0(14).toDouble) / hz)
+        // the comm field (field 2, parenthesized) may contain spaces;
+        // the robust idiom parses the substring AFTER the last ')':
+        // state is then index 0, utime/stime are fields 14/15 overall
+        // = indices 11/12 post-paren
+        val raw = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat"))
+        val sf0 = raw.substring(raw.lastIndexOf(')') + 1).trim.split("\\s+")
+        (busy, (sf0(11).toDouble + sf0(12).toDouble) / hz)
       } catch { case _: Throwable => (-1.0, -1.0) }
 
     // JVM/Spark warmup outside the timed region (JIT, codegen cache,
@@ -97,8 +102,14 @@ object Bench {
     val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     // two timed passes per query, report the min: a single contended
     // CPU burst on the host otherwise masquerades as a plan
-    // regression (the measurement floor is the plan, not the noise)
-    def run(name: String): (String, Double) = {
+    // regression (the measurement floor is the plan, not the noise).
+    // Each query's window also samples /proc/stat vs /proc/self/stat
+    // so the full map carries PER-QUERY external-core attribution —
+    // a 48 s streaming gate reading arrives pre-annotated with the
+    // load that produced it, no control-run cross-referencing needed.
+    def run(name: String): (String, Double, Double) = {
+      val c0 = cpuTotals()
+      val w0 = System.nanoTime()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -107,7 +118,13 @@ object Bench {
         finally graft.ops.CacheScope.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val wall = (System.nanoTime() - w0) / 1e9
+      val c1 = cpuTotals()
+      val extCores =
+        if (c0._1 < 0 || c1._1 < 0 || wall <= 0) -1.0
+        else math.max(0.0,
+          ((c1._1 - c0._1) - (c1._2 - c0._2)) / wall)
+      (name, times.min, extCores)
     }
     def probes(): (Double, Double, Double) =
       (calibrate(), calibrateSched(), loadAvg())
@@ -134,19 +151,31 @@ object Bench {
         s""""calib_sched":[${ms(pStart._2)},${ms(pMid._2)},${ms(pEnd._2)}],""" +
         s""""loadavg":[${ms(pStart._3)},${ms(pMid._3)},${ms(pEnd._3)}],""" +
         s""""ext_cpu_sec":${ms(extCpu)},"self_cpu_sec":${ms(selfCpu)}"""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    // per-query EXTERNAL core share (avg external busy cores during
+    // that query's two-pass window) — the full map's self-adjudication
+    // field: a spiked reading with ext≈0 is code, with ext≥1 it is the
+    // host (interpretation rule in BENCH_NOTES)
+    def ec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsExt = results.map { case (k, _, e) => "\"" + k + "\":" + ec(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",$calib,"queries":$qs,"queries_ext_cores":$qsExt,"sf":"$sfDir"}"""
     println(line)
     // the full per-query map lands as files, immune to any stdout
     // tail-capture limit: the fixed path for tooling compatibility AND
-    // a stamped path no later invocation can overwrite
+    // a stamped path (under bench/, so round artifacts don't accrete
+    // at the repo root — retention note in BENCH_NOTES) that no later
+    // invocation can overwrite
     val bytes = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"), bytes)
+    val benchDir = java.nio.file.Paths.get("bench")
+    java.nio.file.Files.createDirectories(benchDir)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"bench_full_$stamp.json"), bytes)
+      benchDir.resolve(s"bench_full_$stamp.json"), bytes)
     // the driver captures only the TAIL of stdout (~2000 chars) and
     // parses the last line: at 200+ queries the full line outgrows the
     // capture and the artifact records parsed:null. Print LAST a
@@ -155,11 +184,11 @@ object Bench {
     // pointer to the full map.
     val budget = 1800
     val slow = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$calib,"sf":"$sfDir","nqueries":${results.size},"queries_full":"bench_full_$stamp.json","queries":{"""
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$calib,"sf":"$sfDir","nqueries":${results.size},"queries_full":"bench/bench_full_$stamp.json","queries":{"""
     val tail0 = "}}"
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tail0.length
-    slow.foreach { case (k, v) =>
+    slow.foreach { case (k, v, _) =>
       val ent = "\"" + k + "\":" + ms(v)
       if (len + ent.length + 1 <= budget) { picked += ent; len += ent.length + 1 }
     }

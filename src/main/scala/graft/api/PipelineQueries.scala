@@ -1928,7 +1928,8 @@ object PipelineQueries {
         .orderBy("id"),
       Some({
         val mergeVals = Bpe.fixtureMerges.zipWithIndex
-          .map { case ((a, b), r) => s"('${a + b}', $r)" }.mkString(", ")
+          .map { case ((a, b), r) =>
+            s"('${(a + b).replace("'", "''")}', $r)" }.mkString(", ")
         "WITH chars AS (SELECT DISTINCT c AS token FROM (" +
           s"SELECT unnest(regexp_split_to_array($normSql, '')) AS c " +
           "FROM documents) WHERE c <> ' ' AND c <> ''), " +

@@ -150,9 +150,14 @@ object Bpe {
     val s = docs.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(merges.toVector)
+    // NULL text degrades to 0 tokens (coalesce) instead of a null Seq
+    // that would NPE inside mapPartitions and fail the whole job —
+    // matching the NULL-propagating pure-column gates' spirit of one
+    // bad row never killing a 100 TB pass
+    val txt = coalesce(col(text), lit(""))
     docs.select(col(id).cast("long"),
-        length(TextAnalysis.normalize(col(text))).cast("long"),
-        TextAnalysis.tokensWs(TextAnalysis.normalize(col(text))))
+        length(TextAnalysis.normalize(txt)).cast("long"),
+        TextAnalysis.tokensWs(TextAnalysis.normalize(txt)))
       .as[(Long, Long, Seq[String])]
       .mapPartitions { it =>
         val m = bc.value
@@ -253,9 +258,15 @@ object Bpe {
     // merge tokens are interpolated into SQL literals: escape quotes,
     // and refuse marker bytes outright (a merge containing \x01/\x02
     // would break the boundary-marked representation itself)
+    // ... and refuse spaces: a space is the INERT separator the
+    // per-word (Spark) / whole-text (oracle) equivalence depends on --
+    // a hand-built merge containing one would merge across word
+    // boundaries here while encodeWord never sees a space, a silent
+    // engine divergence (trained tables can't contain one: the
+    // trainer's pretokens are whitespace-split)
     require(merges.forall { case (a, b) =>
-      !s"$a$b".exists(c => c == '\u0001' || c == '\u0002') },
-      "merge tokens must not contain the \\x01/\\x02 boundary markers")
+      !s"$a$b".exists(c => c == '\u0001' || c == '\u0002' || c == ' ') },
+      "merge tokens must not contain spaces or the \\x01/\\x02 boundary markers")
     def tok(t: String) = s"chr(1)||'${t.replace("'", "''")}'||chr(2)"
     val seq0 = "array_to_string(list_transform(" +
       s"regexp_split_to_array($normExpr, ''), x -> chr(1)||x||chr(2)), '')"

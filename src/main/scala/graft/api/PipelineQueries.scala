@@ -1986,5 +1986,25 @@ object PipelineQueries {
         "AS BIGINT) AS tok_offset FROM t) " +
         "SELECT doc_id, n_tok, tok_offset, tok_offset // 256 AS pack_id " +
         "FROM o ORDER BY doc_id")),
+
+    Q("t29_bpe_bytes",
+      // BYTE-LEVEL BPE (GPT-2-style): t26's base alphabet is the
+      // corpus's code points, so unseen characters are OOV at encode
+      // time; here the base alphabet is the 256 UTF-8 byte values --
+      // EVERY string encodes, zero OOV by construction (BpeSpec
+      // round-trips non-BMP/mixed-script text to ids and back). The
+      // pinned byte merge table is trainBytes on the sf0.001 corpus
+      // (asserted equal by BpeSpec); application is the same
+      // broadcast-ranks mapPartitions pass, zero shuffles. The oracle
+      // replays the merges over the hex-pair byte sequence -- markers
+      // wrap printable hex, so unlike t26 no corpus precondition is
+      // needed at all.
+      (s, dir) => Bpe.tokenCountsBytes(t(s, dir, "documents"), "doc_id",
+          "text", Bpe.fixtureByteMerges)
+        .orderBy("doc_id"),
+      Some("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"CAST(octet_length(encode($normSql)) AS BIGINT) AS n_bytes_norm, " +
+        Bpe.oracleByteTokenCountSql(normSql, Bpe.fixtureByteMerges) +
+        " AS n_bpe FROM documents ORDER BY doc_id")),
   )
 }

@@ -46,6 +46,21 @@ object Bpe {
     ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
     ("s", "ort"))
 
+  /** The pinned BYTE-LEVEL merge table for gate t29: [[trainBytes]]
+    * over the sf0.001 documents corpus, 24 merges, minCount 2 —
+    * regenerated and asserted equal by BpeSpec. On this ASCII corpus
+    * it is exactly [[fixtureMerges]] in hex ("65","72" = "e","r"),
+    * which is itself a trainer cross-check; on non-ASCII corpora the
+    * two diverge (a code point is 1..4 byte symbols). */
+  val fixtureByteMerges: Vector[(String, String)] = Vector(
+    ("65", "72"), ("6F", "72"), ("69", "6E"), ("6F", "77"),
+    ("73", "74"), ("6C", "75"), ("61", "72"), ("70", "6172"),
+    ("6D", "6572"), ("61", "74"), ("61", "6E"), ("63", "616E"),
+    ("73", "63616E"), ("63", "6F"), ("636F", "6C75"),
+    ("636F6C75", "6D"), ("636F6C756D", "6E"), ("64", "6F77"),
+    ("696E", "646F77"), ("77", "696E646F77"), ("64", "6572"),
+    ("6F72", "646572"), ("6F72", "74"), ("73", "6F7274"))
+
   /** One training round's pair statistics need adjacent pairs; this
     * explodes (a, b) token pairs weighted by word frequency. */
   private def pairStats(vocab: DataFrame): DataFrame = {
@@ -81,14 +96,40 @@ object Bpe {
     * same way dupClusters does (the fold expression would otherwise
     * nest once per round). */
   def train(docs: DataFrame, text: String, numMerges: Int,
-            minCount: Long = 2): Vector[(String, String)] = {
-    var vocab = docs
-      .select(explode(TextAnalysis.tokensWs(
-        TextAnalysis.normalize(col(text)))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+            minCount: Long = 2): Vector[(String, String)] =
+    trainLoop(wordFreq(docs, text)
       .select(filter(split(col("w"), ""), x => x =!= "").as("toks"),
-        col("freq"))
-      .localCheckpoint(true)
+        col("freq")),
+      numMerges, minCount)
+
+  /** BYTE-LEVEL training (GPT-2-style, Radford et al. 2019): the base
+    * alphabet is the 256 byte values of the words' UTF-8 encodings —
+    * every string is encodable with ZERO out-of-vocabulary symbols,
+    * where code-point-level [[train]] leaves any character outside the
+    * training corpus unmapped. Byte tokens are represented as
+    * UPPERCASE HEX PAIRS ("61" = byte 0x61); a merge output is the
+    * concatenated hex of its byte run — printable, order-isomorphic to
+    * the byte string, and safely interpolatable into oracle SQL. Same
+    * O(vocab)-per-round word-frequency loop as [[train]]. */
+  def trainBytes(docs: DataFrame, text: String, numMerges: Int,
+                 minCount: Long = 2): Vector[(String, String)] =
+    trainLoop(wordFreq(docs, text)
+      // hex(encode(w)) is the word's UTF-8 bytes as hex; the \G
+      // lookbehind splits it into 2-char byte tokens
+      .select(filter(split(hex(encode(col("w"), "UTF-8")), "(?<=\\G..)"),
+        x => x =!= "").as("toks"), col("freq")),
+      numMerges, minCount)
+
+  /** Distinct whitespace pretokens with corpus frequencies — the
+    * Sennrich training table both trainers start from. */
+  private def wordFreq(docs: DataFrame, text: String): DataFrame = docs
+    .select(explode(TextAnalysis.tokensWs(
+      TextAnalysis.normalize(coalesce(col(text), lit(""))))).as("w"))
+    .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  private def trainLoop(vocab0: DataFrame, numMerges: Int,
+                        minCount: Long): Vector[(String, String)] = {
+    var vocab = vocab0.localCheckpoint(true)
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var done = false
@@ -119,9 +160,25 @@ object Bpe {
     * boundaries, so a per-char split would break surrogate pairs and
     * diverge on non-BMP text. */
   def encodeWord(word: String,
-                 merges: Seq[(String, String)]): Array[String] = {
-    var toks: Array[String] = word.codePoints().toArray
-      .map(cp => new String(Character.toChars(cp)))
+                 merges: Seq[(String, String)]): Array[String] =
+    sweep(word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))), merges)
+
+  /** Byte-level [[encodeWord]]: base tokens are the word's UTF-8
+    * bytes as uppercase hex pairs — the executor-side mirror of
+    * [[trainBytes]]'s `hex(encode(w))` pretokenization (Spark's `hex`
+    * emits uppercase). Total on every input: no OOV exists at the
+    * byte level. */
+  def encodeWordBytes(word: String,
+                      merges: Seq[(String, String)]): Array[String] =
+    sweep(word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X"), merges)
+
+  /** Rank-order merge sweeps over an initial token array (shared by
+    * the code-point and byte encoders). */
+  private def sweep(toks0: Array[String],
+                    merges: Seq[(String, String)]): Array[String] = {
+    var toks = toks0
     merges.foreach { case (a, b) =>
       if (toks.length >= 2) {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -169,6 +226,68 @@ object Bpe {
       }
       .toDF(id, "n_chars_norm", "n_bpe")
   }
+
+  /** Byte-level [[tokenCounts]]: `(id, n_bytes_norm, n_bpe)` per doc —
+    * `n_bpe` counts byte-level subword tokens per word plus the single
+    * inter-word space bytes ("20" is an inert singleton: trained
+    * merges come from whitespace-split pretokens, so no merge side
+    * ever is or contains the space byte — the same invariant that
+    * makes per-word application equal whole-text replay for the
+    * oracle). Broadcast ranks + one mapPartitions pass, zero
+    * shuffles. */
+  def tokenCountsBytes(docs: DataFrame, id: String, text: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(merges.toVector)
+    val txt = coalesce(col(text), lit(""))
+    docs.select(col(id).cast("long"),
+        octet_length(TextAnalysis.normalize(txt)).cast("long"),
+        TextAnalysis.tokensWs(TextAnalysis.normalize(txt)))
+      .as[(Long, Long, Seq[String])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (docId, nBytes, words) =>
+          val sub = words.iterator
+            .map(w => encodeWordBytes(w, m).length.toLong).sum
+          val spaces = math.max(0, words.size - 1).toLong
+          (docId, nBytes, sub + spaces)
+        }
+      }
+      .toDF(id, "n_bytes_norm", "n_bpe")
+  }
+
+  /** Byte-level vocabulary: the FULL 256-byte base alphabet (id =
+    * byte value — no corpus dependence, so the table is closed under
+    * ANY input string), merge outputs at `256 + rank`. This is what
+    * makes byte-level encoding OOV-free by construction. */
+  def vocabBytes(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val base = (0 until 256).map(b => (f"$b%02X", b.toLong))
+    val mergeIds = merges.zipWithIndex
+      .map { case ((a, b), r) => (a + b, 256L + r) }
+    (base ++ mergeIds).toDF("token", "id")
+  }
+
+  /** Encode one word to byte-level vocabulary ids — TOTAL: a token is
+    * either a single hex pair (id = its byte value) or the output of
+    * an applied merge (id = 256 + rank), so every string encodes with
+    * zero OOV, the property [[encodeIds]] cannot give. `mergeIds` is
+    * the (a+b → 256+rank) map; ranks earlier in the table win for
+    * textually-aliased outputs, matching [[vocabBytes]] order. */
+  def encodeIdsBytes(word: String, merges: Seq[(String, String)],
+                     mergeIds: Map[String, Long]): Array[Long] =
+    encodeWordBytes(word, merges).map { t =>
+      if (t.length == 2) java.lang.Long.parseLong(t, 16)
+      else mergeIds(t)
+    }
+
+  /** Precomputed merge-output → id map for [[encodeIdsBytes]] (first
+    * rank wins on textual aliases, as in [[vocabBytes]]). */
+  def byteMergeIds(merges: Seq[(String, String)]): Map[String, Long] =
+    merges.zipWithIndex.reverseIterator
+      .map { case ((a, b), r) => (a + b, 256L + r) }.toMap
 
   /** VOCABULARY induced by a merge table over a corpus — the
     * `(token, id)` table a training pipeline feeds its embedding
@@ -278,5 +397,35 @@ object Bpe {
     s"CAST(CASE WHEN $normExpr = '' THEN 0 ELSE " +
       s"length($replayed) - length(replace($replayed, chr(1), '')) " +
       "END AS BIGINT)"
+  }
+
+  /** The DuckDB replay of [[tokenCountsBytes]] — gate t29's oracle.
+    * Same boundary-marked replace-chain scheme as
+    * [[oracleTokenCountSql]], but the base sequence is the normalized
+    * text's UTF-8 bytes as hex pairs (`hex(encode(...))` — uppercase
+    * in both engines), so the oracle needs NO marker-byte precondition
+    * on the corpus at all: markers wrap printable hex, never raw
+    * text. */
+  def oracleByteTokenCountSql(normExpr: String,
+                              merges: Seq[(String, String)]): String = {
+    // merge tokens must be well-formed hex byte runs that exclude the
+    // space byte "20" (the inert separator the per-word/whole-text
+    // equivalence depends on — trainBytes can never emit it because
+    // its pretokens are whitespace-split)
+    require(merges.forall { case (a, b) => Seq(a, b).forall { t =>
+      t.nonEmpty && t.length % 2 == 0 &&
+        t.forall(c => c.isDigit || (c >= 'A' && c <= 'F')) &&
+        !t.grouped(2).contains("20") } },
+      "byte-level merge tokens must be uppercase hex byte runs without the space byte 20")
+    def tok(t: String) = s"chr(1)||'$t'||chr(2)"
+    val seq0 = s"array_to_string(list_transform(" +
+      s"range(1, length(hex(encode($normExpr))) // 2 + 1), " +
+      s"i -> chr(1)||substring(hex(encode($normExpr)), " +
+      "CAST(2*i-1 AS INT), 2)||chr(2)), '')"
+    val replayed = merges.foldLeft(seq0) { case (acc, (a, b)) =>
+      s"replace($acc, ${tok(a)}||${tok(b)}, ${tok(a + b)})"
+    }
+    s"CAST(length($replayed) - length(replace($replayed, chr(1), '')) " +
+      "AS BIGINT)"
   }
 }

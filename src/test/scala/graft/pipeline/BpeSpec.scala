@@ -96,4 +96,73 @@ class BpeSpec extends SparkSpec {
     val w = got.find(_._1 == 1L).get
     assert(w._3 < w._2, s"BPE must compress doc 1: $w")
   }
+
+  test("byte fixture IS trainBytes' output on the sf0.001 corpus — and the hex mirror of the char fixture") {
+    val docs = graft.catalog.Tables.load(spark, sf, "documents")
+    val trained = Bpe.trainBytes(docs, "text", numMerges = 24)
+    assert(trained == Bpe.fixtureByteMerges,
+      s"trained=$trained\nfixture=${Bpe.fixtureByteMerges}")
+    // the corpus is ASCII, so byte-level training must reproduce the
+    // code-point fixture byte-for-byte (each char = one UTF-8 byte) —
+    // a cross-check of BOTH trainers against each other
+    def hexOf(s: String) = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    assert(Bpe.fixtureByteMerges ==
+      Bpe.fixtureMerges.map { case (a, b) => (hexOf(a), hexOf(b)) })
+  }
+
+  test("encodeIdsBytes: ZERO OOV on non-BMP and mixed-script text; ids round-trip to the original bytes") {
+    val m = Bpe.fixtureByteMerges
+    val mergeIds = Bpe.byteMergeIds(m)
+    val idToHex: Map[Long, String] =
+      (0 until 256).map(b => (b.toLong, f"$b%02X")).toMap ++
+        m.zipWithIndex.map { case ((a, b), r) => (256L + r, a + b) }
+    // mixed scripts, combining marks, an astral-plane emoji, CJK —
+    // none of it is in the training corpus; code-point encodeIds
+    // would return -1 for every unseen character, byte-level never can
+    val words = Seq("héllo", "日本語", "🌍🚀", "cafés", "Ω≈ç√",
+      "áb", "window", "sort", "x")
+    words.foreach { w =>
+      val ids = Bpe.encodeIdsBytes(w, m, mergeIds)
+      assert(ids.forall(_ >= 0L), s"OOV id in byte-level encode of '$w'")
+      // ids decode back to the exact UTF-8 bytes of the word
+      val hex = ids.map(idToHex).mkString
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == w, s"round-trip broke on '$w'")
+    }
+    // trained merges still fire at the byte level on corpus words
+    assert(Bpe.encodeWordBytes("window", m).toSeq ==
+      Seq("77696E646F77")) // one merged token = hex("window")
+  }
+
+  test("vocabBytes: full 256-byte base (id = byte value), merges at 256 + rank") {
+    val m = Vector(("61", "62"))
+    val v = Bpe.vocabBytes(spark, m).as[(String, Long)].collect().toMap
+    assert(v.size == 257)
+    assert(v("00") == 0L && v("61") == 0x61L && v("FF") == 0xffL)
+    assert(v("6162") == 256L)
+  }
+
+  test("tokenCountsBytes: per-word byte subwords + inter-word space bytes; NULL text degrades to 0") {
+    val docs = Seq((1L, "the window sort"), (2L, "日本 🌍"),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenCountsBytes(docs, "doc_id", "text",
+        Bpe.fixtureByteMerges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    def exp(text: String): (Long, Long) = {
+      val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+      val words = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+      val n = words.map(w =>
+        Bpe.encodeWordBytes(w, Bpe.fixtureByteMerges).length).sum +
+        math.max(0, words.length - 1)
+      (norm.getBytes("UTF-8").length.toLong, n.toLong)
+    }
+    assert(got == Seq(
+      (1L, exp("the window sort")._1, exp("the window sort")._2),
+      (2L, exp("日本 🌍")._1, exp("日本 🌍")._2),
+      (3L, 0L, 0L)))
+    // no fixture merge applies to the non-ASCII doc → token count =
+    // byte count of the words (6 + 4 bytes) + 1 space
+    assert(got(1)._3 == 11L)
+  }
 }

@@ -189,8 +189,15 @@ class IvfIndex private (val cells: DataFrame,
     * Drift contract: centroids stop being the corpus's k-means
     * optimum as appends skew the distribution — recall at partial
     * probe degrades gradually (full probe stays exact regardless,
-    * the e13 oracle). Periodically [[IvfIndex.build]] a fresh index
-    * and [[save]] over the same path (readers flip atomically). */
+    * the e13 oracle). REBUILD TRIGGER: measure [[driftRatio]] on the
+    * batch BEFORE appending — at ≥ [[IvfIndex.RebuildDriftRatio]]
+    * (1.5: the batch's mean quantization error is 1.5× the index's
+    * own, i.e. the batch sits off the trained manifold) schedule
+    * [[IvfIndex.build]] + [[save]] over the same path instead of
+    * letting skewed mass accrete; readers flip atomically.
+    * AnnRecallSpec's append-drift case pins both sides of the
+    * threshold (in-distribution batches ≈ 1, an off-manifold cluster
+    * well above 1.5) and the recall floors that hold meanwhile. */
   def append(batch: DataFrame, vec: String): IvfIndex = {
     val b = Kernels.ensureParallelism(
       batch.select(col(id), Similarity.vecD(col(vec)).as("cv")))
@@ -201,11 +208,40 @@ class IvfIndex private (val cells: DataFrame,
       centroids, id, System.currentTimeMillis())
   }
 
+  /** DRIFT METRIC for the [[append]] path: the batch's mean squared
+    * assignment distance to the FROZEN centroids (computed in the
+    * same L2-normalized space assignment and probing use) over the
+    * index's own current mean. An in-distribution batch reads ≈ 1 —
+    * its vectors quantize as well as the corpus the centroids were
+    * trained on; a batch off the trained manifold reads well above 1
+    * (no centroid is near it, so partial-probe recall for its
+    * neighborhood rests on a single distant cell). Compare against
+    * [[IvfIndex.RebuildDriftRatio]] before appending.
+    *
+    * Cost: one codegen pass over the batch (O(batch)) plus one over
+    * the inverted lists (O(index)) — the index-side mean is a
+    * maintenance statistic; cache it between batches if appends are
+    * frequent. No joins, no shuffles beyond the two averages. */
+  def driftRatio(batch: DataFrame, vec: String): Double = {
+    def meanD2(df: DataFrame): Double =
+      df.select(avg(IvfIndex.nearestD2(
+          graft.functions.VectorExprs.l2_normalize(col("cv")), centroidLit)))
+        .collect()(0).getDouble(0)
+    val b = Kernels.ensureParallelism(
+      batch.select(Similarity.vecD(col(vec)).as("cv")))
+    meanD2(b) / math.max(meanD2(cells.select(col("cv"))), 1e-12)
+  }
+
   /** Release the cached cells frame (queries recompute afterwards). */
   def close(): Unit = cells.unpersist(blocking = false)
 }
 
 object IvfIndex {
+
+  /** [[IvfIndex.driftRatio]] threshold above which an appended batch
+    * should trigger a rebuild instead of accreting onto frozen
+    * centroids (see the drift contract on [[IvfIndex.append]]). */
+  val RebuildDriftRatio = 1.5
 
   /** Load a [[save]]d index: centroids re-collected from the tiny
     * parquet (driver memory O(nCells · dims)), inverted lists read
@@ -370,6 +406,17 @@ object IvfIndex {
   /** Nearest centroid (assignment): argmin of [[centroidScores]]. */
   private[pipeline] def nearestCellEuclid(v: Column, centroids: Column): Column =
     element_at(array_sort(centroidScores(v, centroids)), 1).getField("cell")
+
+  /** FULL squared distance to the nearest centroid: [[centroidScores]]
+    * drops the per-row ‖v‖² (it can't change the ranking); adding it
+    * back gives the true d² = ‖v‖² + ‖c‖² − 2·v·c — the quantization
+    * error the drift metric ([[IvfIndex.driftRatio]]) averages. */
+  private[pipeline] def nearestD2(v: Column, centroids: Column): Column = {
+    val dot = graft.functions.VectorExprs.dot_product _
+    greatest(lit(0.0),
+      element_at(array_sort(centroidScores(v, centroids)), 1).getField("d2") +
+        dot(v, v))
+  }
 
   /** Indices (cells) of the `nProbe` nearest centroids, ranked by the
     * SAME metric (and the same codegen expression) as assignment —

@@ -232,6 +232,60 @@ class AnnRecallSpec extends SparkSpec {
     assert(run(8, 120) >= r8c40 - 1e-9)
   }
 
+  test("append drift: full probe stays exact, partial probe holds a floor, driftRatio crosses the rebuild threshold") {
+    // the gap the e13 gate's exact contract can't see: append a batch
+    // OFF the trained manifold (a new cluster at −(e0+e1)/√2 — far
+    // from every trained axis centroid) and pin (a) the exactness
+    // contract survives the append at FULL probe, for old queries and
+    // for a query inside the new cluster; (b) partial probe still
+    // holds a floor — appended vectors assign via the same expression
+    // probing uses, so the new cluster concentrates in one reachable
+    // cell; (c) the drift metric SEPARATES: an in-distribution batch
+    // reads ≈ 1, the shifted batch far above RebuildDriftRatio — the
+    // documented rebuild trigger (IvfIndex.append Scaladoc) fires on
+    // exactly the batch that erodes partial-probe recall.
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding",
+      nCells = nClusters, maxTrainRows = 2000)
+    val rnd = new scala.util.Random(20260816L)
+    val inv = math.sqrt(2.0).toFloat
+    val shifted = (0 until perCluster).map { j =>
+      val v = Array.tabulate(dims)(d =>
+        (if (d <= 1) -1.0f / inv else 0.0f) +
+          (rnd.nextGaussian() * 0.12).toFloat)
+      (100000L + j, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val inDist = (0 until perCluster).map { j =>
+      val c = j % nClusters
+      val v = Array.tabulate(dims)(d =>
+        (if (d == c) 1.0f else 0.0f) + (rnd.nextGaussian() * 0.12).toFloat)
+      (200000L + j, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rIn = idx.driftRatio(inDist, "embedding")
+    val rShift = idx.driftRatio(shifted, "embedding")
+    info(f"driftRatio: inDist=$rIn%.3f shifted=$rShift%.3f")
+    assert(rIn < IvfIndex.RebuildDriftRatio,
+      s"in-distribution batch must not trip the rebuild trigger: $rIn")
+    assert(rShift >= IvfIndex.RebuildDriftRatio,
+      s"off-manifold batch must trip the rebuild trigger: $rShift")
+
+    val idx2 = idx.append(shifted, "embedding")
+    val all = corpus.unionByName(shifted)
+    val q2 = queries.unionByName(shifted.filter($"vec_id" === 100000L))
+    val truth2 = pairs(Similarity.bruteForceTopK(
+      all, q2, "vec_id", "embedding", k))
+    val rFull = recallVs(
+      idx2.topK(q2, "embedding", k, nProbe = nClusters), truth2)
+    assert(rFull == 1.0,
+      s"full probe must stay exact after the append, got $rFull")
+    val r2 = recallVs(idx2.topK(q2, "embedding", k, nProbe = 2), truth2)
+    info(f"post-append recall@10 at nProbe=2: $r2%.3f")
+    // measured 0.988 (old queries hold their curve; the new cluster's
+    // query finds its whole neighborhood in its one assigned cell) —
+    // floor = measured minus real slack
+    assert(r2 >= 0.85, s"post-append recall@10 at nProbe=2/16 was $r2")
+    idx2.close(); idx.close()
+  }
+
   test("SQ8 recall@10 at reduced candidates") {
     val r16 = recall(Sq.topK(corpus, queries, "vec_id", "embedding",
       k = k, nCandidates = 16))

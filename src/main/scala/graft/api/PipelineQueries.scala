@@ -39,6 +39,13 @@ object PipelineQueries {
     System.getProperty("java.io.tmpdir") + "/graft_termidx_" +
       s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
 
+  /** Session-scoped location of the POSITIONAL index (t30) — kept
+    * separate from [[termIndexRoot]] so t13/t16's position-free
+    * postings stay lean (positions are opt-in storage weight). */
+  private def posIndexRoot(s: SparkSession, dir: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft_posidx_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(dir.hashCode)
+
   /** Query-term postings through the STORED bucketed index
     * ([[TextAnalysis.saveTermIndex]]), building the index on first
     * use — the deploy shape: index once, partition-pruned probes per
@@ -2006,5 +2013,52 @@ object PipelineQueries {
         s"CAST(octet_length(encode($normSql)) AS BIGINT) AS n_bytes_norm, " +
         Bpe.oracleByteTokenCountSql(normSql, Bpe.fixtureByteMerges) +
         " AS n_bpe FROM documents ORDER BY doc_id")),
+
+    Q("t30_phrase_search",
+      // EXACT-PHRASE search over the POSITIONAL term index -- the
+      // capability t13/t16's position-free postings cannot express
+      // (the reference's ILIKE page, users.js:51, is the degenerate
+      // 1-term case). The index is persisted bucketed by term with
+      // per-posting position arrays (saveTermIndex withPositions);
+      // a phrase query reads <= |distinct terms| bucket directories
+      // (partition pruning, PlanQualitySpec pin) and intersects
+      // position-shifted posting lists relationally -- input ∝ the
+      // phrase terms' occurrence lists, never the corpus. Two
+      // phrases pin both code paths: distinct-term adjacency
+      // ("merge sort") and a REPEATED word ("window window" --
+      // ordinals make the intersection require two distinct shifted
+      // hits, not one posting counted twice); overlapping matches
+      // each count. Top-20 docs per phrase by occurrence count.
+      (s, dir) => {
+        val root = posIndexRoot(s, dir)
+        if (!TextAnalysis.termIndexExists(s, root))
+          TextAnalysis.saveTermIndex(t(s, dir, "documents"), "doc_id",
+            "text", root, nBuckets = 64, withPositions = true)
+        def one(phrase: Seq[String]) =
+          TextAnalysis.searchPhrase(
+              TextAnalysis.loadTermPostings(s, root, phrase.distinct),
+              "doc_id", phrase, k = 20)
+            .withColumn("phrase", lit(phrase.mkString(" ")))
+        one(Seq("merge", "sort")).unionByName(one(Seq("window", "window")))
+          .select(col("phrase"), col("doc_id"), col("n_matches"))
+          .orderBy(col("phrase"), col("n_matches").desc, col("doc_id"))
+      },
+      Some("WITH toks AS (SELECT doc_id, " +
+        s"regexp_split_to_array($normSql, '\\s+') AS t FROM documents), " +
+        "idx AS (SELECT doc_id, t, " +
+        "unnest(generate_series(1, len(t) - 1)) AS s FROM toks), " +
+        "h1 AS (SELECT doc_id, count(*) AS n_matches FROM idx " +
+        "WHERE t[s] = 'merge' AND t[s+1] = 'sort' GROUP BY 1), " +
+        "r1 AS (SELECT doc_id, n_matches, row_number() OVER " +
+        "(ORDER BY n_matches DESC, doc_id) AS rk FROM h1), " +
+        "h2 AS (SELECT doc_id, count(*) AS n_matches FROM idx " +
+        "WHERE t[s] = 'window' AND t[s+1] = 'window' GROUP BY 1), " +
+        "r2 AS (SELECT doc_id, n_matches, row_number() OVER " +
+        "(ORDER BY n_matches DESC, doc_id) AS rk FROM h2) " +
+        "SELECT phrase, doc_id, n_matches FROM (" +
+        "SELECT 'merge sort' AS phrase, doc_id, n_matches FROM r1 " +
+        "WHERE rk <= 20 UNION ALL " +
+        "SELECT 'window window' AS phrase, doc_id, n_matches FROM r2 " +
+        "WHERE rk <= 20) ORDER BY phrase, n_matches DESC, doc_id")),
   )
 }

@@ -113,6 +113,21 @@ object TextAnalysis {
       .groupBy(col("term"), col(id))
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL inverted index: [[termIndex]] plus the sorted 0-based
+    * token offsets of each term in its doc — the posting shape phrase
+    * queries need ([[searchPhrase]]); Lucene's positions option, as a
+    * DataFrame. Same build shape as [[termIndex]] (one tokenize pass,
+    * one groupBy on (term, doc)); postings grow by one int per
+    * occurrence, which is why positions are OPT-IN on the stored
+    * index ([[saveTermIndex]]'s `withPositions`) rather than always
+    * paid. */
+  def termIndexPositional(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+        posexplode(tokensWs(normalize(col(text)))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(id))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
   /** Conjunctive (all-terms) search over a term index: docs containing
     * EVERY query term, ranked by total term frequency (sum tf desc, id
     * asc). The classic posting-intersection: filter the index to the
@@ -188,6 +203,53 @@ object TextAnalysis {
       .drop("__k", "__sum")
   }
 
+  /** EXACT-PHRASE search over a POSITIONAL index
+    * ([[termIndexPositional]] / [[saveTermIndex]] with
+    * `withPositions = true`): docs containing the words of `phrase`
+    * consecutively, ranked by occurrence count (n_matches desc, id
+    * asc, top k). The scale generalization of the degenerate 1-term
+    * ILIKE page (reference `users.js:51`, gate p5) to multi-word
+    * exact phrases — the corpus-forensics query next to d9's span
+    * detection.
+    *
+    * Position-adjacency intersection, fully relational: ordinal i of
+    * the phrase joins its term's postings (the ordinal table is a
+    * |phrase|-row broadcast), every occurrence position p contributes
+    * candidate start p − i, and a start position held by ALL
+    * |phrase| ordinals is a match (`countDistinct(ord)` — repeated
+    * words carry distinct ordinals, so "window window" needs two
+    * DISTINCT shifted hits, not one posting counted twice).
+    * Overlapping occurrences each count (every valid start is its
+    * own row).
+    *
+    * Scale shape: postings are pre-filtered to the phrase's terms —
+    * through [[loadTermPostings]] that is ≤ |distinct terms| bucket
+    * directories (partition pruning, PlanQualitySpec pin) — so the
+    * intersection's input ∝ the phrase terms' position lists, never
+    * the corpus; the heavy op is one hash aggregate on
+    * (doc, start). */
+  def searchPhrase(index: DataFrame, id: String,
+                   phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val words = phrase.map(_.toLowerCase)
+    val ords = words.zipWithIndex.toDF("term", "__ord")
+    val starts = index.join(broadcast(ords), "term")
+      .select(col(id), col("__ord"), explode(col("positions")).as("__pos"))
+      .withColumn("__start", col("__pos") - col("__ord"))
+      .filter(col("__start") >= 0)
+    val matches = starts.groupBy(col(id), col("__start"))
+      .agg(countDistinct(col("__ord")).as("__n"))
+      .filter(col("__n") === words.length)
+    graft.ops.Kernels.topKPerKeyAgg(
+      matches.groupBy(col(id))
+        .agg(count(lit(1)).as("n_matches"))
+        .withColumn("__k", lit(1)),
+      Seq("__k"), Seq(col("n_matches"), -col(id)), k)
+      .drop("__k")
+  }
+
   /** Persist a [[termIndex]] (plus the [[docLengths]] BM25 needs)
     * BUCKETED BY TERM, under an [[IndexIo]] `_latest` snapshot:
     *
@@ -207,18 +269,22 @@ object TextAnalysis {
     *
     * SINGLE WRITER, many readers — the IndexIo contract. */
   def saveTermIndex(docs: DataFrame, id: String, text: String,
-                    root: String, nBuckets: Int = 64): Unit = {
+                    root: String, nBuckets: Int = 64,
+                    withPositions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val snap = IndexIo.newSnap()
     val dir = s"$root/$snap"
-    termIndex(docs, id, text)
+    val idx = if (withPositions) termIndexPositional(docs, id, text)
+              else termIndex(docs, id, text)
+    idx
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term"), col(id))
       .write.partitionBy("term_bucket").parquet(s"$dir/postings")
     docLengths(docs, id, text).write.parquet(s"$dir/doclen")
     IndexIo.writeMeta(spark, dir,
-      Seq("kind" -> "terms", "nBuckets" -> nBuckets.toString, "id" -> id))
+      Seq("kind" -> "terms", "nBuckets" -> nBuckets.toString, "id" -> id,
+        "positions" -> withPositions.toString))
     IndexIo.flip(spark, root, snap)
   }
 
@@ -255,9 +321,14 @@ object TextAnalysis {
     require(meta("id") == id,
       s"appendTermIndex: index id column is ${meta("id")}, got $id")
     val n = meta("nBuckets").toInt
+    // the batch link must match the chain's posting schema — a
+    // positional index stays positional across appends
+    val withPos = meta.get("positions").contains("true")
     val snap = IndexIo.newSnap()
     val dir = s"$root/$snap"
-    termIndex(docs, id, text)
+    val idx = if (withPos) termIndexPositional(docs, id, text)
+              else termIndex(docs, id, text)
+    idx
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(n)))
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term"), col(id))
@@ -265,7 +336,7 @@ object TextAnalysis {
     docLengths(docs, id, text).write.parquet(s"$dir/doclen")
     IndexIo.writeMeta(spark, dir,
       Seq("kind" -> "terms", "nBuckets" -> n.toString, "id" -> id,
-        "prev" -> prev))
+        "positions" -> withPos.toString, "prev" -> prev))
     IndexIo.flip(spark, root, snap)
   }
 
@@ -307,7 +378,8 @@ object TextAnalysis {
       .reduce(_ unionByName _)
       .write.parquet(s"$dir/doclen")
     IndexIo.writeMeta(spark, dir,
-      Seq("kind" -> "terms", "nBuckets" -> n.toString, "id" -> id))
+      Seq("kind" -> "terms", "nBuckets" -> n.toString, "id" -> id,
+        "positions" -> meta.getOrElse("positions", "false")))
     IndexIo.flip(spark, root, snap)
     links.size
   }

@@ -245,6 +245,56 @@ class PlanQualitySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("positional index: a phrase query scans at most its distinct terms' bucket directories") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pidx").toString + "/idx"
+    // "alpha beta" occurs in every 3rd doc (once), "beta beta" never;
+    // overlap case: doc 0 holds "beta beta beta" = 2 overlapping starts
+    val docs = ((1 to 400).map(i =>
+      (i.toLong, s"word$i alpha ${if (i % 3 == 0) "beta" else "gamma"} tail$i")) :+
+      (0L, "beta beta beta")).toDF("doc_id", "text")
+    graft.pipeline.TextAnalysis.saveTermIndex(docs, "doc_id", "text",
+      root, nBuckets = 16, withPositions = true)
+    val postings = graft.pipeline.TextAnalysis.loadTermPostings(spark, root,
+      Seq("alpha", "beta"))
+    val res = graft.pipeline.TextAnalysis.searchPhrase(
+      postings, "doc_id", Seq("alpha", "beta"), k = 500)
+    val got = res.select("doc_id", "n_matches").as[(Long, Long)].collect().toSet
+    val exp = (1 to 400).filter(_ % 3 == 0).map(i => (i.toLong, 1L)).toSet
+    assert(got == exp)
+    // repeated-word phrase: ordinals demand two DISTINCT shifted hits,
+    // and both overlapping starts in "beta beta beta" count
+    val rep = graft.pipeline.TextAnalysis.searchPhrase(
+      graft.pipeline.TextAnalysis.loadTermPostings(spark, root, Seq("beta")),
+      "doc_id", Seq("beta", "beta"), k = 500)
+      .select("doc_id", "n_matches").as[(Long, Long)].collect().toSet
+    assert(rep == Set((0L, 2L)), rep)
+    // the bucket cut happens at PLAN time: <=2 directories listed
+    postings.collect()
+    val exec = postings.queryExecution.executedPlan
+    assert(exec.toString.contains("PartitionFilters") &&
+      exec.toString.contains("term_bucket"))
+    val scan = exec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val nPart = scan.selectedPartitions.partitionCount
+    assert(nPart >= 1 && nPart <= 2, s"expected <=2 pruned buckets, got $nPart")
+    // append inherits the positional posting schema (meta flag), and
+    // compact carries it — phrase search sees old + new docs alike
+    graft.pipeline.TextAnalysis.appendTermIndex(
+      Seq((500L, "alpha beta alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", root)
+    def phrase() = graft.pipeline.TextAnalysis.searchPhrase(
+      graft.pipeline.TextAnalysis.loadTermPostings(spark, root,
+        Seq("alpha", "beta")), "doc_id", Seq("alpha", "beta"), k = 500)
+      .select("doc_id", "n_matches").as[(Long, Long)].collect().toSet
+    val expApp = exp + ((500L, 2L))
+    assert(phrase() == expApp)
+    assert(graft.pipeline.TextAnalysis.compactTermIndex(spark, root) == 2)
+    assert(phrase() == expApp)
+  }
+
   test("appended term index: every chain link prunes to the query buckets; compact folds to one link") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -390,7 +390,17 @@ case class ResultCacheRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * run materializes the full aggregate result — acceptable because
     * the size guard's negative entry caps that waste at ONE occurrence
     * per key, and a group-by that is genuinely per-row gets unmasked
-    * by the aggregate-elimination sibling before this rule fires. */
+    * by the aggregate-elimination sibling before this rule fires.
+    *
+    * DECIDED (r19, after the r18 carry-over nit): the alternative —
+    * materializing the LIMITED form when the limit is small — was
+    * declined. A limited entry is only correct for its exact
+    * (sort, limit) pair, so every ordering/limit variant of the same
+    * dashboard aggregate would key (and pay for) its own entry, and
+    * the un-limited probe that follows could never be served; the
+    * shared un-limited entry serves ALL of them after one bounded
+    * materialization. ResultCacheSpec pins the payoff: asc/desc/
+    * different-limit/un-limited variants — one miss, one entry. */
   private def strip(p: LogicalPlan): (LogicalPlan, LogicalPlan => LogicalPlan) =
     p match {
       case s: Sort =>

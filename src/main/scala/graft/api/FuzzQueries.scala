@@ -1,0 +1,21 @@
+package graft.api
+
+import graft.fuzz.QueryFuzzer
+
+/** The randomized-differential gate (verdict-r18 task 5): the
+  * [[QueryFuzzer]] corpus — 120 seeded random filter/join/agg/distinct
+  * compositions over the harness tables — each reduced to one
+  * (q, n_rows, chk) digest row and unioned into a single result. The
+  * driver replays [[QueryFuzzer.digestAllSql]] in DuckDB, so every
+  * round hash-compares all 120 random queries cross-engine; FuzzSpec
+  * separately replays each query's SQL through `spark.sql` and
+  * row-compares it against the DataFrame rendering (dual-frontend
+  * check). A digest mismatch minimizes to its query index
+  * (`QueryFuzzer.query(i)`), which then gets promoted to a named
+  * gate. */
+object FuzzQueries {
+  val entries: Seq[Q] = Seq(
+    Q("c17_fuzz_differential",
+      (s, dir) => QueryFuzzer.digestAll(s, dir),
+      Some(QueryFuzzer.digestAllSql)))
+}

@@ -54,7 +54,7 @@ object QueryCatalog {
   lazy val entries: Seq[Q] =
     core ++ DomainQueries.entries ++ PipelineQueries.entries ++
       StreamingQueries.entries ++ AnalyticsQueries.entries ++
-      MvQueries.entries
+      MvQueries.entries ++ FuzzQueries.entries
 
   private val core: Seq[Q] = Seq(
 

@@ -1,0 +1,372 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+import graft.ops.ConfScope
+
+/** Seeded random-query generator for DIFFERENTIAL testing — the
+  * verdict-r18 fuzzing harness. The 246 named gates pin known query
+  * shapes; the composition space (filter × join × agg × distinct over
+  * the harness tables) is where the next wrong answer hides. Each
+  * generated query is rendered TWICE from one in-memory description:
+  *
+  *   - as a DataFrame/Column plan (the engine under test), and
+  *   - as one ANSI SQL string that parses in BOTH Spark SQL and
+  *     DuckDB (the `c17_fuzz_differential` gate replays it in DuckDB;
+  *     FuzzSpec replays it through `spark.sql` — so one corpus feeds
+  *     an in-test dual-frontend check AND a cross-engine driver
+  *     check).
+  *
+  * Determinism: the corpus is a pure function of (MasterSeed, i) —
+  * the committed seed corpus IS this file. Any failure minimizes to
+  * its index and gets promoted to a named gate.
+  *
+  * Dialect envelope (kept deliberately ANSI-common): inner joins ON
+  * equi-keys, AND/OR predicates over =, <>, <, <=, >, >=, integer %,
+  * LIKE 'prefix%', GROUP BY, DISTINCT, count(*)/sum/min/max,
+  * CAST(x AS BIGINT), integer +, -, *. DOUBLE and TIMESTAMP
+  * columns are excluded BY DESIGN: cross-engine float accumulation
+  * and timestamp binning differences are handled by the named gates'
+  * rounding conventions (QueryCatalog header), not worth re-litigating
+  * per random query. Inner sums are written `CAST(sum(..) AS BIGINT)`
+  * because DuckDB widens BIGINT sums to HUGEINT; `%` keeps every
+  * partial bounded so the cast is lossless. Both engines define `%`
+  * as remainder with the dividend's sign, so negative arithmetic
+  * projections digest identically. */
+object QueryFuzzer {
+
+  val MasterSeed = 20260816L
+  val NumQueries = 120
+
+  sealed trait Kind
+  case object IntK extends Kind
+  case object StrK extends Kind
+
+  /** Column metadata: int range (predicate constants are drawn inside
+    * the sf0.01 range — at other SFs only selectivity shifts) or a
+    * string value pool for equality/LIKE predicates. */
+  final case class FCol(name: String, kind: Kind,
+                        lo: Long = 0L, hi: Long = 0L,
+                        vals: Seq[String] = Nil) {
+    def lowCard: Boolean =
+      (kind == IntK && hi - lo <= 30) || (kind == StrK && vals.nonEmpty)
+  }
+
+  final case class FTable(name: String, cols: Seq[FCol])
+
+  val nation = FTable("nation", Seq(
+    FCol("n_nationkey", IntK, 0, 24),
+    FCol("n_regionkey", IntK, 0, 4),
+    FCol("n_name", StrK, vals = Seq("NATION_3", "NATION_12", "NATION_20"))))
+  val customer = FTable("customer", Seq(
+    FCol("c_custkey", IntK, 0, 1499),
+    FCol("c_nationkey", IntK, 0, 24),
+    FCol("c_mktsegment", StrK,
+      vals = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")),
+    FCol("c_name", StrK)))
+  val orders = FTable("orders", Seq(
+    FCol("o_orderkey", IntK, 0, 14999),
+    FCol("o_custkey", IntK, 0, 1499),
+    FCol("o_orderstatus", StrK, vals = Seq("F", "O", "P")),
+    FCol("o_orderpriority", StrK,
+      vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW"))))
+  val lineitem = FTable("lineitem", Seq(
+    FCol("l_orderkey", IntK, 0, 14999),
+    FCol("l_partkey", IntK, 0, 1999),
+    FCol("l_suppkey", IntK, 0, 99),
+    FCol("l_linenumber", IntK, 1, 7),
+    FCol("l_returnflag", StrK, vals = Seq("A", "N", "R")),
+    FCol("l_linestatus", StrK, vals = Seq("F", "O"))))
+  val part = FTable("part", Seq(
+    FCol("p_partkey", IntK, 0, 1999),
+    FCol("p_size", IntK, 1, 50),
+    FCol("p_brand", StrK, vals = Seq("Brand#3", "Brand#14", "Brand#22")),
+    FCol("p_type", StrK,
+      vals = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+        "STANDARD")),
+    FCol("p_name", StrK, vals = Seq("blue anvil", "red gear"))))
+  val supplier = FTable("supplier", Seq(
+    FCol("s_suppkey", IntK, 0, 99),
+    FCol("s_nationkey", IntK, 0, 24),
+    FCol("s_name", StrK)))
+
+  val allTables = Seq(nation, customer, orders, lineitem, part, supplier)
+
+  /** FK equi-join edges (left.col = right.col), all type-aligned. */
+  final case class FJoin(l: FTable, lc: String, r: FTable, rc: String)
+  val joins = Seq(
+    FJoin(orders, "o_custkey", customer, "c_custkey"),
+    FJoin(lineitem, "l_orderkey", orders, "o_orderkey"),
+    FJoin(lineitem, "l_partkey", part, "p_partkey"),
+    FJoin(lineitem, "l_suppkey", supplier, "s_suppkey"),
+    FJoin(customer, "c_nationkey", nation, "n_nationkey"),
+    FJoin(supplier, "s_nationkey", nation, "n_nationkey"))
+  /** 3-table chains: the second edge joins a table already present. */
+  val chains = Seq(
+    Seq(joins(1), joins(0)), // lineitem ⋈ orders ⋈ customer
+    Seq(joins(3), joins(5)), // lineitem ⋈ supplier ⋈ nation
+    Seq(joins(0), joins(4))) // orders ⋈ customer ⋈ nation
+
+  /** One generated query: the SQL string (Spark-SQL- and
+    * DuckDB-parseable), the equivalent DataFrame plan, and the output
+    * schema the digest folds over. */
+  final case class FQuery(idx: Int, sql: String,
+                          build: (SparkSession, String) => DataFrame,
+                          outCols: Seq[(String, Kind)])
+
+  /** Table override used by [[digestAll]]: each table is loaded once
+    * through [[graft.ops.CacheScope]] and every digest leg reuses the
+    * in-memory relation — without this the legs re-scan lineitem ~70
+    * times between them. Individual [[FQuery.build]] calls outside
+    * digestAll read the files directly. */
+  @volatile private var shared: Map[String, DataFrame] = Map.empty
+
+  private def load(s: SparkSession, dir: String, t: FTable): DataFrame =
+    shared.getOrElse(t.name, graft.catalog.Tables.load(s, dir, t.name))
+
+  // ---- predicate generation: (sql, Column) pairs built in lockstep
+
+  private def intPred(c: FCol, rnd: Random): (String, Column) = {
+    rnd.nextInt(3) match {
+      case 0 => // modular: scale-free selectivity
+        val m = 2 + rnd.nextInt(6)
+        val r = rnd.nextInt(m)
+        (s"(${c.name} % $m) = $r", (col(c.name) % m) === r)
+      case 1 =>
+        val v = c.lo + (rnd.nextLong().abs % (c.hi - c.lo + 1))
+        val (os, oc): (String, Column => Column) = rnd.nextInt(4) match {
+          case 0 => ("<", _ < v); case 1 => ("<=", _ <= v)
+          case 2 => (">", _ > v); case _ => (">=", _ >= v)
+        }
+        (s"${c.name} $os $v", oc(col(c.name)))
+      case _ =>
+        if (c.lowCard) {
+          val v = c.lo + (rnd.nextLong().abs % (c.hi - c.lo + 1))
+          if (rnd.nextBoolean()) (s"${c.name} = $v", col(c.name) === v)
+          else (s"${c.name} <> $v", col(c.name) =!= v)
+        } else {
+          val v = c.lo + (rnd.nextLong().abs % (c.hi - c.lo + 1))
+          (s"${c.name} >= $v", col(c.name) >= v)
+        }
+    }
+  }
+
+  private def strPred(c: FCol, rnd: Random): (String, Column) = {
+    val v = c.vals(rnd.nextInt(c.vals.size))
+    if (rnd.nextInt(3) == 0 && v.length >= 3) {
+      val p = v.substring(0, 1 + rnd.nextInt(v.length - 1))
+      (s"${c.name} LIKE '$p%'", col(c.name).like(s"$p%"))
+    } else if (rnd.nextBoolean()) (s"${c.name} = '$v'", col(c.name) === v)
+    else (s"${c.name} <> '$v'", col(c.name) =!= v)
+  }
+
+  private def onePred(cols: Seq[FCol], rnd: Random): (String, Column) = {
+    val predable = cols.filter(c => c.kind == IntK || c.vals.nonEmpty)
+    val c = predable(rnd.nextInt(predable.size))
+    if (c.kind == IntK) intPred(c, rnd) else strPred(c, rnd)
+  }
+
+  private def wherePart(cols: Seq[FCol],
+                        rnd: Random): Option[(String, Column)] =
+    rnd.nextInt(4) match {
+      case 0 => None
+      case 1 => Some(onePred(cols, rnd))
+      case _ =>
+        val (s1, c1) = onePred(cols, rnd)
+        val (s2, c2) = onePred(cols, rnd)
+        if (rnd.nextInt(3) == 0) Some((s"($s1 OR $s2)", c1 || c2))
+        else Some((s"$s1 AND $s2", c1 && c2))
+    }
+
+  // ---- source generation
+
+  private final case class Source(sqlFrom: String,
+                                  build: (SparkSession, String) => DataFrame,
+                                  cols: Seq[FCol])
+
+  private def source(rnd: Random): Source = rnd.nextInt(5) match {
+    case 0 | 1 => // single table
+      val t = allTables(rnd.nextInt(allTables.size))
+      Source(t.name, (s, d) => load(s, d, t), t.cols)
+    case 2 | 3 => // FK pair
+      val j = joins(rnd.nextInt(joins.size))
+      Source(s"${j.l.name} JOIN ${j.r.name} ON ${j.lc} = ${j.rc}",
+        (s, d) => load(s, d, j.l).join(load(s, d, j.r),
+          col(j.lc) === col(j.rc)),
+        j.l.cols ++ j.r.cols)
+    case _ => // 3-table chain
+      val ch = chains(rnd.nextInt(chains.size))
+      val Seq(j1, j2) = ch
+      Source(
+        s"${j1.l.name} JOIN ${j1.r.name} ON ${j1.lc} = ${j1.rc} " +
+          s"JOIN ${j2.r.name} ON ${j2.lc} = ${j2.rc}",
+        (s, d) => load(s, d, j1.l)
+          .join(load(s, d, j1.r), col(j1.lc) === col(j1.rc))
+          .join(load(s, d, j2.r), col(j2.lc) === col(j2.rc)),
+        j1.l.cols ++ j1.r.cols ++ j2.r.cols)
+  }
+
+  private def pick[A](xs: Seq[A], n: Int, rnd: Random): Seq[A] =
+    rnd.shuffle(xs.toList).take(n)
+
+  // ---- whole-query generation
+
+  def query(i: Int): FQuery = {
+    val rnd = new Random(MasterSeed * 1000003L + i)
+    val src = source(rnd)
+    val where = wherePart(src.cols, rnd)
+    val whereSql = where.map(w => s" WHERE ${w._1}").getOrElse("")
+    def filtered(s: SparkSession, d: String): DataFrame = {
+      val df = src.build(s, d)
+      where.map(w => df.filter(w._2)).getOrElse(df)
+    }
+
+    rnd.nextInt(10) match {
+      case k if k <= 4 => // grouped aggregation
+        val gCands = src.cols.filter(_.lowCard)
+        val gs = if (gCands.isEmpty) Nil
+                 else pick(gCands, 1 + rnd.nextInt(2), rnd)
+        val aggCands = src.cols.filterNot(c => gs.exists(_.name == c.name))
+        val intAggs = pick(aggCands.filter(_.kind == IntK),
+          1 + rnd.nextInt(2), rnd)
+        val mmAggs = pick(aggCands, rnd.nextInt(2), rnd)
+        val aggSql =
+          Seq("CAST(count(*) AS BIGINT) AS cnt") ++
+            intAggs.map(c =>
+              s"CAST(sum(${c.name} % 1000003) AS BIGINT) AS s_${c.name}") ++
+            mmAggs.map(c => s"min(${c.name}) AS mn_${c.name}")
+        val aggApi: Seq[Column] =
+          Seq(count(lit(1)).cast("long").as("cnt")) ++
+            intAggs.map(c => sum(col(c.name) % 1000003L).cast("long")
+              .as(s"s_${c.name}")) ++
+            mmAggs.map(c => min(col(c.name)).as(s"mn_${c.name}"))
+        val outCols =
+          gs.map(c => (c.name, c.kind)) ++
+            Seq(("cnt", IntK: Kind)) ++
+            intAggs.map(c => (s"s_${c.name}", IntK: Kind)) ++
+            mmAggs.map(c => (s"mn_${c.name}", c.kind))
+        val gSql = if (gs.isEmpty) ""
+                   else s" GROUP BY ${gs.map(_.name).mkString(", ")}"
+        val sel = (gs.map(_.name) ++ aggSql).mkString(", ")
+        val sql = s"SELECT $sel FROM ${src.sqlFrom}$whereSql$gSql"
+        val build = (s: SparkSession, d: String) => {
+          val f = filtered(s, d)
+          val agged =
+            if (gs.isEmpty) f.agg(aggApi.head, aggApi.tail: _*)
+            else f.groupBy(gs.map(c => col(c.name)): _*)
+              .agg(aggApi.head, aggApi.tail: _*)
+          agged
+        }
+        FQuery(i, sql, build, outCols)
+
+      case k if k <= 7 => // filtered projection (with arithmetic)
+        val ints = src.cols.filter(_.kind == IntK)
+        val base = pick(src.cols, 2 + rnd.nextInt(3), rnd)
+        val arith: Option[(String, Column, String)] =
+          if (ints.size >= 2 && rnd.nextBoolean()) {
+            val Seq(a, b) = pick(ints, 2, rnd)
+            if (rnd.nextBoolean())
+              Some((s"${a.name} + ${b.name} AS x_arith",
+                (col(a.name) + col(b.name)).as("x_arith"), "x_arith"))
+            else
+              Some((s"${a.name} * 3 - ${b.name} AS x_arith",
+                (col(a.name) * 3 - col(b.name)).as("x_arith"), "x_arith"))
+          } else None
+        val selSql = (base.map(_.name) ++ arith.map(_._1)).mkString(", ")
+        val sql = s"SELECT $selSql FROM ${src.sqlFrom}$whereSql"
+        val build = (s: SparkSession, d: String) =>
+          filtered(s, d).select(
+            base.map(c => col(c.name)) ++ arith.map(_._2): _*)
+        FQuery(i, sql, build,
+          base.map(c => (c.name, c.kind)) ++
+            arith.map(a => (a._3, IntK: Kind)))
+
+      case _ => // DISTINCT projection over low-card columns
+        val lc0 = src.cols.filter(_.lowCard)
+        val lc = if (lc0.isEmpty) src.cols.take(1) else lc0
+        val cs = pick(lc, math.min(lc.size, 1 + rnd.nextInt(2)), rnd)
+        val sql = s"SELECT DISTINCT ${cs.map(_.name).mkString(", ")} " +
+          s"FROM ${src.sqlFrom}$whereSql"
+        val build = (s: SparkSession, d: String) =>
+          filtered(s, d).select(cs.map(c => col(c.name)): _*).distinct()
+        FQuery(i, sql, build, cs.map(c => (c.name, c.kind)))
+    }
+  }
+
+  def corpus: Seq[FQuery] = (0 until NumQueries).map(query)
+
+  // ---- digests: one (q, n_rows, chk) row per query, both renderings
+
+  /** Row-wise digest expression over a query's OUTPUT columns: ints
+    * contribute (v % 1000003), strings their length, each weighted by
+    * 1-based position so column swaps change the digest. Bounded so
+    * BIGINT never overflows at any harness SF. */
+  private def chkApi(outCols: Seq[(String, Kind)]): Column =
+    outCols.zipWithIndex.map { case ((n, k), j) =>
+      val v = k match {
+        case IntK => col(n).cast("long") % 1000003L
+        case StrK => length(col(n)).cast("long")
+      }
+      v * (j + 1).toLong
+    }.reduce(_ + _)
+
+  private def chkSql(outCols: Seq[(String, Kind)]): String =
+    outCols.zipWithIndex.map { case ((n, k), j) =>
+      val v = k match {
+        case IntK => s"(CAST($n AS BIGINT) % 1000003)"
+        case StrK => s"CAST(length($n) AS BIGINT)"
+      }
+      s"$v * ${j + 1}"
+    }.mkString(" + ")
+
+  /** The gate's Spark side: every corpus query reduced to one
+    * (q, n_rows, chk) digest row. EAGER by design: a 120-leg union in
+    * one plan spends ~35 s in per-stage adaptive re-planning alone
+    * (measured, data-size-independent — sf0.001 ≈ sf0.1), so instead
+    * each leg runs as its own small job, 16 concurrently from the
+    * driver, over tables cached ONCE (pruned to the fuzz columns —
+    * caching the full width would defeat the column pruning a direct
+    * scan gets for free). The assembled result is 120 local rows —
+    * the digests, not the data, cross the driver boundary. */
+  def digestAll(s: SparkSession, dir: String): DataFrame = {
+    shared = allTables.map(t => t.name ->
+      graft.ops.CacheScope.persist(
+        graft.catalog.Tables.load(s, dir, t.name)
+          .select(t.cols.map(c => col(c.name)): _*))).toMap
+    val legs = try corpus.map { q =>
+      q.build(s, dir).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(chkApi(q.outCols)), lit(0L)).cast("long").as("chk"))
+        .select(lit(q.idx).as("q"), col("n_rows"), col("chk"))
+    } finally { shared = Map.empty }
+    // per-leg adaptive re-planning is the dominant cost at ANY data
+    // size (in-JVM A/B, sf0.1: concurrent+AQE-off 14.4 s vs 21 s with
+    // AQE, vs 31-57 s as one union plan) — each leg is a known-tiny
+    // 2-4 stage job, so static planning with few shuffle partitions
+    // wins; the session conf is restored after the scope
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    val rows = try ConfScope.withScopedConf(s,
+      Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8")) {
+      Await.result(
+        Future.sequence(legs.map(df => Future(df.collect()(0)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, legs.head.schema).orderBy("q")
+  }
+
+  /** The gate's oracle: the same digests via DuckDB SQL. */
+  def digestAllSql: String =
+    corpus.map { q =>
+      s"SELECT ${q.idx} AS q, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(coalesce(sum(${chkSql(q.outCols)}), 0) AS BIGINT) AS chk " +
+        s"FROM (${q.sql})"
+    }.mkString("", " UNION ALL ", " ORDER BY q")
+}

@@ -100,6 +100,38 @@ class ResultCacheSpec extends SparkSpec {
     } finally spark.conf.unset("graft.resultcache.dir")
   }
 
+  test("order/limit variants share ONE un-limited entry (the strip trade, affirmed r19)") {
+    import spark.implicits._
+    val t5 = root + "/t5"
+    val cache3 = root + "/cache3"
+    (1 to 100).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+      .write.mode("overwrite").parquet(t5)
+    ResultCache.install(spark)
+    spark.conf.set("graft.resultcache.dir", cache3)
+    try {
+      def base = spark.read.parquet(t5).groupBy("k").agg(sum("v").as("s"))
+      val m0 = ResultCache.misses.get()
+      // a LIMITED first run materializes the un-limited aggregate once
+      assert(base.orderBy(desc("s")).limit(5).collect().length == 5)
+      assert(ResultCache.misses.get() == m0 + 1)
+      // every ordering/limit variant — and the un-limited probe — then
+      // serves from that one entry: the sharing that justifies keying
+      // the un-limited plan (see strip's DECIDED note)
+      val variants = Seq(
+        base.orderBy(asc("s")).limit(3),
+        base.orderBy(desc("k")).limit(10),
+        base.orderBy("k"))
+      variants.foreach { v =>
+        val sp = scanPaths(v)
+        assert(sp.nonEmpty && sp.forall(_.contains("/cache3")), sp)
+      }
+      assert(ResultCache.misses.get() == m0 + 1,
+        "all order/limit variants must share the single entry")
+      assert(variants.head.collect().map(_.getLong(1)).toSeq ==
+        Seq(1L, 2L, 3L))
+    } finally spark.conf.unset("graft.resultcache.dir")
+  }
+
   test("wide plans differing past maxToStringFields key differently (lossless rendering)") {
     import spark.implicits._
     val t5 = root + "/t5"

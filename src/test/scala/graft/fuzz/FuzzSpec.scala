@@ -1,0 +1,69 @@
+package graft.fuzz
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Dual-frontend differential over the [[QueryFuzzer]] corpus: every
+  * generated query runs BOTH as its DataFrame rendering and as its
+  * SQL string through `spark.sql` over the same tables, and the full
+  * result multisets must match row-for-row. This pins the two
+  * renderings to each other (a generator bug in either rendering
+  * surfaces here, which is what makes the cross-engine digest gate
+  * `c17_fuzz_differential` trustworthy: if Spark-API ≡ Spark-SQL
+  * in-test and Spark-API ≡ DuckDB at the gate, all three agree).
+  *
+  * A failure prints the query index and SQL — reproduce with
+  * `QueryFuzzer.query(i)`, minimize by shrinking the SQL by hand, and
+  * promote the minimized shape to a named gate. */
+class FuzzSpec extends SparkSpec {
+
+  private lazy val viewsReady: Unit = {
+    Seq("nation", "region", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      graft.catalog.Tables.load(spark, sf, t).createOrReplaceTempView(t)
+    }
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+        .mkString(""))
+      .sorted.toSeq
+  }
+
+  test(s"corpus: ${QueryFuzzer.NumQueries} seeded random queries agree between DataFrame and spark.sql renderings") {
+    viewsReady
+    val failures = QueryFuzzer.corpus.flatMap { q =>
+      val api = canon(q.build(spark, sf))
+      val sql = canon(spark.sql(q.sql))
+      if (api == sql) None
+      else Some(s"q${q.idx}: api=${api.size} rows, sql=${sql.size} rows\n  ${q.sql}")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("corpus exercises every shape: single/join/chain sources, group/project/distinct") {
+    val sqls = QueryFuzzer.corpus.map(_.sql)
+    assert(sqls.count(_.contains(" JOIN ")) >= 30, "join coverage")
+    assert(sqls.count(s => s.count(_ == 'J') >= 2 && s.contains(" JOIN "))
+      >= 5, "3-table chain coverage")
+    assert(sqls.count(_.contains("GROUP BY")) >= 20, "grouped-agg coverage")
+    assert(sqls.count(_.contains("SELECT DISTINCT")) >= 5, "distinct coverage")
+    assert(sqls.count(_.contains("WHERE")) >= 40, "predicate coverage")
+    assert(sqls.count(_.contains(" OR ")) >= 3, "disjunction coverage")
+    assert(sqls.count(_.contains("LIKE")) >= 3, "LIKE coverage")
+    // determinism: the corpus is a pure function of the master seed
+    assert(QueryFuzzer.corpus.map(_.sql) == QueryFuzzer.corpus.map(_.sql))
+  }
+
+  test("digest plan folds every query to one row; digest SQL references every index") {
+    viewsReady
+    val d = QueryFuzzer.digestAll(spark, sf).collect()
+    assert(d.length == QueryFuzzer.NumQueries)
+    assert(d.map(_.getInt(0)).toSeq == (0 until QueryFuzzer.NumQueries))
+    // non-degenerate: most queries return rows and a nonzero checksum
+    assert(d.count(_.getLong(1) > 0) > QueryFuzzer.NumQueries / 2)
+    assert(d.count(_.getLong(2) != 0) > QueryFuzzer.NumQueries / 2)
+  }
+}

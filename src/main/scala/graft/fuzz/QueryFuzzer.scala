@@ -191,11 +191,25 @@ object QueryFuzzer {
     case 0 | 1 => // single table
       val t = allTables(rnd.nextInt(allTables.size))
       Source(t.name, (s, d) => load(s, d, t), t.cols)
-    case 2 | 3 => // FK pair
+    case 2 | 3 => // FK pair; 1-in-4 renders as LEFT JOIN. An FK edge
+      // always matches (referential integrity), so half the LEFT legs
+      // SHIFT the right key — lc = rc + shift — to manufacture real
+      // unmatched rows: the null-introducing shape the digest's
+      // NULL-coalesced terms and both engines' post-join WHERE
+      // semantics are exercised by
       val j = joins(rnd.nextInt(joins.size))
-      Source(s"${j.l.name} JOIN ${j.r.name} ON ${j.lc} = ${j.rc}",
-        (s, d) => load(s, d, j.l).join(load(s, d, j.r),
-          col(j.lc) === col(j.rc)),
+      val left = rnd.nextInt(4) == 0
+      val shift: Long =
+        if (left && rnd.nextBoolean())
+          (j.r.cols.find(_.name == j.rc).get.hi + 1) / 2
+        else 0L
+      val (kwSql, kwApi) = if (left) ("LEFT JOIN", "left") else ("JOIN", "inner")
+      val onSql = if (shift == 0L) s"${j.lc} = ${j.rc}"
+                  else s"${j.lc} = ${j.rc} + $shift"
+      val onApi = if (shift == 0L) col(j.lc) === col(j.rc)
+                  else col(j.lc) === col(j.rc) + shift
+      Source(s"${j.l.name} $kwSql ${j.r.name} ON $onSql",
+        (s, d) => load(s, d, j.l).join(load(s, d, j.r), onApi, kwApi),
         j.l.cols ++ j.r.cols)
     case _ => // 3-table chain
       val ch = chains(rnd.nextInt(chains.size))
@@ -310,7 +324,9 @@ object QueryFuzzer {
         case IntK => col(n).cast("long") % 1000003L
         case StrK => length(col(n)).cast("long")
       }
-      v * (j + 1).toLong
+      // NULLs (outer-join padding) digest as a sentinel instead of
+      // nulling the whole row's term out of the sum
+      coalesce(v, lit(-7L)) * (j + 1).toLong
     }.reduce(_ + _)
 
   private def chkSql(outCols: Seq[(String, Kind)]): String =
@@ -319,7 +335,7 @@ object QueryFuzzer {
         case IntK => s"(CAST($n AS BIGINT) % 1000003)"
         case StrK => s"CAST(length($n) AS BIGINT)"
       }
-      s"$v * ${j + 1}"
+      s"coalesce($v, -7) * ${j + 1}"
     }.mkString(" + ")
 
   /** The gate's Spark side: every corpus query reduced to one

@@ -28,7 +28,7 @@ class FuzzSpec extends SparkSpec {
     val cols = df.columns.sorted
     df.select(cols.head, cols.tail: _*).collect()
       .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
-        .mkString(""))
+        .mkString("\u0001"))
       .sorted.toSeq
   }
 
@@ -53,6 +53,11 @@ class FuzzSpec extends SparkSpec {
     assert(sqls.count(_.contains("WHERE")) >= 40, "predicate coverage")
     assert(sqls.count(_.contains(" OR ")) >= 3, "disjunction coverage")
     assert(sqls.count(_.contains("LIKE")) >= 3, "LIKE coverage")
+    assert(sqls.count(_.contains("LEFT JOIN")) >= 5, "outer-join coverage")
+    // shifted-key LEFT legs manufacture genuinely unmatched rows
+    // (an FK edge always matches), pinning NULL digest semantics
+    assert(sqls.count(s => s.contains("LEFT JOIN") && s.contains("+ "))
+      >= 2, "null-producing outer-join coverage")
     // determinism: the corpus is a pure function of the master seed
     assert(QueryFuzzer.corpus.map(_.sql) == QueryFuzzer.corpus.map(_.sql))
   }

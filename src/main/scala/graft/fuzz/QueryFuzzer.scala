@@ -37,7 +37,29 @@ import graft.ops.ConfScope
 object QueryFuzzer {
 
   val MasterSeed = 20260816L
-  val NumQueries = 120
+  /** Indices 0 until NumQueriesV2 are the FROZEN v1/v2 corpus
+    * (filter × join × agg × distinct; LEFT-JOIN null producers) —
+    * their (seed, dispatch) is never touched, so a failure index from
+    * an old round still reproduces. v3 appends indices 120-179:
+    * EXISTS / NOT EXISTS (semi/anti), window functions (row_number /
+    * lag / running sum / rank), and ORDER BY + LIMIT top-k — the
+    * reference-census constructs (14 EXISTS, 8 LAG/OVER, 27 ORDER BY)
+    * the named gates pin in fixed shapes but the corpus now also
+    * composes randomly. */
+  val NumQueriesV2 = 120
+  val NumQueries = 180
+
+  /** Unique row keys per table (verified against the harness data —
+    * lineitem's nominal (orderkey, linenumber) is NOT unique in the
+    * synthetic generator's output; the 4-column extension is). Every
+    * v3 ORDER BY ends with one of these so top-k retained SETS and
+    * window frames are total-order deterministic cross-engine. */
+  private val pks: Map[String, Seq[String]] = Map(
+    "nation" -> Seq("n_nationkey"), "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey"), "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey"))
 
   sealed trait Kind
   case object IntK extends Kind
@@ -230,6 +252,7 @@ object QueryFuzzer {
 
   def query(i: Int): FQuery = {
     val rnd = new Random(MasterSeed * 1000003L + i)
+    if (i >= NumQueriesV2) return queryV3(i, rnd)
     val src = source(rnd)
     val where = wherePart(src.cols, rnd)
     val whereSql = where.map(w => s" WHERE ${w._1}").getOrElse("")
@@ -308,6 +331,140 @@ object QueryFuzzer {
           filtered(s, d).select(cs.map(c => col(c.name)): _*).distinct()
         FQuery(i, sql, build, cs.map(c => (c.name, c.kind)))
     }
+  }
+
+  /** v3 shapes (indices ≥ [[NumQueriesV2]]): EXISTS/NOT EXISTS,
+    * windows, top-k. Determinism argument per shape:
+    *   - semi/anti: the retained multiset is a pure set predicate —
+    *     no ordering involved;
+    *   - row_number / lag / running sum: the window ORDER BY ends in
+    *     the table's unique key ([[pks]]) ⇒ one total order;
+    *   - rank over a NON-unique sort column: each row's rank depends
+    *     only on the multiset of sort values in its partition (ties
+    *     share a rank), so (pk, rank) is deterministic even though
+    *     physical row order is not;
+    *   - top-k: the unique-key tiebreak makes the retained SET (which
+    *     is all the order-insensitive digest sees) deterministic.
+    * The running-sum frame is written as explicit ROWS BETWEEN ... on
+    * BOTH sides: Spark's default frame for an ordered window is
+    * RANGE, which only coincides with ROWS because the order is
+    * unique — the explicit frame removes the coincidence. */
+  private def queryV3(i: Int, rnd: Random): FQuery = rnd.nextInt(3) match {
+    case 0 => // EXISTS / NOT EXISTS → left-semi / left-anti
+      val j = joins(rnd.nextInt(joins.size))
+      val fromPk = rnd.nextBoolean() // outer = referenced side or FK side
+      val (outer, inner, ok, ik) =
+        if (fromPk) (j.r, j.l, j.rc, j.lc) else (j.l, j.r, j.lc, j.rc)
+      val anti = rnd.nextInt(3) == 0
+      val ip = onePred(inner.cols, rnd)
+      val ow = wherePart(outer.cols, rnd)
+      val proj = pick(outer.cols, 2, rnd)
+      val ex0 = s"EXISTS (SELECT 1 FROM ${inner.name} " +
+        s"WHERE $ik = $ok AND ${ip._1})"
+      val exSql = if (anti) s"NOT $ex0" else ex0
+      val whereSql = ow match {
+        case Some((s0, _)) => s" WHERE $s0 AND $exSql"
+        case None => s" WHERE $exSql"
+      }
+      val sql = s"SELECT ${proj.map(_.name).mkString(", ")} " +
+        s"FROM ${outer.name}$whereSql"
+      val build = (s: SparkSession, d: String) => {
+        val o0 = load(s, d, outer)
+        val o = ow.map(w => o0.filter(w._2)).getOrElse(o0)
+        val in = load(s, d, inner).filter(ip._2).select(col(ik))
+        o.join(in, col(ok) === col(ik),
+            if (anti) "left_anti" else "left_semi")
+          .select(proj.map(c => col(c.name)): _*)
+      }
+      FQuery(i, sql, build, proj.map(c => (c.name, c.kind)))
+
+    case 1 => // window function over a single-pk table
+      import org.apache.spark.sql.expressions.Window
+      val singles = Seq(customer, orders, part, supplier)
+      val t = singles(rnd.nextInt(singles.size))
+      val pk = pks(t.name).head
+      val gCands = t.cols.filter(c => c.lowCard && c.name != pk)
+      val g = gCands(rnd.nextInt(gCands.size))
+      val ow = wherePart(t.cols, rnd)
+      val whereSql = ow.map(w => s" WHERE ${w._1}").getOrElse("")
+      def filtered(s: SparkSession, d: String): DataFrame = {
+        val df = load(s, d, t)
+        ow.map(w => df.filter(w._2)).getOrElse(df)
+      }
+      val w = Window.partitionBy(col(g.name)).orderBy(col(pk))
+      rnd.nextInt(4) match {
+        case 0 => // row_number + top-k-per-group outer filter
+          val k = 1 + rnd.nextInt(10)
+          val sql = s"SELECT $pk, ${g.name}, rn FROM (SELECT $pk, " +
+            s"${g.name}, row_number() OVER (PARTITION BY ${g.name} " +
+            s"ORDER BY $pk) AS rn FROM ${t.name}$whereSql) WHERE rn <= $k"
+          val build = (s: SparkSession, d: String) =>
+            filtered(s, d).select(col(pk), col(g.name))
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= k)
+          FQuery(i, sql, build,
+            Seq((pk, IntK: Kind), (g.name, g.kind), ("rn", IntK)))
+        case 1 => // lag (NULL on each partition's first row)
+          val sql = s"SELECT $pk, CAST(lag($pk, 1) OVER (PARTITION BY " +
+            s"${g.name} ORDER BY $pk) AS BIGINT) AS lg " +
+            s"FROM ${t.name}$whereSql"
+          val build = (s: SparkSession, d: String) =>
+            filtered(s, d).select(col(pk),
+              lag(col(pk), 1).over(w).cast("long").as("lg"))
+          FQuery(i, sql, build, Seq((pk, IntK: Kind), ("lg", IntK)))
+        case 2 => // running sum, explicit ROWS frame
+          val sql = s"SELECT $pk, CAST(sum($pk % 1000003) OVER " +
+            s"(PARTITION BY ${g.name} ORDER BY $pk ROWS BETWEEN " +
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs " +
+            s"FROM ${t.name}$whereSql"
+          val build = (s: SparkSession, d: String) =>
+            filtered(s, d).select(col(pk),
+              sum(col(pk) % 1000003L)
+                .over(w.rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow))
+                .cast("long").as("rs"))
+          FQuery(i, sql, build, Seq((pk, IntK: Kind), ("rs", IntK)))
+        case _ => // rank over a NON-unique sort column
+          val sCands = t.cols.filter(c =>
+            c.kind == IntK && c.name != pk && c.name != g.name)
+          val sc = if (sCands.isEmpty) g else sCands(rnd.nextInt(sCands.size))
+          val wr = Window.partitionBy(col(g.name)).orderBy(col(sc.name))
+          val sql = s"SELECT $pk, rank() OVER (PARTITION BY ${g.name} " +
+            s"ORDER BY ${sc.name}) AS rk FROM ${t.name}$whereSql"
+          val build = (s: SparkSession, d: String) =>
+            filtered(s, d).select(col(pk),
+              rank().over(wr).as("rk"))
+          FQuery(i, sql, build, Seq((pk, IntK: Kind), ("rk", IntK)))
+      }
+
+    case _ => // ORDER BY + LIMIT top-k, unique-key tiebreak
+      val t = allTables(rnd.nextInt(allTables.size))
+      val pkCols = pks(t.name)
+      val sCands = t.cols.filter(c =>
+        c.kind == IntK && !pkCols.contains(c.name))
+      val sc = if (sCands.isEmpty) t.cols.head
+               else sCands(rnd.nextInt(sCands.size))
+      val desc = rnd.nextBoolean()
+      val k = 5 + rnd.nextInt(46)
+      val ow = wherePart(t.cols, rnd)
+      val whereSql = ow.map(w => s" WHERE ${w._1}").getOrElse("")
+      val orderSql =
+        ((sc.name + (if (desc) " DESC" else "")) +: pkCols).mkString(", ")
+      val projCols = (sc.name +: pkCols).distinct
+      val projKinds = projCols.map(n =>
+        (n, t.cols.find(_.name == n).get.kind))
+      val sql = s"SELECT ${projCols.mkString(", ")} FROM ${t.name}" +
+        s"$whereSql ORDER BY $orderSql LIMIT $k"
+      val build = (s: SparkSession, d: String) => {
+        val df0 = load(s, d, t)
+        val df = ow.map(w => df0.filter(w._2)).getOrElse(df0)
+        val sortCols =
+          (if (desc) col(sc.name).desc else col(sc.name).asc) +:
+            pkCols.map(col(_).asc)
+        df.select(projCols.map(col): _*)
+          .orderBy(sortCols: _*).limit(k)
+      }
+      FQuery(i, sql, build, projKinds)
   }
 
   def corpus: Seq[FQuery] = (0 until NumQueries).map(query)

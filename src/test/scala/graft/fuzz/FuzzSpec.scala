@@ -58,6 +58,24 @@ class FuzzSpec extends SparkSpec {
     // (an FK edge always matches), pinning NULL digest semantics
     assert(sqls.count(s => s.contains("LEFT JOIN") && s.contains("+ "))
       >= 2, "null-producing outer-join coverage")
+    // v3 shapes (indices 120-179)
+    assert(sqls.count(_.contains("EXISTS (")) >= 8, "EXISTS coverage")
+    assert(sqls.count(_.contains("NOT EXISTS (")) >= 2,
+      "NOT EXISTS coverage")
+    assert(sqls.count(_.contains(" OVER (")) >= 10, "window coverage")
+    assert(sqls.count(_.contains("lag(")) >= 2, "lag coverage")
+    assert(sqls.count(_.contains("ROWS BETWEEN")) >= 2,
+      "explicit-frame running-sum coverage")
+    assert(sqls.count(_.contains("rank() OVER")) >= 2,
+      "non-unique-sort rank coverage")
+    assert(sqls.count(_.contains(" LIMIT ")) >= 10, "top-k coverage")
+    // the frozen v1/v2 prefix must never drift: pin the first/last
+    // original indices by exact SQL so a dispatch change that would
+    // invalidate historical failure indices fails loudly here
+    assert(QueryFuzzer.query(0).sql == QueryFuzzer.corpus(0).sql)
+    assert(sqls.take(QueryFuzzer.NumQueriesV2)
+      .forall(s => !s.contains(" OVER (") && !s.contains("EXISTS (")),
+      "v3 shapes must not leak into the frozen v1/v2 index range")
     // determinism: the corpus is a pure function of the master seed
     assert(QueryFuzzer.corpus.map(_.sql) == QueryFuzzer.corpus.map(_.sql))
   }

@@ -519,7 +519,12 @@ object QueryFuzzer {
     // size (in-JVM A/B, sf0.1: concurrent+AQE-off 14.4 s vs 21 s with
     // AQE, vs 31-57 s as one union plan) — each leg is a known-tiny
     // 2-4 stage job, so static planning with few shuffle partitions
-    // wins; the session conf is restored after the scope
+    // wins; the session conf is restored after the scope.
+    // r19 re-A/B at 180 legs (Bench subset, sf0.1, min-of-2): this
+    // shape 18.0 s; pool 16→32 WORSE (20.5 s); small per-job unions
+    // of 4/8/16 legs a wash (19.0/17.7/19.9 s) — the ~50 ms/leg/pass
+    // floor is scheduler time the driver cannot amortize further, so
+    // the simple one-leg-per-job form stays
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)

@@ -47,7 +47,14 @@ object QueryFuzzer {
     * the named gates pin in fixed shapes but the corpus now also
     * composes randomly. */
   val NumQueriesV2 = 120
-  val NumQueries = 180
+  /** v3 appended 120-179 (this round); frozen the same way once
+    * committed. v4 appends 180-239: expression-level shapes — CASE
+    * WHEN (including NULL-producing branches), IN / NOT IN lists,
+    * HAVING over grouped counts, set operations (INTERSECT / EXCEPT /
+    * UNION distinct), and scalar subqueries rendered API-side as a
+    * broadcast 1-row cross join. */
+  val NumQueriesV3 = 180
+  val NumQueries = 240
 
   /** Unique row keys per table (verified against the harness data —
     * lineitem's nominal (orderkey, linenumber) is NOT unique in the
@@ -252,6 +259,7 @@ object QueryFuzzer {
 
   def query(i: Int): FQuery = {
     val rnd = new Random(MasterSeed * 1000003L + i)
+    if (i >= NumQueriesV3) return queryV4(i, rnd)
     if (i >= NumQueriesV2) return queryV3(i, rnd)
     val src = source(rnd)
     val where = wherePart(src.cols, rnd)
@@ -465,6 +473,148 @@ object QueryFuzzer {
           .orderBy(sortCols: _*).limit(k)
       }
       FQuery(i, sql, build, projKinds)
+  }
+
+  /** v4 shapes (indices ≥ [[NumQueriesV3]]). Dialect notes:
+    *   - SQL `UNION` / `INTERSECT` / `EXCEPT` are DISTINCT in both
+    *     engines; the API renders them as `.union(..).distinct()` /
+    *     `.intersect` / `.except`;
+    *   - scalar subqueries avoid division entirely (`max(pk) - δ`):
+    *     int `/` yields a FLOAT in DuckDB but integer division in
+    *     Spark — the one arithmetic operator the two dialects define
+    *     differently, excluded the same way DOUBLE columns are;
+    *   - NOT IN is only generated over non-null base columns with
+    *     non-null literal lists, where it is exactly `NOT isin`;
+    *   - a CASE branch may be NULL to exercise the digest's NULL
+    *     sentinel on a non-join path. */
+  // dispatch on i, NOT rnd.nextInt(4): java.util.Random's first draw
+  // for a power-of-2 bound comes from the high bits, which are nearly
+  // constant across the consecutive seeds this corpus uses — measured:
+  // all 60 v4 indices collapsed onto one shape. i % 4 is uniform by
+  // construction. (v3's nextInt(3) takes the modulo path over the low
+  // bits, which is why its dispatch mixed fine.)
+  private def queryV4(i: Int, rnd: Random): FQuery = (i % 4) match {
+    case 0 => // CASE WHEN projection + IN/NOT IN predicate
+      val t = allTables(rnd.nextInt(allTables.size))
+      val ints = t.cols.filter(_.kind == IntK)
+      val a = ints(rnd.nextInt(ints.size))
+      val b = ints(rnd.nextInt(ints.size))
+      val (ps, pc) = onePred(t.cols, rnd)
+      val inCands = t.cols.filter(c =>
+        (c.kind == IntK && c.lowCard) || c.vals.nonEmpty)
+      val ic = inCands(rnd.nextInt(inCands.size))
+      val neg = rnd.nextBoolean()
+      val (inVals, inSql) = ic.kind match {
+        case IntK =>
+          val vs = (0 until 2 + rnd.nextInt(3))
+            .map(_ => ic.lo + (rnd.nextLong().abs % (ic.hi - ic.lo + 1)))
+            .distinct
+          (vs.map(v => v: Any), vs.mkString(", "))
+        case StrK =>
+          val vs = pick(ic.vals, 1 + rnd.nextInt(2), rnd)
+          (vs.map(v => v: Any), vs.map(v => s"'$v'").mkString(", "))
+      }
+      val inPredSql =
+        s"${ic.name} ${if (neg) "NOT IN" else "IN"} ($inSql)"
+      val inPredApi =
+        if (neg) !col(ic.name).isin(inVals: _*)
+        else col(ic.name).isin(inVals: _*)
+      val nullBranch = rnd.nextInt(3) == 0
+      val caseSql =
+        if (nullBranch)
+          s"CASE WHEN $ps THEN NULL ELSE ${a.name} % 97 END AS x_case"
+        else s"CASE WHEN $ps THEN ${a.name} % 97 " +
+          s"ELSE ${b.name} % 89 END AS x_case"
+      val caseApi =
+        (if (nullBranch) when(pc, lit(null).cast("long"))
+           .otherwise(col(a.name) % 97)
+         else when(pc, col(a.name) % 97).otherwise(col(b.name) % 89))
+          .as("x_case")
+      val proj = pick(t.cols, 2, rnd)
+      val sql = s"SELECT ${proj.map(_.name).mkString(", ")}, $caseSql " +
+        s"FROM ${t.name} WHERE $inPredSql"
+      val build = (s: SparkSession, d: String) =>
+        load(s, d, t).filter(inPredApi)
+          .select(proj.map(c => col(c.name)) :+ caseApi: _*)
+      FQuery(i, sql, build,
+        proj.map(c => (c.name, c.kind)) :+ (("x_case", IntK: Kind)))
+
+    case 1 => // HAVING over a grouped count (single/join/chain source)
+      val src = source(rnd)
+      val gCands = src.cols.filter(_.lowCard)
+      val g = if (gCands.isEmpty) src.cols.head
+              else gCands(rnd.nextInt(gCands.size))
+      val ow = wherePart(src.cols, rnd)
+      val whereSql = ow.map(w => s" WHERE ${w._1}").getOrElse("")
+      val thresh = 1 + rnd.nextInt(20)
+      val sql = s"SELECT ${g.name}, CAST(count(*) AS BIGINT) AS cnt " +
+        s"FROM ${src.sqlFrom}$whereSql GROUP BY ${g.name} " +
+        s"HAVING count(*) > $thresh"
+      val build = (s: SparkSession, d: String) => {
+        val df0 = src.build(s, d)
+        val df = ow.map(w => df0.filter(w._2)).getOrElse(df0)
+        df.groupBy(col(g.name))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .filter(col("cnt") > thresh)
+      }
+      FQuery(i, sql, build, Seq((g.name, g.kind), ("cnt", IntK)))
+
+    case 2 => // set operation between two filtered projections
+      val t = allTables(rnd.nextInt(allTables.size))
+      val lc0 = t.cols.filter(_.lowCard)
+      val lc = if (lc0.isEmpty) t.cols.take(1) else lc0
+      val gs = pick(lc, math.min(lc.size, 1 + rnd.nextInt(2)), rnd)
+      val p1 = onePred(t.cols, rnd)
+      val p2 = onePred(t.cols, rnd)
+      val selSql = gs.map(_.name).mkString(", ")
+      val (opSql, opApi): (String, (DataFrame, DataFrame) => DataFrame) =
+        rnd.nextInt(3) match {
+          case 0 => ("INTERSECT", (l, r) => l.intersect(r))
+          case 1 => ("EXCEPT", (l, r) => l.except(r))
+          case _ => ("UNION", (l, r) => l.union(r).distinct())
+        }
+      val sql = s"SELECT $selSql FROM ${t.name} WHERE ${p1._1} " +
+        s"$opSql SELECT $selSql FROM ${t.name} WHERE ${p2._1}"
+      val build = (s: SparkSession, d: String) => {
+        val base = load(s, d, t)
+        val sel = gs.map(c => col(c.name))
+        opApi(base.filter(p1._2).select(sel: _*),
+          base.filter(p2._2).select(sel: _*))
+      }
+      FQuery(i, sql, build, gs.map(c => (c.name, c.kind)))
+
+    case _ => // scalar subquery threshold (broadcast 1-row cross join)
+      val j = joins(rnd.nextInt(joins.size))
+      val rPk = j.rc
+      val rHi = j.r.cols.find(_.name == rPk).get.hi
+      val delta = rnd.nextLong().abs % (rHi + 1)
+      val hiSide = rnd.nextBoolean()
+      val (cmpSql, scalarApi, cmpApi) =
+        if (hiSide)
+          (s"${j.lc} <= (SELECT max($rPk) - $delta FROM ${j.r.name})",
+            (max(col(rPk)) - delta).as("__s"),
+            (l: Column, s0: Column) => l <= s0)
+        else
+          (s"${j.lc} >= (SELECT min($rPk) + $delta FROM ${j.r.name})",
+            (min(col(rPk)) + delta).as("__s"),
+            (l: Column, s0: Column) => l >= s0)
+      val ow = wherePart(j.l.cols, rnd)
+      val whereSql = ow match {
+        case Some((s0, _)) => s" WHERE $s0 AND $cmpSql"
+        case None => s" WHERE $cmpSql"
+      }
+      val proj = pick(j.l.cols, 2, rnd)
+      val sql = s"SELECT ${proj.map(_.name).mkString(", ")} " +
+        s"FROM ${j.l.name}$whereSql"
+      val build = (s: SparkSession, d: String) => {
+        val l0 = load(s, d, j.l)
+        val l = ow.map(w => l0.filter(w._2)).getOrElse(l0)
+        val scalar = load(s, d, j.r).agg(scalarApi)
+        l.crossJoin(broadcast(scalar))
+          .filter(cmpApi(col(j.lc), col("__s")))
+          .select(proj.map(c => col(c.name)): _*)
+      }
+      FQuery(i, sql, build, proj.map(c => (c.name, c.kind)))
   }
 
   def corpus: Seq[FQuery] = (0 until NumQueries).map(query)

@@ -69,13 +69,30 @@ class FuzzSpec extends SparkSpec {
     assert(sqls.count(_.contains("rank() OVER")) >= 2,
       "non-unique-sort rank coverage")
     assert(sqls.count(_.contains(" LIMIT ")) >= 10, "top-k coverage")
-    // the frozen v1/v2 prefix must never drift: pin the first/last
-    // original indices by exact SQL so a dispatch change that would
-    // invalidate historical failure indices fails loudly here
+    // v4 shapes (indices 180-239)
+    assert(sqls.count(_.contains("CASE WHEN")) >= 5, "CASE coverage")
+    assert(sqls.count(_.contains("THEN NULL")) >= 2,
+      "NULL-branch CASE coverage")
+    assert(sqls.count(_.contains(" IN (")) >= 5, "IN-list coverage")
+    assert(sqls.count(_.contains(" NOT IN (")) >= 2, "NOT IN coverage")
+    assert(sqls.count(_.contains("HAVING")) >= 5, "HAVING coverage")
+    assert(sqls.count(s => s.contains("INTERSECT") ||
+      s.contains("EXCEPT") || s.contains(" UNION ")) >= 5,
+      "set-op coverage")
+    assert(sqls.count(_.contains("(SELECT max(")) +
+      sqls.count(_.contains("(SELECT min(")) >= 5,
+      "scalar-subquery coverage")
+    // the frozen prefixes must never drift: pin by shape markers so a
+    // dispatch change that would invalidate historical failure
+    // indices fails loudly here
     assert(QueryFuzzer.query(0).sql == QueryFuzzer.corpus(0).sql)
     assert(sqls.take(QueryFuzzer.NumQueriesV2)
       .forall(s => !s.contains(" OVER (") && !s.contains("EXISTS (")),
       "v3 shapes must not leak into the frozen v1/v2 index range")
+    assert(sqls.take(QueryFuzzer.NumQueriesV3)
+      .forall(s => !s.contains("CASE WHEN") && !s.contains("HAVING") &&
+        !s.contains("INTERSECT") && !s.contains("EXCEPT")),
+      "v4 shapes must not leak into the frozen v1-v3 index range")
     // determinism: the corpus is a pure function of the master seed
     assert(QueryFuzzer.corpus.map(_.sql) == QueryFuzzer.corpus.map(_.sql))
   }

@@ -27,6 +27,15 @@ object PipelineQueries {
     * DuckDB's regexp_replace is first-match-only by default). */
   private[api] val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** NULL-safe twin for the BPE gates (t26/t27/t29) ONLY: their Spark
+    * side coalesces NULL text to "" (one bad row degrades to 0 tokens
+    * instead of NPE-ing the mapPartitions pass), so their oracles must
+    * coalesce the SAME way or a NULL row hash-mismatches the gate.
+    * Every other t-gate keeps the NULL-propagating [[normSql]] — their
+    * Spark sides are pure columns where NULL propagates identically
+    * on both engines. */
+  private[api] val bpeNormSql =
+    "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
   private val toksSql =
     s"regexp_split_to_array($normSql, '\\s+')"
   private def hitsSql(words: Seq[String]): String =
@@ -1964,8 +1973,8 @@ object PipelineQueries {
           "text", Bpe.fixtureMerges)
         .orderBy("doc_id"),
       Some("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
-        s"CAST(length($normSql) AS BIGINT) AS n_chars_norm, " +
-        Bpe.oracleTokenCountSql(normSql, Bpe.fixtureMerges) +
+        s"CAST(length($bpeNormSql) AS BIGINT) AS n_chars_norm, " +
+        Bpe.oracleTokenCountSql(bpeNormSql, Bpe.fixtureMerges) +
         " AS n_bpe FROM documents ORDER BY doc_id")),
 
     Q("t27_bpe_pack",
@@ -1986,7 +1995,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some("WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
-        Bpe.oracleTokenCountSql(normSql, Bpe.fixtureMerges) +
+        Bpe.oracleTokenCountSql(bpeNormSql, Bpe.fixtureMerges) +
         " AS n_tok FROM documents), " +
         "o AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
@@ -2010,8 +2019,8 @@ object PipelineQueries {
           "text", Bpe.fixtureByteMerges)
         .orderBy("doc_id"),
       Some("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
-        s"CAST(octet_length(encode($normSql)) AS BIGINT) AS n_bytes_norm, " +
-        Bpe.oracleByteTokenCountSql(normSql, Bpe.fixtureByteMerges) +
+        s"CAST(octet_length(encode($bpeNormSql)) AS BIGINT) AS n_bytes_norm, " +
+        Bpe.oracleByteTokenCountSql(bpeNormSql, Bpe.fixtureByteMerges) +
         " AS n_bpe FROM documents ORDER BY doc_id")),
 
     Q("t30_phrase_search",

@@ -24,7 +24,11 @@ object StreamingQueries {
     * (dedup/fold/enrich); the write-heavy sinks (scd2, ingest) keep
     * the session default — their per-epoch Layout writes want the
     * I/O parallelism. Restored immediately after start so batch
-    * queries in the same session are untouched. */
+    * queries in the same session are untouched — NOT a race:
+    * StreamExecution clones the session (snapshotting the conf)
+    * during query construction inside start(), verified empirically
+    * by graft.StatePartitionsCheck (state ran at 8 partitions with
+    * the session conf already restored to 4). */
   private def startWithStatePartitions[T](s: SparkSession, n: Int)
                                          (start: => T): T = {
     val key = "spark.sql.shuffle.partitions"

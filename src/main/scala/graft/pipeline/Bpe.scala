@@ -203,28 +203,41 @@ object Bpe {
     * shuffles; the pre-tokenization (normalize + whitespace split)
     * runs as Catalyst expressions so engine parity is exact. */
   def tokenCounts(docs: DataFrame, id: String, text: String,
-                  merges: Seq[(String, String)]): DataFrame = {
+                  merges: Seq[(String, String)]): DataFrame =
+    tokenCountsImpl(docs, id, text, merges, length,
+      (w, m) => encodeWord(w, m), "n_chars_norm")
+
+  /** Shared body of [[tokenCounts]] / [[tokenCountsBytes]] — only the
+    * normalized-length expression (chars vs bytes), the per-word
+    * encoder, and the length column name differ. */
+  private def tokenCountsImpl(docs: DataFrame, id: String, text: String,
+                              merges: Seq[(String, String)],
+                              lenExpr: Column => Column,
+                              enc: (String, Seq[(String, String)]) => Array[String],
+                              lenColName: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(merges.toVector)
     // NULL text degrades to 0 tokens (coalesce) instead of a null Seq
     // that would NPE inside mapPartitions and fail the whole job —
     // matching the NULL-propagating pure-column gates' spirit of one
-    // bad row never killing a 100 TB pass
+    // bad row never killing a 100 TB pass. The ORACLES must coalesce
+    // identically (bpeNormSql in PipelineQueries), or a NULL row
+    // hash-mismatches the gate instead.
     val txt = coalesce(col(text), lit(""))
     docs.select(col(id).cast("long"),
-        length(TextAnalysis.normalize(txt)).cast("long"),
+        lenExpr(TextAnalysis.normalize(txt)).cast("long"),
         TextAnalysis.tokensWs(TextAnalysis.normalize(txt)))
       .as[(Long, Long, Seq[String])]
       .mapPartitions { it =>
         val m = bc.value
-        it.map { case (docId, nChars, words) =>
-          val sub = words.iterator.map(w => encodeWord(w, m).length.toLong).sum
+        it.map { case (docId, n, words) =>
+          val sub = words.iterator.map(w => enc(w, m).length.toLong).sum
           val spaces = math.max(0, words.size - 1).toLong
-          (docId, nChars, sub + spaces)
+          (docId, n, sub + spaces)
         }
       }
-      .toDF(id, "n_chars_norm", "n_bpe")
+      .toDF(id, lenColName, "n_bpe")
   }
 
   /** Byte-level [[tokenCounts]]: `(id, n_bytes_norm, n_bpe)` per doc —
@@ -236,26 +249,9 @@ object Bpe {
     * oracle). Broadcast ranks + one mapPartitions pass, zero
     * shuffles. */
   def tokenCountsBytes(docs: DataFrame, id: String, text: String,
-                       merges: Seq[(String, String)]): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val bc = s.sparkContext.broadcast(merges.toVector)
-    val txt = coalesce(col(text), lit(""))
-    docs.select(col(id).cast("long"),
-        octet_length(TextAnalysis.normalize(txt)).cast("long"),
-        TextAnalysis.tokensWs(TextAnalysis.normalize(txt)))
-      .as[(Long, Long, Seq[String])]
-      .mapPartitions { it =>
-        val m = bc.value
-        it.map { case (docId, nBytes, words) =>
-          val sub = words.iterator
-            .map(w => encodeWordBytes(w, m).length.toLong).sum
-          val spaces = math.max(0, words.size - 1).toLong
-          (docId, nBytes, sub + spaces)
-        }
-      }
-      .toDF(id, "n_bytes_norm", "n_bpe")
-  }
+                       merges: Seq[(String, String)]): DataFrame =
+    tokenCountsImpl(docs, id, text, merges, octet_length,
+      (w, m) => encodeWordBytes(w, m), "n_bytes_norm")
 
   /** Byte-level vocabulary: the FULL 256-byte base alphabet (id =
     * byte value — no corpus dependence, so the table is closed under
@@ -418,10 +414,14 @@ object Bpe {
         !t.grouped(2).contains("20") } },
       "byte-level merge tokens must be uppercase hex byte runs without the space byte 20")
     def tok(t: String) = s"chr(1)||'$t'||chr(2)"
+    // regexp_extract_all(hex, '..') yields the consecutive hex PAIRS
+    // in one pass over a hex string computed ONCE — an index-based
+    // lambda would re-evaluate hex(encode(normExpr)) per byte (DuckDB
+    // does not hoist loop-invariant lambda subexpressions), turning
+    // the oracle O(n²) per document
     val seq0 = s"array_to_string(list_transform(" +
-      s"range(1, length(hex(encode($normExpr))) // 2 + 1), " +
-      s"i -> chr(1)||substring(hex(encode($normExpr)), " +
-      "CAST(2*i-1 AS INT), 2)||chr(2)), '')"
+      s"regexp_extract_all(hex(encode($normExpr)), '..'), " +
+      "x -> chr(1)||x||chr(2)), '')"
     val replayed = merges.foldLeft(seq0) { case (acc, (a, b)) =>
       s"replace($acc, ${tok(a)}||${tok(b)}, ${tok(a + b)})"
     }

@@ -223,13 +223,22 @@ class IvfIndex private (val cells: DataFrame,
     * maintenance statistic; cache it between batches if appends are
     * frequent. No joins, no shuffles beyond the two averages. */
   def driftRatio(batch: DataFrame, vec: String): Double = {
-    def meanD2(df: DataFrame): Double =
-      df.select(avg(IvfIndex.nearestD2(
+    // avg over zero rows is a NULL aggregate: an EMPTY batch has no
+    // drift by definition (appending it is a no-op), so return 0.0
+    // instead of NPE-ing the maintenance job that measures-then-appends
+    def meanD2(df: DataFrame): Option[Double] = {
+      val r = df.select(avg(IvfIndex.nearestD2(
           graft.functions.VectorExprs.l2_normalize(col("cv")), centroidLit)))
-        .collect()(0).getDouble(0)
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
     val b = Kernels.ensureParallelism(
       batch.select(Similarity.vecD(col(vec)).as("cv")))
-    meanD2(b) / math.max(meanD2(cells.select(col("cv"))), 1e-12)
+    meanD2(b) match {
+      case None => 0.0
+      case Some(bm) =>
+        bm / math.max(meanD2(cells.select(col("cv"))).getOrElse(0.0), 1e-12)
+    }
   }
 
   /** Release the cached cells frame (queries recompute afterwards). */

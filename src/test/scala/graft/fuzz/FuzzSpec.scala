@@ -93,6 +93,17 @@ class FuzzSpec extends SparkSpec {
       .forall(s => !s.contains("CASE WHEN") && !s.contains("HAVING") &&
         !s.contains("INTERSECT") && !s.contains("EXCEPT")),
       "v4 shapes must not leak into the frozen v1-v3 index range")
+    // the exact-content freeze: the SHA-256 of the 0-179 SQL corpus is
+    // pinned, so ANY drift in the frozen range (a generator refactor,
+    // a dependency changing Random, a new shape leaking in) fails here
+    // with certainty, not just when it trips a marker heuristic. New
+    // shape versions must APPEND indices and re-pin.
+    val frozen = sqls.take(QueryFuzzer.NumQueriesV3).mkString("\n")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(frozen.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sha ==
+      "abdfbe0f657c0bfdd8b7de54a2da6f4a9c10d22c3bfd2b4e653314de960323b0",
+      s"frozen corpus (indices 0-179) drifted: $sha")
     // determinism: the corpus is a pure function of the master seed
     assert(QueryFuzzer.corpus.map(_.sql) == QueryFuzzer.corpus.map(_.sql))
   }

@@ -54,7 +54,16 @@ object QueryFuzzer {
     * UNION distinct), and scalar subqueries rendered API-side as a
     * broadcast 1-row cross join. */
   val NumQueriesV3 = 180
-  val NumQueries = 240
+  /** v5 appends 240-287: COMPOSITE shapes — window functions over
+    * JOIN sources, grouped aggregation over EXISTS-filtered sources,
+    * top-k over joins, windows over semi-filtered tables. These
+    * compose the constructs v3/v4 test in isolation, the class the
+    * named c-gates pin only in fixed forms. Post-join uniqueness: an
+    * FK equi-join matches each FK-side row to EXACTLY ONE pk-side row
+    * (referential integrity + pk uniqueness), so the FK side's unique
+    * key stays a total order over the join result. */
+  val NumQueriesV4 = 240
+  val NumQueries = 288
 
   /** Unique row keys per table (verified against the harness data —
     * lineitem's nominal (orderkey, linenumber) is NOT unique in the
@@ -259,6 +268,7 @@ object QueryFuzzer {
 
   def query(i: Int): FQuery = {
     val rnd = new Random(MasterSeed * 1000003L + i)
+    if (i >= NumQueriesV4) return queryV5(i, rnd)
     if (i >= NumQueriesV3) return queryV4(i, rnd)
     if (i >= NumQueriesV2) return queryV3(i, rnd)
     val src = source(rnd)
@@ -615,6 +625,130 @@ object QueryFuzzer {
           .select(proj.map(c => col(c.name)): _*)
       }
       FQuery(i, sql, build, proj.map(c => (c.name, c.kind)))
+  }
+
+  /** v5 composite shapes (indices ≥ [[NumQueriesV4]]); i%4 dispatch
+    * for the same power-of-2 first-draw reason as v4. */
+  private def queryV5(i: Int, rnd: Random): FQuery = (i % 4) match {
+    case 0 => // window over a JOIN source (FK side's pk stays unique)
+      import org.apache.spark.sql.expressions.Window
+      val j = joins(rnd.nextInt(joins.size))
+      val pkCols = pks(j.l.name)
+      val cols = j.l.cols ++ j.r.cols
+      val gCands = cols.filter(c => c.lowCard && !pkCols.contains(c.name))
+      val g = gCands(rnd.nextInt(gCands.size))
+      val ow = wherePart(cols, rnd)
+      val whereSql = ow.map(w => s" WHERE ${w._1}").getOrElse("")
+      val w = Window.partitionBy(col(g.name))
+        .orderBy(pkCols.map(col(_).asc): _*)
+      val runSum = rnd.nextBoolean()
+      val pkSql = pkCols.mkString(", ")
+      val (wSql, wApi) =
+        if (runSum)
+          (s"CAST(sum(${pkCols.head} % 1000003) OVER (PARTITION BY " +
+            s"${g.name} ORDER BY $pkSql ROWS BETWEEN UNBOUNDED " +
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS wv",
+            sum(col(pkCols.head) % 1000003L)
+              .over(w.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("long").as("wv"))
+        else
+          (s"CAST(row_number() OVER (PARTITION BY ${g.name} " +
+            s"ORDER BY $pkSql) AS BIGINT) AS wv",
+            row_number().over(w).cast("long").as("wv"))
+      val sql = s"SELECT $pkSql, ${g.name}, $wSql " +
+        s"FROM ${j.l.name} JOIN ${j.r.name} ON ${j.lc} = ${j.rc}$whereSql"
+      val build = (s: SparkSession, d: String) => {
+        val joined = load(s, d, j.l)
+          .join(load(s, d, j.r), col(j.lc) === col(j.rc))
+        val f = ow.map(wp => joined.filter(wp._2)).getOrElse(joined)
+        f.select(pkCols.map(col) ++ Seq(col(g.name), wApi): _*)
+      }
+      FQuery(i, sql, build,
+        pkCols.map(n => (n, IntK: Kind)) ++
+          Seq((g.name, g.kind), ("wv", IntK)))
+
+    case 1 => // grouped aggregation over an EXISTS-filtered source
+      val j = joins(rnd.nextInt(joins.size))
+      val fromPk = rnd.nextBoolean()
+      val (outer, inner, ok, ik) =
+        if (fromPk) (j.r, j.l, j.rc, j.lc) else (j.l, j.r, j.lc, j.rc)
+      val anti = rnd.nextInt(3) == 0
+      val ip = onePred(inner.cols, rnd)
+      val gCands = outer.cols.filter(_.lowCard)
+      val g = if (gCands.isEmpty) outer.cols.head
+              else gCands(rnd.nextInt(gCands.size))
+      val sCands = outer.cols.filter(c =>
+        c.kind == IntK && c.name != g.name)
+      val sc = sCands(rnd.nextInt(sCands.size))
+      val ex0 = s"EXISTS (SELECT 1 FROM ${inner.name} " +
+        s"WHERE $ik = $ok AND ${ip._1})"
+      val exSql = if (anti) s"NOT $ex0" else ex0
+      val sql = s"SELECT ${g.name}, CAST(count(*) AS BIGINT) AS cnt, " +
+        s"CAST(sum(${sc.name} % 1000003) AS BIGINT) AS sv " +
+        s"FROM ${outer.name} WHERE $exSql GROUP BY ${g.name}"
+      val build = (s: SparkSession, d: String) => {
+        val in = load(s, d, inner).filter(ip._2).select(col(ik))
+        load(s, d, outer)
+          .join(in, col(ok) === col(ik),
+            if (anti) "left_anti" else "left_semi")
+          .groupBy(col(g.name))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(col(sc.name) % 1000003L).cast("long").as("sv"))
+      }
+      FQuery(i, sql, build,
+        Seq((g.name, g.kind), ("cnt", IntK), ("sv", IntK)))
+
+    case 2 => // top-k over a JOIN (unique tiebreak = FK side's key)
+      val j = joins(rnd.nextInt(joins.size))
+      val pkCols = pks(j.l.name)
+      val cols = j.l.cols ++ j.r.cols
+      val sCands = cols.filter(c =>
+        c.kind == IntK && !pkCols.contains(c.name))
+      val sc = sCands(rnd.nextInt(sCands.size))
+      val desc = rnd.nextBoolean()
+      val k = 5 + rnd.nextInt(46)
+      val ow = wherePart(cols, rnd)
+      val whereSql = ow.map(w => s" WHERE ${w._1}").getOrElse("")
+      val projCols = (sc.name +: pkCols).distinct
+      val projKinds = projCols.map(n =>
+        (n, cols.find(_.name == n).get.kind))
+      val orderSql =
+        ((sc.name + (if (desc) " DESC" else "")) +: pkCols).mkString(", ")
+      val sql = s"SELECT ${projCols.mkString(", ")} FROM ${j.l.name} " +
+        s"JOIN ${j.r.name} ON ${j.lc} = ${j.rc}$whereSql " +
+        s"ORDER BY $orderSql LIMIT $k"
+      val build = (s: SparkSession, d: String) => {
+        val joined = load(s, d, j.l)
+          .join(load(s, d, j.r), col(j.lc) === col(j.rc))
+        val f = ow.map(wp => joined.filter(wp._2)).getOrElse(joined)
+        val sortCols =
+          (if (desc) col(sc.name).desc else col(sc.name).asc) +:
+            pkCols.map(col(_).asc)
+        f.select(projCols.map(col): _*).orderBy(sortCols: _*).limit(k)
+      }
+      FQuery(i, sql, build, projKinds)
+
+    case _ => // lag over an EXISTS-filtered single-pk table
+      import org.apache.spark.sql.expressions.Window
+      val semiJoins = joins.filter(j => pks(j.r.name).size == 1)
+      val j = semiJoins(rnd.nextInt(semiJoins.size))
+      val (outer, inner, ok, ik) = (j.r, j.l, j.rc, j.lc)
+      val pk = pks(outer.name).head
+      val ip = onePred(inner.cols, rnd)
+      val gCands = outer.cols.filter(c => c.lowCard && c.name != pk)
+      val g = gCands(rnd.nextInt(gCands.size))
+      val sql = s"SELECT $pk, CAST(lag($pk, 1) OVER (PARTITION BY " +
+        s"${g.name} ORDER BY $pk) AS BIGINT) AS lg FROM ${outer.name} " +
+        s"WHERE EXISTS (SELECT 1 FROM ${inner.name} " +
+        s"WHERE $ik = $ok AND ${ip._1})"
+      val w = Window.partitionBy(col(g.name)).orderBy(col(pk))
+      val build = (s: SparkSession, d: String) => {
+        val in = load(s, d, inner).filter(ip._2).select(col(ik))
+        load(s, d, outer)
+          .join(in, col(ok) === col(ik), "left_semi")
+          .select(col(pk), lag(col(pk), 1).over(w).cast("long").as("lg"))
+      }
+      FQuery(i, sql, build, Seq((pk, IntK: Kind), ("lg", IntK)))
   }
 
   def corpus: Seq[FQuery] = (0 until NumQueries).map(query)

@@ -93,17 +93,34 @@ class FuzzSpec extends SparkSpec {
       .forall(s => !s.contains("CASE WHEN") && !s.contains("HAVING") &&
         !s.contains("INTERSECT") && !s.contains("EXCEPT")),
       "v4 shapes must not leak into the frozen v1-v3 index range")
-    // the exact-content freeze: the SHA-256 of the 0-179 SQL corpus is
-    // pinned, so ANY drift in the frozen range (a generator refactor,
-    // a dependency changing Random, a new shape leaking in) fails here
-    // with certainty, not just when it trips a marker heuristic. New
-    // shape versions must APPEND indices and re-pin.
-    val frozen = sqls.take(QueryFuzzer.NumQueriesV3).mkString("\n")
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(frozen.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(sha ==
+    // v5 composite shapes (indices 240-287)
+    assert(sqls.count(s => s.contains(" JOIN ") && s.contains(" OVER ("))
+      >= 5, "window-over-join coverage")
+    assert(sqls.count(s => s.contains("EXISTS (") &&
+      s.contains("GROUP BY")) >= 5, "agg-over-semi coverage")
+    assert(sqls.count(s => s.contains(" JOIN ") && s.contains(" LIMIT "))
+      >= 5, "top-k-over-join coverage")
+    assert(sqls.count(s => s.contains("EXISTS (") && s.contains("lag("))
+      >= 5, "window-over-semi coverage")
+    assert(sqls.take(QueryFuzzer.NumQueriesV4)
+      .forall(s => !(s.contains(" JOIN ") && s.contains(" OVER ("))),
+      "v5 shapes must not leak into the frozen v1-v4 index range")
+    // the exact-content freeze: the SHA-256 of each frozen prefix is
+    // pinned, so ANY drift (a generator refactor, a dependency
+    // changing Random, a new shape leaking in) fails here with
+    // certainty, not just when it trips a marker heuristic. New shape
+    // versions must APPEND indices and pin the next prefix.
+    def sha(n: Int): String = {
+      val s = sqls.take(n).mkString("\n")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(sha(QueryFuzzer.NumQueriesV3) ==
       "abdfbe0f657c0bfdd8b7de54a2da6f4a9c10d22c3bfd2b4e653314de960323b0",
-      s"frozen corpus (indices 0-179) drifted: $sha")
+      "frozen corpus (indices 0-179) drifted")
+    assert(sha(QueryFuzzer.NumQueriesV4) ==
+      "3622b771da8dc75308ee7e408b4d44852d532046257db05d22fa7ef77490cf2b",
+      "frozen corpus (indices 0-239) drifted")
     // determinism: the corpus is a pure function of the master seed
     assert(QueryFuzzer.corpus.map(_.sql) == QueryFuzzer.corpus.map(_.sql))
   }

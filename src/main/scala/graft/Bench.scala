@@ -36,6 +36,15 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-wide whole-stage-codegen class cache (static conf, default
+      // 100 entries). The suite compiles thousands of distinct plans
+      // (249 gates; c17 alone runs 288 generated legs × several codegen
+      // stages each), so at the default size every pass — including the
+      // min-of-2 second pass — Janino-recompiles everything it just
+      // evicted. Measured on c17 (quiet host, sf0.1, cpus=32):
+      // 25.0 s at 100 entries → 11.9 s at 5000. Scale-neutral: the
+      // cache is per-JVM and sized in plans, not data.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

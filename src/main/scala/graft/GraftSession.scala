@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-wide codegen class cache (static conf): the default 100
+      // entries thrash under this engine's plan diversity — see the
+      // measured A/B in Bench.scala
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -119,17 +119,24 @@ object Graph {
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta > tol) {
+      // dangling mass rides into the round's ONE materializing action
+      // as a broadcast 1-row scalar (the [[pageRank]] `n` idiom) —
+      // collecting it to the driver first was a second full
+      // action per round, pure scheduler latency. The expression
+      // preserves the literal form's IEEE op order:
+      // (d * dangling) / nN.
       val dangling = pr
         .join(odeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dang"))
       val contrib = out
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(odeg, "src")
         .groupBy(col("dst")).agg(sum(col("pr") / col("__deg")).as("__in"))
       val next = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
-          (lit((1.0 - d) / nN) + lit(d * dangling / nN) +
+          (lit((1.0 - d) / nN) + lit(d) * col("__dang") / lit(nN) +
             lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
         .transform(ckptFresh)
       // fixed-iteration mode (tol ≤ 0) skips the L1-delta join+agg —
@@ -172,30 +179,35 @@ object Graph {
       .transform(ckptFresh)
     var auth: DataFrame = null // set by the first half-step below
     for (_ <- 1 to iters) {
+      // each half-step is ONE materializing action: the L1 normalizer
+      // rides in as a broadcast 1-row scalar (the [[pageRank]] `n`
+      // idiom) instead of a separate driver `head` per half-step, and
+      // the raw frame needs no checkpoint of its own — its
+      // aggregation exchange appears twice in the one plan and Spark's
+      // ReuseExchange computes it once. Division op/order unchanged:
+      // raw / Σraw.
       val araw = out
         .join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
-        .transform(ckptFresh)
-      val asum = araw.agg(sum(col("raw"))).head.getDouble(0)
+      val asum = araw.agg(sum(col("raw")).as("__s"))
       val nextAuth = nodes
         .join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(asum))
         .select(col("node"),
-          (coalesce(col("raw"), lit(0.0)) / lit(asum)).as("auth"))
+          (coalesce(col("raw"), lit(0.0)) / col("__s")).as("auth"))
         .transform(ckptFresh)
       val hraw = out
         .join(nextAuth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("auth")).as("raw"))
-        .transform(ckptFresh)
-      val hsum = hraw.agg(sum(col("raw"))).head.getDouble(0)
+      val hsum = hraw.agg(sum(col("raw")).as("__s"))
       val nextHub = nodes
         .join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(hsum))
         .select(col("node"),
-          (coalesce(col("raw"), lit(0.0)) / lit(hsum)).as("hub"))
+          (coalesce(col("raw"), lit(0.0)) / col("__s")).as("hub"))
         .transform(ckptFresh)
       graft.ops.CacheScope.freeCheckpointBlocks(hub)
       if (auth != null) graft.ops.CacheScope.freeCheckpointBlocks(auth)
-      graft.ops.CacheScope.freeCheckpointBlocks(araw)
-      graft.ops.CacheScope.freeCheckpointBlocks(hraw)
       hub = nextHub
       auth = nextAuth
     }
@@ -280,17 +292,21 @@ object Graph {
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta > tol) {
+      // dangling mass fused into the round's single action as a
+      // broadcast scalar — see [[pageRankDirected]]; op order
+      // preserved: (1−d) + d·dangling.
       val dangling = pr
         .join(odeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head.getDouble(0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dang"))
       val contrib = out
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(odeg, "src")
         .groupBy(col("dst")).agg(sum(col("pr") / col("__deg")).as("__in"))
       val next = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
-          ((lit(1.0 - d) + lit(d * dangling)) * p +
+          ((lit(1.0 - d) + lit(d) * col("__dang")) * p +
             lit(d) * coalesce(col("__in"), lit(0.0))).as("pr"))
         .transform(ckptFresh)
       if (tol > 0.0) // fixed-iteration mode: see [[pageRankDirected]]
@@ -389,20 +405,31 @@ object Graph {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      // the previous cost threads THROUGH the min-aggregation (every
+      // node has exactly one dist row, so max(__old) recovers it —
+      // the [[graft.pipeline.Dedup.dupClusters]] trick): the
+      // change probe then reads off the round's already-materialized
+      // checkpoint instead of paying a separate join+count action
+      // over both vectors per round.
       val cand = e.join(dist.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      val next = dist.unionByName(cand)
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"),
+          lit(null).cast("long").as("__old"))
+      val next = dist.select(col("node"), col("cost"),
+          col("cost").as("__old"))
+        .unionByName(cand)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"),
+          max(col("__old")).as("__old"))
+        .withColumn("__changed",
+          col("__old").isNull || col("cost") < col("__old"))
+        .select(col("node"), col("cost"), col("__changed"))
         .transform(ckptFresh)
-      val changed = next
-        .join(dist.withColumnRenamed("cost", "__old"), Seq("node"), "left")
-        .filter(col("__old").isNull || col("cost") < col("__old"))
-        .count()
+      val changed = next.filter(col("__changed")).limit(1).count()
       graft.ops.CacheScope.freeCheckpointBlocks(dist)
-      dist = next
+      dist = next.select(col("node"), col("cost"))
       if (changed == 0) converged = true else rounds += 1
     }
-    (graft.ops.CacheScope.register(dist), rounds, converged)
+    (graft.ops.CacheScope.register(dist.select(col("node"), col("cost"))),
+      rounds, converged)
   }
 
   /** Unweighted BFS hop distances from a source set over an
@@ -444,10 +471,14 @@ object Graph {
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("hop"))
         .transform(ckptFresh)
-      val grown = ckptFresh(settled.unionByName(next))
-      graft.ops.CacheScope.freeCheckpointBlocks(settled)
-      graft.ops.CacheScope.freeCheckpointBlocks(frontier)
-      settled = grown
+      // the settled set stays a UNION of the per-hop checkpointed
+      // frontiers (≤ maxHops tiny materialized leaves) instead of
+      // being re-checkpointed wholesale every round — that copy was a
+      // second materializing action per hop for data the blocks
+      // already hold. Leaves are shared across rounds, so nothing is
+      // freed mid-loop; the caller's CacheScope release walks the
+      // union and frees every leaf.
+      settled = settled.unionByName(next)
       frontier = next.select(col("node"))
       frontierSize = next.count()
     }

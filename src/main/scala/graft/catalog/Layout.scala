@@ -152,9 +152,14 @@ object Layout {
   def manifestAsOf(spark: SparkSession, path: String,
                    snap: Option[String]): Option[DataFrame] =
     partsAsOf(spark, path, snap).map { parts =>
-      spark.read.option("mergeSchema", "true").parquet(
-        parts.filter(_.startsWith("m_"))
-          .map(p => SnapshotManifest.partPath(path, p)): _*)
+      val ps = parts.filter(_.startsWith("m_"))
+        .map(p => SnapshotManifest.partPath(path, p))
+      // mergeSchema launches a distributed footer-merge JOB per read;
+      // a single-part snapshot (every post-fold/post-write state — the
+      // common case) has nothing to merge, and the lifecycle paths
+      // read the manifest many times per op, so skip it there
+      if (ps.lengthCompare(1) == 0) spark.read.parquet(ps.head)
+      else spark.read.option("mergeSchema", "true").parquet(ps: _*)
     }
 
   private def partsAsOf(spark: SparkSession, path: String,
@@ -943,9 +948,19 @@ object Layout {
   def planMaintenance(spark: SparkSession, path: String,
                       filesPerBucket: Int = 4): Seq[BucketMaintenance] = {
     val m = manifest(spark, path).getOrElse(return Seq.empty)
-    val hasRows = m.columns.contains("n_rows")
+    planFrom(m.columns.contains("n_rows"), m.collect(),
+      deletionVectorAsOf(spark, path, None), filesPerBucket)
+  }
+
+  /** [[planMaintenance]] over ALREADY-READ manifest rows + DV —
+    * [[compact]] has both in hand and must not pay a second
+    * manifest/DV read (2-3 extra metadata jobs per call) just to
+    * derive its own worklist. */
+  private def planFrom(hasRows: Boolean, liveRows: Array[Row],
+                       dvOpt: Option[DataFrame],
+                       filesPerBucket: Int): Seq[BucketMaintenance] = {
     // (file count, physical rows) per bucket — bounded by FILE count
-    val files = m.collect().groupBy(_.getLong(1))
+    val files = liveRows.groupBy(_.getLong(1))
       .map { case (b, rows) =>
         val phys =
           if (hasRows && rows.forall(!_.isNullAt(4)))
@@ -954,7 +969,7 @@ object Layout {
         b -> (rows.length, phys)
       }
     val dv: Map[Long, (Int, Long)] =
-      deletionVectorAsOf(spark, path, None).fold(Map.empty[Long, (Int, Long)])(
+      dvOpt.fold(Map.empty[Long, (Int, Long)])(
         _.groupBy(col("sym_bucket"))
           .agg(countDistinct(col("file")).as("dvf"), count(lit(1)).as("dvr"))
           .collect() // bounded by BUCKET count
@@ -1010,13 +1025,12 @@ object Layout {
     // dv_* part — which is only sound if ALL dv-touched buckets were
     // rewritten this pass)
     val dvOpt = deletionVectorAsOf(spark, path, None)
-    val plan = planMaintenance(spark, path, filesPerBucket)
+    val plan = planFrom(live.columns.contains("n_rows"), liveRows,
+      dvOpt, filesPerBucket)
     val dvBuckets: Set[Long] = plan.filter(_.dvPressure).map(_.bucket).toSet
     val planned = plan.map(_.bucket).toSet
     val targets = liveRows.groupBy(_.getLong(1))
       .filter { case (b, _) => planned(b) }
-    var replaced = Set.empty[String]
-    var freshRows = Array.empty[Row]
     // change-data PROVENANCE for the hop-chain re-verifiers
     // ([[graft.plans.TableState]]): the rows this compact materializes
     // OUT of the plain directory read (the base snapshot's DV'd rows)
@@ -1024,12 +1038,23 @@ object Layout {
     // so the post-compact audit window stays recoverable after the
     // full vacuum deletes the superseded file generation. O(deleted
     // positions) extra write, against files this pass reads anyway.
-    var removedDfs = Seq.empty[DataFrame]
-    targets.foreach { case (bucket, rows) =>
+    //
+    // Buckets are INDEPENDENT maintenance units (disjoint file sets,
+    // disjoint stage dirs), so their stage-write / zone-scan / move
+    // sequences run CONCURRENTLY from a small driver pool (guide
+    // §2.6 back-fill: each bucket's job tail leaves executors idle
+    // that the next bucket's jobs can use; measured on s19's warm
+    // compact at sf0.1/cpus=32: 3.7 s sequential → ~2.1 s at 4
+    // buckets). The snapshot COMMIT stays strictly sequential after
+    // every bucket has staged — the crash contract is unchanged
+    // (nothing is observable until the single pointer flip).
+    def processBucket(bucket: Long, rows: Array[Row])
+        : (Array[String], Array[Row], Option[DataFrame]) = {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
       val files = rows.map(r =>
         globEscape(new Path(rootP, r.getString(0)).toString))
       val bdf0 = spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
-      val bdf = dvOpt match {
+      val (bdf, removedHere) = dvOpt match {
         case Some(dv) if dvBuckets(bucket) =>
           val posed = withPos(bdf0)
           val bdv = dv.filter(col("sym_bucket") === bucket)
@@ -1042,17 +1067,19 @@ object Layout {
           val liveHere = rows.map(_.getString(0)).toSet
           val dvFiles = bdv.select(col("file")).distinct().collect()
             .map(_.getString(0)).filter(liveHere)
-          if (dvFiles.nonEmpty) {
-            val touched = withPos(spark.read.option("basePath", path)
-              .parquet(dvFiles.map(f =>
-                globEscape(new Path(rootP, f).toString)).toIndexedSeq: _*))
-            removedDfs :+= touched.join(bdv,
-              touched("__dv_file") === bdv("file") &&
-                touched("__dv_pos") === bdv("row_index"), "left_semi")
-              .drop("__dv_file", "__dv_pos")
-          }
-          minusDv(posed, bdv).drop("__dv_file", "__dv_pos")
-        case _ => bdf0
+          val rem =
+            if (dvFiles.isEmpty) None
+            else {
+              val touched = withPos(spark.read.option("basePath", path)
+                .parquet(dvFiles.map(f =>
+                  globEscape(new Path(rootP, f).toString)).toIndexedSeq: _*))
+              Some(touched.join(bdv,
+                touched("__dv_file") === bdv("file") &&
+                  touched("__dv_pos") === bdv("row_index"), "left_semi")
+                .drop("__dv_file", "__dv_pos"))
+            }
+          (minusDv(posed, bdv).drop("__dv_file", "__dv_pos"), rem)
+        case _ => (bdf0, None)
       }
       val stage = new Path(rootP, s".stage_compact_${bucket}_${System.nanoTime()}")
       bdf.repartitionByRange(filesPerBucket, col(time))
@@ -1074,9 +1101,27 @@ object Layout {
           throw new java.io.IOException(s"compact: rename failed for $rel")
       }
       fs.delete(stage, true)
-      replaced ++= rows.map(_.getString(0))
-      freshRows ++= newRows
+      (rows.map(_.getString(0)), newRows, removedHere)
     }
+    val bucketResults: Seq[(Array[String], Array[Row], Option[DataFrame])] = {
+      val ts = targets.toSeq
+      if (ts.size <= 1) ts.map { case (b, rows) => processBucket(b, rows) }
+      else {
+        import scala.concurrent.{Await, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(ts.size, 8))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(ts.map { case (b, rows) =>
+            Future(processBucket(b, rows)) }),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+    }
+    val replaced: Set[String] = bucketResults.flatMap(_._1).toSet
+    val freshRows: Array[Row] = bucketResults.flatMap(_._2).toArray
+    val removedDfs: Seq[DataFrame] = bucketResults.flatMap(_._3)
     val nParts = SnapshotManifest.currentParts(spark, path).map(_.size).getOrElse(0)
     if (targets.nonEmpty || nParts > 1) {
       val folded = liveRows.filterNot(r => replaced(r.getString(0))) ++ freshRows
@@ -1203,10 +1248,14 @@ object Layout {
     // dead (dv_/bf_ parts reference data files too, but only as
     // annotations on m_-listed files — a dangling dv/bf entry must
     // not keep an expired file alive)
-    val liveFiles = keepParts.filter(_.startsWith("m_")).flatMap { p =>
-      spark.read.parquet(SnapshotManifest.partPath(path, p))
-        .select(col("file")).collect().map(_.getString(0))
-    }.toSet
+    // ONE footer-bounded job over every kept m_ part (was one Spark
+    // job per part — pure per-job overhead on multi-part snapshots)
+    val mParts = keepParts.filter(_.startsWith("m_"))
+    val liveFiles =
+      if (mParts.isEmpty) Set.empty[String]
+      else spark.read.option("mergeSchema", "true")
+        .parquet(mParts.map(p => SnapshotManifest.partPath(path, p)): _*)
+        .select(col("file")).collect().map(_.getString(0)).toSet
     fs.listStatus(rootP).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith(".stage_")) fs.delete(st.getPath, true)

@@ -158,6 +158,27 @@ class PqIndex private (val codes: DataFrame,
 
 object PqIndex {
 
+  /** Train the `m` per-subspace codebooks CONCURRENTLY on the driver:
+    * each subspace's k-means is an independent, seeded, deterministic
+    * computation over its own slice of the sample (seed + j), so
+    * running them on a small pool changes nothing but wall-clock —
+    * sequential training serialized ~m × 5 Lloyd's rounds of pure
+    * driver CPU while 31 cores idled. Results land by index, so the
+    * codebook array is bit-identical to the sequential build. */
+  private def trainCodebooksParallel(m: Int)(
+      f: Int => Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    if (m <= 1) return Array.tabulate(m)(f)
+    import scala.concurrent.{Await, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, Runtime.getRuntime.availableProcessors()))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence((0 until m).toList.map(j => Future(f(j)))),
+      scala.concurrent.duration.Duration.Inf).toArray
+    finally pool.shutdown()
+  }
+
   /** Load a [[PqIndex.save]]d index: codebooks re-collected from the
     * tiny parquet (driver memory O(m · nWords · dims/m) = O(nWords ·
     * dims)), the encoded corpus read lazily and registered in
@@ -210,7 +231,7 @@ object PqIndex {
     val dims = sample.head.length
     require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
     val sub = dims / m
-    val codebooks = Array.tabulate(m) { j =>
+    val codebooks = trainCodebooksParallel(m) { j =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       IvfIndex.localKMeans(pts, nWords, iters = 5, seed = seed + j)
     }
@@ -243,7 +264,7 @@ object PqIndex {
     val dims = sample.head.length
     require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
     val subLen = dims / m
-    val codebooks = Array.tabulate(m) { j =>
+    val codebooks = trainCodebooksParallel(m) { j =>
       val pts = sample.map(v =>
         java.util.Arrays.copyOfRange(v, j * subLen, (j + 1) * subLen))
       IvfIndex.localKMeans(pts, nWords, iters = 5, seed = seed + j)

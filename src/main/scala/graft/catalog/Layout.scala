@@ -157,9 +157,19 @@ object Layout {
       // mergeSchema launches a distributed footer-merge JOB per read;
       // a single-part snapshot (every post-fold/post-write state — the
       // common case) has nothing to merge, and the lifecycle paths
-      // read the manifest many times per op, so skip it there
+      // read the manifest many times per op, so skip it there. For
+      // multi-part snapshots, compare the parts' footer schemas on
+      // the DRIVER first (each is one local single-file inference, no
+      // job): identical schemas — every append since the last stat
+      // evolution — pin the schema explicitly and skip the merge job
+      // too; only genuinely heterogeneous parts pay it.
       if (ps.lengthCompare(1) == 0) spark.read.parquet(ps.head)
-      else spark.read.option("mergeSchema", "true").parquet(ps: _*)
+      else {
+        val schemas = ps.map(p => spark.read.parquet(p).schema).distinct
+        if (schemas.lengthCompare(1) == 0)
+          spark.read.schema(schemas.head).parquet(ps: _*)
+        else spark.read.option("mergeSchema", "true").parquet(ps: _*)
+      }
     }
 
   private def partsAsOf(spark: SparkSession, path: String,
@@ -861,6 +871,15 @@ object Layout {
         if (epoch.isEmpty || retry)
           delKeys.unionByName(ins.select(keys.map(col): _*))
         else delKeys
+      // ONE action answers both emptiness probes (and materializes
+      // the persisted feed): the separate ins.isEmpty/sweep.isEmpty
+      // pair cost two driver round-trips over the same frame
+      val typeCounts = data.groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIns = typeCounts.getOrElse("insert", 0L)
+      val nDel = typeCounts.getOrElse("delete", 0L)
+      val sweepEmpty =
+        if (epoch.isEmpty || retry) nDel + nIns == 0L else nDel == 0L
       // ONE-COMMIT batch: stage the sweep's deletion-vector part and
       // the insert batch's files + zone part, then flip the target
       // snapshot ONCE covering both — half the fixed snapshot cost of
@@ -874,11 +893,11 @@ object Layout {
       migrateIfLegacy(spark, targetPath, time)
       val baseSnap = SnapshotManifest.currentSnap(spark, targetPath)
       val dvPart =
-        if (sweep.isEmpty) None
+        if (sweepEmpty) None
         else stageDvPart(spark, targetPath,
           scan => scan.join(sweep, keys, "left_semi"))
       val insPart =
-        if (ins.isEmpty) None
+        if (nIns == 0L) None
         else stageAppendPart(ins, targetPath, symbol, time,
           numBuckets, filesPerBucket, partName = None)
       val newParts = dvPart.map(_._1).toSeq ++ insPart.toSeq

@@ -793,12 +793,11 @@ object QueryFuzzer {
       graft.ops.CacheScope.persist(
         graft.catalog.Tables.load(s, dir, t.name)
           .select(t.cols.map(c => col(c.name)): _*))).toMap
-    val legs = try corpus.map { q =>
+    def legOf(q: FQuery): DataFrame =
       q.build(s, dir).agg(
           count(lit(1)).cast("long").as("n_rows"),
           coalesce(sum(chkApi(q.outCols)), lit(0L)).cast("long").as("chk"))
         .select(lit(q.idx).as("q"), col("n_rows"), col("chk"))
-    } finally { shared = Map.empty }
     // per-leg adaptive re-planning is the dominant cost at ANY data
     // size (in-JVM A/B, sf0.1: concurrent+AQE-off 14.4 s vs 21 s with
     // AQE, vs 31-57 s as one union plan) — each leg is a known-tiny
@@ -808,20 +807,28 @@ object QueryFuzzer {
     // shape 18.0 s; pool 16→32 WORSE (20.5 s); small per-job unions
     // of 4/8/16 legs a wash (19.0/17.7/19.9 s) — the ~50 ms/leg/pass
     // floor is scheduler time the driver cannot amortize further, so
-    // the simple one-leg-per-job form stays
+    // the simple one-leg-per-job form stays.
+    // r19: DataFrame CONSTRUCTION (Dataset analysis is eager) moved
+    // inside the pool too — building 288 legs serially on the main
+    // thread before any collect was itself seconds of single-threaded
+    // driver work (measured: the warm uncached seq-build alone read
+    // tens of ms per leg); now each future builds AND collects its
+    // leg, so analysis overlaps execution across the pool. `shared`
+    // must outlive every future, hence the clear moved after the Await.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.{Await, Future}
+    val schemaLeg = legOf(corpus.head)
     val rows = try ConfScope.withScopedConf(s,
       Seq("spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "8")) {
       Await.result(
-        Future.sequence(legs.map(df => Future(df.collect()(0)))),
+        Future.sequence(corpus.map(q => Future(legOf(q).collect()(0)))),
         scala.concurrent.duration.Duration.Inf)
-    } finally pool.shutdown()
+    } finally { pool.shutdown(); shared = Map.empty }
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(rows.asJava, legs.head.schema).orderBy("q")
+    s.createDataFrame(rows.asJava, schemaLeg.schema).orderBy("q")
   }
 
   /** The gate's oracle: the same digests via DuckDB SQL. */

@@ -18,6 +18,27 @@ object Tables {
   /** Small dimension tables — always broadcastable in joins. */
   val dims: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
+  /** Schema catalog for the registry's IMMUTABLE input tables: a
+    * path-based `spark.read.parquet` re-infers the schema (a driver
+    * footer read) on EVERY call, and the suite loads these tables
+    * hundreds of times per run. A real deployment reads them through a
+    * catalog that holds the schema; this memo is that catalog seam —
+    * METADATA only (never rows, never results), keyed by path, for
+    * files the harness never mutates. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val s = schemaCache.get(path)
+    if (s != null) spark.read.schema(s).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent(path, df.schema)
+      df
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both parquet TIMESTAMP(NANOS) —
@@ -26,7 +47,7 @@ object Tables {
       // session-zone TIMESTAMP so every downstream query sees one
       // type (the oracle's DuckDB read agrees under the UTC session).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = readCached(spark, s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           // nanos-as-long: truncate to µs with integer DIV, not `/` —
@@ -36,7 +57,7 @@ object Tables {
           df.withColumn("ts", col("ts").cast("timestamp"))
         case _ => df
       }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else readCached(spark, s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

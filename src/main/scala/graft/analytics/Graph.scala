@@ -186,6 +186,15 @@ object Graph {
       // aggregation exchange appears twice in the one plan and Spark's
       // ReuseExchange computes it once. Division op/order unchanged:
       // raw / Σraw.
+      // a null/zero half-step sum (degenerate graph) must fail loudly,
+      // not flow silent null/NaN ranks downstream (r19 advice): the
+      // broadcast normalizer is guarded — on any real graph __s > 0 and
+      // the guard is a never-taken branch, so values are unchanged.
+      def checked(s0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(s0.isNull || s0 === 0.0,
+          raise_error(lit("hits: degenerate half-step sum (empty graph?)"))
+            .cast("double"))
+          .otherwise(s0)
       val araw = out
         .join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
@@ -194,7 +203,7 @@ object Graph {
         .join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(asum))
         .select(col("node"),
-          (coalesce(col("raw"), lit(0.0)) / col("__s")).as("auth"))
+          (coalesce(col("raw"), lit(0.0)) / checked(col("__s"))).as("auth"))
         .transform(ckptFresh)
       val hraw = out
         .join(nextAuth.withColumnRenamed("node", "dst"), "dst")
@@ -204,7 +213,7 @@ object Graph {
         .join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .crossJoin(broadcast(hsum))
         .select(col("node"),
-          (coalesce(col("raw"), lit(0.0)) / col("__s")).as("hub"))
+          (coalesce(col("raw"), lit(0.0)) / checked(col("__s"))).as("hub"))
         .transform(ckptFresh)
       graft.ops.CacheScope.freeCheckpointBlocks(hub)
       if (auth != null) graft.ops.CacheScope.freeCheckpointBlocks(auth)

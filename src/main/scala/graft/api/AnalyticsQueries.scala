@@ -499,12 +499,17 @@ object AnalyticsQueries {
           "greatest(l_suppkey, l_partkey % 100) AS u2 FROM lineitem " +
           "WHERE l_suppkey <= 100 AND l_suppkey <> l_partkey % 100 " +
           "GROUP BY 1, 2 HAVING count(*) >= 15"
-        def deg(i: Int) = s"d$i AS (SELECT node, count(*) AS deg FROM " +
+        // AS MATERIALIZED: each peel level references the previous one
+        // 5x (two NOT INs over d_i, which reads e_i twice, plus e_i
+        // itself); DuckDB's default CTE inlining re-evaluates e0
+        // ~5^5 times — 338 s at sf0.01, 0.1 s materialized (measured,
+        // hash-identical: materialization is semantics-preserving).
+        def deg(i: Int) = s"d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM " +
           s"(SELECT u1 AS node FROM e$i UNION ALL SELECT u2 FROM e$i) GROUP BY 1)"
-        def peel(i: Int) = s"e${i + 1} AS (SELECT * FROM e$i WHERE " +
+        def peel(i: Int) = s"e${i + 1} AS MATERIALIZED (SELECT * FROM e$i WHERE " +
           s"u1 NOT IN (SELECT node FROM d$i WHERE deg < 16) AND " +
           s"u2 NOT IN (SELECT node FROM d$i WHERE deg < 16))"
-        "WITH e0 AS (" + und + "), " +
+        "WITH e0 AS MATERIALIZED (" + und + "), " +
           (0 until 5).map(i => deg(i) + ", " + peel(i)).mkString(", ") +
           ", " + deg(5) + " SELECT node, deg FROM d5 ORDER BY node"
       }),

@@ -225,11 +225,18 @@ object PipelineQueries {
       (s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"),
           "doc_id", "text", tau = 10, q = 3)
         .orderBy("id1", "id2"),
-      Some("SELECT a.doc_id AS id1, b.doc_id AS id2, " +
-        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed " +
+      // the banded pairs are MATERIALIZED first so the levenshtein
+      // projection runs parallel over the pair table (inlined, DuckDB
+      // evaluates it inside the single-threaded inequality-join
+      // pipeline: 28 s → 2.6 s at sf0.01, hash-identical at both
+      // correctness SFs — measured r20)
+      Some("WITH p AS MATERIALIZED (SELECT a.doc_id AS id1, " +
+        "b.doc_id AS id2, a.text AS ta, b.text AS tb " +
         "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +
-        "AND abs(length(a.text) - length(b.text)) <= 10 " +
-        "WHERE levenshtein(a.text, b.text) <= 10 ORDER BY 1, 2")),
+        "AND abs(length(a.text) - length(b.text)) <= 10) " +
+        "SELECT id1, id2, ed FROM (SELECT id1, id2, " +
+        "CAST(levenshtein(ta, tb) AS BIGINT) AS ed FROM p) " +
+        "WHERE ed <= 10 ORDER BY 1, 2")),
 
     Q("d9_dup_spans",
       // cross-document repeated-span detection (Dedup.duplicateSpans;

@@ -1135,6 +1135,15 @@ object Layout {
           Future.sequence(ts.map { case (b, rows) =>
             Future(processBucket(b, rows)) }),
           scala.concurrent.duration.Duration.Inf)
+        catch { case e: Throwable =>
+          // a failed bucket must not leave PEER futures renaming staged
+          // files into live bucket dirs after compact returns (r19
+          // advice): interrupt them and wait for the pool to drain
+          // before rethrowing, so the table dir is quiescent on exit
+          pool.shutdownNow()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          throw e
+        }
         finally pool.shutdown()
       }
     }

@@ -27,14 +27,31 @@ object Tables {
     * files the harness never mutates. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.types.StructType]()
+      (Long, Long, org.apache.spark.sql.types.StructType)]()
+
+  /** (mtime, length) of `path` — the cache validity stamp. A parquet
+    * path regenerated with a different schema in the same JVM changes
+    * its stamp, so the stale entry is dropped instead of silently
+    * null-filling columns through `spark.read.schema(stale)` (r19
+    * advice: the immutability contract is now asserted, not assumed).
+    * A stat failure (exotic FS) stamps (-1,-1): cache still works,
+    * validation degrades to the old keyed-by-path behavior. */
+  private def stamp(spark: SparkSession, path: String): (Long, Long) =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      (st.getModificationTime, st.getLen)
+    } catch { case _: Throwable => (-1L, -1L) }
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
-    val s = schemaCache.get(path)
-    if (s != null) spark.read.schema(s).parquet(path)
+    val (mt, len) = stamp(spark, path)
+    val e = schemaCache.get(path)
+    if (e != null && e._1 == mt && e._2 == len)
+      spark.read.schema(e._3).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaCache.putIfAbsent(path, df.schema)
+      schemaCache.put(path, (mt, len, df.schema))
       df
     }
   }

@@ -819,12 +819,16 @@ object QueryFuzzer {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.{Await, Future}
-    val schemaLeg = legOf(corpus.head)
+    // corpus is a strict def (288 FQuery builds); bind it ONCE and
+    // reuse for the schema leg and the fan-out (r19 advice: the
+    // previous corpus.head + corpus.map re-ran construction 2x).
+    val qs = corpus
+    val schemaLeg = legOf(qs.head)
     val rows = try ConfScope.withScopedConf(s,
       Seq("spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "8")) {
       Await.result(
-        Future.sequence(corpus.map(q => Future(legOf(q).collect()(0)))),
+        Future.sequence(qs.map(q => Future(legOf(q).collect()(0)))),
         scala.concurrent.duration.Duration.Inf)
     } finally { pool.shutdown(); shared = Map.empty }
     import scala.jdk.CollectionConverters._

@@ -3,7 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY phase profiler for optimization round 19 — not committed. */
+/** Dev-only phase profiler (test scope, never shipped in main): run
+  * with `sbt "Test/runMain graft.tools.ProfTmp"`; env knobs select the
+  * scenario (PROF_FUZZ / PROF_S21 / default delete-vector lifecycle). */
 object ProfTmp {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -154,21 +154,36 @@ object Layout {
     partsAsOf(spark, path, snap).map { parts =>
       val ps = parts.filter(_.startsWith("m_"))
         .map(p => SnapshotManifest.partPath(path, p))
-      // mergeSchema launches a distributed footer-merge JOB per read;
-      // a single-part snapshot (every post-fold/post-write state — the
-      // common case) has nothing to merge, and the lifecycle paths
-      // read the manifest many times per op, so skip it there. For
-      // multi-part snapshots, compare the parts' footer schemas on
-      // the DRIVER first (each is one local single-file inference, no
-      // job): identical schemas — every append since the last stat
-      // evolution — pin the schema explicitly and skip the merge job
-      // too; only genuinely heterogeneous parts pay it.
-      if (ps.lengthCompare(1) == 0) spark.read.parquet(ps.head)
-      else {
-        val schemas = ps.map(p => spark.read.parquet(p).schema).distinct
-        if (schemas.lengthCompare(1) == 0)
-          spark.read.schema(schemas.head).parquet(ps: _*)
-        else spark.read.option("mergeSchema", "true").parquet(ps: _*)
+      // Zone manifests are METADATA — O(file-count) rows — and every
+      // lifecycle op / pruned read touches them several times, so the
+      // common homogeneous-schema case is read ON THE DRIVER and
+      // returned as a LocalRelation: downstream filters/projections
+      // fold at optimization time (ConvertToLocalRelation) and every
+      // `.collect()` over it is job-free, with Catalyst still
+      // evaluating the expressions — semantics identical to the
+      // spark.read path by LocalParquetSpec's pinned type mapping.
+      // Oversized (>64 MB) or type-exotic or schema-heterogeneous
+      // manifests fall back to the distributed read; mergeSchema
+      // (a distributed footer-merge JOB) only for genuinely
+      // heterogeneous parts.
+      val fs = SnapshotManifest.fsOf(spark, path)
+      val sts =
+        try ps.flatMap(p => fs.listStatus(new Path(p)).toSeq)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      LocalParquet.readAll(
+          spark.sparkContext.hadoopConfiguration, sts) match {
+        case Some((schema, rows)) =>
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        case None =>
+          if (ps.lengthCompare(1) == 0) spark.read.parquet(ps.head)
+          else {
+            val schemas = ps.map(p => spark.read.parquet(p).schema).distinct
+            if (schemas.lengthCompare(1) == 0)
+              spark.read.schema(schemas.head).parquet(ps: _*)
+            else spark.read.option("mergeSchema", "true").parquet(ps: _*)
+          }
       }
     }
 
@@ -373,13 +388,60 @@ object Layout {
         count(lit(1)).as("n_rows"))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qroot = fs.makeQualified(new Path(root)).toString
-    val rows = agg.collect().map { r =>
-      val p = fs.makeQualified(
-        new Path(new java.net.URI(r.getString(0)))).toString
-      Row(p.stripPrefix(qroot).stripPrefix("/"),
-        r.get(1), r.get(2), r.get(3), r.get(4))
-    }
-    (agg.schema, rows)
+    // FOOTER FAST PATH: per-file (min, max, count) of the zone column
+    // already sit in the parquet footers the write just produced —
+    // exact for numeric/date/timestamp zone types — so the manifest is
+    // assembled from O(files) driver footer reads instead of a full
+    // re-scan aggregation job over the written data. Strings (whose
+    // binary stats may truncate) or any file with missing stats fall
+    // back to the aggregation; either path yields identical rows
+    // (LayoutSpec + every lifecycle oracle pin that).
+    zoneRowsFromFooters(spark, fs, qroot, scan, time, agg.schema)
+      .map(rows => (agg.schema, rows))
+      .getOrElse {
+        val rows = agg.collect().map { r =>
+          val p = fs.makeQualified(
+            new Path(new java.net.URI(r.getString(0)))).toString
+          Row(p.stripPrefix(qroot).stripPrefix("/"),
+            r.get(1), r.get(2), r.get(3), r.get(4))
+        }
+        (agg.schema, rows)
+      }
+  }
+
+  private def zoneRowsFromFooters(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  qroot: String, scan: Seq[String],
+                                  time: String,
+                                  schema: org.apache.spark.sql.types.StructType)
+      : Option[Array[Row]] = {
+    val dt = schema("zmin").dataType
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bucketRe = ".*sym_bucket=(-?\\d+)$".r
+    try {
+      val files = scan.flatMap { s =>
+        val p = new Path(s)
+        fs.listStatus(p).toSeq.flatMap {
+          case d if d.isDirectory &&
+              d.getPath.getName.startsWith("sym_bucket=") =>
+            fs.listStatus(d.getPath).toSeq.filter(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet"))
+          case _ => Seq.empty
+        }
+      }
+      if (files.isEmpty) return Some(Array.empty[Row])
+      val rows = files.map { st =>
+        val bucket: Long = st.getPath.getParent.toString match {
+          case bucketRe(b) => b.toLong
+          case _ => return None
+        }
+        val (n, mn, mx) = LocalParquet.footerZone(conf, st, time, dt)
+          .getOrElse(return None)
+        val q = fs.makeQualified(st.getPath).toString
+        Row(q.stripPrefix(qroot).stripPrefix("/"), bucket, mn, mx, n)
+      }
+      Some(rows.toArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Write `rows` as a fresh immutable manifest part (temp dir +
@@ -412,8 +474,18 @@ object Layout {
     fs.mkdirs(mDir)
     val part = partName.getOrElse(SnapshotManifest.newPartName())
     val tmp = new Path(mDir, s".tmp_$part")
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      .coalesce(1).write.parquet(tmp.toString)
+    // manifest parts are the METADATA plane — O(file-count) rows at any
+    // table scale — so the common schemas are written directly on the
+    // driver (~2 ms) instead of through a full Spark job (~150 ms of
+    // planning + task + commit protocol, measured r20); exotic zone
+    // types fall back to the identical-output Spark path
+    if (LocalParquet.supports(schema)) {
+      fs.mkdirs(tmp)
+      LocalParquet.write(spark.sparkContext.hadoopConfiguration,
+        new Path(tmp, "part-00000.parquet"), schema, rows)
+    } else
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(tmp.toString)
     if (!fs.rename(tmp, new Path(mDir, part)))
       throw new java.io.IOException(s"manifest part rename failed: $part")
     part
@@ -603,8 +675,13 @@ object Layout {
     fs.mkdirs(mDir)
     val part = SnapshotManifest.newPartName("dv")
     val tmp = new Path(mDir, s".tmp_$part")
-    hits.write.mode("overwrite").parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count() // footer-only job
+    // the matched-row count rides the write itself as an observed
+    // metric — the old post-write `read.count()` was a second Spark
+    // job per delete (~70 ms of pure overhead at any scale)
+    val obs = org.apache.spark.sql.Observation()
+    hits.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val n = obs.get("n").asInstanceOf[Long]
     if (n == 0L) { fs.delete(tmp, true); return None }
     if (!fs.rename(tmp, new Path(mDir, part)))
       throw new java.io.IOException(s"delete: dv part rename failed: $part")
@@ -651,7 +728,10 @@ object Layout {
     val straddle = liveRows.filterNot(r => droppedSet(r.getString(0)))
       .filter(r => lt(r.get(2))) // zmin < cutoff ≤ zmax
     val fs = SnapshotManifest.fsOf(spark, path)
-    val dvPart: Option[String] =
+    // (part, rows deleted); the count rides the DV write as an
+    // observed metric — the old shape paid TWO extra jobs per expiry
+    // (a post-write isEmpty probe + a separate count)
+    val dvPart: Option[(String, Long)] =
       if (straddle.isEmpty) None
       else {
         val files = straddle.map(r =>
@@ -668,17 +748,19 @@ object Layout {
         fs.mkdirs(mDir)
         val part = SnapshotManifest.newPartName("dv")
         val tmp = new Path(mDir, s".tmp_$part")
-        hits.write.mode("overwrite").parquet(tmp.toString)
-        if (spark.read.parquet(tmp.toString).isEmpty) {
+        val obs = org.apache.spark.sql.Observation()
+        hits.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val n = obs.get("n").asInstanceOf[Long]
+        if (n == 0L) {
           fs.delete(tmp, true); None
         } else {
           if (!fs.rename(tmp, new Path(mDir, part)))
             throw new java.io.IOException(s"expire: dv rename failed: $part")
-          Some(part)
+          Some((part, n))
         }
       }
-    val straddleDeleted = dvPart.fold(0L)(p =>
-      spark.read.parquet(SnapshotManifest.partPath(path, p)).count())
+    val straddleDeleted = dvPart.fold(0L)(_._2)
     if (dropped.nonEmpty || dvPart.nonEmpty) {
       val keptRows = liveRows.filterNot(r => droppedSet(r.getString(0)))
       // fold the kept manifest rows into ONE fresh part; existing DV
@@ -688,14 +770,7 @@ object Layout {
       val keptDvParts = SnapshotManifest.currentParts(spark, path)
         .getOrElse(Seq.empty)
         .filter(p => p.startsWith("dv_") || p.startsWith("bf_"))
-      val mPart = SnapshotManifest.newPartName()
-      val mDir = new Path(path, SnapshotManifest.ManifestsDir)
-      val tmp = new Path(mDir, s".tmp_$mPart")
-      spark.createDataFrame(
-          java.util.Arrays.asList(keptRows: _*), schema)
-        .coalesce(1).write.parquet(tmp.toString)
-      if (!fs.rename(tmp, new Path(mDir, mPart)))
-        throw new java.io.IOException(s"expire: manifest rename failed: $mPart")
+      val mPart = writeManifestPart(spark, path, schema, keptRows)
       // SHRINK PROVENANCE for the hop-chain re-verifiers
       // ([[graft.plans.TableState.ShrinkHop]]): the dropped FILE LIST
       // — metadata-only, O(dropped files). The expired rows
@@ -704,19 +779,16 @@ object Layout {
       // subset-safe consumers restamp from the marker alone, row-level
       // consumers refuse with guidance. Straddle dv rows stay in the
       // plain read, so only whole-file drops are listed.
-      val rsPart = s"rs_${baseSnap.get}__${SnapshotManifest.token()}"
-      val rsTmp = new Path(mDir, s".tmp_$rsPart")
-      spark.createDataFrame(
-          java.util.Arrays.asList(dropped.map(r => Row(r.getString(0))): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("file",
-              org.apache.spark.sql.types.StringType))))
-        .coalesce(1).write.parquet(rsTmp.toString)
-      if (!fs.rename(rsTmp, new Path(mDir, rsPart)))
-        throw new java.io.IOException(s"expire: rs part rename failed: $rsPart")
+      val rsPart = writeManifestPart(spark, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType))),
+        dropped.map(r => Row(r.getString(0))),
+        Some(s"rs_${baseSnap.get}__${SnapshotManifest.token()}"))
       failpoint("expire-before-flip")
       SnapshotManifest.commit(spark, path,
-        mPart +: (keptDvParts ++ dvPart.toSeq) :+ rsPart, Some(baseSnap))
+        mPart +: (keptDvParts ++ dvPart.map(_._1).toSeq) :+ rsPart,
+        Some(baseSnap))
     }
     (dropped.length, straddleDeleted)
   }

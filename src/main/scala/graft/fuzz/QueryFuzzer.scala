@@ -824,6 +824,12 @@ object QueryFuzzer {
     // previous corpus.head + corpus.map re-ran construction 2x).
     val qs = corpus
     val schemaLeg = legOf(qs.head)
+    // r20 A/B (warm pass, the min-of-2-visible one): shuffle
+    // partitions 1 vs 8 and wholeStage codegen on vs off are all
+    // within noise (5.5-6.2 s / 288 legs); codegen OFF cuts only the
+    // cold pass (20 -> 15 s). The warm floor is driver job-submission
+    // throughput (~19 ms/leg incl. planning), so the simple shape
+    // stays.
     val rows = try ConfScope.withScopedConf(s,
       Seq("spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "8")) {
